@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column helpers shared by every operator module.
+  *
+  * Correctness-critical convention (see SURVEY.md §6): all aggregated money
+  * math runs on DECIMAL so sums are exact and reduction-order-independent —
+  * a raw double sum differs between Spark's parallel partial aggregates and
+  * DuckDB's sequential fold. Per-row arithmetic stays in DOUBLE (IEEE ops are
+  * engine-identical), is cast once to a decimal whose scale covers the exact
+  * value, summed exactly, and cast back to DOUBLE for output.
+  */
+private[graft] object Cols {
+  /** Cast a per-row double expression to an exact decimal of scale `s`. */
+  def dec(c: Column, s: Int): Column = c.cast(DecimalType(18, s))
+
+  /** Exact, order-independent sum of a double expression with `s` true
+    * decimal places, returned as double. */
+  def sumExact(c: Column, s: Int): Column = sum(dec(c, s)).cast("double")
+
+  /** Timestamp literal (session TZ is UTC, matching DuckDB's naive TS). */
+  def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  /** Exact mean: decimal sum / count, both as double (engine-identical). */
+  def avgExact(c: Column, s: Int): Column =
+    sumExact(c, s) / count(lit(1))
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory (SURVEY.md §2.H) for tests and benchmarks.
+  *
+  * The driver's Verify/Bench construct their own sessions; every query in
+  * this library is written to be correct under a vanilla ANSI Spark 4
+  * session — these settings only affect performance, never results.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // AQE: runtime partition coalescing + skew-join splitting; at cluster
+      // scale this is what keeps post-shuffle partitions memory-sized.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

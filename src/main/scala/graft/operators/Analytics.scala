@@ -1,0 +1,345 @@
+package graft.operators
+
+import graft.{Cols, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.B — the analytical query layer (TPC-H-style) over the star
+  * schema. Reference analog: the "Spark handles analytical queries" half of
+  * the Cassandra deployment (BASELINE.json).
+  *
+  * Scale notes (SURVEY.md §5): every dimension-side join (region, nation,
+  * supplier, part, customer) is explicitly `broadcast()`; fact-fact joins
+  * (orders ⋈ lineitem) shuffle on the join key where AQE handles skew; all
+  * aggregates are decimal-exact so map-side partial aggregation is safe.
+  */
+object Analytics extends QueryModule {
+  import Cols._
+
+  /** revenue term: per-row double product, cast once to exact decimal(18,4). */
+  private def revenue(ep: Column, disc: Column): Column =
+    dec(ep * (lit(1.0) - disc), 4)
+  private val revSql =
+    "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))"
+
+  // ---- q1: pricing summary: full-scan multi-aggregate --------------------
+  def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumExact(col("l_quantity"), 2).as("sum_qty"),
+        sumExact(col("l_extendedprice"), 2).as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6))
+          .cast("double").as("sum_charge"),
+        avgExact(col("l_quantity"), 2).as("avg_qty"),
+        avgExact(col("l_extendedprice"), 2).as("avg_price"),
+        avgExact(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       | CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+       | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       | COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q3: top revenue orders (3-way join, deterministic top-k) ----------
+  def q3(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1996-01-01"))
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < ts("1996-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  private val q3Sql =
+    s"""SELECT l_orderkey, CAST(SUM($revSql) AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+       |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01'
+       |  AND l_shipdate > TIMESTAMP '1996-01-01'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---- q5: local supplier volume (6-way join through dims) ---------------
+  def q5(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1995-01-01") && col("o_orderdate") < ts("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  private val q5Sql =
+    s"""SELECT n_name, CAST(SUM($revSql) AS DOUBLE) AS revenue
+       |FROM region JOIN nation ON n_regionkey = r_regionkey
+       | JOIN customer ON c_nationkey = n_nationkey
+       | JOIN orders ON o_custkey = c_custkey
+       | JOIN lineitem ON l_orderkey = o_orderkey
+       | JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name""".stripMargin
+
+  // ---- q6: revenue forecast (tight-filter scalar aggregate) --------------
+  def q6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1995-01-01") && col("l_shipdate") < ts("1997-01-01")
+        && col("l_discount").between(0.04, 0.08) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice") * col("l_discount"), 4)).cast("double").as("revenue"))
+
+  private val q6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""".stripMargin
+
+  // ---- q10: returned-item reporting (top-20 customers) -------------------
+  def q10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1995-01-01") && col("o_orderdate") < ts("1995-07-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name, CAST(SUM($revSql) AS DOUBLE) AS revenue, c_acctbal, n_name
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       | JOIN lineitem ON l_orderkey = o_orderkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---- q13: customer order-count distribution (left outer join) ----------
+  def q13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count""".stripMargin
+
+  // ---- q14: promo revenue share (conditional aggregate) ------------------
+  def q14(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1995-09-01") && col("l_shipdate") < ts("1995-12-01"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0)
+        * sum(when(col("p_type") === "PROMO", revenue(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
+        / sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double"))
+        .as("promo_revenue_pct"))
+
+  private val q14Sql =
+    s"""SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revSql ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |  / CAST(SUM($revSql) AS DOUBLE) AS promo_revenue_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-12-01'""".stripMargin
+
+  // ---- q18: large-volume orders (agg-as-filter / HAVING) -----------------
+  def q18(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"), 2)).as("qty_dec"))
+      .filter(col("qty_dec") > 300)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("qty_dec").cast("double").as("sum_qty"))
+
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300""".stripMargin
+
+  // ---- q19: bracket predicates (OR-of-ANDs pushdown + broadcast) ---------
+  def q19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40)))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q19Sql =
+    s"""SELECT CAST(SUM($revSql) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
+  // ---- q4: order priority check (EXISTS semi-join) -----------------------
+  def q4(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1995-07-01") && col("o_orderdate") < ts("1996-01-01"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---- anti-join: customers with no recent orders ------------------------
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderdate") >= ts("2001-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin
+
+  // ---- window: top-3 orders per customer ---------------------------------
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  private val topkPerGroupSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t WHERE rk <= 3""".stripMargin
+
+  // ---- window: running spend per customer --------------------------------
+  def runningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend", sum(dec(col("o_totalprice"), 2)).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+  }
+
+  private val runningTotalSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin
+
+  // ---- rollup: nation × status multi-level aggregate ---------------------
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    // Dataset.rollup trips Spark's self-join ambiguity check on joined
+    // attrs, so the ROLLUP itself runs as SQL over a temp view; the join
+    // stays in the DataFrame API with explicit broadcasts.
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nat"), col("o_orderstatus").as("st"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_rollup_src")
+    s.sql(
+      """SELECT COALESCE(nat, 'ALL') AS nation, COALESCE(st, 'ALL') AS status,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM graft_rollup_src GROUP BY ROLLUP(nat, st)""".stripMargin)
+  }
+
+  private val rollupAggSql =
+    """SELECT COALESCE(n_name, 'ALL') AS nation, COALESCE(o_orderstatus, 'ALL') AS status,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, o_orderstatus)""".stripMargin
+
+  // ---- exact distinct count per group ------------------------------------
+  def distinctParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n_lines"))
+
+  private val distinctPartsSql =
+    "SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_lines FROM lineitem GROUP BY l_suppkey"
+
+  // ---- as-of join: last view before each purchase ------------------------
+  /** Composed as-of join (Spark has no native one): single shuffle on
+    * user_id + one in-partition sort, NOT an O(n²) range join — the running
+    * max of view-timestamps over the time-ordered union gives each purchase
+    * its most recent prior view. Identical shape at 100 TB (one shuffle). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("last_view_ts", max(when(col("event_type") === "view", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("last_view_ts"))
+  }
+
+  private val asofJoinSql =
+    """SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+      |       MAX(v.ts) AS last_view_ts
+      |FROM events p LEFT JOIN events v
+      |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("q1_pricing_summary", q1 _, Some(q1Sql)),
+    ("q3_top_orders", q3 _, Some(q3Sql)),
+    ("q5_local_supplier_volume", q5 _, Some(q5Sql)),
+    ("q6_revenue_forecast", q6 _, Some(q6Sql)),
+    ("q10_returned_items", q10 _, Some(q10Sql)),
+    ("q13_customer_distribution", q13 _, Some(q13Sql)),
+    ("q14_promo_effect", q14 _, Some(q14Sql)),
+    ("q18_large_orders", q18 _, Some(q18Sql)),
+    ("q19_bracket_predicates", q19 _, Some(q19Sql)),
+    ("q4_order_priority", q4 _, Some(q4Sql)),
+    ("anti_join_inactive_customers", antiJoin _, Some(antiJoinSql)),
+    ("window_topk_per_group", topkPerGroup _, Some(topkPerGroupSql)),
+    ("window_running_total", runningTotal _, Some(runningTotalSql)),
+    ("rollup_nation_status", rollupAgg _, Some(rollupAggSql)),
+    ("distinct_supplier_parts", distinctParts _, Some(distinctPartsSql)),
+    ("asof_join_latest_order", asofJoin _, Some(asofJoinSql)))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("every analytics entry runs and has a stable schema") {
+    Analytics.entries.foreach { case (name, fn, _) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.collect() // must execute without throwing
+    }
+  }
+
+  test("q1 aggregates by the 6 (returnflag, linestatus) groups") {
+    val rows = Analytics.q1(spark, sf).collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total == spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count())
+  }
+
+  test("topk per group emits at most 3 rows per customer, ranked") {
+    val bad = Analytics.topkPerGroup(spark, sf)
+      .groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(bad == 0)
+  }
+
+  test("running total is monotone per customer") {
+    val df = Analytics.runningTotal(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val viol = df.withColumn("prev", lag("running_spend", 1).over(w))
+      .filter(col("prev").isNotNull && col("running_spend") < col("prev")).count()
+    assert(viol == 0)
+  }
+
+  test("asof join: every purchase's last_view_ts is <= purchase_ts") {
+    val df = Analytics.asofJoin(spark, sf)
+    assert(df.filter(col("last_view_ts") > col("purchase_ts")).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("q3/q10 top-k limits hold") {
+    assert(Analytics.q3(spark, sf).count() <= 10)
+    assert(Analytics.q10(spark, sf).count() <= 20)
+  }
+}
