@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Cols, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C — event/time-series analytics over `events`.
+  *
+  * Each operator is the batch twin of a Structured Streaming job
+  * (streaming/EventStreams.scala): tumbling windows ↔ watermarked window
+  * aggs, sessionization ↔ flatMapGroupsWithState. The batch shapes are
+  * chosen to match streaming state partitioning — one shuffle on the key
+  * (user_id), ordered within partition.
+  */
+object Events extends QueryModule {
+  import Cols._
+
+  private val byUserTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  // Tumbling 1-hour window per event type.
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value"))
+
+  private val tumblingWindowSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
+  /** Gap-based sessionization (30 min): one shuffle on user_id, in-partition
+    * sort, running sum of session-break flags — same state layout a
+    * streaming sessionizer keeps per key. */
+  def sessionization(s: SparkSession, d: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val frame = byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUserTime))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(frame))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        ((unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))) / lit(1000.0))
+          .as("duration_sec"))
+  }
+
+  private val sessionizationSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      | MIN(ts) AS session_start, MAX(ts) AS session_end,
+      | (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0 AS duration_sec
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** Ordered funnel signup → view → purchase: each stage keyed on user_id
+    * (shuffle joins on the key; stage frontiers are min-timestamps). */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("st"))
+    val vi = e.filter(col("event_type") === "view").join(su, "user_id")
+      .filter(col("ts") > col("st")).groupBy("user_id").agg(min("ts").as("vt"))
+    val pu = e.filter(col("event_type") === "purchase").join(vi, "user_id")
+      .filter(col("ts") > col("vt")).groupBy("user_id").agg(min("ts").as("pt"))
+    su.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(vi.agg(count(lit(1)).as("n_signup_view")))
+      .crossJoin(pu.agg(count(lit(1)).as("n_signup_view_purchase")))
+  }
+
+  private val funnelSql =
+    """WITH s AS (SELECT user_id, MIN(ts) AS st FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      | v AS (SELECT e.user_id, MIN(e.ts) AS vt FROM events e JOIN s ON e.user_id = s.user_id
+      |       WHERE e.event_type = 'view' AND e.ts > s.st GROUP BY e.user_id),
+      | p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e JOIN v ON e.user_id = v.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > v.vt GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+      |       (SELECT COUNT(*) FROM v) AS n_signup_view,
+      |       (SELECT COUNT(*) FROM p) AS n_signup_view_purchase""".stripMargin
+
+  // Daily active users + volume.
+  def dailyActive(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"),
+        sumExact(col("value"), 2).as("total_value"))
+
+  private val dailyActiveSql =
+    """SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS dau,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY date_trunc('day', ts)""".stripMargin
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ev_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
+    ("ev_sessionization", sessionization _, Some(sessionizationSql)),
+    ("ev_funnel", funnel _, Some(funnelSql)),
+    ("ev_daily_active", dailyActive _, Some(dailyActiveSql)))
+}

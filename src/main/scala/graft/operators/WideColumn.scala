@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{Cols, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.A — the reference's wide-column store surface, re-expressed
+  * Spark-first.
+  *
+  * Mapping (SURVEY.md §3): `events` plays `messages` (partition key =
+  * user_id ↔ channel_id, clustering key = ts DESC ↔ timeuuid DESC,
+  * reference server.py:176-183); `customer` plays `users`
+  * (server.py:263-269). Cassandra's INSERT-is-upsert becomes a
+  * last-write-wins window compaction; Murmur3 token ranges become a
+  * deterministic token function for range-parallel scans.
+  *
+  * Scale notes (§5): every partition-key filter is a pushed parquet
+  * predicate (at 100 TB the table is written bucketed by token(pk), so the
+  * same filter prunes files); LWW compaction is exactly one shuffle on the
+  * primary key; the clustering-order rank is computed per partition-key
+  * window, never with a global sort.
+  */
+object WideColumn extends QueryModule {
+  import Cols._
+
+  /** Clustering order of the reference's messages table: newest first,
+    * ties (none in data) broken by event_id for determinism. */
+  private val clusteringDesc =
+    Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+  private val lwwByTypeKey =
+    Window.partitionBy("user_id", "event_type").orderBy(desc("ts"), desc("event_id"))
+
+  // SELECT * FROM messages WHERE channel_id = ?  (server.py:95)
+  def partitionLookup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") === 42)
+      .withColumn("rn", row_number().over(clusteringDesc).cast("long"))
+      .select("user_id", "event_id", "ts", "event_type", "value", "rn")
+
+  private val partitionLookupSql =
+    """SELECT user_id, event_id, ts, event_type, value,
+      | ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |FROM events WHERE user_id = 42""".stripMargin
+
+  // Multi-get: IN-list of partition keys (connector-style multi-partition read).
+  def multiPartitionLookup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id").isin(1, 7, 42, 99))
+      .withColumn("rn", row_number().over(clusteringDesc).cast("long"))
+      .select("user_id", "event_id", "ts", "event_type", "value", "rn")
+
+  private val multiPartitionLookupSql =
+    """SELECT user_id, event_id, ts, event_type, value,
+      | ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |FROM events WHERE user_id IN (1, 7, 42, 99)""".stripMargin
+
+  // SELECT ... FROM users WHERE username = ?  (server.py:247)
+  def pointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") === 123)
+      .select(col("c_custkey").as("user_key"), col("c_name").as("username"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+
+  private val pointLookupSql =
+    """SELECT c_custkey AS user_key, c_name AS username, c_mktsegment AS segment,
+      | c_acctbal AS acctbal
+      |FROM customer WHERE c_custkey = 123""".stripMargin
+
+  // SELECT user_id, username, email FROM users  (server.py:219): projection
+  // scan — column pruning must reach the parquet reader.
+  def projectionScan(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+
+  private val projectionScanSql =
+    "SELECT c_custkey, c_name, c_acctbal FROM customer"
+
+  // Cassandra INSERT = upsert: last-write-wins per primary key.
+  def upsertLww(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(lwwByTypeKey))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value").as("latest_value"),
+        col("ts").as("write_ts"))
+
+  private val upsertLwwSql =
+    """SELECT user_id, event_type, value AS latest_value, ts AS write_ts FROM (
+      |  SELECT user_id, event_type, value, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  // BatchStatement analog (server.py:186-204): append a batch, read the
+  // LWW-compacted view of the written partition.
+  def batchInsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batch = Seq(
+      (1000001L, "2024-02-01 00:00:00", 9999L, "signup", 1.0),
+      (1000002L, "2024-02-01 00:05:00", 9999L, "click", 2.0),
+      (1000003L, "2024-02-01 00:10:00", 9999L, "click", 3.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    Tables.events(s, d).select(cols.map(col): _*)
+      .unionByName(batch.select(cols.map(col): _*))
+      .withColumn("rn", row_number().over(lwwByTypeKey))
+      .filter(col("rn") === 1 && col("user_id") === 9999)
+      .select(col("user_id"), col("event_type"), col("value").as("latest_value"),
+        col("ts").as("write_ts"))
+  }
+
+  private val batchInsertSql =
+    """WITH batch(event_id, ts, user_id, event_type, value) AS (VALUES
+      |  (1000001, TIMESTAMP '2024-02-01 00:00:00', 9999, 'signup', 1.0),
+      |  (1000002, TIMESTAMP '2024-02-01 00:05:00', 9999, 'click', 2.0),
+      |  (1000003, TIMESTAMP '2024-02-01 00:10:00', 9999, 'click', 3.0)),
+      | unioned AS (
+      |  SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) FROM batch)
+      |SELECT user_id, event_type, value AS latest_value, ts AS write_ts FROM (
+      |  SELECT user_id, event_type, value, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM unioned) t WHERE rn = 1 AND user_id = 9999""".stripMargin
+
+  /** Murmur3-partitioner analog: deterministic multiplicative token; a
+    * token-range scan is how Spark↔Cassandra splits a table into parallel
+    * reads (vnode ranges). Chosen to be reproducible in ANSI SQL (no
+    * overflow: max user_id × 2654435761 ≪ 2^63). */
+  def tokenRangeScan(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("token", pmod(col("user_id") * 2654435761L, lit(1000000007L)))
+      .filter(col("token") < 250000000L)
+      .select("user_id", "token", "n_rows")
+
+  private val tokenRangeScanSql =
+    """SELECT user_id, (user_id * 2654435761) % 1000000007 AS token, COUNT(*) AS n_rows
+      |FROM events GROUP BY user_id
+      |HAVING (user_id * 2654435761) % 1000000007 < 250000000""".stripMargin
+
+  // TTL semantics: rows expire writetime + TTL; read at a fixed "now".
+  def ttlExpiry(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") > ts("2024-01-13")) // ts + 7d TTL > read-time 2024-01-20
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_alive"), min("ts").as("oldest"), max("ts").as("newest"))
+
+  private val ttlExpirySql =
+    """SELECT event_type, COUNT(*) AS n_alive, MIN(ts) AS oldest, MAX(ts) AS newest
+      |FROM events WHERE ts > TIMESTAMP '2024-01-13' GROUP BY event_type""".stripMargin
+
+  // Clustering-key range slice inside one partition.
+  def clusteringSlice(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") === 42
+        && col("ts") >= ts("2024-01-05") && col("ts") < ts("2024-01-15"))
+      .withColumn("rn", row_number().over(clusteringDesc).cast("long"))
+      .select("user_id", "event_id", "ts", "event_type", "value", "rn")
+
+  private val clusteringSliceSql =
+    """SELECT user_id, event_id, ts, event_type, value,
+      | ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |FROM events WHERE user_id = 42
+      |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'""".stripMargin
+
+  // Secondary-index analog: filter on a non-key column (pushed predicate).
+  def secondaryIndex(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_errors"), max("ts").as("last_error_ts"))
+
+  private val secondaryIndexSql =
+    """SELECT user_id, COUNT(*) AS n_errors, MAX(ts) AS last_error_ts
+      |FROM events WHERE event_type = 'error' GROUP BY user_id""".stripMargin
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_partition_lookup", partitionLookup _, Some(partitionLookupSql)),
+    ("wc_multi_partition_lookup", multiPartitionLookup _, Some(multiPartitionLookupSql)),
+    ("wc_point_lookup", pointLookup _, Some(pointLookupSql)),
+    ("wc_projection_scan", projectionScan _, Some(projectionScanSql)),
+    ("wc_upsert_lww", upsertLww _, Some(upsertLwwSql)),
+    ("wc_batch_insert", batchInsert _, Some(batchInsertSql)),
+    ("wc_token_range_scan", tokenRangeScan _, Some(tokenRangeScanSql)),
+    ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
+    ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
+    ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)))
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.WideColumn
+import org.apache.spark.sql.functions._
+
+class WideColumnSpec extends SparkSpec {
+
+  test("every wide-column entry runs") {
+    WideColumn.entries.foreach { case (name, fn, _) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      df.collect()
+    }
+  }
+
+  test("partition lookup returns only the requested partition, newest first") {
+    val rows = WideColumn.partitionLookup(spark, sf)
+      .orderBy("rn").collect()
+    assert(rows.forall(_.getAs[Long]("user_id") == 42L))
+    val tss = rows.map(_.getAs[java.sql.Timestamp]("ts").getTime)
+    assert(tss.sameElements(tss.sorted(Ordering[Long].reverse)), "not clustering DESC")
+  }
+
+  test("LWW upsert keeps exactly one row per (user_id, event_type)") {
+    val df = WideColumn.upsertLww(spark, sf)
+    assert(df.groupBy("user_id", "event_type").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("batch insert upserts: second click write wins") {
+    val rows = WideColumn.batchInsert(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("latest_value")).toMap
+    assert(rows == Map("signup" -> 1.0, "click" -> 3.0))
+  }
+
+  test("partition-key filter is pushed to the parquet scan") {
+    val plan = WideColumn.partitionLookup(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan.take(500))
+  }
+
+  test("projection scan prunes to the 3 requested columns") {
+    val plan = WideColumn.projectionScan(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("c_mktsegment"), "unused column not pruned:\n" + plan.take(500))
+  }
+}
