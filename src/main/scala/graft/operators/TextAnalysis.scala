@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.D — text analysis over `documents`.
+  *
+  * Everything is a single scan + narrow per-row expressions (codegen'd) or
+  * one aggregation — no shuffles except where the semantics require one
+  * (corpus-wide n-gram counts). At 100 TB each of these is a map-only pass.
+  */
+object TextAnalysis extends QueryModule {
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", tokens(col("text")))
+
+  // Per-doc token statistics.
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double")
+          / size(col("toks"))).as("avg_token_chars"))
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      | len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+      | CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+      |   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_chars
+      |FROM documents""".stripMargin
+
+  // Heuristic quality score: length, lexical diversity, stopword density.
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val n = size(col("toks")).cast("double")
+    val score =
+      lit(0.3) * least(lit(1.0), n / 100.0) +
+      lit(0.4) * (size(array_distinct(col("toks"))).cast("double") / n) +
+      lit(0.3) * (stopwordHits(col("toks"), stopsEn).cast("double") / n)
+    withToks(Tables.documents(s, d))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        round(score, 6).as("quality_score"))
+  }
+
+  private val qualityScoreSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+      |SELECT doc_id, len(toks) AS n_tokens,
+      | round(
+      |   0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+      | + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+      | + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+      |          / CAST(len(toks) AS DOUBLE)), 6) AS quality_score
+      |FROM t""".stripMargin
+
+  // n-gram/stopword-vote language ID; output = confusion matrix vs `lang`.
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val h = Map(
+      "en" -> stopwordHits(col("toks"), stopsEn),
+      "de" -> stopwordHits(col("toks"), stopsDe),
+      "es" -> stopwordHits(col("toks"), stopsEs),
+      "fr" -> stopwordHits(col("toks"), stopsFr))
+    val predicted =
+      when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr"), "en")
+        .when(h("de") >= h("es") && h("de") >= h("fr"), "de")
+        .when(h("es") >= h("fr"), "es")
+        .otherwise("fr")
+    withToks(Tables.documents(s, d))
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val langIdSql =
+    """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      | h AS (SELECT lang,
+      |   len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) AS h_en,
+      |   len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist','ein'))) AS h_de,
+      |   len(list_filter(toks, x -> x IN ('el','que','los','se','por','con','una'))) AS h_es,
+      |   len(list_filter(toks, x -> x IN ('le','les','des','et','du','dans','pour'))) AS h_fr
+      |  FROM t)
+      |SELECT lang,
+      | CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+      |      WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+      |      WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS predicted,
+      | COUNT(*) AS n
+      |FROM h GROUP BY 1, 2""".stripMargin
+
+  // Canonical-text md5 fingerprint (the dedup identity key).
+  def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        length(canonical(col("text"))).cast("long").as("n_canon_chars"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      | md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS fp,
+      | CAST(length(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS BIGINT) AS n_canon_chars
+      |FROM documents""".stripMargin
+
+  // Corpus-wide top-20 bigrams (the one genuinely shuffling text op).
+  def topNgrams(s: SparkSession, d: String): DataFrame =
+    withToks(Tables.documents(s, d))
+      .select(explode(wordNgrams(col("toks"), 2)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("ngram"))
+      .limit(20)
+
+  private val topNgramsSql =
+    """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      | g AS (SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)]) AS ngram FROM t)
+      |SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+      |ORDER BY n DESC, ngram LIMIT 20""".stripMargin
+
+  // BPE-ish token-count estimate.
+  def bpeEstimate(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), bpePieces(col("text")).as("n_pieces"))
+
+  private val bpeEstimateSql =
+    """SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_pieces
+      |FROM documents""".stripMargin
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_token_stats", tokenStats _, Some(tokenStatsSql)),
+    ("txt_quality_score", qualityScore _, Some(qualityScoreSql)),
+    ("txt_lang_id", langId _, Some(langIdSql)),
+    ("txt_fingerprint", fingerprintQ _, Some(fingerprintSql)),
+    ("txt_top_ngrams", topNgrams _, Some(topNgramsSql)),
+    ("txt_bpe_token_estimate", bpeEstimate _, Some(bpeEstimateSql)))
+}

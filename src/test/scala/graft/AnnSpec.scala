@@ -1,0 +1,45 @@
+package graft
+
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  test("every ann entry runs") {
+    Ann.entries.foreach { case (name, fn, _) => fn(spark, sf).collect() }
+  }
+
+  test("brute force: 10 ranked neighbors per query, scores descending") {
+    val byQ = Ann.bruteForce(spark, sf).collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k never beats brute force") {
+    val brute = Ann.bruteForce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Double]("score")).max).toMap
+    Ann.lshTopK(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("score") <= brute(r.getAs[Long]("query_id")) + 1e-9)
+    }
+  }
+
+  test("IVF: every result comes from the single probed cell") {
+    val rows = Ann.ivfTopK(spark, sf).collect()
+    val cells = rows.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Int]("cell")).toSet).toMap
+    cells.values.foreach(cs => assert(cs.size == 1))
+  }
+
+  test("norm stats: min <= avg <= max per label") {
+    Ann.normStats(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("avg_norm") + 1e-9)
+      assert(r.getAs[Double]("avg_norm") <= r.getAs[Double]("max_norm") + 1e-9)
+    }
+  }
+}

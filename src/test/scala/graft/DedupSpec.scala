@@ -1,0 +1,52 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("every dedup entry runs") {
+    Dedup.entries.foreach { case (name, fn, _) => fn(spark, sf).collect() }
+  }
+
+  test("exact dedup accounting is consistent") {
+    val r = Dedup.exact(spark, sf).collect()(0)
+    val (docs, uniq, dupes) =
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique"), r.getAs[Long]("n_dupes"))
+    assert(docs == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(uniq + dupes == docs && uniq > 0)
+  }
+
+  test("minhash LSH candidates agree with exact jaccard and catch strong pairs") {
+    val cands = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // jaccard on candidates must match the inverted-index exact computation
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    cands.keySet.intersect(exact.keySet).foreach { k =>
+      assert(math.abs(cands(k) - exact(k)) < 1e-12, s"jaccard mismatch for $k")
+    }
+    // any genuinely strong near-dup (jac >= 0.8) must be recalled by LSH
+    exact.filter(_._2 >= 0.8).keySet.foreach { k =>
+      assert(cands.contains(k), s"LSH missed strong pair $k")
+    }
+  }
+
+  test("simhash: one deterministic 64-bit signature per doc") {
+    val a = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.size == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("embedding near-dup pairs are same-bucket with sane scores") {
+    val rows = Dedup.embeddingCosine(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      assert(sc >= -1.0001 && sc <= 1.0001)
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+    }
+  }
+}
