@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.Analytics, operators.WideColumn, operators.Events,
-    operators.TextAnalysis, dedup.Dedup, similarity.Ann)
+    operators.TextAnalysis, dedup.Dedup, similarity.Ann,
+    multimodal.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

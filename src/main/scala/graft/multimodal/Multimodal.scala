@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media metadata produced by the (stubbed) batch decoder. */
+case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                     channels: Int, checksum: Long)
+
+/** SURVEY.md §2.G — multimodal columns: media as opaque `binary` payloads
+  * with typed metadata.
+  *
+  * The container has no image/audio codecs by design, so the decode step is
+  * a clearly-marked DETERMINISTIC STUB; everything Spark-side — binary
+  * column handling, schema, Dataset encoders, partition-batched decode via
+  * mapPartitions — is real and is exactly the shape a libjpeg/ffmpeg-backed
+  * decoder would plug into at 100 TB (decode stays distributed, one batch
+  * per partition chunk, no driver involvement).
+  */
+object Multimodal extends QueryModule {
+
+  /** Typed metadata extracted from the raw payload — pure SQL expressions
+    * (magic-byte sniff, digest, size), no decode needed. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("sha"),
+        lower(hex(substring(col("payload"), 1, 4))).as("magic"),
+        when(ascii(substring(col("text"), 1, 1)).between(97, 122), "text")
+          .otherwise("binary").as("kind"))
+
+  private val binaryMetaSql =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | sha256(text) AS sha,
+      | lower(substr(hex(encode(text)), 1, 8)) AS magic,
+      | CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 97 AND 122
+      |      THEN 'text' ELSE 'binary' END AS kind
+      |FROM documents""".stripMargin
+
+  /** STUB DECODER — stands in for a real image/audio decode (libs absent in
+    * this environment). Deterministic function of the bytes so results are
+    * reproducible; replace the body with the real codec call at deployment.
+    */
+  private[graft] def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    var fnv = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { fnv = (fnv ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    MediaMeta(id, bytes.length,
+      width = (bytes.length % 64) + 1,
+      height = ((bytes.length / 64) % 64) + 1,
+      channels = 3,
+      checksum = fnv)
+  }
+
+  private val BatchSize = 32
+
+  /** Partition-batched decode: each partition's rows are decoded in fixed
+    * batches (the shape a vectorized codec wants), fully distributed. */
+  def decodeBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          // one "batch decode" call per group, as a real codec API would take
+          batch.map { case (id, bytes) => stubDecode(id, bytes) }
+        }
+      }
+      .toDF()
+  }
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("mm_binary_meta", binaryMeta _, Some(binaryMetaSql)),
+    ("mm_decode_batch", decodeBatch _, None))
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row (mirrors the events table schema, ns already micros). */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+
+/** Emitted per closed session by the custom-state sessionizer. */
+case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Long)
+
+/** Per-user running state for the custom sessionizer. */
+case class SessState(n: Long, start: Long, last: Long)
+
+/** SURVEY.md §2.C — Structured Streaming twins of the batch event
+  * operators. Same logic, same state partitioning (keyed by user_id /
+  * window), so a batch backfill and the live stream agree.
+  *
+  * Inputs are any streaming DataFrame with the events schema (file source,
+  * kafka, or MemoryStream in tests — readStream.parquet over the events
+  * directory works unchanged at cluster scale).
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts per event type — the streaming twin
+    * of Events.tumblingWindow. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Built-in session windows (30 min gap) — the streaming twin of
+    * Events.sessionization. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Custom-state sessionization via mapGroupsWithState: demonstrates
+    * arbitrary per-key state (the (c)-tier tool when session_window can't
+    * express the semantics — e.g. value-dependent gaps). Emits the CURRENT
+    * open session per user on every trigger. (A production job would add a
+    * GroupStateTimeout to close idle sessions; omitted here because a
+    * processing-time timeout keeps scheduling batches, which livelocks
+    * processAllAvailable-style draining in tests/backfills.) */
+  def statefulSessions(events: Dataset[EventRow]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessState(0L, Long.MaxValue, Long.MinValue))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st =
+              if (st.n == 0L || t - st.last > gapMs) SessState(1L, t, t) // new session
+              else SessState(st.n + 1, st.start, t)
+          }
+          state.update(st)
+          SessionOut(userId, st.n, st.start, st.last)
+      }
+  }
+}
