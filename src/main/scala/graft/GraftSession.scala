@@ -13,6 +13,7 @@ object GraftSession {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .withExtensions(new plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
