@@ -19,9 +19,23 @@ object Dedup extends QueryModule {
 
   private val P = 1000000007L
 
-  private def withShingles(s: SparkSession, d: String): DataFrame =
+  /** The distinct word-3-gram inverted index `(doc_id, sg)` — the shared
+    * substrate for exact-Jaccard and MinHash dedup. Built relationally
+    * (posexplode tokens → window lead → concat → distinct) so every step is
+    * whole-stage-codegen'd; the array-HOF form (`transform` + `element_at`)
+    * re-evaluates the tokenizer per lambda element in interpreted mode.
+    * At 100 TB this is one shuffle on doc_id (window sort) + one distinct —
+    * both map-side-combinable. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     Tables.documents(s, d)
-      .withColumn("sh", array_distinct(wordNgrams(tokens(col("text")), 3)))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), lead("t", 1).over(w), lead("t", 2).over(w)).as("sg"),
+        lead("t", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select("doc_id", "sg").distinct()
+  }
 
   // ---- exact dedup: fingerprint → one shuffle --------------------------
   def exact(s: SparkSession, d: String): DataFrame =
@@ -42,17 +56,16 @@ object Dedup extends QueryModule {
     * inverted-index self-join bounds work to docs that actually share a
     * shingle — no cross join at any scale. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = withShingles(s, d).select(col("doc_id"), col("sh"),
-      size(col("sh")).cast("long").as("n_sh"))
-    val inv = docs.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val inv = shingleIndex(s, d)
+    val counts = inv.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
     val pairs = inv.select(col("doc_id").as("doc_a"), col("sg"))
       .join(inv.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")),
         col("sg") === col("sg_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
     pairs
-      .join(docs.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
@@ -79,20 +92,31 @@ object Dedup extends QueryModule {
     * reproducible in the SQL oracle (parity with ngramJaccard asserted in
     * DedupSpec). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = withShingles(s, d).filter(size(col("sh")) > 0)
-    val sig = docs.withColumn("sig",
-      transform(sequence(lit(0), lit(63)),
-        i => array_min(transform(col("sh"),
-          sg => pmod((i * 2 + 1) * pmod(xxhash64(sg), lit(P)) + i * 97, lit(P))))))
+    // Signature computed relationally, not with nested HOF lambdas: hash each
+    // distinct shingle ONCE with codegen'd xxhash64, then the 64
+    // universal-hash minima — pmod((2i+1)·pmod(xxhash64(sg),P) + 97i, P) —
+    // are 64 codegen'd min() aggregates in a single map-side-combined
+    // shuffle on doc_id.
+    val shingles = shingleIndex(s, d)
+    val inv = shingles
+      .select(col("doc_id"), pmod(xxhash64(col("sg")), lit(P)).as("h"))
+    val sigCols = (0 until 64).map(i =>
+      min(pmod(lit(2L * i + 1) * col("h") + lit(97L * i), lit(P))).as(s"m$i"))
+    val sig = inv.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // 16 bands × 4 rows: polynomial fold of the band's 4 signature columns.
+    val bandCols = (0 until 16).map { b =>
+      (0 until 4).map(r => col(s"m${b * 4 + r}"))
+        .foldLeft(lit(0L): Column)((acc, c) => pmod(acc * lit(1000003L) + c, lit(P)))
+    }
     val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(15)),
-        b => aggregate(slice(col("sig"), b * 4 + 1, lit(4)), lit(0L),
-          (acc, v) => pmod(acc * 1000003L + v, lit(P))))).as(Seq("b_idx", "b_hash")))
+      posexplode(array(bandCols: _*)).as(Seq("b_idx", "b_hash")))
     val cands = bands.select(col("doc_id").as("doc_a"), col("b_idx"), col("b_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("b_idx").as("i2"), col("b_hash").as("h2")),
         col("b_idx") === col("i2") && col("b_hash") === col("h2") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = docs.select(col("doc_id"), col("sh"))
+    // Exact-Jaccard verification of the (small) candidate set: re-assemble
+    // each doc's distinct shingle set once; array_intersect is order-blind.
+    val sets = shingles.groupBy("doc_id").agg(collect_list(col("sg")).as("sh"))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -109,20 +133,21 @@ object Dedup extends QueryModule {
     * four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal) — see
     * DedupSpec; this entry emits the per-doc signature table. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val toksCol = tokens(col("text"))
-    val hs = transform(toksCol, t => xxhash64(t))
-    val nTok = size(toksCol).cast("long")
-    // shiftright/shiftleft Scala wrappers only take Int shift amounts; the
-    // underlying SQL functions accept a column — call them by name.
-    val bits = transform(sequence(lit(0), lit(63)),
-      k => when(
-        aggregate(hs, lit(0L),
-          (acc, h) => acc + call_function("shiftright", h, k).bitwiseAND(1L)) * 2 > nTok,
-        call_function("shiftleft", lit(1L), k)).otherwise(lit(0L)))
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b)).as("simhash"),
-        nTok.as("n_tokens"))
+    // Relational form of the 64-bit SimHash: explode tokens (hash each ONCE,
+    // codegen'd xxhash64), then bit-count k is a codegen'd sum aggregate of
+    // (h >> k) & 1 — one map-side-combined shuffle on doc_id, no interpreted
+    // lambda evaluation. explode_outer keeps token-less docs (simhash 0).
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
+    val bitCols = (0 until 64).map(k =>
+      sum(shiftright(col("h"), k).bitwiseAND(1L)).as(s"c$k"))
+    val agg = toks.groupBy("doc_id")
+      .agg(count(col("h")).as("n_tokens"), bitCols: _*)
+    val sim = (0 until 64)
+      .map(k => when(col(s"c$k") * 2 > col("n_tokens"), lit(1L << k)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("simhash"), col("n_tokens"))
   }
 
   // ---- embedding near-dup (LSH-bucketed cosine) ---------------------------
