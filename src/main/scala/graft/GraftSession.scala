@@ -17,6 +17,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Managed-table warehouse (MessageStore keyspaces) out of the cwd.
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       // AQE: runtime partition coalescing + skew-join splitting; at cluster
       // scale this is what keeps post-shuffle partitions memory-sized.
       .config("spark.sql.adaptive.enabled", "true")

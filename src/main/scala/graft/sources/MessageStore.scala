@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's full REST/CQL surface (server.py) as a Spark library —
+  * the operation-for-operation switch path for a client of the reference:
+  *
+  * | reference (server.py)                   | MessageStore          |
+  * |-----------------------------------------|-----------------------|
+  * | `CREATE KEYSPACE` (server.py:70)        | `createKeyspace()`    |
+  * | `DROP KEYSPACE` (server.py:83)          | `dropKeyspace()`      |
+  * | `CREATE TABLE messages` (server.py:176) | `createTables()`      |
+  * | `CREATE TABLE users` (server.py:263)    | `createTables()`      |
+  * | batch INSERT messages (server.py:186)   | `insertMessages(...)` |
+  * | batch INSERT users (server.py:135)      | `insertUsers(...)`    |
+  * | `WHERE channel_id=?` (server.py:95)     | `messages(channelId)` |
+  * | `SELECT * FROM messages` (server.py:147)| `allMessages()`       |
+  * | projection scan users (server.py:219)   | `listUsers()`         |
+  * | `WHERE username=?` (server.py:247)      | `user(username)`      |
+  *
+  * Spark-first translation: keyspace = catalog database, table = managed
+  * parquet table, Cassandra INSERT-is-upsert = append + last-write-wins
+  * read view (row_number over the primary key, newest `write_seq` first),
+  * `now()` timeuuid = a strictly-increasing driver-issued write sequence +
+  * `uuid()` — time-sortable exactly like a v1 timeuuid. Reads are plain
+  * DataFrames, so the whole analytics layer composes on top of a keyspace.
+  *
+  * At 100 TB: appends are the only write path (blind writes, no read-modify
+  * -write — same contract as Cassandra); `compactUsers()` is the compaction
+  * analog, one shuffle on the primary key; `messages(channelId)` prunes on
+  * the partition-key predicate pushed to parquet.
+  */
+final class MessageStore(spark: SparkSession, keyspace: String) {
+
+  private val messagesT = s"`$keyspace`.messages"
+  private val usersT = s"`$keyspace`.users"
+
+  private val usersPk =
+    Window.partitionBy("username").orderBy(desc("write_seq"), desc("user_id"))
+
+  // ---- DDL ----------------------------------------------------------------
+  def createKeyspace(): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$keyspace`")
+
+  def dropKeyspace(): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS `$keyspace` CASCADE")
+
+  def createTables(): Unit = {
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $messagesT (
+         |  channel_id BIGINT, write_seq BIGINT, message_id STRING,
+         |  author_id STRING, message STRING) USING parquet""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $usersT (
+         |  user_id STRING, username STRING, email STRING, password STRING,
+         |  write_seq BIGINT) USING parquet""".stripMargin)
+  }
+
+  // ---- writes (append-only, upsert visible at read) -----------------------
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextSeq(): Long = System.currentTimeMillis() * 1000 + seq.incrementAndGet() % 1000
+
+  /** BatchStatement analog: one atomic-enough append of (channel, author,
+    * text) rows; message_id = uuid, write_seq = the timeuuid's time part. */
+  def insertMessages(rows: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    val ws = nextSeq()
+    rows.toDF("channel_id", "author_id", "message")
+      .withColumn("write_seq", lit(ws))
+      .withColumn("message_id", expr("uuid()"))
+      .select("channel_id", "write_seq", "message_id", "author_id", "message")
+      .write.mode("append").insertInto(messagesT)
+  }
+
+  def insertUsers(rows: Seq[(String, String, String, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("user_id", "username", "email", "password")
+      .withColumn("write_seq", lit(nextSeq()))
+      .write.mode("append").insertInto(usersT)
+  }
+
+  // ---- reads --------------------------------------------------------------
+  /** One partition in clustering (newest-first) order — the reference's
+    * `SELECT * FROM messages WHERE channel_id=?`. The channel predicate is
+    * pushed to the parquet scan (partition pruning at cluster scale). */
+  def messages(channelId: Long): DataFrame =
+    spark.table(messagesT)
+      .filter(col("channel_id") === channelId)
+      .orderBy(desc("write_seq"), desc("message_id"))
+
+  def allMessages(): DataFrame = spark.table(messagesT)
+
+  /** Projection-only scan (column pruning reaches parquet). */
+  def listUsers(): DataFrame =
+    latestUsers().select("user_id", "username", "email")
+
+  /** Point lookup by primary key with Cassandra upsert semantics: the
+    * newest write for the username wins. */
+  def user(username: String): DataFrame =
+    latestUsers().filter(col("username") === username)
+
+  /** The LWW-compacted view of users (INSERT-is-upsert read semantics). */
+  def latestUsers(): DataFrame =
+    spark.table(usersT)
+      .withColumn("rn", row_number().over(usersPk))
+      .filter(col("rn") === 1)
+      .drop("rn", "write_seq")
+
+  /** Compaction analog: physically rewrite users to its LWW view — the same
+    * single primary-key shuffle Cassandra compaction performs. Staged
+    * through a scratch table (Spark cannot overwrite a table mid-read);
+    * fully distributed, nothing touches the driver. */
+  def compactUsers(): Unit = {
+    val staging = s"$keyspace.users_compacting"
+    latestUsers()
+      .withColumn("write_seq", lit(nextSeq()))
+      .select("user_id", "username", "email", "password", "write_seq")
+      .write.mode("overwrite").saveAsTable(staging)
+    spark.table(staging).write.mode("overwrite").insertInto(usersT)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+}
