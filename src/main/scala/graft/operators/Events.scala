@@ -67,19 +67,27 @@ object Events extends QueryModule {
       | (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0 AS duration_sec
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
-  /** Ordered funnel signup → view → purchase: each stage keyed on user_id
-    * (shuffle joins on the key; stage frontiers are min-timestamps). */
+  /** Ordered funnel signup → view → purchase in ONE pass: the stage
+    * frontiers are stacked per-user window minima — the three windows share
+    * the user_id hash partitioning, so events shuffle exactly once, and the
+    * per-user reduction rides the same partitioning (no second exchange).
+    * The previous shape (3 filtered scans + 2 joins + scalar cross-joins)
+    * read events three times; this reads it once. */
   def funnel(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-    val su = e.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts").as("st"))
-    val vi = e.filter(col("event_type") === "view").join(su, "user_id")
-      .filter(col("ts") > col("st")).groupBy("user_id").agg(min("ts").as("vt"))
-    val pu = e.filter(col("event_type") === "purchase").join(vi, "user_id")
-      .filter(col("ts") > col("vt")).groupBy("user_id").agg(min("ts").as("pt"))
-    su.agg(count(lit(1)).as("n_signup"))
-      .crossJoin(vi.agg(count(lit(1)).as("n_signup_view")))
-      .crossJoin(pu.agg(count(lit(1)).as("n_signup_view_purchase")))
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("st",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("vt",
+        min(when(col("event_type") === "view" && col("ts") > col("st"), col("ts"))).over(w))
+      .withColumn("pt",
+        min(when(col("event_type") === "purchase" && col("ts") > col("vt"), col("ts"))).over(w))
+    staged.groupBy("user_id")
+      .agg(max("st").as("st"), max("vt").as("vt"), max("pt").as("pt"))
+      .agg(count(col("st")).as("n_signup"),
+        count(col("vt")).as("n_signup_view"),
+        count(col("pt")).as("n_signup_view_purchase"))
   }
 
   private val funnelSql =

@@ -1,0 +1,65 @@
+package graft
+
+/** SURVEY.md §5 — automated explain-plan audit: the plan shapes that make
+  * these operators survive a 100× scale-up are asserted, not eyeballed.
+  * Runs against the physical plan Spark actually selects (pre-AQE-refinement
+  * join strategies, scan pushdown, codegen spans). */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("no accidental cartesian or nested-loop joins in any entry") {
+    // Intentional: ANN queries cross-join a broadcast ≤10-row query set.
+    val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk")
+    SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name has a cartesian product:\n${plan.take(800)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name has a nested-loop join:\n${plan.take(800)}")
+    }
+  }
+
+  test("multi-way dim joins use broadcast hash joins") {
+    Seq("q3_top_orders", "q5_local_supplier_volume", "q10_returned_items",
+      "q19_bracket_predicates").foreach { name =>
+      assert(planOf(name).contains("BroadcastHashJoin"),
+        s"$name should broadcast its dimension side")
+    }
+  }
+
+  test("tight filters are pushed to the parquet scan") {
+    Seq("q6_revenue_forecast" -> "l_shipdate",
+      "wc_partition_lookup" -> "user_id",
+      "wc_secondary_index" -> "event_type").foreach { case (name, colName) =>
+      val plan = planOf(name)
+      val pushed = "PushedFilters: \\[[^\\]]*" + colName
+      assert(pushed.r.findFirstIn(plan).isDefined,
+        s"$name must push its $colName predicate to parquet:\n${plan.take(800)}")
+    }
+  }
+
+  test("projection scan prunes columns at the reader") {
+    val plan = planOf("wc_projection_scan")
+    val schema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(fail("no ReadSchema in plan"))
+    val cols = schema.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("c_custkey", "c_name", "c_acctbal"),
+      s"scan should read exactly the projected columns, got $cols")
+  }
+
+  test("scan-heavy aggregations run inside whole-stage codegen") {
+    // AQE only materializes codegen stages at execution, so run the query
+    // and audit the final plan.
+    Seq("q1_pricing_summary", "ev_tumbling_window", "txt_token_stats",
+      "dedup_minhash_lsh").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      // "*(n) Op" is the codegen-stage marker in plan strings
+      assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r.findFirstIn(plan).isDefined,
+        s"$name lost whole-stage codegen:\n${plan.take(600)}")
+    }
+  }
+}
