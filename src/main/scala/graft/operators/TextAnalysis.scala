@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryModule, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.D — text analysis over `documents`.
@@ -101,13 +102,21 @@ object TextAnalysis extends QueryModule {
       |FROM documents""".stripMargin
 
   // Corpus-wide top-20 bigrams (the one genuinely shuffling text op).
-  def topNgrams(s: SparkSession, d: String): DataFrame =
-    withToks(Tables.documents(s, d))
-      .select(explode(wordNgrams(col("toks"), 2)).as("ngram"))
+  // Relational bigram construction (posexplode → window lead) — the
+  // explode-over-HOF form re-evaluates the tokenizer per lambda element in
+  // interpreted mode (see Dedup.shingleIndex for the measured pathology).
+  def topNgrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), concat_ws(" ", col("t"), lead("t", 1).over(w)).as("ngram"),
+        lead("t", 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("ngram"))
       .limit(20)
+  }
 
   private val topNgramsSql =
     """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

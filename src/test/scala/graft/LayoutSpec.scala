@@ -1,0 +1,57 @@
+package graft
+
+import graft.sources.Layout
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The bucketed layout must actually eliminate shuffles: co-bucketed joins
+  * and per-key windows read pre-clustered buckets with no Exchange. */
+class LayoutSpec extends SparkSpec {
+
+  private val db = s"layout_test_${System.nanoTime()}"
+
+  test("bucketed layout: key joins and LWW windows run shuffle-free") {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    try {
+      val events = Tables.events(spark, sf)
+      Layout.writeBucketed(events, s"$db.events_b", "user_id", 8, Seq("ts"))
+      val b = spark.table(s"$db.events_b")
+
+      // per-key LWW window over the bucketed table: no shuffle
+      val lww = b.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))))
+        .filter(col("rn") === 1)
+      lww.collect()
+      val lwwPlan = lww.queryExecution.executedPlan.toString()
+      assert(!lwwPlan.contains("Exchange hashpartitioning"),
+        s"LWW window over bucketed table must not shuffle:\n${lwwPlan.take(800)}")
+
+      // co-bucketed self-join on the bucket key: no shuffle exchange
+      // (disable broadcast so the bucket-aware sort-merge path is chosen,
+      // as it would be at 100 TB where neither side broadcasts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      try {
+        val agg = b.groupBy("user_id").agg(count(lit(1)).as("n"))
+        val joined = b.join(agg, "user_id")
+        joined.collect()
+        val joinPlan = joined.queryExecution.executedPlan.toString()
+        assert(!joinPlan.contains("Exchange hashpartitioning"),
+          s"co-bucketed join must not shuffle:\n${joinPlan.take(800)}")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+
+      // results identical to the unbucketed computation
+      val expected = events.groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = b.groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  test("token function matches the wide-column token-range scan definition") {
+    import org.apache.spark.sql.functions.lit
+    val r = spark.range(1).select(Layout.token(lit(42L)).as("t")).head().getLong(0)
+    assert(r == (42L * 2654435761L) % 1000000007L)
+  }
+}
