@@ -74,7 +74,43 @@ object Multimodal extends QueryModule {
       .toDF()
   }
 
+  private val FrameSize = 256
+  private val SampleEvery = 4L
+
+  /** Frame sampling over a video-like binary payload: fixed-size frame
+    * slicing and every-k-th sampling are pure byte-range operations — no
+    * codec needed, so unlike the decode this one is REAL, not stubbed. The
+    * output (doc, frame_idx, bytes-digest) table is the input a distributed
+    * GPU decode stage consumes at 100 TB. All codegen'd expressions; the
+    * per-doc frame fan-out is an explode, never a driver loop. (The test
+    * corpus is ASCII, so the DuckDB varchar oracle slices the same bytes.) */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    val nFrames = expr(s"(octet_length(text) + ${FrameSize - 1}) DIV $FrameSize")
+    val frame = payload.substr(
+      (col("frame_idx") * FrameSize + 1).cast("int"), lit(FrameSize))
+    Tables.documents(s, d)
+      .filter(octet_length(payload) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(SampleEvery)) === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(frame).cast("long").as("n_bytes"),
+        md5(frame).as("frame_md5"))
+  }
+
+  private val frameSampleSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0, (length(text)+${FrameSize - 1})//$FrameSize - 1)) AS frame_idx
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT doc_id, frame_idx,
+       |  CAST(length(substring(text, CAST(frame_idx*$FrameSize+1 AS BIGINT), $FrameSize)) AS BIGINT) AS n_bytes,
+       |  md5(substring(text, CAST(frame_idx*$FrameSize+1 AS BIGINT), $FrameSize)) AS frame_md5
+       |FROM f WHERE frame_idx % $SampleEvery = 0""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("mm_binary_meta", binaryMeta _, Some(binaryMetaSql)),
-    ("mm_decode_batch", decodeBatch _, None))
+    ("mm_decode_batch", decodeBatch _, None),
+    ("mm_frame_sample", frameSample _, Some(frameSampleSql)))
 }

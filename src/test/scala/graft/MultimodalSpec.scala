@@ -29,6 +29,26 @@ class MultimodalSpec extends SparkSpec {
       b.map(_.getAs[Long]("checksum")).sorted))
   }
 
+  test("frame sample: every 4th fixed-size frame, digests match direct slicing") {
+    val rows = Multimodal.frameSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("frame_idx") % 4 == 0)
+      assert(r.getAs[Long]("n_bytes") > 0 && r.getAs[Long]("n_bytes") <= 256)
+    }
+    // spot-check one frame digest against direct byte slicing
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").head()
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val frame0 = java.util.Arrays.copyOfRange(bytes, 0, math.min(256, bytes.length))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(frame0).map("%02x".format(_)).mkString
+    val got = Multimodal.frameSample(spark, sf)
+      .filter(col("doc_id") === doc.getLong(0) && col("frame_idx") === 0)
+      .head().getAs[String]("frame_md5")
+    assert(got == expected)
+  }
+
   test("stub decoder matches a direct call (same bytes, same checksum)") {
     val doc = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").head()
