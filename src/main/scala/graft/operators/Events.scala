@@ -114,7 +114,42 @@ object Events extends QueryModule {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY date_trunc('day', ts)""".stripMargin
 
+  /** Exact discrete percentiles of event value per type. percentile_disc =
+    * SQL-standard smallest-value-with-cume_dist≥p — exact, order-free, and
+    * engine-portable (cross-checked against DuckDB quantile_disc). At
+    * 100 TB the exact form is one shuffle per group; ev_approx_distinct
+    * carries the constant-memory sketch alternative. */
+  def valuePercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
+        count(lit(1)).as("n"))
+
+  private val valuePercentilesSql =
+    """SELECT event_type,
+      | quantile_disc(value, 0.5) AS p50, quantile_disc(value, 0.95) AS p95,
+      | quantile_disc(value, 0.99) AS p99, COUNT(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Sketch-based distinct users per event type: HLL is the constant-memory
+    * cardinality path at 100 TB (sketches merge associatively across
+    * partitions/days — the batch twin of a streaming sketch state). The
+    * datasketches binary is engine-specific → rows-only oracle; EventsSpec
+    * bounds the error against the exact count. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
+        count(lit(1)).as("n_events"))
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),
+    ("ev_approx_distinct", approxDistinct _, None),
     ("ev_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
     ("ev_sessionization", sessionization _, Some(sessionizationSql)),
     ("ev_funnel", funnel _, Some(funnelSql)),

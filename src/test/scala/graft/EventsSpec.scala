@@ -29,4 +29,24 @@ class EventsSpec extends SparkSpec {
   test("daily active: dau never exceeds event count") {
     assert(Events.dailyActive(spark, sf).filter(col("dau") > col("n_events")).count() == 0)
   }
+
+  test("percentiles: ordered and drawn from actual values") {
+    val rows = Events.valuePercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
+  test("sketch distinct counts within 5% of exact") {
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Events.approxDistinct(spark, sf).collect().foreach { r =>
+      val t = r.getString(0)
+      val e = exact(t).toDouble
+      assert(math.abs(r.getLong(1) - e) / e < 0.05, s"approx_count_distinct off for $t")
+      assert(math.abs(r.getLong(2) - e) / e < 0.05, s"hll sketch off for $t")
+    }
+  }
 }
