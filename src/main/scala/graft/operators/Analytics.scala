@@ -325,7 +325,61 @@ object Analytics extends QueryModule {
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin
 
+  // ---- q15: top supplier by quarterly revenue ----------------------------
+  /** Scalar-max selection over an already-aggregated (supplier-grained)
+    * frame: the global max is a window over per-supplier totals — one
+    * single-partition pass over a dim-sized input, never over lineitem. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("tr"))
+    val top = rev
+      .withColumn("mx", max("tr").over(Window.partitionBy()))
+      .filter(col("tr") === col("mx"))
+    Tables.supplier(s, d).join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("tr").cast("double").as("total_revenue"))
+  }
+
+  private val q15Sql =
+    s"""WITH rev AS (SELECT l_suppkey, SUM($revSql) AS tr
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+       |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       |WHERE tr = (SELECT MAX(tr) FROM rev)""".stripMargin
+
+  // ---- q17: small-quantity revenue vs 1/5 of the per-part average --------
+  /** The correlated-average predicate is rewritten in EXACT integer/decimal
+    * arithmetic — qty < 0.2·avg(qty) ⟺ 5·qty·n < sum(qty) — so both
+    * engines agree bit-for-bit (no double division at the boundary). */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d).groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_quantity"), 2)).as("sum_qty"), count(lit(1)).as("n_li"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(dec(col("l_quantity"), 2) * 5 * col("n_li") < col("sum_qty"))
+      .agg((sum(dec(col("l_extendedprice"), 2)).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  private val q17Sql =
+    """WITH pp AS (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |                   COUNT(*) AS n_li
+      |            FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN pp ON pk = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("q15_top_supplier", q15 _, Some(q15Sql)),
+    ("q17_small_qty_revenue", q17 _, Some(q17Sql)),
     ("q1_pricing_summary", q1 _, Some(q1Sql)),
     ("q3_top_orders", q3 _, Some(q3Sql)),
     ("q5_local_supplier_volume", q5 _, Some(q5Sql)),

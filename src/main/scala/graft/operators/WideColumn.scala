@@ -175,7 +175,29 @@ object WideColumn extends QueryModule {
     """SELECT user_id, COUNT(*) AS n_errors, MAX(ts) AS last_error_ts
       |FROM events WHERE event_type = 'error' GROUP BY user_id""".stripMargin
 
+  /** Cassandra collection/dynamic-column analog: `props` is a JSON map
+    * column (wide-column dynamic columns); extract a typed field with a
+    * codegen'd per-row parse, then aggregate. At 100 TB the parse is
+    * map-side, before the single group shuffle. */
+  def collectionMap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), min("k").as("k_min"),
+        max("k").as("k_max"), sum(col("k")).as("k_sum"),
+        countDistinct(col("k")).as("k_distinct"))
+
+  private val collectionMapSql =
+    """SELECT event_type, COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+      | MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+      | MAX(CAST(props->>'k' AS BIGINT)) AS k_max,
+      | CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+      | COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS k_distinct
+      |FROM events GROUP BY event_type""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_collection_map", collectionMap _, Some(collectionMapSql)),
     ("wc_partition_lookup", partitionLookup _, Some(partitionLookupSql)),
     ("wc_multi_partition_lookup", multiPartitionLookup _, Some(multiPartitionLookupSql)),
     ("wc_point_lookup", pointLookup _, Some(pointLookupSql)),
