@@ -2,7 +2,7 @@ package graft.similarity
 
 import graft.{QueryModule, Tables}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -123,9 +123,58 @@ object Ann extends QueryModule {
        | MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
        |FROM n GROUP BY label""".stripMargin
 
+  // ---- multi-table random-hyperplane LSH (the production ANN tier) -------
+  private val RpTables = 8
+  private val RpBits = 4
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): a
+    * splitmix64-style integer mix of (table, bit, dim) — reproducible
+    * across runs and executors, no RNG state to ship. */
+  private def planeComponent(t: Int, b: Int, i: Int): Double = {
+    var z = t.toLong * 0x9E3779B97F4A7C15L + b.toLong * 0xBF58476D1CE4E5B9L +
+      i.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+
+  /** Multi-table sign-LSH over random hyperplanes: L independent 4-bit
+    * codes; candidates share a code in ANY table (union of buckets), then
+    * exact cosine re-ranks. Recall grows with L at constant per-table
+    * selectivity — the standard at-scale ANN shape: bucket equi-joins, no
+    * cross join, hyperplane dots fused into the native kernel by
+    * FuseDotProduct. rows-only oracle (the hyperplane constants aren't
+    * portable SQL); AnnSpec bounds recall against brute force. */
+  def rpLshTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    def code(t: Int): Column =
+      (0 until RpBits).map { b =>
+        val plane = lit(Array.tabulate(Dim)(i => planeComponent(t, b, i)))
+        when(dot(col("embedding"), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val flat = e
+      .withColumn("codes",
+        array((0 until RpTables).map(t => struct(lit(t).as("t"), code(t).as("c"))): _*))
+      .select(col("vec_id"), col("embedding"), col("nrm"), explode(col("codes")).as("tc"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tc.t").as("t"), col("tc.c").as("c"))
+    val qs = flat.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+      col("t").as("qt"), col("c").as("qc"))
+    flat.join(broadcast(qs),
+        col("t") === col("qt") && col("c") === col("qc") && col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ann_bruteforce_topk", bruteForce _, Some(bruteForceSql)),
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
+    ("ann_rp_lsh_topk", rpLshTopK _, None),
     ("ann_ivf_topk", ivfTopK _, None),
     ("vec_norm_stats", normStats _, Some(normStatsSql)))
 }

@@ -28,4 +28,14 @@ object Layout {
       .sortBy(sortCols.head, sortCols.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Write `df` hive-partitioned by the DAY of `tsCol` — the layout every
+    * time-addressed 100 TB table uses: time-range predicates prune whole
+    * directories (PartitionFilters) before any file is opened. Combine with
+    * `writeBucketed` semantics by also bucketing within each day. */
+  def writeTimePartitioned(df: DataFrame, table: String, tsCol: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("p_date")
+      .saveAsTable(table)
 }

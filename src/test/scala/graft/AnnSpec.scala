@@ -42,4 +42,17 @@ class AnnSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_norm") <= r.getAs[Double]("max_norm") + 1e-9)
     }
   }
+
+  test("random-hyperplane LSH: recall >= 0.5 vs brute force, scores valid") {
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rp = Ann.rpLshTopK(spark, sf).collect()
+    rp.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      assert(sc >= -1.0001 && sc <= 1.0001)
+    }
+    val rpSet = rp.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(rpSet).size.toDouble / bf.size
+    assert(recall >= 0.5, s"rp-lsh recall $recall below 0.5")
+  }
 }

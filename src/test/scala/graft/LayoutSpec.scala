@@ -49,6 +49,23 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("time-partitioned layout prunes directories on time-range predicates") {
+    val db2 = s"layout_tp_${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db2")
+    try {
+      Layout.writeTimePartitioned(Tables.events(spark, sf), s"$db2.events_tp", "ts")
+      val t = spark.table(s"$db2.events_tp")
+      val sliced = t.filter(col("p_date") === "2024-01-05")
+      val plan = sliced.queryExecution.executedPlan.toString()
+      assert("PartitionFilters: \\[[^\\]]*p_date".r.findFirstIn(plan).isDefined,
+        s"date predicate must prune partitions:\n${plan.take(600)}")
+      // partition pruning must not change results
+      val expected = Tables.events(spark, sf)
+        .filter(to_date(col("ts")) === "2024-01-05").count()
+      assert(sliced.count() == expected && expected > 0)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db2 CASCADE")
+  }
+
   test("token function matches the wide-column token-range scan definition") {
     import org.apache.spark.sql.functions.lit
     val r = spark.range(1).select(Layout.token(lit(42L)).as("t")).head().getLong(0)
