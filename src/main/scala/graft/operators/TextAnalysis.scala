@@ -124,6 +124,41 @@ object TextAnalysis extends QueryModule {
       |SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
       |ORDER BY n DESC, ngram LIMIT 20""".stripMargin
 
+  // Winnowing fingerprint (rolling-hash document fingerprinting, MOSS-style:
+  // char-8-gram hashes, minimum over each window of 8 consecutive grams,
+  // distinct minima = the doc's fingerprint set). Distributed shape: the
+  // per-position gram hash is a codegen'd expression after a position
+  // explode (a single-node impl would roll the hash; per-gram md5 is the
+  // order-free equivalent), the window minimum shares the doc_id shuffle.
+  // md5-hex strings compare identically in any engine → exact oracle.
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val K = 8; val W = 8
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(W - 1), Window.currentRow)
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= K)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (K - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("text").substr(col("pos"), lit(K))).as("h"))
+      .withColumn("fp", min("h").over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("fp")).as("n_fingerprints"))
+  }
+
+  private val winnowFingerprintSql =
+    """WITH g AS (
+      |  SELECT doc_id, i AS pos, md5(substring(text, CAST(i AS BIGINT), 8)) AS h
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS i
+      |        FROM documents WHERE length(text) >= 8)),
+      | w AS (SELECT doc_id,
+      |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+      |       FROM g)
+      |SELECT doc_id, COUNT(*) AS n_windows, COUNT(DISTINCT fp) AS n_fingerprints
+      |FROM w GROUP BY doc_id""".stripMargin
+
   // BPE-ish token-count estimate.
   def bpeEstimate(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -139,5 +174,6 @@ object TextAnalysis extends QueryModule {
     ("txt_lang_id", langId _, Some(langIdSql)),
     ("txt_fingerprint", fingerprintQ _, Some(fingerprintSql)),
     ("txt_top_ngrams", topNgrams _, Some(topNgramsSql)),
+    ("txt_winnow_fingerprint", winnowFingerprint _, Some(winnowFingerprintSql)),
     ("txt_bpe_token_estimate", bpeEstimate _, Some(bpeEstimateSql)))
 }
