@@ -377,7 +377,98 @@ object Analytics extends QueryModule {
       |WHERE p_brand = 'Brand#23'
       |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty""".stripMargin
 
+  // ---- q7: bi-nation volume shipping by year -----------------------------
+  /** Two broadcast nation lookups (supplier-side, customer-side) over the
+    * lineitem↔orders shuffle join; the OR-of-nation-pairs predicate filters
+    * before the year aggregation. */
+  def q7(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(ts("1995-01-01"), ts("1996-12-31")))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  private val q7Sql =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST(SUM($revSql) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |         EXTRACT(year FROM l_shipdate) AS l_year,
+       |         l_extendedprice, l_discount
+       |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---- q8: market share of one supplier nation in a region ---------------
+  /** Conditional-share aggregation over a 7-table join; numerator and
+    * denominator are exact decimal sums, divided once in double. */
+  def q8(s: SparkSession, d: String): DataFrame = {
+    val custNation = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val zero = lit(0).cast(DecimalType(18, 4))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .withColumn("volume", revenue(col("l_extendedprice"), col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(zero))
+          .cast("double")
+        / sum(col("volume")).cast("double")).as("mkt_share"))
+  }
+
+  private val q8Sql =
+    s"""WITH all_nations AS (
+       |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       |         $revSql AS volume,
+       |         n2.n_name AS supp_nation
+       |  FROM part JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+       |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+       |SELECT o_year,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+       |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       |FROM all_nations GROUP BY o_year""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("q7_bination_volume", q7 _, Some(q7Sql)),
+    ("q8_market_share", q8 _, Some(q8Sql)),
     ("q15_top_supplier", q15 _, Some(q15Sql)),
     ("q17_small_qty_revenue", q17 _, Some(q17Sql)),
     ("q1_pricing_summary", q1 _, Some(q1Sql)),
