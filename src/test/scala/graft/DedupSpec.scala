@@ -49,4 +49,26 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
     }
   }
+
+  test("clusters equal union-find ground truth over the same pairs") {
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // union-find ground truth on the driver (test data is small)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = ids.groupBy(find).map { case (root, ms) => (ms.min, ms.length.toLong) }
+      .filter(_._2 >= 2).toSet
+    val got = Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toSet
+    assert(got == expected)
+  }
 }
