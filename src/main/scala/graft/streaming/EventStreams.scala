@@ -14,6 +14,11 @@ case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Lon
 /** Per-user running state for the custom sessionizer. */
 case class SessState(n: Long, start: Long, last: Long)
 
+/** Per-user funnel frontier state/output: epoch-millis of the first
+  * signup, first post-signup view, first post-view purchase (0 = not yet
+  * reached) — the streaming mirror of Events.funnel's window minima. */
+case class FunnelState(user_id: Long, signup_ts: Long, view_ts: Long, purchase_ts: Long)
+
 /** SURVEY.md §2.C — Structured Streaming twins of the batch event
   * operators. Same logic, same state partitioning (keyed by user_id /
   * window), so a batch backfill and the live stream agree.
@@ -43,6 +48,35 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Streaming twin of Events.funnel: per-user ordered-funnel frontiers as
+    * mapGroupsWithState state (same user_id partitioning as the batch
+    * window). Emits each user's current stage timestamps; a sink-side
+    * aggregation of non-zero columns gives the live funnel counts. Events
+    * inside a micro-batch are sorted by (ts, event_id) so replaying a
+    * backfill through the stream matches the batch exactly. */
+  def funnelStages(events: Dataset[EventRow]): Dataset[FunnelState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelState](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(userId, 0L, 0L, 0L))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "signup" if st.signup_ts == 0L => st = st.copy(signup_ts = t)
+              case "view" if st.signup_ts != 0L && t > st.signup_ts && st.view_ts == 0L =>
+                st = st.copy(view_ts = t)
+              case "purchase" if st.view_ts != 0L && t > st.view_ts && st.purchase_ts == 0L =>
+                st = st.copy(purchase_ts = t)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          st
+      }
+  }
 
   /** Custom-state sessionization via mapGroupsWithState: demonstrates
     * arbitrary per-key state (the (c)-tier tool when session_window can't

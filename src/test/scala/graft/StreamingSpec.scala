@@ -74,4 +74,29 @@ class StreamingSpec extends SparkSpec {
       assert(r.getLong(1) > 0 && r.getLong(2) <= r.getLong(3))
     }
   }
+
+  test("streaming funnel frontiers reproduce the batch funnel counts") {
+    val s2 = spark
+    import s2.implicits._
+    val ds = eventsStream.select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    val q = EventStreams.funnelStages(ds)
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // state grows monotonically -> the max per user is the final frontier
+    val fin = spark.sql(
+      """SELECT user_id, max(signup_ts) AS st, max(view_ts) AS vt,
+        |       max(purchase_ts) AS pt
+        |FROM stream_funnel GROUP BY user_id""".stripMargin)
+    val streamed = fin.agg(
+      sum(when(col("st") > 0, 1).otherwise(0)),
+      sum(when(col("vt") > 0, 1).otherwise(0)),
+      sum(when(col("pt") > 0, 1).otherwise(0))).head()
+    val batch = operators.Events.funnel(spark, sf).head()
+    assert(streamed.getLong(0) == batch.getLong(0))
+    assert(streamed.getLong(1) == batch.getLong(1))
+    assert(streamed.getLong(2) == batch.getLong(2))
+  }
 }
