@@ -9,6 +9,29 @@ import org.apache.spark.sql.SparkSession
   * session — these settings only affect performance, never results.
   */
 object GraftSession {
+
+  /** Cluster-deploy builder: master/deploy config comes from spark-submit;
+    * this applies the same semantic + performance settings as `local`.
+    * `shufflePartitions` should track total executor cores (2-3×); at
+    * 100 TB also size `spark.sql.files.maxPartitionBytes` (default 128 MB
+    * is right for ~1 GB executors-per-core memory). */
+  def cluster(shufflePartitions: Int = 2000): SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft")
+      .withExtensions(new plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
