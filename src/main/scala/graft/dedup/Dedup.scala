@@ -45,6 +45,24 @@ object Dedup extends QueryModule {
         countDistinct(col("fp")).as("n_unique"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dupes"))
 
+  /** The keep-list exact dedup actually produces: one survivor (min doc_id)
+    * per canonical fingerprint, with the shadowed-duplicate count. Same
+    * single shuffle as `exact`; this is the view a training-data pipeline
+    * anti-joins against the corpus. */
+  def survivors(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("survivor_id"),
+        (count(lit(1)) - 1).as("n_shadowed"))
+
+  private val survivorsSql =
+    """WITH f AS (SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS fp
+      |  FROM documents)
+      |SELECT fp, MIN(doc_id) AS survivor_id, COUNT(*) - 1 AS n_shadowed
+      |FROM f GROUP BY fp""".stripMargin
+
   private val exactSql =
     """WITH f AS (SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS fp FROM documents)
       |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
@@ -234,6 +252,7 @@ object Dedup extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("dedup_exact", exact _, Some(exactSql)),
+    ("dedup_survivors", survivors _, Some(survivorsSql)),
     ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("dedup_minhash_lsh", minhashLsh _, None),
     ("dedup_simhash", simhash _, None),
