@@ -1,0 +1,23 @@
+package graft
+
+/** The driver's flagship smoke check: SparkEntry.entry must return rows on
+  * sf0.001, and every queries key must have matching oracle aliases when an
+  * oracle exists (the driver hashes columns sorted by name). */
+class EntrySpec extends SparkSpec {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
+  }
+
+  test("inventory size matches SURVEY accounting") {
+    // 52 oracle-checked + 7 rows-only driver entries at round-1 end
+    assert(SparkEntry.queries.size == 59, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 52, s"got ${SparkEntry.oracleSql.size}")
+  }
+}
