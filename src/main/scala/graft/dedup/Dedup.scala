@@ -26,9 +26,15 @@ object Dedup extends QueryModule {
     * re-evaluates the tokenizer per lambda element in interpreted mode.
     * At 100 TB this is one shuffle on doc_id (window sort) + one distinct —
     * both map-side-combinable. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+    shingleIndexOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric form for library users: `docs` needs `doc_id`
+    * and `text` columns; everything else in the dedup suite composes on
+    * this. */
+  def shingleIndexOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
       .select(col("doc_id"),
         concat_ws(" ", col("t"), lead("t", 1).over(w), lead("t", 2).over(w)).as("sg"),
@@ -50,7 +56,11 @@ object Dedup extends QueryModule {
     * single shuffle as `exact`; this is the view a training-data pipeline
     * anti-joins against the corpus. */
   def survivors(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    survivorsOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric keep-list over any corpus with `doc_id` + `text`. */
+  def survivorsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min(col("doc_id")).as("survivor_id"),
@@ -109,13 +119,18 @@ object Dedup extends QueryModule {
     * pairs, then exact Jaccard verifies. rows-only oracle: xxhash64 is not
     * reproducible in the SQL oracle (parity with ngramJaccard asserted in
     * DedupSpec). */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric MinHash-LSH near-dup pairs over any corpus with
+    * `doc_id` + `text` columns. */
+  def minhashLshOf(docs: DataFrame): DataFrame = {
     // Signature computed relationally, not with nested HOF lambdas: hash each
     // distinct shingle ONCE with codegen'd xxhash64, then the 64
     // universal-hash minima — pmod((2i+1)·pmod(xxhash64(sg),P) + 97i, P) —
     // are 64 codegen'd min() aggregates in a single map-side-combined
     // shuffle on doc_id.
-    val shingles = shingleIndex(s, d)
+    val shingles = shingleIndexOf(docs)
     val inv = shingles
       .select(col("doc_id"), pmod(xxhash64(col("sg")), lit(P)).as("h"))
     val sigCols = (0 until 64).map(i =>
@@ -202,12 +217,17 @@ object Dedup extends QueryModule {
     * graphs are shallow (pairs chain through shared shingles), so this
     * converges in a handful of shuffles at any scale; the driver only
     * checks the convergence counter, never touches rows. */
-  def clusters(s: SparkSession, d: String): DataFrame = {
+  def clusters(s: SparkSession, d: String): DataFrame =
+    clustersOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric cluster assignment over any corpus with
+    * `doc_id` + `text`. */
+  def clustersOf(docs: DataFrame): DataFrame = {
     // Candidate pairs persisted BEFORE the both-directions union: the union
     // has two branches over `pairs`, so an unpersisted lineage would run the
     // whole MinHash pipeline twice on first use — and once more per
     // propagation round (measured 21s → ~7s at sf0.1).
-    val pairs = minhashLsh(s, d).filter(col("jaccard") >= 0.5)
+    val pairs = minhashLshOf(docs).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
       .persist()
     pairs.count() // fill the cache BEFORE the union fans out over it — the

@@ -71,4 +71,23 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toSet
     assert(got == expected)
   }
+
+  test("DataFrame-parametric forms work on an arbitrary corpus") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val surv = Dedup.survivorsOf(docs).collect()
+    assert(surv.length == 2) // docs 1+2 share a fingerprint
+    val pairs = Dedup.minhashLshOf(docs).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L
+        && r.getAs[Double]("jaccard") == 1.0))
+    val cl = Dedup.clustersOf(docs).collect()
+    assert(cl.length == 1 && cl.head.getAs[Long]("cluster_id") == 1L
+      && cl.head.getAs[Long]("n_docs") == 2L)
+  }
 }
