@@ -33,6 +33,19 @@ object Ann extends QueryModule {
 
   private def score = round(cosine(col("qe"), col("embedding"), col("qn"), col("nrm")), 4)
 
+  /** DataFrame-parametric exact cosine top-k for library users:
+    * `corpus` needs (vec_id, embedding), `queries` needs (query_id,
+    * embedding); the query set is broadcast over one corpus scan. */
+  def topKOf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus)
+    val q = withNorm(queries)
+      .select(col("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   // Exact top-k by cosine for the 10-query set.
   def bruteForce(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))

@@ -55,4 +55,17 @@ class AnnSpec extends SparkSpec {
     val recall = bf.intersect(rpSet).size.toDouble / bf.size
     assert(recall >= 0.5, s"rp-lsh recall $recall below 0.5")
   }
+
+  test("parametric topKOf ranks an ad-hoc corpus correctly") {
+    val s2 = spark
+    import s2.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "embedding")
+    val top = Ann.topKOf(corpus, queries, 2).collect()
+    assert(top.length == 2)
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
+    assert(top.head.getAs[Double]("score") == 1.0)
+  }
 }
