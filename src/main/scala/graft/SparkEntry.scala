@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    operators.Analytics, operators.WideColumn, operators.Events,
+    operators.Analytics, operators.AnalyticsSubqueries,
+    operators.WideColumn, operators.Events,
     operators.TextAnalysis, dedup.Dedup, similarity.Ann,
     multimodal.Multimodal)
 

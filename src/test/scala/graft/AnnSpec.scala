@@ -29,11 +29,19 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("IVF: every result comes from the single probed cell") {
+  test("IVF: results come from at most nprobe=3 learned cells, recall >= 0.55") {
     val rows = Ann.ivfTopK(spark, sf).collect()
     val cells = rows.groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Int]("cell")).toSet).toMap
-    cells.values.foreach(cs => assert(cs.size == 1))
+    cells.values.foreach(cs => assert(cs.size <= 3 && cs.nonEmpty))
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(ivfSet).size.toDouble / bf.size
+    // this corpus is isotropic (no cluster structure): numpy reference for
+    // the identical algorithm measures 0.632 at both SFs; 0.55 leaves float
+    // margin. Labels-as-cells (the r1 design) capped at 0.31.
+    assert(recall >= 0.55, s"ivf nprobe=3 recall $recall below 0.55")
   }
 
   test("norm stats: min <= avg <= max per label") {

@@ -16,8 +16,8 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // 52 oracle-checked + 7 rows-only driver entries at round-1 end
-    assert(SparkEntry.queries.size == 59, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 52, s"got ${SparkEntry.oracleSql.size}")
+    // round-2: +8 correlated-subquery oracles (60 oracle-checked + 7 rows-only)
+    assert(SparkEntry.queries.size == 67, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 60, s"got ${SparkEntry.oracleSql.size}")
   }
 }
