@@ -30,12 +30,16 @@ case class FunnelState(user_id: Long, signup_ts: Long, view_ts: Long, purchase_t
 object EventStreams {
 
   /** Watermarked tumbling-window counts per event type — the streaming twin
-    * of Events.tumblingWindow. */
+    * of Events.tumblingWindow. The value sum runs on decimal(18,2) like the
+    * batch twin (Cols.sumExact) so a drained backfill is bit-identical to
+    * the batch result regardless of partial-aggregation order. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 

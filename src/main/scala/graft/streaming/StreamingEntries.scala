@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** SURVEY.md §2.C/§2.E — the streaming twins as DRIVER-VISIBLE entries.
+  *
+  * Each entry drains a Structured Streaming job over the sf parquet with
+  * `Trigger.AvailableNow` (the backfill/catch-up trigger: process everything
+  * available as a bounded sequence of micro-batches, then stop) and returns
+  * the drained sink as a batch DataFrame. Because the streaming operators
+  * share state partitioning and exact-decimal aggregation with their batch
+  * twins, the drained result is hash-identical to the batch SQL — so these
+  * entries carry REAL DuckDB oracles, proving the batch/streaming
+  * equivalence the r1 ScalaTests only asserted locally (VERDICT r1
+  * §next-round #4).
+  *
+  * Sink note: a memory sink is correct here because every drained result is
+  * bounded (windowed aggregates; one fingerprint row per distinct doc); a
+  * production deployment would point the same writeStream at a parquet/kafka
+  * sink with a real checkpoint dir and identical semantics.
+  */
+object StreamingEntries extends QueryModule {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Drain `df` to completion into a uniquely-named memory sink via
+    * AvailableNow and return the sink contents. */
+  private def drain(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // The file-stream source wants a DIRECTORY to list; the sf tables are
+  // single parquet files, so stage each into a temp dir once per (table, sf)
+  // and reuse it across calls. (A real deployment points readStream at the
+  // ingest directory and skips this.)
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageDir(d: String, table: String): String =
+    stagedDirs.computeIfAbsent(s"$d/$table", { _ =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/$table.parquet"),
+        dir.resolve(s"$table.parquet"))
+      dir.toString
+    })
+
+  /** Streaming view of the events table (same nanos→micros conversion as
+    * Tables.events). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(sch).parquet(stageDir(d, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val sch = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(sch).parquet(stageDir(d, "documents"))
+      // synthetic arrival time for the watermark: any deterministic
+      // event-time works for a bounded backfill — offset from epoch 0,
+      // where the initial watermark sits and would drop doc_id 0 as late
+      .withColumn("ingest_ts", timestamp_seconds(col("doc_id") + 1000000000L))
+  }
+
+  /** Streaming tumbling-window counts drained to batch — twin of
+    * ev_tumbling_window, same oracle SQL. */
+  def stTumbling(s: SparkSession, d: String): DataFrame =
+    drain(EventStreams.tumblingCounts(eventsStream(s, d)), "complete")
+
+  private val stTumblingSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
+  /** Streaming session windows (30 min gap) drained to batch. The oracle
+    * mirrors session_window semantics exactly: a gap of >= 30 min opens a
+    * new session (windows are half-open [start, last+gap)), and session_end
+    * is last event + gap. */
+  def stSessions(s: SparkSession, d: String): DataFrame =
+    drain(EventStreams.sessionWindows(eventsStream(s, d)), "complete")
+
+  private val stSessionsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      | MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      | COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** Streaming exact dedup drained to batch: the surviving fingerprint set
+    * (which PHYSICAL duplicate row survives depends on arrival order, so the
+    * deterministic — and pipeline-relevant — result is the fp set itself). */
+  def stDedup(s: SparkSession, d: String): DataFrame =
+    drain(DocumentStreams.dedupExact(documentsStream(s, d)), "append")
+      .select("fp")
+
+  private val stDedupSql =
+    """SELECT DISTINCT
+      | md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+      |   '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_tumbling_window", stTumbling _, Some(stTumblingSql)),
+    ("st_session_window", stSessions _, Some(stSessionsSql)),
+    ("st_dedup_exact", stDedup _, Some(stDedupSql)))
+}

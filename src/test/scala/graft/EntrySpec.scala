@@ -16,8 +16,9 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // round-2: +8 correlated-subquery oracles (60 oracle-checked + 7 rows-only)
-    assert(SparkEntry.queries.size == 67, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 60, s"got ${SparkEntry.oracleSql.size}")
+    // round-2: +8 correlated-subquery, +3 streaming-drain oracles
+    // (63 oracle-checked + 7 rows-only)
+    assert(SparkEntry.queries.size == 70, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 63, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import graft.streaming.StreamingEntries
+import org.apache.spark.sql.functions._
+
+/** The drained streaming entries must be batch-equivalent — these are the
+  * local mirrors of their DuckDB oracles. */
+class StreamingEntriesSpec extends SparkSpec {
+
+  test("drained tumbling windows equal the batch twin exactly") {
+    val streamed = StreamingEntries.stTumbling(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = operators.Events.tumblingWindow(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch)
+  }
+
+  test("drained session windows: events covered, ends = last + gap") {
+    val rows = StreamingEntries.stSessions(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("session_end")
+        .before(r.getAs[java.sql.Timestamp]("session_start")))
+    }
+  }
+
+  test("drained dedup fp set equals the batch fingerprint set") {
+    val streamed = StreamingEntries.stDedup(spark, sf).collect()
+      .map(_.getString(0)).toSet
+    val batch = Tables.documents(spark, sf)
+      .select(functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+  }
+}
