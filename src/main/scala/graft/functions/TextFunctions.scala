@@ -33,16 +33,6 @@ object TextFunctions {
   def bpePieces(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|\\S"), lit(0))).cast("long")
 
-  /** Word n-grams as an array column (empty when fewer than n tokens —
-    * guarded because Spark's `sequence(1, 0)` counts DOWN, unlike SQL
-    * generate_series). */
-  def wordNgrams(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
-  }
-
   // Stopword lists for the language-ID heuristic (votes per language).
   val stopsEn = Seq("the", "and", "of", "to", "in", "is", "a")
   val stopsDe = Seq("der", "die", "das", "und", "nicht", "ist", "ein")

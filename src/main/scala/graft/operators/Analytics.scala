@@ -466,7 +466,50 @@ object Analytics extends QueryModule {
        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
        |FROM all_nations GROUP BY o_year""".stripMargin
 
+  // ---- skew-safe shapes (functions/Skew.scala helpers, proven here) ------
+  /** Revenue per order priority through a SALTED fact↔fact join: lineitem
+    * (probe, salted 8 ways on a row-identifying hash) ⋈ orders (build,
+    * replicated per salt, shuffle_hash-hinted so the demo exercises the
+    * salted SHUFFLE even where the test-SF build side would auto-broadcast).
+    * Results are identical to the plain join — only the shuffle key gains
+    * the salt, so one hot orderkey spreads over 8 tasks. The at-100 TB use:
+    * fact↔mid-size-dim joins with hot keys that AQE's skew splitting can't
+    * reach (e.g. a single partition-filling key). PlanSpec asserts the
+    * `_salt` column reaches the exchange. */
+  def saltedJoinVolume(s: SparkSession, d: String): DataFrame = {
+    val build = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      .hint("shuffle_hash")
+    graft.functions.Skew.saltedJoin(
+        Tables.lineitem(s, d), build, "l_orderkey", 8,
+        struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+  }
+
+  private val saltedJoinVolumeSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+       | CAST(SUM($revSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+
+  /** Exact distinct users per event type via the two-phase salted distinct
+    * (count distinct within (key, hash-salted value) groups, sum partials):
+    * a key with millions of distinct values never sits in one task. */
+  def skewDistinctUsers(s: SparkSession, d: String): DataFrame =
+    graft.functions.Skew.skewSafeDistinctCount(
+        Tables.events(s, d), col("event_type"), col("user_id"), 8, "n_users")
+      .select(col("_k").as("event_type"), col("n_users"))
+
+  private val skewDistinctUsersSql =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("skew_salted_join_volume", saltedJoinVolume _, Some(saltedJoinVolumeSql)),
+    ("skew_distinct_users", skewDistinctUsers _, Some(skewDistinctUsersSql)),
     ("q7_bination_volume", q7 _, Some(q7Sql)),
     ("q8_market_share", q8 _, Some(q8Sql)),
     ("q15_top_supplier", q15 _, Some(q15Sql)),

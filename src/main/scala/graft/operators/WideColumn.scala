@@ -196,7 +196,51 @@ object WideColumn extends QueryModule {
       | COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS k_distinct
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Cassandra DELETE = a tombstone write: a deletion marker with its own
+    * writetime that shadows all writes at-or-before it, purged together with
+    * the shadowed rows at compaction. The compacted READ view: per primary
+    * key (user_id, event_type), rank writes AND tombstones by writetime
+    * (ties: tombstone's higher event_id wins, matching Cassandra's
+    * delete-wins tie rule); if the newest cell is a tombstone the key is
+    * gone, else it is live. Writes NEWER than the marker survive — the
+    * timestamp-ordered delete semantics the r1 surface (upsert/TTL) lacked. */
+  def deleteTombstone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tombstones = Seq(
+      (9000001L, "2024-01-10 00:00:00", 42L, "click"),
+      (9000002L, "2024-01-10 00:00:00", 42L, "view"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"),
+        lit(null).cast("double").as("value"), lit(1L).as("tomb"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("tomb", lit(0L))
+      .unionByName(tombstones)
+      .filter(col("user_id") === 42)
+      .withColumn("rn", row_number().over(lwwByTypeKey))
+      .filter(col("rn") === 1 && col("tomb") === 0L)
+      .select(col("user_id"), col("event_type"), col("value").as("latest_value"),
+        col("ts").as("write_ts"))
+  }
+
+  private val deleteTombstoneSql =
+    """WITH tomb(event_id, ts, user_id, event_type) AS (VALUES
+      |  (9000001, TIMESTAMP '2024-01-10 00:00:00', 42, 'click'),
+      |  (9000002, TIMESTAMP '2024-01-10 00:00:00', 42, 'view')),
+      | unioned AS (
+      |  SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value, 0 AS tomb
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts, user_id, event_type, CAST(NULL AS DOUBLE), 1 FROM tomb)
+      |SELECT user_id, event_type, value AS latest_value, ts AS write_ts FROM (
+      |  SELECT user_id, event_type, value, ts, tomb,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM unioned WHERE user_id = 42) t
+      |WHERE rn = 1 AND tomb = 0""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_delete_tombstone", deleteTombstone _, Some(deleteTombstoneSql)),
     ("wc_collection_map", collectionMap _, Some(collectionMapSql)),
     ("wc_partition_lookup", partitionLookup _, Some(partitionLookupSql)),
     ("wc_multi_partition_lookup", multiPartitionLookup _, Some(multiPartitionLookupSql)),

@@ -59,8 +59,13 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
   }
 
   // ---- writes (append-only, upsert visible at read) -----------------------
+  // Strictly increasing write sequence: time-anchored like a v1 timeuuid's
+  // time part, but never wrapping or repeating — under a write burst the
+  // counter simply runs ahead of the clock (a modulo-wrapped suffix repeats
+  // after 1000 writes/ms and can make LWW pick the wrong 'latest' row).
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def nextSeq(): Long = System.currentTimeMillis() * 1000 + seq.incrementAndGet() % 1000
+  private def nextSeq(): Long =
+    seq.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis() * 1000))
 
   /** BatchStatement analog: one atomic-enough append of (channel, author,
     * text) rows; message_id = uuid, write_seq = the timeuuid's time part. */
@@ -113,7 +118,7 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
     * through a scratch table (Spark cannot overwrite a table mid-read);
     * fully distributed, nothing touches the driver. */
   def compactUsers(): Unit = {
-    val staging = s"$keyspace.users_compacting"
+    val staging = s"`$keyspace`.users_compacting"
     latestUsers()
       .withColumn("write_seq", lit(nextSeq()))
       .select("user_id", "username", "email", "password", "write_seq")

@@ -16,9 +16,9 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // round-2: +8 correlated-subquery, +3 streaming-drain oracles
-    // (63 oracle-checked + 7 rows-only)
-    assert(SparkEntry.queries.size == 70, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 63, s"got ${SparkEntry.oracleSql.size}")
+    // round-2: +8 correlated-subquery, +3 streaming-drain, +2 skew-safe,
+    // +1 tombstone-delete oracles (66 oracle-checked + 7 rows-only)
+    assert(SparkEntry.queries.size == 73, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 66, s"got ${SparkEntry.oracleSql.size}")
   }
 }

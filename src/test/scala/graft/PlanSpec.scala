@@ -54,6 +54,14 @@ class PlanSpec extends SparkSpec {
       s"scan should read exactly the projected columns, got $cols")
   }
 
+  test("salted join shuffles on the salt, not a broadcast") {
+    val plan = planOf("skew_salted_join_volume")
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(plan).isDefined,
+      s"salted join must exchange on (key, _salt):\n${plan.take(800)}")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "salted join demo must not degrade to a broadcast (hot-key spread needs the salted shuffle)")
+  }
+
   test("scan-heavy aggregations run inside whole-stage codegen") {
     // AQE only materializes codegen stages at execution, so run the query
     // and audit the final plan.

@@ -32,6 +32,23 @@ class WideColumnSpec extends SparkSpec {
     assert(rows == Map("signup" -> 1.0, "click" -> 3.0))
   }
 
+  test("tombstone delete: markers shadow old writes, newer writes survive") {
+    val live = WideColumn.deleteTombstone(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getAs[java.sql.Timestamp]("write_ts")).toMap
+    val tombTs = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val latest = WideColumn.upsertLww(spark, sf)
+      .filter(col("user_id") === 42).collect()
+      .map(r => r.getString(1) -> r.getAs[java.sql.Timestamp]("write_ts")).toMap
+    latest.foreach { case (etype, ts) =>
+      if (Set("click", "view")(etype) && !ts.after(tombTs))
+        assert(!live.contains(etype), s"$etype written at $ts should be tombstoned")
+      else {
+        assert(live.contains(etype), s"$etype should survive")
+        assert(live(etype) == ts, s"$etype must keep its latest write")
+      }
+    }
+  }
+
   test("partition-key filter is pushed to the parquet scan") {
     val plan = WideColumn.partitionLookup(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan.take(500))
