@@ -11,8 +11,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.Analytics, operators.AnalyticsSubqueries,
     operators.WideColumn, operators.Events,
-    operators.TextAnalysis, dedup.Dedup, similarity.Ann,
-    multimodal.Multimodal, streaming.StreamingEntries)
+    operators.TextAnalysis, operators.PipelineOps, dedup.Dedup,
+    similarity.Ann, multimodal.Multimodal, streaming.StreamingEntries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the classic dedup/ANN set: the
+  * selection and layout stages between "raw corpus" and "training shards" —
+  * deterministic sampling (content-hash Bernoulli + stratified per-group),
+  * repetition scoring (the n-gram diversity filter signal), and sequence
+  * packing (docs → fixed-token-budget packs).
+  *
+  * Every op is engine-portable by construction: md5-hex comparisons for
+  * sampling (identical strings in any engine), exact integer arithmetic for
+  * pack assignment, rounded ratios for scores — each carries a DuckDB
+  * oracle.
+  *
+  * Scale notes: hash sampling is a pushable per-row predicate (no shuffle);
+  * stratified sampling shuffles once on the stratum key; repetition scoring
+  * shares the one doc_id shuffle of the relational bigram build; packing is
+  * windowed PER SOURCE SHARD (never a global single-partition window) —
+  * exactly how a 100 TB corpus packs: sequentially within a shard,
+  * embarrassingly parallel across shards.
+  */
+object PipelineOps extends QueryModule {
+
+  /** Deterministic ~10% Bernoulli sample by content hash: keep docs whose
+    * md5 hex prefix falls below the cut ('00'..'19' = 26/256 ≈ 10.2%).
+    * Reproducible across runs/engines, no RNG state, and downstream stages
+    * can re-derive membership from the text alone. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("text")), 1, 2) <= "19")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  private val hashSampleSql =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE substr(md5(text), 1, 2) <= '19'""".stripMargin
+
+  /** Stratified deterministic k-per-group sample: rank docs within each
+    * lang stratum by content hash (unbiased w.r.t. any corpus ordering) and
+    * keep the first 20 — the balanced eval-set/inspection draw. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents) t WHERE rk <= 20""".stripMargin
+
+  /** Within-doc repetition score: 1 − distinct/total over word bigrams —
+    * the classic "repeated boilerplate" quality filter. Relational bigram
+    * build (posexplode → window lead, one doc_id shuffle — the HOF form
+    * re-evaluates the tokenizer per element in interpreted mode). Docs with
+    * fewer than 2 tokens have no bigrams and drop out in both engines. */
+  def repetitionScore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), concat_ws(" ", col("t"), lead("t", 1).over(w)).as("bg"),
+        lead("t", 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6)
+          .as("rep_score"))
+  }
+
+  private val repetitionScoreSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      | g AS (SELECT doc_id,
+      |   unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)]) AS bg
+      |  FROM t)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bg) AS n_distinct,
+      | round(1.0 - CAST(COUNT(DISTINCT bg) AS DOUBLE) / COUNT(*), 6) AS rep_score
+      |FROM g GROUP BY doc_id""".stripMargin
+
+  /** Sequence packing: concat-and-split assignment of docs to fixed
+    * 512-token packs, sequential WITHIN each source shard (cumulative
+    * token count over (source, doc_id) order; a doc's pack = the pack its
+    * first token lands in, exact integer division). Pack stats are what the
+    * shard-writer consumes. */
+  def packGreedy(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens_started"),
+        min("doc_id").as("first_doc"))
+  }
+
+  private val packGreedySql =
+    """WITH t AS (SELECT source, doc_id,
+      |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      | c AS (SELECT source, doc_id, n_tok,
+      |   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+      | COUNT(*) AS n_docs,
+      | CAST(SUM(n_tok) AS BIGINT) AS tokens_started, MIN(doc_id) AS first_doc
+      |FROM c GROUP BY source, CAST((cum - n_tok) // 512 AS BIGINT)""".stripMargin
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("smp_hash_sample", hashSample _, Some(hashSampleSql)),
+    ("smp_stratified", stratifiedSample _, Some(stratifiedSampleSql)),
+    ("txt_repetition_score", repetitionScore _, Some(repetitionScoreSql)),
+    ("doc_pack_greedy", packGreedy _, Some(packGreedySql)))
+}

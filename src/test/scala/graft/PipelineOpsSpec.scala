@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.PipelineOps
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+
+  test("hash sample keeps ~10% and is reproducible") {
+    val n = Tables.documents(spark, sf).count().toDouble
+    val a = PipelineOps.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
+    val b = PipelineOps.hashSample(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash sample must be deterministic")
+    val frac = a.size / n
+    assert(frac > 0.03 && frac < 0.25, s"sample fraction $frac far from 26/256")
+  }
+
+  test("stratified sample: at most 20 per lang, ranks contiguous from 1") {
+    val rows = PipelineOps.stratifiedSample(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(rks.length <= 20, s"$lang has ${rks.length} > 20")
+      assert(rks.sameElements(1L to rks.length), s"$lang ranks not contiguous")
+    }
+  }
+
+  test("repetition score: bounded [0,1), distinct <= total") {
+    val rows = PipelineOps.repetitionScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams"); val d = r.getAs[Long]("n_distinct")
+      val sc = r.getAs[Double]("rep_score")
+      assert(d <= n && d >= 1)
+      assert(sc >= 0.0 && sc < 1.0)
+      assert(math.abs(sc - (1.0 - d.toDouble / n)) < 1e-4)
+    }
+  }
+
+  test("packing: packs partition each source's docs, budgets respected") {
+    val rows = PipelineOps.packGreedy(spark, sf).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, sf).count())
+    // every pack's START offset is below the budget boundary of the next:
+    // pack ids per source are contiguous from 0
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val ids = rs.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L, s"$src first pack != 0")
+      assert(ids.sameElements(ids.head to ids.last), s"$src pack ids not contiguous")
+    }
+  }
+
+  test("no global single-partition window in packing (explain audit)") {
+    val plan = PipelineOps.packGreedy(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SinglePartition"),
+      s"packing must stay shard-parallel:\n${plan.take(600)}")
+  }
+}
