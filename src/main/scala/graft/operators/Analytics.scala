@@ -466,6 +466,43 @@ object Analytics extends QueryModule {
        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
        |FROM all_nations GROUP BY o_year""".stripMargin
 
+  // ---- range join (bucketized — the operator Spark lacks natively) -------
+  /** Price-tier classification via a RANGE JOIN, in its scalable form:
+    * instead of the non-equi `price BETWEEN lo AND hi` (which Spark can
+    * only execute as a nested-loop), each band is EXPLODED into the fixed-
+    * width buckets it covers and the fact side computes its bucket with one
+    * division — turning the range join into an equi-join on bucket plus a
+    * residual range filter. At 100 TB both sides shuffle/broadcast on the
+    * bucket key; no BNLJ regardless of band-table size. The DuckDB oracle
+    * keeps the literal BETWEEN form, proving the rewrite's semantics. */
+  def rangeJoinPriceTiers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 25000L // bucket width: bands explode into ≤ a handful of buckets
+    val bands = Seq(
+      (0L, 5000L, "budget"), (5000L, 20000L, "mid"),
+      (20000L, 60000L, "premium"), (60000L, 200000L, "luxury"))
+      .toDF("lo", "hi", "tier")
+      .withColumn("bucket", explode(sequence(expr(s"lo div $W"), expr(s"(hi - 1) div $W"))))
+    Tables.lineitem(s, d)
+      .withColumn("bucket", expr(s"CAST(l_extendedprice AS BIGINT) div $W"))
+      .join(broadcast(bands),
+        Seq("bucket")) // equi on bucket …
+      .filter(col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi")) // … + residual
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_lines"),
+        sumExact(col("l_extendedprice"), 2).as("total_price"))
+  }
+
+  private val rangeJoinPriceTiersSql =
+    """WITH bands(lo, hi, tier) AS (VALUES
+      |  (0, 5000, 'budget'), (5000, 20000, 'mid'),
+      |  (20000, 60000, 'premium'), (60000, 200000, 'luxury'))
+      |SELECT tier, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN bands
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY tier""".stripMargin
+
   // ---- skew-safe shapes (functions/Skew.scala helpers, proven here) ------
   /** Revenue per order priority through a SALTED fact↔fact join: lineitem
     * (probe, salted 8 ways on a row-identifying hash) ⋈ orders (build,
@@ -508,6 +545,7 @@ object Analytics extends QueryModule {
       |FROM events GROUP BY event_type""".stripMargin
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("range_join_price_tiers", rangeJoinPriceTiers _, Some(rangeJoinPriceTiersSql)),
     ("skew_salted_join_volume", saltedJoinVolume _, Some(saltedJoinVolumeSql)),
     ("skew_distinct_users", skewDistinctUsers _, Some(skewDistinctUsersSql)),
     ("q7_bination_volume", q7 _, Some(q7Sql)),

@@ -196,6 +196,24 @@ object WideColumn extends QueryModule {
       | COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS k_distinct
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Cassandra counter-column analog: counters are blind commutative
+    * increments merged at read/compaction — never read-modify-write. The
+    * Spark re-expression is the same algebra: increments (click values per
+    * user) are an append-only log; the counter READ is an associative
+    * exact-decimal sum per primary key — map-side partial aggregation IS
+    * the counter merge, so the shape is one shuffle at any scale. */
+  def counterColumn(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_increments"),
+        sumExact(col("value"), 2).as("counter_value"))
+
+  private val counterColumnSql =
+    """SELECT user_id, COUNT(*) AS n_increments,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS counter_value
+      |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin
+
   /** Cassandra DELETE = a tombstone write: a deletion marker with its own
     * writetime that shadows all writes at-or-before it, purged together with
     * the shadowed rows at compaction. The compacted READ view: per primary
@@ -240,6 +258,7 @@ object WideColumn extends QueryModule {
       |WHERE rn = 1 AND tomb = 0""".stripMargin
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_counter_column", counterColumn _, Some(counterColumnSql)),
     ("wc_delete_tombstone", deleteTombstone _, Some(deleteTombstoneSql)),
     ("wc_collection_map", collectionMap _, Some(collectionMapSql)),
     ("wc_partition_lookup", partitionLookup _, Some(partitionLookupSql)),

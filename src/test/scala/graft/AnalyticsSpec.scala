@@ -46,4 +46,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.q3(spark, sf).count() <= 10)
     assert(Analytics.q10(spark, sf).count() <= 20)
   }
+
+  test("bucketized range join equals the literal non-equi form") {
+    val got = Analytics.rangeJoinPriceTiers(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val bands = Seq((0L, 5000L, "budget"), (5000L, 20000L, "mid"),
+      (20000L, 60000L, "premium"), (60000L, 200000L, "luxury"))
+    val want = bands.map { case (lo, hi, tier) =>
+      tier -> li.filter(col("l_extendedprice") >= lo && col("l_extendedprice") < hi).count()
+    }.filter(_._2 > 0).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+    // every line lands in exactly one tier
+    assert(got.values.map(_._1).sum == li.count())
+  }
 }

@@ -17,9 +17,9 @@ class EntrySpec extends SparkSpec {
 
   test("inventory size matches SURVEY accounting") {
     // round-2: +8 correlated-subquery, +3 streaming-drain, +2 skew-safe,
-    // +1 tombstone-delete, +4 pipeline (sampling/repetition/packing)
-    // oracles (70 oracle-checked + 7 rows-only)
-    assert(SparkEntry.queries.size == 77, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 70, s"got ${SparkEntry.oracleSql.size}")
+    // +1 tombstone-delete, +4 pipeline (sampling/repetition/packing),
+    // +1 range-join, +1 counter oracles (72 oracle-checked + 7 rows-only)
+    assert(SparkEntry.queries.size == 79, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 72, s"got ${SparkEntry.oracleSql.size}")
   }
 }
