@@ -109,8 +109,44 @@ object Multimodal extends QueryModule {
        |  md5(substring(text, CAST(frame_idx*$FrameSize+1 AS BIGINT), $FrameSize)) AS frame_md5
        |FROM f WHERE frame_idx % $SampleEvery = 0""".stripMargin
 
+  /** Resize analog — 2× downsample of each sampled frame by dropping every
+    * second byte (stride-2 subsampling, what a nearest-neighbor halve does
+    * per raster row). Pure byte-range/regex ops on the payload — REAL like
+    * frameSample, no codec; the regex engine runs inside codegen. Output
+    * digests are what a dedup-after-resize stage would key on. */
+  def resizeHalve(s: SparkSession, d: String): DataFrame = {
+    val nFrames = expr(s"(octet_length(text) + ${FrameSize - 1}) DIV $FrameSize")
+    val frame = col("text").substr(
+      (col("frame_idx") * FrameSize + 1).cast("int"), lit(FrameSize))
+    Tables.documents(s, d)
+      .filter(octet_length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(SampleEvery)) === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        regexp_replace(frame, "(.).", "$1").as("half"))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("half")).cast("long").as("half_bytes"),
+        md5(col("half")).as("half_md5"))
+  }
+
+  private val resizeHalveSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |         unnest(generate_series(0, (length(text)+${FrameSize - 1})//$FrameSize - 1)) AS frame_idx
+       |  FROM documents WHERE length(text) > 0),
+       | h AS (
+       |  SELECT doc_id, frame_idx,
+       |    regexp_replace(substring(text, CAST(frame_idx*$FrameSize+1 AS BIGINT), $FrameSize),
+       |                   '(.).', '\\1', 'g') AS half
+       |  FROM f WHERE frame_idx % $SampleEvery = 0)
+       |SELECT doc_id, frame_idx, CAST(length(half) AS BIGINT) AS half_bytes,
+       |       md5(half) AS half_md5
+       |FROM h""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("mm_binary_meta", binaryMeta _, Some(binaryMetaSql)),
     ("mm_decode_batch", decodeBatch _, None),
-    ("mm_frame_sample", frameSample _, Some(frameSampleSql)))
+    ("mm_frame_sample", frameSample _, Some(frameSampleSql)),
+    ("mm_resize_halve", resizeHalve _, Some(resizeHalveSql)))
 }

@@ -49,6 +49,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("resize halve: stride-2 subsample digest matches direct computation") {
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").head()
+    val frame0 = doc.getString(1).take(256)
+    val half = frame0.zipWithIndex.collect { case (c, i) if i % 2 == 0 => c }.mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(half.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val row = Multimodal.resizeHalve(spark, sf)
+      .filter(col("doc_id") === doc.getLong(0) && col("frame_idx") === 0)
+      .head()
+    assert(row.getAs[String]("half_md5") == expected)
+    assert(row.getAs[Long]("half_bytes") == (frame0.length + 1) / 2)
+  }
+
   test("stub decoder matches a direct call (same bytes, same checksum)") {
     val doc = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").head()
