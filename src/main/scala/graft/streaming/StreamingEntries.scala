@@ -107,6 +107,37 @@ object StreamingEntries extends QueryModule {
       | COUNT(*) AS n_events
       |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** The custom-state (mapGroupsWithState) funnel drained to batch: frontier
+    * states are emitted per user per micro-batch in update mode and grow
+    * monotonically, so the per-user max over the drained sink is the final
+    * frontier; counting non-zero stages reproduces the batch funnel counts
+    * exactly — the oracle is ev_funnel's SQL verbatim. Proves the arbitrary-
+    * stateful-operator path (not just built-in window aggs) cross-engine. */
+  def stFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = eventsStream(s, d).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    drain(EventStreams.funnelStages(ds).toDF(), "update")
+      .groupBy("user_id")
+      .agg(max("signup_ts").as("st"), max("view_ts").as("vt"),
+        max("purchase_ts").as("pt"))
+      .agg(sum(when(col("st") > 0, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("vt") > 0, 1L).otherwise(0L)).as("n_signup_view"),
+        sum(when(col("pt") > 0, 1L).otherwise(0L)).as("n_signup_view_purchase"))
+  }
+
+  private val stFunnelSql =
+    """WITH s AS (SELECT user_id, MIN(ts) AS st FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      | v AS (SELECT e.user_id, MIN(e.ts) AS vt FROM events e JOIN s ON e.user_id = s.user_id
+      |       WHERE e.event_type = 'view' AND e.ts > s.st GROUP BY e.user_id),
+      | p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e JOIN v ON e.user_id = v.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > v.vt GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+      |       (SELECT COUNT(*) FROM v) AS n_signup_view,
+      |       (SELECT COUNT(*) FROM p) AS n_signup_view_purchase""".stripMargin
+
   /** Streaming exact dedup drained to batch: the surviving fingerprint set
     * (which PHYSICAL duplicate row survives depends on arrival order, so the
     * deterministic — and pipeline-relevant — result is the fp set itself). */
@@ -123,5 +154,6 @@ object StreamingEntries extends QueryModule {
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("st_tumbling_window", stTumbling _, Some(stTumblingSql)),
     ("st_session_window", stSessions _, Some(stSessionsSql)),
+    ("st_funnel", stFunnel _, Some(stFunnelSql)),
     ("st_dedup_exact", stDedup _, Some(stDedupSql)))
 }

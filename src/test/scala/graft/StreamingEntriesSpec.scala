@@ -24,6 +24,14 @@ class StreamingEntriesSpec extends SparkSpec {
     }
   }
 
+  test("drained stateful funnel equals the batch funnel counts") {
+    val streamed = StreamingEntries.stFunnel(spark, sf).head()
+    val batch = operators.Events.funnel(spark, sf).head()
+    assert(streamed.getLong(0) == batch.getLong(0))
+    assert(streamed.getLong(1) == batch.getLong(1))
+    assert(streamed.getLong(2) == batch.getLong(2))
+  }
+
   test("drained dedup fp set equals the batch fingerprint set") {
     val streamed = StreamingEntries.stDedup(spark, sf).collect()
       .map(_.getString(0)).toSet
