@@ -44,6 +44,19 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.55, s"ivf nprobe=3 recall $recall below 0.55")
   }
 
+  test("int8 quantization: error bounded by scale/2 per element") {
+    val rows = Ann.quantizeInt8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      val avgErr = r.getAs[Double]("sum_abs_err") / n
+      val avgScale = r.getAs[Double]("sum_scale") / n
+      // per element |err| <= scale/2, so per 64-dim vector err <= 32*scale
+      assert(avgErr <= 32.0 * avgScale, s"avg err $avgErr vs scale $avgScale")
+      assert(r.getAs[Double]("max_abs_err") >= 0.0)
+    }
+  }
+
   test("norm stats: min <= avg <= max per label") {
     Ann.normStats(spark, sf).collect().foreach { r =>
       assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("avg_norm") + 1e-9)
