@@ -134,6 +134,38 @@ object Events extends QueryModule {
       | quantile_disc(value, 0.99) AS p99, COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Weekly cohort retention: users grouped by first-seen week, counted in
+    * each subsequent active week — the classic growth-analytics triangle.
+    * Shape: first-seen aggregate and the activity join share the user_id
+    * hash partitioning (one shuffle), then one rollup shuffle on the
+    * (cohort, offset) pair; no window, no driver loop. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+      .join(firstSeen, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")).cast("long") / 7L)
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  private val retentionSql =
+    """WITH fs AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      | act AS (
+      |  SELECT DISTINCT e.user_id, fs.cohort_week,
+      |    date_diff('day', fs.cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset
+      |  FROM events e JOIN fs ON e.user_id = fs.user_id)
+      |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+      | COUNT(*) AS n_active
+      |FROM act GROUP BY cohort_week, week_offset""".stripMargin
+
   /** Sketch-based distinct users per event type: HLL is the constant-memory
     * cardinality path at 100 TB (sketches merge associatively across
     * partitions/days — the batch twin of a streaming sketch state). The
@@ -153,5 +185,6 @@ object Events extends QueryModule {
     ("ev_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
     ("ev_sessionization", sessionization _, Some(sessionizationSql)),
     ("ev_funnel", funnel _, Some(funnelSql)),
-    ("ev_daily_active", dailyActive _, Some(dailyActiveSql)))
+    ("ev_daily_active", dailyActive _, Some(dailyActiveSql)),
+    ("ev_retention", retention _, Some(retentionSql)))
 }

@@ -30,6 +30,15 @@ class EventsSpec extends SparkSpec {
     assert(Events.dailyActive(spark, sf).filter(col("dau") > col("n_events")).count() == 0)
   }
 
+  test("retention: offset-0 cohort sizes cover every user exactly once") {
+    val rows = operators.Events.retention(spark, sf).collect()
+    val week0 = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_active")).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(week0 == users, s"week-0 total $week0 != $users users")
+    rows.foreach(r => assert(r.getAs[Long]("week_offset") >= 0L))
+  }
+
   test("percentiles: ordered and drawn from actual values") {
     val rows = Events.valuePercentiles(spark, sf).collect()
     assert(rows.nonEmpty)
