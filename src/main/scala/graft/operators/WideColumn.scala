@@ -196,6 +196,27 @@ object WideColumn extends QueryModule {
       | COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS k_distinct
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Cassandra materialized-view analog: an MV is the SAME data under a
+    * DIFFERENT primary key — a globally re-partitioned table the server
+    * maintains (unlike a 2i, which is a per-node local index; that analog
+    * is wc_secondary_index). Here: events re-keyed from (user_id | ts) to
+    * (event_type | ts DESC), read like any partition — newest 50 rows per
+    * new partition key. At 100 TB the MV is a bucketed copy written by the
+    * same one-shuffle repartition this plan performs. */
+  def materializedView(s: SparkSession, d: String): DataFrame = {
+    val mvClustering = Window.partitionBy("event_type").orderBy(desc("ts"), desc("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(mvClustering).cast("long"))
+      .filter(col("rn") <= 50)
+  }
+
+  private val materializedViewSql =
+    """SELECT event_type, ts, user_id, event_id, value, rn FROM (
+      |  SELECT event_type, ts, user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn <= 50""".stripMargin
+
   /** Cassandra counter-column analog: counters are blind commutative
     * increments merged at read/compaction — never read-modify-write. The
     * Spark re-expression is the same algebra: increments (click values per
@@ -258,6 +279,7 @@ object WideColumn extends QueryModule {
       |WHERE rn = 1 AND tomb = 0""".stripMargin
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_materialized_view", materializedView _, Some(materializedViewSql)),
     ("wc_counter_column", counterColumn _, Some(counterColumnSql)),
     ("wc_delete_tombstone", deleteTombstone _, Some(deleteTombstoneSql)),
     ("wc_collection_map", collectionMap _, Some(collectionMapSql)),

@@ -19,7 +19,7 @@ class EntrySpec extends SparkSpec {
     // round-2: +8 correlated-subquery, +3 streaming-drain, +2 skew-safe,
     // +1 tombstone-delete, +4 pipeline (sampling/repetition/packing),
     // +1 range-join, +1 counter oracles (72 oracle-checked + 7 rows-only)
-    assert(SparkEntry.queries.size == 83, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 76, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 84, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 77, s"got ${SparkEntry.oracleSql.size}")
   }
 }
