@@ -38,7 +38,10 @@ object Bench {
       (name, sec, err)
     }
     val failed = results.collect { case (n, _, Some(e)) =>
-      "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ") + "\""
+      // strip ALL control chars (tabs/CR/etc. appear in Spark messages) —
+      // a literal control char inside a JSON string breaks strict parsers
+      "\"" + n + "\":\"" + e.replace("\\", "\\\\").replace("\"", "'")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)

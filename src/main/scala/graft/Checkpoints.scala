@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager materialization with lineage truncation for iterative loops
+  * (cluster propagation, Lloyd rounds): round N must schedule against a
+  * small materialized frame, not the whole history of rounds 1..N-1.
+  *
+  * Fault-tolerance tradeoff: `localCheckpoint` blocks live only in
+  * executor block managers and are NOT replayable — losing an executor
+  * mid-job kills the query. Correct for single-JVM test/bench runs (fast,
+  * no filesystem); on a real cluster set `sparkContext.setCheckpointDir`
+  * and this helper automatically switches to RELIABLE checkpoints that
+  * survive executor loss. */
+private[graft] object Checkpoints {
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+}

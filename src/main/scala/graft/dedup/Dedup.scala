@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.{QueryModule, Tables}
+import graft.{Checkpoints, QueryModule, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -230,19 +230,20 @@ object Dedup extends QueryModule {
   /** DataFrame-parametric cluster assignment over any corpus with
     * `doc_id` + `text`.
     *
-    * Each propagation round is `localCheckpoint`ed: the round's labels are
-    * materialized in the block manager and the lineage is TRUNCATED, so
+    * Each propagation round is eagerly materialized (Checkpoints.materialize
+    * — reliable checkpoint on clusters with a checkpoint dir, local
+    * otherwise) and the lineage is TRUNCATED, so
     * round N's plan never re-plans rounds 1..N-1 (the r1 persist-based loop
     * kept the whole lineage and leaked one cached frame per call). Dup-free
     * corpora short-circuit to an empty result instead of crashing on a NULL
     * convergence sum. */
   def clustersOf(docs: DataFrame): DataFrame = {
-    // Candidate pairs materialized ONCE (eager localCheckpoint) before the
+    // Candidate pairs materialized ONCE (eagerly) before the
     // both-directions union fans out over them — an unmaterialized lineage
     // would re-run the whole MinHash pipeline per branch and per round.
     val pairs = minhashLshOf(docs).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     if (pairs.isEmpty) {
       // dup-free corpus: no edges → no clusters (valid input, empty output)
       val s = docs.sparkSession
@@ -252,7 +253,7 @@ object Dedup extends QueryModule {
     }
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+      .transform(Checkpoints.materialize)
     val members = edges.select(col("doc_a").as("id")).distinct()
     var labels = members.select(col("id"), col("id").as("label"))
     var converged = false
@@ -269,7 +270,7 @@ object Dedup extends QueryModule {
         .select(col("id"),
           least(col("label"), col("nbr_min")).as("new_label"),
           (least(col("label"), col("nbr_min")) =!= col("label")).cast("long").as("chg"))
-        .localCheckpoint() // truncate lineage; block-manager blocks are
+        .transform(Checkpoints.materialize) // truncate lineage; blocks are
       // dropped automatically when the frame is GC'd — no persist bookkeeping
       val changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
       labels = next.select(col("id"), col("new_label").as("label"))

@@ -49,10 +49,18 @@ object VectorFunctions {
     * the O(n²) cross join — and unlike a first-k-coordinates sign code,
     * random projections stay balanced on anisotropic real-world embedding
     * distributions (VERDICT r1 "what's wrong" #5). The hyperplane dots fuse
-    * into the native DotProduct kernel via FuseDotProduct. */
+    * into the native DotProduct kernel via FuseDotProduct.
+    *
+    * Contract: vectors whose length ≠ `dim` get a NULL bucket (the plane
+    * dot is null on ragged input) and therefore fall out of same-bucket
+    * equi-joins — explicitly, rather than silently collapsing every
+    * mismatched vector into bucket 0 and degenerating the join to O(n²). */
   def signBucket(emb: Column, bits: Int, dim: Int = 64, t: Int = 0): Column =
     (0 until bits)
-      .map(k => when(dot(emb, lit(plane(t, k, dim))) >= 0, lit(1L << k)).otherwise(lit(0L)))
+      .map { k =>
+        val d = dot(emb, lit(plane(t, k, dim)))
+        when(d >= 0, lit(1L << k)).when(d < 0, lit(0L)) // else: NULL
+      }
       .reduce(_ + _)
 
   // ---- DuckDB oracle SQL builders (same math, same order) ----------------

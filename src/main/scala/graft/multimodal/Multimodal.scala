@@ -110,23 +110,26 @@ object Multimodal extends QueryModule {
        |FROM f WHERE frame_idx % $SampleEvery = 0""".stripMargin
 
   /** Resize analog — 2× downsample of each sampled frame by dropping every
-    * second byte (stride-2 subsampling, what a nearest-neighbor halve does
-    * per raster row). Pure byte-range/regex ops on the payload — REAL like
-    * frameSample, no codec; the regex engine runs inside codegen. Output
-    * digests are what a dedup-after-resize stage would key on. */
+    * second element (stride-2 subsampling, what a nearest-neighbor halve
+    * does per raster row). Pure slicing/regex ops — REAL like frameSample,
+    * no codec; the regex engine runs inside codegen. Output digests are
+    * what a dedup-after-resize stage would key on. CHARACTER semantics
+    * throughout (frame count, slice, and oracle all use length(text)) so
+    * the op is self-consistent on any text; on the ASCII corpus chars ==
+    * bytes, matching frameSample's byte frames. */
   def resizeHalve(s: SparkSession, d: String): DataFrame = {
-    val nFrames = expr(s"(octet_length(text) + ${FrameSize - 1}) DIV $FrameSize")
+    val nFrames = expr(s"(length(text) + ${FrameSize - 1}) DIV $FrameSize")
     val frame = col("text").substr(
       (col("frame_idx") * FrameSize + 1).cast("int"), lit(FrameSize))
     Tables.documents(s, d)
-      .filter(octet_length(col("text")) > 0)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
       .filter(pmod(col("frame_idx"), lit(SampleEvery)) === 0)
       .select(col("doc_id"), col("frame_idx"),
         regexp_replace(frame, "(.).", "$1").as("half"))
       .select(col("doc_id"), col("frame_idx"),
-        octet_length(col("half")).cast("long").as("half_bytes"),
+        length(col("half")).cast("long").as("half_bytes"),
         md5(col("half")).as("half_md5"))
   }
 

@@ -181,7 +181,7 @@ object AnalyticsSubqueries extends QueryModule {
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(dec(col("l_quantity"), 2)).as("qty"))
       .filter(col("qty") > 100)
-      .select(col("l_suppkey")).distinct()
+      .select(col("l_suppkey")) // no distinct: left_semi dedups by itself
     Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d).filter(col("n_nationkey") >= 13)),
         col("s_nationkey") === col("n_nationkey"))

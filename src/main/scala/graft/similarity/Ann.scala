@@ -150,7 +150,7 @@ object Ann extends QueryModule {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("centroid"))
         .withColumn("cnrm", norm(col("centroid")))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.materialize)
     }
     val index = assignCells(e, cent)
     val probe = queriesOf(e).withColumn("j", lit(1))
@@ -178,9 +178,13 @@ object Ann extends QueryModule {
     val e = Tables.embeddings(s, d)
       .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .withColumn("scale", col("mx") / 127.0)
-      .withColumn("err", aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + abs(x.cast("double")
-          - floor(x.cast("double") / col("scale") + 0.5) * col("scale"))))
+      // zero vector → scale 0 → x/scale is NaN: quantization of the zero
+      // vector is exact, so short-circuit err to 0 (Spark would silently
+      // null the NaN on the decimal cast; DuckDB errors — both wrong)
+      .withColumn("err", when(col("scale") === 0.0, lit(0.0))
+        .otherwise(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + abs(x.cast("double")
+            - floor(x.cast("double") / col("scale") + 0.5) * col("scale")))))
     e.groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("scale").cast(DecimalType(18, 9))).cast("double").as("sum_scale"),
@@ -196,9 +200,11 @@ object Ann extends QueryModule {
       |  FROM embeddings),
       | e AS (
       |  SELECT label, scale,
-      |    list_sum(list_transform(embedding,
-      |      x -> abs(CAST(x AS DOUBLE)
-      |               - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale))) AS err
+      |    CASE WHEN scale = 0 THEN 0.0
+      |         ELSE list_sum(list_transform(embedding,
+      |           x -> abs(CAST(x AS DOUBLE)
+      |                    - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+      |    END AS err
       |  FROM q)
       |SELECT label, COUNT(*) AS n_vecs,
       | CAST(SUM(CAST(scale AS DECIMAL(18,9))) AS DOUBLE) AS sum_scale,

@@ -29,13 +29,18 @@ object StreamingEntries extends QueryModule {
   private val sinkId = new AtomicInteger(0)
 
   /** Drain `df` to completion into a uniquely-named memory sink via
-    * AvailableNow and return the sink contents. */
+    * AvailableNow and return the sink contents. The temp view is dropped
+    * immediately (the returned frame holds the already-resolved sink plan,
+    * so its rows stay reachable exactly as long as the caller holds the
+    * frame — repeated drains don't accumulate named driver-memory tables). */
   private def drain(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val out = df.sparkSession.table(name)
+    df.sparkSession.catalog.dropTempView(name)
+    out
   }
 
   // The file-stream source wants a DIRECTORY to list; the sf tables are
@@ -47,9 +52,12 @@ object StreamingEntries extends QueryModule {
   private def stageDir(d: String, table: String): String =
     stagedDirs.computeIfAbsent(s"$d/$table", { _ =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
-      java.nio.file.Files.copy(
+      val file = java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/$table.parquet"),
         dir.resolve(s"$table.parquet"))
+      // staged copies are JVM-lifetime scratch: clean them up on exit
+      file.toFile.deleteOnExit()
+      dir.toFile.deleteOnExit()
       dir.toString
     })
 

@@ -16,9 +16,11 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // round-2: +8 correlated-subquery, +3 streaming-drain, +2 skew-safe,
-    // +1 tombstone-delete, +4 pipeline (sampling/repetition/packing),
-    // +1 range-join, +1 counter oracles (72 oracle-checked + 7 rows-only)
+    // round-2 end: 59 r1 entries + 25 new (subquery wave 8, streaming
+    // drains 4, skew 2, pipeline 4, tombstone/counter/MV 3, range join,
+    // resize, retention, int8 quantization) = 84 total, of which 77 carry
+    // DuckDB oracles and 7 are rows-only (minhash/simhash/clusters/
+    // rp-lsh/ivf/approx-distinct/decode-stub).
     assert(SparkEntry.queries.size == 84, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 77, s"got ${SparkEntry.oracleSql.size}")
   }
