@@ -134,6 +134,27 @@ object Events extends QueryModule {
       | quantile_disc(value, 0.99) AS p99, COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Sliding (hopping) windows: 1-hour windows every 15 minutes — each
+    * event lands in 4 overlapping windows. Spark's `window(ts, size,
+    * slide)` generates the per-event window fan-out natively in batch AND
+    * streaming (same code in a readStream twin); the oracle reproduces the
+    * epoch-aligned window starts via time_bucket minus k·slide. */
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  private val slidingWindowSql =
+    """WITH w AS (
+      |  SELECT event_type, value,
+      |    time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start
+      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+      |SELECT window_start, event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY window_start, event_type""".stripMargin
+
   /** Weekly cohort retention: users grouped by first-seen week, counted in
     * each subsequent active week — the classic growth-analytics triangle.
     * Shape: first-seen aggregate and the activity join share the user_id
@@ -186,5 +207,6 @@ object Events extends QueryModule {
     ("ev_sessionization", sessionization _, Some(sessionizationSql)),
     ("ev_funnel", funnel _, Some(funnelSql)),
     ("ev_daily_active", dailyActive _, Some(dailyActiveSql)),
-    ("ev_retention", retention _, Some(retentionSql)))
+    ("ev_retention", retention _, Some(retentionSql)),
+    ("ev_sliding_window", slidingWindow _, Some(slidingWindowSql)))
 }

@@ -30,6 +30,12 @@ class EventsSpec extends SparkSpec {
     assert(Events.dailyActive(spark, sf).filter(col("dau") > col("n_events")).count() == 0)
   }
 
+  test("sliding windows: each event counted in exactly 4 windows") {
+    val total = operators.Events.slidingWindow(spark, sf)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(total == 4 * Tables.events(spark, sf).count())
+  }
+
   test("retention: offset-0 cohort sizes cover every user exactly once") {
     val rows = operators.Events.retention(spark, sf).collect()
     val week0 = rows.filter(_.getAs[Long]("week_offset") == 0L)
