@@ -28,7 +28,8 @@ class PlanSpec extends SparkSpec {
 
   test("multi-way dim joins use broadcast hash joins") {
     Seq("q3_top_orders", "q5_local_supplier_volume", "q10_returned_items",
-      "q19_bracket_predicates").foreach { name =>
+      "q19_bracket_predicates", "q2_min_cost_supplier", "q9_product_profit",
+      "range_join_price_tiers").foreach { name =>
       assert(planOf(name).contains("BroadcastHashJoin"),
         s"$name should broadcast its dimension side")
     }
@@ -37,6 +38,7 @@ class PlanSpec extends SparkSpec {
   test("tight filters are pushed to the parquet scan") {
     Seq("q6_revenue_forecast" -> "l_shipdate",
       "wc_partition_lookup" -> "user_id",
+      "wc_counter_column" -> "event_type",
       "wc_secondary_index" -> "event_type").foreach { case (name, colName) =>
       val plan = planOf(name)
       val pushed = "PushedFilters: \\[[^\\]]*" + colName
