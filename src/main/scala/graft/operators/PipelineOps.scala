@@ -115,7 +115,76 @@ object PipelineOps extends QueryModule {
       | CAST(SUM(n_tok) AS BIGINT) AS tokens_started, MIN(doc_id) AS first_doc
       |FROM c GROUP BY source, CAST((cum - n_tok) // 512 AS BIGINT)""".stripMargin
 
+  /** CAPSTONE — the full corpus→training-shards pipeline as ONE composed
+    * plan: quality gate (stopword/diversity heuristic ≥ 0.38, the corpus median) → exact-dedup
+    * survivors (min doc_id per canonical fingerprint) → deterministic 20%
+    * content-hash sample → per-source 512-token packing stats. Every stage
+    * is the same logic as its standalone entry; the point is that they
+    * COMPOSE into one Catalyst plan (filters before shuffles, one
+    * fingerprint shuffle, one per-shard window) — the production shape of
+    * this library at 100 TB. */
+  def corpusToShards(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("q",
+        lit(0.3) * least(lit(1.0), col("n_tok").cast("double") / 100.0) +
+        lit(0.4) * (size(array_distinct(col("toks"))).cast("double") / col("n_tok")) +
+        lit(0.3) * (graft.functions.TextFunctions.stopwordHits(col("toks"),
+          graft.functions.TextFunctions.stopsEn).cast("double") / col("n_tok")))
+      .filter(col("q") >= 0.38)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+    val survivors = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .filter(substring(md5(col("text")), 1, 2) <= "33") // ~20% sample
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("pack_id")).as("n_packs"))
+  }
+
+  private val corpusToShardsSql =
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      | scored AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(toks) AS BIGINT) AS n_tok,
+      |    0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+      |  + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+      |  + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+      |           / CAST(len(toks) AS DOUBLE)) AS q
+      |  FROM t),
+      | gated AS (
+      |  SELECT *,
+      |    md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+      |        '\s+', ' ', 'g')) AS fp
+      |  FROM scored WHERE q >= 0.38),
+      | survivors AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM gated) z
+      |  WHERE rn = 1 AND substr(md5(text), 1, 2) <= '33'),
+      | packed AS (
+      |  SELECT source, doc_id, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM survivors)
+      |SELECT source, COUNT(*) AS n_docs,
+      | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      | COUNT(DISTINCT CAST((cum - n_tok) // 512 AS BIGINT)) AS n_packs
+      |FROM packed GROUP BY source""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("pipeline_corpus_to_shards", corpusToShards _, Some(corpusToShardsSql)),
     ("smp_hash_sample", hashSample _, Some(hashSampleSql)),
     ("smp_stratified", stratifiedSample _, Some(stratifiedSampleSql)),
     ("txt_repetition_score", repetitionScore _, Some(repetitionScoreSql)),

@@ -21,7 +21,7 @@ class EntrySpec extends SparkSpec {
     // resize, retention, int8 quantization) = 84 total, of which 77 carry
     // DuckDB oracles and 7 are rows-only (minhash/simhash/clusters/
     // rp-lsh/ivf/approx-distinct/decode-stub).
-    assert(SparkEntry.queries.size == 85, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 78, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 86, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 79, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -48,6 +48,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("capstone pipeline: stats consistent, strictly fewer docs than corpus") {
+    val rows = PipelineOps.corpusToShards(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables.documents(spark, sf).count()
+    assert(nDocs > 0 && nDocs < corpus, s"$nDocs of $corpus after gate+dedup+sample")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_packs") >= 1)
+      assert(r.getAs[Long]("n_packs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("no global single-partition window in packing (explain audit)") {
     val plan = PipelineOps.packGreedy(spark, sf)
       .queryExecution.executedPlan.toString()
