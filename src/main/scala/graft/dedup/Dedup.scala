@@ -270,8 +270,9 @@ object Dedup extends QueryModule {
         .select(col("id"),
           least(col("label"), col("nbr_min")).as("new_label"),
           (least(col("label"), col("nbr_min")) =!= col("label")).cast("long").as("chg"))
-        .transform(Checkpoints.materialize) // truncate lineage; blocks are
-      // dropped automatically when the frame is GC'd — no persist bookkeeping
+        .transform(Checkpoints.materialize) // truncate lineage (local blocks
+      // are GC-reaped; reliable checkpoint cleanup is a cluster conf — see
+      // Checkpoints scaladoc)
       val changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
       labels = next.select(col("id"), col("new_label").as("label"))
       converged = changed == 0

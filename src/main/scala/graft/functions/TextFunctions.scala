@@ -29,6 +29,23 @@ object TextFunctions {
   def stopwordHits(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => t.isin(stops.map(x => x: Any): _*))).cast("long")
 
+  /** The 0.3/0.4/0.3 length/diversity/stopword quality heuristic — the ONE
+    * definition both txt_quality_score and the capstone pipeline gate use
+    * (tuning it here changes both together). */
+  def qualityScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    lit(0.3) * least(lit(1.0), n / 100.0) +
+      lit(0.4) * (size(array_distinct(toks)).cast("double") / n) +
+      lit(0.3) * (stopwordHits(toks, stopsEn).cast("double") / n)
+  }
+
+  /** DuckDB mirror of [[qualityScore]] over a token-list SQL expression. */
+  def qualityScoreSqlExpr(toks: String): String =
+    s"""0.3 * least(1.0, CAST(len($toks) AS DOUBLE) / 100.0)
+       | + 0.4 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
+       | + 0.3 * (CAST(len(list_filter($toks, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+       |          / CAST(len($toks) AS DOUBLE))""".stripMargin
+
   /** BPE-ish piece count: letter runs, digit runs, isolated symbols. */
   def bpePieces(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|\\S"), lit(0))).cast("long")

@@ -58,8 +58,11 @@ object VectorFunctions {
   def signBucket(emb: Column, bits: Int, dim: Int = 64, t: Int = 0): Column =
     (0 until bits)
       .map { k =>
-        val d = dot(emb, lit(plane(t, k, dim)))
-        when(d >= 0, lit(1L << k)).when(d < 0, lit(0L)) // else: NULL
+        // single reference to the plane dot per bit (a when-chain would
+        // evaluate the dim-length dot twice on the negative branch): the
+        // boolean cast is 1/0 on real projections and propagates NULL on
+        // ragged input, preserving the NULL-bucket contract.
+        (dot(emb, lit(plane(t, k, dim))) >= 0).cast("long") * (1L << k)
       }
       .reduce(_ + _)
 
@@ -72,7 +75,13 @@ object VectorFunctions {
 
   /** Dot of an embedding column with a literal plane — the constants are the
     * exact shortest-round-trip reprs of the Scala doubles, so both engines
-    * evaluate the identical IEEE value. */
+    * evaluate the identical IEEE value.
+    *
+    * Scope note: the SQL builders assume the fixed-`dim` driver corpus.
+    * The Scala side's NULL-bucket contract for ragged vectors has no DuckDB
+    * mirror (list_sum skips the null products of out-of-range indices), so
+    * oracle parity holds only where every vector has exactly `dim`
+    * elements — true of the test tables, asserted nowhere else. */
   private def dotPlaneSql(emb: String, p: Array[Double]): String = {
     val arr = p.mkString("[", ", ", "]")
     s"list_sum([CAST($emb[i] AS DOUBLE) * ($arr)[i] FOR i IN generate_series(1, ${p.length})])"

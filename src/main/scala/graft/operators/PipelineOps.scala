@@ -127,11 +127,7 @@ object PipelineOps extends QueryModule {
     val docs = Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("q",
-        lit(0.3) * least(lit(1.0), col("n_tok").cast("double") / 100.0) +
-        lit(0.4) * (size(array_distinct(col("toks"))).cast("double") / col("n_tok")) +
-        lit(0.3) * (graft.functions.TextFunctions.stopwordHits(col("toks"),
-          graft.functions.TextFunctions.stopsEn).cast("double") / col("n_tok")))
+      .withColumn("q", graft.functions.TextFunctions.qualityScore(col("toks")))
       .filter(col("q") >= 0.38)
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
     val survivors = docs
@@ -151,23 +147,20 @@ object PipelineOps extends QueryModule {
   }
 
   private val corpusToShardsSql =
-    """WITH t AS (
-      |  SELECT doc_id, source, text,
-      |    regexp_split_to_array(trim(text), '\s+') AS toks
-      |  FROM documents),
-      | scored AS (
-      |  SELECT doc_id, source, text,
-      |    CAST(len(toks) AS BIGINT) AS n_tok,
-      |    0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-      |  + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-      |  + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
-      |           / CAST(len(toks) AS DOUBLE)) AS q
-      |  FROM t),
-      | gated AS (
-      |  SELECT *,
-      |    md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
-      |        '\s+', ' ', 'g')) AS fp
-      |  FROM scored WHERE q >= 0.38),
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       | scored AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    ${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")} AS q
+       |  FROM t),
+       | gated AS (
+       |  SELECT *,
+       |    md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+       |        '\\s+', ' ', 'g')) AS fp
+       |  FROM scored WHERE q >= 0.38),
       | survivors AS (
       |  SELECT * FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn

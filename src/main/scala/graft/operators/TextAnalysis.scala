@@ -34,27 +34,20 @@ object TextAnalysis extends QueryModule {
       |   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_chars
       |FROM documents""".stripMargin
 
-  // Heuristic quality score: length, lexical diversity, stopword density.
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val n = size(col("toks")).cast("double")
-    val score =
-      lit(0.3) * least(lit(1.0), n / 100.0) +
-      lit(0.4) * (size(array_distinct(col("toks"))).cast("double") / n) +
-      lit(0.3) * (stopwordHits(col("toks"), stopsEn).cast("double") / n)
+  // Heuristic quality score: length, lexical diversity, stopword density —
+  // the shared TextFunctions.qualityScore definition (also the capstone
+  // pipeline's gate).
+  def qualityScore(s: SparkSession, d: String): DataFrame =
     withToks(Tables.documents(s, d))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        round(score, 6).as("quality_score"))
-  }
+        round(graft.functions.TextFunctions.qualityScore(col("toks")), 6)
+          .as("quality_score"))
 
   private val qualityScoreSql =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
-      |SELECT doc_id, len(toks) AS n_tokens,
-      | round(
-      |   0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-      | + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-      | + 0.3 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
-      |          / CAST(len(toks) AS DOUBLE)), 6) AS quality_score
-      |FROM t""".stripMargin
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+       |SELECT doc_id, len(toks) AS n_tokens,
+       | round(${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")}, 6) AS quality_score
+       |FROM t""".stripMargin
 
   // n-gram/stopword-vote language ID; output = confusion matrix vs `lang`.
   def langId(s: SparkSession, d: String): DataFrame = {

@@ -52,12 +52,13 @@ object StreamingEntries extends QueryModule {
   private def stageDir(d: String, table: String): String =
     stagedDirs.computeIfAbsent(s"$d/$table", { _ =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
-      val file = java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$d/$table.parquet"),
-        dir.resolve(s"$table.parquet"))
-      // staged copies are JVM-lifetime scratch: clean them up on exit
-      file.toFile.deleteOnExit()
+      // staged copies are JVM-lifetime scratch: clean up on exit. Register
+      // the DIR first — deleteOnExit runs in reverse registration order, so
+      // the file inside is deleted before the (then-empty) directory.
       dir.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/$table.parquet"),
+        dir.resolve(s"$table.parquet")).toFile.deleteOnExit()
       dir.toString
     })
 

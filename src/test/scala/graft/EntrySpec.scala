@@ -16,11 +16,11 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // round-2 end: 59 r1 entries + 25 new (subquery wave 8, streaming
-    // drains 4, skew 2, pipeline 4, tombstone/counter/MV 3, range join,
-    // resize, retention, int8 quantization) = 84 total, of which 77 carry
-    // DuckDB oracles and 7 are rows-only (minhash/simhash/clusters/
-    // rp-lsh/ivf/approx-distinct/decode-stub).
+    // round-2 end: 59 r1 entries + 27 new (subquery wave 8, streaming
+    // drains 4, skew 2, pipeline 5 incl. capstone, tombstone/counter/MV 3,
+    // range join, resize, retention + sliding window, int8 quantization)
+    // = 86 total, of which 79 carry DuckDB oracles and 7 are rows-only
+    // (minhash/simhash/clusters/rp-lsh/ivf/approx-distinct/decode-stub).
     assert(SparkEntry.queries.size == 86, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 79, s"got ${SparkEntry.oracleSql.size}")
   }
