@@ -43,6 +43,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding (hopping) windows — the streaming twin of
+    * Events.slidingWindow: identical window(ts, size, slide) expression,
+    * watermark-bounded state. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Built-in session windows (30 min gap) — the streaming twin of
     * Events.sessionization. */
   def sessionWindows(events: DataFrame): DataFrame =

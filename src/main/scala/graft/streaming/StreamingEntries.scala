@@ -91,6 +91,20 @@ object StreamingEntries extends QueryModule {
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
 
+  /** Streaming sliding windows drained to batch — twin of
+    * ev_sliding_window, same oracle SQL. */
+  def stSliding(s: SparkSession, d: String): DataFrame =
+    drain(EventStreams.slidingCounts(eventsStream(s, d)), "complete")
+
+  private val stSlidingSql =
+    """WITH w AS (
+      |  SELECT event_type, value,
+      |    time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start
+      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+      |SELECT window_start, event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY window_start, event_type""".stripMargin
+
   /** Streaming session windows (30 min gap) drained to batch. The oracle
     * mirrors session_window semantics exactly: a gap of >= 30 min opens a
     * new session (windows are half-open [start, last+gap)), and session_end
@@ -162,6 +176,7 @@ object StreamingEntries extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("st_tumbling_window", stTumbling _, Some(stTumblingSql)),
+    ("st_sliding_window", stSliding _, Some(stSlidingSql)),
     ("st_session_window", stSessions _, Some(stSessionsSql)),
     ("st_funnel", stFunnel _, Some(stFunnelSql)),
     ("st_dedup_exact", stDedup _, Some(stDedupSql)))

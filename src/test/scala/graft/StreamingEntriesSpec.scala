@@ -24,6 +24,14 @@ class StreamingEntriesSpec extends SparkSpec {
     }
   }
 
+  test("drained sliding windows equal the batch twin exactly") {
+    val streamed = StreamingEntries.stSliding(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = operators.Events.slidingWindow(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed == batch)
+  }
+
   test("drained stateful funnel equals the batch funnel counts") {
     val streamed = StreamingEntries.stFunnel(spark, sf).head()
     val batch = operators.Events.funnel(spark, sf).head()
