@@ -134,6 +134,26 @@ object Events extends QueryModule {
       | quantile_disc(value, 0.99) AS p99, COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Pivot (relational transpose): daily counts with one column per event
+    * type. The value list is explicit — at scale an implicit pivot first
+    * runs a distinct scan AND caps at spark.sql.pivotMaxValues; listing
+    * the columns keeps it one pass and schema-stable. */
+  def pivotDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+
+  private val pivotDailySql =
+    """SELECT date_trunc('day', ts) AS day,
+      | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY date_trunc('day', ts)""".stripMargin
+
   /** Sliding (hopping) windows: 1-hour windows every 15 minutes — each
     * event lands in 4 overlapping windows. Spark's `window(ts, size,
     * slide)` generates the per-event window fan-out natively in batch AND
@@ -208,5 +228,6 @@ object Events extends QueryModule {
     ("ev_funnel", funnel _, Some(funnelSql)),
     ("ev_daily_active", dailyActive _, Some(dailyActiveSql)),
     ("ev_retention", retention _, Some(retentionSql)),
-    ("ev_sliding_window", slidingWindow _, Some(slidingWindowSql)))
+    ("ev_sliding_window", slidingWindow _, Some(slidingWindowSql)),
+    ("ev_pivot_daily", pivotDaily _, Some(pivotDailySql)))
 }

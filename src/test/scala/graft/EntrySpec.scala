@@ -21,7 +21,7 @@ class EntrySpec extends SparkSpec {
     // range join, resize, retention + sliding window, int8 quantization)
     // = 86 total, of which 79 carry DuckDB oracles and 7 are rows-only
     // (minhash/simhash/clusters/rp-lsh/ivf/approx-distinct/decode-stub).
-    assert(SparkEntry.queries.size == 87, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 80, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 88, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 81, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -30,6 +30,12 @@ class EventsSpec extends SparkSpec {
     assert(Events.dailyActive(spark, sf).filter(col("dau") > col("n_events")).count() == 0)
   }
 
+  test("pivot: per-day type columns sum to the day's event count") {
+    val rows = operators.Events.pivotDaily(spark, sf).collect()
+    val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
   test("sliding windows: each event counted in exactly 4 windows") {
     val total = operators.Events.slidingWindow(spark, sf)
       .agg(sum("n_events")).head().getLong(0)
