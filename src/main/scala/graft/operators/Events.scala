@@ -24,7 +24,7 @@ object Events extends QueryModule {
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value"))
 
-  private val tumblingWindowSql =
+  private[graft] val tumblingWindowSql =
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
       | COUNT(*) AS n_events,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -138,12 +138,14 @@ object Events extends QueryModule {
     * type. The value list is explicit — at scale an implicit pivot first
     * runs a distinct scan AND caps at spark.sql.pivotMaxValues; listing
     * the columns keeps it one pass and schema-stable. */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   def pivotDaily(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", eventTypes)
       .agg(count(lit(1)))
-      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      .na.fill(0L, eventTypes)
 
   private val pivotDailySql =
     """SELECT date_trunc('day', ts) AS day,
@@ -166,7 +168,7 @@ object Events extends QueryModule {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  private val slidingWindowSql =
+  private[graft] val slidingWindowSql =
     """WITH w AS (
       |  SELECT event_type, value,
       |    time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start

@@ -29,32 +29,30 @@ case class FunnelState(user_id: Long, signup_ts: Long, view_ts: Long, purchase_t
   */
 object EventStreams {
 
-  /** Watermarked tumbling-window counts per event type — the streaming twin
-    * of Events.tumblingWindow. The value sum runs on decimal(18,2) like the
-    * batch twin (Cols.sumExact) so a drained backfill is bit-identical to
-    * the batch result regardless of partial-aggregation order. */
-  def tumblingCounts(events: DataFrame): DataFrame =
+  /** Shared body of the windowed streaming twins: watermark → per-(window,
+    * type) count + exact-decimal value sum (graft.Cols.sumExact — the SAME
+    * correctness-critical idiom every batch operator uses) so a drained
+    * backfill is bit-identical to the batch result regardless of
+    * partial-aggregation order. */
+  private def windowedCounts(events: DataFrame, win: org.apache.spark.sql.Column): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast("double").as("total_value"))
+        graft.Cols.sumExact(col("value"), 2).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Watermarked tumbling-window counts per event type — the streaming twin
+    * of Events.tumblingWindow. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    windowedCounts(events, window(col("ts"), "1 hour"))
 
   /** Sliding (hopping) windows — the streaming twin of
     * Events.slidingWindow: identical window(ts, size, slide) expression,
     * watermark-bounded state. */
   def slidingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast("double").as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+    windowedCounts(events, window(col("ts"), "1 hour", "15 minutes"))
 
   /** Built-in session windows (30 min gap) — the streaming twin of
     * Events.sessionization. */

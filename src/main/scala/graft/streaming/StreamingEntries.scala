@@ -81,29 +81,20 @@ object StreamingEntries extends QueryModule {
   }
 
   /** Streaming tumbling-window counts drained to batch — twin of
-    * ev_tumbling_window, same oracle SQL. */
+    * ev_tumbling_window. The oracle SQL is referenced from the batch twin
+    * VERBATIM (same column names after its window_start aliasing), so the
+    * equivalence proof cannot drift between two hand-kept copies. */
   def stTumbling(s: SparkSession, d: String): DataFrame =
     drain(EventStreams.tumblingCounts(eventsStream(s, d)), "complete")
 
-  private val stTumblingSql =
-    """SELECT date_trunc('hour', ts) AS window_start, event_type,
-      | COUNT(*) AS n_events,
-      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+  private val stTumblingSql = graft.operators.Events.tumblingWindowSql
 
   /** Streaming sliding windows drained to batch — twin of
-    * ev_sliding_window, same oracle SQL. */
+    * ev_sliding_window, oracle referenced from the batch twin verbatim. */
   def stSliding(s: SparkSession, d: String): DataFrame =
     drain(EventStreams.slidingCounts(eventsStream(s, d)), "complete")
 
-  private val stSlidingSql =
-    """WITH w AS (
-      |  SELECT event_type, value,
-      |    time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start
-      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
-      |SELECT window_start, event_type, COUNT(*) AS n_events,
-      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      |FROM w GROUP BY window_start, event_type""".stripMargin
+  private val stSlidingSql = graft.operators.Events.slidingWindowSql
 
   /** Streaming session windows (30 min gap) drained to batch. The oracle
     * mirrors session_window semantics exactly: a gap of >= 30 min opens a

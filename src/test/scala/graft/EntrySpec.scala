@@ -16,11 +16,12 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // round-2 end: 59 r1 entries + 27 new (subquery wave 8, streaming
-    // drains 4, skew 2, pipeline 5 incl. capstone, tombstone/counter/MV 3,
-    // range join, resize, retention + sliding window, int8 quantization)
-    // = 86 total, of which 79 carry DuckDB oracles and 7 are rows-only
-    // (minhash/simhash/clusters/rp-lsh/ivf/approx-distinct/decode-stub).
+    // round-2 end: 59 r1 entries + 29 new (subquery wave 8, streaming
+    // drains 5, skew 2, pipeline 5 incl. capstone, tombstone/counter/MV 3,
+    // range join, resize, retention, sliding window, daily pivot, int8
+    // quantization) = 88 total, of which 81 carry DuckDB oracles and 7 are
+    // rows-only (minhash/simhash/clusters/rp-lsh/ivf/approx-distinct/
+    // decode-stub).
     assert(SparkEntry.queries.size == 88, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 81, s"got ${SparkEntry.oracleSql.size}")
   }
