@@ -39,11 +39,15 @@ object TextFunctions {
       lit(0.3) * (stopwordHits(toks, stopsEn).cast("double") / n)
   }
 
+  /** A stopword list as a SQL IN-list — the single source for every DuckDB
+    * mirror, so tuning a list here updates both engines together. */
+  def sqlInList(stops: Seq[String]): String = stops.map(w => s"'$w'").mkString(", ")
+
   /** DuckDB mirror of [[qualityScore]] over a token-list SQL expression. */
   def qualityScoreSqlExpr(toks: String): String =
     s"""0.3 * least(1.0, CAST(len($toks) AS DOUBLE) / 100.0)
        | + 0.4 * (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE))
-       | + 0.3 * (CAST(len(list_filter($toks, x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+       | + 0.3 * (CAST(len(list_filter($toks, x -> x IN (${sqlInList(stopsEn)}))) AS DOUBLE)
        |          / CAST(len($toks) AS DOUBLE))""".stripMargin
 
   /** BPE-ish piece count: letter runs, digit runs, isolated symbols. */

@@ -127,7 +127,10 @@ object Multimodal extends QueryModule {
         explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
       .filter(pmod(col("frame_idx"), lit(SampleEvery)) === 0)
       .select(col("doc_id"), col("frame_idx"),
-        regexp_replace(frame, "(.).", "$1").as("half"))
+        // dotall on both engines: a bare dot excludes CR and Unicode line
+        // separators in Java but only LF in RE2 -- (?s) here and the 's'
+        // option in DuckDB make the stride-2 pair consume EVERY char pair
+        regexp_replace(frame, "(?s)(.).", "$1").as("half"))
       .select(col("doc_id"), col("frame_idx"),
         length(col("half")).cast("long").as("half_bytes"),
         md5(col("half")).as("half_md5"))
@@ -141,7 +144,7 @@ object Multimodal extends QueryModule {
        | h AS (
        |  SELECT doc_id, frame_idx,
        |    regexp_replace(substring(text, CAST(frame_idx*$FrameSize+1 AS BIGINT), $FrameSize),
-       |                   '(.).', '\\1', 'g') AS half
+       |                   '(.).', '\\1', 'gs') AS half
        |  FROM f WHERE frame_idx % $SampleEvery = 0)
        |SELECT doc_id, frame_idx, CAST(length(half) AS BIGINT) AS half_bytes,
        |       md5(half) AS half_md5

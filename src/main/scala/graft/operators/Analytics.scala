@@ -327,15 +327,19 @@ object Analytics extends QueryModule {
 
   // ---- q15: top supplier by quarterly revenue ----------------------------
   /** Scalar-max selection over an already-aggregated (supplier-grained)
-    * frame: the global max is a window over per-supplier totals — one
-    * single-partition pass over a dim-sized input, never over lineitem. */
+    * frame via the crossJoin(broadcast(1-row agg)) idiom (same as q11) —
+    * no global window, so no "move all data to a single partition"
+    * WindowExec even if the aggregate ever grows past dim size. The
+    * aggregate is materialized once (it feeds both the 1-row max and the
+    * probe side). */
   def q15(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
-      .groupBy(col("l_suppkey"))
-      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("tr"))
+    val rev = graft.Checkpoints.materialize(
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("tr")))
     val top = rev
-      .withColumn("mx", max("tr").over(Window.partitionBy()))
+      .crossJoin(broadcast(rev.agg(max("tr").as("mx"))))
       .filter(col("tr") === col("mx"))
     Tables.supplier(s, d).join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"),

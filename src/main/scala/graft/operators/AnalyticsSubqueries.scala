@@ -102,10 +102,13 @@ object AnalyticsSubqueries extends QueryModule {
       .join(broadcast(Tables.nation(s, d).filter(col("n_nationkey") < 13)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
-    val perPart = Tables.lineitem(s, d)
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
-      .groupBy("l_partkey")
-      .agg(sum(dec(col("l_extendedprice") * col("l_quantity"), 2)).as("value_dec"))
+    // materialized once: it feeds both the 1-row total and the probe side —
+    // without this the lineitem join+agg is computed twice (ADVICE r2)
+    val perPart = graft.Checkpoints.materialize(
+      Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice") * col("l_quantity"), 2)).as("value_dec")))
     val total = perPart.agg(sum(col("value_dec")).as("tv"))
     perPart.crossJoin(broadcast(total))
       .filter(col("value_dec") * 1000 > col("tv"))

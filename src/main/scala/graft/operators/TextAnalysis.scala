@@ -68,12 +68,12 @@ object TextAnalysis extends QueryModule {
   }
 
   private val langIdSql =
-    """WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    s"""WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
       | h AS (SELECT lang,
-      |   len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','a'))) AS h_en,
-      |   len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist','ein'))) AS h_de,
-      |   len(list_filter(toks, x -> x IN ('el','que','los','se','por','con','una'))) AS h_es,
-      |   len(list_filter(toks, x -> x IN ('le','les','des','et','du','dans','pour'))) AS h_fr
+      |   len(list_filter(toks, x -> x IN (${sqlInList(stopsEn)}))) AS h_en,
+      |   len(list_filter(toks, x -> x IN (${sqlInList(stopsDe)}))) AS h_de,
+      |   len(list_filter(toks, x -> x IN (${sqlInList(stopsEs)}))) AS h_es,
+      |   len(list_filter(toks, x -> x IN (${sqlInList(stopsFr)}))) AS h_fr
       |  FROM t)
       |SELECT lang,
       | CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
@@ -119,38 +119,71 @@ object TextAnalysis extends QueryModule {
 
   // Winnowing fingerprint (rolling-hash document fingerprinting, MOSS-style:
   // char-8-gram hashes, minimum over each window of 8 consecutive grams,
-  // distinct minima = the doc's fingerprint set). Distributed shape: the
-  // per-position gram hash is a codegen'd expression after a position
-  // explode (a single-node impl would roll the hash; per-gram md5 is the
-  // order-free equivalent), the window minimum shares the doc_id shuffle.
-  // md5-hex strings compare identically in any engine → exact oracle.
+  // distinct minima = the doc's fingerprint set).
+  //
+  // Distributed rolling hash (VERDICT r2 #3 — replaces md5-per-gram, whose
+  // full digest per character offset was the suite's top constant factor):
+  // explode the text to one row per CHARACTER (computed once), then build
+  // each gram's hash from 8 window `lead`s — cheap codegen'd integer ops on
+  // an already-sorted partition, the relational equivalent of rolling the
+  // hash forward one char at a time. The pack is base-128 positional
+  // (7 bits × 8 chars = 56 bits, exact in a BIGINT in both engines); an
+  // LCG-style mix ((packed % M) * A + C) % M with M = 2^31-1 decorrelates
+  // the window-min choice from raw prefix order (winnowing wants a
+  // pseudo-random min), stays < 2^62 (no overflow in Java long OR DuckDB
+  // BIGINT), and is bit-identical cross-engine → exact oracle. Both window
+  // passes share one doc_id shuffle + sort.
   def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
     val K = 8; val W = 8
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val B = 128L; val M = 2147483647L; val A = 1103515245L; val C = 12345L
+    val wLead = Window.partitionBy("doc_id").orderBy("pos")
+    val wMin = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(W - 1), Window.currentRow)
+    // packed = sum_k code(pos+k) * B^(K-1-k); null once any lead runs off
+    // the end of the doc, which is exactly the invalid gram starts.
+    val packed = (0 until K).map { k =>
+      lead(col("c"), k).over(wLead) * lit(math.pow(B.toDouble, (K - 1 - k).toDouble).toLong)
+    }.reduce(_ + _)
     Tables.documents(s, d)
       .filter(length(col("text")) >= K)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (K - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(col("text").substr(col("pos"), lit(K))).as("h"))
-      .withColumn("fp", min("h").over(w))
+      .select(col("doc_id"), posexplode(split(col("text"), "")).as(Seq("pos0", "ch")))
+      // split(_, "") with the default -1 limit keeps a trailing "" element;
+      // drop it or the last K-1 grams would read a phantom 0-code char
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        pmod(ascii(col("ch")), lit(128)).cast("long").as("c"))
+      .withColumn("packed", packed)
+      .filter(col("packed").isNotNull)
+      .withColumn("h", pmod(pmod(col("packed"), lit(M)) * A + C, lit(M)))
+      .withColumn("fp", min("h").over(wMin))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         countDistinct(col("fp")).as("n_fingerprints"))
   }
 
   private val winnowFingerprintSql =
-    """WITH g AS (
-      |  SELECT doc_id, i AS pos, md5(substring(text, CAST(i AS BIGINT), 8)) AS h
-      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text)-7)) AS i
+    """WITH c AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST(ascii(substring(text, CAST(i AS BIGINT), 1)) % 128 AS BIGINT) AS c
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
       |        FROM documents WHERE length(text) >= 8)),
-      | w AS (SELECT doc_id,
+      | p AS (
+      |  SELECT doc_id, pos,
+      |    c * 562949953421312 + lead(c, 1) OVER w * 4398046511104
+      |      + lead(c, 2) OVER w * 34359738368 + lead(c, 3) OVER w * 268435456
+      |      + lead(c, 4) OVER w * 2097152 + lead(c, 5) OVER w * 16384
+      |      + lead(c, 6) OVER w * 128 + lead(c, 7) OVER w AS packed
+      |  FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      | g AS (
+      |  SELECT doc_id, pos,
+      |    ((packed % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+      |  FROM p WHERE packed IS NOT NULL),
+      | w2 AS (SELECT doc_id,
       |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
       |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
       |       FROM g)
       |SELECT doc_id, COUNT(*) AS n_windows, COUNT(DISTINCT fp) AS n_fingerprints
-      |FROM w GROUP BY doc_id""".stripMargin
+      |FROM w2 GROUP BY doc_id""".stripMargin
 
   // BPE-ish token-count estimate.
   def bpeEstimate(s: SparkSession, d: String): DataFrame =

@@ -105,7 +105,7 @@ object StreamingEntries extends QueryModule {
 
   private val stSessionsSql =
     """WITH flagged AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
       |         THEN 1 ELSE 0 END AS new_s
@@ -113,7 +113,7 @@ object StreamingEntries extends QueryModule {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       | sess AS (
       |  SELECT user_id, ts,
-      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
       |  FROM flagged)
       |SELECT user_id, MIN(ts) AS session_start,
@@ -152,11 +152,34 @@ object StreamingEntries extends QueryModule {
       |       (SELECT COUNT(*) FROM v) AS n_signup_view,
       |       (SELECT COUNT(*) FROM p) AS n_signup_view_purchase""".stripMargin
 
+  /** Drain `df` through a FILES sink (parquet + checkpoint in a temp dir)
+    * and read the result back as a batch frame. Unlike the memory sink, the
+    * drained rows flow executor→disk and never materialize in driver
+    * memory — the right drain for O(corpus)-sized results like a dedup
+    * keep-list (VERDICT r2 #9). At scale the same writeStream points at the
+    * durable output location; reading it back is the downstream job. */
+  private def drainToFiles(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    sys.addShutdownHook {
+      import java.nio.file._
+      import java.util.Comparator
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.read.schema(df.schema).parquet(s"$dir/data")
+  }
+
   /** Streaming exact dedup drained to batch: the surviving fingerprint set
     * (which PHYSICAL duplicate row survives depends on arrival order, so the
-    * deterministic — and pipeline-relevant — result is the fp set itself). */
+    * deterministic — and pipeline-relevant — result is the fp set itself).
+    * Drained via the files sink, not memory: the keep-list is O(corpus). */
   def stDedup(s: SparkSession, d: String): DataFrame =
-    drain(DocumentStreams.dedupExact(documentsStream(s, d)), "append")
+    drainToFiles(DocumentStreams.dedupExact(documentsStream(s, d)))
       .select("fp")
 
   private val stDedupSql =
