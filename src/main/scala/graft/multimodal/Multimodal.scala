@@ -1,22 +1,20 @@
 package graft.multimodal
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-/** Decoded-media metadata produced by the (stubbed) batch decoder. */
-case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                     channels: Int, checksum: Long)
 
 /** SURVEY.md §2.G — multimodal columns: media as opaque `binary` payloads
   * with typed metadata.
   *
-  * The container has no image/audio codecs by design, so the decode step is
-  * a clearly-marked DETERMINISTIC STUB; everything Spark-side — binary
-  * column handling, schema, Dataset encoders, partition-batched decode via
-  * mapPartitions — is real and is exactly the shape a libjpeg/ffmpeg-backed
-  * decoder would plug into at 100 TB (decode stays distributed, one batch
-  * per partition chunk, no driver involvement).
+  * The container has no image/audio codecs by design; what IS real here is
+  * everything short of pixel decode: binary column handling, genuine
+  * PNG/JPEG container-header synthesis and parsing (dims read from the
+  * big-endian header BYTES with codegen'd expressions — no codec needed),
+  * frame slicing, and stride-2 resampling. A libjpeg/ffmpeg-backed pixel
+  * decode would slot in downstream of the header parse via
+  * mapPartitions/mapInPandas at 100 TB (distributed, batched, no driver
+  * involvement).
   */
 object Multimodal extends QueryModule {
 
@@ -41,38 +39,84 @@ object Multimodal extends QueryModule {
       |      THEN 'text' ELSE 'binary' END AS kind
       |FROM documents""".stripMargin
 
-  /** STUB DECODER — stands in for a real image/audio decode (libs absent in
-    * this environment). Deterministic function of the bytes so results are
-    * reproducible; replace the body with the real codec call at deployment.
-    */
-  private[graft] def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
-    var fnv = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { fnv = (fnv ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-    MediaMeta(id, bytes.length,
-      width = (bytes.length % 64) + 1,
-      height = ((bytes.length / 64) % 64) + 1,
-      channels = 3,
-      checksum = fnv)
+  // ---- real container-header decode (VERDICT r2 #10) ---------------------
+
+  /** Big-endian fixed-width binary from a non-negative int column. */
+  private def be(c: Column, hexDigits: Int): Column =
+    unhex(lpad(hex(c), hexDigits, "0"))
+
+  // header sizes: PNG = sig 8 + IHDR len 4 + type 4 + w 4 + h 4 +
+  // depth/color/comp/filter/interlace 5 + CRC 4; JPEG = SOI 2 + SOF0 2 +
+  // len 2 + precision 1 + h 2 + w 2 + ncomp 1 + 3×3 component specs
+  private[graft] val PngHeaderBytes = 33
+  private[graft] val JpegHeaderBytes = 21
+
+  /** Corpus builder: wrap each doc's payload in a REAL media container
+    * header — even doc_id → PNG signature + IHDR chunk, odd → JPEG SOI +
+    * SOF0 segment — with pixel dimensions encoded as genuine big-endian
+    * header bytes. The testdata ships no images, so the entry synthesizes
+    * bit-accurate containers and then treats them as opaque input: the
+    * parse step reads dims back from the BYTES, never from doc metadata.
+    * (CRC bytes are zeroed; like most header sniffers the parser does not
+    * checksum.) */
+  def synthesizeMedia(df: DataFrame): DataFrame = {
+    val wpx = (pmod(col("doc_id"), lit(64)) + 1).cast("int")
+    val hpx = (pmod(expr("doc_id DIV 64"), lit(64)) + 1).cast("int")
+    val body = col("text").cast("binary")
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // signature + IHDR length/type
+      be(wpx, 8), be(hpx, 8),
+      unhex(lit("080200000000000000")))               // depth 8, truecolor, +zero CRC
+    val jpeg = concat(
+      unhex(lit("FFD8FFC0001108")),                   // SOI + SOF0 + seg len 17 + precision 8
+      be(hpx, 4), be(wpx, 4),
+      unhex(lit("03011100021101031101")))             // 3 components (YCbCr)
+    df.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, concat(png, body))
+        .otherwise(concat(jpeg, body)).as("payload"))
   }
 
-  private val BatchSize = 32
-
-  /** Partition-batched decode: each partition's rows are decoded in fixed
-    * batches (the shape a vectorized codec wants), fully distributed. */
-  def decodeBatch(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(BatchSize).flatMap { batch =>
-          // one "batch decode" call per group, as a real codec API would take
-          batch.map { case (id, bytes) => stubDecode(id, bytes) }
-        }
-      }
-      .toDF()
+  /** REAL header parse over a (doc_id, payload binary) frame — dims decoded
+    * from container bytes with pure codegen'd expressions (no codec, no
+    * UDF): PNG reads the IHDR dword pair at its fixed post-signature
+    * offset; JPEG locates the SOF0 marker (byte-aligned) and reads the
+    * 2-byte big-endian height/width that follow its length+precision
+    * fields. Unknown magic → format 'unknown', null dims. */
+  def parseMedia(media: DataFrame): DataFrame = {
+    val hx = hex(col("payload")) // uppercase hex, 2 chars per byte
+    val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A"
+    val isJpeg = substring(hx, 1, 4) === "FFD8"
+    // first byte-aligned SOF0 marker; chars (2b-1, 2b) hold byte b, so an
+    // odd locate() result means a real byte boundary
+    val sof = locate("FFC0", hx)
+    val isSof = isJpeg && sof > 0 && pmod(sof, lit(2)) === 1
+    val pngW = conv(substring(hx, 33, 8), 16, 10).cast("long")
+    val pngH = conv(substring(hx, 41, 8), 16, 10).cast("long")
+    val jpegH = conv(hx.substr(sof + 10, lit(4)), 16, 10).cast("long")
+    val jpegW = conv(hx.substr(sof + 14, lit(4)), 16, 10).cast("long")
+    media.select(col("doc_id"),
+      when(isPng, "png").when(isSof, "jpeg").otherwise("unknown").as("format"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      when(isPng, pngW).when(isSof, jpegW).as("width"),
+      when(isPng, pngH).when(isSof, jpegH).as("height"))
   }
+
+  /** Synthesize + parse, end to end. The DuckDB oracle recomputes the
+    * expected dims arithmetically (they are a pure function of doc_id),
+    * so a parser that reads the wrong bytes hash-mismatches; the
+    * MultimodalSpec fixture additionally proves dims come from the bytes
+    * (tampering one width byte shifts the parsed width). */
+  def decodeBatch(s: SparkSession, d: String): DataFrame =
+    parseMedia(synthesizeMedia(Tables.documents(s, d)))
+
+  private val decodeBatchSql =
+    s"""SELECT doc_id,
+       | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       | CAST(octet_length(encode(text))
+       |   + CASE WHEN doc_id % 2 = 0 THEN $PngHeaderBytes ELSE $JpegHeaderBytes END AS BIGINT) AS n_bytes,
+       | CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+       | CAST(CAST(doc_id // 64 AS BIGINT) % 64 + 1 AS BIGINT) AS height
+       |FROM documents""".stripMargin
 
   private val FrameSize = 256
   private val SampleEvery = 4L
@@ -152,7 +196,7 @@ object Multimodal extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("mm_binary_meta", binaryMeta _, Some(binaryMetaSql)),
-    ("mm_decode_batch", decodeBatch _, None),
+    ("mm_decode_batch", decodeBatch _, Some(decodeBatchSql)),
     ("mm_frame_sample", frameSample _, Some(frameSampleSql)),
     ("mm_resize_halve", resizeHalve _, Some(resizeHalveSql)))
 }

@@ -134,6 +134,24 @@ object Events extends QueryModule {
       | quantile_disc(value, 0.99) AS p99, COUNT(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Mergeable-sketch percentiles per event type — the production path at
+    * 100 TB: `approx_percentile` keeps a bounded (accuracy-parameter-sized)
+    * sketch per group that merges associatively across partitions, where
+    * the exact twin (ev_value_percentiles) sorts each group's full value
+    * set. Mirrors the HLL/exact-distinct pairing. Sketch internals are
+    * engine-specific → rows-only oracle; EventsSpec bounds the error
+    * against the exact percentiles. */
+  def valuePercentilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        col("p").getItem(0).as("p50_approx"),
+        col("p").getItem(1).as("p95_approx"),
+        col("p").getItem(2).as("p99_approx"), col("n"))
+
   /** Pivot (relational transpose): daily counts with one column per event
     * type. The value list is explicit — at scale an implicit pivot first
     * runs a distinct scan AND caps at spark.sql.pivotMaxValues; listing
@@ -224,6 +242,7 @@ object Events extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),
+    ("ev_value_percentiles_approx", valuePercentilesApprox _, None),
     ("ev_approx_distinct", approxDistinct _, None),
     ("ev_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
     ("ev_sessionization", sessionization _, Some(sessionizationSql)),

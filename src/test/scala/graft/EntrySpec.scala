@@ -16,13 +16,11 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // round-2 end: 59 r1 entries + 29 new (subquery wave 8, streaming
-    // drains 5, skew 2, pipeline 5 incl. capstone, tombstone/counter/MV 3,
-    // range join, resize, retention, sliding window, daily pivot, int8
-    // quantization) = 88 total, of which 81 carry DuckDB oracles and 7 are
-    // rows-only (minhash/simhash/clusters/rp-lsh/ivf/approx-distinct/
-    // decode-stub).
-    assert(SparkEntry.queries.size == 88, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 81, s"got ${SparkEntry.oracleSql.size}")
+    // round-3: 88 r2 entries + ev_value_percentiles_approx (rows-only
+    // sketch twin) = 89; oracles 81 + mm_decode_batch (real header parse
+    // replaced the stub, dims recomputable in SQL) = 82; rows-only = 7
+    // (minhash/simhash/clusters/rp-lsh/ivf/approx-distinct/approx-pct).
+    assert(SparkEntry.queries.size == 89, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 82, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -59,6 +59,23 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles track the exact percentiles per type") {
+    val exact = Events.valuePercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Events.valuePercentilesApprox(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (p50, p95, p99) = exact(r.getString(0))
+      val spread = (p99 - p50).max(1e-9)
+      // accuracy=10000 on the test corpus is effectively exact; 2% of the
+      // per-type spread is a conservative bound that still catches a wrong
+      // sketch wiring (swapped quantiles, wrong column)
+      assert(math.abs(r.getDouble(1) - p50) <= 0.02 * spread, s"p50 off for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(2) - p95) <= 0.02 * spread, s"p95 off for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - p99) <= 0.02 * spread, s"p99 off for ${r.getString(0)}")
+    }
+  }
+
   test("sketch distinct counts within 5% of exact") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))

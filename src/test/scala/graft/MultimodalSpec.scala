@@ -15,18 +15,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decode batch: deterministic stub metadata for every doc") {
+  test("decode batch: header-parsed dims recover the encoded values for every doc") {
     val a = Multimodal.decodeBatch(spark, sf).collect()
     assert(a.length == spark.read.parquet(s"$sf/documents.parquet").count())
     a.foreach { r =>
-      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 64)
-      assert(r.getAs[Int]("channels") == 3)
-      assert(r.getAs[Int]("n_bytes") > 0)
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("format") == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(r.getAs[Long]("width") == id % 64 + 1)
+      assert(r.getAs[Long]("height") == (id / 64) % 64 + 1)
+      assert(r.getAs[Long]("n_bytes") > 0)
     }
-    // deterministic across runs
-    val b = Multimodal.decodeBatch(spark, sf).collect()
-    assert(a.map(_.getAs[Long]("checksum")).sorted.sameElements(
-      b.map(_.getAs[Long]("checksum")).sorted))
   }
 
   test("frame sample: every 4th fixed-size frame, digests match direct slicing") {
@@ -63,14 +61,39 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("half_bytes") == (frame0.length + 1) / 2)
   }
 
-  test("stub decoder matches a direct call (same bytes, same checksum)") {
-    val doc = spark.read.parquet(s"$sf/documents.parquet")
-      .select("doc_id", "text").head()
-    val meta = graft.multimodal.Multimodal.stubDecode(
-      doc.getLong(0), doc.getString(1).getBytes("UTF-8"))
-    val viaSpark = Multimodal.decodeBatch(spark, sf)
-      .filter(col("doc_id") === doc.getLong(0)).head()
-    assert(viaSpark.getAs[Long]("checksum") == meta.checksum)
-    assert(viaSpark.getAs[Int]("n_bytes") == meta.n_bytes)
+  /** A real PNG container prefix (signature + IHDR) for the given dims. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def be4(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    sig ++ be4(13) ++ "IHDR".getBytes ++ be4(w) ++ be4(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be4(0)
+  }
+
+  /** A real JPEG prefix (SOI + SOF0 segment) for the given dims. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def be2(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08).map(_.toByte) ++
+      be2(h) ++ be2(w) ++
+      Array(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+  }
+
+  test("header parse reads dims from actual container bytes") {
+    val s = spark
+    import s.implicits._
+    val png = pngBytes(640, 480)
+    // tamper the low width byte of a copy: 640 -> 641 proves the parsed
+    // width comes from the header bytes, not from any row metadata
+    val tampered = png.clone(); tampered(19) = (tampered(19) + 1).toByte
+    val rows = Multimodal.parseMedia(
+      Seq((1L, png), (2L, jpegBytes(1920, 1080)), (3L, tampered),
+        (4L, "not an image at all".getBytes("UTF-8")))
+        .toDF("doc_id", "payload")).collect().sortBy(_.getLong(0))
+    assert(rows(0).getAs[String]("format") == "png")
+    assert(rows(0).getAs[Long]("width") == 640 && rows(0).getAs[Long]("height") == 480)
+    assert(rows(1).getAs[String]("format") == "jpeg")
+    assert(rows(1).getAs[Long]("width") == 1920 && rows(1).getAs[Long]("height") == 1080)
+    assert(rows(2).getAs[Long]("width") == 641)
+    assert(rows(3).getAs[String]("format") == "unknown")
+    assert(rows(3).isNullAt(rows(3).fieldIndex("width")))
   }
 }

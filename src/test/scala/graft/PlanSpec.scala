@@ -64,6 +64,23 @@ class PlanSpec extends SparkSpec {
       "salted join demo must not degrade to a broadcast (hot-key spread needs the salted shuffle)")
   }
 
+  test("no entry plans a global (empty-partition) window") {
+    // A Window with no partitionSpec physically moves ALL rows to one
+    // partition (Spark's "Moving all data to a single partition" WindowExec
+    // warning) — a scale killer however dim-grained the input looks today.
+    // The scalar-max-over-aggregate shape must use the
+    // crossJoin(broadcast(1-row agg)) idiom instead (q11/q15). Asserted on
+    // the optimized logical plan for EVERY entry so it cannot recur
+    // (VERDICT r2 #4).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val global = plan.collect { case w: LogicalWindow if w.partitionSpec.isEmpty => w }
+      assert(global.isEmpty,
+        s"$name plans a global window — all rows to one partition at scale")
+    }
+  }
+
   test("scan-heavy aggregations run inside whole-stage codegen") {
     // AQE only materializes codegen stages at execution, so run the query
     // and audit the final plan.
