@@ -27,6 +27,11 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // a join keyed on a SUPERSET of a table's bucket columns can reuse the
+      // bucket partitioning (rows equal on all keys are equal on the bucket
+      // key, hence co-located) — required for the zero-shuffle incremental
+      // compaction merge on tables bucketed by partition key alone
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -51,6 +56,8 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // see `cluster`: subset-of-join-keys bucket reuse for co-located joins
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -278,7 +278,86 @@ object WideColumn extends QueryModule {
       |  FROM unioned WHERE user_id = 42) t
       |WHERE rn = 1 AND tomb = 0""".stripMargin
 
+  /** One LWW pass: newest write per (user_id, event_type), tombstones kept
+    * (they must keep shadowing in later merges, like Cassandra tombstones
+    * surviving until gc_grace). Input needs event_id/ts/user_id/event_type/
+    * value/tomb columns. */
+  private[graft] def compactLww(writes: DataFrame): DataFrame =
+    writes.withColumn("rn", row_number().over(lwwByTypeKey))
+      .filter(col("rn") === 1).drop("rn")
+
+  /** INCREMENTAL compaction merge — Cassandra's actual bulk operation: an
+    * already-compacted base (one row per key) + a compacted delta (the
+    * flushed memtable) → merged view, newest cell per key, delete-wins on
+    * ties. A FULL OUTER JOIN on the key, NOT a recompute over base∪delta:
+    * the base (the 100 TB side) is never re-windowed, and on the bucketed
+    * layout (Layout.writeBucketed by user_id) the join needs NO exchange on
+    * either side — HashPartitioning(user_id) satisfies the join's
+    * clustering on (user_id, event_type) — so incremental compaction costs
+    * O(read base + delta), zero base shuffle (LayoutSpec proves the
+    * no-Exchange plan). Tombstone winners stay in the output here; the
+    * read view filters them (purge). */
+  private[graft] def mergeCompacted(base: DataFrame, delta: DataFrame): DataFrame = {
+    val cols = Seq("ts", "event_id", "value", "tomb")
+    val b = base.select(col("user_id") +: col("event_type") +:
+      cols.map(c => col(c).as(s"b_$c")): _*)
+    val dl = delta.select(col("user_id") +: col("event_type") +:
+      cols.map(c => col(c).as(s"d_$c")): _*)
+    val deltaWins = col("b_ts").isNull ||
+      col("d_ts") > col("b_ts") ||
+      (col("d_ts") === col("b_ts") && col("d_event_id") >= col("b_event_id"))
+    def pick(c: String) =
+      when(col("d_ts").isNotNull && deltaWins, col(s"d_$c")).otherwise(col(s"b_$c")).as(c)
+    b.join(dl, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id") +: col("event_type") +: cols.map(pick): _*)
+  }
+
+  /** Incremental LWW compaction entry: base = compacted history before the
+    * cutoff, delta = the new batch (writes after the cutoff + two DELETE
+    * tombstones), output = merged read view with tombstone winners purged.
+    * The ORACLE is the defining property of compaction: the incremental
+    * merge must equal one-shot LWW compaction over ALL writes — so the
+    * DuckDB side recomputes from scratch and any merge bug (wrong side
+    * wins, tombstone leak, dropped base key) hash-mismatches. */
+  def compactionIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = ts("2024-01-15")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val tombstones = Seq(
+      (9100001L, "2024-01-20 00:00:00", 42L, "click"),
+      (9100002L, "2024-01-20 00:00:00", 7L, "view"))
+      .toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"),
+        lit(null).cast("double").as("value"), lit(1L).as("tomb"))
+    val base = compactLww(ev.filter(col("ts") < cutoff).withColumn("tomb", lit(0L)))
+    val delta = compactLww(
+      ev.filter(col("ts") >= cutoff).withColumn("tomb", lit(0L))
+        .unionByName(tombstones))
+    mergeCompacted(base, delta)
+      .filter(col("tomb") === 0L)
+      .select(col("user_id"), col("event_type"), col("value").as("latest_value"),
+        col("ts").as("write_ts"))
+  }
+
+  private val compactionIncrementalSql =
+    """WITH tomb(event_id, ts, user_id, event_type) AS (VALUES
+      |  (9100001, TIMESTAMP '2024-01-20 00:00:00', 42, 'click'),
+      |  (9100002, TIMESTAMP '2024-01-20 00:00:00', 7, 'view')),
+      | unioned AS (
+      |  SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value, 0 AS tomb
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts, user_id, event_type, CAST(NULL AS DOUBLE), 1 FROM tomb)
+      |SELECT user_id, event_type, value AS latest_value, ts AS write_ts FROM (
+      |  SELECT user_id, event_type, value, ts, tomb,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM unioned) t WHERE rn = 1 AND tomb = 0""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_compaction_incremental", compactionIncremental _, Some(compactionIncrementalSql)),
     ("wc_materialized_view", materializedView _, Some(materializedViewSql)),
     ("wc_counter_column", counterColumn _, Some(counterColumnSql)),
     ("wc_delete_tombstone", deleteTombstone _, Some(deleteTombstoneSql)),

@@ -129,20 +129,18 @@ object Ann extends QueryModule {
     * machinery recalls far higher. rows-only oracle: float centroid
     * averaging is reduction-order-dependent, so no cross-engine hash
     * (recall bound asserted in AnnSpec instead). */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-    // Train the quantizer on a deterministic 30% sample — the standard IVF
-    // practice (a coarse quantizer needs cell geometry, not every point):
-    // cuts training scans 3× with ~0.02 recall cost (numpy-verified 0.60+
-    // at both SFs). The full corpus is still assigned exactly once below.
+  /** `IvfIters` relational Lloyd rounds on a deterministic 30% sample —
+    * the standard IVF practice (a coarse quantizer needs cell geometry,
+    * not every point): cuts training scans 3× with ~0.02 recall cost
+    * (numpy-verified 0.60+ at both SFs). Each round's K-row centroid
+    * frame is eagerly materialized so round N schedules against an 8-row
+    * checkpoint, not the whole training lineage. */
+  private def trainCentroids(e: DataFrame): DataFrame = {
     val train = e.filter(pmod(col("vec_id"), lit(10)) < 3)
     var cent = e.filter(col("vec_id") < IvfK)
       .select(col("vec_id").cast("int").as("cell"),
         col("embedding").cast("array<double>").as("centroid"), col("nrm").as("cnrm"))
     for (_ <- 1 to IvfIters) {
-      // eager per-round materialization of the K-row centroid frame: each
-      // Lloyd round is planned/scheduled against an 8-row checkpoint, not
-      // the whole training lineage (same trick as the dedup cluster loop)
       cent = assignCells(train, cent)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(avg("v").as("cv"))
@@ -152,8 +150,12 @@ object Ann extends QueryModule {
         .withColumn("cnrm", norm(col("centroid")))
         .transform(graft.Checkpoints.materialize)
     }
-    val index = assignCells(e, cent)
-    val probe = queriesOf(e).withColumn("j", lit(1))
+    cent
+  }
+
+  /** Probed cells per query: the NProbe nearest centroids. */
+  private def probeCells(e: DataFrame, cent: DataFrame): DataFrame =
+    queriesOf(e).withColumn("j", lit(1))
       .join(broadcast(cent.withColumn("j", lit(1))), "j")
       .select(col("query_id"), col("qe"), col("qn"), col("cell"),
         (dot(col("qe"), col("centroid")) / (col("qn") * col("cnrm"))).as("cscore"))
@@ -161,8 +163,63 @@ object Ann extends QueryModule {
         Window.partitionBy("query_id").orderBy(desc("cscore"), asc("cell"))))
       .filter(col("crk") <= NProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("cell").as("pcell"))
+
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cent = trainCentroids(e)
+    val index = assignCells(e, cent)
+    val probe = probeCells(e, cent)
     index.join(broadcast(probe), col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"), score.as("score"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
+  // Candidates surviving the int8 stage per query, then float re-ranked.
+  private val ReRank = 3 * K
+
+  /** IVF scored on the int8 tier (VERDICT r2 #8): candidate generation
+    * reads ONLY the quantized index — per-vector symmetric int8 codes +
+    * one float scale (the 4×-smaller representation emb_quantize_int8
+    * measures) — ranks candidates by the integer dot product
+    * (dot(q8a,q8b)·sa·sb / norms), keeps the top `ReRank` per query, and
+    * only THOSE ids fetch their float vectors (a broadcast join back to
+    * the store — at 100 TB this is the IO shape: scan 1/4-width codes,
+    * point-read floats for ~30 rows/query) for the exact re-rank. Integer
+    * accumulation is exact, so the approx stage is deterministic
+    * cross-run; rows-only oracle like the float IVF (learned centroids),
+    * recall parity vs float IVF asserted in AnnSpec. */
+  def ivfInt8TopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cent = trainCentroids(e)
+    def q8(emb: Column, scale: Column): Column =
+      when(scale === 0, transform(emb, _ => lit(0L)))
+        .otherwise(transform(emb, x => floor(x.cast("double") / scale + 0.5).cast("long")))
+    val index = assignCells(e, cent)
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0)
+      .select(col("vec_id"), col("cell"), col("nrm"), col("scale"),
+        q8(col("embedding"), col("scale")).as("codes"))
+    val probe = probeCells(e, cent)
+      .withColumn("qscale",
+        array_max(transform(col("qe"), x => abs(x.cast("double")))) / 127.0)
+      .select(col("query_id"), col("qn"), col("pcell"), col("qscale"),
+        q8(col("qe"), col("qscale")).as("qcodes"))
+    val intDot = aggregate(zip_with(col("codes"), col("qcodes"), _ * _), lit(0L), _ + _)
+    val candidates = index
+      .join(broadcast(probe), col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        (intDot.cast("double") * col("scale") * col("qscale")
+          / (col("nrm") * col("qn"))).as("ascore"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("ascore"), asc("vec_id"))))
+      .filter(col("ark") <= ReRank)
+    // float fetch + exact re-rank of the survivors only
+    candidates
+      .join(broadcast(queriesOf(e)), "query_id")
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        score.as("score"))
       .withColumn("rk", row_number().over(rank).cast("long"))
       .filter(col("rk") <= K)
   }
@@ -268,6 +325,7 @@ object Ann extends QueryModule {
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
     ("ann_rp_lsh_topk", rpLshTopK _, None),
     ("ann_ivf_topk", ivfTopK _, None),
+    ("ann_ivf_int8_topk", ivfInt8TopK _, None),
     ("vec_norm_stats", normStats _, Some(normStatsSql)),
     ("emb_quantize_int8", quantizeInt8 _, Some(quantizeInt8Sql)))
 }

@@ -44,6 +44,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.55, s"ivf nprobe=3 recall $recall below 0.55")
   }
 
+  test("int8-scored IVF recalls within 0.02 of float IVF") {
+    val toSet = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val floatIvf = toSet(Ann.ivfTopK(spark, sf).collect())
+    val int8Rows = Ann.ivfInt8TopK(spark, sf).collect()
+    val int8Ivf = toSet(int8Rows)
+    // same candidate cells, int8 first-stage + float re-rank: top-k recall
+    // must track the float tier (the 30-candidate re-rank absorbs nearly
+    // all quantization noise)
+    val rFloat = bf.intersect(floatIvf).size.toDouble / bf.size
+    val rInt8 = bf.intersect(int8Ivf).size.toDouble / bf.size
+    assert(rInt8 >= rFloat - 0.02, s"int8 recall $rInt8 vs float $rFloat")
+    // k results per query, valid cosine range
+    int8Rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.length == 10)
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("score")) <= 1.0001))
+    }
+  }
+
   test("int8 quantization: error bounded by scale/2 per element") {
     val rows = Ann.quantizeInt8(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -72,6 +72,20 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("large/small-star converges in O(log n) rounds on a chain graph") {
+    val s2 = spark
+    import s2.implicits._
+    // a 33-node path 0-1-2-...-32: min-label propagation needs ~32 rounds
+    // (one hop per round); star contraction must do it in O(log n)
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 33 && got.values.forall(_ == 0L),
+      s"all chain nodes must label to the component min, got $got")
+    assert(rounds <= 8, s"star contraction took $rounds rounds on a 33-chain " +
+      "(min-label propagation territory — halving is broken)")
+  }
+
   test("DataFrame-parametric forms work on an arbitrary corpus") {
     val s2 = spark
     import s2.implicits._

@@ -17,10 +17,11 @@ class EntrySpec extends SparkSpec {
 
   test("inventory size matches SURVEY accounting") {
     // round-3: 88 r2 entries + ev_value_percentiles_approx (rows-only
-    // sketch twin) = 89; oracles 81 + mm_decode_batch (real header parse
-    // replaced the stub, dims recomputable in SQL) = 82; rows-only = 7
+    // sketch twin) + wc_compaction_incremental + ann_ivf_int8_topk = 91; oracles 81 +
+    // mm_decode_batch (real header parse replaced the stub) +
+    // wc_compaction_incremental = 83; rows-only = 8
     // (minhash/simhash/clusters/rp-lsh/ivf/approx-distinct/approx-pct).
-    assert(SparkEntry.queries.size == 89, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 82, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 91, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 83, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -49,6 +49,43 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("incremental compaction merge over co-bucketed base+delta is exchange-free") {
+    import graft.operators.WideColumn
+    val db3 = s"layout_ic_${System.nanoTime()}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db3")
+    try {
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      Layout.writeBucketed(
+        WideColumn.compactLww(ev.filter(col("ts") < cutoff).withColumn("tomb", lit(0L))),
+        s"$db3.base_c", "user_id", 8, Seq("event_type"))
+      Layout.writeBucketed(
+        WideColumn.compactLww(ev.filter(col("ts") >= cutoff).withColumn("tomb", lit(0L))),
+        s"$db3.delta_c", "user_id", 8, Seq("event_type"))
+      // broadcast off: prove the co-bucketed sort-merge path (at 100 TB the
+      // base never broadcasts; a bucketed delta merges with NO exchange)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      try {
+        val merged = WideColumn.mergeCompacted(
+          spark.table(s"$db3.base_c"), spark.table(s"$db3.delta_c"))
+        merged.collect()
+        val plan = merged.queryExecution.executedPlan.toString()
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"incremental compaction must not shuffle the base:\n${plan.take(800)}")
+        // defining property: incremental merge == one-shot recompaction
+        val got = merged.filter(col("tomb") === 0L)
+          .select("user_id", "event_type", "ts", "event_id").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3))).toSet
+        val expected = WideColumn.compactLww(ev.withColumn("tomb", lit(0L)))
+          .select("user_id", "event_type", "ts", "event_id").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3))).toSet
+        assert(got == expected)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db3 CASCADE")
+  }
+
   test("time-partitioned layout prunes directories on time-range predicates") {
     val db2 = s"layout_tp_${System.nanoTime()}"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db2")

@@ -16,7 +16,7 @@ class PlanSpec extends SparkSpec {
     // (Catalyst constant-folds any synthetic equi-key away, so a BNLJ with
     // a single-row build side IS the hash-join-equivalent here).
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
-      "q11_important_stock", "q22_dormant_customers")
+      "ann_ivf_int8_topk", "q11_important_stock", "q22_dormant_customers")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
