@@ -29,9 +29,18 @@ object Dedup extends QueryModule {
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     shingleIndexOf(Tables.documents(s, d))
 
+  /** Stop-shingle cap: a shingle appearing in more than this many docs is
+    * boilerplate ("terms of service apply") and is dropped from the index.
+    * This is what keeps the inverted-index self-join from going quadratic
+    * at 100 TB — a shingle shared by f docs contributes f² candidate rows,
+    * so ONE hot shingle across a million docs would dominate the whole
+    * join; capping df bounds any shingle's contribution to MaxPostings². */
+  private[graft] val MaxPostings = 256
+
   /** DataFrame-parametric form for library users: `docs` needs `doc_id`
     * and `text` columns; everything else in the dedup suite composes on
-    * this. */
+    * this. The df-filter window shares the sg-hash partitioning the
+    * downstream self-join needs. */
   def shingleIndexOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
@@ -41,6 +50,9 @@ object Dedup extends QueryModule {
         lead("t", 2).over(w).as("t2"))
       .filter(col("t2").isNotNull)
       .select("doc_id", "sg").distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
+      .filter(col("df") <= MaxPostings)
+      .drop("df")
   }
 
   // ---- exact dedup: fingerprint → one shuffle --------------------------
@@ -101,10 +113,13 @@ object Dedup extends QueryModule {
   }
 
   private val ngramJaccardSql =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
       | sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2] FOR i IN generate_series(1, len(toks)-2)]) AS sh FROM t),
-      | inv AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
-      | cnt AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+      | inv0 AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
+      | inv AS (SELECT doc_id, sg FROM (
+      |   SELECT doc_id, sg, COUNT(*) OVER (PARTITION BY sg) AS df FROM inv0)
+      |  WHERE df <= $MaxPostings),
+      | cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
       | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
       |           FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |           GROUP BY 1, 2)
@@ -249,6 +264,18 @@ object Dedup extends QueryModule {
       .transform(Checkpoints.materialize)
     var rounds = 0
     var converged = false
+    // fixpoint detector: (count, order-free xxhash64 sum) is a multiset
+    // fingerprint of the edge set — one light aggregate over the already-
+    // materialized frame per round instead of a count + anti-join pair
+    def edgeStats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal(38,0) accumulator: summing 64-bit hashes overflows a long
+      // under ANSI; the exact decimal sum never does
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0L))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var stats = edgeStats(edges)
     // LS/SS provably converges; the cap only turns an implementation bug
     // into a loud failure instead of an infinite loop (64 alternations
     // covers any graph whose node ids fit in a long).
@@ -262,6 +289,9 @@ object Dedup extends QueryModule {
       // v > u ≥ m ⇒ first component strictly larger.
       val und = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val minsL = und.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // materialized: consumed twice in this round (small-star's aggregate
+      // AND its join) — measured cheaper than recomputing the LS lineage
+      // for each consumer
       val ls = und.filter(col("v") > col("u"))
         .join(minsL, "u")
         .select(col("v").as("u"), col("m").as("v"))
@@ -277,9 +307,9 @@ object Dedup extends QueryModule {
         .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
         .distinct()
         .transform(Checkpoints.materialize)
-      // fixpoint test: same distinct edge set as last round (counts first —
-      // cheap — then one-sided anti-join only when counts agree)
-      converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
+      val nextStats = edgeStats(ss)
+      converged = nextStats == stats
+      stats = nextStats
       edges = ss
       rounds += 1
     }
