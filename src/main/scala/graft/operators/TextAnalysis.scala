@@ -185,6 +185,45 @@ object TextAnalysis extends QueryModule {
       |SELECT doc_id, COUNT(*) AS n_windows, COUNT(DISTINCT fp) AS n_fingerprints
       |FROM w2 GROUP BY doc_id""".stripMargin
 
+  // Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models" —
+  // the public rule set most LLM-corpus pipelines start from): per-doc
+  // structural signals + a hard pass/fail. All codegen'd expressions; at
+  // 100 TB this is a map-only pass whose `passes` column is the pushdown
+  // predicate for every downstream stage. Thresholds adapted to the test
+  // corpus scale (real Gopher: 50..100k words, mean len 3..10, >=80%
+  // alphabetic, >=2 stopword hits).
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val df = withToks(Tables.documents(s, d))
+    val n = size(col("toks")).cast("long")
+    val meanLen = aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / n
+    val alphaFrac = size(filter(col("toks"), x => x.rlike("[a-z]")))
+      .cast("double") / n
+    val stopHits = stopwordHits(col("toks"), stopsEn)
+    df.select(col("doc_id"), n.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      (n.between(50, 100000) && meanLen.between(3.0, 10.0)
+        && alphaFrac > 0.8 && stopHits >= 2).as("passes"))
+  }
+
+  private val gopherRulesSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | m AS (SELECT doc_id,
+       |   len(toks) AS n_words,
+       |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_word_len,
+       |   CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+       |   len(list_filter(toks, x -> x IN (${sqlInList(stopsEn)}))) AS stop_hits
+       |  FROM t)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       | round(mean_word_len, 6) AS mean_word_len,
+       | round(alpha_frac, 6) AS alpha_frac,
+       | CAST(stop_hits AS BIGINT) AS stop_hits,
+       | (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+       |  AND alpha_frac > 0.8 AND stop_hits >= 2) AS passes
+       |FROM m""".stripMargin
+
   // BPE-ish token-count estimate.
   def bpeEstimate(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -201,5 +240,6 @@ object TextAnalysis extends QueryModule {
     ("txt_fingerprint", fingerprintQ _, Some(fingerprintSql)),
     ("txt_top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("txt_winnow_fingerprint", winnowFingerprint _, Some(winnowFingerprintSql)),
+    ("txt_gopher_rules", gopherRules _, Some(gopherRulesSql)),
     ("txt_bpe_token_estimate", bpeEstimate _, Some(bpeEstimateSql)))
 }

@@ -83,7 +83,7 @@ object WideColumn extends QueryModule {
       .select(col("user_id"), col("event_type"), col("value").as("latest_value"),
         col("ts").as("write_ts"))
 
-  private val upsertLwwSql =
+  private[graft] val upsertLwwSql =
     """SELECT user_id, event_type, value AS latest_value, ts AS write_ts FROM (
       |  SELECT user_id, event_type, value, ts,
       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn

@@ -19,6 +19,12 @@ case class SessState(n: Long, start: Long, last: Long)
   * reached) — the streaming mirror of Events.funnel's window minima. */
 case class FunnelState(user_id: Long, signup_ts: Long, view_ts: Long, purchase_ts: Long)
 
+/** Per-(user_id, event_type) LWW state: the current winning write — the
+  * streaming mirror of the Cassandra upsert path (every INSERT is an
+  * upsert; the register holds the newest cell). */
+case class LwwWin(user_id: Long, event_type: String, ts: java.sql.Timestamp,
+                  event_id: Long, value: Double)
+
 /** SURVEY.md §2.C — Structured Streaming twins of the batch event
   * operators. Same logic, same state partitioning (keyed by user_id /
   * window), so a batch backfill and the live stream agree.
@@ -90,6 +96,28 @@ object EventStreams {
           }
           state.update(st)
           st
+      }
+  }
+
+  /** Streaming twin of WideColumn.upsertLww — Cassandra's WRITE path as
+    * streaming state: one register per (user_id, event_type) holding the
+    * winning cell under the same (ts DESC, event_id DESC) order the batch
+    * compaction uses. Emits the current winner per touched key each
+    * micro-batch; the final drained winner per key equals the batch LWW
+    * view exactly (oracle shared verbatim). State is one row per key —
+    * constant per key, watermark-free, the same layout a
+    * Cassandra-replacement ingest keeps at scale. */
+  def lwwWinners(events: Dataset[EventRow]): Dataset[LwwWin] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LwwWin, LwwWin](GroupStateTimeout.NoTimeout) {
+        case ((uid, et), rows, state) =>
+          val candidates = state.getOption.toSeq ++
+            rows.map(e => LwwWin(uid, et, e.ts, e.event_id, e.value))
+          val win = candidates.maxBy(w => (w.ts.getTime, w.event_id))
+          state.update(win)
+          win
       }
   }
 

@@ -174,6 +174,28 @@ object StreamingEntries extends QueryModule {
     df.sparkSession.read.schema(df.schema).parquet(s"$dir/data")
   }
 
+  /** The streaming LWW register (mapGroupsWithState, one winner cell per
+    * (user_id, event_type)) drained to batch: per-batch winners are
+    * monotone under the (ts, event_id) order, so the max over the drained
+    * sink is the final register — hash-equal to the batch upsert view
+    * (oracle = wc_upsert_lww's SQL verbatim). Proves the Cassandra WRITE
+    * path (ingest-as-upsert) agrees with batch compaction cross-engine.
+    * Memory drain is bounded: O(touched keys) winner rows, like st_funnel. */
+  def stUpsertLww(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = eventsStream(s, d).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    drain(EventStreams.lwwWinners(ds).toDF(), "update")
+      .groupBy("user_id", "event_type")
+      .agg(max_by(struct(col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("event_type"),
+        col("w.value").as("latest_value"), col("w.ts").as("write_ts"))
+  }
+
+  private val stUpsertLwwSql = graft.operators.WideColumn.upsertLwwSql
+
   /** Streaming exact dedup drained to batch: the surviving fingerprint set
     * (which PHYSICAL duplicate row survives depends on arrival order, so the
     * deterministic — and pipeline-relevant — result is the fp set itself).
@@ -193,5 +215,6 @@ object StreamingEntries extends QueryModule {
     ("st_sliding_window", stSliding _, Some(stSlidingSql)),
     ("st_session_window", stSessions _, Some(stSessionsSql)),
     ("st_funnel", stFunnel _, Some(stFunnelSql)),
+    ("st_upsert_lww", stUpsertLww _, Some(stUpsertLwwSql)),
     ("st_dedup_exact", stDedup _, Some(stDedupSql)))
 }
