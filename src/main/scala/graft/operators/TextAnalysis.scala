@@ -224,6 +224,48 @@ object TextAnalysis extends QueryModule {
        |  AND alpha_frac > 0.8 AND stop_hits >= 2) AS passes
        |FROM m""".stripMargin
 
+  // PII scrub — the redaction pass every LLM corpus pipeline runs before
+  // training. The test corpus ships no PII, so the entry first SYNTHESIZES
+  // deterministic PII per doc (an email and a phone derived from doc_id —
+  // same pattern as the multimodal header synthesis: build realistic input,
+  // then treat it as opaque), then scrubs with the email/phone regexes and
+  // emits match counts + the scrubbed-text digest. The digest is the real
+  // cross-engine check: both regex engines must match EXACTLY the same
+  // spans. Map-only codegen'd pass at any scale.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{4}"
+
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or 555-01"), lpad(pmod(col("doc_id"), lit(100)), 2, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(raw, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+    Tables.documents(s, d).select(col("doc_id"),
+      regexp_count(raw, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(raw, lit(PhoneRe)).cast("long").as("n_phones"),
+      (length(raw) - length(scrubbed)).cast("long").as("chars_removed"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  private val piiScrubSql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or 555-01'
+      |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS raw
+      |  FROM documents),
+      | sc AS (
+      |  SELECT doc_id, raw,
+      |    regexp_replace(regexp_replace(raw,
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |      '\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
+      |  FROM r)
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(raw, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      | CAST(length(raw) - length(scrubbed) AS BIGINT) AS chars_removed,
+      | md5(scrubbed) AS scrubbed_md5
+      |FROM sc""".stripMargin
+
   // BPE-ish token-count estimate.
   def bpeEstimate(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -241,5 +283,6 @@ object TextAnalysis extends QueryModule {
     ("txt_top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("txt_winnow_fingerprint", winnowFingerprint _, Some(winnowFingerprintSql)),
     ("txt_gopher_rules", gopherRules _, Some(gopherRulesSql)),
+    ("txt_pii_scrub", piiScrub _, Some(piiScrubSql)),
     ("txt_bpe_token_estimate", bpeEstimate _, Some(bpeEstimateSql)))
 }

@@ -230,7 +230,7 @@ object WideColumn extends QueryModule {
       .agg(count(lit(1)).as("n_increments"),
         sumExact(col("value"), 2).as("counter_value"))
 
-  private val counterColumnSql =
+  private[graft] val counterColumnSql =
     """SELECT user_id, COUNT(*) AS n_increments,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS counter_value
       |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin

@@ -174,6 +174,22 @@ object StreamingEntries extends QueryModule {
     df.sparkSession.read.schema(df.schema).parquet(s"$dir/data")
   }
 
+  /** Streaming counter column — Cassandra counter increments as a running
+    * streaming aggregate: blind commutative adds merge associatively in
+    * state exactly like counter shards merge at read; the exact-decimal
+    * sum makes the drained register hash-equal to the batch counter view
+    * (oracle = wc_counter_column's SQL verbatim). Complete-mode drain is
+    * O(keys), like the windowed aggs. */
+  def stCounter(s: SparkSession, d: String): DataFrame =
+    drain(eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_increments"),
+        graft.Cols.sumExact(col("value"), 2).as("counter_value")),
+      "complete")
+
+  private val stCounterSql = graft.operators.WideColumn.counterColumnSql
+
   /** The streaming LWW register (mapGroupsWithState, one winner cell per
     * (user_id, event_type)) drained to batch: per-batch winners are
     * monotone under the (ts, event_id) order, so the max over the drained
@@ -216,5 +232,6 @@ object StreamingEntries extends QueryModule {
     ("st_session_window", stSessions _, Some(stSessionsSql)),
     ("st_funnel", stFunnel _, Some(stFunnelSql)),
     ("st_upsert_lww", stUpsertLww _, Some(stUpsertLwwSql)),
+    ("st_counter_column", stCounter _, Some(stCounterSql)),
     ("st_dedup_exact", stDedup _, Some(stDedupSql)))
 }

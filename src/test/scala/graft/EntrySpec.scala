@@ -16,13 +16,13 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // round-3: 88 r2 entries + 5 new (ev_value_percentiles_approx and
+    // round-3: 88 r2 entries + 7 new (ev_value_percentiles_approx and
     // ann_ivf_int8_topk rows-only; wc_compaction_incremental, st_upsert_lww,
-    // txt_gopher_rules with oracles) = 93; oracles 81 + those 3 +
-    // mm_decode_batch (real header parse replaced the stub) = 85;
-    // rows-only = 8 (minhash/simhash/clusters/rp-lsh/ivf/ivf-int8/
-    // approx-distinct/approx-pct).
-    assert(SparkEntry.queries.size == 93, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 85, s"got ${SparkEntry.oracleSql.size}")
+    // st_counter_column, txt_gopher_rules, txt_pii_scrub with oracles) = 95;
+    // oracles 81 + those 5 + mm_decode_batch (real header parse replaced
+    // the stub) = 87; rows-only = 8 (minhash/simhash/clusters/rp-lsh/ivf/
+    // ivf-int8/approx-distinct/approx-pct).
+    assert(SparkEntry.queries.size == 95, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 87, s"got ${SparkEntry.oracleSql.size}")
   }
 }
