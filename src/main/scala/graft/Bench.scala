@@ -12,13 +12,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Output contract (VERDICT r2 §next-round #1 — third round of bench
   * legibility hardening):
-  *   - the LAST stdout line is a SHORT summary:
-  *     {"metric":"total","value":S,"unit":"sec","n_queries":N,"n_failed":F,
-  *      "queries":{...},"sf":dir} where `queries` holds min-of-2 times —
-  *     kept parseable by printing the bulky detail EARLIER, not inline;
-  *   - per-query detail (cold run, min run, GC ms, err) is printed in
-  *     CHUNKED `{"metric":"queries_part",...}` lines of ≤16 queries each, so
-  *     no single line outgrows a tail buffer;
+  *   - the LAST stdout line is a SHORT summary with NO per-query map:
+  *     {"metric":"total","value":S,"unit":"sec","total_cold":C,
+  *      "runs_per_query":n,"n_queries":N,"n_failed":F,"sf":dir};
+  *   - the second-to-last line is the one-line per-query min map:
+  *     {"metric":"queries","unit":"sec","queries":{name:sec,...},"sf":dir};
+  *   - per-query detail (cold run, min run, GC ms, err) is printed before
+  *     those in CHUNKED `{"metric":"queries_part",...}` lines of ≤16
+  *     queries each, so no single line outgrows a tail buffer;
   *   - the identical full document is also written to BENCH_FULL.json in
   *     the cwd for file-based pickup;
   *   - every query runs n=2 and reports the MIN (steady-state cost — the
@@ -79,7 +80,11 @@ object Bench {
         releaseState(spark)
         (sec, gcMs() - gc0, err)
       }
-      val best = runs.minBy(_._1)
+      // min over SUCCESSFUL runs only — a fast failure must never be
+      // reported as the query's steady-state time (fall back to the
+      // failed runs only when every run failed, where err marks it)
+      val ok = runs.filter(_._3.isEmpty)
+      val best = (if (ok.nonEmpty) ok else runs).minBy(_._1)
       QueryRun(name, cold = runs.head._1, min = best._1,
         gcCold = runs.head._2, gcMin = best._2,
         err = runs.flatMap(_._3).headOption)

@@ -38,8 +38,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the complete oracle map, even on restricted runs — a filtered
+    // iteration must not overwrite a full run's oracle_sql.json in the same
+    // outDir with a partial one (the parquet dirs of earlier full runs
+    // would silently lose their oracles)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -86,10 +86,13 @@ object Multimodal extends QueryModule {
     val hx = hex(col("payload")) // uppercase hex, 2 chars per byte
     val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A"
     val isJpeg = substring(hx, 1, 4) === "FFD8"
-    // first byte-aligned SOF0 marker; chars (2b-1, 2b) hold byte b, so an
-    // odd locate() result means a real byte boundary
-    val sof = locate("FFC0", hx)
-    val isSof = isJpeg && sof > 0 && pmod(sof, lit(2)) === 1
+    // first BYTE-ALIGNED SOF0 marker: anchor the scan to byte pairs with a
+    // lazy (?:..)*? prefix — a bare locate() would stop at an unaligned
+    // 'FFC0' straddling two bytes (e.g. 0x1F 0xFC 0x05 inside an APPn
+    // segment) and misread a genuine JPEG as unknown
+    val sofPrefix = regexp_extract(hx, "^((?:..)*?)FFC0", 1)
+    val isSof = isJpeg && hx.rlike("^(?:..)*?FFC0")
+    val sof = length(sofPrefix) + 1
     val pngW = conv(substring(hx, 33, 8), 16, 10).cast("long")
     val pngH = conv(substring(hx, 41, 8), 16, 10).cast("long")
     val jpegH = conv(hx.substr(sof + 10, lit(4)), 16, 10).cast("long")

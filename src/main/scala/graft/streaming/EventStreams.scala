@@ -115,7 +115,11 @@ object EventStreams {
         case ((uid, et), rows, state) =>
           val candidates = state.getOption.toSeq ++
             rows.map(e => LwwWin(uid, et, e.ts, e.event_id, e.value))
-          val win = candidates.maxBy(w => (w.ts.getTime, w.event_id))
+          // full-precision order: Timestamp.getTime truncates to millis,
+          // but events carry microseconds — the batch oracle orders by the
+          // full timestamp, so ties must break at nano precision
+          val win = candidates.maxBy(w =>
+            (w.ts.toInstant.getEpochSecond, w.ts.toInstant.getNano, w.event_id))
           state.update(win)
           win
       }

@@ -196,7 +196,12 @@ object StreamingEntries extends QueryModule {
     * sink is the final register — hash-equal to the batch upsert view
     * (oracle = wc_upsert_lww's SQL verbatim). Proves the Cassandra WRITE
     * path (ingest-as-upsert) agrees with batch compaction cross-engine.
-    * Memory drain is bounded: O(touched keys) winner rows, like st_funnel. */
+    * Memory-drain bound: one winner row per (touched key × micro-batch) —
+    * the AvailableNow single-directory backfill runs O(1) batches so the
+    * sink holds O(keys) here, but a long-running many-trigger ingest grows
+    * with batches; production points this writeStream at a kafka/files
+    * compacted sink instead (update mode can't use the parquet sink,
+    * which is append-only). */
   def stUpsertLww(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds = eventsStream(s, d).select(

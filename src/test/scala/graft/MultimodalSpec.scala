@@ -84,9 +84,16 @@ class MultimodalSpec extends SparkSpec {
     // tamper the low width byte of a copy: 640 -> 641 proves the parsed
     // width comes from the header bytes, not from any row metadata
     val tampered = png.clone(); tampered(19) = (tampered(19) + 1).toByte
+    // a JPEG with an APPn segment before SOF0 whose payload bytes 1F FC 05
+    // straddle an unaligned 'FFC0' hex pattern — the parser must skip it
+    // and read the genuine byte-aligned SOF0 that follows
+    val jpegWithApp = {
+      val j = jpegBytes(320, 240)
+      j.take(2) ++ Array(0xFF, 0xE0, 0x00, 0x05, 0x1F, 0xFC, 0x05).map(_.toByte) ++ j.drop(2)
+    }
     val rows = Multimodal.parseMedia(
       Seq((1L, png), (2L, jpegBytes(1920, 1080)), (3L, tampered),
-        (4L, "not an image at all".getBytes("UTF-8")))
+        (4L, "not an image at all".getBytes("UTF-8")), (5L, jpegWithApp))
         .toDF("doc_id", "payload")).collect().sortBy(_.getLong(0))
     assert(rows(0).getAs[String]("format") == "png")
     assert(rows(0).getAs[Long]("width") == 640 && rows(0).getAs[Long]("height") == 480)
@@ -95,5 +102,7 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).getAs[Long]("width") == 641)
     assert(rows(3).getAs[String]("format") == "unknown")
     assert(rows(3).isNullAt(rows(3).fieldIndex("width")))
+    assert(rows(4).getAs[String]("format") == "jpeg")
+    assert(rows(4).getAs[Long]("width") == 320 && rows(4).getAs[Long]("height") == 240)
   }
 }

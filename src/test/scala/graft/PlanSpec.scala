@@ -70,8 +70,12 @@ class PlanSpec extends SparkSpec {
     // warning) — a scale killer however dim-grained the input looks today.
     // The scalar-max-over-aggregate shape must use the
     // crossJoin(broadcast(1-row agg)) idiom instead (q11/q15). Asserted on
-    // the optimized logical plan for EVERY entry so it cannot recur
-    // (VERDICT r2 #4).
+    // the optimized logical plan of every entry's RETURNED frame (VERDICT
+    // r2 #4). Known blind spot: stages that execute EAGERLY inside fn —
+    // Checkpoints.materialize loops (dedup_clusters, IVF training) and the
+    // st_* drains — surface only their post-materialization scan here; the
+    // zero "Moving all data" warnings across the full `sbt test` log is
+    // the check that covers those internal plans.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.optimizedPlan
