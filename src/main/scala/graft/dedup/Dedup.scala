@@ -231,6 +231,51 @@ object Dedup extends QueryModule {
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin
 
+  // ---- substring-duplication candidates via shared winnow fingerprints ----
+  /** Minimum shared fingerprints for a pair to count as a substring-overlap
+    * candidate (each winnow fp covers an 8-gram window, so k shared minima
+    * ≈ a duplicated span of several dozen chars — the "documents quoting
+    * the same boilerplate passage" detector exact-match dedup misses). */
+  private val MinSharedFps = 5
+
+  /** Cross-doc substring-duplication candidates (the distributed analog of
+    * ExactSubstr-style span dedup, Lee et al. 2022, built from winnowing
+    * fingerprints instead of a suffix array): docs sharing ≥ MinSharedFps
+    * distinct winnow minima. Reuses TextAnalysis.winnowed — the SAME
+    * rolling-hash pipeline as txt_winnow_fingerprint, so the oracle is
+    * exact cross-engine — with the same df-cap discipline as the shingle
+    * index (a fingerprint hot across many docs is boilerplate and would
+    * go quadratic in the self-join). Top-20 by shared count. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fps = graft.operators.TextAnalysis.winnowed(Tables.documents(s, d))
+      .select("doc_id", "fp").distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= MaxPostings)
+      .drop("df")
+    fps.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+        col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= MinSharedFps)
+      .orderBy(desc("shared_fps"), asc("doc_a"), asc("doc_b"))
+      .limit(20)
+  }
+
+  private val winnowPairsSql =
+    s"""WITH ${graft.operators.TextAnalysis.winnowedSqlCte},
+      | fps0 AS (SELECT DISTINCT doc_id, fp FROM w2),
+      | fps AS (SELECT doc_id, fp FROM (
+      |   SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps0)
+      |  WHERE df <= $MaxPostings),
+      | pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared_fps FROM pairs
+      |WHERE shared_fps >= $MinSharedFps
+      |ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
   // ---- near-dup cluster assignment (connected components) -----------------
   /** The finishing step that turns pairwise near-dup detections into dedup
     * GROUPS: alternating large-star/small-star connected components (Kiveris
@@ -347,6 +392,7 @@ object Dedup extends QueryModule {
     ("dedup_exact", exact _, Some(exactSql)),
     ("dedup_survivors", survivors _, Some(survivorsSql)),
     ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
+    ("dedup_winnow_pairs", winnowPairs _, Some(winnowPairsSql)),
     ("dedup_minhash_lsh", minhashLsh _, None),
     ("dedup_simhash", simhash _, None),
     ("dedup_clusters", clusters _, None),

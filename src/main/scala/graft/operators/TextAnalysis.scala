@@ -133,7 +133,11 @@ object TextAnalysis extends QueryModule {
   // pseudo-random min), stays < 2^62 (no overflow in Java long OR DuckDB
   // BIGINT), and is bit-identical cross-engine → exact oracle. Both window
   // passes share one doc_id shuffle + sort.
-  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+  /** Shared winnowing pipeline: one row per gram-window position with its
+    * selected fingerprint `fp` (columns doc_id, pos, fp). Both the per-doc
+    * stats entry and the cross-doc substring-duplication pairs
+    * (Dedup.winnowPairs) consume this. */
+  private[graft] def winnowed(docs: DataFrame): DataFrame = {
     val K = 8; val W = 8
     val B = 128L; val M = 2147483647L; val A = 1103515245L; val C = 12345L
     val wLead = Window.partitionBy("doc_id").orderBy("pos")
@@ -144,7 +148,7 @@ object TextAnalysis extends QueryModule {
     val packed = (0 until K).map { k =>
       lead(col("c"), k).over(wLead) * lit(math.pow(B.toDouble, (K - 1 - k).toDouble).toLong)
     }.reduce(_ + _)
-    Tables.documents(s, d)
+    docs
       .filter(length(col("text")) >= K)
       .select(col("doc_id"), posexplode(split(col("text"), "")).as(Seq("pos0", "ch")))
       // split(_, "") with the default -1 limit keeps a trailing "" element;
@@ -156,13 +160,14 @@ object TextAnalysis extends QueryModule {
       .filter(col("packed").isNotNull)
       .withColumn("h", pmod(pmod(col("packed"), lit(M)) * A + C, lit(M)))
       .withColumn("fp", min("h").over(wMin))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        countDistinct(col("fp")).as("n_fingerprints"))
+      .select("doc_id", "pos", "fp")
   }
 
-  private val winnowFingerprintSql =
-    """WITH c AS (
+  /** DuckDB mirror of [[winnowed]] as a WITH-clause body: defines CTE `w2`
+    * with (doc_id, pos, fp). Interpolated into every winnow oracle so the
+    * two engines' pipelines cannot drift apart. */
+  private[graft] val winnowedSqlCte =
+    """c AS (
       |  SELECT doc_id, i AS pos,
       |    CAST(ascii(substring(text, CAST(i AS BIGINT), 1)) % 128 AS BIGINT) AS c
       |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
@@ -178,10 +183,19 @@ object TextAnalysis extends QueryModule {
       |  SELECT doc_id, pos,
       |    ((packed % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
       |  FROM p WHERE packed IS NOT NULL),
-      | w2 AS (SELECT doc_id,
+      | w2 AS (SELECT doc_id, pos,
       |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
       |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
-      |       FROM g)
+      |       FROM g)""".stripMargin
+
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame =
+    winnowed(Tables.documents(s, d))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("fp")).as("n_fingerprints"))
+
+  private val winnowFingerprintSql =
+    s"""WITH $winnowedSqlCte
       |SELECT doc_id, COUNT(*) AS n_windows, COUNT(DISTINCT fp) AS n_fingerprints
       |FROM w2 GROUP BY doc_id""".stripMargin
 
