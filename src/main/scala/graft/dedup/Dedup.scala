@@ -247,11 +247,15 @@ object Dedup extends QueryModule {
     * index (a fingerprint hot across many docs is boilerplate and would
     * go quadratic in the self-join). Top-20 by shared count. */
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val fps = graft.operators.TextAnalysis.winnowed(Tables.documents(s, d))
-      .select("doc_id", "fp").distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("df") <= MaxPostings)
-      .drop("df")
+    // materialized once: it feeds BOTH sides of the self-join, and the
+    // winnow pipeline behind it (char explode + two windows) is the most
+    // expensive lineage in the suite (q11 double-compute pattern)
+    val fps = Checkpoints.materialize(
+      graft.operators.TextAnalysis.winnowed(Tables.documents(s, d))
+        .select("doc_id", "fp").distinct()
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("df") <= MaxPostings)
+        .drop("df"))
     fps.select(col("doc_id").as("doc_a"), col("fp"))
       .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
         col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
