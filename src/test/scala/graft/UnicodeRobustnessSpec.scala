@@ -1,0 +1,76 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** The oracle corpus is ASCII; a library user's corpus is not. These tests
+  * run the DataFrame-parametric text/dedup surfaces over non-ASCII input —
+  * CJK, emoji, combining accents, CR/LF and Unicode line separators — and
+  * assert they behave sanely (no crash, consistent dedup identity, stride-2
+  * regex consuming every char pair regardless of line terminators — the
+  * ADVICE r2 dotall concern). */
+class UnicodeRobustnessSpec extends SparkSpec {
+
+  private def unicodeDocs = {
+    val s2 = spark
+    import s2.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "学习数据 处理系统 学习数据 处理系统 学习数据 处理系统 需要 更多 文本"),
+      (4L, "café naïve résumé über straße café naïve encore une fois"),
+      (5L, "emoji 😀 line one\r\nline two line three line four and some more words here"),
+      (6L, "mixed ascii and 日本語 tokens with spaces between every word token"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup identity is stable on non-ASCII text") {
+    val surv = Dedup.survivorsOf(unicodeDocs).collect()
+    // docs 1+2 are identical → one fingerprint shadows one dup; every other
+    // doc keeps its own fingerprint (canonicalization strips non-alnum but
+    // must do so deterministically)
+    assert(surv.map(_.getAs[Long]("n_shadowed")).sum == 1)
+    assert(surv.length == 5)
+  }
+
+  test("shingle index and minhash run on non-ASCII without error") {
+    val idx = Dedup.shingleIndexOf(unicodeDocs).collect()
+    assert(idx.nonEmpty)
+    val pairs = Dedup.minhashLshOf(unicodeDocs).collect()
+    // the identical pair must be found at jaccard 1.0
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L
+      && r.getAs[Long]("doc_b") == 2L && r.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("winnow rolling hash yields fingerprints for non-ASCII docs") {
+    val rows = graft.operators.TextAnalysis.winnowed(unicodeDocs)
+      .groupBy("doc_id").agg(countDistinct("fp").as("n")).collect()
+    assert(rows.length == unicodeDocs.count())
+    rows.foreach(r => assert(r.getAs[Long]("n") > 0))
+  }
+
+  test("stride-2 dotall regex consumes CR/LF and Unicode line separators") {
+    val s2 = spark
+    import s2.implicits._
+    // the exact expression mm_resize_halve uses; without (?s), CR and the
+    // U+2028/U+2029 separators would break pair consumption (ADVICE r2)
+    val text = "ab\r\ncd ef gh"
+    val half = Seq(text).toDF("t")
+      .select(regexp_replace(col("t"), "(?s)(.).", "$1").as("h"))
+      .head().getString(0)
+    assert(half == text.zipWithIndex.collect { case (c, i) if i % 2 == 0 => c }.mkString)
+  }
+
+  test("quality score and canonical fingerprint are defined on non-ASCII") {
+    val out = unicodeDocs.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.qualityScore(TextFunctions.tokens(col("text"))).as("q"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("fp").length == 32)
+      val q = r.getAs[Double]("q")
+      assert(!q.isNaN && q >= 0.0 && q <= 1.0)
+    }
+  }
+}
