@@ -176,7 +176,39 @@ object PipelineOps extends QueryModule {
       | COUNT(DISTINCT CAST((cum - n_tok) // 512 AS BIGINT)) AS n_packs
       |FROM packed GROUP BY source""".stripMargin
 
+  // RAG-style overlapping chunking: fixed-size token windows every Stride
+  // tokens (32-token overlap keeps context across chunk boundaries — the
+  // standard retrieval-prep split). One explode per doc, all slicing
+  // codegen'd; chunk identity = md5 of the joined tokens so downstream
+  // chunk-level dedup/embedding stages key on content. Map-side only at
+  // any scale (no shuffle at all).
+  private val ChunkSize = 128
+  private val ChunkStride = 96
+
+  def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(ChunkStride))).as("start"))
+      .filter(col("start") < size(col("toks")))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(ChunkSize))).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(ChunkSize)))).as("chunk_md5"))
+
+  private val chunkOverlapSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | st AS (SELECT doc_id, toks,
+       |          unnest(generate_series(0, len(toks) - 1, $ChunkStride)) AS start
+       |        FROM t)
+       |SELECT doc_id, CAST(start / $ChunkStride AS BIGINT) AS chunk_idx,
+       | CAST(len(toks[start + 1 : least(start + $ChunkSize, len(toks))]) AS BIGINT) AS n_tokens,
+       | md5(array_to_string(toks[start + 1 : least(start + $ChunkSize, len(toks))], ' ')) AS chunk_md5
+       |FROM st""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("doc_chunk_overlap", chunkOverlap _, Some(chunkOverlapSql)),
     ("pipeline_corpus_to_shards", corpusToShards _, Some(corpusToShardsSql)),
     ("smp_hash_sample", hashSample _, Some(hashSampleSql)),
     ("smp_stratified", stratifiedSample _, Some(stratifiedSampleSql)),

@@ -269,6 +269,31 @@ object Ann extends QueryModule {
       | MAX(err) AS max_abs_err
       |FROM e GROUP BY label""".stripMargin
 
+  /** Per-label mean embedding (class centroids — the embedding-analytics
+    * view behind clustering diagnostics, label-drift checks, and seeding a
+    * coarse quantizer from labels). Exactness: floats are fixed-pointed to
+    * 1e-9 with floor(x·1e9 + 0.5) BEFORE summing (both engines floor
+    * identically; a double→decimal cast would round HALF_UP in Spark and
+    * HALF_EVEN in DuckDB at rare binary-fraction ties), so the cross-row
+    * sum is exact integer math and the final division is one deterministic
+    * IEEE op per cell. One posexplode + one shuffle on (label, pos). */
+  def centroidPerLabel(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * 1e9 + 0.5).cast("long").as("vr"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("vr")).cast("double") / count(lit(1)) / 1e9).as("centroid"))
+
+  private val centroidPerLabelSql =
+    """WITH e AS (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+      |           FROM embeddings)
+      |SELECT label, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n_vecs,
+      | CAST(CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |   / COUNT(*) / 1e9 AS centroid
+      |FROM e GROUP BY label, i""".stripMargin
+
   // Norm statistics per label (exact decimal mean).
   def normStats(s: SparkSession, d: String): DataFrame =
     withNorm(Tables.embeddings(s, d))
@@ -327,5 +352,6 @@ object Ann extends QueryModule {
     ("ann_ivf_topk", ivfTopK _, None),
     ("ann_ivf_int8_topk", ivfInt8TopK _, None),
     ("vec_norm_stats", normStats _, Some(normStatsSql)),
+    ("emb_centroid_per_label", centroidPerLabel _, Some(centroidPerLabelSql)),
     ("emb_quantize_int8", quantizeInt8 _, Some(quantizeInt8Sql)))
 }

@@ -19,11 +19,12 @@ class EntrySpec extends SparkSpec {
     // round-3: 88 r2 entries + 7 new (ev_value_percentiles_approx and
     // ann_ivf_int8_topk rows-only; wc_compaction_incremental, st_upsert_lww,
     // st_counter_column, txt_gopher_rules, txt_pii_scrub,
-    // dedup_winnow_pairs with oracles) = 96;
-    // oracles 81 + those 6 + mm_decode_batch (real header parse replaced
+    // dedup_winnow_pairs, doc_chunk_overlap, emb_centroid_per_label
+    // with oracles) = 98;
+    // oracles 81 + those 8 + mm_decode_batch (real header parse replaced
     // the stub) = 87; rows-only = 8 (minhash/simhash/clusters/rp-lsh/ivf/
     // ivf-int8/approx-distinct/approx-pct).
-    assert(SparkEntry.queries.size == 96, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 88, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 98, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 90, s"got ${SparkEntry.oracleSql.size}")
   }
 }
