@@ -87,7 +87,10 @@ object Bench {
       val best = (if (ok.nonEmpty) ok else runs).minBy(_._1)
       QueryRun(name, cold = runs.head._1, min = best._1,
         gcCold = runs.head._2, gcMin = best._2,
-        err = runs.flatMap(_._3).headOption)
+        // err only when EVERY run failed — a transient single-run failure
+        // with a valid steady-state min is not a failed query (stderr
+        // still logs the transient); n_failed counts truly-failed only
+        err = if (ok.isEmpty) runs.flatMap(_._3).headOption else None)
     }
 
     val failed = results.collect { case q if q.err.isDefined =>

@@ -89,10 +89,11 @@ object Multimodal extends QueryModule {
     // first BYTE-ALIGNED SOF0 marker: anchor the scan to byte pairs with a
     // lazy (?:..)*? prefix — a bare locate() would stop at an unaligned
     // 'FFC0' straddling two bytes (e.g. 0x1F 0xFC 0x05 inside an APPn
-    // segment) and misread a genuine JPEG as unknown
-    val sofPrefix = regexp_extract(hx, "^((?:..)*?)FFC0", 1)
-    val isSof = isJpeg && hx.rlike("^(?:..)*?FFC0")
-    val sof = length(sofPrefix) + 1
+    // segment) and misread a genuine JPEG as unknown. ONE regex pass: the
+    // group-0 match always ends in FFC0, so empty ⟺ no aligned marker
+    val sofMatch = regexp_extract(hx, "^(?:..)*?FFC0", 0)
+    val isSof = isJpeg && sofMatch =!= ""
+    val sof = length(sofMatch) - 3
     val pngW = conv(substring(hx, 33, 8), 16, 10).cast("long")
     val pngH = conv(substring(hx, 41, 8), 16, 10).cast("long")
     val jpegH = conv(hx.substr(sof + 10, lit(4)), 16, 10).cast("long")
@@ -164,6 +165,14 @@ object Multimodal extends QueryModule {
     * throughout (frame count, slice, and oracle all use length(text)) so
     * the op is self-consistent on any text; on the ASCII corpus chars ==
     * bytes, matching frameSample's byte frames. */
+  /** Stride-2 char subsample (every even-indexed char). Dotall on both
+    * engines: a bare dot excludes CR and Unicode line separators in Java
+    * but only LF in RE2 — (?s) here and the 's' option in the DuckDB
+    * mirror make the pair consume EVERY char pair regardless of content
+    * (UnicodeRobustnessSpec exercises THIS definition, not a copy). */
+  private[graft] def strideHalf(c: Column): Column =
+    regexp_replace(c, "(?s)(.).", "$1")
+
   def resizeHalve(s: SparkSession, d: String): DataFrame = {
     val nFrames = expr(s"(length(text) + ${FrameSize - 1}) DIV $FrameSize")
     val frame = col("text").substr(
@@ -173,11 +182,7 @@ object Multimodal extends QueryModule {
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
       .filter(pmod(col("frame_idx"), lit(SampleEvery)) === 0)
-      .select(col("doc_id"), col("frame_idx"),
-        // dotall on both engines: a bare dot excludes CR and Unicode line
-        // separators in Java but only LF in RE2 -- (?s) here and the 's'
-        // option in DuckDB make the stride-2 pair consume EVERY char pair
-        regexp_replace(frame, "(?s)(.).", "$1").as("half"))
+      .select(col("doc_id"), col("frame_idx"), strideHalf(frame).as("half"))
       .select(col("doc_id"), col("frame_idx"),
         length(col("half")).cast("long").as("half_bytes"),
         md5(col("half")).as("half_md5"))

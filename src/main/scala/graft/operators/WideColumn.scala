@@ -282,7 +282,7 @@ object WideColumn extends QueryModule {
     * (they must keep shadowing in later merges, like Cassandra tombstones
     * surviving until gc_grace). Input needs event_id/ts/user_id/event_type/
     * value/tomb columns. */
-  private[graft] def compactLww(writes: DataFrame): DataFrame =
+  def compactLww(writes: DataFrame): DataFrame =
     writes.withColumn("rn", row_number().over(lwwByTypeKey))
       .filter(col("rn") === 1).drop("rn")
 
@@ -297,7 +297,7 @@ object WideColumn extends QueryModule {
     * O(read base + delta), zero base shuffle (LayoutSpec proves the
     * no-Exchange plan). Tombstone winners stay in the output here; the
     * read view filters them (purge). */
-  private[graft] def mergeCompacted(base: DataFrame, delta: DataFrame): DataFrame = {
+  def mergeCompacted(base: DataFrame, delta: DataFrame): DataFrame = {
     val cols = Seq("ts", "event_id", "value", "tomb")
     val b = base.select(col("user_id") +: col("event_type") +:
       cols.map(c => col(c).as(s"b_$c")): _*)

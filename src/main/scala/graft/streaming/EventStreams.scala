@@ -14,7 +14,7 @@ case class SessionOut(user_id: Long, n_events: Long, start_ts: Long, end_ts: Lon
 /** Per-user running state for the custom sessionizer. */
 case class SessState(n: Long, start: Long, last: Long)
 
-/** Per-user funnel frontier state/output: epoch-millis of the first
+/** Per-user funnel frontier state/output: epoch-MICROS of the first
   * signup, first post-signup view, first post-view purchase (0 = not yet
   * reached) — the streaming mirror of Events.funnel's window minima. */
 case class FunnelState(user_id: Long, signup_ts: Long, view_ts: Long, purchase_ts: Long)
@@ -70,12 +70,20 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Full-precision event time as epoch MICROS — Timestamp.getTime
+    * truncates to millis while events carry microseconds, so ordering or
+    * strict `>` comparisons at getTime precision can diverge from the
+    * batch oracle on same-millisecond pairs. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
   /** Streaming twin of Events.funnel: per-user ordered-funnel frontiers as
     * mapGroupsWithState state (same user_id partitioning as the batch
-    * window). Emits each user's current stage timestamps; a sink-side
-    * aggregation of non-zero columns gives the live funnel counts. Events
-    * inside a micro-batch are sorted by (ts, event_id) so replaying a
-    * backfill through the stream matches the batch exactly. */
+    * window). Emits each user's current stage timestamps (epoch micros); a
+    * sink-side aggregation of non-zero columns gives the live funnel
+    * counts. Events inside a micro-batch are sorted by (ts, event_id) at
+    * full micros precision so replaying a backfill through the stream
+    * matches the batch exactly. */
   def funnelStages(events: Dataset[EventRow]): Dataset[FunnelState] = {
     import events.sparkSession.implicits._
     events
@@ -83,8 +91,8 @@ object EventStreams {
       .mapGroupsWithState[FunnelState, FunnelState](GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(userId, 0L, 0L, 0L))
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
             e.event_type match {
               case "signup" if st.signup_ts == 0L => st = st.copy(signup_ts = t)
               case "view" if st.signup_ts != 0L && t > st.signup_ts && st.view_ts == 0L =>
@@ -115,11 +123,9 @@ object EventStreams {
         case ((uid, et), rows, state) =>
           val candidates = state.getOption.toSeq ++
             rows.map(e => LwwWin(uid, et, e.ts, e.event_id, e.value))
-          // full-precision order: Timestamp.getTime truncates to millis,
-          // but events carry microseconds — the batch oracle orders by the
-          // full timestamp, so ties must break at nano precision
-          val win = candidates.maxBy(w =>
-            (w.ts.toInstant.getEpochSecond, w.ts.toInstant.getNano, w.event_id))
+          // full-precision order (see micros()): the batch oracle orders
+          // by the full timestamp, so ties must break below milliseconds
+          val win = candidates.maxBy(w => (micros(w.ts), w.event_id))
           state.update(win)
           win
       }

@@ -53,11 +53,12 @@ class UnicodeRobustnessSpec extends SparkSpec {
   test("stride-2 dotall regex consumes CR/LF and Unicode line separators") {
     val s2 = spark
     import s2.implicits._
-    // the exact expression mm_resize_halve uses; without (?s), CR and the
-    // U+2028/U+2029 separators would break pair consumption (ADVICE r2)
+    // the LIVE mm_resize_halve expression (shared def, not a copy);
+    // without (?s), CR and the U+2028/U+2029 separators would break pair
+    // consumption (ADVICE r2)
     val text = "ab\r\ncd ef gh"
     val half = Seq(text).toDF("t")
-      .select(regexp_replace(col("t"), "(?s)(.).", "$1").as("h"))
+      .select(graft.multimodal.Multimodal.strideHalf(col("t")).as("h"))
       .head().getString(0)
     assert(half == text.zipWithIndex.collect { case (c, i) if i % 2 == 0 => c }.mkString)
   }
