@@ -227,6 +227,46 @@ object Events extends QueryModule {
       | COUNT(*) AS n_active
       |FROM act GROUP BY cohort_week, week_offset""".stripMargin
 
+  /** Daily-volume anomaly score per event type: z-score of each day's
+    * count against its trailing 7-day window (excluding the day itself) —
+    * the monitoring query behind traffic-spike/outage alerts. Exactness:
+    * window sums of integer counts are exact in doubles (≪ 2^53), the
+    * variance is the E[x²]−E[x]² form over those exact sums, and the final
+    * score is fixed-pointed with floor(z·1e6+0.5)/1e6 — portable rounding,
+    * no HALF_UP/HALF_EVEN tie risk. One day-grain aggregate then a
+    * per-type window over the (tiny) daily frame. */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("n_prior", count(col("n")).over(w))
+      .withColumn("mean", avg(col("n")).over(w))
+      .withColumn("var",
+        avg(col("n") * col("n")).over(w) - avg(col("n")).over(w) * avg(col("n")).over(w))
+      .filter(col("n_prior") === 7 && col("var") > 0)
+      .select(col("day"), col("event_type"), col("n").cast("long").as("n_events"),
+        (floor((col("n") - col("mean")) / sqrt(col("var")) * 1e6 + 0.5) / 1e6)
+          .as("zscore"))
+  }
+
+  private val anomalyZscoreSql =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2),
+      | win AS (
+      |  SELECT day, event_type, n,
+      |    COUNT(n) OVER w AS n_prior,
+      |    AVG(n) OVER w AS mean,
+      |    AVG(n * n) OVER w - AVG(n) OVER w * AVG(n) OVER w AS var
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT day, event_type, CAST(n AS BIGINT) AS n_events,
+      | floor((n - mean) / sqrt(var) * 1e6 + 0.5) / 1e6 AS zscore
+      |FROM win WHERE n_prior = 7 AND var > 0""".stripMargin
+
   /** Sketch-based distinct users per event type: HLL is the constant-memory
     * cardinality path at 100 TB (sketches merge associatively across
     * partitions/days — the batch twin of a streaming sketch state). The
@@ -249,6 +289,7 @@ object Events extends QueryModule {
     ("ev_funnel", funnel _, Some(funnelSql)),
     ("ev_daily_active", dailyActive _, Some(dailyActiveSql)),
     ("ev_retention", retention _, Some(retentionSql)),
+    ("ev_anomaly_zscore", anomalyZscore _, Some(anomalyZscoreSql)),
     ("ev_sliding_window", slidingWindow _, Some(slidingWindowSql)),
     ("ev_pivot_daily", pivotDaily _, Some(pivotDailySql)))
 }

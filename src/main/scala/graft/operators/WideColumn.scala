@@ -278,6 +278,28 @@ object WideColumn extends QueryModule {
       |  FROM unioned WHERE user_id = 42) t
       |WHERE rn = 1 AND tomb = 0""".stripMargin
 
+  /** Partition-size distribution — the wide-partition health check every
+    * Cassandra operator runs (a partition orders of magnitude larger than
+    * its peers is the node-hotspot / compaction-stall smell). Rows per
+    * partition key, bucketed by DIGIT COUNT (length of the decimal string:
+    * exact and portable, where floor(log10(n)) sits on an IEEE boundary at
+    * powers of ten), with per-bucket partition counts and the largest
+    * partition. Two exact aggregations, no floating point anywhere. */
+  def partitionStats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"))
+      .groupBy(length(col("n_rows").cast("string")).cast("long").as("n_digits"))
+      .agg(count(lit(1)).as("n_partitions"), max("n_rows").as("largest"),
+        sum("n_rows").as("total_rows"))
+
+  private val partitionStatsSql =
+    """WITH p AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id)
+      |SELECT CAST(length(CAST(n_rows AS VARCHAR)) AS BIGINT) AS n_digits,
+      | COUNT(*) AS n_partitions, MAX(n_rows) AS largest,
+      | CAST(SUM(n_rows) AS BIGINT) AS total_rows
+      |FROM p GROUP BY 1""".stripMargin
+
   /** One LWW pass: newest write per (user_id, event_type), tombstones kept
     * (they must keep shadowing in later merges, like Cassandra tombstones
     * surviving until gc_grace). Input needs event_id/ts/user_id/event_type/
@@ -358,6 +380,7 @@ object WideColumn extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("wc_compaction_incremental", compactionIncremental _, Some(compactionIncrementalSql)),
+    ("wc_partition_stats", partitionStats _, Some(partitionStatsSql)),
     ("wc_materialized_view", materializedView _, Some(materializedViewSql)),
     ("wc_counter_column", counterColumn _, Some(counterColumnSql)),
     ("wc_delete_tombstone", deleteTombstone _, Some(deleteTombstoneSql)),

@@ -16,15 +16,16 @@ class EntrySpec extends SparkSpec {
   }
 
   test("inventory size matches SURVEY accounting") {
-    // round-3: 88 r2 entries + 10 new = 98 total. New rows-only (2):
-    // ev_value_percentiles_approx, ann_ivf_int8_topk. New with oracles (8):
-    // wc_compaction_incremental, st_upsert_lww, st_counter_column,
-    // txt_gopher_rules, txt_pii_scrub, dedup_winnow_pairs,
-    // doc_chunk_overlap, emb_centroid_per_label — plus mm_decode_batch
-    // gained an oracle (real header parse replaced the stub).
-    // Oracles: 81 (r2) + 8 + 1 = 90; rows-only: 8 (minhash/simhash/
+    // round-3: 88 r2 entries + 12 new = 100 total. New rows-only (2):
+    // ev_value_percentiles_approx, ann_ivf_int8_topk. New with oracles (10):
+    // wc_compaction_incremental, wc_partition_stats, st_upsert_lww,
+    // st_counter_column, txt_gopher_rules, txt_pii_scrub,
+    // dedup_winnow_pairs, doc_chunk_overlap, emb_centroid_per_label,
+    // ev_anomaly_zscore — plus mm_decode_batch gained an oracle (real
+    // header parse replaced the stub).
+    // Oracles: 81 (r2) + 10 + 1 = 92; rows-only: 8 (minhash/simhash/
     // clusters/rp-lsh/ivf/ivf-int8/approx-distinct/approx-pct).
-    assert(SparkEntry.queries.size == 98, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 90, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 100, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 92, s"got ${SparkEntry.oracleSql.size}")
   }
 }
