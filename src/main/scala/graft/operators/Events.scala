@@ -267,6 +267,53 @@ object Events extends QueryModule {
       | floor((n - mean) / sqrt(var) * 1e6 + 0.5) / 1e6 AS zscore
       |FROM win WHERE n_prior = 7 AND var > 0""".stripMargin
 
+  /** Calendar gap-fill + forward-fill: densify the per-type daily series to
+    * the full observed date span (missing days → n_events=0) and carry the
+    * last observed daily mean forward — the densification step every
+    * time-series chart/model feed needs (a day with no rows must appear as
+    * zero, not vanish). Shape: one day-grain aggregate, a broadcast
+    * calendar×type grid (≤ types·days rows — trivially small at ANY corpus
+    * scale since it grows with time, not data volume), left join back on
+    * the day-grain partitioning, and one window over the tiny daily frame.
+    * Mean is an exact decimal sum ÷ count, fixed-pointed (no double-sum
+    * nondeterminism, no HALF_UP tie risk). */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        (floor(sum(col("value").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)) * 1e6 + 0.5) / 1e6).as("avg_value"))
+    val cal = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = ev.select("event_type").distinct().crossJoin(broadcast(cal))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(last(col("avg_value"), ignoreNulls = true).over(w), lit(0.0))
+          .as("value_ffill"))
+  }
+
+  private val gapFillSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |    floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |          / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_value
+      |  FROM events GROUP BY 1, 2),
+      | span AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events),
+      | cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM span),
+      | grid AS (SELECT t.event_type, c.day
+      |          FROM (SELECT DISTINCT event_type FROM events) t, cal c)
+      |SELECT g.event_type, g.day,
+      | COALESCE(d.n_events, 0) AS n_events,
+      | COALESCE(last_value(d.avg_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value_ffill
+      |FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day""".stripMargin
+
   /** Sketch-based distinct users per event type: HLL is the constant-memory
     * cardinality path at 100 TB (sketches merge associatively across
     * partitions/days — the batch twin of a streaming sketch state). The
@@ -290,6 +337,7 @@ object Events extends QueryModule {
     ("ev_daily_active", dailyActive _, Some(dailyActiveSql)),
     ("ev_retention", retention _, Some(retentionSql)),
     ("ev_anomaly_zscore", anomalyZscore _, Some(anomalyZscoreSql)),
+    ("ev_gap_fill", gapFill _, Some(gapFillSql)),
     ("ev_sliding_window", slidingWindow _, Some(slidingWindowSql)),
     ("ev_pivot_daily", pivotDaily _, Some(pivotDailySql)))
 }

@@ -207,7 +207,84 @@ object PipelineOps extends QueryModule {
        | md5(array_to_string(toks[start + 1 : least(start + $ChunkSize, len(toks))], ' ')) AS chunk_md5
        |FROM st""".stripMargin
 
+  // Eval-set decontamination: flag training docs sharing any word 8-gram
+  // with the held-out eval slice (doc_id ≡ 0 mod 10) — the n-gram overlap
+  // check every LLM data pipeline runs before training (the reference
+  // corpus-level analog of its per-row read-your-writes checks). Shingles
+  // are md5'd so the join key is a fixed 32-char string regardless of n.
+  // Scale shape: the eval side is a benchmark suite (tiny vs the corpus) →
+  // distinct shingle set broadcasts; the train side never shuffles — one
+  // map-side explode + broadcast semi-join + one groupBy on doc_id.
+  private val ContamN = 8
+
+  private def shingleSet(df: DataFrame): DataFrame =
+    df.filter(size(col("toks")) >= ContamN)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - ContamN)).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(ContamN)))).as("sh"))
+      .distinct()
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val evalSh = shingleSet(toks.filter(col("doc_id") % 10 === 0)).select("sh").distinct()
+    val trainSh = shingleSet(toks.filter(col("doc_id") % 10 =!= 0))
+    trainSh.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | s AS (SELECT DISTINCT doc_id,
+       |         md5(array_to_string(toks[i+1 : i+$ContamN], ' ')) AS sh
+       |       FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks)-$ContamN)) AS i
+       |             FROM t WHERE len(toks) >= $ContamN) z),
+       | ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 10 = 0),
+       | tr AS (SELECT doc_id, sh FROM s WHERE doc_id % 10 <> 0)
+       |SELECT tr.doc_id, COUNT(*) AS n_hits
+       |FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id""".stripMargin
+
+  // Domain-mixture resampling: downsample each source to its target share
+  // of a fixed token budget — the "data mixing" stage that turns a crawl
+  // with organic domain proportions into the weighted mix the training run
+  // wants. Weights and the per-source keep-counts live in ONE Scala
+  // definition interpolated into both engines (the stopsEn lesson). The
+  // within-source draw ranks by content hash (order-free, reproducible);
+  // one window shuffle on source — embarrassingly parallel across domains
+  // at 100 TB.
+  private val mixWeights: Seq[(String, Int)] = (0 until 20).map(i => (s"src$i", i % 4 + 1))
+  private val mixBudget = 200
+  private val mixKeep: Seq[(String, Int)] = {
+    val totalW = mixWeights.map(_._2).sum
+    mixWeights.map { case (src, w) => (src, mixBudget * w / totalW) }
+  }
+
+  def domainMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keep = mixKeep.toDF("source", "k")
+    val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(keep), "source")
+      .filter(col("rk") <= col("k"))
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  private val domainMixSql = {
+    val values = mixKeep.map { case (src, k) => s"('$src', $k)" }.mkString(", ")
+    s"""WITH k AS (SELECT * FROM (VALUES $values) v(source, k)),
+       | r AS (SELECT doc_id, source,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+       |       FROM documents)
+       |SELECT r.doc_id, r.source, r.rk
+       |FROM r JOIN k USING (source) WHERE r.rk <= k.k""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_decontaminate", decontaminate _, Some(decontaminateSql)),
+    ("smp_domain_mix", domainMix _, Some(domainMixSql)),
     ("doc_chunk_overlap", chunkOverlap _, Some(chunkOverlapSql)),
     ("pipeline_corpus_to_shards", corpusToShards _, Some(corpusToShardsSql)),
     ("smp_hash_sample", hashSample _, Some(hashSampleSql)),

@@ -378,7 +378,61 @@ object WideColumn extends QueryModule {
       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM unioned) t WHERE rn = 1 AND tomb = 0""".stripMargin
 
+  /** SCD2 version history from a change log: every write to a (user_id,
+    * event_type) cell becomes a version row with a validity interval —
+    * the full-history twin of the LWW register (wc_upsert_lww keeps only
+    * the winner; this keeps every superseded value with valid_from/
+    * valid_to, the dimension-history shape warehouse MERGEs maintain).
+    * Keeps the event_id anchor so a base table can be rebuilt
+    * incrementally. One window shuffle on the cell key. */
+  private def scd2History(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value").as("attr_value"), col("ts").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"),
+        col("version"))
+  }
+
+  /** INCREMENTAL SCD2 merge: base history (built from pre-cutoff changes —
+    * standing in for the already-materialized dimension table) + a delta
+    * change batch → merged history. Keys untouched by the delta pass
+    * through without recomputation (left_anti against the distinct delta
+    * key set — a broadcast at scale, since a delta batch is small vs the
+    * dimension); touched keys alone are rebuilt from their base versions +
+    * delta rows. The ORACLE is the one-shot full-history recompute over
+    * all changes — hash-equality proves incremental maintenance ==
+    * recompute, the invariant a production MERGE pipeline must keep. */
+  def scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-25").cast("timestamp")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+    val base = scd2History(ev.filter(col("ts") < cutoff))
+    val delta = ev.filter(col("ts") >= cutoff)
+    val touched = delta.select("user_id", "event_type").distinct()
+    val untouched = base.join(touched, Seq("user_id", "event_type"), "left_anti")
+    val reopened = base
+      .join(touched, Seq("user_id", "event_type"), "left_semi")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("valid_from").as("ts"), col("attr_value").as("value"))
+    val rebuilt = scd2History(reopened.unionByName(
+      delta.select("user_id", "event_type", "event_id", "ts", "value")))
+    untouched.unionByName(rebuilt).drop("event_id")
+  }
+
+  private val scd2MergeSql =
+    """SELECT user_id, event_type, value AS attr_value, ts AS valid_from,
+      | lead(ts) OVER w AS valid_to,
+      | CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+      | CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_scd2_merge", scd2Merge _, Some(scd2MergeSql)),
     ("wc_compaction_incremental", compactionIncremental _, Some(compactionIncrementalSql)),
     ("wc_partition_stats", partitionStats _, Some(partitionStatsSql)),
     ("wc_materialized_view", materializedView _, Some(materializedViewSql)),

@@ -345,7 +345,108 @@ object Ann extends QueryModule {
       .filter(col("rk") <= K)
   }
 
+  // ---- product quantization (the compression tier) -----------------------
+  private val PqM = 8                 // subspaces
+  private val SubDim = Dim / PqM      // dims per subspace
+  private val PqKs = 16               // centroids per subspace (4-bit codes)
+  private val PqIters = 2
+  // PQ's ADC stage is noisier than int8's (16× vs 4× compression), so its
+  // re-rank pool is wider — still O(1) float point-reads per query.
+  private val PqReRank = 5 * K
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Explode a vector frame into (vec_id, m, sub) subvector rows. */
+  private def subvectors(df: DataFrame, vcol: String): DataFrame =
+    df.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col(vcol))
+      .select(col("vec_id"), col("m"),
+        transform(slice(col(vcol), col("m") * SubDim + 1, lit(SubDim)),
+          _.cast("double")).as("sub"))
+
+  /** Nearest code per (vec, subspace) under the current codebooks; ties to
+    * the lowest code id for determinism. */
+  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "m")
+      .withColumn("d2", l2sq(col("sub"), col("centroid")))
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("code"), struct(-col("d2"), -col("code"))).as("code"),
+        first(col("sub")).as("sub"))
+
+  /** Per-subspace codebooks: `PqKs` centroids per subspace trained by
+    * `PqIters` relational Lloyd rounds (L2 on subvectors — the PQ metric)
+    * on the same deterministic 30% sample as IVF, seeded from the lowest
+    * vec_ids. Everything distributed; only the M×Ks×SubDim codebook frame
+    * is ever broadcast, each round checkpointed like IVF's. */
+  private def trainPqCodebooks(e: DataFrame): DataFrame = {
+    val train = subvectors(e.filter(pmod(col("vec_id"), lit(10)) < 3), "embedding")
+    var cb = subvectors(e.filter(col("vec_id") < PqKs), "embedding")
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("sub").as("centroid"))
+    for (_ <- 1 to PqIters) {
+      cb = assignCodes(train, cb)
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos").agg(avg("v").as("cv"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("centroid"))
+        .transform(graft.Checkpoints.materialize)
+    }
+    cb
+  }
+
+  /** Product-quantization ANN — the COMPRESSION tier that completes the
+    * index family: IVF prunes which vectors to score, int8 shrinks them
+    * 4×, PQ shrinks them to M bytes (16× here: 64 floats → 8 codes) and
+    * scores WITHOUT reconstructing. Candidate generation reads only the
+    * code table; each query pre-computes its ADC lookup table (partial dot
+    * of each query subvector with every codebook centroid — M·Ks entries),
+    * broadcast as a map; the approx score is M map lookups per (vec,
+    * query), statically unrolled so it stays in whole-stage codegen. The
+    * top `ReRank` per query fetch floats for the exact re-rank — at 100 TB
+    * the scan reads 8-byte codes instead of 256-byte vectors and
+    * point-reads ~30 float rows per query. Float centroid training →
+    * rows-only oracle (AnnSpec asserts recall floor vs brute force). */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cb = trainPqCodebooks(e)
+    val codes = assignCodes(subvectors(e, "embedding"), cb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code").cast("int")).as("codes"))
+    val lut = queriesOf(e)
+      .select(col("query_id"), col("qn"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qe"))
+      .select(col("query_id"), col("qn"), col("m"),
+        transform(slice(col("qe"), col("m") * SubDim + 1, lit(SubDim)),
+          _.cast("double")).as("qsub"))
+      .join(broadcast(cb), "m")
+      .select(col("query_id"), col("qn"),
+        (col("m") * PqKs + col("code")).cast("int").as("slot"),
+        dot(col("qsub"), col("centroid")).as("partial"))
+      .groupBy("query_id")
+      .agg(first(col("qn")).as("qn"),
+        map_from_entries(collect_list(struct(col("slot"), col("partial")))).as("lut"))
+    val adot = (0 until PqM)
+      .map(m => element_at(col("lut"), lit(m * PqKs) + element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+    val candidates = e.select(col("vec_id"), col("nrm")).join(codes, "vec_id")
+      .crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (adot / (col("nrm") * col("qn"))).as("ascore"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("ascore"), asc("vec_id"))))
+      .filter(col("ark") <= PqReRank)
+    candidates
+      .join(broadcast(queriesOf(e)), "query_id")
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ann_pq_topk", pqTopK _, None),
     ("ann_bruteforce_topk", bruteForce _, Some(bruteForceSql)),
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
     ("ann_rp_lsh_topk", rpLshTopK _, None),

@@ -217,6 +217,31 @@ object StreamingEntries extends QueryModule {
 
   private val stUpsertLwwSql = graft.operators.WideColumn.upsertLwwSql
 
+  /** Stream-static enrichment join: the event stream joined to the customer
+    * dimension (broadcast — the dim is static and small vs the stream, the
+    * canonical streaming-enrichment shape) and aggregated per (day,
+    * segment). The static side is re-read per micro-batch by Structured
+    * Streaming, so dim updates between batches are picked up — exactly the
+    * dimension-refresh semantics a 100 TB ingest wants. Exact-decimal sums
+    * keep the drained result hash-equal to the batch join (the oracle). */
+  def stEnrichJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    drain(eventsStream(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Cols.sumExact(col("value"), 2).as("total_value")),
+      "complete")
+  }
+
+  private val stEnrichJoinSql =
+    """SELECT date_trunc('day', ts) AS day, c_mktsegment AS segment,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY date_trunc('day', ts), c_mktsegment""".stripMargin
+
   /** Streaming exact dedup drained to batch: the surviving fingerprint set
     * (which PHYSICAL duplicate row survives depends on arrival order, so the
     * deterministic — and pipeline-relevant — result is the fp set itself).
@@ -238,5 +263,6 @@ object StreamingEntries extends QueryModule {
     ("st_funnel", stFunnel _, Some(stFunnelSql)),
     ("st_upsert_lww", stUpsertLww _, Some(stUpsertLwwSql)),
     ("st_counter_column", stCounter _, Some(stCounterSql)),
+    ("st_enrich_join", stEnrichJoin _, Some(stEnrichJoinSql)),
     ("st_dedup_exact", stDedup _, Some(stDedupSql)))
 }

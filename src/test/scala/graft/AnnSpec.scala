@@ -78,6 +78,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("PQ: 16x-compressed codes + ADC + re-rank, recall floor vs brute force") {
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ann.pqTopK(spark, sf).collect()
+    pq.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.length == 10)
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("score")) <= 1.0001))
+    }
+    val pqSet = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(pqSet).size.toDouble / bf.size
+    info(s"pq recall = $recall")
+    assert(recall >= 0.5, s"pq recall $recall below 0.5")
+  }
+
   test("norm stats: min <= avg <= max per label") {
     Ann.normStats(spark, sf).collect().foreach { r =>
       assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("avg_norm") + 1e-9)

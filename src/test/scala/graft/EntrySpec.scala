@@ -25,7 +25,10 @@ class EntrySpec extends SparkSpec {
     // header parse replaced the stub).
     // Oracles: 81 (r2) + 10 + 1 = 92; rows-only: 8 (minhash/simhash/
     // clusters/rp-lsh/ivf/ivf-int8/approx-distinct/approx-pct).
-    assert(SparkEntry.queries.size == 100, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 92, s"got ${SparkEntry.oracleSql.size}")
+    // round-3 continuation: +5 with oracles (txt_decontaminate,
+    // smp_domain_mix, ev_gap_fill, wc_scd2_merge, st_enrich_join) + 1
+    // rows-only (ann_pq_topk) → 106/97.
+    assert(SparkEntry.queries.size == 106, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 97, s"got ${SparkEntry.oracleSql.size}")
   }
 }

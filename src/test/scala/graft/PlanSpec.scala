@@ -14,9 +14,12 @@ class PlanSpec extends SparkSpec {
     // q11/q22 broadcast a 1-row scalar-subquery aggregate under a non-equi
     // predicate — the canonical plan for an uncorrelated scalar subquery
     // (Catalyst constant-folds any synthetic equi-key away, so a BNLJ with
-    // a single-row build side IS the hash-join-equivalent here).
+    // a single-row build side IS the hash-join-equivalent here);
+    // ev_gap_fill cross-joins the broadcast calendar (grows with days, not
+    // data volume) against the distinct event types.
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
-      "ann_ivf_int8_topk", "q11_important_stock", "q22_dormant_customers")
+      "ann_ivf_int8_topk", "ann_pq_topk", "q11_important_stock",
+      "q22_dormant_customers", "ev_gap_fill")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
