@@ -242,6 +242,50 @@ object StreamingEntries extends QueryModule {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY date_trunc('day', ts), c_mktsegment""".stripMargin
 
+  /** STREAM-STREAM interval join — the attribution query (purchase within
+    * 30 min of a view by the same user) as a watermarked self-join of the
+    * event stream: both sides buffer state keyed on user_id, the time-range
+    * predicate bounds how long a row waits for matches, and the watermarks
+    * let Spark evict state older than the range — the canonical bounded-
+    * state stream-stream join at any scale. The AvailableNow drain emits
+    * every pair (append mode); the bounded per-day aggregate is computed on
+    * the drained result (exactly how stFunnel reduces its drained state).
+    * Oracle = the identical interval self-join in batch SQL. */
+  def stStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val pairs = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+    drain(pairs, "append")
+      .groupBy(to_date(col("view_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("view_id")).as("n_views_converted"))
+  }
+
+  private val stStreamStreamJoinSql =
+    """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+      |           FROM events WHERE event_type = 'view'),
+      | p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      |       FROM events WHERE event_type = 'purchase'),
+      | pairs AS (
+      |  SELECT v.user_id, v.view_ts, v.view_id
+      |  FROM v JOIN p ON v.user_id = p.user_id
+      |   AND p.purchase_ts >= v.view_ts
+      |   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+      |SELECT CAST(view_ts AS DATE) AS day, COUNT(*) AS n_pairs,
+      | COUNT(DISTINCT user_id) AS n_users,
+      | COUNT(DISTINCT view_id) AS n_views_converted
+      |FROM pairs GROUP BY CAST(view_ts AS DATE)""".stripMargin
+
   /** Streaming exact dedup drained to batch: the surviving fingerprint set
     * (which PHYSICAL duplicate row survives depends on arrival order, so the
     * deterministic — and pipeline-relevant — result is the fp set itself).
@@ -264,5 +308,6 @@ object StreamingEntries extends QueryModule {
     ("st_upsert_lww", stUpsertLww _, Some(stUpsertLwwSql)),
     ("st_counter_column", stCounter _, Some(stCounterSql)),
     ("st_enrich_join", stEnrichJoin _, Some(stEnrichJoinSql)),
+    ("st_stream_stream_join", stStreamStreamJoin _, Some(stStreamStreamJoinSql)),
     ("st_dedup_exact", stDedup _, Some(stDedupSql)))
 }
