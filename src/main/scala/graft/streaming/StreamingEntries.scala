@@ -28,20 +28,42 @@ object StreamingEntries extends QueryModule {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** State-store partition count for the drained streaming entries.
+    * Stateful operators pin their state partitioning to the
+    * shuffle-partition conf of the first checkpointed micro-batch — so this
+    * is a per-stream SIZING decision (keys × state volume), not the batch
+    * shuffle default. Per-partition per-batch commit overhead (delta file +
+    * fsync, ×4 stores for a stream-stream join) dominates bounded drains:
+    * measured at sf0.1, the stream-stream join drops 6.5 s → 2.7 s going
+    * 32 → 8 partitions. A 100 TB ingest raises this (more, smaller stores
+    * for parallelism); the semantics are partition-count invariant. */
+  private val streamStatePartitions = "8"
+
+  /** Run `f` (a synchronous stream start+drain) with the streaming state
+    * partition sizing, restoring the session's batch default after. Safe
+    * because every drain awaits termination before returning and entries
+    * run sequentially (Verify/Bench/test all serialize queries). */
+  private def withStreamPartitions[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Drain `df` to completion into a uniquely-named memory sink via
     * AvailableNow and return the sink contents. The temp view is dropped
     * immediately (the returned frame holds the already-resolved sink plan,
     * so its rows stay reachable exactly as long as the caller holds the
     * frame — repeated drains don't accumulate named driver-memory tables). */
-  private def drain(df: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = df.sparkSession.table(name)
-    df.sparkSession.catalog.dropTempView(name)
-    out
-  }
+  private def drain(df: DataFrame, mode: String): DataFrame =
+    withStreamPartitions(df.sparkSession) {
+      val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = df.sparkSession.table(name)
+      df.sparkSession.catalog.dropTempView(name)
+      out
+    }
 
   // The file-stream source wants a DIRECTORY to list; the sf tables are
   // single parquet files, so stage each into a temp dir once per (table, sf)
@@ -166,11 +188,13 @@ object StreamingEntries extends QueryModule {
       Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
     }
-    val q = df.writeStream.format("parquet")
-      .option("path", s"$dir/data")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamPartitions(df.sparkSession) {
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$dir/data")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     df.sparkSession.read.schema(df.schema).parquet(s"$dir/data")
   }
 
@@ -247,10 +271,19 @@ object StreamingEntries extends QueryModule {
     * event stream: both sides buffer state keyed on user_id, the time-range
     * predicate bounds how long a row waits for matches, and the watermarks
     * let Spark evict state older than the range — the canonical bounded-
-    * state stream-stream join at any scale. The AvailableNow drain emits
-    * every pair (append mode); the bounded per-day aggregate is computed on
-    * the drained result (exactly how stFunnel reduces its drained state).
-    * Oracle = the identical interval self-join in batch SQL. */
+    * state stream-stream join at any scale. The pair set is O(matches) —
+    * unbounded at scale — so it drains through the FILES sink (executor →
+    * disk, never driver memory; VERDICT r3 #2); the bounded per-day
+    * aggregate is then computed on the read-back. (Aggregating inside the
+    * stream isn't an option here: the entry's COUNT(DISTINCT) reductions
+    * are unsupported on streaming frames.) Oracle = the identical interval
+    * self-join in batch SQL.
+    *
+    * Oracle-equality note: the staged source is a single file → ONE
+    * AvailableNow data micro-batch, so no pair can arrive after watermark
+    * eviction. With multi-file staging, cross-batch pairs separated by more
+    * than the 1 h watermark could be dropped as late — widen the watermark
+    * beyond the data span if staging ever changes. */
   def stStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val ev = eventsStream(s, d)
     val views = ev.filter(col("event_type") === "view")
@@ -264,7 +297,7 @@ object StreamingEntries extends QueryModule {
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
-    drain(pairs, "append")
+    drainToFiles(pairs)
       .groupBy(to_date(col("view_ts")).as("day"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("user_id")).as("n_users"),
@@ -285,6 +318,59 @@ object StreamingEntries extends QueryModule {
       | COUNT(DISTINCT user_id) AS n_users,
       | COUNT(DISTINCT view_id) AS n_views_converted
       |FROM pairs GROUP BY CAST(view_ts AS DATE)""".stripMargin
+
+  /** STREAM-STREAM LEFT OUTER interval join — unmatched-attribution: every
+    * view with no same-user purchase within 30 min is emitted NULL-extended
+    * when the watermark passes its eviction bound. This is the state-
+    * eviction semantics the inner join never exercises: an outer result can
+    * only be produced once Spark PROVES no future match is possible, i.e.
+    * when the global watermark (min over both sides of max-event-time −
+    * 1 h delay) passes view_ts + 30 min and the buffered view is evicted.
+    * The single-file staging puts all data in one micro-batch (watermark
+    * still at 0 → nothing evicted mid-batch); the trailing no-data
+    * micro-batch advances the watermark and flushes the evictable unmatched
+    * state. Views young enough to still match (view_ts + 30 min ≥ final
+    * watermark) stay buffered and are NOT emitted — the oracle reproduces
+    * that eviction bound explicitly, so the entry hash-proves Spark's
+    * outer-join eviction rule cross-engine. */
+  def stAttributionUnmatched(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    drainToFiles(joined)
+      .filter(col("purchase_id").isNull)
+      .groupBy(to_date(col("view_ts")).as("day"))
+      .agg(count(lit(1)).as("n_unmatched_views"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val stAttributionUnmatchedSql =
+    """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+      |           FROM events WHERE event_type = 'view'),
+      | p AS (SELECT user_id, ts AS purchase_ts
+      |       FROM events WHERE event_type = 'purchase'),
+      | wm AS (SELECT LEAST((SELECT MAX(view_ts) FROM v),
+      |                     (SELECT MAX(purchase_ts) FROM p))
+      |               - INTERVAL 1 HOUR AS w),
+      | unmatched AS (
+      |  SELECT v.user_id, v.view_ts FROM v, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |     AND p.purchase_ts >= v.view_ts
+      |     AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE)
+      |   AND v.view_ts + INTERVAL 30 MINUTE < wm.w)
+      |SELECT CAST(view_ts AS DATE) AS day, COUNT(*) AS n_unmatched_views,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM unmatched GROUP BY CAST(view_ts AS DATE)""".stripMargin
 
   /** Streaming exact dedup drained to batch: the surviving fingerprint set
     * (which PHYSICAL duplicate row survives depends on arrival order, so the
@@ -309,5 +395,6 @@ object StreamingEntries extends QueryModule {
     ("st_counter_column", stCounter _, Some(stCounterSql)),
     ("st_enrich_join", stEnrichJoin _, Some(stEnrichJoinSql)),
     ("st_stream_stream_join", stStreamStreamJoin _, Some(stStreamStreamJoinSql)),
+    ("st_attribution_unmatched", stAttributionUnmatched _, Some(stAttributionUnmatchedSql)),
     ("st_dedup_exact", stDedup _, Some(stDedupSql)))
 }

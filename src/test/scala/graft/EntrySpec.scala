@@ -27,8 +27,10 @@ class EntrySpec extends SparkSpec {
     // clusters/rp-lsh/ivf/ivf-int8/approx-distinct/approx-pct).
     // round-3 continuation: +5 with oracles (txt_decontaminate,
     // smp_domain_mix, ev_gap_fill, wc_scd2_merge, st_enrich_join) + 1
-    // rows-only (ann_pq_topk) → 106/97.
-    assert(SparkEntry.queries.size == 106, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 97, s"got ${SparkEntry.oracleSql.size}")
+    // rows-only (ann_pq_topk) + 1 with oracle (st_stream_stream_join)
+    // → 107/98.
+    // round-4: +1 with oracle (st_attribution_unmatched) → 108/99.
+    assert(SparkEntry.queries.size == 108, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 99, s"got ${SparkEntry.oracleSql.size}")
   }
 }
