@@ -24,6 +24,26 @@ object Ann extends QueryModule {
   private val K = 10
   private def rank = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
 
+  /** Bounded-fan-in per-query top-k for O(n)-candidate stages: pre-reduce
+    * inside (query, hash-bucket) windows first, so the global per-query
+    * rank window sees ≤ PreReduceBuckets·k rows instead of the full
+    * candidate set. A query-only window over n candidates funnels them
+    * into ~|queries| partitions — each partition sort a straggler at
+    * 100× scale; the bucketed pass keeps every sort bounded. The global
+    * top-k is invariant: each of its rows is, a fortiori, in its own
+    * bucket's top-k. */
+  private val PreReduceBuckets = 32
+  private def topKPerQuery(df: DataFrame, scoreCol: String, idCol: String,
+      k: Int, rkName: String): DataFrame = {
+    val local = Window
+      .partitionBy(col("query_id"), pmod(hash(col(idCol)), lit(PreReduceBuckets)))
+      .orderBy(desc(scoreCol), asc(idCol))
+    df.withColumn("brk", row_number().over(local)).filter(col("brk") <= k).drop("brk")
+      .withColumn(rkName, row_number().over(
+        Window.partitionBy("query_id").orderBy(desc(scoreCol), asc(idCol))))
+      .filter(col(rkName) <= k)
+  }
+
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))
 
@@ -353,6 +373,10 @@ object Ann extends QueryModule {
   // PQ's ADC stage is noisier than int8's (16× vs 4× compression), so its
   // re-rank pool is wider — still O(1) float point-reads per query.
   private val PqReRank = 5 * K
+  // IVF×PQ re-ranks wider still: coarse pruning already cut the candidates
+  // ~(nprobe/IvfK), and ADC noise inside the probed cells is the remaining
+  // recall leak — spend the saved scan budget on re-rank depth.
+  private val IvfPqReRank = 10 * K
 
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
@@ -406,14 +430,17 @@ object Ann extends QueryModule {
     * the scan reads 8-byte codes instead of 256-byte vectors and
     * point-reads ~30 float rows per query. Float centroid training →
     * rows-only oracle (AnnSpec asserts recall floor vs brute force). */
-  def pqTopK(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-    val cb = trainPqCodebooks(e)
-    val codes = assignCodes(subvectors(e, "embedding"), cb)
+  /** One M-byte code row per vector under `cb`. */
+  private def pqCodes(e: DataFrame, cb: DataFrame): DataFrame =
+    assignCodes(subvectors(e, "embedding"), cb)
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code").cast("int")).as("codes"))
-    val lut = queriesOf(e)
+
+  /** Per-query ADC lookup table: partial dot of each query subvector with
+    * every codebook centroid, M·Ks entries packed into one map per query. */
+  private def pqLut(e: DataFrame, cb: DataFrame): DataFrame =
+    queriesOf(e)
       .select(col("query_id"), col("qn"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qe"))
       .select(col("query_id"), col("qn"), col("m"),
@@ -426,27 +453,67 @@ object Ann extends QueryModule {
       .groupBy("query_id")
       .agg(first(col("qn")).as("qn"),
         map_from_entries(collect_list(struct(col("slot"), col("partial")))).as("lut"))
-    val adot = (0 until PqM)
-      .map(m => element_at(col("lut"), lit(m * PqKs) + element_at(col("codes"), m + 1)))
-      .reduce(_ + _)
-    val candidates = e.select(col("vec_id"), col("nrm")).join(codes, "vec_id")
-      .crossJoin(broadcast(lut))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (adot / (col("nrm") * col("qn"))).as("ascore"))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("query_id").orderBy(desc("ascore"), asc("vec_id"))))
-      .filter(col("ark") <= PqReRank)
+
+  /** Statically-unrolled ADC score: M map lookups, stays in codegen. */
+  private def adcDot: Column = (0 until PqM)
+    .map(m => element_at(col("lut"), lit(m * PqKs) + element_at(col("codes"), m + 1)))
+    .reduce(_ + _)
+
+  /** Exact re-rank of a bounded (query_id, vec_id) candidate set: fetch the
+    * float vectors for the survivors only and rank by exact cosine. */
+  private def floatReRank(e: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(broadcast(queriesOf(e)), "query_id")
       .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
       .withColumn("rk", row_number().over(rank).cast("long"))
       .filter(col("rk") <= K)
+
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cb = trainPqCodebooks(e)
+    val candidates = e.select(col("vec_id"), col("nrm")).join(pqCodes(e, cb), "vec_id")
+      .crossJoin(broadcast(pqLut(e, cb)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (adcDot / (col("nrm") * col("qn"))).as("ascore"))
+    floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", PqReRank, "ark"))
+  }
+
+  /** IVF×PQ — the full at-scale index: the coarse quantizer prunes WHICH
+    * vectors to score (nprobe of IvfK Voronoi cells), PQ codes decide HOW
+    * to score them (M map lookups against the query's ADC table — the scan
+    * reads M-byte codes, never floats), and only the top `PqReRank`
+    * survivors per query fetch float vectors for the exact re-rank. This
+    * composes ann_ivf_topk's pruning with ann_pq_topk's compression —
+    * at 100 TB the candidate stage reads (nprobe/IvfK) of an M-byte-per-
+    * vector table instead of all 256-byte float rows, and the bucketed
+    * pre-reduce keeps every rank sort bounded. Codebooks quantize raw
+    * vectors (not residuals): residual PQ needs per-cell codebooks — more
+    * state for recall this isotropic corpus can't show; noted as the
+    * production upgrade. Float centroid training → rows-only oracle
+    * (AnnSpec asserts the recall floor and the ≤nprobe-cells property). */
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cent = trainCentroids(e)
+    val cb = trainPqCodebooks(e)
+    val index = assignCells(e, cent).select(col("vec_id"), col("cell"))
+      .join(pqCodes(e, cb), "vec_id")
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+    val probedLut = pqLut(e, cb)
+      .join(probeCells(e, cent).select(col("query_id"), col("pcell")), "query_id")
+    val candidates = index
+      .join(broadcast(probedLut),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        (adcDot / (col("nrm") * col("qn"))).as("ascore"))
+    floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", IvfPqReRank, "ark")
+      .select(col("query_id"), col("vec_id")))
   }
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ann_pq_topk", pqTopK _, None),
+    ("ann_ivfpq_topk", ivfPqTopK _, None),
     ("ann_bruteforce_topk", bruteForce _, Some(bruteForceSql)),
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
     ("ann_rp_lsh_topk", rpLshTopK _, None),

@@ -92,6 +92,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"pq recall $recall below 0.5")
   }
 
+  test("IVF×PQ: candidates from <= nprobe cells, recall tracks the pruned ceiling") {
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Ann.ivfPqTopK(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.length == 10)
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("score")) <= 1.0001))
+    }
+    val ivfpqSet = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(ivfpqSet).size.toDouble / bf.size
+    info(s"ivfpq recall = $recall")
+    // the composition can't beat its coarse-pruning ceiling (float IVF at
+    // nprobe=3 ≈ 0.63 on this isotropic corpus); ADC noise inside probed
+    // cells is mostly absorbed by the 50-candidate float re-rank
+    val ivfSet = Ann.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rIvf = bf.intersect(ivfSet).size.toDouble / bf.size
+    assert(recall >= rIvf - 0.1, s"ivfpq recall $recall too far below ivf $rIvf")
+    assert(recall >= 0.45, s"ivfpq recall $recall below 0.45")
+  }
+
   test("norm stats: min <= avg <= max per label") {
     Ann.normStats(spark, sf).collect().foreach { r =>
       assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("avg_norm") + 1e-9)

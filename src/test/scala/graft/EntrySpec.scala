@@ -29,8 +29,9 @@ class EntrySpec extends SparkSpec {
     // smp_domain_mix, ev_gap_fill, wc_scd2_merge, st_enrich_join) + 1
     // rows-only (ann_pq_topk) + 1 with oracle (st_stream_stream_join)
     // → 107/98.
-    // round-4: +1 with oracle (st_attribution_unmatched) → 108/99.
-    assert(SparkEntry.queries.size == 108, s"got ${SparkEntry.queries.size}")
+    // round-4: +1 with oracle (st_attribution_unmatched) + 1 rows-only
+    // (ann_ivfpq_topk) → 109/99.
+    assert(SparkEntry.queries.size == 109, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 99, s"got ${SparkEntry.oracleSql.size}")
   }
 }

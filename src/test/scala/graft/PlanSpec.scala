@@ -18,8 +18,8 @@ class PlanSpec extends SparkSpec {
     // ev_gap_fill cross-joins the broadcast calendar (grows with days, not
     // data volume) against the distinct event types.
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
-      "ann_ivf_int8_topk", "ann_pq_topk", "q11_important_stock",
-      "q22_dormant_customers", "ev_gap_fill")
+      "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
+      "q11_important_stock", "q22_dormant_customers", "ev_gap_fill")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
@@ -86,6 +86,46 @@ class PlanSpec extends SparkSpec {
       assert(global.isEmpty,
         s"$name plans a global window — all rows to one partition at scale")
     }
+  }
+
+  test("no ANN entry feeds an unbounded candidate set into a per-query window") {
+    // An O(n)-per-query candidate stage (a join with no equi-key, i.e. a
+    // full code/corpus scan per query) must pre-reduce inside finer
+    // (query, bucket) windows before the single-key per-query rank — else
+    // ~|queries| window partitions each sort the whole candidate set at
+    // scale. Asserted structurally on the optimized logical plan: walking
+    // down from any single-key Window, an equi-keyed join (bucket/cell/id
+    // joins — bounded candidates) or a finer-partitioned Window (the
+    // pre-reduce) must appear before any no-equi-key join. Scoped to
+    // windows ORDERING ON A CANDIDATE SCORE (ascore/score) — the
+    // centroid-probe ranks (cscore) are bounded by IvfK rows per query by
+    // construction but sit over a constant-key centroid broadcast this
+    // structural walk can't size. Brute force is exempt: the full scan IS
+    // its semantics (the oracle baseline).
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan, Window => LWindow}
+    def unboundedBelow(p: LogicalPlan): Boolean = p match {
+      case w: LWindow if w.partitionSpec.size > 1 => false // pre-reduced
+      case j: LJoin =>
+        // an equi join re-keys the candidates (bucket/cell/id-restricted —
+        // the LSH/IVF boundedness class) and ends the walk; a no-equi join
+        // pairs every row with every query — the O(n)-per-query stage
+        !j.condition.exists(_.exists { case _: EqualTo => true; case _ => false })
+      case other => other.children.exists(unboundedBelow)
+    }
+    SparkEntry.queries.keys
+      .filter(_.startsWith("ann_")).filterNot(_ == "ann_bruteforce_topk")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        plan.foreach {
+          case w: LWindow if w.partitionSpec.size == 1 &&
+              w.orderSpec.flatMap(_.references.toSeq.map(_.name))
+                .exists(Set("ascore", "score")) =>
+            assert(!unboundedBelow(w.child),
+              s"$name ranks an unbounded candidate set in a per-query window")
+          case _ =>
+        }
+      }
   }
 
   test("scan-heavy aggregations run inside whole-stage codegen") {
