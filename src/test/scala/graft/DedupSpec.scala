@@ -34,7 +34,7 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("simhash: one deterministic 64-bit signature per doc") {
+  test("simhash: one deterministic 60-bit signature per doc") {
     val a = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b && a.size == spark.read.parquet(s"$sf/documents.parquet").count())

@@ -30,8 +30,9 @@ class EntrySpec extends SparkSpec {
     // rows-only (ann_pq_topk) + 1 with oracle (st_stream_stream_join)
     // → 107/98.
     // round-4: +1 with oracle (st_attribution_unmatched) + 1 rows-only
-    // (ann_ivfpq_topk) → 109/99.
+    // (ann_ivfpq_topk); dedup_minhash_lsh + dedup_simhash gained oracles
+    // (md5Int replay) → 109/101.
     assert(SparkEntry.queries.size == 109, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 99, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 101, s"got ${SparkEntry.oracleSql.size}")
   }
 }
