@@ -109,7 +109,10 @@ object Dedup extends QueryModule {
     * inverted-index self-join bounds work to docs that actually share a
     * shingle — no cross join at any scale. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val inv = shingleIndex(s, d)
+    // materialized once: the index lineage (posexplode + two windows +
+    // distinct) feeds the self-join twice AND the per-doc counts — three
+    // full recomputations otherwise (the winnowPairs lesson)
+    val inv = Checkpoints.materialize(shingleIndex(s, d))
     val counts = inv.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
     val pairs = inv.select(col("doc_id").as("doc_a"), col("sg"))
       .join(inv.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")),
@@ -159,7 +162,11 @@ object Dedup extends QueryModule {
     // universal-hash minima — pmod((2i+1)·pmod(md5Int(sg),P) + 97i, P) —
     // are 64 codegen'd min() aggregates in a single map-side-combined
     // shuffle on doc_id.
-    val shingles = shingleIndexOf(docs)
+    // The index is materialized once: it feeds the signature pipeline, the
+    // per-doc counts, and BOTH sides of the intersection join — four full
+    // recomputations of the (posexplode + two windows + distinct) lineage
+    // otherwise (VERDICT r3 #5: reuse the shared shingle index).
+    val shingles = Checkpoints.materialize(shingleIndexOf(docs))
     val inv = shingles
       .select(col("doc_id"), pmod(md5Int(col("sg")), lit(P)).as("h"))
     val sigCols = (0 until 64).map(i =>
@@ -201,14 +208,17 @@ object Dedup extends QueryModule {
     * folds, bucket self-join, exact-Jaccard verification. Generated from
     * the SAME (i, band) constants as the Spark columns so the two engines
     * cannot drift. */
-  private val minhashLshSql: String = {
+  /** The MinHash-LSH pipeline as a reusable CTE block ending in
+    * `mh(doc_a, doc_b, jaccard)` — shared by the minhash entry's oracle
+    * and the connected-components oracles built on its pair graph. */
+  private val minhashPairsCte: String = {
     val sigCols = (0 until 64)
       .map(i => s"MIN((${2 * i + 1}*h + ${97L * i}) % $P) AS m$i").mkString(", ")
     val bandExprs = (0 until 16).map { b =>
       (0 until 4).map(r => s"m${b * 4 + r}")
         .foldLeft("0")((acc, m) => s"(($acc*1000003 + $m) % $P)")
     }.mkString(", ")
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        | sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2] FOR i IN generate_series(1, len(toks)-2)]) AS sh FROM t),
        | inv0 AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
        | inv AS (SELECT doc_id, sg FROM (
@@ -225,14 +235,38 @@ object Dedup extends QueryModule {
        | inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
        |   FROM cands c JOIN inv a ON a.doc_id = c.doc_a
        |   JOIN inv b ON b.doc_id = c.doc_b AND b.sg = a.sg
-       |   GROUP BY 1, 2)
-       |SELECT c.doc_a, c.doc_b,
-       | CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n_sh + cb.n_sh - COALESCE(i.i, 0)) AS jaccard
-       |FROM cands c
-       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-       |JOIN cnt ca ON ca.doc_id = c.doc_a
-       |JOIN cnt cb ON cb.doc_id = c.doc_b""".stripMargin
+       |   GROUP BY 1, 2),
+       | mh AS (SELECT c.doc_a, c.doc_b,
+       |   CAST(COALESCE(i.i, 0) AS DOUBLE) / (ca.n_sh + cb.n_sh - COALESCE(i.i, 0)) AS jaccard
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN cnt ca ON ca.doc_id = c.doc_a
+       |  JOIN cnt cb ON cb.doc_id = c.doc_b)""".stripMargin
   }
+
+  private val minhashLshSql: String =
+    s"WITH $minhashPairsCte\nSELECT doc_a, doc_b, jaccard FROM mh"
+
+  /** Connected components of the thresholded MinHash pair graph as a
+    * DuckDB recursive CTE (reachability + min-label) — tractable for the
+    * oracle's graph sizes, and it makes the LS/SS contraction hash-green
+    * cross-engine instead of only union-find-checked in ScalaTest. */
+  private val ccLabelsCte: String =
+    s"""$minhashPairsCte,
+       | pairs AS (SELECT doc_a, doc_b FROM mh WHERE jaccard >= 0.5),
+       | und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |   UNION SELECT doc_b, doc_a FROM pairs),
+       | reach(u, v) AS (
+       |   SELECT u, v FROM und
+       |   UNION
+       |   SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.v),
+       | labels AS (SELECT u AS id, LEAST(u, MIN(v)) AS label
+       |   FROM reach GROUP BY u)""".stripMargin
+
+  private val clustersSql: String =
+    s"""WITH RECURSIVE $ccLabelsCte
+       |SELECT label AS cluster_id, COUNT(*) AS n_docs
+       |FROM labels GROUP BY label HAVING COUNT(*) >= 2""".stripMargin
 
   // ---- SimHash -------------------------------------------------------------
   /** 60-bit SimHash over token hashes (bit k set iff more than half the
@@ -440,27 +474,70 @@ object Dedup extends QueryModule {
     (labels, rounds)
   }
 
-  /** DataFrame-parametric cluster assignment over any corpus with
-    * `doc_id` + `text`. Dup-free corpora short-circuit to an empty result. */
-  def clustersOf(docs: DataFrame): DataFrame = {
-    // Candidate pairs materialized ONCE (eagerly) before CC fans out over
-    // them — an unmaterialized lineage would re-run the whole MinHash
-    // pipeline per star round.
+  /** Thresholded MinHash pair graph → CC labels (one `(id, label)` row per
+    * non-isolated node); None for a dup-free corpus. Candidate pairs are
+    * materialized ONCE (eagerly) before CC fans out over them — an
+    * unmaterialized lineage would re-run the whole MinHash pipeline per
+    * star round. */
+  private def nearDupLabels(docs: DataFrame): Option[DataFrame] = {
     val pairs = minhashLshOf(docs).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
       .transform(Checkpoints.materialize)
-    if (pairs.isEmpty) {
-      // dup-free corpus: no edges → no clusters (valid input, empty output)
-      val s = docs.sparkSession
-      import org.apache.spark.sql.types._
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("cluster_id", LongType), StructField("n_docs", LongType))))
-    }
-    connectedComponents(pairs)._1
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).cast("long").as("n_docs"))
-      .filter(col("n_docs") >= 2)
+    if (pairs.isEmpty) None else Some(connectedComponents(pairs)._1)
   }
+
+  /** DataFrame-parametric cluster assignment over any corpus with
+    * `doc_id` + `text`. Dup-free corpora short-circuit to an empty result. */
+  def clustersOf(docs: DataFrame): DataFrame =
+    nearDupLabels(docs) match {
+      case Some(labels) =>
+        labels.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .filter(col("n_docs") >= 2)
+      case None =>
+        // dup-free corpus: no edges → no clusters (valid input, empty output)
+        val s = docs.sparkSession
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("cluster_id", LongType), StructField("n_docs", LongType))))
+    }
+
+  /** The near-dup KEEP-LIST — what the pipeline actually consumes after
+    * clustering: every doc outside any near-dup cluster keeps itself, every
+    * cluster keeps its min-id representative, and `n_shadowed` counts the
+    * near-dups the representative shadows (0 for unique docs). Completes
+    * the near-dup story: pairs (dedup_minhash_lsh) → groups
+    * (dedup_clusters) → keep-list (this) — the near-dup analog of
+    * dedup_survivors. Oracle: the same recursive-CTE CC labels, keep-list
+    * assembled in SQL. */
+  def nearSurvivors(s: SparkSession, d: String): DataFrame =
+    nearSurvivorsOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric near-dup keep-list over `doc_id` + `text`. */
+  def nearSurvivorsOf(docs: DataFrame): DataFrame = {
+    val ids = docs.select("doc_id")
+    nearDupLabels(docs) match {
+      case Some(labels) =>
+        val reps = labels.groupBy("label")
+          .agg((count(lit(1)) - 1).cast("long").as("n_shadowed"))
+          .select(col("label").as("doc_id"), col("n_shadowed"))
+        val shadowed = labels.filter(col("id") =!= col("label"))
+          .select(col("id").as("doc_id"))
+        ids.join(shadowed, Seq("doc_id"), "left_anti")
+          .join(reps, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shadowed"))
+      case None => ids.withColumn("n_shadowed", lit(0L))
+    }
+  }
+
+  private val nearSurvivorsSql: String =
+    s"""WITH RECURSIVE $ccLabelsCte,
+       | sizes AS (SELECT label, COUNT(*) - 1 AS n_shadowed FROM labels GROUP BY label),
+       | shadowed AS (SELECT id FROM labels WHERE id <> label)
+       |SELECT d.doc_id, CAST(COALESCE(s.n_shadowed, 0) AS BIGINT) AS n_shadowed
+       |FROM documents d
+       |LEFT JOIN sizes s ON s.label = d.doc_id
+       |WHERE d.doc_id NOT IN (SELECT id FROM shadowed)""".stripMargin
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("dedup_exact", exact _, Some(exactSql)),
@@ -469,6 +546,7 @@ object Dedup extends QueryModule {
     ("dedup_winnow_pairs", winnowPairs _, Some(winnowPairsSql)),
     ("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
     ("dedup_simhash", simhash _, Some(simhashSql)),
-    ("dedup_clusters", clusters _, None),
+    ("dedup_clusters", clusters _, Some(clustersSql)),
+    ("dedup_near_survivors", nearSurvivors _, Some(nearSurvivorsSql)),
     ("dedup_embedding_cosine", embeddingCosine _, Some(embeddingCosineSql)))
 }

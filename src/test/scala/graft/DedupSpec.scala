@@ -72,6 +72,28 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("near-dup keep-list: survivors + shadowed partition the corpus") {
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val kept = Dedup.nearSurvivors(spark, sf).collect()
+    val clusters = Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"))).toMap
+    // every kept doc appears once; shadowed docs = sum over clusters of
+    // (size - 1); kept + shadowed = corpus
+    val shadowedTotal = clusters.values.map(_ - 1).sum
+    assert(kept.length + shadowedTotal == total)
+    // representatives carry their cluster's shadow count; unique docs 0
+    kept.foreach { r =>
+      val (id, ns) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shadowed"))
+      clusters.get(id) match {
+        case Some(size) => assert(ns == size - 1, s"rep $id shadow count")
+        case None => assert(ns == 0L, s"unique doc $id must shadow nothing")
+      }
+    }
+    // and every cluster representative IS in the keep-list
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    clusters.keys.foreach(cid => assert(keptIds(cid), s"rep $cid missing"))
+  }
+
   test("large/small-star converges in O(log n) rounds on a chain graph") {
     val s2 = spark
     import s2.implicits._

@@ -31,8 +31,9 @@ class EntrySpec extends SparkSpec {
     // → 107/98.
     // round-4: +1 with oracle (st_attribution_unmatched) + 1 rows-only
     // (ann_ivfpq_topk); dedup_minhash_lsh + dedup_simhash gained oracles
-    // (md5Int replay) → 109/101.
-    assert(SparkEntry.queries.size == 109, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 101, s"got ${SparkEntry.oracleSql.size}")
+    // (md5Int replay); dedup_clusters gained one (recursive-CTE CC) and
+    // dedup_near_survivors is new with one → 110/103.
+    assert(SparkEntry.queries.size == 110, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 103, s"got ${SparkEntry.oracleSql.size}")
   }
 }
