@@ -289,8 +289,46 @@ object TextAnalysis extends QueryModule {
     """SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_pieces
       |FROM documents""".stripMargin
 
+  /** Corpus-relative unigram statistics — the integer-exact core of a
+    * unigram-LM quality filter (the CCNet-style "does this doc look like
+    * the corpus" signal per-doc heuristics can't give): build the corpus
+    * unigram table (one shuffle on token), join token occurrences back
+    * (second token-key shuffle — hot tokens are exactly the head of a
+    * Zipf curve, AQE skew-join territory at 100 TB), and reduce per doc:
+    *  - mean corpus frequency of the doc's tokens (common-language docs
+    *    high, gibberish low) — integer sum / count, one IEEE division;
+    *  - hapax count (tokens occurring once in the whole corpus — the
+    *    rare-junk detector);
+    *  - distinct-token ratio.
+    * All-integer accumulation, so the oracle is exact (a float unigram
+    * LOG-prob would hit libm last-ulp divergence cross-engine; the
+    * frequency statistics carry the same ordering signal exactly). */
+  def unigramStats(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("cf"))
+    toks.join(freq, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("cf")).cast("double") / count(lit(1))).as("mean_tok_freq"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        (countDistinct(col("t")).cast("double") / count(lit(1))).as("distinct_ratio"))
+  }
+
+  private val unigramStatsSql =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |            FROM documents),
+      | freq AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      | CAST(SUM(cf) AS DOUBLE) / COUNT(*) AS mean_tok_freq,
+      | CAST(SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      | CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*) AS distinct_ratio
+      |FROM tok JOIN freq USING (t)
+      |GROUP BY doc_id""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("txt_token_stats", tokenStats _, Some(tokenStatsSql)),
+    ("txt_unigram_stats", unigramStats _, Some(unigramStatsSql)),
     ("txt_quality_score", qualityScore _, Some(qualityScoreSql)),
     ("txt_lang_id", langId _, Some(langIdSql)),
     ("txt_fingerprint", fingerprintQ _, Some(fingerprintSql)),

@@ -173,16 +173,20 @@ object Ann extends QueryModule {
     cent
   }
 
-  /** Probed cells per query: the NProbe nearest centroids. */
+  /** Probed cells per query: the NProbe nearest centroids. `qcdot` (the
+    * raw query·centroid dot) rides along for the residual-PQ score
+    * decomposition q·x ≈ q·c + q·r̂. */
   private def probeCells(e: DataFrame, cent: DataFrame): DataFrame =
     queriesOf(e).withColumn("j", lit(1))
       .join(broadcast(cent.withColumn("j", lit(1))), "j")
       .select(col("query_id"), col("qe"), col("qn"), col("cell"),
+        dot(col("qe"), col("centroid")).as("qcdot"),
         (dot(col("qe"), col("centroid")) / (col("qn") * col("cnrm"))).as("cscore"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cscore"), asc("cell"))))
       .filter(col("crk") <= NProbe)
-      .select(col("query_id"), col("qe"), col("qn"), col("cell").as("pcell"))
+      .select(col("query_id"), col("qe"), col("qn"), col("cell").as("pcell"),
+        col("qcdot"))
 
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
@@ -401,10 +405,11 @@ object Ann extends QueryModule {
     * `PqIters` relational Lloyd rounds (L2 on subvectors — the PQ metric)
     * on the same deterministic 30% sample as IVF, seeded from the lowest
     * vec_ids. Everything distributed; only the M×Ks×SubDim codebook frame
-    * is ever broadcast, each round checkpointed like IVF's. */
-  private def trainPqCodebooks(e: DataFrame): DataFrame = {
-    val train = subvectors(e.filter(pmod(col("vec_id"), lit(10)) < 3), "embedding")
-    var cb = subvectors(e.filter(col("vec_id") < PqKs), "embedding")
+    * is ever broadcast, each round checkpointed like IVF's. Parametric in
+    * the vector column so the residual tier trains on residuals. */
+  private def trainPqCodebooks(e: DataFrame, vcol: String = "embedding"): DataFrame = {
+    val train = subvectors(e.filter(pmod(col("vec_id"), lit(10)) < 3), vcol)
+    var cb = subvectors(e.filter(col("vec_id") < PqKs), vcol)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sub").as("centroid"))
     for (_ <- 1 to PqIters) {
       cb = assignCodes(train, cb)
@@ -431,8 +436,8 @@ object Ann extends QueryModule {
     * point-reads ~30 float rows per query. Float centroid training →
     * rows-only oracle (AnnSpec asserts recall floor vs brute force). */
   /** One M-byte code row per vector under `cb`. */
-  private def pqCodes(e: DataFrame, cb: DataFrame): DataFrame =
-    assignCodes(subvectors(e, "embedding"), cb)
+  private def pqCodes(e: DataFrame, cb: DataFrame, vcol: String = "embedding"): DataFrame =
+    assignCodes(subvectors(e, vcol), cb)
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code").cast("int")).as("codes"))
@@ -511,9 +516,48 @@ object Ann extends QueryModule {
       .select(col("query_id"), col("vec_id")))
   }
 
+  /** Residual IVF×PQ — the production refinement over [[ivfPqTopK]]: PQ
+    * quantizes the RESIDUAL x − c(cell) instead of the raw vector (FAISS's
+    * IVF-PQ default). Residuals concentrate near 0 once the coarse
+    * quantizer has explained the cell geometry, so the same M×Ks codebook
+    * budget spends its precision on the part of the vector the cell
+    * doesn't already encode. The approximate score decomposes exactly:
+    * q·x ≈ q·c + q·r̂, with q·c precomputed per probed (query, cell) at
+    * probe time (`qcdot`) and q·r̂ the usual M ADC lookups — the LUT is
+    * built from the FULL query subvectors (not query residuals), because
+    * r̂ is a sum of codebook centroids. Same bounded pre-reduce + float
+    * re-rank as the raw-code tier. rows-only like every learned-centroid
+    * entry; AnnSpec asserts recall against the raw-code composition. */
+  def ivfPqResidualTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cent = trainCentroids(e)
+    // residuals materialized once: they feed codebook training (PqIters
+    // rounds) AND encoding — recomputing the assignCells lineage per
+    // consumer would dominate the entry
+    val resid = graft.Checkpoints.materialize(
+      assignCells(e, cent).join(broadcast(cent.select("cell", "centroid")), "cell")
+        .select(col("vec_id"), col("cell"), col("nrm"),
+          zip_with(col("embedding"), col("centroid"),
+            (x, y) => x.cast("double") - y).as("resid")))
+    val cb = trainPqCodebooks(resid, "resid")
+    val index = pqCodes(resid, cb, "resid")
+      .join(resid.select("vec_id", "cell", "nrm"), "vec_id")
+    val probedLut = pqLut(e, cb)
+      .join(probeCells(e, cent).select(col("query_id"), col("pcell"), col("qcdot")),
+        "query_id")
+    val candidates = index
+      .join(broadcast(probedLut),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        ((col("qcdot") + adcDot) / (col("nrm") * col("qn"))).as("ascore"))
+    floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", IvfPqReRank, "ark")
+      .select(col("query_id"), col("vec_id")))
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ann_pq_topk", pqTopK _, None),
     ("ann_ivfpq_topk", ivfPqTopK _, None),
+    ("ann_ivfpq_residual_topk", ivfPqResidualTopK _, None),
     ("ann_bruteforce_topk", bruteForce _, Some(bruteForceSql)),
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
     ("ann_rp_lsh_topk", rpLshTopK _, None),

@@ -113,6 +113,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.45, s"ivfpq recall $recall below 0.45")
   }
 
+  test("residual IVF×PQ recalls at least as well as raw-code IVF×PQ") {
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]) = {
+      val s = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      bf.intersect(s).size.toDouble / bf.size
+    }
+    val raw = recallOf(Ann.ivfPqTopK(spark, sf).collect())
+    val res = recallOf(Ann.ivfPqResidualTopK(spark, sf).collect())
+    info(s"ivfpq raw recall = $raw, residual recall = $res")
+    // residual codebooks spend the same budget on the un-explained part of
+    // the vector; tiny-corpus noise allowed a hair of slack
+    assert(res >= raw - 0.05, s"residual recall $res below raw $raw - 0.05")
+    assert(res >= 0.45, s"residual recall $res below floor")
+  }
+
   test("norm stats: min <= avg <= max per label") {
     Ann.normStats(spark, sf).collect().foreach { r =>
       assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("avg_norm") + 1e-9)

@@ -32,8 +32,10 @@ class EntrySpec extends SparkSpec {
     // round-4: +1 with oracle (st_attribution_unmatched) + 1 rows-only
     // (ann_ivfpq_topk); dedup_minhash_lsh + dedup_simhash gained oracles
     // (md5Int replay); dedup_clusters gained one (recursive-CTE CC) and
-    // dedup_near_survivors is new with one → 110/103.
-    assert(SparkEntry.queries.size == 110, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 103, s"got ${SparkEntry.oracleSql.size}")
+    // dedup_near_survivors is new with one → 110/103; txt_unigram_stats
+    // new with oracle → 111/104; ann_ivfpq_residual_topk new rows-only
+    // → 112/104.
+    assert(SparkEntry.queries.size == 112, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 104, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -19,7 +19,8 @@ class PlanSpec extends SparkSpec {
     // data volume) against the distinct event types.
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
-      "q11_important_stock", "q22_dormant_customers", "ev_gap_fill")
+      "ann_ivfpq_residual_topk", "q11_important_stock",
+      "q22_dormant_customers", "ev_gap_fill")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
