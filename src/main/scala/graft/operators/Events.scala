@@ -327,7 +327,33 @@ object Events extends QueryModule {
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
         count(lit(1)).as("n_events"))
 
+  /** Exact weekly distinct users via MERGEABLE bitmap partials — the
+    * re-aggregatable exact-distinct idiom. Daily (bucket, bitmap) partials
+    * (bitmap_construct_agg over bitmap_bit_position, one fixed-size bitmap
+    * per 32k-id bucket) roll up to weekly counts through bitmap_or_agg,
+    * never re-touching the raw events. At 100 TB the daily partials are the
+    * materialized layer — O(active_ids/32768) rows per day — and every
+    * coarser rollup (week, month, all-time) merges partials instead of
+    * re-scanning the fact table; COUNT(DISTINCT) re-scans are the single
+    * most expensive recurring query on an events store. The oracle is the
+    * plain COUNT(DISTINCT) the merged bitmaps must equal EXACTLY (unlike
+    * the HLL path of ev_approx_distinct). */
+  def bitmapDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(date_trunc("week", col("day")).as("week"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("week")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_active"))
+
+  private val bitmapDistinctSql =
+    """SELECT date_trunc('week', ts) AS week, COUNT(DISTINCT user_id) AS n_active
+      |FROM events GROUP BY date_trunc('week', ts)""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ev_bitmap_distinct", bitmapDistinct _, Some(bitmapDistinctSql)),
     ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),
     ("ev_value_percentiles_approx", valuePercentilesApprox _, None),
     ("ev_approx_distinct", approxDistinct _, None),

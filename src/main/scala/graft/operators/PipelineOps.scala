@@ -310,7 +310,37 @@ object PipelineOps extends QueryModule {
        |FROM r JOIN k USING (source) WHERE r.rk <= k.k""".stripMargin
   }
 
+  /** Quality-weighted deterministic Bernoulli draw: keep each doc with
+    * probability quality² — the importance-sampling step that sharpens the
+    * mix toward high-quality text between gating and packing (a soft gate,
+    * vs txt_gopher_rules' hard one). The uniform is the content hash mapped
+    * to [0,1) — the same md5 device as hashSample, so membership is
+    * re-derivable from the text alone in any engine, with no RNG state to
+    * coordinate across 1000 executors. Map-only: a per-row predicate,
+    * nothing shuffles. */
+  def qualityWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val q = round(graft.functions.TextFunctions.qualityScore(toks), 6)
+    val u = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("double") /
+      lit(math.pow(2.0, 60))
+    Tables.documents(s, d)
+      .filter(u < q * q)
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(q * q, 6).as("keep_prob"))
+  }
+
+  private val qualityWeightedSampleSql =
+    s"""WITH t AS (SELECT doc_id, lang, source, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | s AS (SELECT doc_id, lang, source,
+       |    round(${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")}, 6) AS q,
+       |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) / power(2.0, 60) AS u
+       |  FROM t)
+       |SELECT doc_id, lang, source, round(q * q, 6) AS keep_prob
+       |FROM s WHERE u < q * q""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("smp_quality_weighted", qualityWeightedSample _, Some(qualityWeightedSampleSql)),
     ("txt_decontaminate", decontaminate _, Some(decontaminateSql)),
     ("smp_domain_mix", domainMix _, Some(domainMixSql)),
     ("doc_chunk_overlap", chunkOverlap _, Some(chunkOverlapSql)),

@@ -326,7 +326,49 @@ object TextAnalysis extends QueryModule {
       |FROM tok JOIN freq USING (t)
       |GROUP BY doc_id""".stripMargin
 
+  /** Per-doc top-5 TF-IDF terms — the classic keyword/relevance extraction
+    * pass. Plan: one explode → (doc, term) counts, a term-keyed document-
+    * frequency aggregate joined back ON TERM (a shuffle join, deliberately
+    * not broadcast: at 100 TB the vocabulary is itself large), and the
+    * corpus size via the canonical crossJoin(broadcast(1-row agg)) scalar.
+    * The rank window partitions per doc (never global) and orders by the
+    * ROUNDED score so rank order is reproducible cross-engine; equal
+    * rounded scores tie-break on the term. */
+  def tfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
+  }
+
+  private val tfidfTopkSql =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+      | df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      | scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score, rk FROM (
+      |  SELECT scored.*,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM scored) x WHERE rk <= 5""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_tfidf_topk", tfidfTopk _, Some(tfidfTopkSql)),
     ("txt_token_stats", tokenStats _, Some(tokenStatsSql)),
     ("txt_unigram_stats", unigramStats _, Some(unigramStatsSql)),
     ("txt_quality_score", qualityScore _, Some(qualityScoreSql)),

@@ -431,7 +431,45 @@ object WideColumn extends QueryModule {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
 
+  /** Cassandra lightweight transaction — INSERT ... IF NOT EXISTS (the
+    * Paxos-backed CAS write, with its `[applied]` result column). Batch
+    * twin: the read-before-write is a key-pruned multi-get (the IN filter
+    * is a pushed parquet predicate — at 100 TB it prunes to the candidate
+    * keys' buckets), and a candidate is `applied` iff no existing row holds
+    * its key — existing rows always win, matching the serial-consistency
+    * outcome. The candidate batch is a broadcast-sized literal relation;
+    * nothing shuffles. */
+  def casInsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Seq(123L, 124L, 10000001L, 10000002L)
+    val candidates = Seq(
+      (123L, "cas_new_123"), (124L, "cas_new_124"),
+      (10000001L, "cas_new_10000001"), (10000002L, "cas_new_10000002"))
+      .toDF("user_key", "proposed_name")
+    val existing = Tables.customer(s, d)
+      .filter(col("c_custkey").isin(keys: _*))
+      .select(col("c_custkey").as("user_key"), col("c_name").as("existing_name"))
+    candidates.join(broadcast(existing), Seq("user_key"), "left")
+      .select(col("user_key"), col("proposed_name"),
+        col("existing_name").isNull.as("applied"),
+        coalesce(col("existing_name"), col("proposed_name")).as("final_name"))
+  }
+
+  private val casInsertSql =
+    """WITH cand(user_key, proposed_name) AS (VALUES
+      |  (CAST(123 AS BIGINT), 'cas_new_123'),
+      |  (CAST(124 AS BIGINT), 'cas_new_124'),
+      |  (CAST(10000001 AS BIGINT), 'cas_new_10000001'),
+      |  (CAST(10000002 AS BIGINT), 'cas_new_10000002')),
+      | ex AS (SELECT c_custkey AS user_key, c_name AS existing_name
+      |        FROM customer WHERE c_custkey IN (123, 124, 10000001, 10000002))
+      |SELECT cand.user_key, cand.proposed_name,
+      | ex.existing_name IS NULL AS applied,
+      | coalesce(ex.existing_name, cand.proposed_name) AS final_name
+      |FROM cand LEFT JOIN ex ON cand.user_key = ex.user_key""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_cas_insert", casInsert _, Some(casInsertSql)),
     ("wc_scd2_merge", scd2Merge _, Some(scd2MergeSql)),
     ("wc_compaction_incremental", compactionIncremental _, Some(compactionIncrementalSql)),
     ("wc_partition_stats", partitionStats _, Some(partitionStatsSql)),

@@ -386,7 +386,30 @@ object StreamingEntries extends QueryModule {
       |   '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    * evicts seen-key state once the watermark passes it — the production
+    * answer to st_dedup_exact's grow-forever key state when duplicates only
+    * arrive near-in-time (retry storms, at-least-once source replay). Key =
+    * (user_id, event_type, minute): collapse retried writes within their
+    * minute. Single-batch staging note (ADVICE r3): with AvailableNow over
+    * one staged file everything lands in micro-batch 1, so no eviction can
+    * drop a late duplicate and the drained set equals batch DISTINCT
+    * exactly — and the 30-day delay also covers the whole data span should
+    * the staging ever split into multiple files. Files-sink drain: the
+    * keep-list is O(distinct keys). */
+  def stDedupWatermark(s: SparkSession, d: String): DataFrame =
+    drainToFiles(eventsStream(s, d)
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("minute", "30 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+      .select("user_id", "event_type", "minute"))
+
+  private val stDedupWatermarkSql =
+    """SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+      |FROM events""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_dedup_watermark", stDedupWatermark _, Some(stDedupWatermarkSql)),
     ("st_tumbling_window", stTumbling _, Some(stTumblingSql)),
     ("st_sliding_window", stSliding _, Some(stSlidingSql)),
     ("st_session_window", stSessions _, Some(stSessionsSql)),

@@ -34,8 +34,10 @@ class EntrySpec extends SparkSpec {
     // (md5Int replay); dedup_clusters gained one (recursive-CTE CC) and
     // dedup_near_survivors is new with one → 110/103; txt_unigram_stats
     // new with oracle → 111/104; ann_ivfpq_residual_topk new rows-only
-    // → 112/104.
-    assert(SparkEntry.queries.size == 112, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 104, s"got ${SparkEntry.oracleSql.size}")
+    // → 112/104; round-4 continuation: +5 with oracles (wc_cas_insert,
+    // txt_tfidf_topk, smp_quality_weighted, ev_bitmap_distinct,
+    // st_dedup_watermark) → 117/109.
+    assert(SparkEntry.queries.size == 117, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 109, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -11,6 +11,16 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("bitmap distinct: merged bitmap counts equal exact COUNT(DISTINCT)") {
+    val got = Events.bitmapDistinct(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+  }
+
   test("sessionization: sessions partition all events, gaps respected") {
     val sess = Events.sessionization(spark, sf)
     val total = sess.agg(sum("n_events")).collect()(0).getLong(0)

@@ -14,6 +14,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frac > 0.03 && frac < 0.25, s"sample fraction $frac far from 26/256")
   }
 
+  test("quality-weighted sample: deterministic, and kept docs skew high-quality") {
+    val a = PipelineOps.qualityWeightedSample(spark, sf).collect()
+    val b = PipelineOps.qualityWeightedSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSet == b.map(_.getLong(0)).toSet,
+      "weighted sample must be deterministic")
+    assert(a.nonEmpty && a.length < Tables.documents(spark, sf).count())
+    // importance property: mean keep_prob of the KEPT set exceeds the
+    // corpus mean of q² (higher-weight docs are overrepresented)
+    val keptMean = a.map(_.getAs[Double]("keep_prob")).sum / a.length
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val q = round(graft.functions.TextFunctions.qualityScore(toks), 6)
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg(q * q)).head().getDouble(0)
+    assert(keptMean > corpusMean,
+      s"kept mean $keptMean should exceed corpus mean $corpusMean")
+  }
+
   test("stratified sample: at most 20 per lang, ranks contiguous from 1") {
     val rows = PipelineOps.stratifiedSample(spark, sf).collect()
     rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>

@@ -7,6 +7,17 @@ import org.apache.spark.sql.functions._
   * local mirrors of their DuckDB oracles. */
 class StreamingEntriesSpec extends SparkSpec {
 
+  test("watermarked dedup equals batch DISTINCT on the retry key") {
+    val streamed = StreamingEntries.stDedupWatermark(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("drained tumbling windows equal the batch twin exactly") {
     val streamed = StreamingEntries.stTumbling(spark, sf).collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap

@@ -13,6 +13,20 @@ class WideColumnSpec extends SparkSpec {
     }
   }
 
+  test("CAS insert: applied iff key absent, existing rows always win") {
+    val rows = WideColumn.casInsert(spark, sf).collect()
+    assert(rows.length == 4)
+    val existing = Tables.customer(spark, sf)
+      .filter(col("c_custkey").isin(123L, 124L, 10000001L, 10000002L))
+      .collect().map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("c_name")).toMap
+    rows.foreach { r =>
+      val key = r.getAs[Long]("user_key")
+      assert(r.getAs[Boolean]("applied") == !existing.contains(key))
+      assert(r.getAs[String]("final_name") ==
+        existing.getOrElse(key, r.getAs[String]("proposed_name")))
+    }
+  }
+
   test("partition lookup returns only the requested partition, newest first") {
     val rows = WideColumn.partitionLookup(spark, sf)
       .orderBy("rn").collect()
