@@ -66,7 +66,14 @@ object Bench {
     // doesn't absorb all of codegen/classloading startup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results: Seq[QueryRun] = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration aid: SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the
+    // run (unset → full suite; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    val results: Seq[QueryRun] = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to nRuns).map { _ =>
         val gc0 = gcMs()
         val t0 = System.nanoTime()

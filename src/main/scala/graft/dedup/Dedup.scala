@@ -155,8 +155,14 @@ object Dedup extends QueryModule {
     minhashLshOf(Tables.documents(s, d))
 
   /** DataFrame-parametric MinHash-LSH near-dup pairs over any corpus with
-    * `doc_id` + `text` columns. */
-  def minhashLshOf(docs: DataFrame): DataFrame = {
+    * `doc_id` + `text` columns (presentation-sorted for the driver entry). */
+  def minhashLshOf(docs: DataFrame): DataFrame =
+    minhashPairsOf(docs).orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
+
+  /** The UNSORTED pair set — what downstream consumers (connected
+    * components, keep-list) build on: the entry's global presentation sort
+    * is pure waste under a jaccard filter + materialize. */
+  private def minhashPairsOf(docs: DataFrame): DataFrame = {
     // Signature computed relationally, not with nested HOF lambdas: hash each
     // distinct shingle ONCE with codegen'd md5+conv, then the 64
     // universal-hash minima — pmod((2i+1)·pmod(md5Int(sg),P) + 97i, P) —
@@ -200,7 +206,6 @@ object Dedup extends QueryModule {
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
   }
 
   /** The full MinHash-LSH pipeline replayed in DuckDB: identical shingle
@@ -480,7 +485,7 @@ object Dedup extends QueryModule {
     * unmaterialized lineage would re-run the whole MinHash pipeline per
     * star round. */
   private def nearDupLabels(docs: DataFrame): Option[DataFrame] = {
-    val pairs = minhashLshOf(docs).filter(col("jaccard") >= 0.5)
+    val pairs = minhashPairsOf(docs).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
       .transform(Checkpoints.materialize)
     if (pairs.isEmpty) None else Some(connectedComponents(pairs)._1)

@@ -352,8 +352,25 @@ object Events extends QueryModule {
     """SELECT date_trunc('week', ts) AS week, COUNT(DISTINCT user_id) AS n_active
       |FROM events GROUP BY date_trunc('week', ts)""".stripMargin
 
+  /** The approx twin of [[bitmapDistinct]]: daily HLL sketch partials
+    * merged upward with hll_union_agg — at 100 TB the bitmap layer is exact
+    * but costs O(id-range/8) bits per day; the HLL layer is a fixed ~16 KB
+    * per (day) row at ~2% error, the right tier for wide rollups (all-time
+    * uniques, hundreds of slices). Mergeability — estimate(union(partials))
+    * — is the property proved here; ev_approx_distinct only proved the
+    * one-shot sketch. Rows-only: sketch binaries aren't reproducible in
+    * DuckDB; EventsSpec bounds the merged estimates against exact. */
+  def hllMerge(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
+      .groupBy(date_trunc("week", col("day")).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("hll_users"),
+        sum(col("n_events")).as("n_events"))
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ev_bitmap_distinct", bitmapDistinct _, Some(bitmapDistinctSql)),
+    ("ev_hll_merge", hllMerge _, None),
     ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),
     ("ev_value_percentiles_approx", valuePercentilesApprox _, None),
     ("ev_approx_distinct", approxDistinct _, None),

@@ -326,6 +326,44 @@ object TextAnalysis extends QueryModule {
       |FROM tok JOIN freq USING (t)
       |GROUP BY doc_id""".stripMargin
 
+  /** Per-doc negative log-likelihood under the corpus unigram LM — the
+    * CCNet-style perplexity filter ("does this doc look like the corpus"),
+    * the standard soft quality signal next to the hard Gopher gates.
+    * nll/token = ln(N_total) − avg ln(cf_t). Float sums are
+    * order-dependent, so ln values are rounded to FIXED-POINT micro-nats
+    * BEFORE summation (the emb_centroid_per_label device): the per-doc sum
+    * is exact integer arithmetic — order-independent, bit-identical in any
+    * engine — and only the final per-token division returns to float.
+    * Plan: one token explode, corpus frequencies on one term shuffle, the
+    * total-token count as the 1-row broadcast scalar. */
+  def unigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("cf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val lnFp: Column => Column =
+      c => round(log(c.cast("double")) * lit(1e6)).cast("long")
+    toks.join(freq, "t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "n_total")
+      .agg(count(lit(1)).as("n_tokens"), sum(lnFp(col("cf"))).as("sum_lncf_fp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((lnFp(col("n_total")) * col("n_tokens") - col("sum_lncf_fp"))
+          .cast("double") / (col("n_tokens") * lit(1e6)), 6).as("nll_per_token"))
+  }
+
+  private val unigramLogprobSql =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |            FROM documents),
+      | freq AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
+      | n AS (SELECT COUNT(*) AS n_total FROM tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      | round(CAST(CAST(round(ln(CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT) * COUNT(*)
+      |         - SUM(CAST(round(ln(CAST(cf AS DOUBLE)) * 1e6) AS BIGINT)) AS DOUBLE)
+      |       / (COUNT(*) * 1e6), 6) AS nll_per_token
+      |FROM tok JOIN freq USING (t) CROSS JOIN n
+      |GROUP BY doc_id, n_total""".stripMargin
+
   /** Per-doc top-5 TF-IDF terms — the classic keyword/relevance extraction
     * pass. Plan: one explode → (doc, term) counts, a term-keyed document-
     * frequency aggregate joined back ON TERM (a shuffle join, deliberately
@@ -369,6 +407,7 @@ object TextAnalysis extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("txt_tfidf_topk", tfidfTopk _, Some(tfidfTopkSql)),
+    ("txt_unigram_logprob", unigramLogprob _, Some(unigramLogprobSql)),
     ("txt_token_stats", tokenStats _, Some(tokenStatsSql)),
     ("txt_unigram_stats", unigramStats _, Some(unigramStatsSql)),
     ("txt_quality_score", qualityScore _, Some(qualityScoreSql)),

@@ -36,8 +36,9 @@ class EntrySpec extends SparkSpec {
     // new with oracle → 111/104; ann_ivfpq_residual_topk new rows-only
     // → 112/104; round-4 continuation: +5 with oracles (wc_cas_insert,
     // txt_tfidf_topk, smp_quality_weighted, ev_bitmap_distinct,
-    // st_dedup_watermark) → 117/109.
-    assert(SparkEntry.queries.size == 117, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 109, s"got ${SparkEntry.oracleSql.size}")
+    // st_dedup_watermark) → 117/109; +1 with oracle (txt_unigram_logprob)
+    // + 1 rows-only (ev_hll_merge) → 119/110.
+    assert(SparkEntry.queries.size == 119, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 110, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -21,6 +21,20 @@ class EventsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("merged HLL partials track exact weekly distincts within 5%") {
+    val got = Events.hllMerge(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (w, est) =>
+      val e = exact(w)
+      assert(math.abs(est - e).toDouble / e <= 0.05, s"week $w: $est vs $e")
+    }
+  }
+
   test("sessionization: sessions partition all events, gaps respected") {
     val sess = Events.sessionization(spark, sf)
     val total = sess.agg(sum("n_events")).collect()(0).getLong(0)

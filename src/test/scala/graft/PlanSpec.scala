@@ -18,11 +18,13 @@ class PlanSpec extends SparkSpec {
     // ev_gap_fill cross-joins the broadcast calendar (grows with days, not
     // data volume) against the distinct event types; txt_tfidf_topk
     // broadcasts the 1-row corpus-size aggregate (the q11/q15 scalar
-    // idiom) under its idf expression.
+    // idiom) under its idf expression, as does txt_unigram_logprob for
+    // the corpus token total.
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "ann_ivfpq_residual_topk", "q11_important_stock",
-      "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk")
+      "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
+      "txt_unigram_logprob")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),

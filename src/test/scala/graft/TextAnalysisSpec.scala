@@ -25,6 +25,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigram logprob matches a local recompute of the corpus LM") {
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq)
+    val cf = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val nTotal = docs.map(_._2.length).sum
+    def lnFp(x: Double): Long = math.round(math.log(x) * 1e6)
+    val expected = docs.map { case (id, ts) =>
+      val sum = ts.map(t => lnFp(cf(t).toDouble)).sum
+      id -> BigDecimal((lnFp(nTotal.toDouble) * ts.length - sum).toDouble / (ts.length * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = operators.TextAnalysis.unigramLogprob(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll_per_token")).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) => assert(math.abs(v - expected(id)) < 1e-9, s"doc $id") }
+    // and the signal points the right way: nll is positive (tokens rarer
+    // than the whole corpus) for every doc
+    assert(got.values.forall(_ > 0))
+  }
+
   test("tfidf: corpus-wide terms score zero, rarer terms score higher at equal tf") {
     val n = Tables.documents(spark, sf).count()
     val rows = TextAnalysis.tfidfTopk(spark, sf).collect()
