@@ -47,7 +47,9 @@ class PlanSpec extends SparkSpec {
     Seq("q6_revenue_forecast" -> "l_shipdate",
       "wc_partition_lookup" -> "user_id",
       "wc_counter_column" -> "event_type",
-      "wc_secondary_index" -> "event_type").foreach { case (name, colName) =>
+      "wc_secondary_index" -> "event_type",
+      // the CAS read-before-write: candidate-key IN list prunes the scan
+      "wc_cas_insert" -> "c_custkey").foreach { case (name, colName) =>
       val plan = planOf(name)
       val pushed = "PushedFilters: \\[[^\\]]*" + colName
       assert(pushed.r.findFirstIn(plan).isDefined,
@@ -62,6 +64,17 @@ class PlanSpec extends SparkSpec {
     val cols = schema.split(",").map(_.split(":")(0).trim).toSet
     assert(cols == Set("c_custkey", "c_name", "c_acctbal"),
       s"scan should read exactly the projected columns, got $cols")
+  }
+
+  test("bitmap distinct keeps map-side partial aggregation at every level") {
+    // the mergeable-partial design only pays off if each of the three
+    // aggregation levels (daily build, weekly or-merge, count sum) plans a
+    // partial_ stage before its exchange — a final-only HashAggregate would
+    // move raw rows instead of partials
+    val plan = planOf("ev_bitmap_distinct")
+    val partials = "partial_bitmap_construct_agg|partial_bitmap_or_agg|partial_sum"
+      .r.findAllIn(plan).toSeq
+    assert(partials.size >= 3, s"expected 3 partial agg stages, got $partials")
   }
 
   test("salted join shuffles on the salt, not a broadcast") {
