@@ -22,9 +22,13 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity given precomputed norms (dot / (na * nb)) —
-    * precomputing norms once per row is the at-scale shape. */
+    * precomputing norms once per row is the at-scale shape. A zero-norm
+    * vector (a failed encoder's output — present in any real 100 TB
+    * corpus) has no direction: its cosine is NULL, so it falls out of
+    * score ranks instead of killing the job with ANSI DIVIDE_BY_ZERO.
+    * Value-identical to the plain division everywhere else. */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    dot(a, b) / nullif(na * nb, lit(0.0))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): a
     * splitmix64-style integer mix of (table, bit, dim) — reproducible

@@ -128,7 +128,7 @@ object Ann extends QueryModule {
   private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
     e.withColumn("j", lit(1))
       .join(broadcast(cent.withColumn("j", lit(1))), "j")
-      .withColumn("cscore", dot(col("embedding"), col("centroid")) / (col("nrm") * col("cnrm")))
+      .withColumn("cscore", dot(col("embedding"), col("centroid")) / nullif(col("nrm") * col("cnrm"), lit(0.0)))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("cscore"), -col("cell"))).as("cell"),
         first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
@@ -181,7 +181,7 @@ object Ann extends QueryModule {
       .join(broadcast(cent.withColumn("j", lit(1))), "j")
       .select(col("query_id"), col("qe"), col("qn"), col("cell"),
         dot(col("qe"), col("centroid")).as("qcdot"),
-        (dot(col("qe"), col("centroid")) / (col("qn") * col("cnrm"))).as("cscore"))
+        (dot(col("qe"), col("centroid")) / nullif(col("qn") * col("cnrm"), lit(0.0))).as("cscore"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cscore"), asc("cell"))))
       .filter(col("crk") <= NProbe)
@@ -234,7 +234,7 @@ object Ann extends QueryModule {
       .join(broadcast(probe), col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
         (intDot.cast("double") * col("scale") * col("qscale")
-          / (col("nrm") * col("qn"))).as("ascore"))
+          / nullif(col("nrm") * col("qn"), lit(0.0))).as("ascore"))
       .withColumn("ark", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("ascore"), asc("vec_id"))))
       .filter(col("ark") <= ReRank)
@@ -481,7 +481,7 @@ object Ann extends QueryModule {
       .crossJoin(broadcast(pqLut(e, cb)))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (adcDot / (col("nrm") * col("qn"))).as("ascore"))
+        (adcDot / nullif(col("nrm") * col("qn"), lit(0.0))).as("ascore"))
     floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", PqReRank, "ark"))
   }
 
@@ -511,7 +511,7 @@ object Ann extends QueryModule {
       .join(broadcast(probedLut),
         col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
-        (adcDot / (col("nrm") * col("qn"))).as("ascore"))
+        (adcDot / nullif(col("nrm") * col("qn"), lit(0.0))).as("ascore"))
     floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", IvfPqReRank, "ark")
       .select(col("query_id"), col("vec_id")))
   }
@@ -549,7 +549,7 @@ object Ann extends QueryModule {
       .join(broadcast(probedLut),
         col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        ((col("qcdot") + adcDot) / (col("nrm") * col("qn"))).as("ascore"))
+        ((col("qcdot") + adcDot) / nullif(col("nrm") * col("qn"), lit(0.0))).as("ascore"))
     floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", IvfPqReRank, "ark")
       .select(col("query_id"), col("vec_id")))
   }
