@@ -119,7 +119,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    // zero-norm vector: no direction, cosine undefined → NULL, matching
+    // the declarative dot/nullif(na*nb, 0) form (raw 0.0/0.0 would be NaN)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -142,7 +145,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    double $yv = ${getElemCode(right, b, i)};
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  double ${dot}_den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if (${dot}_den == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / ${dot}_den;
+         |  }
          |}
        """.stripMargin
     })

@@ -37,6 +37,27 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("zero-norm vectors: native and HOF cosine agree on NULL (not NaN/error)") {
+    import graft.functions.VectorFunctions
+    val s2 = spark
+    import s2.implicits._
+    val pairs = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (Array(0f, 0f, 0f), Array(0f, 0f, 0f)),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)))
+      .toDF("a", "b")
+    val both = pairs.select(
+      call_function("graft_cosine", col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b"),
+        VectorFunctions.norm(col("a")), VectorFunctions.norm(col("b"))).as("hof"))
+      .collect()
+    both.take(2).foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1), "zero-norm cosine must be NULL in both paths")
+    }
+    assert(both(2).getDouble(0) == both(2).getDouble(1))
+    assert(math.abs(both(2).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("native cosine equals the composed HOF cosine on real embeddings") {
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, sf).limit(50)
