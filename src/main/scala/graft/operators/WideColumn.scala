@@ -431,6 +431,34 @@ object WideColumn extends QueryModule {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
 
+  /** Seek-cursor pagination — the driver paging-state read (page 2+ of a
+    * partition in clustering order): rows STRICTLY AFTER the cursor
+    * (last_ts, last_id) in (ts DESC, event_id DESC) order, one page of 20.
+    * The seek predicate `(ts, id) < cursor` replaces OFFSET — it prunes at
+    * the scan (pushed parquet filter; at 100 TB it also prunes row groups
+    * by ts min/max), where OFFSET would read and discard every earlier
+    * page. The rank window is per partition key, never global. */
+  def pageAfterCursor(s: SparkSession, d: String): DataFrame = {
+    val curTs = lit("2024-01-15 00:00:00").cast("timestamp")
+    val curId = lit(500000L)
+    Tables.events(s, d)
+      .filter(col("user_id") === 42 &&
+        (col("ts") < curTs || (col("ts") === curTs && col("event_id") < curId)))
+      .withColumn("rn", row_number().over(clusteringDesc).cast("long"))
+      .filter(col("rn") <= 20)
+      .select("user_id", "event_id", "ts", "event_type", "value", "rn")
+  }
+
+  private val pageAfterCursorSql =
+    """SELECT user_id, event_id, ts, event_type, value, rn FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |  WHERE user_id = 42
+      |    AND (ts < TIMESTAMP '2024-01-15 00:00:00'
+      |         OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id < 500000))) t
+      |WHERE rn <= 20""".stripMargin
+
   /** Cassandra lightweight transaction — INSERT ... IF NOT EXISTS (the
     * Paxos-backed CAS write, with its `[applied]` result column). Batch
     * twin: the read-before-write is a key-pruned multi-get (the IN filter
@@ -470,6 +498,7 @@ object WideColumn extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("wc_cas_insert", casInsert _, Some(casInsertSql)),
+    ("wc_page_after_cursor", pageAfterCursor _, Some(pageAfterCursorSql)),
     ("wc_scd2_merge", scd2Merge _, Some(scd2MergeSql)),
     ("wc_compaction_incremental", compactionIncremental _, Some(compactionIncrementalSql)),
     ("wc_partition_stats", partitionStats _, Some(partitionStatsSql)),

@@ -27,6 +27,32 @@ class WideColumnSpec extends SparkSpec {
     }
   }
 
+  test("cursor page: strictly after the cursor, clustering order, one page") {
+    // partition key 42 is empty at sf0.001 (like partitionLookup there);
+    // the paging semantics need a populated partition → assert at sf0.01,
+    // the driver's correctness scale
+    val sf01 = "/root/testdata/sf0.01"
+    val cutMs = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
+    val rows = WideColumn.pageAfterCursor(spark, sf01).orderBy("rn").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getAs[Long]("rn")).toSeq == (1L to rows.length))
+    rows.foreach { r =>
+      val ts = r.getAs[java.sql.Timestamp]("ts").getTime
+      assert(ts < cutMs || (ts == cutMs && r.getAs[Long]("event_id") < 500000L))
+    }
+    val keys = rows.map(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+      r.getAs[Long]("event_id")))
+    assert(keys.sameElements(keys.sortBy(k => (-k._1, -k._2))), "not clustering DESC")
+    // stitches with page 1: these are exactly the next rows of the full
+    // partition read after the cursor position
+    val full = WideColumn.partitionLookup(spark, sf01).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+      .sortBy(k => (-k._1, -k._2))
+    val expected = full.filter(k => k._1 < cutMs || (k._1 == cutMs && k._2 < 500000L))
+      .take(20)
+    assert(keys.sameElements(expected))
+  }
+
   test("partition lookup returns only the requested partition, newest first") {
     val rows = WideColumn.partitionLookup(spark, sf)
       .orderBy("rn").collect()
