@@ -1,0 +1,41 @@
+package graft
+
+/** The winnowing guarantee (Schleimer et al., MOSS): with char-gram size
+  * K=8 and window W=8, any substring shared between two docs of length
+  * ≥ W+K−1 = 15 chars forces at least one shared fingerprint — a window of
+  * grams lying fully inside the shared region selects the same minimum
+  * hash VALUE in both docs. Property-tested on seeded random docs with
+  * planted common substrings (the exact workload dedup_winnow_pairs
+  * mines), plus the converse: disjoint alphabets share nothing. */
+class WinnowPropertySpec extends SparkSpec {
+
+  private def fps(docs: Seq[(Long, String)]): Map[Long, Set[Long]] = {
+    val s2 = spark
+    import s2.implicits._
+    operators.TextAnalysis.winnowed(docs.toDF("doc_id", "text")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("fp")).toSet }
+  }
+
+  test("planted shared substring of >= 15 chars forces a shared fingerprint") {
+    val rnd = new scala.util.Random(7L)
+    def noise(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to 8).foreach { i =>
+      val shared = noise(15 + rnd.nextInt(30))
+      val a = noise(rnd.nextInt(40)) + shared + noise(rnd.nextInt(40))
+      val b = noise(rnd.nextInt(40)) + shared + noise(rnd.nextInt(40))
+      val m = fps(Seq((1L, a), (2L, b)))
+      assert((m(1L) & m(2L)).nonEmpty,
+        s"case $i: '$shared' shared between '$a' and '$b' left no common fp")
+    }
+  }
+
+  test("docs over disjoint alphabets share no fingerprints") {
+    val rnd = new scala.util.Random(11L)
+    val letters = Seq.fill(120)(('a' + rnd.nextInt(26)).toChar).mkString
+    val digits = Seq.fill(120)(('0' + rnd.nextInt(10)).toChar).mkString
+    val m = fps(Seq((1L, letters), (2L, digits)))
+    assert(m(1L).nonEmpty && m(2L).nonEmpty)
+    assert((m(1L) & m(2L)).isEmpty)
+  }
+}
