@@ -336,7 +336,7 @@ object Dedup extends QueryModule {
     s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
        |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-       | round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS score
+       | round(${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0), 4) AS score
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin
 

@@ -334,13 +334,16 @@ object TextAnalysis extends QueryModule {
     * BEFORE summation (the emb_centroid_per_label device): the per-doc sum
     * is exact integer arithmetic — order-independent, bit-identical in any
     * engine — and only the final per-token division returns to float.
-    * Plan: one token explode, corpus frequencies on one term shuffle, the
-    * total-token count as the 1-row broadcast scalar. */
+    * Plan: token explode → corpus frequencies on one term shuffle; the
+    * total-token count is Σcf over the vocab-sized aggregate, broadcast as
+    * the 1-row scalar. */
   def unigramLogprob(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("cf"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // N_total = Σ cf — derived from the vocab-sized aggregate, NOT a third
+    // scan+explode of the corpus (Spark plans repeated subtrees separately)
+    val total = freq.agg(sum("cf").as("n_total"))
     val lnFp: Column => Column =
       c => round(log(c.cast("double")) * lit(1e6)).cast("long")
     toks.join(freq, "t")

@@ -81,7 +81,7 @@ object Ann extends QueryModule {
        | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
        | pairs AS (
        |  SELECT query_id, n.vec_id AS neighbor_id,
-       |    round(${dotSql("qe", "n.embedding")} / (qn * n.nrm), 4) AS score
+       |    round(${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0), 4) AS score
        |  FROM q, n WHERE n.vec_id != query_id)
        |SELECT query_id, neighbor_id, score, rk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
@@ -107,7 +107,7 @@ object Ann extends QueryModule {
        |       FROM n WHERE vec_id < 10),
        | pairs AS (
        |  SELECT query_id, n.vec_id AS neighbor_id, n.bucket,
-       |    round(${dotSql("qe", "n.embedding")} / (qn * n.nrm), 4) AS score
+       |    round(${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0), 4) AS score
        |  FROM q JOIN n ON n.bucket = qbucket AND n.vec_id != query_id)
        |SELECT query_id, neighbor_id, bucket, score, rk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk

@@ -57,12 +57,13 @@ class EdgeCorpusSpec extends SparkSpec {
       .filterNot(fixedDimIndex)
     assert(names.size >= 30, s"harness should cover the doc entries, got $names")
     names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, edgeDir)
       val rows =
-        try SparkEntry.queries(name)(spark, edgeDir).collect()
+        try df.collect()
         catch { case e: Throwable =>
           fail(s"$name threw on the edge corpus: ${e.getMessage}")
         }
-      val schema = SparkEntry.queries(name)(spark, edgeDir).schema
+      val schema = df.schema
       val floatCols = schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType == DoubleType || f.dataType == FloatType => (f.name, i)
       }

@@ -29,9 +29,8 @@ class WideColumnSpec extends SparkSpec {
 
   test("cursor page: strictly after the cursor, clustering order, one page") {
     // partition key 42 is empty at sf0.001 (like partitionLookup there);
-    // the paging semantics need a populated partition → assert at sf0.01,
+    // the paging semantics need a populated partition → assert at sf01,
     // the driver's correctness scale
-    val sf01 = "/root/testdata/sf0.01"
     val cutMs = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime
     val rows = WideColumn.pageAfterCursor(spark, sf01).orderBy("rn").collect()
     assert(rows.nonEmpty && rows.length <= 20)
