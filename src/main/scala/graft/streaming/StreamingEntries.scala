@@ -408,7 +408,29 @@ object StreamingEntries extends QueryModule {
     """SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
       |FROM events""".stripMargin
 
+  /** The streaming MAINTAINER of the exact-distinct partial layer: the
+    * live job that keeps ev_bitmap_distinct's daily (day, bucket, bitmap)
+    * partials current as events arrive — batch rollups (week/month/
+    * all-time) then merge partials without ever re-scanning raw events.
+    * State and drain are both O(days × active-buckets), volume-
+    * independent. The drained partials roll up to per-day counts here so
+    * the oracle is the exact per-day COUNT(DISTINCT) — proving the
+    * streamed bitmaps carry precisely the batch answer. */
+  def stBitmapDaily(s: SparkSession, d: String): DataFrame =
+    drain(eventsStream(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm")),
+      "complete")
+      .groupBy("day")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_active"))
+
+  private val stBitmapDailySql =
+    """SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_active
+      |FROM events GROUP BY date_trunc('day', ts)""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_bitmap_daily", stBitmapDaily _, Some(stBitmapDailySql)),
     ("st_dedup_watermark", stDedupWatermark _, Some(stDedupWatermarkSql)),
     ("st_tumbling_window", stTumbling _, Some(stTumblingSql)),
     ("st_sliding_window", stSliding _, Some(stSlidingSql)),

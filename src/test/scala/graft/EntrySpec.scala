@@ -37,9 +37,9 @@ class EntrySpec extends SparkSpec {
     // → 112/104; round-4 continuation: +5 with oracles (wc_cas_insert,
     // txt_tfidf_topk, smp_quality_weighted, ev_bitmap_distinct,
     // st_dedup_watermark) → 117/109; +1 with oracle (txt_unigram_logprob)
-    // + 1 rows-only (ev_hll_merge) → 119/110; +1 with oracle
-    // (wc_page_after_cursor) → 120/111.
-    assert(SparkEntry.queries.size == 120, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 111, s"got ${SparkEntry.oracleSql.size}")
+    // + 1 rows-only (ev_hll_merge) → 119/110; +2 with oracles
+    // (wc_page_after_cursor, st_bitmap_daily) → 121/112.
+    assert(SparkEntry.queries.size == 121, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 112, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
   * local mirrors of their DuckDB oracles. */
 class StreamingEntriesSpec extends SparkSpec {
 
+  test("streamed bitmap partials carry the exact daily distinct counts") {
+    val streamed = StreamingEntries.stBitmapDaily(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed == exact)
+  }
+
   test("watermarked dedup equals batch DISTINCT on the retry key") {
     val streamed = StreamingEntries.stDedupWatermark(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
