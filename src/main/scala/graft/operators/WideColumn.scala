@@ -431,8 +431,10 @@ object WideColumn extends QueryModule {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
 
-  /** Seek-cursor pagination — the driver paging-state read (page 2+ of a
-    * partition in clustering order): rows STRICTLY AFTER the cursor
+  /** Seek-cursor pagination — the driver paging-state read (page 2+ of
+    * the reference's channel-messages partition read, server.py:98, which
+    * the Python driver auto-pages with fetch_size): rows STRICTLY AFTER
+    * the cursor
     * (last_ts, last_id) in (ts DESC, event_id DESC) order, one page of 20.
     * The seek predicate `(ts, id) < cursor` replaces OFFSET — it prunes at
     * the scan (pushed parquet filter; at 100 TB it also prunes row groups
@@ -460,7 +462,10 @@ object WideColumn extends QueryModule {
       |WHERE rn <= 20""".stripMargin
 
   /** Cassandra lightweight transaction — INSERT ... IF NOT EXISTS (the
-    * Paxos-backed CAS write, with its `[applied]` result column). Batch
+    * Paxos-backed CAS write, with its `[applied]` result column; the
+    * registration-safe variant of the reference's user insert,
+    * server.py:263-269, which blind-upserts and silently overwrites an
+    * existing username). Batch
     * twin: the read-before-write is a key-pruned multi-get (the IN filter
     * is a pushed parquet predicate — at 100 TB it prunes to the candidate
     * keys' buckets), and a candidate is `applied` iff no existing row holds
