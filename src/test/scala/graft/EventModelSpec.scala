@@ -65,6 +65,19 @@ class EventModelSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sessionization groups tied timestamps and splits on every >30min gap") {
+    val got = operators.Events.sessionization(spark, dir).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) => u -> (rs.length, rs.map(_.getAs[Long]("n_events")).sum) }
+    // model: per user, events sorted by (ts, id) fold into sessions on
+    // gap > 30 min. The synthetic log sits on hour boundaries, so every
+    // distinct-ts step opens a session and tied writes share one.
+    val want = events.groupBy(evUser).map { case (u, es) =>
+      u -> (es.map(evTs).distinct.size, es.size.toLong)
+    }
+    assert(got == want)
+  }
+
   test("tumbling windows partition the log: per-hour-type counts and sums") {
     val got = operators.Events.tumblingWindow(spark, dir).collect()
       .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
