@@ -136,8 +136,28 @@ object TextAnalysis extends QueryModule {
   /** Shared winnowing pipeline: one row per gram-window position with its
     * selected fingerprint `fp` (columns doc_id, pos, fp). Both the per-doc
     * stats entry and the cross-doc substring-duplication pairs
-    * (Dedup.winnowPairs) consume this. */
-  private[graft] def winnowed(docs: DataFrame): DataFrame = {
+    * (Dedup.winnowPairs) consume this.
+    *
+    * As of r4 the per-doc minima come from the NATIVE kernel
+    * (plans.WinnowFingerprints — one codegen'd loop per row): the
+    * relational form below shuffles every CHARACTER of the corpus on
+    * doc_id just to sort positions the string already holds in order.
+    * One posexplode of the fingerprint array replaces char-explode + two
+    * windows; values are bit-identical (WinnowPropertySpec asserts
+    * element-for-element equality, incl. non-ASCII), so the DuckDB CTE
+    * oracle — which replays the relational math — is unchanged. */
+  private[graft] def winnowed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.GraftColumns.column(
+        graft.plans.WinnowFingerprints(
+          org.apache.spark.sql.GraftColumns.expression(col("text")))))
+        .as(Seq("pos0", "fp")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("fp"))
+
+  /** The engine-portable relational twin of the native kernel — kept as
+    * the cross-engine specification (the DuckDB oracle CTE mirrors THIS
+    * shape) and as WinnowPropertySpec's parity reference. */
+  private[graft] def winnowedRelational(docs: DataFrame): DataFrame = {
     val K = 8; val W = 8
     val B = 128L; val M = 2147483647L; val A = 1103515245L; val C = 12345L
     val wLead = Window.partitionBy("doc_id").orderBy("pos")

@@ -30,6 +30,26 @@ class WinnowPropertySpec extends SparkSpec {
     }
   }
 
+  test("native kernel is bit-identical to the relational winnow, incl. non-ASCII") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(13L)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "学习数据 处理系统 学习数据 处理系统 需要 更多 文本"),
+      (3L, "emoji 😀 mixed with ascii and café naïve résumé über"),
+      (4L, "short"), // < K chars → no fingerprints in either form
+      (5L, Seq.fill(200)(('a' + rnd.nextInt(26)).toChar).mkString))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("doc_id", "CAST(pos AS LONG) AS pos", "fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val native = rows(operators.TextAnalysis.winnowed(docs))
+    val relational = rows(operators.TextAnalysis.winnowedRelational(docs))
+    assert(native.nonEmpty)
+    assert(native == relational)
+  }
+
   test("docs over disjoint alphabets share no fingerprints") {
     val rnd = new scala.util.Random(11L)
     val letters = Seq.fill(120)(('a' + rnd.nextInt(26)).toChar).mkString
