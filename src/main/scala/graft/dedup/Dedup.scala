@@ -53,8 +53,27 @@ object Dedup extends QueryModule {
   /** DataFrame-parametric form for library users: `docs` needs `doc_id`
     * and `text` columns; everything else in the dedup suite composes on
     * this. The df-filter window shares the sg-hash partitioning the
-    * downstream self-join needs. */
-  def shingleIndexOf(docs: DataFrame): DataFrame = {
+    * downstream self-join needs.
+    *
+    * As of r4 the per-doc distinct shingle set comes from the NATIVE
+    * kernel (plans.WordShingles — one loop per row): the relational twin
+    * below shuffles every TOKEN on doc_id for its window leads.
+    * ShinglePropertySpec asserts per-doc set equality, so the dedup
+    * oracles (which replay the relational construction in SQL) are
+    * unchanged. */
+  def shingleIndexOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.GraftColumns.column(
+          graft.plans.WordShingles(
+            org.apache.spark.sql.GraftColumns.expression(col("text"))))).as("sg"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
+      .filter(col("df") <= MaxPostings)
+      .drop("df")
+
+  /** The engine-portable relational twin — the cross-engine specification
+    * the DuckDB CTEs mirror, and ShinglePropertySpec's parity reference. */
+  private[graft] def shingleIndexRelational(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-3-gram shingle kernel (SURVEY.md §2.H): each doc's DISTINCT
+  * shingle set in one per-row loop, replacing the relational
+  * posexplode + two window leads + distinct — which shuffles every TOKEN
+  * of the corpus on doc_id just to read neighbors the token array already
+  * holds adjacently. Feeds the whole near-dup index substrate (exact
+  * Jaccard, MinHash-LSH, clusters, keep-list).
+  *
+  * Bit-identical contract: same tokenizer (split(trim(text), "\\s+") —
+  * Java regex split, limit −1, exactly TextFunctions.tokens), same
+  * space-joined grams, same per-doc distinct as the relational twin
+  * (ShinglePropertySpec asserts set equality per doc, incl. non-ASCII);
+  * the DuckDB oracle CTEs replay the same construction, so every dedup
+  * oracle stays hash-green. */
+case class WordShingles(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING child, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.WordShingles$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  final val N = 3 // gram size — matches the relational two-lead build
+
+  def compute(u: UTF8String): ArrayData = {
+    val toks = u.toString.trim.split("\\s+", -1)
+    val nG = toks.length - N + 1
+    if (nG <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](nG * 2)
+    var i = 0
+    while (i < nG) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
