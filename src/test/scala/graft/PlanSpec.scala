@@ -77,6 +77,29 @@ class PlanSpec extends SparkSpec {
     assert(partials.size >= 3, s"expected 3 partial agg stages, got $partials")
   }
 
+  test("native text kernels execute inside whole-stage codegen") {
+    // a janino failure in WinnowFingerprints/WordShingles' generated code
+    // would silently fall back to interpreted eval — run the query (AQE
+    // materializes codegen stages at execution) and assert the operator
+    // line carrying the kernel has the "*(n)" codegen-stage marker
+    // the shingle half uses the index builder directly — the dedup entries
+    // checkpoint it eagerly, which truncates the kernel out of their final
+    // plan string (the documented materialize blind spot above)
+    val probes: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("txt_winnow_fingerprint",
+        SparkEntry.queries("txt_winnow_fingerprint")(spark, sf), "graft_winnow_fps"),
+      ("shingleIndexOf",
+        dedup.Dedup.shingleIndexOf(Tables.documents(spark, sf)), "graft_word_shingles"))
+    probes.foreach { case (name, df, fn) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      val kernelLines = plan.linesIterator.filter(_.contains(fn)).toSeq
+      assert(kernelLines.nonEmpty, s"$name should plan the native kernel $fn")
+      assert(kernelLines.exists("\\*\\(\\d+\\) ".r.findFirstIn(_).isDefined),
+        s"$name: $fn fell out of whole-stage codegen:\n${kernelLines.mkString("\n")}")
+    }
+  }
+
   test("salted join shuffles on the salt, not a broadcast") {
     val plan = planOf("skew_salted_join_volume")
     assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(plan).isDefined,
