@@ -19,18 +19,12 @@ object Dedup extends QueryModule {
 
   private val P = 1000000007L
 
-  /** 60-bit md5-derived int64 (15 hex nibbles — the widest hex window that
-    * fits a SIGNED int64 in both engines): the cross-engine-reproducible
-    * string hash for entries whose oracle must replay the hashing in SQL —
-    * `('0x' || substr(md5(x),1,15))::BIGINT` in DuckDB, `conv()` here.
-    * xxhash64 hashes faster but has no SQL twin; a hash-green oracle
-    * beats the constant (VERDICT r3 next-round #4). */
-  private def md5Int(c: Column): Column =
-    conv(substr(md5(c), lit(1), lit(15)), 16, 10).cast("long")
-
-  /** The DuckDB twin of [[md5Int]]. */
-  private def md5IntSql(x: String): String =
-    s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+  /** The shared cross-engine string hash (60-bit md5 window) — see
+    * graft.functions.TextFunctions.md5Int. xxhash64 hashes faster but has
+    * no SQL twin; a hash-green oracle beats the constant (VERDICT r3
+    * next-round #4). */
+  private def md5Int(c: Column): Column = graft.functions.TextFunctions.md5Int(c)
+  private def md5IntSql(x: String): String = graft.functions.TextFunctions.md5IntSql(x)
 
   /** The distinct word-3-gram inverted index `(doc_id, sg)` — the shared
     * substrate for exact-Jaccard and MinHash dedup. Built relationally

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** 60-bit md5-derived int64 (15 hex nibbles — the widest hex window that
+    * fits a SIGNED int64 in both engines): THE cross-engine-reproducible
+    * string hash, shared by every entry whose oracle must replay hashing
+    * in SQL (MinHash universal hashes, SimHash, weighted-sampling
+    * uniforms). Change it only together with [[md5IntSql]]. */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The DuckDB twin of [[md5Int]]. */
+  def md5IntSql(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 

@@ -321,7 +321,7 @@ object PipelineOps extends QueryModule {
   def qualityWeightedSample(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
     val q = round(graft.functions.TextFunctions.qualityScore(toks), 6)
-    val u = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("double") /
+    val u = graft.functions.TextFunctions.md5Int(col("text")).cast("double") /
       lit(math.pow(2.0, 60))
     Tables.documents(s, d)
       .filter(u < q * q)
@@ -334,7 +334,7 @@ object PipelineOps extends QueryModule {
        |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        | s AS (SELECT doc_id, lang, source,
        |    round(${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")}, 6) AS q,
-       |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) / power(2.0, 60) AS u
+       |    ${graft.functions.TextFunctions.md5IntSql("text")} / power(2.0, 60) AS u
        |  FROM t)
        |SELECT doc_id, lang, source, round(q * q, 6) AS keep_prob
        |FROM s WHERE u < q * q""".stripMargin

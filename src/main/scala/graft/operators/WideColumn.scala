@@ -441,7 +441,7 @@ object WideColumn extends QueryModule {
     * by ts min/max), where OFFSET would read and discard every earlier
     * page. The rank window is per partition key, never global. */
   def pageAfterCursor(s: SparkSession, d: String): DataFrame = {
-    val curTs = lit("2024-01-15 00:00:00").cast("timestamp")
+    val curTs = ts("2024-01-15 00:00:00")
     val curId = lit(500000L)
     Tables.events(s, d)
       .filter(col("user_id") === 42 &&

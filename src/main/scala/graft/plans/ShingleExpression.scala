@@ -45,7 +45,15 @@ object WordShingles {
   final val N = 3 // gram size — matches the relational two-lead build
 
   def compute(u: UTF8String): ArrayData = {
-    val toks = u.toString.trim.split("\\s+", -1)
+    // SQL trim strips ASCII SPACES only — Java String.trim strips every
+    // char <= U+0020 (tabs, newlines) and would silently change the token
+    // stream of any doc with a trailing \n vs the relational twin/oracles
+    val s = u.toString
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val toks = s.substring(lo, hi).split("\\s+", -1)
     val nG = toks.length - N + 1
     if (nG <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](nG * 2)

@@ -24,7 +24,11 @@ class ShinglePropertySpec extends SparkSpec {
       (2L, "one two"), // < 3 tokens → no shingles
       (3L, "学习数据 处理系统 学习数据 处理系统 需要 更多 文本"),
       (4L, "  padded   with   extra   whitespace  "),
-      (5L, "same same same same same same")) ++
+      (5L, "same same same same same same"),
+      // SQL trim keeps these; Java String.trim would strip them — the
+      // empty boundary tokens MUST appear in both builds' shingles
+      (13L, "\tleading tab and trailing newline doc\n"),
+      (14L, "\r\ncarriage return bounded doc body here\r")) ++
       (6L to 12L).map(i => i -> doc(5 + rnd.nextInt(60)))).toDF("doc_id", "text")
     val native = sets(Dedup.shingleIndexOf(docs))
     val relational = sets(Dedup.shingleIndexRelational(docs))

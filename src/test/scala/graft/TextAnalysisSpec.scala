@@ -17,17 +17,28 @@ class TextAnalysisSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
     // every ranked term actually occurs in its document's token stream
+    // (sqlTrim, not String.trim: the operator's tokenizer strips spaces only)
     val docToks = Tables.documents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        r.getAs[String]("text").trim.split("\\s+").toSet).toMap
+        sqlTrim(r.getAs[String]("text")).split("\\s+").toSet).toMap
     rows.foreach { r =>
       assert(docToks(r.getAs[Long]("doc_id")).contains(r.getAs[String]("term")))
     }
   }
 
+  /** SQL-trim semantics (ASCII space only) — Java String.trim also strips
+    * tabs/newlines and would diverge from the operators' tokenizer on
+    * whitespace-bounded docs. */
+  private def sqlTrim(s: String): String = {
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s.substring(lo, hi)
+  }
+
   test("unigram logprob matches a local recompute of the corpus LM") {
     val docs = Tables.documents(spark, sf).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq)
+      .map(r => r.getAs[Long]("doc_id") -> sqlTrim(r.getAs[String]("text")).split("\\s+").toSeq)
     val cf = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length }
     val nTotal = docs.map(_._2.length).sum
     def lnFp(x: Double): Long = math.round(math.log(x) * 1e6)
