@@ -554,7 +554,53 @@ object Ann extends QueryModule {
       .select(col("query_id"), col("vec_id")))
   }
 
+  // sfDir → persisted IVF index location: built ONCE per corpus and reused
+  // across calls — the index LIFECYCLE of a real deployment (build job
+  // amortized over every query batch), vs the per-call retrain of
+  // ann_ivf_topk (which benchmarks build+query together).
+  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def prebuiltIndexDir(s: SparkSession, d: String): String =
+    indexDirs.computeIfAbsent(d, { _ =>
+      val e = withNorm(Tables.embeddings(s, d))
+      val cent = trainCentroids(e)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+      sys.addShutdownHook {
+        import java.nio.file._
+        import java.util.Comparator
+        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      // persist both index tables as a deployment would: cell-assigned
+      // vectors (at 100 TB: bucketed by cell so a probe prunes files) and
+      // the centroid table (tiny, broadcast at query time)
+      assignCells(e, cent).write.mode("overwrite").parquet(s"$dir/cells")
+      cent.write.mode("overwrite").parquet(s"$dir/centroids")
+      dir.toString
+    })
+
+  /** The QUERY PATH against the persisted IVF index: read centroids
+    * (broadcast) + the cell-assigned vector table, probe NProbe cells,
+    * exact-cosine re-rank — no training in the loop. Results are
+    * bit-identical to ann_ivf_topk (same deterministic training, proven
+    * in AnnSpec); the bench's cold run pays the one-time build, its min
+    * run shows the amortized per-batch query cost — the number a serving
+    * deployment actually sees. */
+  def ivfPrebuiltTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = prebuiltIndexDir(s, d)
+    val index = s.read.parquet(s"$dir/cells")
+    val cent = s.read.parquet(s"$dir/centroids")
+    val probe = probeCells(withNorm(Tables.embeddings(s, d)), cent)
+    index.join(broadcast(probe),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        score.as("score"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, None),
     ("ann_pq_topk", pqTopK _, None),
     ("ann_ivfpq_topk", ivfPqTopK _, None),
     ("ann_ivfpq_residual_topk", ivfPqResidualTopK _, None),

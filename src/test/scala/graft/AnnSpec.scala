@@ -149,6 +149,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"rp-lsh recall $recall below 0.5")
   }
 
+  test("prebuilt-index IVF returns exactly the per-call-retrain results") {
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toMap
+    val prebuilt = keyed(Ann.ivfPrebuiltTopK(spark, sf))
+    val retrained = keyed(Ann.ivfTopK(spark, sf))
+    assert(prebuilt == retrained,
+      "query path over the persisted index must equal the inline-trained plan")
+    // and the second call reuses the index (cache hit, same results)
+    assert(keyed(Ann.ivfPrebuiltTopK(spark, sf)) == prebuilt)
+  }
+
   test("parametric topKOf ranks an ad-hoc corpus correctly") {
     val s2 = spark
     import s2.implicits._

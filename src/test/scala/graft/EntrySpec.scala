@@ -38,8 +38,9 @@ class EntrySpec extends SparkSpec {
     // txt_tfidf_topk, smp_quality_weighted, ev_bitmap_distinct,
     // st_dedup_watermark) → 117/109; +1 with oracle (txt_unigram_logprob)
     // + 1 rows-only (ev_hll_merge) → 119/110; +2 with oracles
-    // (wc_page_after_cursor, st_bitmap_daily) → 121/112.
-    assert(SparkEntry.queries.size == 121, s"got ${SparkEntry.queries.size}")
+    // (wc_page_after_cursor, st_bitmap_daily) → 121/112; +1 rows-only
+    // (ann_ivf_prebuilt_topk) → 122/112.
+    assert(SparkEntry.queries.size == 122, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 112, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -22,7 +22,8 @@ class PlanSpec extends SparkSpec {
     // the corpus token total.
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
-      "ann_ivfpq_residual_topk", "q11_important_stock",
+      "ann_ivfpq_residual_topk", "ann_ivf_prebuilt_topk",
+      "q11_important_stock",
       "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
       "txt_unigram_logprob")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
