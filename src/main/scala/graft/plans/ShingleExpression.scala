@@ -44,16 +44,25 @@ case class WordShingles(child: Expression) extends UnaryExpression {
 object WordShingles {
   final val N = 3 // gram size — matches the relational two-lead build
 
-  def compute(u: UTF8String): ArrayData = {
-    // SQL trim strips ASCII SPACES only — Java String.trim strips every
-    // char <= U+0020 (tabs, newlines) and would silently change the token
-    // stream of any doc with a trailing \n vs the relational twin/oracles
-    val s = u.toString
+  /** SQL trim semantics: ASCII SPACES only — Java String.trim strips every
+    * char <= U+0020 (tabs, newlines) and would silently change the token
+    * stream of any doc with a trailing \n vs the relational twin/oracles.
+    * Public so test models recompute with the SAME semantics. */
+  def sqlTrim(s: String): String = {
     var lo = 0
     var hi = s.length
     while (lo < hi && s.charAt(lo) == ' ') lo += 1
     while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    val toks = s.substring(lo, hi).split("\\s+", -1)
+    s.substring(lo, hi)
+  }
+
+  /** The exact tokenizer of TextFunctions.tokens — SQL trim + regex split
+    * with limit −1 (Spark's split KEEPS trailing empty tokens; Java's
+    * default limit 0 drops them). */
+  def sqlTokens(s: String): Array[String] = sqlTrim(s).split("\\s+", -1)
+
+  def compute(u: UTF8String): ArrayData = {
+    val toks = sqlTokens(u.toString)
     val nG = toks.length - N + 1
     if (nG <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](nG * 2)

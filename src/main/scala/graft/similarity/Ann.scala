@@ -558,34 +558,50 @@ object Ann extends QueryModule {
   // across calls — the index LIFECYCLE of a real deployment (build job
   // amortized over every query batch), vs the per-call retrain of
   // ann_ivf_topk (which benchmarks build+query together).
+  //
+  // Harness scoping, stated explicitly: (a) the JVM-local temp dir only
+  // works under local[*] — a cluster points these writes at shared storage
+  // (same split as Checkpoints.materialize's localCheckpoint-vs-reliable
+  // switch); (b) the cache keys on the corpus PATH and assumes the test
+  // corpora are immutable — a production index tracks source snapshot
+  // versions and rebuilds on change.
   private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def prebuiltIndexDir(s: SparkSession, d: String): String =
-    indexDirs.computeIfAbsent(d, { _ =>
-      val e = withNorm(Tables.embeddings(s, d))
-      val cent = trainCentroids(e)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
-      sys.addShutdownHook {
-        import java.nio.file._
-        import java.util.Comparator
-        Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
-      // persist both index tables as a deployment would: cell-assigned
-      // vectors (at 100 TB: bucketed by cell so a probe prunes files) and
-      // the centroid table (tiny, broadcast at query time)
-      assignCells(e, cent).write.mode("overwrite").parquet(s"$dir/cells")
-      cent.write.mode("overwrite").parquet(s"$dir/centroids")
-      dir.toString
-    })
+  private def prebuiltIndexDir(s: SparkSession, d: String): String = {
+    val cached = indexDirs.get(d)
+    if (cached != null) return cached
+    // build OUTSIDE the map lock (a multi-second Spark job inside
+    // computeIfAbsent would block unrelated keys in the same bin and
+    // breaks its no-reentrancy contract); a concurrent double-build is
+    // harmless — putIfAbsent keeps one winner, both are identical.
+    val e = withNorm(Tables.embeddings(s, d))
+    val cent = trainCentroids(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+    sys.addShutdownHook {
+      import java.nio.file._
+      import java.util.Comparator
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    // persist both index tables as a deployment would: cell-assigned
+    // vectors (at 100 TB: bucketed by cell so a probe prunes files) and
+    // the centroid table (tiny, broadcast at query time)
+    assignCells(e, cent).write.mode("overwrite").parquet(s"$dir/cells")
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    val prev = indexDirs.putIfAbsent(d, dir.toString)
+    if (prev != null) prev else dir.toString
+  }
 
   /** The QUERY PATH against the persisted IVF index: read centroids
     * (broadcast) + the cell-assigned vector table, probe NProbe cells,
-    * exact-cosine re-rank — no training in the loop. Results are
-    * bit-identical to ann_ivf_topk (same deterministic training, proven
-    * in AnnSpec); the bench's cold run pays the one-time build, its min
-    * run shows the amortized per-batch query cost — the number a serving
-    * deployment actually sees. */
+    * exact-cosine re-rank — no training in the loop. In this harness the
+    * results equal ann_ivf_topk's exactly (AnnSpec): same data, same plan,
+    * same local partitioning — though centroid avg() is reduction-order
+    * float math, so a DIFFERENT cluster layout could legitimately move a
+    * boundary vector (which is why the entry is rows-only, like the other
+    * learned tiers). The bench's cold run pays the one-time build, its
+    * min run shows the amortized per-batch query cost — the number a
+    * serving deployment actually sees. */
   def ivfPrebuiltTopK(s: SparkSession, d: String): DataFrame = {
     val dir = prebuiltIndexDir(s, d)
     val index = s.read.parquet(s"$dir/cells")

@@ -17,28 +17,24 @@ class TextAnalysisSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
     // every ranked term actually occurs in its document's token stream
-    // (sqlTrim, not String.trim: the operator's tokenizer strips spaces only)
+    // (the shared SQL tokenizer, not Java trim/split defaults)
     val docToks = Tables.documents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        sqlTrim(r.getAs[String]("text")).split("\\s+").toSet).toMap
+        toks(r.getAs[String]("text")).toSet).toMap
     rows.foreach { r =>
       assert(docToks(r.getAs[Long]("doc_id")).contains(r.getAs[String]("term")))
     }
   }
 
-  /** SQL-trim semantics (ASCII space only) — Java String.trim also strips
-    * tabs/newlines and would diverge from the operators' tokenizer on
-    * whitespace-bounded docs. */
-  private def sqlTrim(s: String): String = {
-    var lo = 0; var hi = s.length
-    while (lo < hi && s.charAt(lo) == ' ') lo += 1
-    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    s.substring(lo, hi)
-  }
+  /** The operators' exact tokenizer (SQL trim + split limit −1, which
+    * KEEPS trailing empty tokens) — one shared definition with the native
+    * kernel, so the model cannot drift from the engine. */
+  private def toks(s: String): Seq[String] =
+    graft.plans.WordShingles.sqlTokens(s).toSeq
 
   test("unigram logprob matches a local recompute of the corpus LM") {
     val docs = Tables.documents(spark, sf).collect()
-      .map(r => r.getAs[Long]("doc_id") -> sqlTrim(r.getAs[String]("text")).split("\\s+").toSeq)
+      .map(r => r.getAs[Long]("doc_id") -> toks(r.getAs[String]("text")))
     val cf = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length }
     val nTotal = docs.map(_._2.length).sum
     def lnFp(x: Double): Long = math.round(math.log(x) * 1e6)
