@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: hash sampling is a pushable per-row predicate (no shuffle);
   * stratified sampling shuffles once on the stratum key; repetition scoring
-  * shares the one doc_id shuffle of the relational bigram build; packing is
+  * is map-only on the native n-gram kernel (no shuffle at all); packing is
   * windowed PER SOURCE SHARD (never a global single-partition window) —
   * exactly how a 100 TB corpus packs: sequentially within a shard,
   * embarrassingly parallel across shards.
@@ -57,24 +57,24 @@ object PipelineOps extends QueryModule {
       |  FROM documents) t WHERE rk <= 20""".stripMargin
 
   /** Within-doc repetition score: 1 − distinct/total over word bigrams —
-    * the classic "repeated boilerplate" quality filter. Relational bigram
-    * build (posexplode → window lead, one doc_id shuffle — the HOF form
-    * re-evaluates the tokenizer per element in interpreted mode). Docs with
-    * fewer than 2 tokens have no bigrams and drop out in both engines. */
-  def repetitionScore(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    * the classic "repeated boilerplate" quality filter. The bigram multiset
+    * comes from the count-preserving native kernel (plans.WordNgrams — one
+    * codegen'd loop per row), so the whole entry is MAP-ONLY: no shuffle at
+    * any scale (the r4 relational build shuffled every token of the corpus
+    * on doc_id for its window lead — the lineage the native kernels
+    * eliminated everywhere else; VERDICT r4 "wrong" #3). Docs with fewer
+    * than 2 tokens have no bigrams and drop out in both engines. */
+  def repetitionScore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      .select(col("doc_id"), concat_ws(" ", col("t"), lead("t", 1).over(w)).as("bg"),
-        lead("t", 1).over(w).as("t1"))
-      .filter(col("t1").isNotNull)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("bg")).as("n_distinct"))
+      .select(col("doc_id"), org.apache.spark.sql.GraftColumns.column(
+        graft.plans.WordNgrams(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), 2)).as("bgs"))
+      .filter(size(col("bgs")) > 0)
+      .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("long").as("n_distinct"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6)
           .as("rep_score"))
-  }
 
   private val repetitionScoreSql =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

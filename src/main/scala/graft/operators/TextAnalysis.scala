@@ -95,21 +95,20 @@ object TextAnalysis extends QueryModule {
       |FROM documents""".stripMargin
 
   // Corpus-wide top-20 bigrams (the one genuinely shuffling text op).
-  // Relational bigram construction (posexplode → window lead) — the
-  // explode-over-HOF form re-evaluates the tokenizer per lambda element in
-  // interpreted mode (see Dedup.shingleIndex for the measured pathology).
-  def topNgrams(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  // Bigrams come from the count-preserving native kernel (plans.WordNgrams
+  // — one codegen'd loop per row), so the only shuffle left is the
+  // map-side-combined aggregate on the gram itself; the r4 relational
+  // build paid an extra full-corpus token shuffle on doc_id for its
+  // window lead first.
+  def topNgrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      .select(col("doc_id"), concat_ws(" ", col("t"), lead("t", 1).over(w)).as("ngram"),
-        lead("t", 1).over(w).as("t1"))
-      .filter(col("t1").isNotNull)
+      .select(explode(org.apache.spark.sql.GraftColumns.column(
+        graft.plans.WordNgrams(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), 2))).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("ngram"))
       .limit(20)
-  }
 
   private val topNgramsSql =
     """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

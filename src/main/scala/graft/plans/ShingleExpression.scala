@@ -41,6 +41,60 @@ case class WordShingles(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** COUNT-PRESERVING native word-n-gram kernel: every n-gram of the doc in
+  * token order, duplicates kept — the multiset the distinct-set kernel
+  * above cannot express. txt_repetition_score needs the bigram COUNT and
+  * its distinct count (a pure per-row computation once the multiset is in
+  * hand — no shuffle at all), and txt_top_ngrams needs the corpus multiset
+  * (one map-side-combined shuffle on the gram). Both previously rebuilt
+  * grams relationally (posexplode + window lead) — shuffling every token
+  * of the corpus on doc_id just to read a neighbor the token array already
+  * holds adjacently; this kernel finishes the lineage family the r4
+  * winnow/shingle kernels started.
+  *
+  * Same bit-identical contract as WordShingles: sqlTrim/sqlTokens
+  * tokenizer, space-joined grams; per-doc MULTISET equality with the
+  * relational twin is asserted in ShinglePropertySpec. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING child, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.WordNgrams$$.MODULE$$.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def compute(u: UTF8String, n: Int): ArrayData = {
+    val toks = WordShingles.sqlTokens(u.toString)
+    val nG = toks.length - n + 1
+    if (nG <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nG)
+    var i = 0
+    while (i < nG) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object WordShingles {
   final val N = 3 // gram size — matches the relational two-lead build
 

@@ -90,7 +90,13 @@ class PlanSpec extends SparkSpec {
       ("txt_winnow_fingerprint",
         SparkEntry.queries("txt_winnow_fingerprint")(spark, sf), "graft_winnow_fps"),
       ("shingleIndexOf",
-        dedup.Dedup.shingleIndexOf(Tables.documents(spark, sf)), "graft_word_shingles"))
+        dedup.Dedup.shingleIndexOf(Tables.documents(spark, sf)), "graft_word_shingles"),
+      // the count-preserving variant must plan into BOTH consumers of the
+      // former posexplode+lead bigram lineage (VERDICT r4 next-round #2)
+      ("txt_repetition_score",
+        SparkEntry.queries("txt_repetition_score")(spark, sf), "graft_word_ngrams"),
+      ("txt_top_ngrams",
+        SparkEntry.queries("txt_top_ngrams")(spark, sf), "graft_word_ngrams"))
     probes.foreach { case (name, df, fn) =>
       df.collect()
       val plan = df.queryExecution.executedPlan.toString()
@@ -99,6 +105,15 @@ class PlanSpec extends SparkSpec {
       assert(kernelLines.exists("\\*\\(\\d+\\) ".r.findFirstIn(_).isDefined),
         s"$name: $fn fell out of whole-stage codegen:\n${kernelLines.mkString("\n")}")
     }
+  }
+
+  test("repetition score is map-only — zero exchanges at any scale") {
+    // the per-doc bigram stats are a pure function of the row once the
+    // count-preserving kernel supplies the multiset; any Exchange here
+    // means the old per-token doc_id shuffle crept back
+    val plan = planOf("txt_repetition_score")
+    assert(!plan.contains("Exchange"),
+      s"txt_repetition_score should be map-only:\n${plan.take(800)}")
   }
 
   test("salted join shuffles on the salt, not a broadcast") {

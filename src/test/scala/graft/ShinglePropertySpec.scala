@@ -36,4 +36,44 @@ class ShinglePropertySpec extends SparkSpec {
     assert(native == relational)
     assert(!native.contains(2L))
   }
+
+  test("count-preserving n-gram kernel equals the relational build as a MULTISET") {
+    // the counting variant must keep duplicates AND order-insensitive
+    // multiplicity exactly — a set-equality pass would hide a dropped
+    // duplicate, which flips rep_score/top-ngram counts
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23L)
+    def doc(n: Int) = Seq.fill(n)("w" + rnd.nextInt(8)).mkString(" ")
+    val docs = (Seq(
+      (1L, "a b a b a b"), // heavy duplication — the case sets can't see
+      (2L, "solo"),        // < 2 tokens → no bigrams
+      (3L, "same same same same"),
+      (4L, "  pad  ded  "),
+      (13L, "\ttab bounded doc\n"),
+      (14L, "学习 数据 学习 数据 学习")) ++
+      (5L to 12L).map(i => i -> doc(3 + rnd.nextInt(40)))).toDF("doc_id", "text")
+    def multisets(df: org.apache.spark.sql.DataFrame): Map[Long, Map[String, Int]] =
+      df.collect().groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.map(_.getString(1)).groupBy(identity).map { case (g, o) => g -> o.length }
+      }
+    val native = multisets(docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.GraftColumns.column(
+        graft.plans.WordNgrams(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), 2))).as("bg")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val relational = multisets(docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), concat_ws(" ", col("t"), lead("t", 1).over(w)).as("bg"),
+        lead("t", 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select("doc_id", "bg"))
+    assert(native.nonEmpty)
+    assert(native == relational)
+    assert(!native.contains(2L))
+    assert(native(1L)("a b") == 3 && native(1L)("b a") == 2)
+  }
 }
