@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails `sbt -batch "runMain graft.Bench"` stdout and parses the
+// last JSON line. sbt's default LoggedOutput prefixes every forked-process
+// line with "[info] " (breaking json.loads) and appends a "[success]
+// Total time" trailer after it — pass the child's stdout through raw and
+// drop the trailer so the bench summary line is the last line, verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

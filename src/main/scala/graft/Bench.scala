@@ -70,6 +70,14 @@ object Bench {
     // run (unset → full suite; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on names that match nothing — a typo (or a query renamed
+    // later) would otherwise yield a silently-partial run that reads like
+    // a real record (ADVICE r4)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match no query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
 
     val results: Seq[QueryRun] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
