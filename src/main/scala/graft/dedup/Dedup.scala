@@ -544,6 +544,10 @@ object Dedup extends QueryModule {
   // corpora are immutable (a production build tracks snapshot versions).
   private val labelDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook (ADVICE r4): drop the per-JVM label cache so a rewritten
+    * fixture corpus rebuilds instead of serving stale labels. */
+  private[graft] def clearPrebuiltLabelCache(): Unit = labelDirs.clear()
+
   private def labelSchema = {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField("id", LongType), StructField("label", LongType)))

@@ -363,15 +363,19 @@ object TextAnalysis extends QueryModule {
     // N_total = Σ cf — derived from the vocab-sized aggregate, NOT a third
     // scan+explode of the corpus (Spark plans repeated subtrees separately)
     val total = freq.agg(sum("cf").as("n_total"))
+    // floor(x+0.5), not round(): Spark rounds HALF_UP, DuckDB HALF_EVEN —
+    // a tie at the fixed-point boundary of an ln-derived double would flip
+    // the oracle red (the quantizeInt8 device, applied per ADVICE r4).
+    // ln(cf) >= 0 (cf >= 1), so floor(x+0.5) == HALF_UP here.
     val lnFp: Column => Column =
-      c => round(log(c.cast("double")) * lit(1e6)).cast("long")
+      c => floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
     toks.join(freq, "t")
       .crossJoin(broadcast(total))
       .groupBy("doc_id", "n_total")
       .agg(count(lit(1)).as("n_tokens"), sum(lnFp(col("cf"))).as("sum_lncf_fp"))
       .select(col("doc_id"), col("n_tokens"),
-        round((lnFp(col("n_total")) * col("n_tokens") - col("sum_lncf_fp"))
-          .cast("double") / (col("n_tokens") * lit(1e6)), 6).as("nll_per_token"))
+        (floor((lnFp(col("n_total")) * col("n_tokens") - col("sum_lncf_fp"))
+          .cast("double") / col("n_tokens") + 0.5) / lit(1e6)).as("nll_per_token"))
   }
 
   private val unigramLogprobSql =
@@ -380,9 +384,9 @@ object TextAnalysis extends QueryModule {
       | freq AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
       | n AS (SELECT COUNT(*) AS n_total FROM tok)
       |SELECT doc_id, COUNT(*) AS n_tokens,
-      | round(CAST(CAST(round(ln(CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT) * COUNT(*)
-      |         - SUM(CAST(round(ln(CAST(cf AS DOUBLE)) * 1e6) AS BIGINT)) AS DOUBLE)
-      |       / (COUNT(*) * 1e6), 6) AS nll_per_token
+      | floor(CAST(CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) * COUNT(*)
+      |         - SUM(CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |       / COUNT(*) + 0.5) / 1e6 AS nll_per_token
       |FROM tok JOIN freq USING (t) CROSS JOIN n
       |GROUP BY doc_id, n_total""".stripMargin
 
@@ -404,8 +408,12 @@ object TextAnalysis extends QueryModule {
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
+      // floor(x·1e6+0.5)/1e6, not round(,6): HALF_UP/HALF_EVEN parity at
+      // the fixed-point boundary of an ln-derived double (ADVICE r4);
+      // df <= n_docs so the score is never negative and floor(+0.5) is
+      // exact HALF_UP in both engines
       .withColumn("score",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5) / 1e6)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
       .select("doc_id", "term", "tf", "df", "score", "rk")
@@ -420,7 +428,7 @@ object TextAnalysis extends QueryModule {
       | n AS (SELECT COUNT(*) AS n_docs FROM documents),
       | scored AS (
       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+      |    floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6 + 0.5) / 1e6 AS score
       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
       |SELECT doc_id, term, tf, df, score, rk FROM (
       |  SELECT scored.*,

@@ -567,6 +567,11 @@ object Ann extends QueryModule {
   // versions and rebuilds on change.
   private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook (ADVICE r4): drop the per-JVM index cache so a rewritten
+    * fixture corpus rebuilds instead of serving a stale index. Production
+    * invalidation keys on source snapshot versions, not this. */
+  private[graft] def clearPrebuiltIndexCache(): Unit = indexDirs.clear()
+
   private def prebuiltIndexDir(s: SparkSession, d: String): String = {
     val cached = indexDirs.get(d)
     if (cached != null) return cached

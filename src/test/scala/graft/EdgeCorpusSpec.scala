@@ -60,8 +60,10 @@ class EdgeCorpusSpec extends SparkSpec {
       val df = SparkEntry.queries(name)(spark, edgeDir)
       val rows =
         try df.collect()
-        catch { case e: Throwable =>
-          fail(s"$name threw on the edge corpus: ${e.getMessage}")
+        // NonFatal only (an OOM must propagate), and pass the exception as
+        // the cause so the underlying stack trace survives (ADVICE r4)
+        catch { case scala.util.control.NonFatal(e) =>
+          fail(s"$name threw on the edge corpus: ${e.getMessage}", e)
         }
       val schema = df.schema
       val floatCols = schema.fields.zipWithIndex.collect {
