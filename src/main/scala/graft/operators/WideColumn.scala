@@ -461,6 +461,53 @@ object WideColumn extends QueryModule {
       |         OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id < 500000))) t
       |WHERE rn <= 20""".stripMargin
 
+  /** Multi-page cursor CHAIN — the paging contract COMPOSED (page 2+ of
+    * the reference's auto-paged partition read, server.py:98): page 1 is
+    * the literal-cursor seek of [[pageAfterCursor]]; its last row (the min
+    * (ts, event_id) under the DESC clustering order) becomes page 2's
+    * cursor via the 1-row broadcast-scalar idiom (q11/q15), and page 2 is
+    * a second seek read against it — two chained seek reads in ONE plan.
+    * The oracle recomputes pages 1–2 as rows 1–40 of the post-cursor
+    * stream, so hash equality PROVES chaining with the returned cursor
+    * reproduces contiguous pagination: no row lost or duplicated at the
+    * page boundary. Scale shape: both scans push the partition key (and
+    * page 1 its literal ts seek) to parquet; in production the page-2
+    * cursor arrives as a client literal and pushes identically — the
+    * in-plan scalar keeps the chain self-contained here. */
+  def pageChain(s: SparkSession, d: String): DataFrame = {
+    val curTs = ts("2024-01-15 00:00:00")
+    val curId = lit(500000L)
+    val part = Tables.events(s, d).filter(col("user_id") === 42)
+    val page1 = part
+      .filter(col("ts") < curTs || (col("ts") === curTs && col("event_id") < curId))
+      .withColumn("rn", row_number().over(clusteringDesc).cast("long"))
+      .filter(col("rn") <= 20)
+    // last row of page 1 under (ts DESC, id DESC) = the lexicographic min
+    val cursor1 = page1.agg(min(struct(col("ts"), col("event_id"))).as("cur"))
+    val page2 = part
+      .crossJoin(broadcast(cursor1))
+      .filter(col("ts") < col("cur.ts") ||
+        (col("ts") === col("cur.ts") && col("event_id") < col("cur.event_id")))
+      .withColumn("rn", row_number().over(clusteringDesc).cast("long"))
+      .filter(col("rn") <= 20)
+    val cols = Seq("page", "user_id", "event_id", "ts", "event_type", "value", "rn")
+    page1.withColumn("page", lit(1L)).select(cols.map(col): _*)
+      .unionByName(page2.withColumn("page", lit(2L)).select(cols.map(col): _*))
+  }
+
+  private val pageChainSql =
+    """SELECT CAST((grn - 1) // 20 + 1 AS BIGINT) AS page,
+      | user_id, event_id, ts, event_type, value,
+      | CAST(grn - 20 * ((grn - 1) // 20) AS BIGINT) AS rn
+      |FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS grn
+      |  FROM events
+      |  WHERE user_id = 42
+      |    AND (ts < TIMESTAMP '2024-01-15 00:00:00'
+      |         OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id < 500000))) t
+      |WHERE grn <= 40""".stripMargin
+
   /** Cassandra lightweight transaction — INSERT ... IF NOT EXISTS (the
     * Paxos-backed CAS write, with its `[applied]` result column; the
     * registration-safe variant of the reference's user insert,
@@ -504,6 +551,7 @@ object WideColumn extends QueryModule {
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("wc_cas_insert", casInsert _, Some(casInsertSql)),
     ("wc_page_after_cursor", pageAfterCursor _, Some(pageAfterCursorSql)),
+    ("wc_page_chain", pageChain _, Some(pageChainSql)),
     ("wc_scd2_merge", scd2Merge _, Some(scd2MergeSql)),
     ("wc_compaction_incremental", compactionIncremental _, Some(compactionIncrementalSql)),
     ("wc_partition_stats", partitionStats _, Some(partitionStatsSql)),

@@ -41,8 +41,9 @@ class EntrySpec extends SparkSpec {
     // (wc_page_after_cursor, st_bitmap_daily) → 121/112; +1 rows-only
     // (ann_ivf_prebuilt_topk) → 122/112.
     // round-5: +1 with oracle (dedup_labels_prebuilt — the stored label
-    // table replayed by the recursive-CTE oracle) → 123/113.
-    assert(SparkEntry.queries.size == 123, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 113, s"got ${SparkEntry.oracleSql.size}")
+    // table replayed by the recursive-CTE oracle) → 123/113; +1 with
+    // oracle (wc_page_chain — chained seek pagination) → 124/114.
+    assert(SparkEntry.queries.size == 124, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 114, s"got ${SparkEntry.oracleSql.size}")
   }
 }

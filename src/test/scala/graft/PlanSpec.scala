@@ -20,12 +20,14 @@ class PlanSpec extends SparkSpec {
     // broadcasts the 1-row corpus-size aggregate (the q11/q15 scalar
     // idiom) under its idf expression, as does txt_unigram_logprob for
     // the corpus token total.
+    // wc_page_chain broadcasts the 1-row page-1 cursor aggregate under its
+    // seek predicate — the same scalar idiom
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "ann_ivfpq_residual_topk", "ann_ivf_prebuilt_topk",
       "q11_important_stock",
       "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
-      "txt_unigram_logprob")
+      "txt_unigram_logprob", "wc_page_chain")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
@@ -56,6 +58,20 @@ class PlanSpec extends SparkSpec {
       assert(pushed.r.findFirstIn(plan).isDefined,
         s"$name must push its $colName predicate to parquet:\n${plan.take(800)}")
     }
+  }
+
+  test("cursor chain pushes the partition key on both page scans") {
+    // page 2's cursor is a runtime scalar (client-literal in production),
+    // so each scan must still push the partition key to stay a
+    // partition-pruned read. The ts half of the seek cannot push in THIS
+    // harness — events.parquet stores nanos-as-long and Tables.events
+    // derives ts via timestamp_micros(), which no engine pushes through; a
+    // production table stores native TIMESTAMP and the literal seek pushes
+    // like wc_ttl_expiry's does.
+    val plan = planOf("wc_page_chain")
+    val userPushes = "PushedFilters: \\[[^\\]]*user_id".r.findAllIn(plan).size
+    assert(userPushes >= 2,
+      s"both page scans must push user_id (got $userPushes):\n${plan.take(1200)}")
   }
 
   test("projection scan prunes columns at the reader") {
