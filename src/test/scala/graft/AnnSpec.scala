@@ -161,6 +161,17 @@ class AnnSpec extends SparkSpec {
     assert(keyed(Ann.ivfPrebuiltTopK(spark, sf)) == prebuilt)
   }
 
+  test("prebuilt IVF×PQ serves stored codes and matches the inline plan") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toMap
+    // same data, same deterministic training → the stored-code ADC path
+    // must reproduce the inline IVF×PQ results exactly (and so inherits
+    // its recall floor, asserted in the inline test)
+    assert(keyed(Ann.ivfPqPrebuiltTopK(spark, sf)) == keyed(Ann.ivfPqTopK(spark, sf)),
+      "stored-code ADC query path must equal the inline IVF×PQ plan")
+  }
+
   test("parametric topKOf ranks an ad-hoc corpus correctly") {
     val s2 = spark
     import s2.implicits._

@@ -51,7 +51,8 @@ class EdgeCorpusSpec extends SparkSpec {
     // index error) by design rather than silently mis-scoring; excluded
     // here. (The LSH tiers handle ragged dims via the NULL-bucket
     // contract and stay covered.)
-    val fixedDimIndex = Set("ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_residual_topk")
+    val fixedDimIndex = Set("ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
+      "ann_ivfpq_prebuilt_topk")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefixes.exists(n.startsWith))
       .filterNot(fixedDimIndex)

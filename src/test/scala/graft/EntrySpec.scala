@@ -42,8 +42,10 @@ class EntrySpec extends SparkSpec {
     // (ann_ivf_prebuilt_topk) → 122/112.
     // round-5: +1 with oracle (dedup_labels_prebuilt — the stored label
     // table replayed by the recursive-CTE oracle) → 123/113; +1 with
-    // oracle (wc_page_chain — chained seek pagination) → 124/114.
-    assert(SparkEntry.queries.size == 124, s"got ${SparkEntry.queries.size}")
+    // oracle (wc_page_chain — chained seek pagination) → 124/114; +1
+    // rows-only (ann_ivfpq_prebuilt_topk — stored-code ADC serving)
+    // → 125/114.
+    assert(SparkEntry.queries.size == 125, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 114, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -25,6 +25,7 @@ class PlanSpec extends SparkSpec {
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "ann_ivfpq_residual_topk", "ann_ivf_prebuilt_topk",
+      "ann_ivfpq_prebuilt_topk",
       "q11_important_stock",
       "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
       "txt_unigram_logprob", "wc_page_chain")
