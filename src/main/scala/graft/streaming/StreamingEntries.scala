@@ -429,7 +429,55 @@ object StreamingEntries extends QueryModule {
     """SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS n_active
       |FROM events GROUP BY date_trunc('day', ts)""".stripMargin
 
+  /** The streaming MAINTAINER of the near-dup signature substrate: per-doc
+    * 64-perm MinHash signatures computed as docs arrive, the live half of
+    * the dedup index lifecycle (the batch half builds pair graph + labels
+    * from exactly these signatures — dedup_labels_prebuilt). The signature
+    * is a pure per-doc function (native shingle kernel → md5 universal
+    * hashes → 64 array minima, all map-side), so the only state is the
+    * at-least-once replay guard: dropDuplicatesWithinWatermark on doc_id,
+    * O(docs-in-watermark) and evicted as the watermark passes. Files-sink
+    * drain (the signature table is corpus-sized). The df-cap of the batch
+    * PAIR pipeline is deliberately absent: document frequency is a
+    * corpus-level join-side cut, not part of a doc's signature. Oracle:
+    * the same 64 minima replayed per doc as DuckDB list comprehensions
+    * over the same (i, band) constants — hash-green. */
+  def stMinhashSig(s: SparkSession, d: String): DataFrame = {
+    val P = 1000000007L
+    val shingles = org.apache.spark.sql.GraftColumns.column(
+      graft.plans.WordShingles(
+        org.apache.spark.sql.GraftColumns.expression(col("text"))))
+    val sigCols = (0 until 64).map(i =>
+      array_min(transform(col("hs"),
+        h => pmod(h * lit(2L * i + 1) + lit(97L * i), lit(P)))).as(s"m$i"))
+    drainToFiles(documentsStream(s, d)
+      .withWatermark("ingest_ts", "30 days")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+      // hash each distinct shingle ONCE, then the 64 universal hashes are
+      // integer ops over the hashed array (the batch sig pipeline's shape)
+      .withColumn("hs", transform(col("sh"),
+        sg => pmod(graft.functions.TextFunctions.md5Int(sg), lit(P))))
+      .select(col("doc_id") +: sigCols: _*))
+  }
+
+  private val stMinhashSigSql: String = {
+    val P = 1000000007L
+    val md5 = graft.functions.TextFunctions.md5IntSql("sg")
+    val sigCols = (0 until 64).map(i =>
+      s"list_min([(hv * ${2L * i + 1} + ${97L * i}) % $P FOR hv IN hs]) AS m$i")
+      .mkString(",\n | ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2] FOR i IN generate_series(1, len(toks)-2)]) AS sh FROM t),
+       | hs AS (SELECT doc_id, [$md5 % $P FOR sg IN sh] AS hs FROM sh WHERE len(sh) > 0)
+       |SELECT doc_id,
+       | $sigCols
+       |FROM hs""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_minhash_sig", stMinhashSig _, Some(stMinhashSigSql)),
     ("st_bitmap_daily", stBitmapDaily _, Some(stBitmapDailySql)),
     ("st_dedup_watermark", stDedupWatermark _, Some(stDedupWatermarkSql)),
     ("st_tumbling_window", stTumbling _, Some(stTumblingSql)),
