@@ -20,12 +20,23 @@ object Skew {
     * tasks instead of one. Results are identical to `probe.join(build,
     * key)` — only the shuffle distribution changes. Build-side cost: n×
     * replication, so use for fact↔mid-size-dim joins where the dim is too
-    * big to broadcast and the fact has hot keys. */
+    * big to broadcast and the fact has hot keys.
+    *
+    * Both sides are repartitioned on (key, _salt) EXPLICITLY: a
+    * ClusteredDistribution over (key, _salt) is satisfied by a
+    * key-only HashPartitioning (subset semantics), so when the build side
+    * arrives already key-partitioned (a groupBy(key) aggregate — the
+    * frequency-table shape), EnsureRequirements would co-partition the
+    * join on the bare key and silently put every hot-key row back in one
+    * task. The pinned partitioning keeps the salt load-bearing; SkewSpec
+    * asserts it on a hostile Zipf corpus. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String, n: Int,
       probeRowId: Column): DataFrame = {
     val p = probe.withColumn("_salt", salt(probeRowId, n))
+      .repartition(col(key), col("_salt"))
     val b = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(n.toLong - 1))))
+      .repartition(col(key), col("_salt"))
     p.join(b, Seq(key, "_salt")).drop("_salt")
   }
 
