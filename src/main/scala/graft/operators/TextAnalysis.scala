@@ -378,7 +378,8 @@ object TextAnalysis extends QueryModule {
     // ln(cf) >= 0 (cf >= 1), so floor(x+0.5) == HALF_UP here.
     val lnFp: Column => Column =
       c => floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
-    toks.join(freq, "t")
+    // salted token join — same Zipf-head reasoning as unigramStats
+    graft.functions.Skew.saltedJoin(toks, freq, "t", 8, col("doc_id"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id", "n_total")
       .agg(count(lit(1)).as("n_tokens"), sum(lnFp(col("cf"))).as("sum_lncf_fp"))
