@@ -339,7 +339,50 @@ object PipelineOps extends QueryModule {
        |SELECT doc_id, lang, source, round(q * q, 6) AS keep_prob
        |FROM s WHERE u < q * q""".stripMargin
 
+  /** Temperature-scaled source mixing (the multilingual-sampling standard,
+    * Conneau & Lample 2019-style, at α = 0.5): per-source keep rate
+    * ∝ share^α, normalized so the LARGEST source keeps rate 1 — low-
+    * resource sources are upsampled relative to their share, the head
+    * domain is never inflated. Deterministic: the per-doc uniform is the
+    * md5 content hash (the smp_quality_weighted device), so membership is
+    * re-derivable from text alone on any engine/cluster. Cross-engine
+    * exactness: α = 0.5 is computed as sqrt (IEEE correctly-rounded in
+    * both engines — pow(x, 0.5) would be libm-dependent), and every other
+    * step is a single deterministic division. Scale shape: one tiny
+    * per-source count aggregate; rates broadcast back; the doc filter is
+    * map-only. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    // mixes by LANGUAGE — the dimension the multilingual-sampling paper
+    // balances, and the skewed one in this corpus (en ≈ 3× fr), so the
+    // upsampling branch is actually exercised (the source column is
+    // uniform here; smp_domain_mix covers source-budgeted mixing)
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val srt = counts.crossJoin(broadcast(total))
+      .withColumn("srt", sqrt(col("cnt").cast("double") / col("total")))
+    val maxSrt = srt.agg(max(col("srt")).as("mx"))
+    val rates = srt.crossJoin(broadcast(maxSrt))
+      .select(col("lang"), (col("srt") / col("mx")).as("keep_rate"))
+    val u = graft.functions.TextFunctions.md5Int(col("text")).cast("double") /
+      lit(math.pow(2.0, 60))
+    docs.join(broadcast(rates), "lang")
+      .filter(u < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("keep_rate"))
+  }
+
+  private val temperatureMixSql =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+       | t AS (SELECT SUM(cnt) AS total FROM c),
+       | r0 AS (SELECT lang, sqrt(CAST(cnt AS DOUBLE) / total) AS srt FROM c CROSS JOIN t),
+       | m AS (SELECT MAX(srt) AS mx FROM r0),
+       | r AS (SELECT lang, srt / mx AS keep_rate FROM r0 CROSS JOIN m)
+       |SELECT d.doc_id, d.lang, r.keep_rate
+       |FROM documents d JOIN r USING (lang)
+       |WHERE ${graft.functions.TextFunctions.md5IntSql("d.text")} / power(2.0, 60) < r.keep_rate""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("smp_temperature_mix", temperatureMix _, Some(temperatureMixSql)),
     ("smp_quality_weighted", qualityWeightedSample _, Some(qualityWeightedSampleSql)),
     ("txt_decontaminate", decontaminate _, Some(decontaminateSql)),
     ("smp_domain_mix", domainMix _, Some(domainMixSql)),

@@ -447,7 +447,81 @@ object TextAnalysis extends QueryModule {
       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
       |  FROM scored) x WHERE rk <= 5""".stripMargin
 
+  /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 — the
+    * duplicate-text filters next to txt_gopher_rules' structural ones):
+    * per doc, the fraction of lines that are duplicates (by count and by
+    * character mass) and the fraction of characters covered by the most
+    * frequent word bigram. High values mark boilerplate/spam that
+    * length/stopword heuristics miss. Two shuffles, both map-side
+    * combinable and both partitioned by doc: (doc, line) counts and
+    * (doc, bigram) counts — the bigram multiset comes from the native
+    * count-preserving kernel, and the per-doc argmax window is bounded by
+    * the doc's distinct bigrams (never global). Fractions are single
+    * integer-over-integer divisions — IEEE-identical cross-engine; the
+    * top-bigram tie breaks to the lexicographically smallest gram. */
+  def gopherRepetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lineStats = docs
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy("doc_id", "line").agg(count(lit(1)).as("c"))
+      .withColumn("len", length(col("line")).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_lines"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_lines"),
+        sum(col("len") * col("c")).as("tot_line_chars"),
+        sum(when(col("c") >= 2, col("len") * col("c")).otherwise(0L)).as("dup_line_chars"))
+    val topBg = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(org.apache.spark.sql.GraftColumns.column(
+          graft.plans.WordNgrams(
+            org.apache.spark.sql.GraftColumns.expression(col("text")), 2))).as("bg"))
+      .groupBy(col("doc_id"), col("n_chars"), col("bg")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("n"), asc("bg"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        (col("n") * length(col("bg")).cast("long")).cast("double")
+          ./(col("n_chars").cast("double")).as("top_bigram_char_frac"))
+    lineStats.join(topBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("dup_lines").cast("double") / col("n_lines")).as("dup_line_frac"),
+        when(col("tot_line_chars") > 0,
+          col("dup_line_chars").cast("double") / col("tot_line_chars"))
+          .otherwise(lit(0.0)).as("dup_line_char_frac"),
+        coalesce(col("top_bigram_char_frac"), lit(0.0)).as("top_bigram_char_frac"))
+  }
+
+  private val gopherRepetitionSql =
+    """WITH l AS (
+      |  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+      |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents) z
+      |  GROUP BY doc_id, line),
+      | ls AS (
+      |  SELECT doc_id, SUM(c) AS n_lines,
+      |    SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_lines,
+      |    SUM(len * c) AS tot_line_chars,
+      |    SUM(CASE WHEN c >= 2 THEN len * c ELSE 0 END) AS dup_line_chars
+      |  FROM l GROUP BY doc_id),
+      | t AS (SELECT doc_id, length(text) AS n_chars,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      | g AS (SELECT doc_id, n_chars,
+      |         unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)]) AS bg
+      |       FROM t),
+      | gc AS (SELECT doc_id, n_chars, bg, COUNT(*) AS n FROM g GROUP BY doc_id, n_chars, bg),
+      | top AS (SELECT doc_id,
+      |    CAST(n * length(bg) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top_bigram_char_frac
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rn
+      |        FROM gc) r WHERE rn = 1)
+      |SELECT ls.doc_id, CAST(ls.n_lines AS BIGINT) AS n_lines,
+      | CAST(ls.dup_lines AS DOUBLE) / ls.n_lines AS dup_line_frac,
+      | CASE WHEN ls.tot_line_chars > 0
+      |      THEN CAST(ls.dup_line_chars AS DOUBLE) / ls.tot_line_chars
+      |      ELSE 0.0 END AS dup_line_char_frac,
+      | COALESCE(top.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
+      |FROM ls LEFT JOIN top USING (doc_id)""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_gopher_repetition", gopherRepetition _, Some(gopherRepetitionSql)),
     ("txt_tfidf_topk", tfidfTopk _, Some(tfidfTopkSql)),
     ("txt_unigram_logprob", unigramLogprob _, Some(unigramLogprobSql)),
     ("txt_token_stats", tokenStats _, Some(tokenStatsSql)),

@@ -45,8 +45,10 @@ class EntrySpec extends SparkSpec {
     // oracle (wc_page_chain — chained seek pagination) → 124/114; +1
     // rows-only (ann_ivfpq_prebuilt_topk — stored-code ADC serving)
     // → 125/114; +1 with oracle (st_minhash_sig — streaming signature
-    // maintainer, 64 minima replayed in SQL) → 126/115.
-    assert(SparkEntry.queries.size == 126, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 115, s"got ${SparkEntry.oracleSql.size}")
+    // maintainer, 64 minima replayed in SQL) → 126/115; +2 with oracles
+    // (txt_gopher_repetition — duplicate-line/top-bigram signals;
+    // smp_temperature_mix — α=0.5 source upsampling) → 128/117.
+    assert(SparkEntry.queries.size == 128, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 117, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -77,6 +77,27 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix upsamples minority langs and never inflates the head") {
+    val docs = Tables.documents(spark, sf)
+    val shares = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val headLang = shares.maxBy(_._2)._1
+    val kept = PipelineOps.temperatureMix(spark, sf).collect()
+    val rates = kept.map(r => r.getString(1) -> r.getAs[Double]("keep_rate")).toMap
+    // head lang keeps rate exactly 1 (normalization anchor); minority
+    // langs keep sqrt-compressed rates strictly between their share ratio
+    // and 1 — upsampled relative to proportional sampling, never inflated
+    assert(rates(headLang) == 1.0)
+    shares.keys.filter(_ != headLang).foreach { lang =>
+      val shareRatio = shares(lang).toDouble / shares(headLang)
+      assert(rates(lang) > shareRatio && rates(lang) < 1.0,
+        s"$lang rate ${rates(lang)} vs share ratio $shareRatio")
+      assert(math.abs(rates(lang) - math.sqrt(shareRatio)) < 1e-12)
+    }
+    // the draw is deterministic: same result on a second run
+    assert(PipelineOps.temperatureMix(spark, sf).collect().length == kept.length)
+  }
+
   test("no global single-partition window in packing (explain audit)") {
     val plan = PipelineOps.packGreedy(spark, sf)
       .queryExecution.executedPlan.toString()

@@ -28,7 +28,10 @@ class PlanSpec extends SparkSpec {
       "ann_ivfpq_prebuilt_topk",
       "q11_important_stock",
       "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
-      "txt_unigram_logprob", "wc_page_chain")
+      "txt_unigram_logprob", "wc_page_chain",
+      // smp_temperature_mix broadcasts two 1-row scalars (corpus total,
+      // max rate) under its rate computation — the same idiom
+      "smp_temperature_mix")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),

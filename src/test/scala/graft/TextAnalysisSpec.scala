@@ -32,6 +32,35 @@ class TextAnalysisSpec extends SparkSpec {
   private def toks(s: String): Seq[String] =
     graft.plans.WordShingles.sqlTokens(s).toSeq
 
+  test("gopher repetition signals match a hand-built corpus") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_test").toString
+    Seq(
+      (1L, "aaa\nbbb\naaa\nccc"),           // line 'aaa' ×2 of 4 lines
+      (2L, "unique lines only here\nsecond line"),
+      (3L, "spam spam spam spam spam"),      // one bigram covers the doc
+      (4L, "")                               // degenerate: no chars, no grams
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.gopherRepetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    // doc 1: 2 of 4 lines are the duplicate 'aaa'; 6 of 12 line chars
+    assert(rows(1L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(rows(1L).getAs[Double]("dup_line_char_frac") == 0.5)
+    // doc 2: no duplicate lines, no repeated bigram dominates
+    assert(rows(2L).getAs[Double]("dup_line_frac") == 0.0)
+    // doc 3: 'spam spam' occurs 4× (9 chars each) over 24 chars = 1.5 —
+    // overlapping occurrences can exceed 1, which is exactly the signal
+    // (Gopher clips at a threshold; the raw ratio ranks harder)
+    assert(rows(3L).getAs[Double]("top_bigram_char_frac") == 4 * 9 / 24.0)
+    // doc 4: all-zero signals, no NaN from the 0-char guards
+    Seq("dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac").foreach { c =>
+      assert(rows(4L).getAs[Double](c) == 0.0, s"doc 4 $c")
+    }
+  }
+
   test("unigram logprob matches a local recompute of the corpus LM") {
     val docs = Tables.documents(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> toks(r.getAs[String]("text")))
