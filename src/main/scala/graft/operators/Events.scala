@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -368,8 +368,85 @@ object Events extends QueryModule {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("hll_users"),
         sum(col("n_events")).as("n_events"))
 
+  // Count-Min Sketch geometry: d independent hash rows × w buckets. At
+  // w=1024 the additive error bound is εN with ε = e/w ≈ 0.27%, far below
+  // any heavy-hitter threshold worth acting on.
+  private val CmsD = 4
+  private val CmsW = 1024
+  private val CmsP = 1000000007L
+
+  /** Count-Min Sketch frequency layer — the third MERGEABLE sketch tier
+    * next to the exact bitmaps (ev_bitmap_distinct) and HLL
+    * (ev_hll_merge): bitmap answers "how many distinct", HLL answers it
+    * approximately at fixed size, CMS answers "how often does key X
+    * occur" without materializing the full key histogram. The sketch is
+    * a (row, bucket) → count table (d×w = 4096 rows regardless of data
+    * volume), built with one map-side-combinable aggregate; partials
+    * merge by ADDITION, so daily sketches roll up like the bitmap layer
+    * and never re-scan raw events. The entry builds the sketch and reads
+    * back point estimates (min over the d rows) for a fixed probe-key
+    * set. Everything is integer arithmetic on the shared md5 universal-
+    * hash family, so the WHOLE sketch replays verbatim in DuckDB —
+    * hash-green, unlike the binary-opaque HLL tier; EventsSpec asserts
+    * the CMS guarantee (never underestimates, over by ≤ εN) against
+    * exact counts. */
+  def cmsFrequency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // h_row(u) = ((2·row+1)·(md5Int(u) mod P) + 97·row) mod P mod w —
+    // the MinHash universal-hash family over the cross-engine md5 hash
+    def hRow(row: Int, h: Column): Column =
+      pmod(pmod(h * lit(2L * row + 1) + lit(97L * row), lit(CmsP)), lit(CmsW.toLong))
+    val hashed = Tables.events(s, d)
+      .select(pmod(graft.functions.TextFunctions.md5Int(col("user_id").cast("string")),
+        lit(CmsP)).as("h"))
+    val sketch = hashed
+      .select(explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("row"), hRow(r, col("h")).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = (1L to 20L).toDF("user_id")
+      .withColumn("h", pmod(graft.functions.TextFunctions.md5Int(col("user_id").cast("string")),
+        lit(CmsP)))
+      .select(col("user_id"), explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("row"), hRow(r, col("h")).as("bucket"))): _*)).as("rb"))
+      .select(col("user_id"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    // the sketch is a fixed 4096-row table → broadcast to the probe side
+    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy("user_id")
+      .agg(min(col("c")).as("est_count"))
+  }
+
+  private val cmsFrequencySql = {
+    val md5u = graft.functions.TextFunctions.md5IntSql("CAST(user_id AS VARCHAR)")
+    def hRow(row: Int, h: String) =
+      s"((($h) * ${2L * row + 1} + ${97L * row}) % $CmsP) % $CmsW"
+    // the d hash rows as UNION ALL branches, generated from the SAME
+    // (row) constants as the Spark columns so the engines cannot drift
+    val sketchRows = (0 until CmsD)
+      .map(r => s"SELECT $r AS row, ${hRow(r, "h")} AS bucket FROM hashed")
+      .mkString("\n |  UNION ALL ")
+    val probeRows = (0 until CmsD)
+      .map(r => s"SELECT user_id, $r AS row, ${hRow(r, "h")} AS bucket FROM ph")
+      .mkString("\n |  UNION ALL ")
+    s"""WITH hashed AS (SELECT ($md5u) % $CmsP AS h FROM events),
+       | pairs AS (
+       |  $sketchRows),
+       | sketch AS (SELECT row, bucket, COUNT(*) AS c FROM pairs GROUP BY row, bucket),
+       | probes AS (SELECT CAST(unnest(generate_series(1, 20)) AS BIGINT) AS user_id),
+       | ph AS (SELECT user_id,
+       |          (${graft.functions.TextFunctions.md5IntSql("CAST(user_id AS VARCHAR)")}) % $CmsP AS h
+       |        FROM probes),
+       | pp AS (
+       |  $probeRows)
+       |SELECT user_id, MIN(COALESCE(c, 0)) AS est_count
+       |FROM pp LEFT JOIN sketch USING (row, bucket)
+       |GROUP BY user_id""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ev_bitmap_distinct", bitmapDistinct _, Some(bitmapDistinctSql)),
+    ("ev_cms_frequency", cmsFrequency _, Some(cmsFrequencySql)),
     ("ev_hll_merge", hllMerge _, None),
     ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),
     ("ev_value_percentiles_approx", valuePercentilesApprox _, None),

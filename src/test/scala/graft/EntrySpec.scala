@@ -47,8 +47,10 @@ class EntrySpec extends SparkSpec {
     // → 125/114; +1 with oracle (st_minhash_sig — streaming signature
     // maintainer, 64 minima replayed in SQL) → 126/115; +2 with oracles
     // (txt_gopher_repetition — duplicate-line/top-bigram signals;
-    // smp_temperature_mix — α=0.5 source upsampling) → 128/117.
-    assert(SparkEntry.queries.size == 128, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 117, s"got ${SparkEntry.oracleSql.size}")
+    // smp_temperature_mix — α=0.5 source upsampling) → 128/117; +1 with
+    // oracle (ev_cms_frequency — the mergeable frequency-sketch tier,
+    // integer CMS replayed verbatim in SQL) → 129/118.
+    assert(SparkEntry.queries.size == 129, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 118, s"got ${SparkEntry.oracleSql.size}")
   }
 }

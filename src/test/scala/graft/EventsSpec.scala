@@ -100,6 +100,24 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("CMS estimates never underestimate and stay within the epsilon-N bound") {
+    val exact = Tables.events(spark, sf)
+      .filter(col("user_id").between(1, 20))
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.events(spark, sf).count()
+    // the classic CMS guarantee at w=1024: est >= true, est <= true + eN
+    // with e = e/w ~ 0.27% (we allow the full Markov-bound slack)
+    val eps = math.E / 1024
+    Events.cmsFrequency(spark, sf).collect().foreach { r =>
+      val (u, est) = (r.getLong(0), r.getAs[Long]("est_count"))
+      val truth = exact.getOrElse(u, 0L)
+      assert(est >= truth, s"CMS underestimated user $u: $est < $truth")
+      assert(est <= truth + eps * n * 4,
+        s"CMS overestimate for user $u out of bound: $est vs $truth (N=$n)")
+    }
+  }
+
   test("sketch distinct counts within 5% of exact") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
