@@ -375,6 +375,39 @@ object Events extends QueryModule {
   private val CmsW = 1024
   private val CmsP = 1000000007L
 
+  // h_row(u) = ((2·row+1)·(md5Int(u) mod P) + 97·row) mod P mod w —
+  // the MinHash universal-hash family over the cross-engine md5 hash
+  private def cmsHRow(row: Int, h: Column): Column =
+    pmod(pmod(h * lit(2L * row + 1) + lit(97L * row), lit(CmsP)), lit(CmsW.toLong))
+
+  /** user_id frame → exploded (row, bucket) pairs — the map-side half of
+    * the sketch build, shared verbatim by the streaming maintainer
+    * (st_cms_frequency) so the two sketches cannot drift. */
+  private[graft] def cmsPairs(withUserId: DataFrame): DataFrame =
+    withUserId
+      .select(pmod(graft.functions.TextFunctions.md5Int(col("user_id").cast("string")),
+        lit(CmsP)).as("h"))
+      .select(explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("row"), cmsHRow(r, col("h")).as("bucket"))): _*)).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+
+  /** Point-read estimates for probe keys 1..20 from a built sketch:
+    * min over the d rows' cells, absent cell = 0. */
+  private[graft] def cmsProbeEstimates(s: SparkSession, sketch: DataFrame): DataFrame = {
+    import s.implicits._
+    val probes = (1L to 20L).toDF("user_id")
+      .withColumn("h", pmod(graft.functions.TextFunctions.md5Int(col("user_id").cast("string")),
+        lit(CmsP)))
+      .select(col("user_id"), explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("row"), cmsHRow(r, col("h")).as("bucket"))): _*)).as("rb"))
+      .select(col("user_id"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    // the sketch is a fixed 4096-row table → broadcast to the probe side
+    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy("user_id")
+      .agg(min(col("c")).as("est_count"))
+  }
+
   /** Count-Min Sketch frequency layer — the third MERGEABLE sketch tier
     * next to the exact bitmaps (ev_bitmap_distinct) and HLL
     * (ev_hll_merge): bitmap answers "how many distinct", HLL answers it
@@ -390,34 +423,13 @@ object Events extends QueryModule {
     * hash-green, unlike the binary-opaque HLL tier; EventsSpec asserts
     * the CMS guarantee (never underestimates, over by ≤ εN) against
     * exact counts. */
-  def cmsFrequency(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // h_row(u) = ((2·row+1)·(md5Int(u) mod P) + 97·row) mod P mod w —
-    // the MinHash universal-hash family over the cross-engine md5 hash
-    def hRow(row: Int, h: Column): Column =
-      pmod(pmod(h * lit(2L * row + 1) + lit(97L * row), lit(CmsP)), lit(CmsW.toLong))
-    val hashed = Tables.events(s, d)
-      .select(pmod(graft.functions.TextFunctions.md5Int(col("user_id").cast("string")),
-        lit(CmsP)).as("h"))
-    val sketch = hashed
-      .select(explode(array((0 until CmsD).map(r =>
-        struct(lit(r).as("row"), hRow(r, col("h")).as("bucket"))): _*)).as("rb"))
-      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val probes = (1L to 20L).toDF("user_id")
-      .withColumn("h", pmod(graft.functions.TextFunctions.md5Int(col("user_id").cast("string")),
-        lit(CmsP)))
-      .select(col("user_id"), explode(array((0 until CmsD).map(r =>
-        struct(lit(r).as("row"), hRow(r, col("h")).as("bucket"))): _*)).as("rb"))
-      .select(col("user_id"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-    // the sketch is a fixed 4096-row table → broadcast to the probe side
-    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
-      .na.fill(0L, Seq("c"))
-      .groupBy("user_id")
-      .agg(min(col("c")).as("est_count"))
-  }
+  def cmsFrequency(s: SparkSession, d: String): DataFrame =
+    cmsProbeEstimates(s,
+      cmsPairs(Tables.events(s, d))
+        .groupBy("row", "bucket")
+        .agg(count(lit(1)).as("c")))
 
-  private val cmsFrequencySql = {
+  private[graft] val cmsFrequencySql = {
     val md5u = graft.functions.TextFunctions.md5IntSql("CAST(user_id AS VARCHAR)")
     def hRow(row: Int, h: String) =
       s"((($h) * ${2L * row + 1} + ${97L * row}) % $CmsP) % $CmsW"

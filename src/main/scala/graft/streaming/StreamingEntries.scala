@@ -476,7 +476,25 @@ object StreamingEntries extends QueryModule {
        |FROM hs""".stripMargin
   }
 
+  /** The streaming MAINTAINER of the frequency-sketch tier: keeps
+    * ev_cms_frequency's Count-Min (row, bucket) → count table current as
+    * events arrive. The sketch IS the streaming state — d×w = 4096
+    * integer cells regardless of volume, the cheapest state in the
+    * suite (st_bitmap_daily's state grows with days×buckets; this is
+    * CONSTANT). Map-side half (key hash → d (row, bucket) pairs) is the
+    * exact batch code (Events.cmsPairs), so the streamed sketch cannot
+    * drift from the batch one; the entry then serves the same probe
+    * point-reads, and the oracle is ev_cms_frequency's SQL VERBATIM —
+    * proving the live sketch answers with precisely the batch estimate. */
+  def stCmsFrequency(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.cmsProbeEstimates(s,
+      drain(graft.operators.Events.cmsPairs(eventsStream(s, d))
+        .groupBy("row", "bucket")
+        .agg(count(lit(1)).as("c")),
+        "complete"))
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_cms_frequency", stCmsFrequency _, Some(graft.operators.Events.cmsFrequencySql)),
     ("st_minhash_sig", stMinhashSig _, Some(stMinhashSigSql)),
     ("st_bitmap_daily", stBitmapDaily _, Some(stBitmapDailySql)),
     ("st_dedup_watermark", stDedupWatermark _, Some(stDedupWatermarkSql)),

@@ -47,10 +47,12 @@ class EntrySpec extends SparkSpec {
     // → 125/114; +1 with oracle (st_minhash_sig — streaming signature
     // maintainer, 64 minima replayed in SQL) → 126/115; +2 with oracles
     // (txt_gopher_repetition — duplicate-line/top-bigram signals;
-    // smp_temperature_mix — α=0.5 source upsampling) → 128/117; +1 with
-    // oracle (ev_cms_frequency — the mergeable frequency-sketch tier,
-    // integer CMS replayed verbatim in SQL) → 129/118.
-    assert(SparkEntry.queries.size == 129, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 118, s"got ${SparkEntry.oracleSql.size}")
+    // smp_temperature_mix — α=0.5 source upsampling) → 128/117; +2 with
+    // oracles (ev_cms_frequency — the mergeable frequency-sketch tier,
+    // integer CMS replayed verbatim in SQL; st_cms_frequency — its
+    // streaming maintainer, constant 4096-cell state, same oracle SQL)
+    // → 130/119.
+    assert(SparkEntry.queries.size == 130, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 119, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -29,6 +29,15 @@ class StreamingSpec extends SparkSpec {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  test("streaming CMS sketch serves exactly the batch estimates") {
+    val streamed = graft.streaming.StreamingEntries.stCmsFrequency(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_count")).toMap
+    val batch = graft.operators.Events.cmsFrequency(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_count")).toMap
+    assert(streamed == batch,
+      s"streamed CMS diverged from batch: $streamed vs $batch")
+  }
+
   test("streaming tumbling counts equal the batch twin") {
     val q = EventStreams.tumblingCounts(eventsStream)
       .writeStream.format("memory").queryName("stream_tumbling")
