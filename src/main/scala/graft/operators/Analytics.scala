@@ -536,6 +536,65 @@ object Analytics extends QueryModule {
        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority""".stripMargin
 
+  // ---- bloom-filter semi-join pruning -------------------------------------
+  // m = 2^17 bits packed into 2048 BIGINT words; at the selective-order
+  // cardinalities this targets (n ≈ thousands), fpp ≈ n/m ≈ low percent —
+  // false positives only cost a wasted probe row, the exact join removes
+  // them from the RESULT.
+  private val BloomBits = 1L << 17
+
+  /** Semi-join with an EXPLICIT Bloom pre-filter on the probe side:
+    * revenue per return flag over lineitems of high-value URGENT orders.
+    * The selective order-key set is folded into a bit-packed Bloom filter
+    * (groupBy word → bit_or of set bits — one map-side-combinable
+    * aggregate, 2048-row result), broadcast, and applied to the fact scan
+    * BEFORE the exact key join: at 100 TB this is the difference between
+    * shuffling the full lineitem table into the join and shuffling only
+    * the ~matching fraction (Spark's own runtime row-level filtering does
+    * this under thresholds; the explicit operator makes the device
+    * available where the optimizer declines — cross-format sources,
+    * pre-computed filters reused across queries). No false negatives →
+    * the final inner semi join keeps the result EXACT, so the oracle is
+    * the plain semi-join SQL with no bloom replay needed; AnalyticsSpec
+    * measures the pre-filter's actual selectivity to prove it prunes. */
+  def bloomPruneJoin(s: SparkSession, d: String): DataFrame = {
+    val sel = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+      .select("o_orderkey")
+    bloomPruneLineitem(s, d, sel)
+      .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+  }
+
+  /** The reusable pre-filter half: lineitem rows surviving the Bloom test
+    * against `sel`'s o_orderkey set (superset of the true matches). */
+  private[graft] def bloomPruneLineitem(
+      s: SparkSession, d: String, sel: DataFrame): DataFrame = {
+    def hb(key: Column): Column =
+      pmod(graft.functions.TextFunctions.md5Int(key.cast("string")), lit(BloomBits))
+    val bits = sel
+      .select(hb(col("o_orderkey")).as("hb"))
+      .groupBy(shiftright(col("hb"), 6).as("word"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(hb % 64 AS INT)))").as("w"))
+    Tables.lineitem(s, d)
+      .withColumn("hb", hb(col("l_orderkey")))
+      .withColumn("word", shiftright(col("hb"), 6))
+      .join(broadcast(bits), Seq("word"))
+      .filter(expr("(shiftright(w, CAST(hb % 64 AS INT)) & 1) = 1"))
+      .drop("hb", "word", "w")
+  }
+
+  private val bloomPruneJoinSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+       | CAST(SUM($revSql) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+       |GROUP BY l_returnflag""".stripMargin
+
   /** Exact distinct users per event type via the two-phase salted distinct
     * (count distinct within (key, hash-salted value) groups, sum partials):
     * a key with millions of distinct values never sits in one task. */
@@ -550,6 +609,7 @@ object Analytics extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("range_join_price_tiers", rangeJoinPriceTiers _, Some(rangeJoinPriceTiersSql)),
+    ("bloom_prune_join", bloomPruneJoin _, Some(bloomPruneJoinSql)),
     ("skew_salted_join_volume", saltedJoinVolume _, Some(saltedJoinVolumeSql)),
     ("skew_distinct_users", skewDistinctUsers _, Some(skewDistinctUsersSql)),
     ("q7_bination_volume", q7 _, Some(q7Sql)),

@@ -21,6 +21,23 @@ class AnalyticsSpec extends SparkSpec {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count())
   }
 
+  test("bloom pre-filter keeps every true match and actually prunes") {
+    val sel = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+      .select("o_orderkey")
+    val total = Tables.lineitem(spark, sf).count()
+    val trueMatches = Tables.lineitem(spark, sf)
+      .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val survivors = Analytics.bloomPruneLineitem(spark, sf, sel).count()
+    // no false negatives: the bloom superset covers every real match
+    assert(survivors >= trueMatches,
+      s"bloom dropped true matches: $survivors < $trueMatches")
+    // and it is a real pre-filter, not a pass-through: the false-positive
+    // layer stays a small fraction of the NON-matching rows
+    val fpp = (survivors - trueMatches).toDouble / (total - trueMatches)
+    assert(fpp < 0.10, s"bloom fpp too high to be useful: $fpp")
+  }
+
   test("topk per group emits at most 3 rows per customer, ranked") {
     val bad = Analytics.topkPerGroup(spark, sf)
       .groupBy("o_custkey").count().filter(col("count") > 3).count()

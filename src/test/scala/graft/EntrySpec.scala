@@ -51,8 +51,10 @@ class EntrySpec extends SparkSpec {
     // oracles (ev_cms_frequency — the mergeable frequency-sketch tier,
     // integer CMS replayed verbatim in SQL; st_cms_frequency — its
     // streaming maintainer, constant 4096-cell state, same oracle SQL)
-    // → 130/119.
-    assert(SparkEntry.queries.size == 130, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 119, s"got ${SparkEntry.oracleSql.size}")
+    // → 130/119; +1 with oracle (bloom_prune_join — explicit bloom
+    // pre-filter on the probe side of a semi join, exact by
+    // construction) → 131/120.
+    assert(SparkEntry.queries.size == 131, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 120, s"got ${SparkEntry.oracleSql.size}")
   }
 }
