@@ -548,7 +548,34 @@ object WideColumn extends QueryModule {
       | coalesce(ex.existing_name, cand.proposed_name) AS final_name
       |FROM cand LEFT JOIN ex ON cand.user_key = ex.user_key""".stripMargin
 
+  /** Z-ORDER layout scan — the multi-dimensional half of the layout story:
+    * writeBucketed/writeTimePartitioned prune on ONE key; a part-supplier
+    * workload filters lineitem on BOTH l_partkey and l_suppkey, and a
+    * single-dim sort serves only one of them. The entry reads the
+    * (l_partkey, l_suppkey)-Z-ordered copy (graft.sources.Layout — bit-
+    * interleaved range buckets, built once per corpus like the prebuilt
+    * ANN index) through a two-dim predicate rectangle: every file covers a
+    * compact rectangle in key space, so parquet min/max stats prune row
+    * groups on EITHER predicate (LayoutSpec measures the file-level
+    * pruning vs a partkey-sorted copy). Layout moves rows, not values —
+    * the oracle is the same predicate on the unsorted table. */
+  def zorderScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.sources.Layout.zorderedLineitemDir(s, d))
+      .filter(col("l_suppkey").between(2, 5) && col("l_partkey").between(20, 120))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+          .cast("double").as("revenue"))
+
+  private val zorderScanSql =
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_suppkey BETWEEN 2 AND 5 AND l_partkey BETWEEN 20 AND 120
+      |GROUP BY l_returnflag""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_zorder_scan", zorderScan _, Some(zorderScanSql)),
     ("wc_cas_insert", casInsert _, Some(casInsertSql)),
     ("wc_page_after_cursor", pageAfterCursor _, Some(pageAfterCursorSql)),
     ("wc_page_chain", pageChain _, Some(pageChainSql)),

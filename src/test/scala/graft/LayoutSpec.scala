@@ -108,4 +108,55 @@ class LayoutSpec extends SparkSpec {
     val r = spark.range(1).select(Layout.token(lit(42L)).as("t")).head().getLong(0)
     assert(r == (42L * 2654435761L) % 1000000007L)
   }
+
+  test("z-order layout prunes files on BOTH dimensions, single-dim sort on one") {
+    def fileStats(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_suppkey")).cast("long").as("smin"),
+        max(col("l_suppkey")).cast("long").as("smax"),
+        min(col("l_partkey")).cast("long").as("pmin"),
+        max(col("l_partkey")).cast("long").as("pmax"))
+      .collect()
+    // a suppkey band around the middle of the value range (SF-independent)
+    val (sLo, sHi, pLo, pHi) = {
+      val r = Tables.lineitem(spark, sf)
+        .agg(min("l_suppkey"), max("l_suppkey"), min("l_partkey"), max("l_partkey")).head()
+      def band(lo: Long, hi: Long) = {
+        val mid = lo + (hi - lo) / 2; (mid, mid + math.max(1L, (hi - lo) / 10))
+      }
+      val s = band(r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+      val p = band(r.getAs[Number](2).longValue, r.getAs[Number](3).longValue)
+      (s._1, s._2, p._1, p._2)
+    }
+    def overlapFrac(st: Array[org.apache.spark.sql.Row],
+        mn: String, mx: String, lo: Long, hi: Long) =
+      st.count(r => r.getAs[Long](mn) <= hi && r.getAs[Long](mx) >= lo)
+        .toDouble / st.length
+    val z = fileStats(Layout.zorderedLineitemDir(spark, sf))
+    assert(z.length >= 32, s"expected many z-files, got ${z.length}")
+    // comparison layout: single-dim sort by partkey (the classic layout)
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    try {
+      Tables.lineitem(spark, sf)
+        .select("l_partkey", "l_suppkey", "l_returnflag")
+        .repartitionByRange(64, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(linDir)
+      val lin = fileStats(linDir)
+      val zS = overlapFrac(z, "smin", "smax", sLo, sHi)
+      val linS = overlapFrac(lin, "smin", "smax", sLo, sHi)
+      // partkey-sorted files each span the full suppkey range → no pruning;
+      // z-files cover key-space rectangles → a suppkey band skips most files
+      assert(zS < linS && zS <= 0.85,
+        s"z-order must prune on the SECOND dim: z=$zS vs linear=$linS")
+      // and the z layout still prunes on partkey as well
+      val zP = overlapFrac(z, "pmin", "pmax", pLo, pHi)
+      assert(zP <= 0.85, s"z-order must prune on the first dim too: $zP")
+    } finally {
+      import java.nio.file._
+      import java.util.Comparator
+      Files.walk(Paths.get(linDir)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }
