@@ -292,6 +292,69 @@ object Analytics extends QueryModule {
       |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY ROLLUP(n_name, o_orderstatus)""".stripMargin
 
+  // ---- CUBE: all 2^k aggregate slices in one pass ------------------------
+  /** CUBE over (order priority, order status): rollup_nation_status proves
+    * the HIERARCHY slices; CUBE adds the cross slices (status totals
+    * without priority) — all 2² groupings in ONE shuffle with map-side
+    * partial aggregation, where a dashboard would otherwise issue four
+    * separate scans of a 100 TB fact table. Same COALESCE('ALL') device
+    * as the rollup entry so the slice labels hash identically. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("graft_cube_src")
+    s.sql(
+      """SELECT COALESCE(pri, 'ALL') AS priority, COALESCE(st, 'ALL') AS status,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM graft_cube_src GROUP BY CUBE(pri, st)""".stripMargin)
+  }
+
+  private val cubeAggSql =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      | COALESCE(o_orderstatus, 'ALL') AS status,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+
+  // ---- ntile deciles within partitions -----------------------------------
+  /** Customer-spend deciles WITHIN each nation: exact decimal spend per
+    * customer, ntile(10) over (spend desc, custkey) — a total order, so
+    * both engines assign identical deciles — then per-decile stats. The
+    * window is PARTITIONED by nation (never a global ntile, which plans a
+    * single-partition window — the shape PlanSpec forbids suite-wide);
+    * per-decile sums re-cast to decimal so the aggregate is order-free. */
+  def windowDecilePerNation(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sumExact(col("o_totalprice"), 2).as("spend"))
+    val w = Window.partitionBy("n_name").orderBy(desc("spend"), asc("o_custkey"))
+    spend
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("spend"))
+      // long, not Spark's int: the oracle's ntile is BIGINT and the gate
+      // compares dtype-strict
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("n_name", "decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend").cast(DecimalType(18, 2))).cast("double").as("total_spend"))
+  }
+
+  private val windowDecilePerNationSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      | deciled AS (
+      |  SELECT n_name, o_custkey, spend,
+      |    ntile(10) OVER (PARTITION BY n_name ORDER BY spend DESC, o_custkey) AS decile
+      |  FROM spend JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT n_name, decile, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM deciled GROUP BY n_name, decile""".stripMargin
+
   // ---- exact distinct count per group ------------------------------------
   def distinctParts(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -633,6 +696,8 @@ object Analytics extends QueryModule {
     ("window_topk_per_group", topkPerGroup _, Some(topkPerGroupSql)),
     ("window_running_total", runningTotal _, Some(runningTotalSql)),
     ("rollup_nation_status", rollupAgg _, Some(rollupAggSql)),
+    ("cube_priority_status", cubeAgg _, Some(cubeAggSql)),
+    ("window_decile_per_nation", windowDecilePerNation _, Some(windowDecilePerNationSql)),
     ("distinct_supplier_parts", distinctParts _, Some(distinctPartsSql)),
     ("asof_join_latest_order", asofJoin _, Some(asofJoinSql)))
 }
