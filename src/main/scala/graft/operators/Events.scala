@@ -429,6 +429,53 @@ object Events extends QueryModule {
         .groupBy("row", "bucket")
         .agg(count(lit(1)).as("c")))
 
+  /** The MERGE path of the CMS tier, demonstrated not claimed: daily
+    * (day, row, bucket) partial sketches — what a 100 TB deployment
+    * materializes nightly — SUM-merged into the full-range sketch, then
+    * probed. Additive merge means rollups (week/month/all-time) never
+    * re-scan raw events; the oracle replays BOTH levels in SQL, and the
+    * estimates must equal ev_cms_frequency's exactly (summing partials
+    * commutes with the one-shot build). */
+  def cmsDailyRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .select(col("day"), pmod(graft.functions.TextFunctions.md5Int(
+        col("user_id").cast("string")), lit(CmsP)).as("h"))
+      .select(col("day"), explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("row"), cmsHRow(r, col("h")).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("day"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    cmsProbeEstimates(s,
+      daily.groupBy("row", "bucket").agg(sum(col("c")).as("c")))
+  }
+
+  private val cmsDailyRollupSql = {
+    val md5u = graft.functions.TextFunctions.md5IntSql("CAST(user_id AS VARCHAR)")
+    def hRow(row: Int, h: String) =
+      s"((($h) * ${2L * row + 1} + ${97L * row}) % $CmsP) % $CmsW"
+    val sketchRows = (0 until CmsD)
+      .map(r => s"SELECT day, $r AS row, ${hRow(r, "h")} AS bucket FROM hashed")
+      .mkString("\n |  UNION ALL ")
+    val probeRows = (0 until CmsD)
+      .map(r => s"SELECT user_id, $r AS row, ${hRow(r, "h")} AS bucket FROM ph")
+      .mkString("\n |  UNION ALL ")
+    s"""WITH hashed AS (SELECT date_trunc('day', ts) AS day, ($md5u) % $CmsP AS h FROM events),
+       | pairs AS (
+       |  $sketchRows),
+       | daily AS (SELECT day, row, bucket, COUNT(*) AS c FROM pairs GROUP BY day, row, bucket),
+       | sketch AS (SELECT row, bucket, CAST(SUM(c) AS BIGINT) AS c
+       |            FROM daily GROUP BY row, bucket),
+       | probes AS (SELECT CAST(unnest(generate_series(1, 20)) AS BIGINT) AS user_id),
+       | ph AS (SELECT user_id,
+       |          (${graft.functions.TextFunctions.md5IntSql("CAST(user_id AS VARCHAR)")}) % $CmsP AS h
+       |        FROM probes),
+       | pp AS (
+       |  $probeRows)
+       |SELECT user_id, MIN(COALESCE(c, 0)) AS est_count
+       |FROM pp LEFT JOIN sketch USING (row, bucket)
+       |GROUP BY user_id""".stripMargin
+  }
+
   private[graft] val cmsFrequencySql = {
     val md5u = graft.functions.TextFunctions.md5IntSql("CAST(user_id AS VARCHAR)")
     def hRow(row: Int, h: String) =
@@ -459,6 +506,7 @@ object Events extends QueryModule {
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ev_bitmap_distinct", bitmapDistinct _, Some(bitmapDistinctSql)),
     ("ev_cms_frequency", cmsFrequency _, Some(cmsFrequencySql)),
+    ("ev_cms_daily_rollup", cmsDailyRollup _, Some(cmsDailyRollupSql)),
     ("ev_hll_merge", hllMerge _, None),
     ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),
     ("ev_value_percentiles_approx", valuePercentilesApprox _, None),

@@ -58,8 +58,10 @@ class EntrySpec extends SparkSpec {
     // rows not values, so the oracle is the unsorted-table SQL) → 132/121;
     // +2 with oracles (cube_priority_status — all 2^k slices in one
     // shuffle; window_decile_per_nation — partitioned exact ntile) →
-    // 134/123.
-    assert(SparkEntry.queries.size == 134, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 123, s"got ${SparkEntry.oracleSql.size}")
+    // 134/123; +1 with oracle (ev_cms_daily_rollup — daily CMS partials
+    // SUM-merged then probed, the materialized-rollup read path) →
+    // 135/124.
+    assert(SparkEntry.queries.size == 135, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 124, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -118,6 +118,15 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("CMS daily partials merge to exactly the one-shot sketch estimates") {
+    val merged = Events.cmsDailyRollup(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_count")).toMap
+    val oneShot = Events.cmsFrequency(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_count")).toMap
+    assert(merged == oneShot,
+      s"summing daily partials must commute with the one-shot build: $merged vs $oneShot")
+  }
+
   test("sketch distinct counts within 5% of exact") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
