@@ -175,17 +175,16 @@ object Dedup extends QueryModule {
   /** The UNSORTED pair set — what downstream consumers (connected
     * components, keep-list) build on: the entry's global presentation sort
     * is pure waste under a jaccard filter + materialize. */
-  private def minhashPairsOf(docs: DataFrame): DataFrame = {
+  /** Banded-LSH candidate pairs from a materialized shingle index:
+    * 64-perm signature → 16×4 band folds → same-bucket join. Shared by
+    * the Jaccard-verified (minhash) and edit-distance-verified (fuzzy)
+    * entries — one blocking substrate, two verification semantics. */
+  private def lshCandidates(shingles: DataFrame): DataFrame = {
     // Signature computed relationally, not with nested HOF lambdas: hash each
     // distinct shingle ONCE with codegen'd md5+conv, then the 64
     // universal-hash minima — pmod((2i+1)·pmod(md5Int(sg),P) + 97i, P) —
     // are 64 codegen'd min() aggregates in a single map-side-combined
     // shuffle on doc_id.
-    // The index is materialized once: it feeds the signature pipeline, the
-    // per-doc counts, and BOTH sides of the intersection join — four full
-    // recomputations of the (posexplode + two windows + distinct) lineage
-    // otherwise (VERDICT r3 #5: reuse the shared shingle index).
-    val shingles = Checkpoints.materialize(shingleIndexOf(docs))
     val inv = shingles
       .select(col("doc_id"), pmod(md5Int(col("sg")), lit(P)).as("h"))
     val sigCols = (0 until 64).map(i =>
@@ -198,10 +197,19 @@ object Dedup extends QueryModule {
     }
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("b_idx", "b_hash")))
-    val cands = bands.select(col("doc_id").as("doc_a"), col("b_idx"), col("b_hash"))
+    bands.select(col("doc_id").as("doc_a"), col("b_idx"), col("b_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("b_idx").as("i2"), col("b_hash").as("h2")),
         col("b_idx") === col("i2") && col("b_hash") === col("h2") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  private def minhashPairsOf(docs: DataFrame): DataFrame = {
+    // The index is materialized once: it feeds the signature pipeline, the
+    // per-doc counts, and BOTH sides of the intersection join — four full
+    // recomputations of the (posexplode + two windows + distinct) lineage
+    // otherwise (VERDICT r3 #5: reuse the shared shingle index).
+    val shingles = Checkpoints.materialize(shingleIndexOf(docs))
+    val cands = lshCandidates(shingles)
     // Exact-Jaccard verification of the (small) candidate set via the
     // inverted index: intersection size is a join+count on shingle rows, so
     // no per-doc shingle ARRAY is ever materialized (a book-sized doc would
@@ -221,15 +229,12 @@ object Dedup extends QueryModule {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
-  /** The full MinHash-LSH pipeline replayed in DuckDB: identical shingle
-    * index, 60-bit md5 shingle hash, 64 universal-hash minima, 16 band
-    * folds, bucket self-join, exact-Jaccard verification. Generated from
-    * the SAME (i, band) constants as the Spark columns so the two engines
-    * cannot drift. */
-  /** The MinHash-LSH pipeline as a reusable CTE block ending in
-    * `mh(doc_a, doc_b, jaccard)` — shared by the minhash entry's oracle
-    * and the connected-components oracles built on its pair graph. */
-  private val minhashPairsCte: String = {
+  /** The banded-LSH candidate stage as a reusable CTE block ending in
+    * `cands(doc_a, doc_b)` — identical shingle index, 60-bit md5 shingle
+    * hash, 64 universal-hash minima, 16 band folds, bucket self-join.
+    * Generated from the SAME (i, band) constants as the Spark columns so
+    * the two engines cannot drift. */
+  private val lshCandidatesCte: String = {
     val sigCols = (0 until 64)
       .map(i => s"MIN((${2 * i + 1}*h + ${97L * i}) % $P) AS m$i").mkString(", ")
     val bandExprs = (0 until 16).map { b =>
@@ -248,7 +253,15 @@ object Dedup extends QueryModule {
        |   unnest([$bandExprs]) AS b_hash FROM sig),
        | cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |   FROM bands a JOIN bands b
-       |   ON a.b_idx = b.b_idx AND a.b_hash = b.b_hash AND a.doc_id < b.doc_id),
+       |   ON a.b_idx = b.b_idx AND a.b_hash = b.b_hash AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** The full MinHash-LSH pipeline as a CTE block ending in
+    * `mh(doc_a, doc_b, jaccard)` — the candidate stage above plus the
+    * exact-Jaccard verification; shared by the minhash entry's oracle
+    * and the connected-components oracles built on its pair graph. */
+  private val minhashPairsCte: String = {
+    s"""$lshCandidatesCte,
        | cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
        | inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
        |   FROM cands c JOIN inv a ON a.doc_id = c.doc_a
@@ -264,6 +277,41 @@ object Dedup extends QueryModule {
 
   private val minhashLshSql: String =
     s"WITH $minhashPairsCte\nSELECT doc_a, doc_b, jaccard FROM mh"
+
+  // ---- edit-distance-verified fuzzy pairs --------------------------------
+  /** Fuzzy near-dup pairs: the SAME banded-LSH blocking as
+    * dedup_minhash_lsh (never all pairs), but VERIFIED by levenshtein on
+    * the raw text instead of shingle Jaccard — Jaccard sees the
+    * bag-of-shingles, edit distance sees ORDER, so reshuffled docs that
+    * share shingles but read differently are rejected here. Keeps pairs
+    * whose edit distance is ≤ 30% of the longer doc via integer
+    * arithmetic (10·lev ≤ 3·max_len — no float threshold to drift).
+    * The per-pair levenshtein is O(len²) but runs only on the LSH
+    * candidate set, which scales with shared-bucket density, not n²;
+    * both engines' levenshtein is the standard unit-cost codepoint
+    * distance, so the verdict is integer-exact cross-engine. */
+  def fuzzyPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val shingles = Checkpoints.materialize(shingleIndexOf(docs))
+    val texts = docs.select(col("doc_id"), col("text"))
+    lshCandidates(shingles)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+      .filter(col("lev") * 10 <= col("max_len") * 3)
+  }
+
+  private val fuzzyPairsSql: String =
+    s"""WITH $lshCandidatesCte
+       |SELECT doc_a, doc_b,
+       | CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+       | CAST(GREATEST(length(ta.text), length(tb.text)) AS BIGINT) AS max_len
+       |FROM cands JOIN documents ta ON ta.doc_id = doc_a
+       |           JOIN documents tb ON tb.doc_id = doc_b
+       |WHERE levenshtein(ta.text, tb.text) * 10
+       |      <= GREATEST(length(ta.text), length(tb.text)) * 3""".stripMargin
 
   /** Connected components of the thresholded MinHash pair graph as a
     * DuckDB recursive CTE (reachability + min-label) — tractable for the
@@ -652,6 +700,7 @@ object Dedup extends QueryModule {
     ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("dedup_winnow_pairs", winnowPairs _, Some(winnowPairsSql)),
     ("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
+    ("dedup_fuzzy_pairs", fuzzyPairs _, Some(fuzzyPairsSql)),
     ("dedup_simhash", simhash _, Some(simhashSql)),
     ("dedup_clusters", clusters _, Some(clustersSql)),
     ("dedup_labels_prebuilt", labelsPrebuilt _, Some(labelsPrebuiltSql)),

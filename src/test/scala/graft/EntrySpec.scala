@@ -60,8 +60,9 @@ class EntrySpec extends SparkSpec {
     // shuffle; window_decile_per_nation — partitioned exact ntile) →
     // 134/123; +1 with oracle (ev_cms_daily_rollup — daily CMS partials
     // SUM-merged then probed, the materialized-rollup read path) →
-    // 135/124.
-    assert(SparkEntry.queries.size == 135, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 124, s"got ${SparkEntry.oracleSql.size}")
+    // 135/124; +1 with oracle (dedup_fuzzy_pairs — LSH-blocked
+    // candidates verified by levenshtein, integer threshold) → 136/125.
+    assert(SparkEntry.queries.size == 136, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 125, s"got ${SparkEntry.oracleSql.size}")
   }
 }
