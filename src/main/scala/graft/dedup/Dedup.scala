@@ -290,8 +290,13 @@ object Dedup extends QueryModule {
     * candidate set, which scales with shared-bucket density, not n²;
     * both engines' levenshtein is the standard unit-cost codepoint
     * distance, so the verdict is integer-exact cross-engine. */
-  def fuzzyPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def fuzzyPairs(s: SparkSession, d: String): DataFrame =
+    fuzzyPairsOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric form over any corpus with `doc_id` + `text` —
+    * DedupSpec uses it to prove the order-sensitivity contract on an
+    * adversarial corpus (shingle-identical docs in shuffled order). */
+  def fuzzyPairsOf(docs: DataFrame): DataFrame = {
     val shingles = Checkpoints.materialize(shingleIndexOf(docs))
     val texts = docs.select(col("doc_id"), col("text"))
     lshCandidates(shingles)

@@ -108,6 +108,28 @@ class DedupSpec extends SparkSpec {
       "(min-label propagation territory — halving is broken)")
   }
 
+  test("fuzzy verify sees order: block-swapped docs are candidates but rejected") {
+    val s2 = spark
+    import s2.implicits._
+    val x = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val y = (1 to 30).map(i => s"omega$i").mkString(" ")
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$x $y"), (2L, s"$y $x"), // same shingle bag, swapped halves
+      (4L, base), (5L, base.replace("word7 ", "changed "))) // true near-dup
+      .toDF("doc_id", "text")
+    // the jaccard verifier pairs the swapped docs (bag-of-shingles ~0.93)…
+    val mh = Dedup.minhashLshOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(mh.contains((1L, 2L)), s"swapped pair must be an LSH candidate: $mh")
+    // …but the edit-distance verifier rejects them and keeps the real one
+    val fuzzy = Dedup.fuzzyPairsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(fuzzy.contains((4L, 5L)), s"true near-dup must pass: $fuzzy")
+    assert(!fuzzy.contains((1L, 2L)),
+      s"shingle-equal but reordered docs must fail the edit verify: $fuzzy")
+  }
+
   test("DataFrame-parametric forms work on an arbitrary corpus") {
     val s2 = spark
     import s2.implicits._

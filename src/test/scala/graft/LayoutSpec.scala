@@ -109,6 +109,23 @@ class LayoutSpec extends SparkSpec {
     assert(r == (42L * 2654435761L) % 1000000007L)
   }
 
+  test("zValue is the exact bit interleave of its inputs") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (255L, 255L), (1L, 0L), (0L, 1L), (170L, 85L)) ++
+      Seq.fill(20)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    def ref(a: Long, b: Long): Long =
+      (0 until 8).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    cases.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), 8).as("z"))
+      .collect()
+      .foreach { r =>
+        assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)),
+          s"zValue(${r.getLong(0)}, ${r.getLong(1)}) = ${r.getLong(2)}")
+      }
+  }
+
   test("z-order layout prunes files on BOTH dimensions, single-dim sort on one") {
     def fileStats(dir: String) = spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
