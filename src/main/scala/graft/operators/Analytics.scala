@@ -634,7 +634,7 @@ object Analytics extends QueryModule {
 
   /** The reusable pre-filter half: lineitem rows surviving the Bloom test
     * against `sel`'s o_orderkey set (superset of the true matches). */
-  private[graft] def bloomPruneLineitem(
+  def bloomPruneLineitem(
       s: SparkSession, d: String, sel: DataFrame): DataFrame = {
     // xxhash64, NOT the md5 cross-engine device: the bloom layer never
     // reaches the oracle (the exact join decides the result), so the
