@@ -62,6 +62,13 @@ class PlanSpec extends SparkSpec {
       assert(pushed.r.findFirstIn(plan).isDefined,
         s"$name must push its $colName predicate to parquet:\n${plan.take(800)}")
     }
+    // the z-order entry's whole point: BOTH dimension predicates must reach
+    // the clustered scan, where row-group min/max stats prune on either
+    val zplan = planOf("wc_zorder_scan")
+    Seq("l_suppkey", "l_partkey").foreach { c =>
+      assert(("PushedFilters: \\[[^\\]]*" + c).r.findFirstIn(zplan).isDefined,
+        s"wc_zorder_scan must push $c to the z-ordered scan:\n${zplan.take(800)}")
+    }
   }
 
   test("cursor chain pushes the partition key on both page scans") {
