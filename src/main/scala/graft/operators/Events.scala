@@ -49,7 +49,9 @@ object Events extends QueryModule {
           .as("duration_sec"))
   }
 
-  private val sessionizationSql =
+  // The gap-30-min session CTEs, shared by the sessionization oracle and
+  // the hour-concurrency oracle so the two replays cannot drift.
+  private val sessionCtes =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
@@ -61,11 +63,54 @@ object Events extends QueryModule {
       |  SELECT user_id, ts,
       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-      |  FROM flagged)
+      |  FROM flagged)""".stripMargin
+
+  private val sessionizationSql =
+    sessionCtes +
+      """
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       | MIN(ts) AS session_start, MAX(ts) AS session_end,
       | (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0 AS duration_sec
       |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** Hourly session-concurrency curve — the INTERVAL-STABBING operator
+    * ("how many intervals cover point t?") that capacity/load dashboards
+    * run over session tables. Three classic shapes exist and two of them
+    * do not scale: a global sweep-line (+1 at start / −1 at end, running
+    * sum) needs a TOTAL order over all boundaries — the empty-partition
+    * window PlanSpec bans; an hours×sessions range join re-scans every
+    * session per probe hour. The scalable third shape used here expands
+    * each interval to the hour buckets it overlaps (map-side
+    * explode(sequence(...)), bounded by session duration — sessions die
+    * 30 min after their last event, so the expansion factor is small and
+    * data-independent) and counts per bucket: one shuffle on the hour
+    * key, map-side combinable, embarrassingly parallel at 100 TB. Builds
+    * on the [[sessionization]] lineage (one user_id shuffle) — same
+    * bucket-expansion idiom as the range-join and z-order entries, here
+    * applied to time. */
+  def hourConcurrency(s: SparkSession, d: String): DataFrame =
+    sessionization(s, d)
+      .select(col("user_id"),
+        explode(sequence(
+          date_trunc("hour", col("session_start")),
+          date_trunc("hour", col("session_end")),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  private val hourConcurrencySql =
+    sessionCtes +
+      """,
+      | sessions AS (
+      |  SELECT user_id, session_id, MIN(ts) AS s0, MAX(ts) AS s1
+      |  FROM sess GROUP BY user_id, session_id),
+      | hours AS (
+      |  SELECT user_id, unnest(generate_series(
+      |    date_trunc('hour', s0), date_trunc('hour', s1), INTERVAL 1 HOUR)) AS hour
+      |  FROM sessions)
+      |SELECT hour, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+      |FROM hours GROUP BY hour""".stripMargin
 
   /** Ordered funnel signup → view → purchase in ONE pass: the stage
     * frontiers are stacked per-user window minima — the three windows share
@@ -352,6 +397,71 @@ object Events extends QueryModule {
     """SELECT date_trunc('week', ts) AS week, COUNT(DISTINCT user_id) AS n_active
       |FROM events GROUP BY date_trunc('week', ts)""".stripMargin
 
+  /** Week-over-week retained users served ENTIRELY from the bitmap
+    * partial layer — the SET-INTERSECTION query on mergeable partials.
+    * Retention normally costs a user-level self-join (shuffle the whole
+    * user×week activity table twice); here |active(w) ∩ active(w+1)| is
+    * computed per 32k-id bucket by INCLUSION-EXCLUSION —
+    * |A∩B| = |A| + |B| − |A∪B| — with the union from bitmap_or_agg over
+    * the same weekly partials [[bitmapDistinct]] maintains. No
+    * user-granularity shuffle anywhere: the widest frame after the
+    * partial build is O(weeks × buckets). At 100 TB this is the
+    * difference between re-shuffling a trillion activity rows and
+    * merging a few thousand fixed-size bitmaps; any pairwise set
+    * overlap (audience intersection, cohort cross-visit) reads the same
+    * stored layer. Oracle = the user-level self-join done the expensive
+    * way in DuckDB, which the bucketed inclusion-exclusion must equal
+    * EXACTLY. */
+  def bitmapWowRetained(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(date_trunc("week", col("day")).as("week"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+    // stack each week's partials under its own label (the "current" side)
+    // and under the previous week's label (the "next" side): a (pair_week,
+    // bucket) group then holds exactly the two bitmaps to intersect
+    val stacked = weekly
+      .select(col("week").as("pair_week"), lit(1).as("is_cur"), col("bucket"), col("bm"))
+      .unionByName(weekly.select(
+        (col("week") - expr("INTERVAL 7 DAY")).as("pair_week"),
+        lit(0).as("is_cur"), col("bucket"), col("bm")))
+    stacked
+      .groupBy("pair_week", "bucket")
+      .agg(
+        sum(when(col("is_cur") === 1, expr("bitmap_count(bm)"))).as("c_cur"),
+        sum(when(col("is_cur") === 0, expr("bitmap_count(bm)"))).as("c_next"),
+        expr("bitmap_count(bitmap_or_agg(bm))").as("c_union"),
+        max(col("is_cur")).as("has_cur"), min(col("is_cur")).as("has_next"))
+      .groupBy(col("pair_week").as("week"))
+      .agg(
+        sum(coalesce(col("c_cur"), lit(0L))).as("n_cur"),
+        sum(coalesce(col("c_next"), lit(0L))).as("n_next"),
+        sum(coalesce(col("c_cur"), lit(0L)) + coalesce(col("c_next"), lit(0L))
+          - col("c_union")).as("retained"),
+        max(col("has_cur")).as("hc"), max(lit(1) - col("has_next")).as("hn"))
+      // only week pairs where BOTH weeks appear in the data (mirrors the
+      // oracle, whose pair list comes from the observed week set)
+      .filter(col("hc") === 1 && col("hn") === 1)
+      .select(col("week"), col("n_cur"), col("n_next"), col("retained"))
+  }
+
+  private val bitmapWowRetainedSql =
+    """WITH wk AS (
+      |  SELECT DISTINCT date_trunc('week', ts) AS week, user_id FROM events),
+      | weeks AS (SELECT DISTINCT week FROM wk),
+      | cons AS (
+      |  SELECT w.week FROM weeks w
+      |  JOIN weeks x ON x.week = w.week + INTERVAL 7 DAY)
+      |SELECT c.week,
+      | (SELECT COUNT(*) FROM wk a WHERE a.week = c.week) AS n_cur,
+      | (SELECT COUNT(*) FROM wk b WHERE b.week = c.week + INTERVAL 7 DAY) AS n_next,
+      | (SELECT COUNT(*) FROM wk a JOIN wk b
+      |    ON a.user_id = b.user_id
+      |   WHERE a.week = c.week AND b.week = c.week + INTERVAL 7 DAY) AS retained
+      |FROM cons c""".stripMargin
+
   /** The approx twin of [[bitmapDistinct]]: daily HLL sketch partials
     * merged upward with hll_union_agg — at 100 TB the bitmap layer is exact
     * but costs O(id-range/8) bits per day; the HLL layer is a fixed ~16 KB
@@ -513,6 +623,8 @@ object Events extends QueryModule {
     ("ev_approx_distinct", approxDistinct _, None),
     ("ev_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
     ("ev_sessionization", sessionization _, Some(sessionizationSql)),
+    ("ev_hour_concurrency", hourConcurrency _, Some(hourConcurrencySql)),
+    ("ev_bitmap_wow_retained", bitmapWowRetained _, Some(bitmapWowRetainedSql)),
     ("ev_funnel", funnel _, Some(funnelSql)),
     ("ev_daily_active", dailyActive _, Some(dailyActiveSql)),
     ("ev_retention", retention _, Some(retentionSql)),

@@ -61,8 +61,12 @@ class EntrySpec extends SparkSpec {
     // 134/123; +1 with oracle (ev_cms_daily_rollup — daily CMS partials
     // SUM-merged then probed, the materialized-rollup read path) →
     // 135/124; +1 with oracle (dedup_fuzzy_pairs — LSH-blocked
-    // candidates verified by levenshtein, integer threshold) → 136/125.
-    assert(SparkEntry.queries.size == 136, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 125, s"got ${SparkEntry.oracleSql.size}")
+    // candidates verified by levenshtein, integer threshold) → 136/125;
+    // +2 with oracles (ev_hour_concurrency — interval stabbing by
+    // bounded bucket expansion; ev_bitmap_wow_retained — set
+    // intersection on the bitmap partial layer by inclusion-exclusion)
+    // → 138/127.
+    assert(SparkEntry.queries.size == 138, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 127, s"got ${SparkEntry.oracleSql.size}")
   }
 }
