@@ -12,7 +12,8 @@ object SparkEntry {
     operators.Analytics, operators.AnalyticsSubqueries,
     operators.WideColumn, operators.Events,
     operators.TextAnalysis, operators.PipelineOps, dedup.Dedup,
-    similarity.Ann, multimodal.Multimodal, streaming.StreamingEntries)
+    similarity.Ann, similarity.Pca, multimodal.Multimodal,
+    streaming.StreamingEntries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -478,6 +478,41 @@ object Events extends QueryModule {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("hll_users"),
         sum(col("n_events")).as("n_events"))
 
+  /** The approx twin of [[bitmapWowRetained]]: week-over-week retained
+    * users by inclusion-exclusion over HLL sketches — |A∩B| ≈
+    * est(A) + est(B) − est(A∪B), the standard audience-overlap
+    * estimator. One fixed ~16 KB sketch per week (vs O(id-range/8) bits
+    * of bitmap per week), unions via hll_union_agg; the pair framing
+    * (stack each week under its own and its predecessor's label) is
+    * IDENTICAL to the exact entry so the two tiers stay drop-in
+    * substitutes. The estimator's absolute error scales with the UNION
+    * size, so relative error blows up when the overlap is a small
+    * fraction of either set — that is precisely when the exact bitmap
+    * tier is the right choice; EventsSpec bounds this entry against the
+    * exact intersection. Rows-only: sketch binaries aren't reproducible
+    * in DuckDB. */
+  def hllWowRetained(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(s, d)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val stacked = weekly
+      .select(col("week").as("pair_week"), lit(1).as("is_cur"), col("sk"))
+      .unionByName(weekly.select(
+        (col("week") - expr("INTERVAL 7 DAY")).as("pair_week"),
+        lit(0).as("is_cur"), col("sk")))
+    stacked
+      .groupBy(col("pair_week").as("week"))
+      .agg(
+        max(when(col("is_cur") === 1, hll_sketch_estimate(col("sk")))).as("est_cur"),
+        max(when(col("is_cur") === 0, hll_sketch_estimate(col("sk")))).as("est_next"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"),
+        max(col("is_cur")).as("hc"), min(col("is_cur")).as("hn"))
+      .filter(col("hc") === 1 && col("hn") === 0)
+      .select(col("week"), col("est_cur"), col("est_next"),
+        greatest(col("est_cur") + col("est_next") - col("est_union"), lit(0L))
+          .as("retained_est"))
+  }
+
   // Count-Min Sketch geometry: d independent hash rows × w buckets. At
   // w=1024 the additive error bound is εN with ε = e/w ≈ 0.27%, far below
   // any heavy-hitter threshold worth acting on.
@@ -618,6 +653,7 @@ object Events extends QueryModule {
     ("ev_cms_frequency", cmsFrequency _, Some(cmsFrequencySql)),
     ("ev_cms_daily_rollup", cmsDailyRollup _, Some(cmsDailyRollupSql)),
     ("ev_hll_merge", hllMerge _, None),
+    ("ev_hll_wow_retained", hllWowRetained _, None),
     ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),
     ("ev_value_percentiles_approx", valuePercentilesApprox _, None),
     ("ev_approx_distinct", approxDistinct _, None),

@@ -65,8 +65,11 @@ class EntrySpec extends SparkSpec {
     // +2 with oracles (ev_hour_concurrency — interval stabbing by
     // bounded bucket expansion; ev_bitmap_wow_retained — set
     // intersection on the bitmap partial layer by inclusion-exclusion)
-    // → 138/127.
-    assert(SparkEntry.queries.size == 138, s"got ${SparkEntry.queries.size}")
+    // → 138/127; +2 rows-only (ev_hll_wow_retained — HLL
+    // inclusion-exclusion overlap, EventsSpec-bounded vs exact;
+    // emb_pca_project — distributed PCA, PcaSpec asserts the
+    // linear-algebra contract) → 140/127.
+    assert(SparkEntry.queries.size == 140, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 127, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -35,6 +35,26 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("HLL inclusion-exclusion tracks the exact weekly intersection") {
+    val got = Events.hllWowRetained(spark, sf).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(3)).toMap
+    val wk = Tables.events(spark, sf)
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id")).distinct()
+    val exact = wk.alias("a")
+      .join(wk.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.week") === col("a.week") + expr("INTERVAL 7 DAY"))
+      .groupBy(col("a.week")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    // inclusion-exclusion compounds three ~2% sketch errors, and the
+    // bound is on the UNION size, not the (smaller) intersection
+    got.foreach { case (w, est) =>
+      val e = exact(w)
+      assert(math.abs(est - e).toDouble / e <= 0.15, s"week $w: $est vs $e")
+    }
+  }
+
   test("sessionization: sessions partition all events, gaps respected") {
     val sess = Events.sessionization(spark, sf)
     val total = sess.agg(sum("n_events")).collect()(0).getLong(0)

@@ -1,0 +1,57 @@
+package graft
+
+import graft.similarity.Pca
+import org.apache.spark.sql.functions._
+
+/** The linear-algebra contract emb_pca_project's rows-only entry rests
+  * on: the fitted basis is orthonormal, PC1 captures at least as much
+  * variance as ANY original axis (the defining property of the top
+  * principal component), components come out variance-ordered, and the
+  * projected sample variance reproduces each eigenvalue. */
+class PcaSpec extends SparkSpec {
+
+  private lazy val fitted = Pca.fit(spark, sf)
+  private lazy val proj = Pca.project(spark, sf).collect()
+
+  test("basis is orthonormal and sign-canonicalized") {
+    val vs = fitted._2.map(_._2)
+    vs.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"norm $n")
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      assert(v(pivot) > 0, "largest component must be canonicalized positive")
+    }
+    val d = vs(0).indices.map(i => vs(0)(i) * vs(1)(i)).sum
+    assert(math.abs(d) < 1e-6, s"v1·v2 = $d")
+  }
+
+  test("eigenvalues are positive and ordered") {
+    val ls = fitted._2.map(_._1)
+    assert(ls.forall(_ > 0))
+    assert(ls == ls.sortBy(-_))
+  }
+
+  test("PC1 variance dominates every coordinate axis variance") {
+    val axisVar = Tables.embeddings(spark, sf)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(var_pop(col("x").cast("double")).as("v"))
+      .agg(max("v")).collect()(0).getDouble(0)
+    assert(fitted._2.head._1 >= axisVar - 1e-9,
+      s"λ1 ${fitted._2.head._1} < max axis variance $axisVar")
+  }
+
+  test("projected sample variance reproduces each eigenvalue") {
+    Seq("pc1" -> 0, "pc2" -> 1).foreach { case (c, k) =>
+      val xs = proj.map(_.getAs[Double](c))
+      val mean = xs.sum / xs.length
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      val lambda = fitted._2(k)._1
+      assert(math.abs(v - lambda) / lambda < 0.01, s"$c: var $v vs λ $lambda")
+    }
+  }
+
+  test("projection is centered") {
+    val mean1 = proj.map(_.getAs[Double]("pc1")).sum / proj.length
+    assert(math.abs(mean1) < 1e-3, s"pc1 mean $mean1")
+  }
+}
