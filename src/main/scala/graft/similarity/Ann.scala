@@ -657,7 +657,47 @@ object Ann extends QueryModule {
       .select(col("query_id"), col("vec_id")))
   }
 
+  // PCA candidate tier: 16 of 64 dims (4× cheaper candidate scan), 4×K
+  // candidate over-fetch into the exact re-rank.
+  private val PcaDims = 16
+  private val PcaReRank = 4 * K
+
+  /** ANN through the DIMENSION-REDUCTION tier: candidates scored in the
+    * [[Pca]]-reduced space (PcaDims of 64 dims — PCA is the optimal
+    * linear L2 compressor, so reduced-space similarity preserves
+    * neighbor order better than any other 16-dim linear cut), then the
+    * shortlist re-ranked with exact full-width cosine. Complements the
+    * quantization tiers: PQ shrinks per-dim PRECISION (8 bits per
+    * 8-dim subspace), PCA shrinks DIMENSIONALITY — real indexes (FAISS
+    * PCAR + IVF/PQ transforms) chain them, and both feed the same
+    * bounded topKPerQuery → floatReRank scaffold here. The projection
+    * is a broadcast-literal map inside whole-stage codegen (no model
+    * join); candidate cut pre-reduces in (query, bucket) windows like
+    * every other tier. rows-only: the eigensolve isn't
+    * SQL-expressible; AnnSpec bounds recall vs brute force. */
+  def pcaTopK(s: SparkSession, d: String): DataFrame = {
+    val (mu, eig) = Pca.fit(s, d, PcaDims)
+    val e = withNorm(Tables.embeddings(s, d))
+    def reduced(emb: Column): Column = array(eig.map { case (_, v) =>
+      dot(emb, array(v.map(lit): _*)) - lit(Pca.dotV(mu, v))
+    }: _*)
+    val red = e.withColumn("red", reduced(col("embedding")))
+      .withColumn("rnrm", norm(col("red")))
+    val q = red.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("red").as("qred"), col("rnrm").as("qrn"))
+    val candidates = red
+      .select(col("vec_id"), col("red"), col("rnrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qred"), col("red")) / nullif(col("qrn") * col("rnrm"), lit(0.0)))
+          .as("ascore"))
+    floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", PcaReRank, "ark")
+      .select(col("query_id"), col("vec_id")))
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ann_pca_topk", pcaTopK _, None),
     ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, None),
     ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, None),
     ("ann_pq_topk", pqTopK _, None),

@@ -82,7 +82,7 @@ object Pca extends QueryModule {
   private def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
     m.map(row => row.indices.foldLeft(0.0)((acc, i) => acc + row(i) * v(i)))
 
-  private def dotV(a: Array[Double], b: Array[Double]): Double =
+  private[similarity] def dotV(a: Array[Double], b: Array[Double]): Double =
     a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
 
   private def normalize(v: Array[Double]): Array[Double] = {
@@ -108,10 +108,12 @@ object Pca extends QueryModule {
     }
   }
 
-  /** The fitted model for [[project]] and PcaSpec: (μ, eigenpairs). */
-  private[graft] def fit(s: SparkSession, d: String): (Array[Double], Seq[(Double, Array[Double])]) = {
+  /** The fitted model for [[project]], [[Ann.pcaTopK]] and PcaSpec:
+    * (μ, eigenpairs). */
+  private[graft] def fit(s: SparkSession, d: String,
+      k: Int = TopK): (Array[Double], Seq[(Double, Array[Double])]) = {
     val (cov, mu) = moments(s, d)
-    (mu, topEigen(cov, TopK))
+    (mu, topEigen(cov, k))
   }
 
   /** Driver entry: per-vector top-2 principal coordinates. */

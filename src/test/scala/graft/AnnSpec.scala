@@ -29,6 +29,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("PCA tier: 16-dim candidates + exact re-rank, recall floor vs brute force") {
+    val rows = Ann.pcaTopK(spark, sf).collect()
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pcaSet = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = bf.intersect(pcaSet).size.toDouble / bf.size
+    info(s"pca recall = $recall")
+    // isotropic corpus = the WORST case for PCA (no dominant directions to
+    // keep): 16/64 dims retains ~25% of variance, and the 4x over-fetch
+    // re-rank recovers the rest of the ordering
+    assert(recall >= 0.5, s"pca recall $recall below 0.5")
+    // every result row must carry a valid exact score
+    rows.foreach(r => assert(!r.isNullAt(2) && r.getAs[Double]("score") <= 1.0 + 1e-9))
+  }
+
   test("IVF: results come from at most nprobe=3 learned cells, recall >= 0.55") {
     val rows = Ann.ivfTopK(spark, sf).collect()
     val cells = rows.groupBy(_.getAs[Long]("query_id"))

@@ -68,8 +68,9 @@ class EntrySpec extends SparkSpec {
     // → 138/127; +2 rows-only (ev_hll_wow_retained — HLL
     // inclusion-exclusion overlap, EventsSpec-bounded vs exact;
     // emb_pca_project — distributed PCA, PcaSpec asserts the
-    // linear-algebra contract) → 140/127.
-    assert(SparkEntry.queries.size == 140, s"got ${SparkEntry.queries.size}")
+    // linear-algebra contract) → 140/127; +1 rows-only (ann_pca_topk —
+    // the dimension-reduction ANN tier, AnnSpec recall floor) → 141/127.
+    assert(SparkEntry.queries.size == 141, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 127, s"got ${SparkEntry.oracleSql.size}")
   }
 }
