@@ -12,6 +12,7 @@ object SparkEntry {
     operators.Analytics, operators.AnalyticsSubqueries,
     operators.WideColumn, operators.Events,
     operators.TextAnalysis, operators.PipelineOps, dedup.Dedup,
+    dedup.SemDedup,
     similarity.Ann, similarity.Pca, multimodal.Multimodal,
     streaming.StreamingEntries)
 

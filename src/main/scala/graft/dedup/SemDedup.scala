@@ -1,0 +1,159 @@
+package graft.dedup
+
+import graft.{Checkpoints, QueryModule, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.E — SEMANTIC deduplication (SemDeDup, Abbas et al. 2023,
+  * arXiv:2303.09540): k-means-cluster the embedding space, then ε-dedup
+  * WITHIN each cluster — pairs whose cosine exceeds ε are semantic
+  * duplicates (paraphrases, boilerplate rewrites, translations back and
+  * forth) that no lexical tier (MinHash/SimHash/winnowing) can see, and
+  * the lowest-id member of each ε-neighborhood survives (the suite-wide
+  * min-id convention of dedup_survivors/dedup_near_survivors).
+  *
+  * Scale shape: clustering is what makes semantic dedup subquadratic —
+  * pairs are only compared within a cell, so the join shuffles once on
+  * `cell` and a cell of c vectors costs c² dots, never n². K scales with
+  * the corpus (the paper uses 50k clusters for 100M docs; k ≈ n/⟨cell⟩
+  * keeps per-cell cost constant), and a hot cell is the usual salting
+  * candidate. Training is `SemIters` relational Lloyd rounds — broadcast
+  * K centroid rows, map-side partial aggregation under the per-(cell,pos)
+  * recompute, nothing but the K×dim frame ever leaves the executors.
+  *
+  * Cross-engine exactness (why this is hash-green while the IVF tiers are
+  * rows-only): the float-mean recompute is the ONLY order-dependent step,
+  * so each component is fixed-pointed with floor(x·1e9 + 0.5) BEFORE the
+  * sum (the emb_centroid_per_label device) — integer sums are order-free,
+  * the mean is one deterministic IEEE division chain, and therefore BOTH
+  * engines derive bit-identical centroids, identical (coalesced, -2.0 for
+  * the zero-norm degenerate) cosine assignments with lowest-cell
+  * tie-breaks, and identical ε comparisons on raw doubles. The whole
+  * k-means training unrolls into the DuckDB oracle as CTEs — the learned
+  * model IS replayed in SQL, extending the splitmix-planes device from
+  * literals to trained parameters.
+  */
+object SemDedup extends QueryModule {
+
+  private val SemK = 8
+  private val SemIters = 2
+  /** ε: the semantic-duplicate bar. The synthetic corpus is isotropic
+    * (max pairwise cosine ≈ 0.46 at sf0.01), so ε is set where the
+    * extreme tail lives; on real clustered embeddings the same machinery
+    * runs at ε ≈ 0.95+. */
+  private val Eps = 0.42
+
+  /** Per-vector best cell under `cent`: broadcast the K centroid rows on a
+    * constant key, rank with a (vec_id) window — cosine desc, cell asc —
+    * so ties and zero-norm vectors (cosine NULL → -2.0) assign
+    * deterministically in both engines. */
+  private def assign(n: DataFrame, cent: DataFrame): DataFrame =
+    n.withColumn("j", lit(1))
+      .join(broadcast(cent.withColumn("j", lit(1))), "j")
+      .withColumn("cscore", coalesce(
+        dot(col("embedding"), col("centroid")) / nullif(col("nrm") * col("cnrm"), lit(0.0)),
+        lit(-2.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cscore"), asc("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+
+  def semantic(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e.withColumn("nrm", norm(col("embedding")))
+    // seeds: the SemK lowest vec_ids (deterministic, same rule as IVF)
+    var cent = e.filter(col("vec_id") < SemK)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("centroid"))
+      .withColumn("cnrm", norm(col("centroid")))
+    for (_ <- 1 to SemIters) {
+      cent = assign(n, cent)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cell"), col("pos"),
+          floor(col("v").cast("double") * 1e9 + 0.5).cast("long").as("vr"))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("cnt"), sum(col("vr")).as("csum"))
+        .withColumn("cv", col("csum").cast("double") / col("cnt") / 1e9)
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("centroid"))
+        .withColumn("cnrm", norm(col("centroid")))
+        .transform(Checkpoints.materialize)
+    }
+    // final assignment feeds BOTH the pair join sides and the sizes —
+    // materialize once (and the loop's dead round frames free eagerly)
+    val asg = Checkpoints.materialize(assign(n, cent))
+    val rhs = asg.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val drops = asg
+      .select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(rhs, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .filter(cosine(col("ea"), col("eb"), col("na"), col("nb")) >= Eps)
+      .select(col("vec_b").as("dropped")).distinct()
+    val sizes = asg.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    asg.join(drops, col("vec_id") === col("dropped"), "left_anti")
+      .join(sizes, "cell")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("cell_size"))
+      .orderBy("vec_id")
+  }
+
+  // ---- DuckDB oracle: the k-means training unrolled as CTEs --------------
+
+  /** One Lloyd round in SQL: assignment (window over the cross join with
+    * the K-row centroid CTE) then the fixed-point per-(cell,pos) mean.
+    * Emits `a$r` (assignment) and `c$r`/`c${r}n` (new normed centroids). */
+  private def lloydRoundSql(r: Int, prevCent: String): String = {
+    val asg =
+      s"""a$r AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |  SELECT n.vec_id, n.embedding, n.nrm, c.cell,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      coalesce(${dotSql("n.embedding", "c.centroid")} / nullif(n.nrm * c.cnrm, 0), -2.0) DESC,
+         |      c.cell) AS rk
+         |  FROM n CROSS JOIN $prevCent c) WHERE rk = 1)""".stripMargin
+    val recompute =
+      s"""s$r AS (SELECT cell, i AS pos, COUNT(*) AS cnt,
+         |  SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS csum
+         |  FROM (SELECT cell, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i FROM a$r)
+         |  GROUP BY cell, i),
+         |c$r AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM (
+         |  SELECT cell, pos, CAST(csum AS DOUBLE) / cnt / 1e9 AS cv FROM s$r)
+         |  GROUP BY cell),
+         |c${r}n AS (SELECT cell, centroid, ${normSql("centroid")} AS cnrm FROM c$r)""".stripMargin
+    s"$asg,\n$recompute"
+  }
+
+  private def semanticSql: String = {
+    val rounds = (1 to SemIters)
+      .map(r => lloydRoundSql(r, if (r == 1) "c0n" else s"c${r - 1}n"))
+      .mkString(",\n")
+    // final assignment uses the last trained centroids
+    val fin =
+      s"""af AS (SELECT vec_id, embedding, nrm, cell FROM (
+         |  SELECT n.vec_id, n.embedding, n.nrm, c.cell,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      coalesce(${dotSql("n.embedding", "c.centroid")} / nullif(n.nrm * c.cnrm, 0), -2.0) DESC,
+         |      c.cell) AS rk
+         |  FROM n CROSS JOIN c${SemIters}n c) WHERE rk = 1)""".stripMargin
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+       |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS centroid
+       |  FROM embeddings WHERE vec_id < $SemK),
+       |c0n AS (SELECT cell, centroid, ${normSql("centroid")} AS cnrm FROM c0),
+       |$rounds,
+       |$fin,
+       |drops AS (SELECT DISTINCT b.vec_id AS dropped
+       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0) >= $Eps),
+       |sizes AS (SELECT cell, COUNT(*) AS cell_size FROM af GROUP BY cell)
+       |SELECT af.vec_id, CAST(af.cell AS BIGINT) AS cell, sizes.cell_size
+       |FROM af LEFT JOIN drops ON af.vec_id = drops.dropped
+       |JOIN sizes ON af.cell = sizes.cell
+       |WHERE drops.dropped IS NULL ORDER BY vec_id""".stripMargin
+  }
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("dedup_semantic", semantic _, Some(semanticSql)))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.dedup.SemDedup
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the SemDeDup entry (cluster → within-cell ε-dedup →
+  * min-id representative). The oracle proves cross-engine hash equality;
+  * these prove the SEMANTIC invariants the hash can't articulate. */
+class SemDedupSpec extends SparkSpec {
+
+  test("survivors partition the corpus: drops each have a lower-id ε-neighbor in their cell") {
+    val total = Tables.embeddings(spark, sf01).count()
+    val out = SemDedup.semantic(spark, sf01).cache()
+    val survivors = out.count()
+    assert(survivors > 0 && survivors <= total)
+    // every cell keeps at least one representative (ε-dedup never empties
+    // a non-empty cell: the min-id member has no lower-id neighbor)
+    val cells = out.groupBy("cell").count().collect()
+    cells.foreach(r => assert(r.getLong(1) >= 1))
+    // cell_size is consistent: per-cell survivor count <= reported size
+    out.groupBy("cell").agg(count(lit(1)).as("kept"), first("cell_size").as("sz"))
+      .collect()
+      .foreach(r => assert(r.getAs[Long]("kept") <= r.getAs[Long]("sz")))
+    out.unpersist()
+  }
+
+  test("exact-duplicate vectors collapse to the min-id survivor (edge corpus)") {
+    val s2 = spark
+    import s2.implicits._
+    // vec 2 and 3 are identical axis vectors; 5 and 6 are distinct
+    // directions (cosine < 0); 1 is the zero vector (no direction — must
+    // survive, never compare as a duplicate)
+    val embs = Seq(
+      (1L, Array(0f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f, 0f), 1),
+      (5L, Array(-1f, 2f, -3f, 4f), 2),
+      (6L, Array(4f, -3f, 2f, -1f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup")
+    embs.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val kept = SemDedup.semantic(spark, dir.toString)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(2L) && !kept.contains(3L),
+      s"identical pair must keep min-id only, got $kept")
+    assert(kept.contains(1L), "zero vector has no direction and must survive")
+    assert(kept.contains(5L) && kept.contains(6L),
+      "anti-parallel vectors are not semantic duplicates")
+  }
+}
