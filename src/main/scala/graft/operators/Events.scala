@@ -621,6 +621,46 @@ object Events extends QueryModule {
        |GROUP BY user_id""".stripMargin
   }
 
+  /** Heavy-hitter threshold: keys with ≥ this many events. Production
+    * uses φN (a corpus fraction); the synthetic per-key counts don't
+    * scale with SF (users do), so a fixed bar keeps the result
+    * meaningful at every SF (1 / 13 / 104 keys at sf0.001/0.01/0.1). */
+  private val HhT = 80L
+
+  /** EXACT heavy hitters through the CMS, the huge-cardinality pattern:
+    * when the key space is too large to groupBy outright (per-IP, per-URL,
+    * per-ngram at 100 TB), a full-histogram shuffle moves every key.
+    * Instead: (1) build the 4096-cell sketch (map-side combinable, the
+    * ev_cms_frequency layer); (2) collect it to the driver — it is a
+    * CONSTANT-size frame like the IVF eigensolve, NOT data — and re-scan
+    * with the d bucket counts as a broadcast-literal lookup, filtering
+    * events whose key's estimate < T entirely MAP-SIDE; (3) exact-count
+    * only the survivors. CMS never underestimates, so the candidate set
+    * provably contains every true heavy key, and the exact recount makes
+    * the final answer EXACT — the oracle is the plain HAVING query, and
+    * equality is a theorem, not luck. The only shuffle carries candidate
+    * rows (the εN false-positive tail), not the key histogram. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val cells = cmsPairs(ev).groupBy("row", "bucket")
+      .agg(count(lit(1)).as("c")).collect()
+    val dense = Array.fill(CmsD)(Array.fill(CmsW)(0L))
+    cells.foreach(r => dense(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val h = pmod(graft.functions.TextFunctions.md5Int(col("user_id").cast("string")),
+      lit(CmsP))
+    val est = least((0 until CmsD).map(r =>
+      element_at(lit(dense(r)), (cmsHRow(r, h) + 1).cast("int"))): _*)
+    ev.filter(est >= lit(HhT))
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(HhT))
+      .orderBy(desc("cnt"), asc("user_id"))
+  }
+
+  private val heavyHittersSql =
+    s"""SELECT user_id, COUNT(*) AS cnt FROM events
+       |GROUP BY user_id HAVING COUNT(*) >= $HhT
+       |ORDER BY cnt DESC, user_id""".stripMargin
+
   private[graft] val cmsFrequencySql = {
     val md5u = graft.functions.TextFunctions.md5IntSql("CAST(user_id AS VARCHAR)")
     def hRow(row: Int, h: String) =
@@ -652,6 +692,7 @@ object Events extends QueryModule {
     ("ev_bitmap_distinct", bitmapDistinct _, Some(bitmapDistinctSql)),
     ("ev_cms_frequency", cmsFrequency _, Some(cmsFrequencySql)),
     ("ev_cms_daily_rollup", cmsDailyRollup _, Some(cmsDailyRollupSql)),
+    ("ev_heavy_hitters", heavyHitters _, Some(heavyHittersSql)),
     ("ev_hll_merge", hllMerge _, None),
     ("ev_hll_wow_retained", hllWowRetained _, None),
     ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),

@@ -138,6 +138,37 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("CMS heavy hitters are EXACT: sketch-filter + recount equals the full groupBy") {
+    // sf0.01: the fixed T=80 bar admits 13 keys — enough to exercise the
+    // candidate filter and the exact-recount verification together
+    val brute = Tables.events(spark, sf01)
+      .groupBy("user_id").count().filter(col("count") >= 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hh = Events.heavyHitters(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cnt")).toMap
+    // CMS never underestimates -> candidates are a provable superset of
+    // the true heavy keys; the recount makes equality a theorem
+    assert(hh == brute, s"heavy hitters must be exact: $hh vs $brute")
+    assert(hh.nonEmpty, "threshold admits no keys - bar miscalibrated")
+    // shape: the sketch filter is MAP-SIDE - below the (single) exchange,
+    // so only candidate rows shuffle, never the key histogram
+    val plan0 = Events.heavyHitters(spark, sf01).queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p }
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("least") => f }
+    assert(filters.nonEmpty, "sketch-estimate filter missing from the plan")
+    filters.foreach { f =>
+      val shuffledBelow = f.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(shuffledBelow.isEmpty,
+        "the estimate filter must run before any exchange (map-side prune)")
+    }
+  }
+
   test("CMS daily partials merge to exactly the one-shot sketch estimates") {
     val merged = Events.cmsDailyRollup(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_count")).toMap
