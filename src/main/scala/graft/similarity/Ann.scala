@@ -318,6 +318,59 @@ object Ann extends QueryModule {
       |   / COUNT(*) / 1e9 AS centroid
       |FROM e GROUP BY label, i""".stripMargin
 
+  // k-NN label propagation: queries vs the labeled remainder.
+  private val KnnQ = 50
+  private val KnnK = 5
+
+  /** k-NN LABEL VOTE — label propagation, the semi-supervised annotation
+    * pattern of a curation pipeline (quality/domain labels exist for a
+    * seed set; propagate to the rest by nearest-neighbor majority): the
+    * first `KnnQ` vectors play the unlabeled batch, the remainder is the
+    * labeled corpus; each query takes its exact top-`KnnK` neighbors by
+    * rounded cosine (id tie-break — the suite's deterministic-rank
+    * device) and adopts the majority label, ties to the smallest label.
+    * One corpus scan with the query batch broadcast (the declared
+    * query-set pattern); at 100 TB the candidate stage swaps for any ANN
+    * tier above — the vote is tier-agnostic. Fully SQL-expressible:
+    * hash-green, unlike the trained tiers. */
+  def knnLabelVote(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") < KnnQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("true_label"))
+    val nn = e.filter(col("vec_id") >= KnnQ).crossJoin(broadcast(q))
+      .select(col("query_id"), col("true_label"), col("vec_id").as("neighbor_id"),
+        col("label"), score.as("score"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= KnnK)
+    nn.groupBy("query_id", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("votes"), asc("label"))))
+      .filter(col("vrk") === 1)
+      .select(col("query_id"), col("label").cast("long").as("pred_label"),
+        col("votes"), col("true_label").cast("long").as("true_label"))
+      .orderBy("query_id")
+  }
+
+  private val knnLabelVoteSql =
+    s"""WITH n AS (SELECT vec_id, embedding, label, ${normSql("embedding")} AS nrm FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, label AS true_label
+       |       FROM n WHERE vec_id < $KnnQ),
+       | pairs AS (
+       |  SELECT query_id, true_label, c.vec_id AS neighbor_id, c.label,
+       |    round(${dotSql("qe", "c.embedding")} / nullif(qn * c.nrm, 0), 4) AS score
+       |  FROM q, n c WHERE c.vec_id >= $KnnQ),
+       | nn AS (SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |    FROM pairs) t WHERE rk <= $KnnK),
+       | v AS (SELECT query_id, true_label, label, COUNT(*) AS votes
+       |       FROM nn GROUP BY query_id, true_label, label)
+       |SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes,
+       |       CAST(true_label AS BIGINT) AS true_label
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vrk
+       |      FROM v) t WHERE vrk = 1 ORDER BY query_id""".stripMargin
+
   // Norm statistics per label (exact decimal mean).
   def normStats(s: SparkSession, d: String): DataFrame =
     withNorm(Tables.embeddings(s, d))
@@ -710,5 +763,6 @@ object Ann extends QueryModule {
     ("ann_ivf_int8_topk", ivfInt8TopK _, None),
     ("vec_norm_stats", normStats _, Some(normStatsSql)),
     ("emb_centroid_per_label", centroidPerLabel _, Some(centroidPerLabelSql)),
+    ("emb_knn_label_vote", knnLabelVote _, Some(knnLabelVoteSql)),
     ("emb_quantize_int8", quantizeInt8 _, Some(quantizeInt8Sql)))
 }

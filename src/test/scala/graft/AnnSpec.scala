@@ -44,6 +44,26 @@ class AnnSpec extends SparkSpec {
     rows.foreach(r => assert(!r.isNullAt(2) && r.getAs[Double]("score") <= 1.0 + 1e-9))
   }
 
+  test("knn label vote: prediction is the modal label of the exact top-5") {
+    val e = Tables.embeddings(spark, sf01)
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top = Ann.topKOf(
+      e.filter(col("vec_id") >= 50),
+      e.filter(col("vec_id") < 50).select(col("vec_id").as("query_id"), col("embedding")),
+      5).collect()
+    // independent Scala-side vote over the same deterministic rank
+    val expected = top.groupBy(_.getLong(0)).map { case (q, rows) =>
+      val votes = rows.map(r => labels(r.getLong(1)))
+        .groupBy(identity).map { case (l, v) => (l, v.size) }
+      q -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+    }
+    val got = Ann.knnLabelVote(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("pred_label").toInt).toMap
+    assert(got == expected, "vote must match the independent recount")
+    assert(got.size == 50, s"one prediction per query, got ${got.size}")
+  }
+
   test("IVF: results come from at most nprobe=3 learned cells, recall >= 0.55") {
     val rows = Ann.ivfTopK(spark, sf).collect()
     val cells = rows.groupBy(_.getAs[Long]("query_id"))
