@@ -257,6 +257,88 @@ object TextAnalysis extends QueryModule {
        |  AND alpha_frac > 0.8 AND stop_hits >= 2) AS passes
        |FROM m""".stripMargin
 
+  /** Quality bar for the funnel's final gate: the survivor median at
+    * sf0.01 is 0.393, so 0.39 splits the tail meaningfully (a corpus
+    * pipeline tunes this against downstream evals). */
+  private val FunnelQBar = 0.39
+
+  /** FILTER FUNNEL — the selection-audit artifact every production corpus
+    * pipeline publishes next to its output: each doc is attributed to the
+    * FIRST gate it fails (lang → length → word shape → stopwords →
+    * quality), and the funnel reports n_in/n_dropped/n_out per stage. This
+    * is how a pipeline owner answers "where did my 100 TB go" and spots a
+    * mis-tuned gate (a stage suddenly eating 40% is a regression alarm).
+    * Shape: the per-doc signals are the SAME codegen'd expressions as
+    * txt_gopher_rules/txt_quality_score (one definition, funnel cannot
+    * drift from the gates it audits); the whole corpus reduces to ONE
+    * partial-aggregable row of conditional counts, and the 5-stage
+    * waterfall unrolls as literal column arithmetic on that row — no
+    * global window, no triangular join, map-only at any scale. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val df = withToks(Tables.documents(s, d))
+    val n = size(col("toks")).cast("long")
+    val meanLen = aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / n
+    val alphaFrac = size(filter(col("toks"), x => x.rlike("[a-z]")))
+      .cast("double") / n
+    val stopHits = stopwordHits(col("toks"), stopsEn)
+    val q = graft.functions.TextFunctions.qualityScore(col("toks"))
+    val firstFail = when(col("lang") =!= "en", lit("1_lang"))
+      .when(!n.between(50, 100000), lit("2_length"))
+      .when(!(meanLen.between(3.0, 10.0) && alphaFrac > 0.8), lit("3_word_shape"))
+      .when(stopHits < 2, lit("4_stopwords"))
+      .when(q < FunnelQBar, lit("5_quality"))
+      .otherwise(lit("kept"))
+    val one = df.select(firstFail.as("stage"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("stage") === "1_lang", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("stage") === "2_length", 1L).otherwise(0L)).as("d2"),
+        sum(when(col("stage") === "3_word_shape", 1L).otherwise(0L)).as("d3"),
+        sum(when(col("stage") === "4_stopwords", 1L).otherwise(0L)).as("d4"),
+        sum(when(col("stage") === "5_quality", 1L).otherwise(0L)).as("d5"))
+    val in1 = col("total")
+    val in2 = in1 - col("d1"); val in3 = in2 - col("d2")
+    val in4 = in3 - col("d3"); val in5 = in4 - col("d4")
+    one.select(explode(array(
+      struct(lit("1_lang").as("stage"), in1.as("n_in"), col("d1").as("n_dropped"), in2.as("n_out")),
+      struct(lit("2_length").as("stage"), in2.as("n_in"), col("d2").as("n_dropped"), in3.as("n_out")),
+      struct(lit("3_word_shape").as("stage"), in3.as("n_in"), col("d3").as("n_dropped"), in4.as("n_out")),
+      struct(lit("4_stopwords").as("stage"), in4.as("n_in"), col("d4").as("n_dropped"), in5.as("n_out")),
+      struct(lit("5_quality").as("stage"), in5.as("n_in"), col("d5").as("n_dropped"),
+        (in5 - col("d5")).as("n_out")))).as("f"))
+      .select(col("f.stage").as("stage"), col("f.n_in").as("n_in"),
+        col("f.n_dropped").as("n_dropped"), col("f.n_out").as("n_out"))
+  }
+
+  private val filterFunnelSql =
+    s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | m AS (SELECT doc_id, lang,
+       |   len(toks) AS n_words,
+       |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_word_len,
+       |   CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+       |   len(list_filter(toks, x -> x IN (${sqlInList(stopsEn)}))) AS stop_hits,
+       |   ${qualityScoreSqlExpr("toks")} AS q
+       |  FROM t),
+       | f AS (SELECT CASE WHEN lang != 'en' THEN '1_lang'
+       |   WHEN n_words NOT BETWEEN 50 AND 100000 THEN '2_length'
+       |   WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0 AND alpha_frac > 0.8) THEN '3_word_shape'
+       |   WHEN stop_hits < 2 THEN '4_stopwords'
+       |   WHEN q < $FunnelQBar THEN '5_quality'
+       |   ELSE 'kept' END AS stage FROM m),
+       | one AS (SELECT COUNT(*) AS total,
+       |   CAST(SUM(CASE WHEN stage = '1_lang' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |   CAST(SUM(CASE WHEN stage = '2_length' THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+       |   CAST(SUM(CASE WHEN stage = '3_word_shape' THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+       |   CAST(SUM(CASE WHEN stage = '4_stopwords' THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+       |   CAST(SUM(CASE WHEN stage = '5_quality' THEN 1 ELSE 0 END) AS BIGINT) AS d5
+       |  FROM f)
+       |SELECT '1_lang' AS stage, total AS n_in, d1 AS n_dropped, total - d1 AS n_out FROM one
+       |UNION ALL SELECT '2_length', total - d1, d2, total - d1 - d2 FROM one
+       |UNION ALL SELECT '3_word_shape', total - d1 - d2, d3, total - d1 - d2 - d3 FROM one
+       |UNION ALL SELECT '4_stopwords', total - d1 - d2 - d3, d4, total - d1 - d2 - d3 - d4 FROM one
+       |UNION ALL SELECT '5_quality', total - d1 - d2 - d3 - d4, d5,
+       |  total - d1 - d2 - d3 - d4 - d5 FROM one""".stripMargin
+
   // PII scrub — the redaction pass every LLM corpus pipeline runs before
   // training. The test corpus ships no PII, so the entry first SYNTHESIZES
   // deterministic PII per doc (an email and a phone derived from doc_id —
@@ -532,6 +614,7 @@ object TextAnalysis extends QueryModule {
     ("txt_top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("txt_winnow_fingerprint", winnowFingerprint _, Some(winnowFingerprintSql)),
     ("txt_gopher_rules", gopherRules _, Some(gopherRulesSql)),
+    ("txt_filter_funnel", filterFunnel _, Some(filterFunnelSql)),
     ("txt_pii_scrub", piiScrub _, Some(piiScrubSql)),
     ("txt_bpe_token_estimate", bpeEstimate _, Some(bpeEstimateSql)))
 }

@@ -74,8 +74,10 @@ class EntrySpec extends SparkSpec {
     // unrolled into the SQL oracle) → 142/128; +1 oracle
     // (ev_heavy_hitters — CMS candidate filter + exact recount, equality
     // by the no-underestimate theorem) → 143/129; +1 oracle
-    // (emb_knn_label_vote — k-NN majority label propagation) → 144/130.
-    assert(SparkEntry.queries.size == 144, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 130, s"got ${SparkEntry.oracleSql.size}")
+    // (emb_knn_label_vote — k-NN majority label propagation) → 144/130;
+    // +1 oracle (txt_filter_funnel — first-fail gate attribution
+    // waterfall) → 145/131.
+    assert(SparkEntry.queries.size == 145, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 131, s"got ${SparkEntry.oracleSql.size}")
   }
 }

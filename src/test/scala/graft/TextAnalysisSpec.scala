@@ -32,6 +32,25 @@ class TextAnalysisSpec extends SparkSpec {
   private def toks(s: String): Seq[String] =
     graft.plans.WordShingles.sqlTokens(s).toSeq
 
+  test("filter funnel conserves documents: stages chain and drops attribute once") {
+    val rows = TextAnalysis.filterFunnel(spark, sf01).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(rows.length == 5)
+    val total = Tables.documents(spark, sf01).count()
+    assert(rows.head.getAs[Long]("n_in") == total, "stage 1 sees the whole corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"),
+        s"conservation broken at ${r.getAs[String]("stage")}")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"),
+        s"funnel chain broken between ${a.getString(0)} and ${b.getString(0)}")
+    }
+    // the calibrated bars keep a nonempty corpus and drop something
+    assert(rows.last.getAs[Long]("n_out") > 0, "funnel must not annihilate the corpus")
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0, "funnel must drop something")
+  }
+
   test("gopher repetition signals match a hand-built corpus") {
     val s2 = spark
     import s2.implicits._
