@@ -25,7 +25,10 @@ class PlanSpec extends SparkSpec {
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
       "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "ann_ivfpq_residual_topk", "ann_ivf_prebuilt_topk",
-      "ann_ivfpq_prebuilt_topk",
+      "ann_ivfpq_prebuilt_topk", "ann_pca_topk",
+      // emb_knn_label_vote broadcasts the 50-row query batch over one
+      // corpus scan — the same declared query-set pattern
+      "emb_knn_label_vote",
       "q11_important_stock",
       "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
       "txt_unigram_logprob", "wc_page_chain",
