@@ -381,7 +381,42 @@ object PipelineOps extends QueryModule {
        |FROM documents d JOIN r USING (lang)
        |WHERE ${graft.functions.TextFunctions.md5IntSql("d.text")} / power(2.0, 60) < r.keep_rate""".stripMargin
 
+  /** TOKEN BUDGET — the per-(source, lang) token accounting a mixing
+    * pipeline publishes (and tunes against): docs, tokens, and each
+    * cell's share of the corpus token mass. Tokens are the unit that
+    * matters — mixing weights, pack budgets, and training-cost estimates
+    * are all token-denominated, and a doc-count mix silently overweights
+    * short-doc sources. One map-side-combinable aggregate over the shared
+    * tokenizer + the 1-row total broadcast (the scalar idiom); the share
+    * is fixed-pointed with floor(x·1e6+0.5)/1e6 — round() would tie-break
+    * HALF_UP in Spark vs HALF_EVEN in DuckDB on an exact-ratio boundary.
+    * Map-only at any scale; the 100 TB version is this exact plan. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val total = g.agg(sum(col("n_tokens")).as("total"))
+    g.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (floor(col("n_tokens").cast("double") / col("total") * 1e6 + 0.5) / 1e6)
+          .as("token_share"))
+      .orderBy("source", "lang")
+  }
+
+  private val tokenBudgetSql =
+    """WITH t AS (SELECT source, lang,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks FROM documents),
+      | g AS (SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY source, lang),
+      | tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM g)
+      |SELECT source, lang, n_docs, n_tokens,
+      | floor(CAST(n_tokens AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS token_share
+      |FROM g CROSS JOIN tt ORDER BY source, lang""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("smp_token_budget", tokenBudget _, Some(tokenBudgetSql)),
     ("smp_temperature_mix", temperatureMix _, Some(temperatureMixSql)),
     ("smp_quality_weighted", qualityWeightedSample _, Some(qualityWeightedSampleSql)),
     ("txt_decontaminate", decontaminate _, Some(decontaminateSql)),

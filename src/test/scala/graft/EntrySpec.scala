@@ -76,8 +76,9 @@ class EntrySpec extends SparkSpec {
     // by the no-underestimate theorem) → 143/129; +1 oracle
     // (emb_knn_label_vote — k-NN majority label propagation) → 144/130;
     // +1 oracle (txt_filter_funnel — first-fail gate attribution
-    // waterfall) → 145/131.
-    assert(SparkEntry.queries.size == 145, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 131, s"got ${SparkEntry.oracleSql.size}")
+    // waterfall) → 145/131; +1 oracle (smp_token_budget — per-(source,
+    // lang) token accounting with fixed-point shares) → 146/132.
+    assert(SparkEntry.queries.size == 146, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 132, s"got ${SparkEntry.oracleSql.size}")
   }
 }

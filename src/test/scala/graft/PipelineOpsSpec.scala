@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 class PipelineOpsSpec extends SparkSpec {
 
+  test("token budget: shares sum to 1 and cells cover every doc") {
+    val rows = PipelineOps.tokenBudget(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    // fixed-point at 1e-6 -> the sum can be off by at most n_cells ulps
+    assert(math.abs(shareSum - 1.0) <= rows.length * 1e-6,
+      s"token shares must sum to ~1, got $shareSum")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf01).count(), "every doc lands in one cell")
+    rows.foreach(r => assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_docs"),
+      "every doc carries at least one token (split of trim never yields [])"))
+  }
+
   test("hash sample keeps ~10% and is reproducible") {
     val n = Tables.documents(spark, sf).count().toDouble
     val a = PipelineOps.hashSample(spark, sf).collect().map(_.getLong(0)).toSet

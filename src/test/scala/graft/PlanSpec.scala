@@ -33,8 +33,9 @@ class PlanSpec extends SparkSpec {
       "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
       "txt_unigram_logprob", "wc_page_chain",
       // smp_temperature_mix broadcasts two 1-row scalars (corpus total,
-      // max rate) under its rate computation — the same idiom
-      "smp_temperature_mix")
+      // max rate) under its rate computation — the same idiom;
+      // smp_token_budget broadcasts the 1-row corpus token total
+      "smp_temperature_mix", "smp_token_budget")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
