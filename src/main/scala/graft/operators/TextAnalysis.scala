@@ -273,9 +273,13 @@ object TextAnalysis extends QueryModule {
     * drift from the gates it audits); the whole corpus reduces to ONE
     * partial-aggregable row of conditional counts, and the 5-stage
     * waterfall unrolls as literal column arithmetic on that row — no
-    * global window, no triangular join, map-only at any scale. */
-  def filterFunnel(s: SparkSession, d: String): DataFrame = {
-    val df = withToks(Tables.documents(s, d))
+    * global window, no triangular join, map-only at any scale.
+    * Split into [[funnelStages]] (per-doc labeling) + a (stage, n)
+    * counts→waterfall finisher so the streaming twin shares both halves. */
+  /** Per-doc first-failed-gate label — the map-only half, shared VERBATIM
+    * with the streaming twin (st_filter_funnel) so the live monitor
+    * cannot drift from the batch audit. `docs` needs (text, lang). */
+  private[graft] def funnelStages(docs: DataFrame): DataFrame = {
     val n = size(col("toks")).cast("long")
     val meanLen = aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
       .cast("double") / n
@@ -289,13 +293,21 @@ object TextAnalysis extends QueryModule {
       .when(stopHits < 2, lit("4_stopwords"))
       .when(q < FunnelQBar, lit("5_quality"))
       .otherwise(lit("kept"))
-    val one = df.select(firstFail.as("stage"))
-      .agg(count(lit(1)).as("total"),
-        sum(when(col("stage") === "1_lang", 1L).otherwise(0L)).as("d1"),
-        sum(when(col("stage") === "2_length", 1L).otherwise(0L)).as("d2"),
-        sum(when(col("stage") === "3_word_shape", 1L).otherwise(0L)).as("d3"),
-        sum(when(col("stage") === "4_stopwords", 1L).otherwise(0L)).as("d4"),
-        sum(when(col("stage") === "5_quality", 1L).otherwise(0L)).as("d5"))
+    docs.withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .select(firstFail.as("stage"))
+  }
+
+  /** (stage, n) counts → the 5-row waterfall. Literal column arithmetic
+    * on a one-row conditional-sum frame — no global window, no
+    * triangular join. */
+  private[graft] def funnelFromStageCounts(counts: DataFrame): DataFrame = {
+    val one = counts
+      .agg(sum(col("n")).as("total"),
+        sum(when(col("stage") === "1_lang", col("n")).otherwise(0L)).as("d1"),
+        sum(when(col("stage") === "2_length", col("n")).otherwise(0L)).as("d2"),
+        sum(when(col("stage") === "3_word_shape", col("n")).otherwise(0L)).as("d3"),
+        sum(when(col("stage") === "4_stopwords", col("n")).otherwise(0L)).as("d4"),
+        sum(when(col("stage") === "5_quality", col("n")).otherwise(0L)).as("d5"))
     val in1 = col("total")
     val in2 = in1 - col("d1"); val in3 = in2 - col("d2")
     val in4 = in3 - col("d3"); val in5 = in4 - col("d4")
@@ -310,7 +322,12 @@ object TextAnalysis extends QueryModule {
         col("f.n_dropped").as("n_dropped"), col("f.n_out").as("n_out"))
   }
 
-  private val filterFunnelSql =
+  def filterFunnel(s: SparkSession, d: String): DataFrame =
+    funnelFromStageCounts(
+      funnelStages(Tables.documents(s, d))
+        .groupBy("stage").agg(count(lit(1)).as("n")))
+
+  private[graft] val filterFunnelSql =
     s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        | m AS (SELECT doc_id, lang,
        |   len(toks) AS n_words,

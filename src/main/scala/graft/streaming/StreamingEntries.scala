@@ -493,7 +493,22 @@ object StreamingEntries extends QueryModule {
         .agg(count(lit(1)).as("c")),
         "complete"))
 
+  /** Streaming FILTER FUNNEL — live gate monitoring as the corpus streams
+    * in, twin of txt_filter_funnel: the per-doc first-failed-gate labeler
+    * is the batch code VERBATIM (TextAnalysis.funnelStages — map-only, so
+    * it lifts to a stream unchanged), the running (stage, n) counts are
+    * the only state (≤6 rows — constant like the CMS sketch), and the
+    * drained counts feed the same waterfall finisher. Oracle =
+    * txt_filter_funnel's SQL verbatim: the live monitor provably answers
+    * with the batch audit's numbers. */
+  def stFilterFunnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextAnalysis.funnelFromStageCounts(
+      drain(graft.operators.TextAnalysis.funnelStages(documentsStream(s, d))
+        .groupBy("stage").agg(count(lit(1)).as("n")),
+        "complete"))
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_filter_funnel", stFilterFunnel _, Some(graft.operators.TextAnalysis.filterFunnelSql)),
     ("st_cms_frequency", stCmsFrequency _, Some(graft.operators.Events.cmsFrequencySql)),
     ("st_minhash_sig", stMinhashSig _, Some(stMinhashSigSql)),
     ("st_bitmap_daily", stBitmapDaily _, Some(stBitmapDailySql)),

@@ -77,8 +77,10 @@ class EntrySpec extends SparkSpec {
     // (emb_knn_label_vote — k-NN majority label propagation) → 144/130;
     // +1 oracle (txt_filter_funnel — first-fail gate attribution
     // waterfall) → 145/131; +1 oracle (smp_token_budget — per-(source,
-    // lang) token accounting with fixed-point shares) → 146/132.
-    assert(SparkEntry.queries.size == 146, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 132, s"got ${SparkEntry.oracleSql.size}")
+    // lang) token accounting with fixed-point shares) → 146/132; +1 oracle
+    // (st_filter_funnel — the live funnel twin, batch oracle verbatim)
+    // → 147/133.
+    assert(SparkEntry.queries.size == 147, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 133, s"got ${SparkEntry.oracleSql.size}")
   }
 }
