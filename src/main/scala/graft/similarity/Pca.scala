@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
   *     d=64) which partial-aggregate map-side, so each task sends at most
   *     2080 cells into one exchange regardless of row count — the same
   *     "constant shuffle" discipline as the CMS sketch build. Products
-  *     are cast to decimal before the SUM: decimal accumulation is
-  *     order-free, so the covariance matrix — and therefore the fitted
-  *     basis — is bit-identical run to run (the repo-wide fixed-point
-  *     convention applied to a float reduction).
+  *     are fixed-pointed to 1e-10 longs before the SUM: integer
+  *     accumulation is order-free, so the covariance matrix — and
+  *     therefore the fitted basis — is bit-identical run to run (the
+  *     repo-wide fixed-point convention applied to a float reduction).
   *  2. The d×d covariance is assembled driver-side from the 2080 cells
   *     (cov = E[xxᵀ] − μμᵀ). This is the repo's ONE deliberate
   *     `collect()`: it pulls a CONSTANT-size model (d(d+1)/2 cells,
@@ -53,15 +53,26 @@ object Pca extends QueryModule {
     * returns (covariance, μ). */
   private def moments(s: SparkSession, d: String): (Array[Array[Double]], Array[Double]) = {
     val emb = Tables.embeddings(s, d).select(col("embedding"))
+    // Products are FIXED-POINTED to 1e-10 before a plain LONG sum (the
+    // emb_centroid device at model-fit precision): integer sums are
+    // order-free like the earlier decimal(30,15) accumulation but run as
+    // primitive codegen'd longs — the decimal hash-aggregate was this
+    // pass's actual cost (emb_pca_project 5.7 → 0.6 s at sf0.1, same
+    // 20M cells).
+    // Magnitude bound: |xi·xj|·1e10 ≲ 4e11 per cell on this corpus, so
+    // overflow needs ~2e7 rows; a 100 TB fit raises the moments pass to
+    // decimal or a hi/lo split — the 1e-10 quantization itself is noise
+    // (PcaSpec's tightest contract is 1e-6, eigenvalue recovery 1%).
     val cells = emb
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
       .agg(
-        sum((col("xi").cast("double") * col("xj")).cast("decimal(30,15)")).as("sxx"),
+        sum(floor(col("xi").cast("double") * col("xj") * 1e10 + 0.5).cast("long")).as("sxx"),
         // per-dim first moment rides the diagonal cells (j == i) for free
-        sum(when(col("j") === col("i"), col("xi").cast("decimal(30,15)"))).as("sx"),
+        sum(when(col("j") === col("i"),
+          floor(col("xi").cast("double") * 1e10 + 0.5).cast("long"))).as("sx"),
         count(lit(1)).as("n"))
     val rows = cells.collect()
     val n = rows.collect { case r if r.getInt(0) == 0 && r.getInt(1) == 0 => r.getLong(4) }.head
@@ -69,9 +80,9 @@ object Pca extends QueryModule {
     val sx = new Array[Double](Dim)
     rows.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      val v = r.getDecimal(2).doubleValue()
+      val v = r.getLong(2) / 1e10
       sxx(i)(j) = v; sxx(j)(i) = v
-      if (i == j) sx(i) = r.getDecimal(3).doubleValue()
+      if (i == j) sx(i) = r.getLong(3) / 1e10
     }
     val cov = Array.tabulate(Dim, Dim) { (i, j) =>
       sxx(i)(j) / n - (sx(i) / n) * (sx(j) / n)
