@@ -119,9 +119,9 @@ object Pca extends QueryModule {
     }
   }
 
-  /** The fitted model for [[project]], [[Ann.pcaTopK]] and PcaSpec:
-    * (μ, eigenpairs). */
-  private[graft] def fit(s: SparkSession, d: String,
+  /** The fitted model — (μ, top-k eigenpairs) — for [[project]],
+    * [[Ann.pcaTopK]], and library users (docs/USAGE.md). */
+  def fit(s: SparkSession, d: String,
       k: Int = TopK): (Array[Double], Seq[(Double, Array[Double])]) = {
     val (cov, mu) = moments(s, d)
     (mu, topEigen(cov, k))
