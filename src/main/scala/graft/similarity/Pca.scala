@@ -140,6 +140,36 @@ object Pca extends QueryModule {
       .select(col("vec_id") +: col("label") +: cols: _*)
   }
 
+  /** Whitened-distance outlier screen — dims used by the Mahalanobis cut. */
+  private val OutlierK = 16
+
+  /** EMBEDDING OUTLIER SCREEN — the pre-index sanity gate of an embedding
+    * pipeline (failed encoders emit near-zero, saturated, or off-manifold
+    * vectors that poison ANN cells and centroid stats): per-vector
+    * Mahalanobis-style whitened squared distance in the top-`OutlierK`
+    * eigenspace, m² = Σᵢ ((x−μ)·eᵢ)²/λᵢ — each component's variance is
+    * normalized away, so the score is scale-free and its corpus MEAN is
+    * exactly k (the projected variance along eᵢ IS λᵢ — the PcaSpec
+    * invariant), making "m² ≫ k" a calibrated cut with no tuning.
+    * Projection is the same broadcast-literal codegen'd dot as
+    * [[project]]; map-only after the one moments pass. Top-20 by score
+    * (id tie-break). rows-only: the eigensolve isn't SQL-expressible;
+    * PcaSpec asserts the mean-is-k calibration. */
+  def outlierWhitened(s: SparkSession, d: String): DataFrame = {
+    val (mu, eig) = fit(s, d, OutlierK)
+    val m2 = eig.map { case (lambda, v) =>
+      val vLit = array(v.map(lit): _*)
+      val proj = VectorFunctions.dot(col("embedding"), vLit) - lit(dotV(mu, v))
+      proj * proj / lit(lambda)
+    }.reduce(_ + _)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        (floor(m2 * 1e6 + 0.5) / 1e6).as("m2"))
+      .orderBy(desc("m2"), asc("vec_id"))
+      .limit(20)
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
-    ("emb_pca_project", project _, None))
+    ("emb_pca_project", project _, None),
+    ("emb_outlier_whitened", outlierWhitened _, None))
 }

@@ -79,8 +79,9 @@ class EntrySpec extends SparkSpec {
     // waterfall) → 145/131; +1 oracle (smp_token_budget — per-(source,
     // lang) token accounting with fixed-point shares) → 146/132; +1 oracle
     // (st_filter_funnel — the live funnel twin, batch oracle verbatim)
-    // → 147/133.
-    assert(SparkEntry.queries.size == 147, s"got ${SparkEntry.queries.size}")
+    // → 147/133; +1 rows-only (emb_outlier_whitened — calibrated
+    // Mahalanobis outlier screen, PcaSpec mean-is-k) → 148/133.
+    assert(SparkEntry.queries.size == 148, s"got ${SparkEntry.queries.size}")
     assert(SparkEntry.oracleSql.size == 133, s"got ${SparkEntry.oracleSql.size}")
   }
 }

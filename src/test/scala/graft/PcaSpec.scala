@@ -13,6 +13,29 @@ class PcaSpec extends SparkSpec {
   private lazy val fitted = Pca.fit(spark, sf)
   private lazy val proj = Pca.project(spark, sf).collect()
 
+  test("outlier screen is calibrated: mean whitened distance equals k") {
+    val k = 16
+    val (mu, eig) = Pca.fit(spark, sf, k)
+    val embs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // mean over the fit corpus of Σ ((x−μ)·e_i)²/λ_i must be exactly k:
+    // the projected variance along e_i IS λ_i (the Rayleigh quotient),
+    // so each whitened component contributes exactly 1 on average
+    val mean = embs.map { x =>
+      eig.map { case (lambda, v) =>
+        val p = v.indices.foldLeft(0.0)((a, i) => a + (x(i) - mu(i)) * v(i))
+        p * p / lambda
+      }.sum
+    }.sum / embs.length
+    assert(math.abs(mean - k) < 1e-3, s"mean whitened m2 $mean != $k")
+    // entry surface: top-20 by score, descending, non-negative
+    val rows = Pca.outlierWhitened(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("m2"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ >= 0.0))
+  }
+
   test("basis is orthonormal and sign-canonicalized") {
     val vs = fitted._2.map(_._2)
     vs.foreach { v =>
