@@ -125,7 +125,10 @@ object SemDedup extends QueryModule {
     s"$asg,\n$recompute"
   }
 
-  private def semanticSql: String = {
+  /** WITH-clause body through the final assignment `af` + `drops` — the
+    * survivors building blocks, shared verbatim with the curated-corpus
+    * capstone oracle (PipelineOps) so the two cannot drift. */
+  private[graft] def semanticCtes: String = {
     val rounds = (1 to SemIters)
       .map(r => lloydRoundSql(r, if (r == 1) "c0n" else s"c${r - 1}n"))
       .mkString(",\n")
@@ -137,7 +140,7 @@ object SemDedup extends QueryModule {
          |      coalesce(${dotSql("n.embedding", "c.centroid")} / nullif(n.nrm * c.cnrm, 0), -2.0) DESC,
          |      c.cell) AS rk
          |  FROM n CROSS JOIN c${SemIters}n c) WHERE rk = 1)""".stripMargin
-    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    s"""n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
        |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS centroid
        |  FROM embeddings WHERE vec_id < $SemK),
@@ -146,13 +149,16 @@ object SemDedup extends QueryModule {
        |$fin,
        |drops AS (SELECT DISTINCT b.vec_id AS dropped
        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE ${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0) >= $Eps),
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0) >= $Eps)""".stripMargin
+  }
+
+  private def semanticSql: String =
+    s"""WITH $semanticCtes,
        |sizes AS (SELECT cell, COUNT(*) AS cell_size FROM af GROUP BY cell)
        |SELECT af.vec_id, CAST(af.cell AS BIGINT) AS cell, sizes.cell_size
        |FROM af LEFT JOIN drops ON af.vec_id = drops.dropped
        |JOIN sizes ON af.cell = sizes.cell
        |WHERE drops.dropped IS NULL ORDER BY vec_id""".stripMargin
-  }
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("dedup_semantic", semantic _, Some(semanticSql)))

@@ -391,8 +391,13 @@ object PipelineOps extends QueryModule {
     * is fixed-pointed with floor(x·1e6+0.5)/1e6 — round() would tie-break
     * HALF_UP in Spark vs HALF_EVEN in DuckDB on an exact-ratio boundary.
     * Map-only at any scale; the 100 TB version is this exact plan. */
-  def tokenBudget(s: SparkSession, d: String): DataFrame = {
-    val g = Tables.documents(s, d)
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetOf(Tables.documents(s, d))
+
+  /** Parametric form — `docs` needs (source, lang, text); the capstone
+    * runs it over the curated subset. */
+  private[graft] def tokenBudgetOf(docs: DataFrame): DataFrame = {
+    val g = docs
       .select(col("source"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
       .groupBy("source", "lang")
@@ -405,6 +410,44 @@ object PipelineOps extends QueryModule {
       .orderBy("source", "lang")
   }
 
+  /** CURATED-CORPUS CAPSTONE v2 — the r5 curation stages composed into
+    * one plan: docs that pass every funnel gate (first-fail attribution =
+    * 'kept') AND survive semantic dedup (SemDeDup min-id keep-list over
+    * the aligned embeddings), reported as the curated token budget per
+    * (source, lang) — the artifact a pipeline owner actually ships to the
+    * training run ("this many tokens of curated en-web"). Shape: two
+    * keep-list joins on doc_id (one shuffle each; the keep-lists are
+    * corpus-sized, so they are NOT broadcast) feeding the map-side
+    * budget aggregate + 1-row total broadcast. The oracle composes the
+    * funnel stage CTEs and the full SemDeDup k-means CTEs verbatim from
+    * their owning modules — the capstone provably runs the SAME
+    * definitions as the individual entries. */
+  def curatedBudget(s: SparkSession, d: String): DataFrame = {
+    val kept = graft.operators.TextAnalysis
+      .funnelStages(Tables.documents(s, d))
+      .filter(col("stage") === "kept").select("doc_id")
+    val surv = graft.dedup.SemDedup.semantic(s, d)
+      .select(col("vec_id").as("doc_id"))
+    tokenBudgetOf(Tables.documents(s, d).join(kept, "doc_id").join(surv, "doc_id"))
+  }
+
+  private val curatedBudgetSql =
+    s"""WITH ${graft.dedup.SemDedup.semanticCtes},
+       | ${graft.operators.TextAnalysis.funnelStageCtes},
+       | surv AS (SELECT af.vec_id FROM af LEFT JOIN drops ON af.vec_id = drops.dropped
+       |          WHERE drops.dropped IS NULL),
+       | cur AS (SELECT d.source, d.lang, d.text FROM documents d
+       |         JOIN f ON d.doc_id = f.doc_id AND f.stage = 'kept'
+       |         JOIN surv ON d.doc_id = surv.vec_id),
+       | ct AS (SELECT source, lang,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks FROM cur),
+       | g AS (SELECT source, lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM ct GROUP BY source, lang),
+       | tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM g)
+       |SELECT source, lang, n_docs, n_tokens,
+       | floor(CAST(n_tokens AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS token_share
+       |FROM g CROSS JOIN tt ORDER BY source, lang""".stripMargin
+
   private val tokenBudgetSql =
     """WITH t AS (SELECT source, lang,
       |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks FROM documents),
@@ -416,6 +459,7 @@ object PipelineOps extends QueryModule {
       |FROM g CROSS JOIN tt ORDER BY source, lang""".stripMargin
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("pipeline_curated_budget", curatedBudget _, Some(curatedBudgetSql)),
     ("smp_token_budget", tokenBudget _, Some(tokenBudgetSql)),
     ("smp_temperature_mix", temperatureMix _, Some(temperatureMixSql)),
     ("smp_quality_weighted", qualityWeightedSample _, Some(qualityWeightedSampleSql)),

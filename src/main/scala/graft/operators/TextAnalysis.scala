@@ -294,7 +294,7 @@ object TextAnalysis extends QueryModule {
       .when(q < FunnelQBar, lit("5_quality"))
       .otherwise(lit("kept"))
     docs.withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
-      .select(firstFail.as("stage"))
+      .select(col("doc_id"), firstFail.as("stage"))
   }
 
   /** (stage, n) counts → the 5-row waterfall. Literal column arithmetic
@@ -327,8 +327,11 @@ object TextAnalysis extends QueryModule {
       funnelStages(Tables.documents(s, d))
         .groupBy("stage").agg(count(lit(1)).as("n")))
 
-  private[graft] val filterFunnelSql =
-    s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+  /** WITH-clause body yielding `f` = (doc_id, stage) — the per-doc
+    * first-failed-gate relation, shared verbatim with the curated-corpus
+    * capstone oracle (PipelineOps) so the two cannot drift. */
+  private[graft] val funnelStageCtes =
+    s"""t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        | m AS (SELECT doc_id, lang,
        |   len(toks) AS n_words,
        |   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_word_len,
@@ -336,12 +339,15 @@ object TextAnalysis extends QueryModule {
        |   len(list_filter(toks, x -> x IN (${sqlInList(stopsEn)}))) AS stop_hits,
        |   ${qualityScoreSqlExpr("toks")} AS q
        |  FROM t),
-       | f AS (SELECT CASE WHEN lang != 'en' THEN '1_lang'
+       | f AS (SELECT doc_id, CASE WHEN lang != 'en' THEN '1_lang'
        |   WHEN n_words NOT BETWEEN 50 AND 100000 THEN '2_length'
        |   WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0 AND alpha_frac > 0.8) THEN '3_word_shape'
        |   WHEN stop_hits < 2 THEN '4_stopwords'
        |   WHEN q < $FunnelQBar THEN '5_quality'
-       |   ELSE 'kept' END AS stage FROM m),
+       |   ELSE 'kept' END AS stage FROM m)""".stripMargin
+
+  private[graft] val filterFunnelSql =
+    s"""WITH $funnelStageCtes,
        | one AS (SELECT COUNT(*) AS total,
        |   CAST(SUM(CASE WHEN stage = '1_lang' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
        |   CAST(SUM(CASE WHEN stage = '2_length' THEN 1 ELSE 0 END) AS BIGINT) AS d2,

@@ -80,8 +80,10 @@ class EntrySpec extends SparkSpec {
     // lang) token accounting with fixed-point shares) → 146/132; +1 oracle
     // (st_filter_funnel — the live funnel twin, batch oracle verbatim)
     // → 147/133; +1 rows-only (emb_outlier_whitened — calibrated
-    // Mahalanobis outlier screen, PcaSpec mean-is-k) → 148/133.
-    assert(SparkEntry.queries.size == 148, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 133, s"got ${SparkEntry.oracleSql.size}")
+    // Mahalanobis outlier screen, PcaSpec mean-is-k) → 148/133; +1
+    // oracle (pipeline_curated_budget — the capstone composing funnel +
+    // SemDeDup + token budget, CTEs reused verbatim) → 149/134.
+    assert(SparkEntry.queries.size == 149, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 134, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -34,8 +34,9 @@ class PlanSpec extends SparkSpec {
       "txt_unigram_logprob", "wc_page_chain",
       // smp_temperature_mix broadcasts two 1-row scalars (corpus total,
       // max rate) under its rate computation — the same idiom;
-      // smp_token_budget broadcasts the 1-row corpus token total
-      "smp_temperature_mix", "smp_token_budget")
+      // smp_token_budget / pipeline_curated_budget broadcast the 1-row
+      // corpus token total
+      "smp_temperature_mix", "smp_token_budget", "pipeline_curated_budget")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
