@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   * K centroid rows, map-side partial aggregation under the per-(cell,pos)
   * recompute, nothing but the K×dim frame ever leaves the executors.
   *
-  * Cross-engine exactness (why this is hash-green while the IVF tiers are
-  * rows-only): the float-mean recompute is the ONLY order-dependent step,
+  * Cross-engine exactness: the float-mean recompute is the ONLY
+  * order-dependent step,
   * so each component is fixed-pointed with floor(x·1e9 + 0.5) BEFORE the
   * sum (the emb_centroid_per_label device) — integer sums are order-free,
   * the mean is one deterministic IEEE division chain, and therefore BOTH

@@ -146,9 +146,12 @@ object Ann extends QueryModule {
     * Voronoi cells lift measured recall to ~0.63 at nprobe=3 — the ceiling
     * for an isotropic (clusterless) synthetic corpus, where nprobe/K of
     * uniform space is the floor. On real clustered embeddings the same
-    * machinery recalls far higher. rows-only oracle: float centroid
-    * averaging is reduction-order-dependent, so no cross-engine hash
-    * (recall bound asserted in AnnSpec instead). */
+    * machinery recalls far higher. HASH-GREEN as of r5: the centroid
+    * means are fixed-pointed (the SemDeDup device), so the trained model
+    * is bit-identical cross-engine and the whole pipeline — sampling,
+    * both Lloyd rounds, full-corpus assignment, probing, ranked scoring —
+    * unrolls into the DuckDB oracle (ivfTopKSql); AnnSpec keeps the
+    * recall bound as the semantic check. */
   /** `IvfIters` relational Lloyd rounds on a deterministic 30% sample —
     * the standard IVF practice (a coarse quantizer needs cell geometry,
     * not every point): cuts training scans 3× with ~0.02 recall cost
@@ -161,9 +164,17 @@ object Ann extends QueryModule {
       .select(col("vec_id").cast("int").as("cell"),
         col("embedding").cast("array<double>").as("centroid"), col("nrm").as("cnrm"))
     for (_ <- 1 to IvfIters) {
+      // fixed-point mean (the emb_centroid / SemDeDup device, r5): the
+      // per-(cell, pos) float mean was the ONE order-dependent step
+      // keeping the whole IVF tier rows-only — integer sums make the
+      // trained centroids bit-identical cross-engine AND run-to-run, so
+      // the full training now unrolls into ann_ivf_topk's DuckDB oracle
       cent = assignCells(train, cent)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg("v").as("cv"))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("v").cast("double") * 1e9 + 0.5).cast("long")).as("csum"))
+        .withColumn("cv", col("csum").cast("double") / col("cnt") / 1e9)
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("centroid"))
@@ -197,6 +208,61 @@ object Ann extends QueryModule {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"), score.as("score"))
       .withColumn("rk", row_number().over(rank).cast("long"))
       .filter(col("rk") <= K)
+  }
+
+  // ---- the IVF training unrolled as a DuckDB oracle (hash-green, r5) ----
+  // One Lloyd round: assignment of the 30% training sample to the previous
+  // centroids (window = the max_by tie-break: cosine desc, cell asc), then
+  // the fixed-point per-(cell, pos) mean. Same structure as the SemDeDup
+  // oracle — the device that unlocked replaying TRAINED models in SQL.
+  private def ivfRoundSql(r: Int, prev: String): String =
+    s"""ta$r AS (SELECT cell, embedding FROM (
+       |  SELECT t.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |      ${dotSql("t.embedding", "c.centroid")} / nullif(t.nrm * c.cnrm, 0) DESC,
+       |      c.cell) AS rk
+       |  FROM tr t CROSS JOIN $prev c) WHERE rk = 1),
+       |ts$r AS (SELECT cell, i AS pos, COUNT(*) AS cnt,
+       |  SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS csum
+       |  FROM (SELECT cell, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i FROM ta$r)
+       |  GROUP BY cell, i),
+       |tc$r AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM (
+       |  SELECT cell, pos, CAST(csum AS DOUBLE) / cnt / 1e9 AS cv FROM ts$r)
+       |  GROUP BY cell),
+       |tc${r}n AS (SELECT cell, centroid, ${normSql("centroid")} AS cnrm FROM tc$r)""".stripMargin
+
+  private def ivfTopKSql: String = {
+    val rounds = (1 to IvfIters)
+      .map(r => ivfRoundSql(r, if (r == 1) "c0n" else s"tc${r - 1}n"))
+      .mkString(",\n")
+    val last = s"tc${IvfIters}n"
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |tr AS (SELECT * FROM n WHERE vec_id % 10 < 3),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+       |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS centroid
+       |  FROM embeddings WHERE vec_id < $IvfK),
+       |c0n AS (SELECT cell, centroid, ${normSql("centroid")} AS cnrm FROM c0),
+       |$rounds,
+       |idx AS (SELECT vec_id, embedding, nrm, cell FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cell,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      ${dotSql("n.embedding", "c.centroid")} / nullif(n.nrm * c.cnrm, 0) DESC,
+       |      c.cell) AS rk
+       |  FROM n CROSS JOIN $last c) WHERE rk = 1),
+       |probe AS (SELECT query_id, qe, qn, cell AS pcell FROM (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qe, q.nrm AS qn, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dotSql("q.embedding", "c.centroid")} / nullif(q.nrm * c.cnrm, 0) DESC,
+       |      c.cell) AS crk
+       |  FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN $last c) WHERE crk <= $NProbe),
+       |pairs AS (
+       |  SELECT p.query_id, i.vec_id AS neighbor_id, i.cell,
+       |    round(${dotSql("p.qe", "i.embedding")} / nullif(p.qn * i.nrm, 0), 4) AS score
+       |  FROM probe p JOIN idx i ON i.cell = p.pcell AND i.vec_id != p.query_id)
+       |SELECT query_id, neighbor_id, cell, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM pairs) t WHERE rk <= $K""".stripMargin
   }
 
   // Candidates surviving the int8 stage per query, then float re-ranked.
@@ -759,7 +825,7 @@ object Ann extends QueryModule {
     ("ann_bruteforce_topk", bruteForce _, Some(bruteForceSql)),
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
     ("ann_rp_lsh_topk", rpLshTopK _, None),
-    ("ann_ivf_topk", ivfTopK _, None),
+    ("ann_ivf_topk", ivfTopK _, Some(ivfTopKSql)),
     ("ann_ivf_int8_topk", ivfInt8TopK _, None),
     ("vec_norm_stats", normStats _, Some(normStatsSql)),
     ("emb_centroid_per_label", centroidPerLabel _, Some(centroidPerLabelSql)),

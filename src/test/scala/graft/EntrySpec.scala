@@ -82,8 +82,10 @@ class EntrySpec extends SparkSpec {
     // → 147/133; +1 rows-only (emb_outlier_whitened — calibrated
     // Mahalanobis outlier screen, PcaSpec mean-is-k) → 148/133; +1
     // oracle (pipeline_curated_budget — the capstone composing funnel +
-    // SemDeDup + token budget, CTEs reused verbatim) → 149/134.
+    // SemDeDup + token budget, CTEs reused verbatim) → 149/134;
+    // ann_ivf_topk CONVERTED rows-only → oracle (fixed-point centroid
+    // means make the trained IVF model replayable in SQL) → 149/135.
     assert(SparkEntry.queries.size == 149, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 134, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 135, s"got ${SparkEntry.oracleSql.size}")
   }
 }
