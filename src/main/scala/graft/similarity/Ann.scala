@@ -232,12 +232,17 @@ object Ann extends QueryModule {
        |  GROUP BY cell),
        |tc${r}n AS (SELECT cell, centroid, ${normSql("centroid")} AS cnrm FROM tc$r)""".stripMargin
 
-  private def ivfTopKSql: String = {
+  /** Shared CTE prefix: training sample → c0 seeds → Lloyd rounds →
+    * `idx` (full-corpus cell assignment) and `probe` (the NProbe nearest
+    * cells per query, with qe/qn riding along). Both the float IVF and
+    * the int8-tier oracles build on this — one training definition, two
+    * scoring paths, exactly like the Scala side. */
+  private def ivfCtesSql: String = {
     val rounds = (1 to IvfIters)
       .map(r => ivfRoundSql(r, if (r == 1) "c0n" else s"tc${r - 1}n"))
       .mkString(",\n")
     val last = s"tc${IvfIters}n"
-    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+    s"""n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |tr AS (SELECT * FROM n WHERE vec_id % 10 < 3),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
        |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS centroid
@@ -255,7 +260,11 @@ object Ann extends QueryModule {
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |      ${dotSql("q.embedding", "c.centroid")} / nullif(q.nrm * c.cnrm, 0) DESC,
        |      c.cell) AS crk
-       |  FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN $last c) WHERE crk <= $NProbe),
+       |  FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN $last c) WHERE crk <= $NProbe)""".stripMargin
+  }
+
+  private def ivfTopKSql: String =
+    s"""WITH $ivfCtesSql,
        |pairs AS (
        |  SELECT p.query_id, i.vec_id AS neighbor_id, i.cell,
        |    round(${dotSql("p.qe", "i.embedding")} / nullif(p.qn * i.nrm, 0), 4) AS score
@@ -263,6 +272,41 @@ object Ann extends QueryModule {
        |SELECT query_id, neighbor_id, cell, score, rk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
        |  FROM pairs) t WHERE rk <= $K""".stripMargin
+
+  /** Int8-tier oracle (CONVERTED rows-only → hash-green, r5): the
+    * quantization is the floor(x/scale + 0.5) device (emb_quantize_int8's
+    * oracle twin), the candidate score is an exact INTEGER dot scaled by
+    * two deterministic doubles, and the two rank windows (int8 shortlist,
+    * float re-rank) replay as row_number. Composes the shared training
+    * CTEs — the whole quantized serving path is now SQL. */
+  private def ivfInt8TopKSql: String = {
+    def q8(emb: String, scale: String): String =
+      s"""CASE WHEN $scale = 0 THEN list_transform($emb, x -> CAST(0 AS BIGINT))
+         | ELSE [CAST(floor(CAST($emb[i] AS DOUBLE) / $scale + 0.5) AS BIGINT)
+         |       FOR i IN generate_series(1, len($emb))] END""".stripMargin
+    val scaleOf = (e: String) =>
+      s"list_max(list_transform($e, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+    s"""WITH $ivfCtesSql,
+       |i8 AS (SELECT vec_id, cell, nrm, scale, ${q8("embedding", "scale")} AS codes
+       |  FROM (SELECT vec_id, cell, nrm, embedding, ${scaleOf("embedding")} AS scale FROM idx)),
+       |p8 AS (SELECT query_id, qn, pcell, qscale, ${q8("qe", "qscale")} AS qcodes
+       |  FROM (SELECT query_id, qn, pcell, qe, ${scaleOf("qe")} AS qscale FROM probe)),
+       |cand AS (SELECT query_id, vec_id, cell FROM (
+       |  SELECT p.query_id, i.vec_id, i.cell,
+       |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |      CAST(list_sum([i.codes[k] * p.qcodes[k] FOR k IN generate_series(1, len(i.codes))]) AS DOUBLE)
+       |        * i.scale * p.qscale / nullif(i.nrm * p.qn, 0) DESC,
+       |      i.vec_id) AS ark
+       |  FROM p8 p JOIN i8 i ON i.cell = p.pcell AND i.vec_id != p.query_id) t
+       |  WHERE ark <= $ReRank),
+       |rescored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id, c.cell,
+       |    round(${dotSql("q.embedding", "v.embedding")} / nullif(q.nrm * v.nrm, 0), 4) AS score
+       |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+       |              JOIN n v ON v.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, cell, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM rescored) t WHERE rk <= $K""".stripMargin
   }
 
   // Candidates surviving the int8 stage per query, then float re-ranked.
@@ -486,6 +530,32 @@ object Ann extends QueryModule {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
       .withColumn("rk", row_number().over(rank).cast("long"))
       .filter(col("rk") <= K)
+  }
+
+  /** DuckDB oracle for the multi-table tier (CONVERTED rows-only →
+    * hash-green, r5): every plane is a splitmix literal, so each table's
+    * 4-bit code replays via signBucketSql(.., t) and the 8 tables unroll
+    * as UNION ALL branches; DISTINCT collapses multi-table hits exactly
+    * like dropDuplicates. No training, no float reductions — the entry
+    * was rows-only only for SQL bulk (~40 KB of plane literals). */
+  private def rpLshTopKSql: String = {
+    val tables = (0 until RpTables)
+      .map(t => s"SELECT vec_id, $t AS t, ${signBucketSql("embedding", RpBits, Dim, t)} AS c FROM n")
+      .mkString("\n |  UNION ALL ")
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |flat AS (
+       |  $tables),
+       |qs AS (SELECT vec_id AS query_id, t, c FROM flat WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.query_id, f.vec_id AS neighbor_id
+       |  FROM qs q JOIN flat f ON f.t = q.t AND f.c = q.c AND f.vec_id != q.query_id),
+       |pairs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(${dotSql("qn.embedding", "nn.embedding")} / nullif(qn.nrm * nn.nrm, 0), 4) AS score
+       |  FROM cand c JOIN n qn ON qn.vec_id = c.query_id
+       |              JOIN n nn ON nn.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM pairs) t WHERE rk <= $K""".stripMargin
   }
 
   // ---- product quantization (the compression tier) -----------------------
@@ -824,9 +894,9 @@ object Ann extends QueryModule {
     ("ann_ivfpq_residual_topk", ivfPqResidualTopK _, None),
     ("ann_bruteforce_topk", bruteForce _, Some(bruteForceSql)),
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
-    ("ann_rp_lsh_topk", rpLshTopK _, None),
+    ("ann_rp_lsh_topk", rpLshTopK _, Some(rpLshTopKSql)),
     ("ann_ivf_topk", ivfTopK _, Some(ivfTopKSql)),
-    ("ann_ivf_int8_topk", ivfInt8TopK _, None),
+    ("ann_ivf_int8_topk", ivfInt8TopK _, Some(ivfInt8TopKSql)),
     ("vec_norm_stats", normStats _, Some(normStatsSql)),
     ("emb_centroid_per_label", centroidPerLabel _, Some(centroidPerLabelSql)),
     ("emb_knn_label_vote", knnLabelVote _, Some(knnLabelVoteSql)),

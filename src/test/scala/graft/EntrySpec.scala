@@ -84,8 +84,12 @@ class EntrySpec extends SparkSpec {
     // oracle (pipeline_curated_budget — the capstone composing funnel +
     // SemDeDup + token budget, CTEs reused verbatim) → 149/134;
     // ann_ivf_topk CONVERTED rows-only → oracle (fixed-point centroid
-    // means make the trained IVF model replayable in SQL) → 149/135.
+    // means make the trained IVF model replayable in SQL) → 149/135;
+    // ann_rp_lsh_topk CONVERTED rows-only → oracle (the 8 plane-literal
+    // tables unroll as UNION ALL branches) → 149/136; ann_ivf_int8_topk
+    // CONVERTED rows-only → oracle (integer dots + the floor quantizer
+    // compose with the shared training CTEs) → 149/137.
     assert(SparkEntry.queries.size == 149, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 135, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 137, s"got ${SparkEntry.oracleSql.size}")
   }
 }
