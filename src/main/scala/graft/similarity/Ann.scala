@@ -255,8 +255,9 @@ object Ann extends QueryModule {
        |      ${dotSql("n.embedding", "c.centroid")} / nullif(n.nrm * c.cnrm, 0) DESC,
        |      c.cell) AS rk
        |  FROM n CROSS JOIN $last c) WHERE rk = 1),
-       |probe AS (SELECT query_id, qe, qn, cell AS pcell FROM (
+       |probe AS (SELECT query_id, qe, qn, cell AS pcell, qcdot FROM (
        |  SELECT q.vec_id AS query_id, q.embedding AS qe, q.nrm AS qn, c.cell,
+       |    ${dotSql("q.embedding", "c.centroid")} AS qcdot,
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |      ${dotSql("q.embedding", "c.centroid")} / nullif(q.nrm * c.cnrm, 0) DESC,
        |      c.cell) AS crk
@@ -601,9 +602,15 @@ object Ann extends QueryModule {
     var cb = subvectors(e.filter(col("vec_id") < PqKs), vcol)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("sub").as("centroid"))
     for (_ <- 1 to PqIters) {
+      // fixed-point mean (the IVF/SemDeDup device, r5): order-free integer
+      // sums make the codebooks bit-identical cross-engine, unlocking the
+      // SQL replay of the whole PQ serving path (pqTopKSql)
       cb = assignCodes(train, cb)
         .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
-        .groupBy("m", "code", "pos").agg(avg("v").as("cv"))
+        .groupBy("m", "code", "pos")
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("v") * 1e9 + 0.5).cast("long")).as("csum"))
+        .withColumn("cv", col("csum").cast("double") / col("cnt") / 1e9)
         .groupBy("m", "code")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("centroid"))
@@ -622,8 +629,9 @@ object Ann extends QueryModule {
     * query), statically unrolled so it stays in whole-stage codegen. The
     * top `ReRank` per query fetch floats for the exact re-rank — at 100 TB
     * the scan reads 8-byte codes instead of 256-byte vectors and
-    * point-reads ~30 float rows per query. Float centroid training →
-    * rows-only oracle (AnnSpec asserts recall floor vs brute force). */
+    * point-reads ~30 float rows per query. Hash-green as of r5
+    * (fixed-point codebook training, pqTopKSql); AnnSpec keeps the
+    * recall floor vs brute force. */
   /** One M-byte code row per vector under `cb`. */
   private def pqCodes(e: DataFrame, cb: DataFrame, vcol: String = "embedding"): DataFrame =
     assignCodes(subvectors(e, vcol), cb)
@@ -674,6 +682,104 @@ object Ann extends QueryModule {
     floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", PqReRank, "ark"))
   }
 
+  /** PQ oracle (CONVERTED rows-only → hash-green, r5, the third reuse of
+    * the fixed-point-training device): per-subspace codebooks train as
+    * (m, round) CTE pairs — L2 assignment windows + integer-sum means —
+    * and the ADC score replays via a NULL-PADDED dense per-query LUT
+    * list: slot = m·Ks + code, padded over 0..127 because a code that
+    * loses every training point drops out of the codebook (identically
+    * in both engines) and an unpadded list would shift every later
+    * slot's index; padded slots are never referenced since assignments
+    * only pick surviving codes. The 8 lookups sum in the same
+    * left-associated order as the codegen'd adcDot.
+    * The bucketed topKPerQuery pre-reduce needs NO SQL twin: it is
+    * top-k-invariant by construction (each global top-k row survives its
+    * own bucket), so a plain rank window reproduces the shortlist. */
+  /** The PQ codebook-training + codes + ADC-LUT CTE block, parametric so
+    * both the raw-PQ and the IVF-composed oracles share one definition
+    * (exactly like the Scala side shares trainPqCodebooks/pqCodes/pqLut).
+    * Expects `n` (vec_id, embedding, nrm) to be defined by the caller. */
+  private def pqCtesSql(src: String = "rawv"): String = {
+    // one Lloyd round over the (m)-keyed subspace frames
+    def round(r: Int, prev: String): String =
+      s"""pa$r AS (SELECT m, vec_id, sub, code FROM (
+         |  SELECT t.m, t.vec_id, t.sub, c.code,
+         |    row_number() OVER (PARTITION BY t.m, t.vec_id ORDER BY
+         |      list_sum([(t.sub[i] - c.centroid[i]) * (t.sub[i] - c.centroid[i])
+         |                FOR i IN generate_series(1, $SubDim)]) ASC,
+         |      c.code) AS rk
+         |  FROM ptr t JOIN $prev c ON c.m = t.m) WHERE rk = 1),
+         |ps$r AS (SELECT m, code, i AS pos, COUNT(*) AS cnt,
+         |  SUM(CAST(floor(sub[i] * 1e9 + 0.5) AS BIGINT)) AS csum
+         |  FROM (SELECT m, code, sub, unnest(generate_series(1, $SubDim)) AS i FROM pa$r)
+         |  GROUP BY m, code, i),
+         |pc$r AS (SELECT m, code, list(cv ORDER BY pos) AS centroid FROM (
+         |  SELECT m, code, pos, CAST(csum AS DOUBLE) / cnt / 1e9 AS cv FROM ps$r)
+         |  GROUP BY m, code)""".stripMargin
+    val rounds = (1 to PqIters)
+      .map(r => round(r, if (r == 1) "pc0" else s"pc${r - 1}"))
+      .mkString(",\n")
+    val last = s"pc$PqIters"
+    s"""ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |subs AS (SELECT vec_id, m,
+       |  [vec[m * $SubDim + i] FOR i IN generate_series(1, $SubDim)] AS sub
+       |  FROM $src CROSS JOIN ms),
+       |qsubs AS (SELECT vec_id, m,
+       |  [vec[m * $SubDim + i] FOR i IN generate_series(1, $SubDim)] AS sub
+       |  FROM rawv CROSS JOIN ms WHERE vec_id < 10),
+       |ptr AS (SELECT * FROM subs WHERE vec_id % 10 < 3),
+       |pc0 AS (SELECT m, CAST(vec_id AS INT) AS code, sub AS centroid
+       |        FROM subs WHERE vec_id < $PqKs),
+       |$rounds,
+       |codes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+       |  SELECT t.vec_id, t.m, c.code,
+       |    row_number() OVER (PARTITION BY t.m, t.vec_id ORDER BY
+       |      list_sum([(t.sub[i] - c.centroid[i]) * (t.sub[i] - c.centroid[i])
+       |                FOR i IN generate_series(1, $SubDim)]) ASC,
+       |      c.code) AS rk
+       |  FROM subs t JOIN $last c ON c.m = t.m) WHERE rk = 1 GROUP BY vec_id),
+       |lut AS (SELECT q.vec_id AS query_id, q.m, c.code,
+       |    (q.m * $PqKs + c.code) AS slot,
+       |    ${dotSql("q.sub", "c.centroid")} AS partial
+       |  FROM qsubs q JOIN $last c ON c.m = q.m),
+       |slots AS (SELECT unnest(generate_series(0, ${PqM * PqKs - 1})) AS slot),
+       |lutl AS (SELECT q.query_id, list(l.partial ORDER BY s.slot) AS lutlist
+       |  FROM (SELECT DISTINCT query_id FROM lut) q
+       |  CROSS JOIN slots s
+       |  LEFT JOIN lut l ON l.query_id = q.query_id AND l.slot = s.slot
+       |  GROUP BY q.query_id)""".stripMargin
+  }
+
+  // the 8 ADC lookups, left-associated like the Scala reduce(_ + _)
+  private def adcSql: String = (0 until PqM)
+    .map(m => s"l.lutlist[${m * PqKs} + codes[${m + 1}] + 1]")
+    .mkString(" + ")
+
+  private def pqTopKSql: String = {
+    val adc = adcSql
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |rawv AS (SELECT vec_id,
+       |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS vec
+       |  FROM embeddings),
+       |${pqCtesSql()},
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT l.query_id, v.vec_id,
+       |    row_number() OVER (PARTITION BY l.query_id ORDER BY
+       |      ($adc) / nullif(v.nrm * qn.nrm, 0) DESC, v.vec_id) AS ark
+       |  FROM lutl l
+       |  JOIN n qn ON qn.vec_id = l.query_id
+       |  CROSS JOIN (SELECT n.vec_id, n.nrm, codes.codes FROM n JOIN codes USING (vec_id)) v
+       |  WHERE v.vec_id != l.query_id) t WHERE ark <= $PqReRank),
+       |rescored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("q.embedding", "v.embedding")} / nullif(q.nrm * v.nrm, 0), 4) AS score
+       |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+       |              JOIN n v ON v.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM rescored) t WHERE rk <= $K""".stripMargin
+  }
+
   /** IVF×PQ — the full at-scale index: the coarse quantizer prunes WHICH
     * vectors to score (nprobe of IvfK Voronoi cells), PQ codes decide HOW
     * to score them (M map lookups against the query's ADC table — the scan
@@ -685,8 +791,9 @@ object Ann extends QueryModule {
     * pre-reduce keeps every rank sort bounded. Codebooks quantize raw
     * vectors (not residuals): residual PQ needs per-cell codebooks — more
     * state for recall this isotropic corpus can't show; noted as the
-    * production upgrade. Float centroid training → rows-only oracle
-    * (AnnSpec asserts the recall floor and the ≤nprobe-cells property). */
+    * production upgrade. Hash-green as of r5 (the composed CTE oracle,
+    * ivfPqTopKSql); AnnSpec asserts the recall floor and the
+    * ≤nprobe-cells property. */
   def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val cent = trainCentroids(e)
@@ -705,6 +812,81 @@ object Ann extends QueryModule {
       .select(col("query_id"), col("vec_id")))
   }
 
+  /** IVF×PQ oracle (CONVERTED rows-only → hash-green, r5): the coarse
+    * CTE block (training → idx → probe) and the PQ CTE block (codebooks →
+    * codes → padded LUT) compose exactly like the Scala side composes
+    * trainCentroids with trainPqCodebooks — candidates are the probed
+    * cells' members, ADC-scored with the same left-associated 8-term
+    * lookup sum, pre-reduce-invariant shortlist, float re-rank. */
+  private def ivfPqTopKSql: String = {
+    val adc = adcSql
+    s"""WITH $ivfCtesSql,
+       |rawv AS (SELECT vec_id,
+       |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS vec
+       |  FROM embeddings),
+       |${pqCtesSql()},
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT l.query_id, v.vec_id,
+       |    row_number() OVER (PARTITION BY l.query_id ORDER BY
+       |      ($adc) / nullif(v.nrm * qn.nrm, 0) DESC, v.vec_id) AS ark
+       |  FROM lutl l
+       |  JOIN n qn ON qn.vec_id = l.query_id
+       |  JOIN probe p ON p.query_id = l.query_id
+       |  JOIN (SELECT i.vec_id, i.cell, i.nrm, codes.codes
+       |        FROM idx i JOIN codes USING (vec_id)) v
+       |    ON v.cell = p.pcell AND v.vec_id != l.query_id) t
+       |  WHERE ark <= $IvfPqReRank),
+       |rescored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("q.embedding", "v.embedding")} / nullif(q.nrm * v.nrm, 0), 4) AS score
+       |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+       |              JOIN n v ON v.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM rescored) t WHERE rk <= $K""".stripMargin
+  }
+
+  /** Residual IVF×PQ oracle (CONVERTED rows-only → hash-green, r5 — the
+    * last trainable tier): `resv` holds x − c(cell) per vector (the
+    * coarse centroids are already bit-identical), the SAME parametric PQ
+    * block trains codebooks on residual subvectors while the ADC LUT
+    * still builds from RAW query subvectors (r̂ is a sum of centroids),
+    * and the score replays the exact decomposition q·x ≈ q·c + q·r̂
+    * with `qcdot` now exposed by the probe CTE. With this, every
+    * trainable tier in the suite is hash-green — rows-only remains only
+    * where the model genuinely cannot replay in SQL (driver eigensolve,
+    * opaque sketch binaries, runtime-persisted index storage). */
+  private def ivfPqResidualTopKSql: String = {
+    val adc = adcSql
+    s"""WITH $ivfCtesSql,
+       |rawv AS (SELECT vec_id,
+       |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS vec
+       |  FROM embeddings),
+       |resv AS (SELECT i.vec_id,
+       |  [CAST(i.embedding[k] AS DOUBLE) - c.centroid[k] FOR k IN generate_series(1, len(i.embedding))] AS vec
+       |  FROM idx i JOIN tc${IvfIters}n c USING (cell)),
+       |${pqCtesSql("resv")},
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT l.query_id, v.vec_id,
+       |    row_number() OVER (PARTITION BY l.query_id ORDER BY
+       |      (p.qcdot + ($adc)) / nullif(v.nrm * qn.nrm, 0) DESC, v.vec_id) AS ark
+       |  FROM lutl l
+       |  JOIN n qn ON qn.vec_id = l.query_id
+       |  JOIN probe p ON p.query_id = l.query_id
+       |  JOIN (SELECT i.vec_id, i.cell, i.nrm, codes.codes
+       |        FROM idx i JOIN codes USING (vec_id)) v
+       |    ON v.cell = p.pcell AND v.vec_id != l.query_id) t
+       |  WHERE ark <= $IvfPqReRank),
+       |rescored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("q.embedding", "v.embedding")} / nullif(q.nrm * v.nrm, 0), 4) AS score
+       |  FROM cand c JOIN n q ON q.vec_id = c.query_id
+       |              JOIN n v ON v.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM rescored) t WHERE rk <= $K""".stripMargin
+  }
+
   /** Residual IVF×PQ — the production refinement over [[ivfPqTopK]]: PQ
     * quantizes the RESIDUAL x − c(cell) instead of the raw vector (FAISS's
     * IVF-PQ default). Residuals concentrate near 0 once the coarse
@@ -715,8 +897,9 @@ object Ann extends QueryModule {
     * probe time (`qcdot`) and q·r̂ the usual M ADC lookups — the LUT is
     * built from the FULL query subvectors (not query residuals), because
     * r̂ is a sum of codebook centroids. Same bounded pre-reduce + float
-    * re-rank as the raw-code tier. rows-only like every learned-centroid
-    * entry; AnnSpec asserts recall against the raw-code composition. */
+    * re-rank as the raw-code tier. Hash-green as of r5 — the last
+    * trainable tier (ivfPqResidualTopKSql); AnnSpec asserts recall
+    * against the raw-code composition. */
   def ivfPqResidualTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val cent = trainCentroids(e)
@@ -889,9 +1072,9 @@ object Ann extends QueryModule {
     ("ann_pca_topk", pcaTopK _, None),
     ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, None),
     ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, None),
-    ("ann_pq_topk", pqTopK _, None),
-    ("ann_ivfpq_topk", ivfPqTopK _, None),
-    ("ann_ivfpq_residual_topk", ivfPqResidualTopK _, None),
+    ("ann_pq_topk", pqTopK _, Some(pqTopKSql)),
+    ("ann_ivfpq_topk", ivfPqTopK _, Some(ivfPqTopKSql)),
+    ("ann_ivfpq_residual_topk", ivfPqResidualTopK _, Some(ivfPqResidualTopKSql)),
     ("ann_bruteforce_topk", bruteForce _, Some(bruteForceSql)),
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
     ("ann_rp_lsh_topk", rpLshTopK _, Some(rpLshTopKSql)),

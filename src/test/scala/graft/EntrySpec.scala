@@ -88,8 +88,12 @@ class EntrySpec extends SparkSpec {
     // ann_rp_lsh_topk CONVERTED rows-only → oracle (the 8 plane-literal
     // tables unroll as UNION ALL branches) → 149/136; ann_ivf_int8_topk
     // CONVERTED rows-only → oracle (integer dots + the floor quantizer
-    // compose with the shared training CTEs) → 149/137.
+    // compose with the shared training CTEs) → 149/137; ann_pq_topk,
+    // ann_ivfpq_topk, ann_ivfpq_residual_topk CONVERTED rows-only →
+    // oracle (fixed-point codebook training + NULL-padded dense ADC LUT
+    // lists + the q·c + q·r̂ decomposition — every trainable tier is now
+    // hash-green) → 149/140.
     assert(SparkEntry.queries.size == 149, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 137, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 140, s"got ${SparkEntry.oracleSql.size}")
   }
 }
