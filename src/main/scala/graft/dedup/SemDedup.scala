@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * pairs are only compared within a cell, so the join shuffles once on
   * `cell` and a cell of c vectors costs c² dots, never n². K scales with
   * the corpus (the paper uses 50k clusters for 100M docs; k ≈ n/⟨cell⟩
-  * keeps per-cell cost constant), and a hot cell is the usual salting
-  * candidate. Training is `SemIters` relational Lloyd rounds — broadcast
+  * keeps per-cell cost constant), and the pair join runs SALTED
+  * (Skew.saltedJoin, 8 ways) so a hot cell — likely on real clustered
+  * embeddings — spreads across tasks instead of serializing one
+  * (SemDedupSpec asserts the salted exchange is in the plan). Training is `SemIters` relational Lloyd rounds — broadcast
   * K centroid rows, map-side partial aggregation under the per-(cell,pos)
   * recompute, nothing but the K×dim frame ever leaves the executors.
   *
@@ -85,11 +87,20 @@ object SemDedup extends QueryModule {
     // final assignment feeds BOTH the pair join sides and the sizes —
     // materialize once (and the loop's dead round frames free eagerly)
     val asg = Checkpoints.materialize(assign(n, cent))
-    val rhs = asg.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+    // within-cell pairs through the SALTED key join: on real clustered
+    // embeddings one Voronoi cell can swallow a large fraction of the
+    // corpus, and a plain cell-keyed join would put that cell's entire
+    // c² pair work in one task — AQE cannot split it (the build side
+    // arrives cell-partitioned, the r5 SkewSpec blind spot). The salt
+    // spreads a hot cell over 8 tasks; results are join-identical, so
+    // the oracle is untouched.
+    val rhs = asg.select(col("cell"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    val drops = asg
-      .select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      .join(rhs, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+    val drops = graft.functions.Skew.saltedJoin(
+        asg.select(col("cell"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na")),
+        rhs, "cell", 8, col("vec_a"))
+      .filter(col("vec_a") < col("vec_b"))
       .filter(cosine(col("ea"), col("eb"), col("na"), col("nb")) >= Eps)
       .select(col("vec_b").as("dropped")).distinct()
     val sizes = asg.groupBy("cell").agg(count(lit(1)).as("cell_size"))

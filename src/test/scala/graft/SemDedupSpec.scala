@@ -24,6 +24,15 @@ class SemDedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("the within-cell pair join exchanges on (cell, _salt) — hot cells spread") {
+    // same device as SkewSpec: the salt is load-bearing only if the join
+    // actually exchanges on the salted key pair (subset co-partitioning
+    // on the bare cell would put a hot cell back in one task)
+    val plan = SemDedup.semantic(spark, sf01).queryExecution.executedPlan.toString()
+    assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(plan).isDefined,
+      s"semantic pair join must exchange on (cell, _salt):\n${plan.take(1200)}")
+  }
+
   test("exact-duplicate vectors collapse to the min-id survivor (edge corpus)") {
     val s2 = spark
     import s2.implicits._
