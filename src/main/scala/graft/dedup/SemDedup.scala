@@ -110,6 +110,43 @@ object SemDedup extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // ---- prebuilt lifecycle: the semantic keep-list served from storage ----
+
+  private val cellDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Test hook (the ADVICE-r4 convention): drop the per-JVM cache so a
+    * rewritten fixture corpus rebuilds instead of serving stale cells. */
+  private[graft] def clearPrebuiltCellCache(): Unit = cellDirs.clear()
+
+  /** Nightly-build half of the SEMANTIC lifecycle, completing the trio
+    * (lexical labels: dedup_labels_prebuilt; ANN index:
+    * ann_*_prebuilt_topk; semantic cells: this): the k-means training +
+    * salted within-cell ε-dedup run ONCE per corpus and persist the
+    * survivor table (vec_id, cell, cell_size); the serving entry below
+    * reads the stored table — the amortized cost a 100 TB pipeline
+    * actually pays when it anti-joins the semantic keep-list nightly. */
+  private def prebuiltCellDir(s: SparkSession, d: String): String = {
+    val cached = cellDirs.get(d)
+    if (cached != null) return cached
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_cells")
+    sys.addShutdownHook {
+      import java.nio.file._
+      import java.util.Comparator
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    semantic(s, d).write.mode("overwrite").parquet(s"$dir/survivors")
+    val prev = cellDirs.putIfAbsent(d, dir.toString)
+    if (prev != null) prev else dir.toString
+  }
+
+  /** The stored semantic keep-list as a driver entry. Hash-green with the
+    * SAME oracle as dedup_semantic: the training is deterministic, so the
+    * stored table must equal a fresh recompute bit-for-bit — the oracle
+    * proves the persisted index is not stale or lossy. */
+  def semanticPrebuilt(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${prebuiltCellDir(s, d)}/survivors").orderBy("vec_id")
+
   // ---- DuckDB oracle: the k-means training unrolled as CTEs --------------
 
   /** One Lloyd round in SQL: assignment (window over the cross join with
@@ -172,5 +209,6 @@ object SemDedup extends QueryModule {
        |WHERE drops.dropped IS NULL ORDER BY vec_id""".stripMargin
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
-    ("dedup_semantic", semantic _, Some(semanticSql)))
+    ("dedup_semantic", semantic _, Some(semanticSql)),
+    ("dedup_semantic_prebuilt", semanticPrebuilt _, Some(semanticSql)))
 }

@@ -92,8 +92,10 @@ class EntrySpec extends SparkSpec {
     // ann_ivfpq_topk, ann_ivfpq_residual_topk CONVERTED rows-only →
     // oracle (fixed-point codebook training + NULL-padded dense ADC LUT
     // lists + the q·c + q·r̂ decomposition — every trainable tier is now
-    // hash-green) → 149/140.
-    assert(SparkEntry.queries.size == 149, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 140, s"got ${SparkEntry.oracleSql.size}")
+    // hash-green) → 149/140; +1 oracle (dedup_semantic_prebuilt — the
+    // stored semantic keep-list, same oracle proves the persisted index
+    // equals a fresh recompute) → 150/141.
+    assert(SparkEntry.queries.size == 150, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 141, s"got ${SparkEntry.oracleSql.size}")
   }
 }

@@ -24,6 +24,16 @@ class SemDedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("prebuilt keep-list equals a fresh recompute bit-for-bit") {
+    SemDedup.clearPrebuiltCellCache()
+    val stored = SemDedup.semanticPrebuilt(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = SemDedup.semantic(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == fresh, "the persisted semantic index must not drift")
+    assert(stored.nonEmpty)
+  }
+
   test("the within-cell pair join exchanges on (cell, _salt) — hot cells spread") {
     // same device as SkewSpec: the salt is load-bearing only if the join
     // actually exchanges on the salted key pair (subset co-partitioning
