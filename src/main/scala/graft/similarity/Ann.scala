@@ -982,11 +982,12 @@ object Ann extends QueryModule {
   /** The QUERY PATH against the persisted IVF index: read centroids
     * (broadcast) + the cell-assigned vector table, probe NProbe cells,
     * exact-cosine re-rank — no training in the loop. In this harness the
-    * results equal ann_ivf_topk's exactly (AnnSpec): same data, same plan,
-    * same local partitioning — though centroid avg() is reduction-order
-    * float math, so a DIFFERENT cluster layout could legitimately move a
-    * boundary vector (which is why the entry is rows-only, like the other
-    * learned tiers). The bench's cold run pays the one-time build, its
+    * results equal ann_ivf_topk's exactly (AnnSpec): the training is
+    * fixed-point as of r5, so the stored index is bit-identical on ANY
+    * cluster layout — which also means the entry shares ann_ivf_topk's
+    * ORACLE: the stored index must serve exactly what fresh training
+    * computes, and the hash check proves the persisted tables are
+    * neither stale nor lossy. The bench's cold run pays the one-time build, its
     * min run shows the amortized per-batch query cost — the number a
     * serving deployment actually sees. */
   def ivfPrebuiltTopK(s: SparkSession, d: String): DataFrame = {
@@ -1010,8 +1011,10 @@ object Ann extends QueryModule {
     * the serving shape of a production ANN deployment — nightly build job
     * writes centroids/codebooks/codes; every query batch pays M lookups
     * per candidate against (nprobe/IvfK) of a 16×-compressed table.
-    * rows-only like every learned tier; AnnSpec asserts equality with the
-    * inline IVF×PQ plan (same data, same deterministic training). */
+    * Hash-green as of r5 with the INLINE tier's oracle (ivfPqTopKSql):
+    * deterministic fixed-point training means stored serving must equal
+    * fresh training bit-for-bit; AnnSpec asserts the same equality
+    * Scala-side. */
   def ivfPqPrebuiltTopK(s: SparkSession, d: String): DataFrame = {
     val dir = prebuiltIndexDir(s, d)
     val codes = s.read.parquet(s"$dir/pq_codes")
@@ -1070,8 +1073,8 @@ object Ann extends QueryModule {
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ann_pca_topk", pcaTopK _, None),
-    ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, None),
-    ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, None),
+    ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, Some(ivfTopKSql)),
+    ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, Some(ivfPqTopKSql)),
     ("ann_pq_topk", pqTopK _, Some(pqTopKSql)),
     ("ann_ivfpq_topk", ivfPqTopK _, Some(ivfPqTopKSql)),
     ("ann_ivfpq_residual_topk", ivfPqResidualTopK _, Some(ivfPqResidualTopKSql)),

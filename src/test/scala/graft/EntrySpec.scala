@@ -94,8 +94,11 @@ class EntrySpec extends SparkSpec {
     // lists + the q·c + q·r̂ decomposition — every trainable tier is now
     // hash-green) → 149/140; +1 oracle (dedup_semantic_prebuilt — the
     // stored semantic keep-list, same oracle proves the persisted index
-    // equals a fresh recompute) → 150/141.
+    // equals a fresh recompute) → 150/141; ann_ivf_prebuilt_topk +
+    // ann_ivfpq_prebuilt_topk CONVERTED rows-only → oracle (they share
+    // the inline tiers' oracles — deterministic training means stored
+    // serving must equal fresh training) → 150/143.
     assert(SparkEntry.queries.size == 150, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 141, s"got ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.oracleSql.size == 143, s"got ${SparkEntry.oracleSql.size}")
   }
 }
