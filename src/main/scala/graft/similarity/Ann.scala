@@ -322,8 +322,8 @@ object Ann extends QueryModule {
     * the store — at 100 TB this is the IO shape: scan 1/4-width codes,
     * point-read floats for ~30 rows/query) for the exact re-rank. Integer
     * accumulation is exact, so the approx stage is deterministic
-    * cross-run; rows-only oracle like the float IVF (learned centroids),
-    * recall parity vs float IVF asserted in AnnSpec. */
+    * cross-run; hash-green as of r5 (ivfInt8TopKSql), recall parity vs
+    * float IVF asserted in AnnSpec. */
   def ivfInt8TopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val cent = trainCentroids(e)
@@ -507,7 +507,7 @@ object Ann extends QueryModule {
     * exact cosine re-ranks. Recall grows with L at constant per-table
     * selectivity — the standard at-scale ANN shape: bucket equi-joins, no
     * cross join, hyperplane dots fused into the native kernel by
-    * FuseDotProduct. rows-only oracle (verified against the single-table
+    * FuseDotProduct. Hash-green as of r5 (rpLshTopKSql; previously verified against the single-table
     * signBucket oracle family in AnnSpec); plane constants shared with
     * VectorFunctions.signBucket. */
   def rpLshTopK(s: SparkSession, d: String): DataFrame = {
@@ -853,9 +853,10 @@ object Ann extends QueryModule {
     * still builds from RAW query subvectors (r̂ is a sum of centroids),
     * and the score replays the exact decomposition q·x ≈ q·c + q·r̂
     * with `qcdot` now exposed by the probe CTE. With this, every
-    * trainable tier in the suite is hash-green — rows-only remains only
-    * where the model genuinely cannot replay in SQL (driver eigensolve,
-    * opaque sketch binaries, runtime-persisted index storage). */
+    * trainable tier in the suite is hash-green — and with the r5-finale
+    * eigensolve replay, rows-only remains ONLY for the opaque Spark
+    * sketch binaries (HLL/approx), which have no cross-engine
+    * representation at all. */
   private def ivfPqResidualTopKSql: String = {
     val adc = adcSql
     s"""WITH $ivfCtesSql,
@@ -1048,8 +1049,9 @@ object Ann extends QueryModule {
     * bounded topKPerQuery → floatReRank scaffold here. The projection
     * is a broadcast-literal map inside whole-stage codegen (no model
     * join); candidate cut pre-reduces in (query, bucket) windows like
-    * every other tier. rows-only: the eigensolve isn't
-    * SQL-expressible; AnnSpec bounds recall vs brute force. */
+    * every other tier. Hash-green as of r5: the
+    * eigensolve replays in SQL (pcaTopKSql via Pca.eigenCtesSql);
+    * AnnSpec bounds recall vs brute force. */
   def pcaTopK(s: SparkSession, d: String): DataFrame = {
     val (mu, eig) = Pca.fit(s, d, PcaDims)
     val e = withNorm(Tables.embeddings(s, d))
@@ -1071,8 +1073,43 @@ object Ann extends QueryModule {
       .select(col("query_id"), col("vec_id")))
   }
 
+  /** PCA-tier oracle (CONVERTED rows-only → hash-green, r5 finale): the
+    * eigensolve replays via [[Pca.eigenCtesSql]]'s recursive CTEs, each
+    * vector's 16-dim reduced coordinates materialize once, and the
+    * candidate scan + re-rank are the usual window replays (the bucketed
+    * pre-reduce is top-k-invariant — no SQL twin needed). */
+  private def pcaTopKSql: String = {
+    val comps = (1 to PcaDims).map(c =>
+      s"(list_sum([CAST(e.embedding[i$c] AS DOUBLE) * ok$c.ev[i$c] FOR i$c IN generate_series(1, $Dim)]) - ok$c.off)")
+      .mkString("[", ",\n   ", "]")
+    val okFrom = (1 to PcaDims).map(c => s"ok$c").mkString(", ")
+    s"""WITH RECURSIVE
+       |${Pca.eigenCtesSql(PcaDims)},
+       |red AS MATERIALIZED (
+       |  SELECT vec_id, red,
+       |    sqrt(list_sum([red[i] * red[i] FOR i IN generate_series(1, $PcaDims)])) AS rnrm
+       |  FROM (SELECT e.vec_id, $comps AS red
+       |        FROM embeddings e, $okFrom) r),
+       |q AS (SELECT vec_id AS query_id, red AS qred, rnrm AS qrn FROM red WHERE vec_id < 10),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT q.query_id, r.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      list_sum([q.qred[i] * r.red[i] FOR i IN generate_series(1, $PcaDims)])
+       |        / nullif(q.qrn * r.rnrm, 0) DESC, r.vec_id) AS ark
+       |  FROM q, red r WHERE r.vec_id != q.query_id) t WHERE ark <= $PcaReRank),
+       |n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |rescored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("qv.embedding", "v.embedding")} / nullif(qv.nrm * v.nrm, 0), 4) AS score
+       |  FROM cand c JOIN n qv ON qv.vec_id = c.query_id
+       |              JOIN n v ON v.vec_id = c.vec_id)
+       |SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM rescored) t WHERE rk <= $K""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
-    ("ann_pca_topk", pcaTopK _, None),
+    ("ann_pca_topk", pcaTopK _, Some(pcaTopKSql)),
     ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, Some(ivfTopKSql)),
     ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, Some(ivfPqTopKSql)),
     ("ann_pq_topk", pqTopK _, Some(pqTopKSql)),

@@ -39,10 +39,13 @@ import org.apache.spark.sql.functions._
   *     whole-stage codegen, no second shuffle.
   *
   * At 100 TB only pass 1 touches the data, and its exchange carries
-  * O(d² × tasks) cells. Rows-only entry: the eigensolve is not
-  * SQL-expressible; PcaSpec asserts the linear-algebra contract instead
-  * (orthonormal basis, PC1 variance ≥ every axis variance ≥ PC2
-  * variance ordering, projected variance == eigenvalue).
+  * O(d² × tasks) cells. HASH-GREEN as of r5: even the eigensolve
+  * replays in SQL — chained recursive CTEs alternate matvec/normalize
+  * half-steps over the materialized covariance ([[eigenCtesSql]]), so
+  * the DuckDB oracle derives the bit-identical basis; PcaSpec
+  * additionally asserts the linear-algebra contract (orthonormal
+  * basis, PC1 variance ≥ every axis variance ≥ PC2, projected
+  * variance == eigenvalue).
   */
 object Pca extends QueryModule {
 
@@ -153,8 +156,8 @@ object Pca extends QueryModule {
     * invariant), making "m² ≫ k" a calibrated cut with no tuning.
     * Projection is the same broadcast-literal codegen'd dot as
     * [[project]]; map-only after the one moments pass. Top-20 by score
-    * (id tie-break). rows-only: the eigensolve isn't SQL-expressible;
-    * PcaSpec asserts the mean-is-k calibration. */
+    * (id tie-break). Hash-green as of r5: the eigensolve replays in SQL
+    * (outlierSql below); PcaSpec asserts the mean-is-k calibration. */
   def outlierWhitened(s: SparkSession, d: String): DataFrame = {
     val (mu, eig) = fit(s, d, OutlierK)
     val m2 = eig.map { case (lambda, v) =>
@@ -169,7 +172,112 @@ object Pca extends QueryModule {
       .limit(20)
   }
 
+  // ---- the EIGENSOLVE replayed in SQL (CONVERTED rows-only → hash-green,
+  // r5 finale): the moments are already fixed-point-exact, and the power
+  // iteration is deterministic pure arithmetic — so it unrolls into
+  // DuckDB as k chained RECURSIVE CTEs, each alternating matvec /
+  // normalize steps (600 half-steps == the Scala 300 (matvec∘normalize)
+  // loop; alternation keeps every list-lambda evaluated ONCE — inlining
+  // the matvec into the normalize comprehension re-evaluates it per
+  // element, the repo's interpreted-HOF trap, measured 300× slower).
+  // Matrix CTEs are MATERIALIZED: DuckDB inlines CTEs by default, which
+  // would re-run the whole moments pipeline every recursion step.
+  // Every float op matches the Scala chain (left folds, /1e10 then /n,
+  // sqrt-then-divide, lowest-index abs-max sign pivot), so the fitted
+  // basis — and everything projected through it — is bit-identical.
+
+  /** WITH-body through `ok$k` CTEs: one (lam, ev, off) row per component,
+    * off = μ·eᵢ (the projection offset). Shared by the three consumers
+    * (projection, outlier screen, Ann's PCA tier). */
+  private[similarity] def eigenCtesSql(k: Int): String = {
+    def powerCte(c: Int, prevm: String): String = {
+      val matvec = s"[list_sum([mm.mat[ra][ia] * pw$c.v[ia] FOR ia IN generate_series(1, $Dim)]) FOR ra IN generate_series(1, $Dim)]"
+      val norm = s"[pw$c.v[rb] / sqrt(list_sum([pw$c.v[ib] * pw$c.v[ib] FOR ib IN generate_series(1, $Dim)])) FOR rb IN generate_series(1, $Dim)]"
+      s"""pw$c AS (
+         |  SELECT 0 AS t, [1.0 / 8.0 FOR q IN generate_series(1, $Dim)] AS v
+         |  UNION ALL
+         |  SELECT t + 1, CASE WHEN t % 2 = 0 THEN $matvec ELSE $norm END
+         |  FROM pw$c, $prevm mm WHERE t < 600),
+         |ek$c AS MATERIALIZED (
+         |  SELECT lam, CASE WHEN v[pv] < 0 THEN [-x FOR x IN v] ELSE v END AS ev
+         |  FROM (
+         |    SELECT v,
+         |      list_sum([v[i] * mvv[i] FOR i IN generate_series(1, $Dim)]) AS lam,
+         |      (SELECT i FROM generate_series(1, $Dim) g(i) ORDER BY abs(v[i]) DESC, i LIMIT 1) AS pv
+         |    FROM (SELECT pw.v AS v,
+         |            [list_sum([mm.mat[rc][ic] * pw.v[ic] FOR ic IN generate_series(1, $Dim)]) FOR rc IN generate_series(1, $Dim)] AS mvv
+         |          FROM (SELECT v FROM pw$c WHERE t = 600) pw, $prevm mm))),
+         |m$c AS MATERIALIZED (
+         |  SELECT [[ mm.mat[r][c] - ek.lam * ek.ev[r] * ek.ev[c]
+         |            FOR c IN generate_series(1, $Dim)] FOR r IN generate_series(1, $Dim)] AS mat
+         |  FROM $prevm mm, ek$c ek),
+         |ok$c AS MATERIALIZED (
+         |  SELECT ek.lam, ek.ev,
+         |    list_sum([muv.mu[i] * ek.ev[i] FOR i IN generate_series(1, $Dim)]) AS off
+         |  FROM ek$c ek, muv)""".stripMargin
+    }
+    val powers = (1 to k)
+      .map(c => powerCte(c, if (c == 1) "m0" else s"m${c - 1}"))
+      .mkString(",\n")
+    s"""mom AS MATERIALIZED (
+       |  SELECT i, j,
+       |    SUM(CAST(floor(xi * xj * 1e10 + 0.5) AS BIGINT)) AS sxx,
+       |    SUM(CASE WHEN i = j THEN CAST(floor(xi * 1e10 + 0.5) AS BIGINT) END) AS sx,
+       |    COUNT(*) AS n
+       |  FROM (
+       |    SELECT i, j, xi, CAST(embedding[j] AS DOUBLE) AS xj FROM (
+       |      SELECT i, xi, unnest(generate_series(1, $Dim)) AS j, embedding FROM (
+       |        SELECT CAST(embedding[i] AS DOUBLE) AS xi, i, embedding FROM (
+       |          SELECT embedding, unnest(generate_series(1, $Dim)) AS i FROM embeddings))))
+       |  WHERE j >= i GROUP BY i, j),
+       |nn AS (SELECT n FROM mom WHERE i = 1 AND j = 1),
+       |sym AS (
+       |  SELECT i, j, CAST(sxx AS DOUBLE) / 1e10 AS sv FROM mom
+       |  UNION ALL
+       |  SELECT j, i, CAST(sxx AS DOUBLE) / 1e10 FROM mom WHERE i != j),
+       |sxt AS (SELECT i, CAST(sx AS DOUBLE) / 1e10 AS sxv FROM mom WHERE i = j),
+       |covt AS (
+       |  SELECT s.i, s.j,
+       |    s.sv / (SELECT n FROM nn) -
+       |    (a.sxv / (SELECT n FROM nn)) * (b.sxv / (SELECT n FROM nn)) AS cv
+       |  FROM sym s JOIN sxt a ON a.i = s.i JOIN sxt b ON b.i = s.j),
+       |m0 AS MATERIALIZED (SELECT list(row ORDER BY r) AS mat FROM (
+       |  SELECT i AS r, list(cv ORDER BY j) AS row FROM covt GROUP BY i) GROUP BY ALL),
+       |muv AS MATERIALIZED (SELECT list(sxv / (SELECT n FROM nn) ORDER BY i) AS mu FROM sxt),
+       |$powers""".stripMargin
+  }
+
+  private def projectSql: String = {
+    val pcs = (1 to TopK).map(c =>
+      s"""floor((list_sum([CAST(e.embedding[i] AS DOUBLE) * ok$c.ev[i] FOR i IN generate_series(1, $Dim)])
+         | - ok$c.off) * 1e6 + 0.5) / 1e6 AS pc$c""".stripMargin).mkString(",\n ")
+    val okFrom = (1 to TopK).map(c => s"ok$c").mkString(", ")
+    s"""WITH RECURSIVE
+       |${eigenCtesSql(TopK)}
+       |SELECT e.vec_id, e.label,
+       | $pcs
+       |FROM embeddings e, $okFrom ORDER BY vec_id""".stripMargin
+  }
+
+  private def outlierSql: String = {
+    // the same left-associated 16-term sum as the Scala reduce(_ + _).
+    // Each term inlines its projection TWICE (p·p): correlating a
+    // LATERAL-bound scalar into a list lambda is unsupported, and both
+    // evaluations of the same deterministic expression yield the
+    // identical double, so the square is exact.
+    def p(c: Int) =
+      s"(list_sum([CAST(e.embedding[i$c] AS DOUBLE) * ok$c.ev[i$c] FOR i$c IN generate_series(1, $Dim)]) - ok$c.off)"
+    val m2 = (1 to OutlierK).map(c => s"${p(c)} * ${p(c)} / ok$c.lam").mkString(" + ")
+    val okFrom = (1 to OutlierK).map(c => s"ok$c").mkString(", ")
+    s"""WITH RECURSIVE
+       |${eigenCtesSql(OutlierK)}
+       |SELECT vec_id, label, m2 FROM (
+       |  SELECT e.vec_id, e.label, floor(($m2) * 1e6 + 0.5) / 1e6 AS m2
+       |  FROM embeddings e, $okFrom) t
+       |ORDER BY m2 DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
-    ("emb_pca_project", project _, None),
-    ("emb_outlier_whitened", outlierWhitened _, None))
+    ("emb_pca_project", project _, Some(projectSql)),
+    ("emb_outlier_whitened", outlierWhitened _, Some(outlierSql)))
 }
