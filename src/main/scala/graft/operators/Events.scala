@@ -183,19 +183,35 @@ object Events extends QueryModule {
     * 100 TB: `approx_percentile` keeps a bounded (accuracy-parameter-sized)
     * sketch per group that merges associatively across partitions, where
     * the exact twin (ev_value_percentiles) sorts each group's full value
-    * set. Mirrors the HLL/exact-distinct pairing. Sketch internals are
-    * engine-specific → rows-only oracle; EventsSpec bounds the error
-    * against the exact percentiles. */
-  def valuePercentilesApprox(s: SparkSession, d: String): DataFrame =
+    * set. Mirrors the HLL/exact-distinct pairing. Oracle signal (VERDICT
+    * r5 #3): sketch internals are engine-specific, so each approximate
+    * quantile is thresholded against its exact twin (hash-covered, the
+    * proven percentile_disc device) into a boolean — |approx − exact| ≤
+    * 2% of the per-type (p99 − p50) spread, the EventsSpec bound that
+    * catches swapped quantiles or a wrong column while tolerating sketch
+    * variance — which the oracle pins TRUE. */
+  def valuePercentilesApprox(s: SparkSession, d: String): DataFrame = {
+    val spread = greatest(col("p99") - col("p50"), lit(1e-9))
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
         expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").as("p"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"),
         count(lit(1)).as("n"))
-      .select(col("event_type"),
-        col("p").getItem(0).as("p50_approx"),
-        col("p").getItem(1).as("p95_approx"),
-        col("p").getItem(2).as("p99_approx"), col("n"))
+      .select(col("event_type"), col("p50"), col("p95"), col("p99"), col("n"),
+        (abs(col("p").getItem(0) - col("p50")) <= spread * lit(0.02)).as("p50_ok"),
+        (abs(col("p").getItem(1) - col("p95")) <= spread * lit(0.02)).as("p95_ok"),
+        (abs(col("p").getItem(2) - col("p99")) <= spread * lit(0.02)).as("p99_ok"))
+  }
+
+  private val valuePercentilesApproxSql =
+    """SELECT event_type,
+      | quantile_disc(value, 0.5) AS p50, quantile_disc(value, 0.95) AS p95,
+      | quantile_disc(value, 0.99) AS p99, COUNT(*) AS n,
+      | TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** Pivot (relational transpose): daily counts with one column per event
     * type. The value list is explicit — at scale an implicit pivot first
@@ -361,16 +377,35 @@ object Events extends QueryModule {
 
   /** Sketch-based distinct users per event type: HLL is the constant-memory
     * cardinality path at 100 TB (sketches merge associatively across
-    * partitions/days — the batch twin of a streaming sketch state). The
-    * datasketches binary is engine-specific → rows-only oracle; EventsSpec
-    * bounds the error against the exact count. */
+    * partitions/days — the batch twin of a streaming sketch state).
+    *
+    * Oracle signal (VERDICT r5 #3): the sketch BINARIES are
+    * engine-specific, so the raw estimates can never hash-match DuckDB —
+    * instead the entry emits the EXACT count (hash-covered) plus the
+    * error bound AS DATA: each estimate is thresholded into a boolean
+    * (|est − exact| ≤ 5% · exact, the EventsSpec bound) that the oracle
+    * pins to TRUE. A broken sketch flips the boolean and the hash goes
+    * red — the driver gate now sees sketch failures, not just row
+    * counts. The exact column is the verification harness; the
+    * production path at 100 TB serves the sketch alone. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.05)).as("approx_ok"),
+        (abs(col("hll_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.05)).as("hll_ok"))
+
+  private val approxDistinctSql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      | COUNT(*) AS n_events, TRUE AS approx_ok, TRUE AS hll_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** Exact weekly distinct users via MERGEABLE bitmap partials — the
     * re-aggregatable exact-distinct idiom. Daily (bucket, bitmap) partials
@@ -468,15 +503,32 @@ object Events extends QueryModule {
     * per (day) row at ~2% error, the right tier for wide rollups (all-time
     * uniques, hundreds of slices). Mergeability — estimate(union(partials))
     * — is the property proved here; ev_approx_distinct only proved the
-    * one-shot sketch. Rows-only: sketch binaries aren't reproducible in
-    * DuckDB; EventsSpec bounds the merged estimates against exact. */
-  def hllMerge(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    * one-shot sketch. Oracle signal (VERDICT r5 #3): the merged estimate
+    * is thresholded against the exact weekly distinct (hash-covered)
+    * into `merged_ok` = |est − exact| ≤ 5% · exact, which the oracle
+    * pins TRUE — a stale or mis-merged partial flips the hash red. The
+    * exact join is the verification harness; production reads the
+    * partial layer alone. */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    val merged = Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"), count(lit(1)).as("n_events"))
       .groupBy(date_trunc("week", col("day")).as("week"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("hll_users"),
         sum(col("n_events")).as("n_events"))
+    val exact = Tables.events(s, d)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "week")
+      .select(col("week"), col("n_events"), col("exact_users"),
+        (abs(col("hll_users") - col("exact_users"))
+          <= col("exact_users") * lit(0.05)).as("merged_ok"))
+  }
+
+  private val hllMergeSql =
+    """SELECT date_trunc('week', ts) AS week, COUNT(*) AS n_events,
+      | COUNT(DISTINCT user_id) AS exact_users, TRUE AS merged_ok
+      |FROM events GROUP BY date_trunc('week', ts)""".stripMargin
 
   /** The approx twin of [[bitmapWowRetained]]: week-over-week retained
     * users by inclusion-exclusion over HLL sketches — |A∩B| ≈
@@ -488,9 +540,13 @@ object Events extends QueryModule {
     * substitutes. The estimator's absolute error scales with the UNION
     * size, so relative error blows up when the overlap is a small
     * fraction of either set — that is precisely when the exact bitmap
-    * tier is the right choice; EventsSpec bounds this entry against the
-    * exact intersection. Rows-only: sketch binaries aren't reproducible
-    * in DuckDB. */
+    * tier is the right choice. Oracle signal (VERDICT r5 #3): the entry
+    * joins the estimate against the EXACT intersection served from the
+    * bitmap partial layer ([[bitmapWowRetained]] — itself hash-proven)
+    * and emits the exact columns plus `retained_ok` = |est − exact| ≤
+    * 15% · exact (the EventsSpec bound: inclusion-exclusion compounds
+    * three ~2% sketch errors scaled by the union/intersection ratio),
+    * which the oracle pins TRUE. */
   def hllWowRetained(s: SparkSession, d: String): DataFrame = {
     val weekly = Tables.events(s, d)
       .groupBy(date_trunc("week", col("ts")).as("week"))
@@ -500,7 +556,7 @@ object Events extends QueryModule {
       .unionByName(weekly.select(
         (col("week") - expr("INTERVAL 7 DAY")).as("pair_week"),
         lit(0).as("is_cur"), col("sk")))
-    stacked
+    val est = stacked
       .groupBy(col("pair_week").as("week"))
       .agg(
         max(when(col("is_cur") === 1, hll_sketch_estimate(col("sk")))).as("est_cur"),
@@ -508,10 +564,18 @@ object Events extends QueryModule {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"),
         max(col("is_cur")).as("hc"), min(col("is_cur")).as("hn"))
       .filter(col("hc") === 1 && col("hn") === 0)
-      .select(col("week"), col("est_cur"), col("est_next"),
+      .select(col("week"),
         greatest(col("est_cur") + col("est_next") - col("est_union"), lit(0L))
           .as("retained_est"))
+    bitmapWowRetained(s, d).join(est, "week")
+      .select(col("week"), col("n_cur"), col("n_next"), col("retained"),
+        (abs(col("retained_est") - col("retained"))
+          <= col("retained") * lit(0.15)).as("retained_ok"))
   }
+
+  private val hllWowRetainedSql =
+    s"""SELECT week, n_cur, n_next, retained, TRUE AS retained_ok
+       |FROM ($bitmapWowRetainedSql)""".stripMargin
 
   // Count-Min Sketch geometry: d independent hash rows × w buckets. At
   // w=1024 the additive error bound is εN with ε = e/w ≈ 0.27%, far below
@@ -693,11 +757,11 @@ object Events extends QueryModule {
     ("ev_cms_frequency", cmsFrequency _, Some(cmsFrequencySql)),
     ("ev_cms_daily_rollup", cmsDailyRollup _, Some(cmsDailyRollupSql)),
     ("ev_heavy_hitters", heavyHitters _, Some(heavyHittersSql)),
-    ("ev_hll_merge", hllMerge _, None),
-    ("ev_hll_wow_retained", hllWowRetained _, None),
+    ("ev_hll_merge", hllMerge _, Some(hllMergeSql)),
+    ("ev_hll_wow_retained", hllWowRetained _, Some(hllWowRetainedSql)),
     ("ev_value_percentiles", valuePercentiles _, Some(valuePercentilesSql)),
-    ("ev_value_percentiles_approx", valuePercentilesApprox _, None),
-    ("ev_approx_distinct", approxDistinct _, None),
+    ("ev_value_percentiles_approx", valuePercentilesApprox _, Some(valuePercentilesApproxSql)),
+    ("ev_approx_distinct", approxDistinct _, Some(approxDistinctSql)),
     ("ev_tumbling_window", tumblingWindow _, Some(tumblingWindowSql)),
     ("ev_sessionization", sessionization _, Some(sessionizationSql)),
     ("ev_hour_concurrency", hourConcurrency _, Some(hourConcurrencySql)),
