@@ -203,7 +203,8 @@ class PlanSpec extends SparkSpec {
       case other => other.children.exists(unboundedBelow)
     }
     SparkEntry.queries.keys
-      .filter(_.startsWith("ann_")).filterNot(_ == "ann_bruteforce_topk")
+      .filter(n => n.startsWith("ann_") || n == "emb_knn_label_vote")
+      .filterNot(_ == "ann_bruteforce_topk")
       .foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
         plan.foreach {
