@@ -27,4 +27,12 @@ private[graft] object Cols {
   /** Exact mean: decimal sum / count, both as double (engine-identical). */
   def avgExact(c: Column, s: Int): Column =
     sumExact(c, s) / count(lit(1))
+
+  /** Portable 6-decimal rounding for NON-NEGATIVE per-row values:
+    * floor(x·1e6 + 0.5)/1e6 is the same arithmetic on both engines,
+    * where round(x, 6) tie-breaks HALF_UP in Spark but HALF_EVEN in
+    * DuckDB — integer-ratio signals (quality scores, token fractions)
+    * land exactly on .5 boundaries often enough to flip an oracle. The
+    * SQL twin must use the identical floor form. */
+  def fp6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
 }

@@ -393,6 +393,8 @@ object Dedup extends QueryModule {
       col("nrm").as("nb"), col("bucket").as("bucket_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("bucket"),
+        // documented round() exception (see Ann.score): cosine doubles
+        // are irrational-valued — no exact .00005 ties to tie-break
         round(cosine(col("ea"), col("eb"), col("na"), col("nb")), 4).as("score"))
       .orderBy(desc("score"), asc("vec_a"), asc("vec_b"))
       .limit(20)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryModule, Tables}
+import graft.{Cols, QueryModule, Tables}
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -73,7 +73,7 @@ object PipelineOps extends QueryModule {
       .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
         size(array_distinct(col("bgs"))).cast("long").as("n_distinct"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"), 6)
+        Cols.fp6(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
           .as("rep_score"))
 
   private val repetitionScoreSql =
@@ -82,7 +82,7 @@ object PipelineOps extends QueryModule {
       |   unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)]) AS bg
       |  FROM t)
       |SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bg) AS n_distinct,
-      | round(1.0 - CAST(COUNT(DISTINCT bg) AS DOUBLE) / COUNT(*), 6) AS rep_score
+      | floor((1.0 - CAST(COUNT(DISTINCT bg) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS rep_score
       |FROM g GROUP BY doc_id""".stripMargin
 
   /** Sequence packing: concat-and-split assignment of docs to fixed
@@ -320,23 +320,23 @@ object PipelineOps extends QueryModule {
     * nothing shuffles. */
   def qualityWeightedSample(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    val q = round(graft.functions.TextFunctions.qualityScore(toks), 6)
+    val q = Cols.fp6(graft.functions.TextFunctions.qualityScore(toks))
     val u = graft.functions.TextFunctions.md5Int(col("text")).cast("double") /
       lit(math.pow(2.0, 60))
     Tables.documents(s, d)
       .filter(u < q * q)
       .select(col("doc_id"), col("lang"), col("source"),
-        round(q * q, 6).as("keep_prob"))
+        Cols.fp6(q * q).as("keep_prob"))
   }
 
   private val qualityWeightedSampleSql =
     s"""WITH t AS (SELECT doc_id, lang, source, text,
        |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        | s AS (SELECT doc_id, lang, source,
-       |    round(${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")}, 6) AS q,
+       |    floor((${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")}) * 1e6 + 0.5) / 1e6 AS q,
        |    ${graft.functions.TextFunctions.md5IntSql("text")} / power(2.0, 60) AS u
        |  FROM t)
-       |SELECT doc_id, lang, source, round(q * q, 6) AS keep_prob
+       |SELECT doc_id, lang, source, floor(q * q * 1e6 + 0.5) / 1e6 AS keep_prob
        |FROM s WHERE u < q * q""".stripMargin
 
   /** Temperature-scaled source mixing (the multilingual-sampling standard,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryModule, Tables}
+import graft.{Cols, QueryModule, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -40,13 +40,13 @@ object TextAnalysis extends QueryModule {
   def qualityScore(s: SparkSession, d: String): DataFrame =
     withToks(Tables.documents(s, d))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        round(graft.functions.TextFunctions.qualityScore(col("toks")), 6)
+        Cols.fp6(graft.functions.TextFunctions.qualityScore(col("toks")))
           .as("quality_score"))
 
   private val qualityScoreSql =
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
        |SELECT doc_id, len(toks) AS n_tokens,
-       | round(${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")}, 6) AS quality_score
+       | floor((${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")}) * 1e6 + 0.5) / 1e6 AS quality_score
        |FROM t""".stripMargin
 
   // n-gram/stopword-vote language ID; output = confusion matrix vs `lang`.
@@ -234,8 +234,8 @@ object TextAnalysis extends QueryModule {
       .cast("double") / n
     val stopHits = stopwordHits(col("toks"), stopsEn)
     df.select(col("doc_id"), n.as("n_words"),
-      round(meanLen, 6).as("mean_word_len"),
-      round(alphaFrac, 6).as("alpha_frac"),
+      Cols.fp6(meanLen).as("mean_word_len"),
+      Cols.fp6(alphaFrac).as("alpha_frac"),
       stopHits.as("stop_hits"),
       (n.between(50, 100000) && meanLen.between(3.0, 10.0)
         && alphaFrac > 0.8 && stopHits >= 2).as("passes"))
@@ -250,8 +250,8 @@ object TextAnalysis extends QueryModule {
        |   len(list_filter(toks, x -> x IN (${sqlInList(stopsEn)}))) AS stop_hits
        |  FROM t)
        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-       | round(mean_word_len, 6) AS mean_word_len,
-       | round(alpha_frac, 6) AS alpha_frac,
+       | floor(mean_word_len * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       | floor(alpha_frac * 1e6 + 0.5) / 1e6 AS alpha_frac,
        | CAST(stop_hits AS BIGINT) AS stop_hits,
        | (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
        |  AND alpha_frac > 0.8 AND stop_hits >= 2) AS passes

@@ -51,6 +51,12 @@ object Ann extends QueryModule {
     e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
 
+  // DOCUMENTED round() EXCEPTION (suite convention is floor(x·1e6+0.5)):
+  // cosine of float embeddings is an irrational-valued double — an exact
+  // .00005 tie (where Spark HALF_UP and DuckDB would diverge) is a
+  // measure-zero event, unlike the integer-ratio text signals. Both
+  // engines round the SAME bit-identical double, so round(,4) is safe
+  // here and matches the SQL twins verbatim.
   private def score = round(cosine(col("qe"), col("embedding"), col("qn"), col("nrm")), 4)
 
   /** DataFrame-parametric exact cosine top-k for library users:

@@ -57,7 +57,7 @@ class PipelineOpsSpec extends SparkSpec {
     // corpus mean of q² (higher-weight docs are overrepresented)
     val keptMean = a.map(_.getAs[Double]("keep_prob")).sum / a.length
     val toks = graft.functions.TextFunctions.tokens(col("text"))
-    val q = round(graft.functions.TextFunctions.qualityScore(toks), 6)
+    val q = Cols.fp6(graft.functions.TextFunctions.qualityScore(toks))
     val corpusMean = Tables.documents(spark, sf)
       .agg(avg(q * q)).head().getDouble(0)
     assert(keptMean > corpusMean,
