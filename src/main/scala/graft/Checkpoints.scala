@@ -33,8 +33,14 @@ private[graft] object Checkpoints {
     * IS the cached blocks, so freeing a frame that is still referenced
     * would be unrecoverable — callers only free strictly-dead rounds. */
   def free(df: DataFrame): Unit = df.queryExecution.logical match {
-    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+    // BOTH materialize paths plan as LogicalRDD (Dataset.checkpoint too,
+    // ADVICE r5), so distinguish by storage level: localCheckpoint data
+    // IS the persisted blocks (unpersist frees them); reliable-checkpoint
+    // RDDs are unpersisted already — their data lives in checkpoint files
+    // reaped by cleanCheckpoints — and get the no-op branch.
+    case lr: org.apache.spark.sql.execution.LogicalRDD
+        if lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
       lr.rdd.unpersist(blocking = false)
-    case _ => () // not a materialized frame (reliable-checkpoint path) — no-op
+    case _ => () // not a materialized frame, or reliable-checkpoint — no-op
   }
 }

@@ -71,7 +71,8 @@ object SemDedup extends QueryModule {
         col("embedding").cast("array<double>").as("centroid"))
       .withColumn("cnrm", norm(col("centroid")))
     for (_ <- 1 to SemIters) {
-      cent = assign(n, cent)
+      val prev = cent
+      cent = assign(n, prev)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("cell"), col("pos"),
           floor(col("v").cast("double") * 1e9 + 0.5).cast("long").as("vr"))
@@ -83,10 +84,15 @@ object SemDedup extends QueryModule {
           x => x.getField("cv")).as("centroid"))
         .withColumn("cnrm", norm(col("centroid")))
         .transform(Checkpoints.materialize)
+      // round N materialized → round N−1's K-row frame is dead; free it
+      // eagerly (the connectedComponents pattern; round 0 is the un-
+      // materialized seed projection, where free() is a no-op)
+      Checkpoints.free(prev)
     }
     // final assignment feeds BOTH the pair join sides and the sizes —
-    // materialize once (and the loop's dead round frames free eagerly)
+    // materialize once, then the last centroid round is dead too
     val asg = Checkpoints.materialize(assign(n, cent))
+    Checkpoints.free(cent)
     // within-cell pairs through the SALTED key join: on real clustered
     // embeddings one Voronoi cell can swallow a large fraction of the
     // corpus, and a plain cell-keyed join would put that cell's entire

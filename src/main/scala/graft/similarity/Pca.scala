@@ -79,6 +79,14 @@ object Pca extends QueryModule {
         count(lit(1)).as("n"))
     val rows = cells.collect()
     val n = rows.collect { case r if r.getInt(0) == 0 && r.getInt(1) == 0 => r.getLong(4) }.head
+    // Loud failure at the documented overflow bound (ADVICE r5): beyond
+    // ~2e7 rows the 1e10-scaled long cell sums can wrap silently and
+    // corrupt the fitted basis. A 100 TB fit must first switch this pass
+    // to decimal or hi/lo split accumulation — require() makes that a
+    // hard error instead of a wrong model.
+    require(n <= 20000000L,
+      s"PCA moments accumulator is long-overflow-safe only to 2e7 rows (got $n); " +
+        "raise the moments pass to decimal/hi-lo accumulation before fitting at this scale")
     val sxx = Array.ofDim[Double](Dim, Dim)
     val sx = new Array[Double](Dim)
     rows.foreach { r =>
