@@ -574,7 +574,65 @@ object WideColumn extends QueryModule {
       |WHERE l_suppkey BETWEEN 2 AND 5 AND l_partkey BETWEEN 20 AND 120
       |GROUP BY l_returnflag""".stripMargin
 
+  /** timeuuid `now()` analog (reference server.py:192-206, the message_id
+    * column): DISTRIBUTED, COLLISION-SAFE id generation from a
+    * (timestamp, node, sequence) triple — v1-UUID semantics without
+    * coordination, the way a 1000-executor writer mints clustering keys.
+    * Layout: 44 time bits (epoch ms) ‖ 10 node bits (the writer shard
+    * owning the partition — here user_id mod 1024, the partitioner's
+    * assignment) ‖ 10 sequence bits (per-(ms, node) counter breaking
+    * same-millisecond collisions). The id formula is pure integer
+    * arithmetic, so the DuckDB oracle replays GENERATION itself and the
+    * hash covers the real invariants: per-partition id count == distinct
+    * count (uniqueness), ids strictly increase in (ts, event_id) order
+    * (the timeuuid DESC clustering contract), and the sequence never
+    * overflows its bits. Deterministic stand-ins for wall-clock/MAC —
+    * event ts and the owning shard — keep it replayable; swapping real
+    * wall-clock + executor id back in changes no plan shape.
+    *
+    * Scale: one shuffle on the (ms, node) sequence window — at 100 TB
+    * each writer numbers only its own millisecond batches (the window
+    * partition count is writers × active-ms, never global); the audit
+    * aggregate rides the user_id exchange like every wc_* entry. */
+  def timeuuidGen(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_millis(col("ts")).as("ts_ms"),
+        pmod(col("user_id"), lit(1024L)).as("node"))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("ts_ms", "node").orderBy("user_id", "event_id"))
+        .cast("long") - 1L)
+      .withColumn("gen_id",
+        col("ts_ms") * lit(1048576L) + col("node") * lit(1024L) + col("seq"))
+    ids
+      .withColumn("prev_id", lag(col("gen_id"), 1).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ids"),
+        countDistinct(col("gen_id")).as("n_unique"),
+        expr("bool_and(prev_id IS NULL OR gen_id > prev_id)").as("monotonic"),
+        (max(col("seq")) < 1024L).as("seq_ok"),
+        min(col("gen_id")).as("min_id"), max(col("gen_id")).as("max_id"))
+  }
+
+  private val timeuuidGenSql =
+    """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+      |                  user_id % 1024 AS node FROM events),
+      | sq AS (SELECT *, ROW_NUMBER() OVER (
+      |          PARTITION BY ts_ms, node ORDER BY user_id, event_id) - 1 AS seq
+      |        FROM e),
+      | ids AS (SELECT user_id, event_id, ts, seq,
+      |           ts_ms * 1048576 + node * 1024 + seq AS gen_id FROM sq),
+      | lg AS (SELECT *, lag(gen_id) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_id FROM ids)
+      |SELECT user_id, COUNT(*) AS n_ids, COUNT(DISTINCT gen_id) AS n_unique,
+      | bool_and(prev_id IS NULL OR gen_id > prev_id) AS monotonic,
+      | MAX(seq) < 1024 AS seq_ok,
+      | MIN(gen_id) AS min_id, MAX(gen_id) AS max_id
+      |FROM lg GROUP BY user_id""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_timeuuid_gen", timeuuidGen _, Some(timeuuidGenSql)),
     ("wc_zorder_scan", zorderScan _, Some(zorderScanSql)),
     ("wc_cas_insert", casInsert _, Some(casInsertSql)),
     ("wc_page_after_cursor", pageAfterCursor _, Some(pageAfterCursorSql)),

@@ -88,6 +88,33 @@ class WideColumnSpec extends SparkSpec {
     }
   }
 
+  test("timeuuid generation: globally unique, per-partition monotonic, sequence in bounds") {
+    val rows = WideColumn.timeuuidGen(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ids") == r.getAs[Long]("n_unique"),
+        s"user ${r.getLong(0)}: duplicate generated ids")
+      assert(r.getAs[Boolean]("monotonic"),
+        s"user ${r.getLong(0)}: ids must increase along the clustering order")
+      assert(r.getAs[Boolean]("seq_ok"),
+        s"user ${r.getLong(0)}: per-(ms,node) sequence overflowed 10 bits")
+    }
+    // GLOBAL uniqueness, not just per-partition: min/max id ranges of
+    // distinct users can interleave, so count distinct across everyone
+    val n = Tables.events(spark, sf).count()
+    val idFrame = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        pmod(col("user_id"), lit(1024L)).as("node"))
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ts_ms", "node").orderBy("user_id", "event_id"))
+        .cast("long") - 1L)
+      .select((col("ts_ms") * lit(1048576L) + col("node") * lit(1024L) + col("seq"))
+        .as("gen_id"))
+    assert(idFrame.distinct().count() == n, "generated ids must be globally unique")
+  }
+
   test("partition-key filter is pushed to the parquet scan") {
     val plan = WideColumn.partitionLookup(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan.take(500))
