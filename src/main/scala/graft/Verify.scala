@@ -4,8 +4,42 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Mechanical SURVEY §2 ↔ SparkEntry.queries census (VERDICT r5 #9:
+    * name drift between the checklist and the code must be structurally
+    * impossible, not a judge spot-check). Two directions:
+    *   1. every queries key must appear as a backticked token inside §2
+    *      (grouped multi-name checklist lines count);
+    *   2. every checklist line's LEADING backticked query-style name
+    *      (lowercase_with_underscores) must be a real queries key —
+    *      catching stale/renamed heads like `q3_top_unshipped_orders`.
+    * Throws (failing the driver's verify step) on any drift. */
+  private[graft] def censusCheck(surveyPath: String = "SURVEY.md"): Unit = {
+    val lines = scala.io.Source.fromFile(surveyPath, "UTF-8").getLines().toSeq
+    val s2 = lines.dropWhile(!_.startsWith("## §2"))
+      .drop(1).takeWhile(!_.startsWith("## §"))
+    val tick = "`([^`]+)`".r
+    val tokens = s2.flatMap(l => tick.findAllMatchIn(l).map(_.group(1))).toSet
+    val leads = s2.collect {
+      case l if l.startsWith("- [x] `") =>
+        tick.findFirstMatchIn(l).map(_.group(1))
+    }.flatten.filter(n => n.exists(_ == '_') && n.forall(c => !c.isUpper))
+    val keys = SparkEntry.queries.keySet
+    val missingFromSurvey = keys.diff(tokens)
+    val staleInSurvey = leads.filterNot(keys)
+    require(missingFromSurvey.isEmpty && staleInSurvey.isEmpty,
+      s"SURVEY §2 / SparkEntry.queries census drift — " +
+        s"keys absent from §2: ${missingFromSurvey.toSeq.sorted.mkString(", ")}; " +
+        s"stale §2 checklist names: ${staleInSurvey.sorted.mkString(", ")}")
+    println(s"[verify] census: ${keys.size} queries keys all in SURVEY §2, " +
+      s"${leads.size} checklist heads all live")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    // census first: a drifted checklist fails the round loudly before any
+    // query runs (skipped only if SURVEY.md is absent — non-repo cwd)
+    if (Files.exists(Paths.get("SURVEY.md"))) censusCheck()
     // optional 3rd+ args: restrict to the named queries (local iteration)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

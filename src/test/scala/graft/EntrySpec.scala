@@ -103,7 +103,18 @@ class EntrySpec extends SparkSpec {
     // half-steps, materialized matrix CTEs, bit-identical basis)
     // → 150/145; ann_pca_topk CONVERTED rows-only → oracle (the same
     // eigensolve CTEs + materialized reduced coordinates) → 150/146.
-    assert(SparkEntry.queries.size == 150, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 146, s"got ${SparkEntry.oracleSql.size}")
+    // r6: +wc_timeuuid_gen (oracle) → 151/147; the 4 sketch entries
+    // (ev_hll_merge, ev_hll_wow_retained, ev_approx_distinct,
+    // ev_value_percentiles_approx) CONVERTED rows-only → oracle (exact
+    // columns + thresholded error booleans — the estimate bound is data
+    // the oracle pins TRUE) → 151/151: every entry is oracle-checked.
+    assert(SparkEntry.queries.size == 151, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 151, s"got ${SparkEntry.oracleSql.size}")
+  }
+
+  test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
+    // the same check Verify runs before the driver gate; failing here
+    // means a checklist edit and a code edit went out of sync
+    Verify.censusCheck()
   }
 }
