@@ -117,32 +117,62 @@ object Dedup extends QueryModule {
       |       COUNT(*) - COUNT(DISTINCT fp) AS n_dupes
       |FROM f""".stripMargin
 
-  // ---- exact n-gram Jaccard via inverted index ---------------------------
-  /** Top-20 most similar pairs by word-3-gram Jaccard. The shingle
-    * inverted-index self-join bounds work to docs that actually share a
-    * shingle — no cross join at any scale. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // materialized once: the index lineage (posexplode + two windows +
-    // distinct) feeds the self-join twice AND the per-doc counts — three
-    // full recomputations otherwise (the winnowPairs lesson)
-    val inv = Checkpoints.materialize(shingleIndex(s, d))
+  // ---- exact n-gram Jaccard / containment via inverted index -------------
+  /** Shared pair substrate for the exact-overlap entries: df-capped
+    * shingle inverted-index self-join → (doc_a, doc_b, shared, na, nb).
+    * Materialized once — the index lineage (posexplode + two windows +
+    * distinct) otherwise recomputes for the self-join twice AND the
+    * per-doc counts (the winnowPairs lesson). */
+  private def shinglePairCounts(s: SparkSession, d: String): DataFrame =
+    shinglePairCountsOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric form: `docs` needs `doc_id` + `text`. */
+  private[graft] def shinglePairCountsOf(docs: DataFrame): DataFrame = {
+    val inv = Checkpoints.materialize(shingleIndexOf(docs))
     val counts = inv.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
-    val pairs = inv.select(col("doc_id").as("doc_a"), col("sg"))
+    inv.select(col("doc_id").as("doc_a"), col("sg"))
       .join(inv.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")),
         col("sg") === col("sg_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
-    pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+  }
+
+  /** Top-20 most similar pairs by word-3-gram Jaccard. The shingle
+    * inverted-index self-join bounds work to docs that actually share a
+    * shingle — no cross join at any scale. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    shinglePairCounts(s, d)
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .orderBy(desc("jaccard"), asc("doc_a"), asc("doc_b"))
       .limit(20)
-  }
 
-  private val ngramJaccardSql =
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+  /** Top-20 pairs by word-3-gram CONTAINMENT — shared/min(|A|,|B|): the
+    * asymmetric near-dup Jaccard systematically misses, where a short
+    * document (a quote, a boilerplate block, an excerpt) lives verbatim
+    * inside a much longer one and the union-normalized score stays low.
+    * Standard web-corpus practice (Broder's containment coefficient)
+    * alongside resemblance. Same df-capped inverted index and bounded
+    * pair join as dedup_ngram_jaccard — one blocking substrate, a
+    * different verification ratio. */
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentOf(Tables.documents(s, d))
+      .orderBy(desc("containment"), asc("doc_a"), asc("doc_b"))
+      .limit(20)
+
+  /** DataFrame-parametric containment pairs (unsorted, un-limited) for
+    * library composition — `docs` needs `doc_id` + `text`. */
+  def containmentOf(docs: DataFrame): DataFrame =
+    shinglePairCountsOf(docs)
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / least(col("na"), col("nb"))).as("containment"))
+
+  /** CTE prefix shared by the Jaccard and containment oracles — the SQL
+    * twin of `shinglePairCounts`. */
+  private val shinglePairsCte =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
       | sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2] FOR i IN generate_series(1, len(toks)-2)]) AS sh FROM t),
       | inv0 AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
       | inv AS (SELECT doc_id, sg FROM (
@@ -151,11 +181,21 @@ object Dedup extends QueryModule {
       | cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
       | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
       |           FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      |           GROUP BY 1, 2)
+      |           GROUP BY 1, 2)""".stripMargin
+
+  private val ngramJaccardSql =
+    s"""WITH $shinglePairsCte
       |SELECT doc_a, doc_b,
       | CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
       |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
+  private val containmentSql =
+    s"""WITH $shinglePairsCte
+      |SELECT doc_a, doc_b,
+      | CAST(shared AS DOUBLE) / LEAST(ca.n_sh, cb.n_sh) AS containment
+      |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+      |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
   // ---- MinHash + banded LSH ----------------------------------------------
   /** 64-perm MinHash signature (universal hashing over md5Int of each
@@ -705,6 +745,7 @@ object Dedup extends QueryModule {
     ("dedup_exact", exact _, Some(exactSql)),
     ("dedup_survivors", survivors _, Some(survivorsSql)),
     ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
+    ("dedup_containment", containment _, Some(containmentSql)),
     ("dedup_winnow_pairs", winnowPairs _, Some(winnowPairsSql)),
     ("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
     ("dedup_fuzzy_pairs", fuzzyPairs _, Some(fuzzyPairsSql)),

@@ -280,6 +280,51 @@ object Ann extends QueryModule {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
        |  FROM pairs) t WHERE rk <= $K""".stripMargin
 
+  // ---- index-quality evaluation: recall@K vs brute force -----------------
+  /** Per-query recall@K of the IVF tier against the brute-force ground
+    * truth — the index-quality gauge a production ANN deployment monitors
+    * continuously (a recall regression means retrain the quantizer or
+    * raise nprobe). Composes the two existing oracle-replayable paths;
+    * at 100 TB the ground truth runs over a sampled query set, which is
+    * exactly the shape here (10 fixed queries vs the full corpus). */
+  def recallEval(s: SparkSession, d: String): DataFrame = {
+    val truth = bruteForce(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(s, d).select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("recall_at_k", col("n_hits").cast("double") / lit(K))
+      .orderBy("query_id")
+  }
+
+  /** The recall oracle composes the IVF serving CTEs with a brute-force
+    * twin over the same `n` base — both rank with the identical
+    * (score desc, neighbor_id) total order, so the top-k sets are
+    * bit-identical cross-engine and the hit counts are exact. */
+  private def recallEvalSql: String =
+    s"""WITH $ivfCtesSql,
+       |apairs AS (
+       |  SELECT p.query_id, i.vec_id AS neighbor_id,
+       |    round(${dotSql("p.qe", "i.embedding")} / nullif(p.qn * i.nrm, 0), 4) AS score
+       |  FROM probe p JOIN idx i ON i.cell = p.pcell AND i.vec_id != p.query_id),
+       |approx AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM apairs) t WHERE rk <= $K),
+       |bpairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    round(${dotSql("q.embedding", "n.embedding")} / nullif(q.nrm * n.nrm, 0), 4) AS score
+       |  FROM (SELECT * FROM n WHERE vec_id < 10) q JOIN n ON n.vec_id != q.vec_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM bpairs) t WHERE rk <= $K)
+       |SELECT t.query_id,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / $K AS recall_at_k
+       |FROM truth t LEFT JOIN approx a
+       |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
   /** Int8-tier oracle (CONVERTED rows-only → hash-green, r5): the
     * quantization is the floor(x/scale + 0.5) device (emb_quantize_int8's
     * oracle twin), the candidate score is an exact INTEGER dot scaled by
@@ -1130,6 +1175,7 @@ object Ann extends QueryModule {
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
     ("ann_rp_lsh_topk", rpLshTopK _, Some(rpLshTopKSql)),
     ("ann_ivf_topk", ivfTopK _, Some(ivfTopKSql)),
+    ("ann_recall_eval", recallEval _, Some(recallEvalSql)),
     ("ann_ivf_int8_topk", ivfInt8TopK _, Some(ivfInt8TopKSql)),
     ("vec_norm_stats", normStats _, Some(normStatsSql)),
     ("emb_centroid_per_label", centroidPerLabel _, Some(centroidPerLabelSql)),

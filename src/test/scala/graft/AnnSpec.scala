@@ -79,6 +79,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.55, s"ivf nprobe=3 recall $recall below 0.55")
   }
 
+  test("recall eval agrees with an independent brute-vs-ivf recount") {
+    val got = Ann.recallEval(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"))).toMap
+    assert(got.size == 10, s"one row per query, got ${got.size}")
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val ivf = Ann.ivfTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    got.foreach { case (q, (hits, recall)) =>
+      val expect = bf(q).intersect(ivf.getOrElse(q, Set.empty)).size
+      assert(hits == expect, s"query $q: n_hits $hits != recount $expect")
+      assert(math.abs(recall - expect / 10.0) < 1e-12)
+    }
+    // corpus-level sanity: matches the IVF recall bound the tier asserts
+    val mean = got.values.map(_._2).sum / got.size
+    assert(mean >= 0.55, s"mean recall $mean below the IVF tier bound")
+  }
+
   test("int8-scored IVF recalls within 0.02 of float IVF") {
     val toSet = (rows: Array[org.apache.spark.sql.Row]) =>
       rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

@@ -34,6 +34,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment dominates jaccard on shared pairs and stays in (0,1]") {
+    val cont = Dedup.containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("containment"))
+      .toMap
+    assert(cont.nonEmpty)
+    cont.values.foreach(c => assert(c > 0.0 && c <= 1.0 + 1e-12))
+    // containment normalizes by min(|A|,|B|) <= |A ∪ B|, so on any pair
+    // both entries rank it holds containment >= jaccard
+    val jac = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    jac.keySet.intersect(cont.keySet).foreach { k =>
+      assert(cont(k) >= jac(k) - 1e-12, s"containment below jaccard for $k")
+    }
+  }
+
+  test("containment pins an excerpt inside a long doc at 1.0 where jaccard stays low") {
+    val s2 = spark
+    import s2.implicits._
+    val body = (1 to 120).map(i => s"w$i").mkString(" ")   // 120-token doc
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ") // its first 12 tokens
+    val docs = Seq((1L, body), (2L, excerpt)).toDF("doc_id", "text")
+    val pair = Dedup.containmentOf(docs).collect()
+    assert(pair.length == 1)
+    val c = pair(0).getAs[Double]("containment")
+    // every one of the excerpt's 10 shingles occurs in the body
+    assert(math.abs(c - 1.0) < 1e-12, s"excerpt containment $c != 1.0")
+    // while union-normalized resemblance is 10/118 — the pair jaccard misses
+    val j = Dedup.shinglePairCountsOf(docs).collect()(0)
+    val jac = j.getAs[Long]("shared").toDouble /
+      (j.getAs[Long]("na") + j.getAs[Long]("nb") - j.getAs[Long]("shared"))
+    assert(jac < 0.1, s"fixture jaccard $jac unexpectedly high")
+  }
+
   test("simhash: one deterministic 60-bit signature per doc") {
     val a = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Dedup.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
