@@ -122,6 +122,58 @@ object Multimodal extends QueryModule {
        | CAST(CAST(doc_id // 64 AS BIGINT) % 64 + 1 AS BIGINT) AS height
        |FROM documents""".stripMargin
 
+  // ---- feature extraction over the decoded body --------------------------
+  /** Per-payload feature extraction — the stage between container decode
+    * and the downstream quality/dedup filters (the brief's decode /
+    * FEATURE-EXTRACT / resize / frame-sample quartet; a pixel-level
+    * extractor would compute the same moments over decoded channels via
+    * mapInPandas at 100 TB — map-only, no shuffle, same plumbing).
+    * The container header is stripped by byte count according to the
+    * format PARSED from the payload bytes, then the body yields integer
+    * byte moments (sum, sum of squares, distinct count — exact longs on
+    * both engines) and mean/variance derived from them with an identical
+    * double expression, so the derived columns are bit-identical too.
+    * A mis-parse (wrong header length) shifts every moment and
+    * hash-mismatches the oracle, which — like mm_decode_batch — recomputes
+    * the expected features arithmetically from the source text. */
+  def featureExtract(s: SparkSession, d: String): DataFrame = {
+    val media = synthesizeMedia(Tables.documents(s, d).filter(length(col("text")) > 0))
+    val hx = hex(col("payload"))
+    val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A"
+    val hdr = when(isPng, lit(PngHeaderBytes)).otherwise(lit(JpegHeaderBytes))
+    val body = col("payload").substr(hdr + 1, octet_length(col("payload"))).cast("string")
+    val chars = split(body, "")
+    val pxSum = aggregate(chars, lit(0L), (a, c) => a + ascii(c).cast("long"))
+    val pxSq = aggregate(chars, lit(0L), (a, c) => a + ascii(c).cast("long") * ascii(c))
+    media
+      .select(col("doc_id"),
+        when(isPng, "png").otherwise("jpeg").as("format"),
+        length(body).cast("long").as("n_px"),
+        size(array_distinct(chars)).cast("long").as("n_distinct"),
+        pxSum.as("px_sum"), pxSq.as("px_sq_sum"))
+      .withColumn("px_mean", col("px_sum").cast("double") / col("n_px"))
+      .withColumn("px_var",
+        (col("px_sq_sum").cast("double")
+          - col("px_sum").cast("double") * col("px_sum") / col("n_px")) / col("n_px"))
+  }
+
+  private val featureExtractSql =
+    """WITH f AS (SELECT doc_id, regexp_split_to_array(text, '') AS cs,
+      |                  length(text) AS n
+      |           FROM documents WHERE length(text) > 0),
+      | m AS (SELECT doc_id,
+      |   CAST(list_sum(list_transform(cs, x -> CAST(ascii(x) AS BIGINT))) AS BIGINT) AS px_sum,
+      |   CAST(list_sum(list_transform(cs, x -> CAST(ascii(x) AS BIGINT) * ascii(x))) AS BIGINT) AS px_sq_sum,
+      |   CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct,
+      |   CAST(n AS BIGINT) AS n_px
+      |  FROM f)
+      |SELECT doc_id,
+      | CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      | n_px, n_distinct, px_sum, px_sq_sum,
+      | CAST(px_sum AS DOUBLE) / n_px AS px_mean,
+      | (CAST(px_sq_sum AS DOUBLE) - CAST(px_sum AS DOUBLE) * px_sum / n_px) / n_px AS px_var
+      |FROM m""".stripMargin
+
   private val FrameSize = 256
   private val SampleEvery = 4L
 
@@ -205,6 +257,7 @@ object Multimodal extends QueryModule {
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("mm_binary_meta", binaryMeta _, Some(binaryMetaSql)),
     ("mm_decode_batch", decodeBatch _, Some(decodeBatchSql)),
+    ("mm_feature_extract", featureExtract _, Some(featureExtractSql)),
     ("mm_frame_sample", frameSample _, Some(frameSampleSql)),
     ("mm_resize_halve", resizeHalve _, Some(resizeHalveSql)))
 }

@@ -77,6 +77,26 @@ class MultimodalSpec extends SparkSpec {
       Array(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
   }
 
+  test("feature extract: byte moments match a direct recount of the raw text") {
+    val rows = Multimodal.featureExtract(spark, sf).collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == texts.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val bytes = t.getBytes("UTF-8").map(_.toLong & 0xff)
+      // the header strip must recover EXACTLY the original body: any
+      // off-by-one in the parsed header length shifts every moment
+      assert(r.getAs[Long]("n_px") == bytes.length)
+      assert(r.getAs[Long]("px_sum") == bytes.sum)
+      assert(r.getAs[Long]("px_sq_sum") == bytes.map(b => b * b).sum)
+      assert(r.getAs[Long]("n_distinct") == t.toCharArray.distinct.length)
+      val mean = bytes.sum.toDouble / bytes.length
+      assert(math.abs(r.getAs[Double]("px_mean") - mean) < 1e-9)
+      assert(r.getAs[Double]("px_var") >= 0.0)
+    }
+  }
+
   test("header parse reads dims from actual container bytes") {
     val s = spark
     import s.implicits._
