@@ -146,6 +146,36 @@ object Events extends QueryModule {
       |       (SELECT COUNT(*) FROM v) AS n_signup_view,
       |       (SELECT COUNT(*) FROM p) AS n_signup_view_purchase""".stripMargin
 
+  /** Path mining — the funnel-DISCOVERY twin of ev_funnel: the top
+    * 3-step event-type sequences users actually take (ordered per-user by
+    * (ts, event_id) — the id tie-break keeps same-timestamp events
+    * deterministic on both engines). One shuffle on user_id for the lead
+    * windows, then a map-side-combinable path count; at 100 TB the path
+    * cardinality is bounded by |event_types|³, so the second exchange is
+    * tiny regardless of corpus size. */
+  def topPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(20)
+  }
+
+  private val topPathsSql =
+    """WITH o AS (SELECT user_id, event_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      | FROM events)
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      |FROM o WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   // Daily active users + volume.
   def dailyActive(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -767,6 +797,7 @@ object Events extends QueryModule {
     ("ev_hour_concurrency", hourConcurrency _, Some(hourConcurrencySql)),
     ("ev_bitmap_wow_retained", bitmapWowRetained _, Some(bitmapWowRetainedSql)),
     ("ev_funnel", funnel _, Some(funnelSql)),
+    ("ev_top_paths", topPaths _, Some(topPathsSql)),
     ("ev_daily_active", dailyActive _, Some(dailyActiveSql)),
     ("ev_retention", retention _, Some(retentionSql)),
     ("ev_anomaly_zscore", anomalyZscore _, Some(anomalyZscoreSql)),

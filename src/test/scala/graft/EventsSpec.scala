@@ -74,6 +74,29 @@ class EventsSpec extends SparkSpec {
     assert(a >= b && b >= c && a > 0)
   }
 
+  test("top paths match a driver-side recount of per-user trigram sequences") {
+    val got = Events.topPaths(spark, sf).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n"))
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+        col("event_id"), col("event_type")).collect()
+    val expected = events
+      .groupBy(_.getAs[Long]("user_id"))
+      .values.flatMap { rows =>
+        val seq = rows.sortBy(r =>
+          (r.getAs[Long]("tsu"), r.getAs[Long]("event_id")))
+          .map(_.getAs[String]("event_type"))
+        seq.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+      }
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (p, n) =>
+      assert(expected(p) == n, s"path $p: $n != recount ${expected(p)}")
+    }
+    // the returned 20 must be the true maxima under the (n desc, path) order
+    val top = expected.toSeq.sortBy { case (p, n) => (-n, p) }.take(got.length)
+    assert(got.toSeq == top, "top-20 set/order drifts from the recount")
+  }
+
   test("daily active: dau never exceeds event count") {
     assert(Events.dailyActive(spark, sf).filter(col("dau") > col("n_events")).count() == 0)
   }
