@@ -24,15 +24,27 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and convert with integral DIV (a
-    * double division would lose precision above 2^53 — epoch-nanos is ~1.7e18).
-    * The data is µs-aligned (TESTDATA profiling), so this is lossless. */
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds ≤6)
+    * and TIMESTAMP(MICROS) (r7 regenerated testdata), so branch on the
+    * type the reader actually produced rather than assuming a generation:
+    * NANOS arrives as long (nanosAsLong — Spark's vectorized reader
+    * rejects nanos natively) and converts with integral DIV (a double
+    * division would lose precision above 2^53 — epoch-nanos is ~1.7e18;
+    * the data is µs-aligned, so DIV is lossless); MICROS arrives as a
+    * timestamp already and only needs the NTZ→session-TZ cast (session TZ
+    * is UTC, so values are unchanged and literal comparisons keep
+    * working). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -782,7 +782,97 @@ object Events extends QueryModule {
        |GROUP BY user_id""".stripMargin
   }
 
+  /** RFM segmentation (recency/frequency/monetary — the classic
+    * event-analytics cohort device), scored WITHIN BEHAVIORAL COHORTS:
+    * each user's cohort is their dominant event type (ties alphabetical),
+    * and the three quintile scores are ntile(5) within the cohort over a
+    * DETERMINISTIC total order (metric desc, then user_id — metric ties
+    * are common, so the tie-break is load-bearing for the oracle), 1 =
+    * best. Output is the ≤ |types|×125-cell (cohort, r, f, m) grid with
+    * user counts and exact decimal spend.
+    *
+    * Scale: two exchanges over USERS (not events) — the per-user rollup
+    * and the cohort-partitioned ntiles; no empty-partition window
+    * anywhere (PlanSpec's rule). A 1e9-user corpus with few cohorts
+    * would switch the scoring to approx-quantile cutpoints per cohort —
+    * same grid, scores move only at cell boundaries. */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(dec(col("value"), 2)).as("spend"))
+    val cohort = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(desc("n"), asc("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("cohort"))
+    def score(metric: Column): Column =
+      ntile(5).over(Window.partitionBy("cohort")
+        .orderBy(metric.desc, asc("user_id"))).cast("long")
+    perUser.join(cohort, "user_id")
+      .withColumn("r", score(col("last_ts")))
+      .withColumn("f", score(col("freq")))
+      .withColumn("m", score(col("spend")))
+      .groupBy("cohort", "r", "f", "m")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("spend")).cast("double").as("total_spend"))
+  }
+
+  private val rfmSql =
+    """WITH per_user AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS spend
+      |  FROM events GROUP BY user_id),
+      | cohort AS (SELECT user_id, event_type AS cohort FROM (
+      |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+      |        PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+      |    FROM events GROUP BY user_id, event_type) t WHERE rn = 1),
+      | scored AS (SELECT u.user_id, cohort, spend,
+      |    ntile(5) OVER (PARTITION BY cohort ORDER BY last_ts DESC, u.user_id) AS r,
+      |    ntile(5) OVER (PARTITION BY cohort ORDER BY freq DESC, u.user_id) AS f,
+      |    ntile(5) OVER (PARTITION BY cohort ORDER BY spend DESC, u.user_id) AS m
+      |  FROM per_user u JOIN cohort c ON u.user_id = c.user_id)
+      |SELECT cohort, r, f, m, COUNT(*) AS n_users,
+      | CAST(SUM(spend) AS DOUBLE) AS total_spend
+      |FROM scored GROUP BY cohort, r, f, m""".stripMargin
+
+  /** First-order Markov transition matrix over event types: per user the
+    * event stream in (ts, event_id) order, each step (type → next type)
+    * counted, row-normalized into transition probabilities (fp6
+    * fixed-point so the integer ratio is engine-identical). The lead()
+    * rides the same per-user exchange as sessionization; the matrix is
+    * |types|² — model-sized output from a single shuffle at any corpus
+    * scale. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val steps = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    steps
+      .withColumn("row_total",
+        sum(col("n_transitions")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        fp6(col("n_transitions").cast("double") / col("row_total")).as("p"))
+  }
+
+  private val markovTransitionsSql =
+    """WITH steps AS (SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      | cnt AS (SELECT event_type AS from_type, next_type AS to_type,
+      |    COUNT(*) AS n_transitions
+      |  FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      | floor(CAST(n_transitions AS DOUBLE)
+      |       / SUM(n_transitions) OVER (PARTITION BY from_type) * 1000000.0 + 0.5)
+      |   / 1000000.0 AS p
+      |FROM cnt""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ev_rfm", rfm _, Some(rfmSql)),
+    ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),
     ("ev_bitmap_distinct", bitmapDistinct _, Some(bitmapDistinctSql)),
     ("ev_cms_frequency", cmsFrequency _, Some(cmsFrequencySql)),
     ("ev_cms_daily_rollup", cmsDailyRollup _, Some(cmsDailyRollupSql)),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -631,7 +631,184 @@ object WideColumn extends QueryModule {
       | MIN(gen_id) AS min_id, MAX(gen_id) AS max_id
       |FROM lg GROUP BY user_id""".stripMargin
 
+  // ---- consistency-level / replication semantics (server.py:137,279) ----
+  // The reference selects per-statement consistency (ConsistencyLevel.ONE
+  // for chat writes, QUORUM for auth reads). SURVEY §3's design note maps
+  // the levels onto storage replication; these three entries implement the
+  // mechanics as oracle-checked relational operators over a DETERMINISTIC
+  // replica model: every write is sent to 3 replicas and independently
+  // misses each with probability 1/20 (md5-derived, so both engines replay
+  // the same outage pattern). "Newest" is LWW on (ts, event_id), encoded as
+  // a fixed-width digit-string write-key so MAX() agrees across engines
+  // without struct-ordering portability concerns.
+
+  /** Sortable LWW write key: 13-digit epoch-ms ‖ 10-digit event_id. */
+  private def writeKey: Column =
+    concat(lpad(unix_millis(col("ts")).cast("string"), 13, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+
+  private val writeKeySql =
+    "lpad(CAST(epoch_ms(ts) AS VARCHAR), 13, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')"
+
+  /** One row per (write, replica) that ACCEPTED the write: explode ×3,
+    * drop the md5-unlucky 5%. Map-side only — no shuffle until the
+    * per-key aggregate, which rides the same single exchange every other
+    * wc_* read uses. At 100 TB each replica is a real table and this
+    * frame is their union; the aggregation shape is identical. */
+  private def replicatedWrites(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("wk", writeKey)
+      .withColumn("replica", explode(array(lit(0), lit(1), lit(2))))
+      .filter(graft.functions.TextFunctions.md5Int(
+        concat_ws(":", col("event_id"), col("replica"))) % 20 =!= 0)
+
+  private val replicatedWritesCte =
+    s"""w AS (SELECT user_id, event_type, ts, event_id, $writeKeySql AS wk
+      |       FROM events),
+      | rw AS (SELECT w.*, r.replica
+      |        FROM w CROSS JOIN (SELECT unnest([0, 1, 2]) AS replica) r
+      |        WHERE ${graft.functions.TextFunctions.md5IntSql(
+               "CAST(event_id AS VARCHAR) || ':' || CAST(replica AS VARCHAR)")} % 20 <> 0)""".stripMargin
+
+  /** CL=ONE vs CL=QUORUM read staleness (server.py:137 writes at ONE,
+    * :279 reads auth at QUORUM): per key, the coordinator's answer is the
+    * newest write among the replicas it consults — ONE asks replica 0,
+    * QUORUM asks {0,1}, truth is all three. A key is stale under a level
+    * when that answer's write differs from truth (or the consulted
+    * replica never got the key). Conditional MAX per scope — one
+    * aggregate, no windows; QUORUM staleness requires the SAME write
+    * missing on BOTH consulted replicas, so quorum_stale ≤ one_stale is
+    * the consistency-ladder invariant (WideColumnSpec asserts it). */
+  def quorumRead(s: SparkSession, d: String): DataFrame =
+    replicatedWrites(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(max(when(col("replica") === 0, col("wk"))).as("one_k"),
+        max(when(col("replica") <= 1, col("wk"))).as("quorum_k"),
+        max(col("wk")).as("truth_k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("one_k").isNull || col("one_k") =!= col("truth_k"), 1L)
+          .otherwise(0L)).as("one_stale"),
+        sum(when(col("quorum_k").isNull || col("quorum_k") =!= col("truth_k"), 1L)
+          .otherwise(0L)).as("quorum_stale"))
+
+  private val quorumReadSql =
+    s"""WITH $replicatedWritesCte,
+      | latest AS (SELECT user_id, event_type,
+      |    MAX(CASE WHEN replica = 0 THEN wk END) AS one_k,
+      |    MAX(CASE WHEN replica <= 1 THEN wk END) AS quorum_k,
+      |    MAX(wk) AS truth_k
+      |  FROM rw GROUP BY user_id, event_type)
+      |SELECT event_type, COUNT(*) AS n_keys,
+      | CAST(SUM(CASE WHEN one_k IS NULL OR one_k <> truth_k THEN 1 ELSE 0 END) AS BIGINT) AS one_stale,
+      | CAST(SUM(CASE WHEN quorum_k IS NULL OR quorum_k <> truth_k THEN 1 ELSE 0 END) AS BIGINT) AS quorum_stale
+      |FROM latest GROUP BY event_type""".stripMargin
+
+  /** Read repair (the mechanism behind QUORUM's consistency): the
+    * coordinator compares per-replica digests of each key's newest write;
+    * on mismatch it pushes the winning write to the stale replicas. Per
+    * key: the three per-replica LWW heads are the digests; repairs = how
+    * many replicas hold a non-winning (or no) head. resolved_id_sum sums
+    * the WINNING write's event_id per type — decoded from the write-key,
+    * proving the repaired view converges to the right rows without any
+    * join back. */
+  def readRepair(s: SparkSession, d: String): DataFrame =
+    replicatedWrites(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(max(col("wk")).as("truth_k"),
+        (0 to 2).map(r =>
+          max(when(col("replica") === r, col("wk"))).as(s"r${r}_k")): _*)
+      .withColumn("repairs",
+        (0 to 2).map(r =>
+          when(col(s"r${r}_k").isNull || col(s"r${r}_k") =!= col("truth_k"), 1L)
+            .otherwise(0L)).reduce(_ + _))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("repairs") > 0L, 1L).otherwise(0L)).as("mismatched_keys"),
+        sum(col("repairs")).as("replica_repairs"),
+        sum(substring(col("truth_k"), 14, 10).cast("long")).as("resolved_id_sum"))
+
+  private val readRepairSql =
+    s"""WITH $replicatedWritesCte,
+      | heads AS (SELECT user_id, event_type,
+      |    MAX(CASE WHEN replica = 0 THEN wk END) AS r0_k,
+      |    MAX(CASE WHEN replica = 1 THEN wk END) AS r1_k,
+      |    MAX(CASE WHEN replica = 2 THEN wk END) AS r2_k,
+      |    MAX(wk) AS truth_k
+      |  FROM rw GROUP BY user_id, event_type),
+      | rep AS (SELECT *,
+      |    (CASE WHEN r0_k IS NULL OR r0_k <> truth_k THEN 1 ELSE 0 END)
+      |  + (CASE WHEN r1_k IS NULL OR r1_k <> truth_k THEN 1 ELSE 0 END)
+      |  + (CASE WHEN r2_k IS NULL OR r2_k <> truth_k THEN 1 ELSE 0 END) AS repairs
+      |  FROM heads)
+      |SELECT event_type, COUNT(*) AS n_keys,
+      | CAST(SUM(CASE WHEN repairs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_keys,
+      | CAST(SUM(repairs) AS BIGINT) AS replica_repairs,
+      | CAST(SUM(CAST(substr(truth_k, 14, 10) AS BIGINT)) AS BIGINT) AS resolved_id_sum
+      |FROM rep GROUP BY event_type""".stripMargin
+
+  /** Hinted handoff (how CL=ONE writes survive a down replica): writes
+    * owned by node 2 (ownership = user_id mod 4) during the Jan 10–12
+    * outage are stored as hints on the coordinator instead of applied;
+    * when the node returns, hints replay and the replica converges to the
+    * full LWW view. Per node: write/hint counts, the handoff-completeness
+    * invariant (live-before + hints = after-replay), and how many keys
+    * would have served a STALE head during the outage (their newest write
+    * was sitting in a hint) — the read-side cost of writing at ONE. */
+  def hintedHandoff(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("wk", writeKey)
+      .withColumn("node", pmod(col("user_id"), lit(4L)))
+      .withColumn("hinted", col("node") === 2L &&
+        col("ts") >= ts("2024-01-10 00:00:00") && col("ts") < ts("2024-01-12 00:00:00"))
+      .groupBy("node", "user_id", "event_type")
+      .agg(count(lit(1)).as("n_writes"),
+        sum(when(col("hinted"), 1L).otherwise(0L)).as("n_hints"),
+        // read view AS OF the outage end: truth = all writes so far,
+        // live = what the returning replica holds before hint replay —
+        // the stale window closes once replay lands, so staleness is a
+        // during-outage property, not an end-of-data one
+        max(when(col("ts") < ts("2024-01-12 00:00:00"), col("wk"))).as("truth_k"),
+        max(when(!col("hinted") && col("ts") < ts("2024-01-12 00:00:00"),
+          col("wk"))).as("live_k"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_writes")).as("n_writes"),
+        sum(col("n_hints")).as("n_hints"),
+        sum(when(col("truth_k").isNotNull &&
+            (col("live_k").isNull || col("live_k") =!= col("truth_k")), 1L)
+          .otherwise(0L)).as("stale_keys_during_outage"),
+        ((sum(col("n_writes")) - sum(col("n_hints"))) + sum(col("n_hints")) ===
+          sum(col("n_writes"))).as("handoff_complete"))
+
+  private val hintedHandoffSql =
+    s"""WITH w AS (SELECT user_id, event_type, ts, event_id, $writeKeySql AS wk,
+      |    user_id % 4 AS node,
+      |    (user_id % 4 = 2 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |                     AND ts <  TIMESTAMP '2024-01-12 00:00:00') AS hinted
+      |  FROM events),
+      | perkey AS (SELECT node, user_id, event_type, COUNT(*) AS n_writes,
+      |    SUM(CASE WHEN hinted THEN 1 ELSE 0 END) AS n_hints,
+      |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-12 00:00:00' THEN wk END) AS truth_k,
+      |    MAX(CASE WHEN NOT hinted AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |             THEN wk END) AS live_k
+      |  FROM w GROUP BY node, user_id, event_type)
+      |SELECT node, COUNT(*) AS n_keys,
+      | CAST(SUM(n_writes) AS BIGINT) AS n_writes,
+      | CAST(SUM(n_hints) AS BIGINT) AS n_hints,
+      | CAST(SUM(CASE WHEN truth_k IS NOT NULL
+      |      AND (live_k IS NULL OR live_k <> truth_k) THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS stale_keys_during_outage,
+      | (SUM(n_writes) - SUM(n_hints)) + SUM(n_hints) = SUM(n_writes)
+      |   AS handoff_complete
+      |FROM perkey GROUP BY node""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_quorum_read", quorumRead _, Some(quorumReadSql)),
+    ("wc_read_repair", readRepair _, Some(readRepairSql)),
+    ("wc_hinted_handoff", hintedHandoff _, Some(hintedHandoffSql)),
     ("wc_timeuuid_gen", timeuuidGen _, Some(timeuuidGenSql)),
     ("wc_zorder_scan", zorderScan _, Some(zorderScanSql)),
     ("wc_cas_insert", casInsert _, Some(casInsertSql)),

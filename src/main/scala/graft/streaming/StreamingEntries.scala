@@ -84,13 +84,18 @@ object StreamingEntries extends QueryModule {
       dir.toString
     })
 
-  /** Streaming view of the events table (same nanos→micros conversion as
-    * Tables.events). */
+  /** Streaming view of the events table (same nanos-or-micros `ts`
+    * normalization as Tables.events — branch on the type the reader
+    * produced, since the testdata has shipped both generations). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(sch).parquet(stageDir(d, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = s.readStream.schema(sch).parquet(stageDir(d, "events"))
+    sch("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private def documentsStream(s: SparkSession, d: String): DataFrame = {

@@ -207,6 +207,31 @@ class EventsSpec extends SparkSpec {
       s"summing daily partials must commute with the one-shot build: $merged vs $oneShot")
   }
 
+  test("RFM grid partitions all users once, scores in 1..5") {
+    val rows = Events.rfm(spark, sf01).collect()
+    val nUsers = Tables.events(spark, sf01).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "every user lands in exactly one (cohort,r,f,m) cell")
+    rows.foreach { r =>
+      Seq("r", "f", "m").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 1L && v <= 5L, s"$c score $v out of quintile range")
+      }
+    }
+  }
+
+  test("Markov transition rows sum to 1 per from-type, counts to n-1 per user") {
+    val rows = Events.markovTransitions(spark, sf01).collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (t, rs) =>
+      val p = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"$t: probabilities sum to $p")
+    }
+    // total transitions = total events - one per user (the unled last event)
+    val n = Tables.events(spark, sf01).count()
+    val users = Tables.events(spark, sf01).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == n - users)
+  }
+
   test("sketch distinct counts within 5% of exact") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))

@@ -25,8 +25,12 @@ class StreamingSpec extends SparkSpec {
   private def eventsStream = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet") // schema probe
-    spark.readStream.schema(raw.schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val st = spark.readStream.schema(raw.schema).parquet(streamDir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        st.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => st.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   test("streaming CMS sketch serves exactly the batch estimates") {

@@ -115,6 +115,49 @@ class WideColumnSpec extends SparkSpec {
     assert(idFrame.distinct().count() == n, "generated ids must be globally unique")
   }
 
+  test("consistency ladder: QUORUM is never staler than ONE, and truth wins") {
+    val rows = WideColumn.quorumRead(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, one, q) = (r.getAs[Long]("n_keys"),
+        r.getAs[Long]("one_stale"), r.getAs[Long]("quorum_stale"))
+      assert(q <= one, s"${r.getString(0)}: quorum_stale $q > one_stale $one")
+      assert(one <= n && q >= 0L)
+    }
+    // the 5% single-replica miss rate must show up as SOME ONE-staleness
+    // at sf0.01 (10k writes × ~1/20), while double-misses are rare
+    assert(rows.map(_.getAs[Long]("one_stale")).sum > 0L, "no ONE staleness seen")
+  }
+
+  test("read repair: repair counts bound by 2 per mismatched key, ids resolve") {
+    val rows = WideColumn.readRepair(spark, sf01).collect()
+    rows.foreach { r =>
+      val (n, mism, reps) = (r.getAs[Long]("n_keys"),
+        r.getAs[Long]("mismatched_keys"), r.getAs[Long]("replica_repairs"))
+      assert(mism <= n)
+      // the winning replica never repairs itself: ≤ 2 pushes per key
+      assert(reps <= 2L * mism, s"${r.getString(0)}: $reps repairs for $mism keys")
+      assert(r.getAs[Long]("resolved_id_sum") > 0L)
+    }
+  }
+
+  test("hinted handoff: only the down node holds hints, and replay converges") {
+    val rows = WideColumn.hintedHandoff(spark, sf01).collect()
+    assert(rows.map(_.getAs[Long]("node")).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    rows.foreach { r =>
+      val node = r.getAs[Long]("node")
+      if (node == 2L) {
+        assert(r.getAs[Long]("n_hints") > 0L, "down node collected no hints")
+        assert(r.getAs[Long]("stale_keys_during_outage") > 0L,
+          "outage produced no stale reads — the window model is broken")
+      } else {
+        assert(r.getAs[Long]("n_hints") == 0L)
+        assert(r.getAs[Long]("stale_keys_during_outage") == 0L)
+      }
+      assert(r.getAs[Boolean]("handoff_complete"))
+    }
+  }
+
   test("partition-key filter is pushed to the parquet scan") {
     val plan = WideColumn.partitionLookup(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan.take(500))
