@@ -341,7 +341,7 @@ object Events extends QueryModule {
           .as("zscore"))
   }
 
-  private val anomalyZscoreSql =
+  private[graft] val anomalyZscoreSql =
     """WITH daily AS (
       |  SELECT date_trunc('day', ts) AS day, event_type,
       |    CAST(COUNT(*) AS DOUBLE) AS n

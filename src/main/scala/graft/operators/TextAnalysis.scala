@@ -625,7 +625,61 @@ object TextAnalysis extends QueryModule {
       | COALESCE(top.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
       |FROM ls LEFT JOIN top USING (doc_id)""".stripMargin
 
+  /** Bigram-LM perplexity signal — the next step up from the unigram
+    * surprisal score: per-doc mean negative log of the ADD-ONE-SMOOTHED
+    * conditional p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V), the classic quality
+    * filter that catches locally-incoherent text a unigram model scores
+    * as fluent. Same fixed-point-ln device as txt_unigram_logprob (each
+    * ln quantized to integer µ-units, summed exactly, divided once) so
+    * the reduction is order-independent cross-engine; both corpus joins
+    * (bigram table, context table) are salted — Zipf heads are even
+    * sharper at the bigram grain. Two vocabulary-sized aggregates + two
+    * salted joins at any corpus scale; contexts/V are model frames. */
+  def bigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val big = toks
+      .withColumn("t2",
+        lead(col("t"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("t2").isNotNull)
+      .withColumn("bg", concat_ws(" ", col("t"), col("t2")))
+      .select("doc_id", "t", "bg")
+    val bgf = big.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy("t").agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct(col("t")).as("v"))
+    val lnFp: Column => Column =
+      c => floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
+    val withBg = graft.functions.Skew.saltedJoin(big, bgf, "bg", 8, col("doc_id"))
+    graft.functions.Skew.saltedJoin(withBg, ctx, "t", 8, col("doc_id"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lnFp(col("c1") + col("v")) - lnFp(col("c12") + lit(1L))).as("nll_fp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("nll_fp").cast("double") / col("n_bigrams") + 0.5) / 1e6)
+          .as("nll_per_bigram"))
+  }
+
+  private val bigramLogprobSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents),
+      | bgl AS (SELECT doc_id,
+      |    unnest([toks[i] FOR i IN generate_series(1, len(toks)-1)]) AS t,
+      |    unnest([toks[i]||' '||toks[i+1] FOR i IN generate_series(1, len(toks)-1)]) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      | bgf AS (SELECT bg, COUNT(*) AS c12 FROM bgl GROUP BY bg),
+      | ctx AS (SELECT t, COUNT(*) AS c1 FROM bgl GROUP BY t),
+      | v AS (SELECT COUNT(DISTINCT tk) AS v
+      |       FROM (SELECT unnest(toks) AS tk FROM t))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      | floor(CAST(SUM(CAST(floor(ln(CAST(c1 + v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |              - CAST(floor(ln(CAST(c12 + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |       / COUNT(*) + 0.5) / 1e6 AS nll_per_bigram
+      |FROM bgl JOIN bgf USING (bg) JOIN ctx USING (t) CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_bigram_logprob", bigramLogprob _, Some(bigramLogprobSql)),
     ("txt_gopher_repetition", gopherRepetition _, Some(gopherRepetitionSql)),
     ("txt_tfidf_topk", tfidfTopk _, Some(tfidfTopkSql)),
     ("txt_unigram_logprob", unigramLogprob _, Some(unigramLogprobSql)),

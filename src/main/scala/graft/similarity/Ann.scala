@@ -1164,7 +1164,55 @@ object Ann extends QueryModule {
        |  FROM rescored) t WHERE rk <= $K""".stripMargin
   }
 
+  /** Radius (range) search — the "all neighbors within ε" twin of top-k,
+    * what ε-graph construction / near-dup blocking actually consumes:
+    * per vector, the count and mean cosine of same-sign-bucket neighbors
+    * with cosine ≥ 0.8. The 8-bit sign bucket is the SEMANTICS (as in
+    * dedup_embedding_cosine): candidates are bucket-bounded, so the pair
+    * stage is Σ c² over bucket sizes, never O(n²); the mean is computed
+    * on 4-dp-rounded scores summed as exact decimals so the reduction
+    * order can't flip the oracle. Vectors with no in-radius neighbor are
+    * kept with n=0 (left join) — the isolation signal matters as much as
+    * the neighborhoods. */
+  def radiusSearch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("bucket", signBucket(col("embedding"), 8))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("bucket").as("bucket_b"))
+    val pairs = a.join(b, col("bucket") === col("bucket_b") && col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"),
+        round(cosine(col("ea"), col("eb"), col("na"), col("nb")), 4).as("score"))
+      .filter(col("score") >= 0.8)
+      .groupBy("vec_a")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(col("score").cast(DecimalType(18, 4))).as("score_sum"))
+    e.select(col("vec_id"))
+      .join(pairs, col("vec_id") === col("vec_a"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        (floor(coalesce(col("score_sum"), lit(BigDecimal(0))).cast("double")
+          / coalesce(col("n_neighbors"), lit(1L)) * 1e4 + 0.5) / 1e4).as("mean_score"))
+  }
+
+  private val radiusSearchSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings),
+       | pairs AS (SELECT a.vec_id AS vec_a,
+       |    round(${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0), 4) AS score
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       | agg AS (SELECT vec_a, COUNT(*) AS n_neighbors,
+       |    SUM(CAST(score AS DECIMAL(18,4))) AS score_sum
+       |  FROM pairs WHERE score >= 0.8 GROUP BY vec_a)
+       |SELECT n.vec_id, COALESCE(agg.n_neighbors, 0) AS n_neighbors,
+       | floor(CAST(COALESCE(score_sum, 0) AS DOUBLE)
+       |       / COALESCE(n_neighbors, 1) * 1e4 + 0.5) / 1e4 AS mean_score
+       |FROM n LEFT JOIN agg ON n.vec_id = agg.vec_a""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("emb_radius_search", radiusSearch _, Some(radiusSearchSql)),
     ("ann_pca_topk", pcaTopK _, Some(pcaTopKSql)),
     ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, Some(ivfTopKSql)),
     ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, Some(ivfPqTopKSql)),

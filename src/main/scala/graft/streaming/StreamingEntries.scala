@@ -512,7 +512,35 @@ object StreamingEntries extends QueryModule {
         .groupBy("stage").agg(count(lit(1)).as("n")),
         "complete"))
 
+  /** Streaming anomaly detector: the daily per-type counts accumulate in
+    * a streaming aggregate (complete mode — the day×type state is
+    * calendar-bounded, not data-bounded), and the trailing-7-day z-score
+    * finishes batch-side on the drained daily frame, exactly the batch
+    * twin's window. A production deployment would keep the same daily
+    * state and emit the z-score per trigger; the finishing window's
+    * input is |days|×|types| rows at ANY corpus scale. Oracle: shared
+    * with ev_anomaly_zscore — streaming arrival order must not move a
+    * single fixed-point z-score. */
+  def stAnomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val daily = drain(eventsStream(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n")),
+      "complete")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    daily
+      .withColumn("n_prior", count(col("n")).over(w))
+      .withColumn("mean", avg(col("n")).over(w))
+      .withColumn("var",
+        avg(col("n") * col("n")).over(w) - avg(col("n")).over(w) * avg(col("n")).over(w))
+      .filter(col("n_prior") === 7 && col("var") > 0)
+      .select(col("day"), col("event_type"), col("n").cast("long").as("n_events"),
+        (floor((col("n") - col("mean")) / sqrt(col("var")) * 1e6 + 0.5) / 1e6)
+          .as("zscore"))
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_anomaly_zscore", stAnomalyZscore _, Some(graft.operators.Events.anomalyZscoreSql)),
     ("st_filter_funnel", stFilterFunnel _, Some(graft.operators.TextAnalysis.filterFunnelSql)),
     ("st_cms_frequency", stCmsFrequency _, Some(graft.operators.Events.cmsFrequencySql)),
     ("st_minhash_sig", stMinhashSig _, Some(stMinhashSigSql)),

@@ -240,4 +240,20 @@ class AnnSpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
     assert(top.head.getAs[Double]("score") == 1.0)
   }
+
+  test("radius search: every vector reported once, neighborhoods symmetric") {
+    val rows = Ann.radiusSearch(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.length == nVecs, "one row per corpus vector, isolated included")
+    // cosine is symmetric and buckets are shared, so a∈N(b) ⟺ b∈N(a):
+    // the total directed-edge count must be even
+    val edges = rows.map(_.getAs[Long]("n_neighbors")).sum
+    assert(edges % 2 == 0, s"asymmetric neighborhoods: $edges directed edges")
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_neighbors") > 0)
+        assert(r.getAs[Double]("mean_score") >= 0.8,
+          s"vec ${r.getLong(0)}: mean below the radius threshold")
+      else assert(r.getAs[Double]("mean_score") == 0.0)
+    }
+  }
 }

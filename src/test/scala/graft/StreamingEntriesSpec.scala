@@ -61,6 +61,17 @@ class StreamingEntriesSpec extends SparkSpec {
     assert(streamed.getLong(2) == batch.getLong(2))
   }
 
+  test("streamed anomaly z-scores equal the batch twin exactly") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[java.sql.Timestamp]("day"), r.getAs[String]("event_type"))
+    val streamed = StreamingEntries.stAnomalyZscore(spark, sf).collect()
+      .map(r => key(r) -> (r.getAs[Long]("n_events"), r.getAs[Double]("zscore"))).toMap
+    val batch = operators.Events.anomalyZscore(spark, sf).collect()
+      .map(r => key(r) -> (r.getAs[Long]("n_events"), r.getAs[Double]("zscore"))).toMap
+    assert(streamed == batch,
+      s"streaming arrival order moved a z-score: ${streamed.size} vs ${batch.size}")
+  }
+
   test("drained dedup fp set equals the batch fingerprint set") {
     val streamed = StreamingEntries.stDedup(spark, sf).collect()
       .map(_.getString(0)).toSet

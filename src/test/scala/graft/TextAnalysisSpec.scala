@@ -100,6 +100,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall(_ > 0))
   }
 
+  test("bigram LM: one score per multi-token doc, n-1 bigrams, nll positive") {
+    val docs = TextAnalysis.bigramLogprob(spark, sf).collect()
+    val tokCounts = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(docs.length == tokCounts.count(_._2 >= 2))
+    docs.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == tokCounts(r.getAs[Long]("doc_id")) - 1L)
+      // smoothed conditionals are strict probabilities (< 1): nll > 0
+      assert(r.getAs[Double]("nll_per_bigram") > 0.0)
+    }
+  }
+
   test("tfidf: corpus-wide terms score zero, rarer terms score higher at equal tf") {
     val n = Tables.documents(spark, sf).count()
     val rows = TextAnalysis.tfidfTopk(spark, sf).collect()
