@@ -254,7 +254,65 @@ object Multimodal extends QueryModule {
        |       md5(half) AS half_md5
        |FROM h""".stripMargin
 
+  /** Perceptual-hash dedup over the decoded payload — the consumer the
+    * decode/feature stages feed: an aHash analog (sample 60 evenly-spaced
+    * body bytes, bit i = sample_i above the sample mean — the
+    * resize-to-tiny + threshold-against-mean structure of average-hash,
+    * over bytes instead of pixels since the container ships no codec).
+    * The mean threshold is INTEGER-EXACT (sample·60 > Σsamples — no
+    * division), so the 60-bit hash is bit-identical cross-engine; docs
+    * sharing a phash are near-dup candidates (group_size > 1). Header is
+    * stripped by the PARSED format like mm_feature_extract, so a
+    * mis-parse shifts every sample and hash-mismatches. Map-only + one
+    * phash exchange for the group size — exact-dedup shape at 100 TB;
+    * the banded-Hamming refinement is dedup_simhash's band join,
+    * unchanged. */
+  def phashDedup(s: SparkSession, d: String): DataFrame = {
+    val media = synthesizeMedia(Tables.documents(s, d))
+    val hx = hex(col("payload"))
+    val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A"
+    val hdr = when(isPng, lit(PngHeaderBytes)).otherwise(lit(JpegHeaderBytes))
+    val body = col("payload").substr(hdr + 1, octet_length(col("payload"))).cast("string")
+    val bits = 60
+    val prepared = media
+      .withColumn("cs", split(body, ""))
+      .withColumn("n", length(body).cast("long"))
+      .filter(col("n") >= bits)
+      .withColumn("sam", transform(sequence(lit(0), lit(bits - 1)),
+        i => ascii(element_at(col("cs"),
+          floor(i.cast("double") * col("n") / bits).cast("int") + 1)).cast("long")))
+      .withColumn("ssum", aggregate(col("sam"), lit(0L), _ + _))
+    val phash = (0 until bits)
+      .map(i => when(element_at(col("sam"), i + 1) * bits > col("ssum"),
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    prepared
+      .select(col("doc_id"), phash.as("phash"))
+      .withColumn("group_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+  }
+
+  private val phashDedupSql: String = {
+    val bitTerms = (0 until 60).map(i =>
+      s"(CASE WHEN sam[${i + 1}] * 60 > ssum THEN ${1L << i} ELSE 0 END)")
+      .mkString("\n |  + ")
+    s"""WITH f AS (SELECT doc_id, regexp_split_to_array(text, '') AS cs,
+       |                  CAST(length(text) AS BIGINT) AS n
+       |           FROM documents WHERE length(text) >= 60),
+       | sm AS (SELECT doc_id,
+       |   [CAST(ascii(cs[CAST(floor(i * n / 60.0) AS BIGINT) + 1]) AS BIGINT)
+       |    FOR i IN generate_series(0, 59)] AS sam FROM f),
+       | ss AS (SELECT doc_id, sam, CAST(list_sum(sam) AS BIGINT) AS ssum FROM sm),
+       | ph AS (SELECT doc_id,
+       |   CAST($bitTerms AS BIGINT) AS phash
+       |  FROM ss)
+       |SELECT doc_id, phash,
+       | COUNT(*) OVER (PARTITION BY phash) AS group_size
+       |FROM ph""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("mm_phash_dedup", phashDedup _, Some(phashDedupSql)),
     ("mm_binary_meta", binaryMeta _, Some(binaryMetaSql)),
     ("mm_decode_batch", decodeBatch _, Some(decodeBatchSql)),
     ("mm_feature_extract", featureExtract _, Some(featureExtractSql)),

@@ -97,6 +97,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash: identical bodies collide, a flipped sample bit separates") {
+    val rows = Multimodal.phashDedup(spark, sf).collect()
+    val nLong = spark.read.parquet(s"$sf/documents.parquet")
+      .where(length(col("text")) >= 60).count()
+    assert(rows.length == nLong, "one phash row per >=60-char doc")
+    // group sizes are consistent: every member of a phash group reports
+    // the same size, and sizes recount the group
+    rows.groupBy(_.getAs[Long]("phash")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("group_size")).distinct.length == 1)
+      assert(g.head.getAs[Long]("group_size") == g.length)
+    }
+  }
+
   test("header parse reads dims from actual container bytes") {
     val s = spark
     import s.implicits._
