@@ -62,9 +62,10 @@ object SemDedup extends QueryModule {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
 
-  def semantic(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val n = e.withColumn("nrm", norm(col("embedding")))
+  /** The trained SemK×dim centroid frame over a normed corpus `n` —
+    * shared by the dedup path and the silhouette evaluator so the model
+    * they see is one definition. */
+  private def trainedCentroids(e: DataFrame, n: DataFrame): DataFrame = {
     // seeds: the SemK lowest vec_ids (deterministic, same rule as IVF)
     var cent = e.filter(col("vec_id") < SemK)
       .select(col("vec_id").cast("int").as("cell"),
@@ -89,6 +90,13 @@ object SemDedup extends QueryModule {
       // materialized seed projection, where free() is a no-op)
       Checkpoints.free(prev)
     }
+    cent
+  }
+
+  def semantic(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e.withColumn("nrm", norm(col("embedding")))
+    val cent = trainedCentroids(e, n)
     // final assignment feeds BOTH the pair join sides and the sizes —
     // materialize once, then the last centroid round is dead too
     val asg = Checkpoints.materialize(assign(n, cent))
@@ -179,13 +187,26 @@ object SemDedup extends QueryModule {
     s"$asg,\n$recompute"
   }
 
+  /** WITH-clause body through the trained centroids `c${SemIters}n` —
+    * the model-only prefix shared by the dedup oracle and the silhouette
+    * oracle (one training definition, two consumers — mirroring
+    * trainedCentroids on the Scala side). */
+  private def trainingCtes: String = {
+    val rounds = (1 to SemIters)
+      .map(r => lloydRoundSql(r, if (r == 1) "c0n" else s"c${r - 1}n"))
+      .mkString(",\n")
+    s"""n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+       |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS centroid
+       |  FROM embeddings WHERE vec_id < $SemK),
+       |c0n AS (SELECT cell, centroid, ${normSql("centroid")} AS cnrm FROM c0),
+       |$rounds""".stripMargin
+  }
+
   /** WITH-clause body through the final assignment `af` + `drops` — the
     * survivors building blocks, shared verbatim with the curated-corpus
     * capstone oracle (PipelineOps) so the two cannot drift. */
   private[graft] def semanticCtes: String = {
-    val rounds = (1 to SemIters)
-      .map(r => lloydRoundSql(r, if (r == 1) "c0n" else s"c${r - 1}n"))
-      .mkString(",\n")
     // final assignment uses the last trained centroids
     val fin =
       s"""af AS (SELECT vec_id, embedding, nrm, cell FROM (
@@ -194,12 +215,7 @@ object SemDedup extends QueryModule {
          |      coalesce(${dotSql("n.embedding", "c.centroid")} / nullif(n.nrm * c.cnrm, 0), -2.0) DESC,
          |      c.cell) AS rk
          |  FROM n CROSS JOIN c${SemIters}n c) WHERE rk = 1)""".stripMargin
-    s"""n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
-       |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS centroid
-       |  FROM embeddings WHERE vec_id < $SemK),
-       |c0n AS (SELECT cell, centroid, ${normSql("centroid")} AS cnrm FROM c0),
-       |$rounds,
+    s"""$trainingCtes,
        |$fin,
        |drops AS (SELECT DISTINCT b.vec_id AS dropped
        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -214,7 +230,70 @@ object SemDedup extends QueryModule {
        |JOIN sizes ON af.cell = sizes.cell
        |WHERE drops.dropped IS NULL ORDER BY vec_id""".stripMargin
 
+  /** Simplified (centroid-based) silhouette of the SemDeDup clustering —
+    * the model-quality gauge the semantic tier should be monitored by
+    * (as ann_recall_eval gauges the IVF index): per vector, cosine
+    * distance to its OWN centroid (d_a = 1 − top-1 score) vs the nearest
+    * OTHER centroid (d_b = 1 − top-2 score), s = (d_b − d_a)/max(d_a,
+    * d_b) — both scores fall out of the SAME ranked assignment window the
+    * dedup path already computes (rk ≤ 2 instead of rk = 1), so the
+    * evaluator adds no new shuffle shape. Per-row s is quantized to µ
+    * fixed-point BEFORE the per-cell mean (order-free integer sum; the
+    * suite's reduction discipline). The full-corpus silhouette (mean over
+    * pairwise distances) is O(n²) and NOT what production monitors run;
+    * the centroid form is the standard at-scale proxy. */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = e.withColumn("nrm", norm(col("embedding")))
+    val cent = trainedCentroids(e, n)
+    val ranked = n.withColumn("j", lit(1))
+      .join(broadcast(cent.withColumn("j", lit(1))), "j")
+      .withColumn("cscore", coalesce(
+        dot(col("embedding"), col("centroid")) / nullif(col("nrm") * col("cnrm"), lit(0.0)),
+        lit(-2.0)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cscore"), asc("cell"))))
+      .filter(col("rk") <= 2)
+    val perVec = ranked.groupBy("vec_id")
+      .agg(max(when(col("rk") === 1, col("cell"))).as("cell"),
+        (lit(1.0) - max(when(col("rk") === 1, col("cscore")))).as("da"),
+        (lit(1.0) - max(when(col("rk") === 2, col("cscore")))).as("db"))
+      .withColumn("sil_fp",
+        floor(when(greatest(col("da"), col("db")) > 0.0,
+          (col("db") - col("da")) / greatest(col("da"), col("db")))
+          .otherwise(lit(0.0)) * 1e6 + 0.5).cast("long"))
+    perVec.groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("sil_fp")).cast("double") / count(lit(1)) / 1e6).as("mean_silhouette"))
+      .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+        col("mean_silhouette"))
+  }
+
+  private def silhouetteSql: String =
+    s"""WITH $trainingCtes,
+       |ranked AS (SELECT vec_id, cell, cscore, rk FROM (
+       |  SELECT n.vec_id, c.cell,
+       |    coalesce(${dotSql("n.embedding", "c.centroid")} / nullif(n.nrm * c.cnrm, 0), -2.0) AS cscore,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      coalesce(${dotSql("n.embedding", "c.centroid")} / nullif(n.nrm * c.cnrm, 0), -2.0) DESC,
+       |      c.cell) AS rk
+       |  FROM n CROSS JOIN c${SemIters}n c) WHERE rk <= 2),
+       |pervec AS (SELECT vec_id,
+       |    MAX(CASE WHEN rk = 1 THEN cell END) AS cell,
+       |    1.0 - MAX(CASE WHEN rk = 1 THEN cscore END) AS da,
+       |    1.0 - MAX(CASE WHEN rk = 2 THEN cscore END) AS db
+       |  FROM ranked GROUP BY vec_id),
+       |fp AS (SELECT cell,
+       |    CAST(floor((CASE WHEN greatest(da, db) > 0.0
+       |                     THEN (db - da) / greatest(da, db) ELSE 0.0 END)
+       |               * 1e6 + 0.5) AS BIGINT) AS sil_fp
+       |  FROM pervec)
+       |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vectors,
+       | CAST(SUM(sil_fp) AS DOUBLE) / COUNT(*) / 1e6 AS mean_silhouette
+       |FROM fp GROUP BY cell""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("dedup_semantic", semantic _, Some(semanticSql)),
-    ("dedup_semantic_prebuilt", semanticPrebuilt _, Some(semanticSql)))
+    ("dedup_semantic_prebuilt", semanticPrebuilt _, Some(semanticSql)),
+    ("emb_cluster_silhouette", silhouette _, Some(silhouetteSql)))
 }

@@ -870,7 +870,64 @@ object Events extends QueryModule {
       |   / 1000000.0 AS p
       |FROM cnt""".stripMargin
 
+  /** Funnel latency — the "how long does conversion take" companion of
+    * ev_funnel: per user, first signup → first subsequent purchase; per
+    * weekly signup cohort, the conversion count with EXACT lower-median
+    * and p90 latency in minutes. The quantiles are rank-picked (row_number
+    * against explicit floor indices) instead of percentile functions,
+    * whose interpolation rules differ across engines — an exact integer
+    * rank is portable by construction. Shapes: two key-pruned aggregates
+    * on user_id, then one window over CONVERSIONS partitioned by cohort
+    * week (conversions ≪ events; the window input is users-sized). */
+  def timeToConvert(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("st"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("ts") > col("st"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("pt"), min(col("st")).as("st"))
+      .withColumn("delta_min",
+        floor((unix_millis(col("pt")) - unix_millis(col("st"))) / 60000.0).cast("long"))
+      .withColumn("cohort", date_trunc("week", col("st")))
+    val byCohort = Window.partitionBy("cohort")
+    conv
+      .withColumn("rn", row_number().over(
+        byCohort.orderBy(asc("delta_min"), asc("user_id"))))
+      .withColumn("cnt", count(lit(1)).over(byCohort))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_converted"),
+        max(when(col("rn") === floor((col("cnt") + 1) / 2.0).cast("long"),
+          col("delta_min"))).as("median_min"),
+        max(when(col("rn") === greatest(lit(1L),
+            floor(col("cnt") * 0.9).cast("long")), col("delta_min"))).as("p90_min"))
+  }
+
+  private val timeToConvertSql =
+    """WITH su AS (SELECT user_id, MIN(ts) AS st FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      | conv AS (SELECT e.user_id, MIN(e.ts) AS pt, MIN(su.st) AS st
+      |   FROM events e JOIN su USING (user_id)
+      |   WHERE e.event_type = 'purchase' AND e.ts > su.st
+      |   GROUP BY e.user_id),
+      | delta AS (SELECT user_id,
+      |    CAST(floor((epoch_ms(pt) - epoch_ms(st)) / 60000.0) AS BIGINT) AS delta_min,
+      |    date_trunc('week', st) AS cohort
+      |  FROM conv),
+      | ranked AS (SELECT cohort, delta_min,
+      |    ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY delta_min, user_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cohort) AS cnt
+      |  FROM delta)
+      |SELECT cohort, COUNT(*) AS n_converted,
+      | MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+      |          THEN delta_min END) AS median_min,
+      | MAX(CASE WHEN rn = greatest(1, CAST(floor(cnt * 0.9) AS BIGINT))
+      |          THEN delta_min END) AS p90_min
+      |FROM ranked GROUP BY cohort""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ev_time_to_convert", timeToConvert _, Some(timeToConvertSql)),
     ("ev_rfm", rfm _, Some(rfmSql)),
     ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),
     ("ev_bitmap_distinct", bitmapDistinct _, Some(bitmapDistinctSql)),

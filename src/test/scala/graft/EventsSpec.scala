@@ -232,6 +232,31 @@ class EventsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_transitions")).sum == n - users)
   }
 
+  test("time-to-convert: medians recount from a driver-side replay") {
+    val rows = Events.timeToConvert(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    // independent recount: first signup, first later purchase, per cohort
+    val ev = Tables.events(spark, sf01)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val st = ev.filter(_._2 == "signup").groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val deltas = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, t) => st.get(u).filter(t > _).map(s => (u, s, t)) }
+      .groupBy(_._1).map { case (u, xs) => val m = xs.minBy(_._3); (u, m._2, m._3 - m._2) }
+    rows.foreach { r =>
+      val cohortMs = r.getAs[java.sql.Timestamp]("cohort").getTime
+      val inCohort = deltas.filter { case (_, s, _) =>
+        // week truncation replay: Spark date_trunc('week') is Monday-based
+        val z = java.time.Instant.ofEpochMilli(s).atZone(java.time.ZoneOffset.UTC)
+        z.toLocalDate.`with`(java.time.DayOfWeek.MONDAY).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli == cohortMs
+      }.toSeq
+      assert(inCohort.size == r.getAs[Long]("n_converted"))
+      val sorted = inCohort.map(x => x._3 / 60000L).sorted
+      assert(r.getAs[Long]("median_min") == sorted((sorted.size + 1) / 2 - 1))
+    }
+  }
+
   test("sketch distinct counts within 5% of exact") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))

@@ -67,4 +67,24 @@ class SemDedupSpec extends SparkSpec {
     assert(kept.contains(5L) && kept.contains(6L),
       "anti-parallel vectors are not semantic duplicates")
   }
+
+  test("silhouette: covers the corpus, bounded in [-1,1], cells match dedup") {
+    val rows = SemDedup.silhouette(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == nVecs,
+      "every vector scored in exactly one cell")
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_silhouette")
+      assert(m >= -1.0 && m <= 1.0, s"cell ${r.getLong(0)}: silhouette $m out of range")
+    }
+    // the cells are the SAME model the dedup path assigns: cell ids and
+    // occupancy must agree with dedup_semantic's (cell, cell_size) output
+    val dedupCells = SemDedup.semantic(spark, sf).select("cell", "cell_size")
+      .distinct().collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("cell_size")).toMap
+    val silCells = rows.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_vectors")).toMap
+    dedupCells.foreach { case (c, n) =>
+      assert(silCells.get(c).contains(n), s"cell $c occupancy drifted: $silCells vs $dedupCells")
+    }
+  }
 }
