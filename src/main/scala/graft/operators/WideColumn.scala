@@ -805,7 +805,80 @@ object WideColumn extends QueryModule {
       |   AS handoff_complete
       |FROM perkey GROUP BY node""".stripMargin
 
+  /** Anti-entropy repair (`nodetool repair` — the third replica-
+    * convergence mechanism after read repair and hinted handoff):
+    * replicas exchange MERKLE-style per-token-range digests and stream
+    * only the ranges whose digests disagree. 64 token-range buckets over
+    * the partition key; a range's digest is the XOR of its member
+    * writes' md5 hashes — XOR is commutative/associative, so the digest
+    * is reduction-order-free on both engines AND incrementally
+    * maintainable (a new write XORs in; that is why real Merkle leaves
+    * use it). Per replica pair: ranges compared, ranges mismatched,
+    * rows that would stream (presence-XOR count). The bucketed digest
+    * is one exchange over writes; the 64-row digest table is the only
+    * thing replicas would actually ship at 100 TB — that asymmetry IS
+    * the Merkle point, and the entry's output proves digest mismatch ⟺
+    * a differing write exists in the range (no false negatives on this
+    * corpus; WideColumnSpec asserts the equivalence). */
+  def antiEntropyRepair(s: SparkSession, d: String): DataFrame = {
+    val md5i = graft.functions.TextFunctions.md5Int _
+    val writes = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"))
+      .withColumn("bucket", pmod(md5i(col("user_id").cast("string")), lit(64L)))
+      .withColumn("h", md5i(col("event_id").cast("string")))
+    val present = (0 to 2).map(r =>
+      (pmod(md5i(concat_ws(":", col("event_id"), lit(r))), lit(20L)) =!= 0).as(s"p$r"))
+    val flagged = writes.select(Seq(col("bucket"), col("h")) ++ present: _*)
+    val perBucket = flagged.groupBy("bucket").agg(
+      expr("bit_xor(CASE WHEN p0 THEN h END)").as("d0"),
+      expr("bit_xor(CASE WHEN p1 THEN h END)").as("d1"),
+      expr("bit_xor(CASE WHEN p2 THEN h END)").as("d2"),
+      sum(when(col("p0") =!= col("p1"), 1L).otherwise(0L)).as("x01"),
+      sum(when(col("p0") =!= col("p2"), 1L).otherwise(0L)).as("x02"),
+      sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("x12"))
+    def pair(name: String, da: String, db: String, x: String): DataFrame =
+      perBucket.select(lit(name).as("pair"),
+        (!(col(da) <=> col(db))).as("mismatch"), col(x).as("xfer"))
+    pair("0-1", "d0", "d1", "x01")
+      .unionByName(pair("0-2", "d0", "d2", "x02"))
+      .unionByName(pair("1-2", "d1", "d2", "x12"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(when(col("mismatch"), 1L).otherwise(0L)).as("mismatched_ranges"),
+        sum(col("xfer")).as("rows_streamed"))
+  }
+
+  private val antiEntropyRepairSql = {
+    def md5s(x: String) = graft.functions.TextFunctions.md5IntSql(x)
+    s"""WITH w AS (SELECT
+      |    ${md5s("CAST(user_id AS VARCHAR)")} % 64 AS bucket,
+      |    ${md5s("CAST(event_id AS VARCHAR)")} AS h,
+      |    ${md5s("CAST(event_id AS VARCHAR) || ':0'")} % 20 <> 0 AS p0,
+      |    ${md5s("CAST(event_id AS VARCHAR) || ':1'")} % 20 <> 0 AS p1,
+      |    ${md5s("CAST(event_id AS VARCHAR) || ':2'")} % 20 <> 0 AS p2
+      |  FROM events),
+      | pb AS (SELECT bucket,
+      |    bit_xor(CASE WHEN p0 THEN h END) AS d0,
+      |    bit_xor(CASE WHEN p1 THEN h END) AS d1,
+      |    bit_xor(CASE WHEN p2 THEN h END) AS d2,
+      |    SUM(CASE WHEN p0 <> p1 THEN 1 ELSE 0 END) AS x01,
+      |    SUM(CASE WHEN p0 <> p2 THEN 1 ELSE 0 END) AS x02,
+      |    SUM(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) AS x12
+      |  FROM w GROUP BY bucket),
+      | pairs AS (
+      |  SELECT '0-1' AS pair, d0 IS DISTINCT FROM d1 AS mismatch, x01 AS xfer FROM pb
+      |  UNION ALL
+      |  SELECT '0-2', d0 IS DISTINCT FROM d2, x02 FROM pb
+      |  UNION ALL
+      |  SELECT '1-2', d1 IS DISTINCT FROM d2, x12 FROM pb)
+      |SELECT pair, COUNT(*) AS n_ranges,
+      | CAST(SUM(CASE WHEN mismatch THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_ranges,
+      | CAST(SUM(xfer) AS BIGINT) AS rows_streamed
+      |FROM pairs GROUP BY pair""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_anti_entropy_repair", antiEntropyRepair _, Some(antiEntropyRepairSql)),
     ("wc_quorum_read", quorumRead _, Some(quorumReadSql)),
     ("wc_read_repair", readRepair _, Some(readRepairSql)),
     ("wc_hinted_handoff", hintedHandoff _, Some(hintedHandoffSql)),

@@ -108,8 +108,16 @@ class EntrySpec extends SparkSpec {
     // ev_value_percentiles_approx) CONVERTED rows-only → oracle (exact
     // columns + thresholded error booleans — the estimate bound is data
     // the oracle pins TRUE) → 151/151: every entry is oracle-checked.
-    assert(SparkEntry.queries.size == 151, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 151, s"got ${SparkEntry.oracleSql.size}")
+    // r6 late adds (containment/recall/feature-extract/top-paths):
+    // +dedup_containment, +ann_recall_eval, +mm_feature_extract,
+    // +ev_top_paths → 155/155.
+    // r7: +wc_quorum_read, +wc_read_repair, +wc_hinted_handoff,
+    // +wc_anti_entropy_repair (the replication quartet), +ev_rfm,
+    // +ev_markov_transitions, +ev_time_to_convert, +txt_bigram_logprob,
+    // +emb_radius_search, +emb_cluster_silhouette, +mm_phash_dedup,
+    // +st_anomaly_zscore — all with oracles → 167/167.
+    assert(SparkEntry.queries.size == 167, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 167, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -27,11 +27,18 @@ class PlanSpec extends SparkSpec {
       "ann_ivfpq_residual_topk", "ann_ivf_prebuilt_topk",
       "ann_ivfpq_prebuilt_topk", "ann_pca_topk",
       // emb_knn_label_vote broadcasts the 50-row query batch over one
-      // corpus scan — the same declared query-set pattern
-      "emb_knn_label_vote",
+      // corpus scan — the same declared query-set pattern;
+      // ann_recall_eval composes the brute-force and IVF tiers, so it
+      // inherits exactly their declared query-set cross joins;
+      // emb_cluster_silhouette broadcasts the SemK-row centroid model
+      // under a constant key (Catalyst folds the synthetic equi-key
+      // away) — the ANN centroid-probe idiom
+      "emb_knn_label_vote", "ann_recall_eval", "emb_cluster_silhouette",
       "q11_important_stock",
       "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
-      "txt_unigram_logprob", "wc_page_chain",
+      // txt_bigram_logprob broadcasts the 1-row vocabulary-size scalar —
+      // the same corpus-total idiom as txt_unigram_logprob
+      "txt_unigram_logprob", "txt_bigram_logprob", "wc_page_chain",
       // smp_temperature_mix broadcasts two 1-row scalars (corpus total,
       // max rate) under its rate computation — the same idiom;
       // smp_token_budget / pipeline_curated_budget broadcast the 1-row
