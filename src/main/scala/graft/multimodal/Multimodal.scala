@@ -269,24 +269,30 @@ object Multimodal extends QueryModule {
     * unchanged. */
   def phashDedup(s: SparkSession, d: String): DataFrame = {
     val media = synthesizeMedia(Tables.documents(s, d))
-    val hx = hex(col("payload"))
-    val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A"
+    // magic sniff on an 8-byte slice — hex() of the WHOLE payload (the
+    // parseMedia idiom, needed there for the SOF scan) would materialize
+    // a 2× body string per row just to read 16 chars
+    val isPng = hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A"
     val hdr = when(isPng, lit(PngHeaderBytes)).otherwise(lit(JpegHeaderBytes))
-    val body = col("payload").substr(hdr + 1, octet_length(col("payload"))).cast("string")
     val bits = 60
+    // 60 direct 1-byte substr probes on the BINARY payload, NOT a
+    // per-char split of a body string: materializing every char to read
+    // 60 samples was ~5 s at sf0.1 (the one new-entry bench outlier of
+    // r7); scalar probes keep the pass map-only inside codegen
+    def sample(i: Int) = ascii(col("payload").substr(
+      (col("hdr") + floor(lit(i) * col("n") / bits.toDouble) + 1).cast("int"),
+      lit(1)).cast("string")).cast("long")
     val prepared = media
-      .withColumn("cs", split(body, ""))
-      .withColumn("n", length(body).cast("long"))
+      .withColumn("hdr", hdr)
+      .withColumn("n", (octet_length(col("payload")) - col("hdr")).cast("long"))
       .filter(col("n") >= bits)
-      .withColumn("sam", transform(sequence(lit(0), lit(bits - 1)),
-        i => ascii(element_at(col("cs"),
-          floor(i.cast("double") * col("n") / bits).cast("int") + 1)).cast("long")))
-      .withColumn("ssum", aggregate(col("sam"), lit(0L), _ + _))
+      .select(Seq(col("doc_id")) ++ (0 until bits).map(i => sample(i).as(s"s$i")): _*)
+    val ssum = (0 until bits).map(i => col(s"s$i")).reduce(_ + _)
     val phash = (0 until bits)
-      .map(i => when(element_at(col("sam"), i + 1) * bits > col("ssum"),
-        lit(1L << i)).otherwise(lit(0L)))
+      .map(i => when(col(s"s$i") * bits > col("ssum"), lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     prepared
+      .withColumn("ssum", ssum)
       .select(col("doc_id"), phash.as("phash"))
       .withColumn("group_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("phash")))
