@@ -275,16 +275,20 @@ object Multimodal extends QueryModule {
     val isPng = hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A"
     val hdr = when(isPng, lit(PngHeaderBytes)).otherwise(lit(JpegHeaderBytes))
     val bits = 60
-    // 60 direct 1-byte substr probes on the BINARY payload, NOT a
-    // per-char split of a body string: materializing every char to read
-    // 60 samples was ~5 s at sf0.1 (the one new-entry bench outlier of
-    // r7); scalar probes keep the pass map-only inside codegen
-    def sample(i: Int) = ascii(col("payload").substr(
-      (col("hdr") + floor(lit(i) * col("n") / bits.toDouble) + 1).cast("int"),
-      lit(1)).cast("string")).cast("long")
+    // 60 direct 1-CHAR substr probes on the decoded body string, NOT a
+    // per-char split: materializing every char to read 60 samples was
+    // ~5 s at sf0.1 (the one new-entry bench outlier of r7); scalar
+    // probes keep the pass map-only inside codegen. CHAR semantics
+    // (length/substr/ascii-codepoint on the string), matching the
+    // oracle's char arithmetic exactly — byte probes would diverge on
+    // the first multi-byte character if a testdata regeneration ever
+    // ships non-ASCII text (the r7 review catch).
+    def sample(i: Int) = ascii(col("body").substr(
+      (floor(lit(i) * col("n") / bits.toDouble) + 1).cast("int"), lit(1))).cast("long")
     val prepared = media
-      .withColumn("hdr", hdr)
-      .withColumn("n", (octet_length(col("payload")) - col("hdr")).cast("long"))
+      .withColumn("body",
+        col("payload").substr(hdr + 1, octet_length(col("payload"))).cast("string"))
+      .withColumn("n", length(col("body")).cast("long"))
       .filter(col("n") >= bits)
       .select(Seq(col("doc_id")) ++ (0 until bits).map(i => sample(i).as(s"s$i")): _*)
     val ssum = (0 until bits).map(i => col(s"s$i")).reduce(_ + _)

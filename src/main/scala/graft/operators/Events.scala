@@ -797,21 +797,26 @@ object Events extends QueryModule {
     * would switch the scoring to approx-quantile cutpoints per cohort —
     * same grid, scores move only at cell boundaries. */
   def rfm(s: SparkSession, d: String): DataFrame = {
-    val perUser = Tables.events(s, d)
-      .groupBy("user_id")
-      .agg(max(col("ts")).as("last_ts"),
-        count(lit(1)).as("freq"),
-        sum(dec(col("value"), 2)).as("spend"))
-    val cohort = Tables.events(s, d)
-      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    // ONE event-grain rollup feeds both the per-user metrics and the
+    // dominant-type cohort (re-aggregated at the user grain) — a second
+    // full events scan for the cohort would be pure duplicated I/O at
+    // the scale this targets (the r7 review catch)
+    val perUserType = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("t_max"),
+        sum(dec(col("value"), 2)).as("v_sum"))
+    val scored = perUserType
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id").orderBy(desc("n"), asc("event_type"))))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type").as("cohort"))
+      .groupBy("user_id")
+      .agg(max(col("t_max")).as("last_ts"),
+        sum(col("n")).as("freq"),
+        sum(col("v_sum")).as("spend"),
+        max(when(col("rn") === 1, col("event_type"))).as("cohort"))
     def score(metric: Column): Column =
       ntile(5).over(Window.partitionBy("cohort")
         .orderBy(metric.desc, asc("user_id"))).cast("long")
-    perUser.join(cohort, "user_id")
+    scored
       .withColumn("r", score(col("last_ts")))
       .withColumn("f", score(col("freq")))
       .withColumn("m", score(col("spend")))
@@ -900,8 +905,10 @@ object Events extends QueryModule {
       .agg(count(lit(1)).as("n_converted"),
         max(when(col("rn") === floor((col("cnt") + 1) / 2.0).cast("long"),
           col("delta_min"))).as("median_min"),
-        max(when(col("rn") === greatest(lit(1L),
-            floor(col("cnt") * 0.9).cast("long")), col("delta_min"))).as("p90_min"))
+        // nearest-rank p90 is ceil(0.9n): floor under-covers (at n=2 it
+        // reported the cohort MINIMUM as "p90" — the r7 review catch)
+        max(when(col("rn") === ceil(col("cnt") * 0.9).cast("long"),
+          col("delta_min"))).as("p90_min"))
   }
 
   private val timeToConvertSql =
@@ -922,7 +929,7 @@ object Events extends QueryModule {
       |SELECT cohort, COUNT(*) AS n_converted,
       | MAX(CASE WHEN rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
       |          THEN delta_min END) AS median_min,
-      | MAX(CASE WHEN rn = greatest(1, CAST(floor(cnt * 0.9) AS BIGINT))
+      | MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT)
       |          THEN delta_min END) AS p90_min
       |FROM ranked GROUP BY cohort""".stripMargin
 

@@ -756,32 +756,50 @@ object WideColumn extends QueryModule {
     * invariant (live-before + hints = after-replay), and how many keys
     * would have served a STALE head during the outage (their newest write
     * was sitting in a hint) — the read-side cost of writing at ONE. */
-  def hintedHandoff(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  def hintedHandoff(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("wk", writeKey)
       .withColumn("node", pmod(col("user_id"), lit(4L)))
       .withColumn("hinted", col("node") === 2L &&
         col("ts") >= ts("2024-01-10 00:00:00") && col("ts") < ts("2024-01-12 00:00:00"))
+    // replay convergence is checked by RECONSTRUCTION, not arithmetic:
+    // the replica's post-replay state is the UNION of two separately
+    // materialized lineages (its live writes ∪ the coordinator's hint
+    // store), and its per-key LWW head must equal the head of the
+    // original write stream — a hint predicate that loses or mangles a
+    // write breaks the equality (the r7 review caught the previous
+    // (a−b)+b==a form, which verified nothing)
+    val live = w.filter(!col("hinted"))
+    val hints = w.filter(col("hinted"))
+    val replayed = live.unionByName(hints)
+      .groupBy("node", "user_id", "event_type")
+      .agg(max(col("wk")).as("replay_k"))
+    val perKey = w
       .groupBy("node", "user_id", "event_type")
       .agg(count(lit(1)).as("n_writes"),
         sum(when(col("hinted"), 1L).otherwise(0L)).as("n_hints"),
+        max(col("wk")).as("truth_k"),
         // read view AS OF the outage end: truth = all writes so far,
-        // live = what the returning replica holds before hint replay —
-        // the stale window closes once replay lands, so staleness is a
+        // live = what the down replica holds before hint replay — the
+        // stale window closes once replay lands, so staleness is a
         // during-outage property, not an end-of-data one
-        max(when(col("ts") < ts("2024-01-12 00:00:00"), col("wk"))).as("truth_k"),
+        max(when(col("ts") < ts("2024-01-12 00:00:00"), col("wk"))).as("truth_outage_k"),
         max(when(!col("hinted") && col("ts") < ts("2024-01-12 00:00:00"),
-          col("wk"))).as("live_k"))
+          col("wk"))).as("live_outage_k"))
+    perKey.join(replayed, Seq("node", "user_id", "event_type"))
       .groupBy("node")
       .agg(count(lit(1)).as("n_keys"),
         sum(col("n_writes")).as("n_writes"),
         sum(col("n_hints")).as("n_hints"),
-        sum(when(col("truth_k").isNotNull &&
-            (col("live_k").isNull || col("live_k") =!= col("truth_k")), 1L)
+        sum(when(col("truth_outage_k").isNotNull &&
+            (col("live_outage_k").isNull || col("live_outage_k") =!= col("truth_outage_k")), 1L)
           .otherwise(0L)).as("stale_keys_during_outage"),
-        ((sum(col("n_writes")) - sum(col("n_hints"))) + sum(col("n_hints")) ===
-          sum(col("n_writes"))).as("handoff_complete"))
+        sum(when(col("replay_k") =!= col("truth_k"), 1L).otherwise(0L))
+          .as("post_replay_stale_keys"),
+        (sum(when(col("replay_k") =!= col("truth_k"), 1L).otherwise(0L)) === 0L)
+          .as("handoff_complete"))
+  }
 
   private val hintedHandoffSql =
     s"""WITH w AS (SELECT user_id, event_type, ts, event_id, $writeKeySql AS wk,
@@ -789,21 +807,31 @@ object WideColumn extends QueryModule {
       |    (user_id % 4 = 2 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
       |                     AND ts <  TIMESTAMP '2024-01-12 00:00:00') AS hinted
       |  FROM events),
+      | replayed AS (SELECT node, user_id, event_type, MAX(wk) AS replay_k FROM (
+      |    SELECT node, user_id, event_type, wk FROM w WHERE NOT hinted
+      |    UNION ALL
+      |    SELECT node, user_id, event_type, wk FROM w WHERE hinted)
+      |  GROUP BY node, user_id, event_type),
       | perkey AS (SELECT node, user_id, event_type, COUNT(*) AS n_writes,
       |    SUM(CASE WHEN hinted THEN 1 ELSE 0 END) AS n_hints,
-      |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-12 00:00:00' THEN wk END) AS truth_k,
+      |    MAX(wk) AS truth_k,
+      |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-12 00:00:00' THEN wk END) AS truth_outage_k,
       |    MAX(CASE WHEN NOT hinted AND ts < TIMESTAMP '2024-01-12 00:00:00'
-      |             THEN wk END) AS live_k
+      |             THEN wk END) AS live_outage_k
       |  FROM w GROUP BY node, user_id, event_type)
-      |SELECT node, COUNT(*) AS n_keys,
+      |SELECT p.node, COUNT(*) AS n_keys,
       | CAST(SUM(n_writes) AS BIGINT) AS n_writes,
       | CAST(SUM(n_hints) AS BIGINT) AS n_hints,
-      | CAST(SUM(CASE WHEN truth_k IS NOT NULL
-      |      AND (live_k IS NULL OR live_k <> truth_k) THEN 1 ELSE 0 END) AS BIGINT)
-      |   AS stale_keys_during_outage,
-      | (SUM(n_writes) - SUM(n_hints)) + SUM(n_hints) = SUM(n_writes)
+      | CAST(SUM(CASE WHEN truth_outage_k IS NOT NULL
+      |      AND (live_outage_k IS NULL OR live_outage_k <> truth_outage_k)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS stale_keys_during_outage,
+      | CAST(SUM(CASE WHEN replay_k <> truth_k THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS post_replay_stale_keys,
+      | SUM(CASE WHEN replay_k <> truth_k THEN 1 ELSE 0 END) = 0
       |   AS handoff_complete
-      |FROM perkey GROUP BY node""".stripMargin
+      |FROM perkey p JOIN replayed r
+      |  ON p.node = r.node AND p.user_id = r.user_id AND p.event_type = r.event_type
+      |GROUP BY p.node""".stripMargin
 
   /** Anti-entropy repair (`nodetool repair` — the third replica-
     * convergence mechanism after read repair and hinted handoff):
