@@ -267,8 +267,13 @@ object Multimodal extends QueryModule {
     * phash exchange for the group size — exact-dedup shape at 100 TB;
     * the banded-Hamming refinement is dedup_simhash's band join,
     * unchanged. */
-  def phashDedup(s: SparkSession, d: String): DataFrame = {
-    val media = synthesizeMedia(Tables.documents(s, d))
+  def phashDedup(s: SparkSession, d: String): DataFrame =
+    phashOf(synthesizeMedia(Tables.documents(s, d)))
+
+  /** DataFrame-parametric phash grouping over a (doc_id, payload binary)
+    * frame — the library surface (UnicodeRobustnessSpec replays it at the
+    * code-point level on non-ASCII bodies). */
+  def phashOf(media: DataFrame): DataFrame = {
     // magic sniff on an 8-byte slice — hex() of the WHOLE payload (the
     // parseMedia idiom, needed there for the SOF scan) would materialize
     // a 2× body string per row just to read 16 chars

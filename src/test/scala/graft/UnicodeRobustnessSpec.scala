@@ -63,6 +63,31 @@ class UnicodeRobustnessSpec extends SparkSpec {
     assert(half == text.zipWithIndex.collect { case (c, i) if i % 2 == 0 => c }.mkString)
   }
 
+  test("phash samples CODE POINTS: a driver-side replay matches on non-ASCII") {
+    val s2 = spark
+    import s2.implicits._
+    // long bodies (>= 60 code points) with CJK/emoji/accents; 7 and 8 are
+    // identical so the phash must collide and group_size must see it
+    val base = "学习 数据 处理 café 😀 naïve " * 8
+    val docs = Seq((7L, base), (8L, base), (9L, base + " 不同 的 结尾 extra tail"))
+      .toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.synthesizeMedia(docs)
+    val rows = graft.multimodal.Multimodal.phashOf(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("phash"), r.getAs[Long]("group_size"))).toMap
+    assert(rows(7L) == rows(8L) && rows(7L)._2 == 2L, "identical bodies must collide")
+    assert(rows(9L)._1 != rows(7L)._1, "different tail must separate")
+    // independent code-point replay of doc 7 (the oracle's char arithmetic)
+    val cps = base.codePoints().toArray
+    val n = cps.length.toLong
+    val sam = (0 until 60).map(i => cps(math.floor(i * n / 60.0).toInt).toLong)
+    val ssum = sam.sum
+    val expected = (0 until 60)
+      .map(i => if (sam(i) * 60 > ssum) 1L << i else 0L).reduce(_ | _)
+    assert(rows(7L)._1 == expected,
+      s"phash ${rows(7L)._1} != code-point replay $expected")
+  }
+
   test("quality score and canonical fingerprint are defined on non-ASCII") {
     val out = unicodeDocs.select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"),
