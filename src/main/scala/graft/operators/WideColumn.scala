@@ -905,7 +905,72 @@ object WideColumn extends QueryModule {
       |FROM pairs GROUP BY pair""".stripMargin
   }
 
+  /** Ring expansion (bootstrap of a 5th node onto a 4-node vnode ring) —
+    * the topology-change half of the token story (wc_token_range_scan is
+    * the steady-state half). Ownership is RENDEZVOUS (highest-random-
+    * weight) hashing: vnode v belongs to the node maximizing
+    * h(v, node) — deterministic, coordination-free, and minimally
+    * disruptive BY CONSTRUCTION: adding node 4 can only steal the vnodes
+    * where h(v, 4) beats all incumbents, so every moved row moves TO the
+    * new node and old→old reshuffling is impossible (WideColumnSpec
+    * asserts exactly that; a mod-N ring would reshuffle ~4/5 of all
+    * data, which is why real rings don't use mod). Ring metadata is
+    * computed at VNODE grain (64 rows) and broadcast back — at 100 TB
+    * the ring map is still 64 rows; the data-side cost is one map-side
+    * join + one (old, new) aggregate. */
+  def vnodeRebalance(s: SparkSession, d: String): DataFrame = {
+    val md5i = graft.functions.TextFunctions.md5Int _
+    def owner(nNodes: Int): Column = {
+      val hs = (0 until nNodes).map(r => md5i(concat_ws("#", col("vnode"), lit(r))))
+      // argmax with lowest-node tie-break: node i wins if its hash is
+      // strictly above every earlier node's and at-or-above every later's
+      (0 until nNodes).map { i =>
+        val beats = hs.zipWithIndex.collect {
+          case (h, j) if j < i => hs(i) > h
+          case (h, j) if j > i => hs(i) >= h
+        }
+        when(beats.reduce(_ && _), lit(i.toLong))
+        // right-fold: each otherwise() is applied to a FRESH when()
+        // (left-fold would re-apply otherwise on an already-closed CASE)
+      }.reduceRight((a, b) => a.otherwise(b))
+    }
+    val keyed = Tables.events(s, d)
+      .select(col("user_id"))
+      .withColumn("vnode", pmod(md5i(col("user_id").cast("string")), lit(64L)))
+    val ring = keyed.select("vnode").distinct()
+      .withColumn("old_owner", owner(4))
+      .withColumn("new_owner", owner(5))
+    keyed.join(broadcast(ring), "vnode")
+      .groupBy("old_owner", "new_owner")
+      .agg(countDistinct(col("vnode")).as("n_vnodes"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val vnodeRebalanceSql = {
+    def md5s(x: String) = graft.functions.TextFunctions.md5IntSql(x)
+    def hs(i: Int) = md5s(s"CAST(vnode AS VARCHAR) || '#' || '$i'")
+    def ownerSql(nNodes: Int): String =
+      "CASE " + (0 until nNodes).map { i =>
+        val beats = (0 until nNodes).collect {
+          case j if j < i => s"${hs(i)} > ${hs(j)}"
+          case j if j > i => s"${hs(i)} >= ${hs(j)}"
+        }
+        s"WHEN ${beats.mkString(" AND ")} THEN CAST($i AS BIGINT)"
+      }.mkString(" ") + " END"
+    s"""WITH keyed AS (SELECT user_id,
+      |    ${md5s("CAST(user_id AS VARCHAR)")} % 64 AS vnode FROM events),
+      | ring AS (SELECT vnode,
+      |    ${ownerSql(4)} AS old_owner,
+      |    ${ownerSql(5)} AS new_owner
+      |  FROM (SELECT DISTINCT vnode FROM keyed))
+      |SELECT old_owner, new_owner, COUNT(DISTINCT vnode) AS n_vnodes,
+      | COUNT(*) AS n_rows
+      |FROM keyed JOIN ring USING (vnode)
+      |GROUP BY old_owner, new_owner""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_vnode_rebalance", vnodeRebalance _, Some(vnodeRebalanceSql)),
     ("wc_anti_entropy_repair", antiEntropyRepair _, Some(antiEntropyRepairSql)),
     ("wc_quorum_read", quorumRead _, Some(quorumReadSql)),
     ("wc_read_repair", readRepair _, Some(readRepairSql)),

@@ -161,6 +161,24 @@ class WideColumnSpec extends SparkSpec {
     }
   }
 
+  test("vnode rebalance: rendezvous hashing moves rows ONLY to the new node") {
+    val rows = WideColumn.vnodeRebalance(spark, sf01).collect()
+    val moved = rows.filter(r => r.getAs[Long]("old_owner") != r.getAs[Long]("new_owner"))
+    assert(moved.nonEmpty, "a 5th node must steal some vnodes")
+    moved.foreach { r =>
+      assert(r.getAs[Long]("new_owner") == 4L,
+        s"old→old reshuffle detected (${r.getAs[Long]("old_owner")} → " +
+          s"${r.getAs[Long]("new_owner")}): rendezvous must only steal for the new node")
+    }
+    // expected steal fraction is 1/5 of the OBSERVED ring (the data may
+    // not populate all 64 vnodes at small scale); generous binomial bounds
+    val totalVnodes = rows.map(_.getAs[Long]("n_vnodes")).sum
+    val movedVnodes = moved.map(_.getAs[Long]("n_vnodes")).sum
+    assert(totalVnodes > 0L && totalVnodes <= 64L)
+    assert(movedVnodes * 100 >= totalVnodes * 5 && movedVnodes * 100 <= totalVnodes * 40,
+      s"steal fraction $movedVnodes/$totalVnodes far from the expected 1/5")
+  }
+
   test("partition-key filter is pushed to the parquet scan") {
     val plan = WideColumn.partitionLookup(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan.take(500))
