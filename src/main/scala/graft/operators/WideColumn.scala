@@ -937,7 +937,11 @@ object WideColumn extends QueryModule {
     val keyed = Tables.events(s, d)
       .select(col("user_id"))
       .withColumn("vnode", pmod(md5i(col("user_id").cast("string")), lit(64L)))
-    val ring = keyed.select("vnode").distinct()
+    // the vnode universe is known a priori (0..63) — a literal 64-row
+    // frame, NOT distinct() over events, which would re-scan and re-hash
+    // the whole table just to recover it (r7 review catch); unpopulated
+    // vnodes drop out of the inner join, so the output is identical
+    val ring = s.range(64).select(col("id").as("vnode"))
       .withColumn("old_owner", owner(4))
       .withColumn("new_owner", owner(5))
     keyed.join(broadcast(ring), "vnode")
@@ -948,21 +952,32 @@ object WideColumn extends QueryModule {
 
   private val vnodeRebalanceSql = {
     def md5s(x: String) = graft.functions.TextFunctions.md5IntSql(x)
-    def hs(i: Int) = md5s(s"CAST(vnode AS VARCHAR) || '#' || '$i'")
+    // h0..h4 computed ONCE in a projection over the 64-row ring, then the
+    // argmax CASEs reference the named columns — inlining the md5
+    // expansion into every pairwise comparison bred ~64 textual copies of
+    // the hash expression (r7 review catch; same structure as the Spark
+    // side's hs vector)
     def ownerSql(nNodes: Int): String =
       "CASE " + (0 until nNodes).map { i =>
         val beats = (0 until nNodes).collect {
-          case j if j < i => s"${hs(i)} > ${hs(j)}"
-          case j if j > i => s"${hs(i)} >= ${hs(j)}"
+          case j if j < i => s"h$i > h$j"
+          case j if j > i => s"h$i >= h$j"
         }
         s"WHEN ${beats.mkString(" AND ")} THEN CAST($i AS BIGINT)"
       }.mkString(" ") + " END"
+    val hCols = (0 until 5)
+      .map(i => s"${md5s(s"CAST(vnode AS VARCHAR) || '#' || '$i'")} AS h$i")
+      .mkString(",\n |    ")
     s"""WITH keyed AS (SELECT user_id,
       |    ${md5s("CAST(user_id AS VARCHAR)")} % 64 AS vnode FROM events),
+      | vn AS (SELECT unnest(generate_series(0, 63)) AS vnode),
+      | hashed AS (SELECT vnode,
+      |    $hCols
+      |  FROM vn),
       | ring AS (SELECT vnode,
       |    ${ownerSql(4)} AS old_owner,
       |    ${ownerSql(5)} AS new_owner
-      |  FROM (SELECT DISTINCT vnode FROM keyed))
+      |  FROM hashed)
       |SELECT old_owner, new_owner, COUNT(DISTINCT vnode) AS n_vnodes,
       | COUNT(*) AS n_rows
       |FROM keyed JOIN ring USING (vnode)
