@@ -467,7 +467,65 @@ object PipelineOps extends QueryModule {
       | floor(CAST(n_tokens AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS token_share
       |FROM g CROSS JOIN tt ORDER BY source, lang""".stripMargin
 
+  /** Preference-pair construction — the DPO/RLHF data-prep op: within
+    * each (source, lang) stratum, pair the highest-quality document
+    * (chosen) with the lowest-quality one (rejected), quality being the
+    * suite's ONE shared gate heuristic (TextFunctions.qualityScore, fp6
+    * fixed-pointed) so this op, the quality filter, and the capstone all
+    * move together when it is tuned. Ties break on doc_id (ascending for
+    * chosen, descending for rejected) so the pair is deterministic
+    * cross-engine; single-doc strata drop (a doc can't be preferred over
+    * itself). Shapes: one map-side quality pass + two rank windows on
+    * the same (source, lang) exchange — at 100 TB this is strata-
+    * parallel with no global ordering anywhere. */
+  def preferencePairs(s: SparkSession, d: String): DataFrame = {
+    val q = Cols.fp6(graft.functions.TextFunctions.qualityScore(tokens(col("text"))))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), q.as("q"))
+    val byStratum = Window.partitionBy("source", "lang")
+    scored
+      .withColumn("rk_best", row_number().over(
+        byStratum.orderBy(desc("q"), asc("doc_id"))))
+      .withColumn("rk_worst", row_number().over(
+        byStratum.orderBy(asc("q"), desc("doc_id"))))
+      .filter(col("rk_best") === 1 || col("rk_worst") === 1)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_extremes"),
+        max(when(col("rk_best") === 1, col("doc_id"))).as("chosen_doc"),
+        max(when(col("rk_best") === 1, col("q"))).as("chosen_q"),
+        max(when(col("rk_worst") === 1, col("doc_id"))).as("rejected_doc"),
+        max(when(col("rk_worst") === 1, col("q"))).as("rejected_q"))
+      // n_extremes = 2 ⟺ best and worst are DIFFERENT docs; a 1-doc (or
+      // all-tied single-extreme) stratum yields no training signal
+      .filter(col("n_extremes") === 2)
+      .select(col("source"), col("lang"), col("chosen_doc"), col("rejected_doc"),
+        col("chosen_q"), col("rejected_q"),
+        Cols.fp6(col("chosen_q") - col("rejected_q")).as("quality_gap"))
+  }
+
+  private val preferencePairsSql =
+    s"""WITH t AS (SELECT doc_id, source, lang,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | scored AS (SELECT doc_id, source, lang,
+       |    floor((${graft.functions.TextFunctions.qualityScoreSqlExpr("toks")}) * 1e6 + 0.5) / 1e6 AS q
+       |  FROM t),
+       | ranked AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY q DESC, doc_id) AS rk_best,
+       |    ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY q, doc_id DESC) AS rk_worst
+       |  FROM scored),
+       | agg AS (SELECT source, lang, COUNT(*) AS n_extremes,
+       |    MAX(CASE WHEN rk_best = 1 THEN doc_id END) AS chosen_doc,
+       |    MAX(CASE WHEN rk_best = 1 THEN q END) AS chosen_q,
+       |    MAX(CASE WHEN rk_worst = 1 THEN doc_id END) AS rejected_doc,
+       |    MAX(CASE WHEN rk_worst = 1 THEN q END) AS rejected_q
+       |  FROM ranked WHERE rk_best = 1 OR rk_worst = 1
+       |  GROUP BY source, lang)
+       |SELECT source, lang, chosen_doc, rejected_doc, chosen_q, rejected_q,
+       | floor((chosen_q - rejected_q) * 1e6 + 0.5) / 1e6 AS quality_gap
+       |FROM agg WHERE n_extremes = 2""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("smp_preference_pairs", preferencePairs _, Some(preferencePairsSql)),
     ("pipeline_curated_budget", curatedBudget _, Some(curatedBudgetSql)),
     ("smp_token_budget", tokenBudget _, Some(tokenBudgetSql)),
     ("smp_temperature_mix", temperatureMix _, Some(temperatureMixSql)),

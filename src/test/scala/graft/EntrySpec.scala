@@ -116,9 +116,10 @@ class EntrySpec extends SparkSpec {
     // +ev_markov_transitions, +ev_time_to_convert, +txt_bigram_logprob,
     // +emb_radius_search, +emb_cluster_silhouette, +mm_phash_dedup,
     // +st_anomaly_zscore — all with oracles → 167/167; late r7:
-    // +wc_vnode_rebalance (rendezvous ring expansion) → 168/168.
-    assert(SparkEntry.queries.size == 168, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 168, s"got ${SparkEntry.oracleSql.size}")
+    // +wc_vnode_rebalance (rendezvous ring expansion),
+    // +smp_preference_pairs (DPO pair construction) → 169/169.
+    assert(SparkEntry.queries.size == 169, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 169, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

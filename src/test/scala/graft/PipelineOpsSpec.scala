@@ -131,6 +131,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(PipelineOps.temperatureMix(spark, sf).collect().length == kept.length)
   }
 
+  test("preference pairs: chosen beats rejected, extremes recount per stratum") {
+    val rows = PipelineOps.preferencePairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recount of one stratum's extremes from the raw docs
+    val scored = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), col("doc_id"),
+        Cols.fp6(graft.functions.TextFunctions.qualityScore(
+          graft.functions.TextFunctions.tokens(col("text")))).as("q"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { r =>
+      val (src, lang) = (r.getString(0), r.getString(1))
+      val stratum = scored.filter(x => x._1 == src && x._2 == lang)
+      val best = stratum.minBy(x => (-x._4, x._3))  // q desc, doc_id asc
+      val worst = stratum.minBy(x => (x._4, -x._3)) // q asc, doc_id desc
+      assert(r.getAs[Long]("chosen_doc") == best._3, s"$src/$lang chosen")
+      assert(r.getAs[Long]("rejected_doc") == worst._3, s"$src/$lang rejected")
+      assert(r.getAs[Double]("chosen_q") >= r.getAs[Double]("rejected_q"))
+      assert(r.getAs[Double]("quality_gap") >= 0.0)
+      assert(r.getAs[Long]("chosen_doc") != r.getAs[Long]("rejected_doc"))
+    }
+  }
+
   test("no global single-partition window in packing (explain audit)") {
     val plan = PipelineOps.packGreedy(spark, sf)
       .queryExecution.executedPlan.toString()
