@@ -468,8 +468,11 @@ object Dedup extends QueryModule {
     // winnow pipeline behind it (char explode + two windows) is the most
     // expensive lineage in the suite (q11 double-compute pattern)
     val fps = Checkpoints.materialize(
-      graft.operators.TextAnalysis.winnowed(Tables.documents(s, d))
-        .select("doc_id", "fp").distinct()
+      // winnowedDistinct dedupes map-side (array_distinct before the
+      // explode) — the former winnowed().distinct() shuffled every
+      // per-POSITION fingerprint row just to collapse the ~W-fold
+      // repetition the winnow window creates by construction
+      graft.operators.TextAnalysis.winnowedDistinct(Tables.documents(s, d))
         .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("df") <= MaxPostings)
         .drop("df"))

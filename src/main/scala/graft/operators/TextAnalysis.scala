@@ -153,6 +153,20 @@ object TextAnalysis extends QueryModule {
         .as(Seq("pos0", "fp")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("fp"))
 
+  /** The DISTINCT winnow fingerprint set per doc, deduplicated MAP-SIDE
+    * (array_distinct on the kernel's array before the explode) for
+    * consumers that only need the (doc_id, fp) set: winnow minima repeat
+    * across ~W consecutive positions, so this shrinks the exploded frame
+    * ~4-8× and removes the (doc_id, fp) distinct shuffle entirely —
+    * per-doc uniqueness is already guaranteed when the rows are born.
+    * Equals winnowed(docs).select(doc_id, fp).distinct() by construction
+    * (WinnowPropertySpec asserts it). */
+  private[graft] def winnowedDistinct(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(org.apache.spark.sql.GraftColumns.column(
+        graft.plans.WinnowFingerprints(
+          org.apache.spark.sql.GraftColumns.expression(col("text")))))).as("fp"))
+
   /** The engine-portable relational twin of the native kernel — kept as
     * the cross-engine specification (the DuckDB oracle CTE mirrors THIS
     * shape) and as WinnowPropertySpec's parity reference. */

@@ -50,6 +50,25 @@ class WinnowPropertySpec extends SparkSpec {
     assert(native == relational)
   }
 
+  test("map-side distinct form equals winnowed().distinct() exactly") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(23L)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly today"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // degenerate: one repeated min
+      (3L, Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString))
+      .toDF("doc_id", "text")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDistinct = set(operators.TextAnalysis.winnowed(docs).distinct())
+    val mapSide = operators.TextAnalysis.winnowedDistinct(docs)
+    assert(set(mapSide) == viaDistinct)
+    // and per-doc uniqueness is born, not re-established by a shuffle
+    assert(mapSide.count() == viaDistinct.size)
+  }
+
   test("docs over disjoint alphabets share no fingerprints") {
     val rnd = new scala.util.Random(11L)
     val letters = Seq.fill(120)(('a' + rnd.nextInt(26)).toChar).mkString
