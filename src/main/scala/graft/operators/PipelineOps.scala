@@ -478,9 +478,14 @@ object PipelineOps extends QueryModule {
     * itself). Shapes: one map-side quality pass + two rank windows on
     * the same (source, lang) exchange — at 100 TB this is strata-
     * parallel with no global ordering anywhere. */
-  def preferencePairs(s: SparkSession, d: String): DataFrame = {
+  def preferencePairs(s: SparkSession, d: String): DataFrame =
+    preferencePairsOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric form — `docs` needs doc_id/source/lang/text
+    * (PipelineOpsSpec drives the drop contract through fixtures). */
+  private[graft] def preferencePairsOf(docs: DataFrame): DataFrame = {
     val q = Cols.fp6(graft.functions.TextFunctions.qualityScore(tokens(col("text"))))
-    val scored = Tables.documents(s, d)
+    val scored = docs
       .select(col("doc_id"), col("source"), col("lang"), q.as("q"))
     val byStratum = Window.partitionBy("source", "lang")
     scored
@@ -495,9 +500,12 @@ object PipelineOps extends QueryModule {
         max(when(col("rk_best") === 1, col("q"))).as("chosen_q"),
         max(when(col("rk_worst") === 1, col("doc_id"))).as("rejected_doc"),
         max(when(col("rk_worst") === 1, col("q"))).as("rejected_q"))
-      // n_extremes = 2 ⟺ best and worst are DIFFERENT docs; a 1-doc (or
-      // all-tied single-extreme) stratum yields no training signal
-      .filter(col("n_extremes") === 2)
+      // two DIFFERENT extreme docs AND a strict quality gap: a 1-doc
+      // stratum yields one extreme, and an all-tied stratum yields two
+      // extremes at EQUAL quality (opposite tie-breaks pick different
+      // docs) — a gap-0 "preference" trains nothing and a duplicate-doc
+      // pair is actively wrong, so both are no-signal drops (r7 review)
+      .filter(col("n_extremes") === 2 && col("chosen_q") > col("rejected_q"))
       .select(col("source"), col("lang"), col("chosen_doc"), col("rejected_doc"),
         col("chosen_q"), col("rejected_q"),
         Cols.fp6(col("chosen_q") - col("rejected_q")).as("quality_gap"))
@@ -522,7 +530,7 @@ object PipelineOps extends QueryModule {
        |  GROUP BY source, lang)
        |SELECT source, lang, chosen_doc, rejected_doc, chosen_q, rejected_q,
        | floor((chosen_q - rejected_q) * 1e6 + 0.5) / 1e6 AS quality_gap
-       |FROM agg WHERE n_extremes = 2""".stripMargin
+       |FROM agg WHERE n_extremes = 2 AND chosen_q > rejected_q""".stripMargin
 
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("smp_preference_pairs", preferencePairs _, Some(preferencePairsSql)),

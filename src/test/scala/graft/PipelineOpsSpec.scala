@@ -148,10 +148,32 @@ class PipelineOpsSpec extends SparkSpec {
       val worst = stratum.minBy(x => (x._4, -x._3)) // q asc, doc_id desc
       assert(r.getAs[Long]("chosen_doc") == best._3, s"$src/$lang chosen")
       assert(r.getAs[Long]("rejected_doc") == worst._3, s"$src/$lang rejected")
-      assert(r.getAs[Double]("chosen_q") >= r.getAs[Double]("rejected_q"))
-      assert(r.getAs[Double]("quality_gap") >= 0.0)
+      assert(r.getAs[Double]("chosen_q") > r.getAs[Double]("rejected_q"))
+      assert(r.getAs[Double]("quality_gap") > 0.0, "no-signal pair leaked")
       assert(r.getAs[Long]("chosen_doc") != r.getAs[Long]("rejected_doc"))
     }
+  }
+
+  test("preference pairs drop 1-doc AND all-tied strata (no-signal contract)") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = Seq(
+      // single-doc stratum: no pair possible
+      (1L, "the quick brown fox jumps over the lazy dog today", "web", "en"),
+      // all-tied stratum: two IDENTICAL docs — opposite tie-breaks pick
+      // different docs but the gap is zero; must be dropped
+      (2L, "same exact words in this one line", "books", "en"),
+      (3L, "same exact words in this one line", "books", "en"),
+      // real-signal stratum: a clearly higher-quality doc and a junk doc
+      (4L, "the quick brown fox jumps over the lazy dog and runs in a field today", "wiki", "de"),
+      (5L, "x x x x x x x x x x", "wiki", "de"))
+      .toDF("doc_id", "text", "source", "lang")
+    val rows = PipelineOps.preferencePairsOf(docs).collect()
+    assert(rows.length == 1, s"only the real-signal stratum may emit: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[String]("source") == "wiki")
+    assert(r.getAs[Long]("chosen_doc") == 4L && r.getAs[Long]("rejected_doc") == 5L)
+    assert(r.getAs[Double]("quality_gap") > 0.0)
   }
 
   test("no global single-partition window in packing (explain audit)") {
