@@ -862,7 +862,7 @@ object Events extends QueryModule {
         fp6(col("n_transitions").cast("double") / col("row_total")).as("p"))
   }
 
-  private val markovTransitionsSql =
+  private[graft] val markovTransitionsSql =
     """WITH steps AS (SELECT user_id, event_type,
       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
       |  FROM events),

@@ -25,6 +25,12 @@ case class FunnelState(user_id: Long, signup_ts: Long, view_ts: Long, purchase_t
 case class LwwWin(user_id: Long, event_type: String, ts: java.sql.Timestamp,
                   event_id: Long, value: Double)
 
+/** Per-user last-event state for the streaming transition miner. */
+case class StepState(last_us: Long, last_id: Long, last_type: String)
+
+/** One emitted (from → to) step of a user's event stream. */
+case class StepEmit(from_type: String, to_type: String)
+
 /** SURVEY.md §2.C — Structured Streaming twins of the batch event
   * operators. Same logic, same state partitioning (keyed by user_id /
   * window), so a batch backfill and the live stream agree.
@@ -104,6 +110,34 @@ object EventStreams {
           }
           state.update(st)
           st
+      }
+  }
+
+  /** Streaming transition miner — the stateful mirror of
+    * Events.markovTransitions' lead(): per user, ONE StepState row (the
+    * last event seen) bridges micro-batch boundaries, and each arriving
+    * event emits its (last_type → event_type) step. In-batch ordering is
+    * restored by the same (ts, event_id) sort the other custom-state
+    * twins use; like them, the drain assumes batches arrive in event-time
+    * order (a live deployment would add a watermark + late-data policy).
+    * Emissions are O(events) → files-sink drain; the |types|² matrix is
+    * batch-side finishing. */
+  def transitionSteps(events: Dataset[EventRow]): Dataset[StepEmit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StepState, StepEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[EventRow], state: GroupState[StepState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[StepEmit]
+          sorted.foreach { e =>
+            last.foreach(l => out += StepEmit(l.last_type, e.event_type))
+            last = Some(StepState(micros(e.ts), e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
       }
   }
 

@@ -539,7 +539,34 @@ object StreamingEntries extends QueryModule {
           .as("zscore"))
   }
 
+  /** Streaming Markov transition matrix — twin of ev_markov_transitions:
+    * per-user last-event state (one StepState row per user, constant)
+    * bridges micro-batches while each arriving event emits its
+    * (from → to) step; the emissions drain through the files sink
+    * (O(events)) and the |types|²-sized matrix + fp6 row normalization
+    * finish batch-side. Oracle shared verbatim with the batch twin —
+    * lead() over a sorted partition and cross-batch carried state must
+    * produce the identical step multiset. */
+  def stMarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = eventsStream(s, d).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+    val steps = drainToFiles(EventStreams.transitionSteps(ds).toDF())
+    val counts = steps
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    counts
+      .withColumn("row_total", sum(col("n_transitions")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (floor(col("n_transitions").cast("double") / col("row_total") * 1e6 + 0.5) / 1e6)
+          .as("p"))
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_markov_transitions", stMarkovTransitions _,
+      Some(graft.operators.Events.markovTransitionsSql)),
     ("st_anomaly_zscore", stAnomalyZscore _, Some(graft.operators.Events.anomalyZscoreSql)),
     ("st_filter_funnel", stFilterFunnel _, Some(graft.operators.TextAnalysis.filterFunnelSql)),
     ("st_cms_frequency", stCmsFrequency _, Some(graft.operators.Events.cmsFrequencySql)),

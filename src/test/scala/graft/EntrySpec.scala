@@ -117,9 +117,10 @@ class EntrySpec extends SparkSpec {
     // +emb_radius_search, +emb_cluster_silhouette, +mm_phash_dedup,
     // +st_anomaly_zscore — all with oracles → 167/167; late r7:
     // +wc_vnode_rebalance (rendezvous ring expansion),
-    // +smp_preference_pairs (DPO pair construction) → 169/169.
-    assert(SparkEntry.queries.size == 169, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 169, s"got ${SparkEntry.oracleSql.size}")
+    // +smp_preference_pairs (DPO pair construction),
+    // +st_markov_transitions (stateful step miner) → 170/170.
+    assert(SparkEntry.queries.size == 170, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 170, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

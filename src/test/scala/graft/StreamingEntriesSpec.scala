@@ -72,6 +72,17 @@ class StreamingEntriesSpec extends SparkSpec {
       s"streaming arrival order moved a z-score: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streamed Markov steps equal the batch lead() multiset exactly") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+    val streamed = StreamingEntries.stMarkovTransitions(spark, sf).collect()
+      .map(r => key(r) -> (r.getAs[Long]("n_transitions"), r.getAs[Double]("p"))).toMap
+    val batch = operators.Events.markovTransitions(spark, sf).collect()
+      .map(r => key(r) -> (r.getAs[Long]("n_transitions"), r.getAs[Double]("p"))).toMap
+    assert(streamed == batch,
+      s"cross-batch state diverged from lead(): ${streamed.size} vs ${batch.size}")
+  }
+
   test("drained dedup fp set equals the batch fingerprint set") {
     val streamed = StreamingEntries.stDedup(spark, sf).collect()
       .map(_.getString(0)).toSet
