@@ -692,7 +692,86 @@ object TextAnalysis extends QueryModule {
       |FROM bgl JOIN bgf USING (bg) JOIN ctx USING (t) CROSS JOIN v
       |GROUP BY doc_id""".stripMargin
 
+  /** RAKE keyphrase extraction (Rose et al. 2010 — the classic unsupervised
+    * keyphrase algorithm TF-IDF keyword ranking doesn't subsume, because it
+    * scores multi-word PHRASES): candidate phrases are maximal stopword-free
+    * token runs (split at the suite's stopword list), each word scored
+    * deg/freq over the DOC's phrase set (per-doc RAKE, the original
+    * formulation), phrase score = Σ word scores, top-3 phrases per doc.
+    * Determinism: word scores are quantized to µ fixed-point BEFORE the
+    * per-phrase sum (integer, order-free) and ranks tie-break on the phrase
+    * text; phrase assembly sorts by position explicitly (collect_list order
+    * is not a contract). Scale: one posexplode + phrase-id running count +
+    * three aggregates, ALL riding the doc_id exchange — no corpus-global
+    * join anywhere (unlike TF-IDF's vocabulary join). */
+  def rakeKeyphrases(s: SparkSession, d: String): DataFrame = {
+    val stopSet = stopsEn.map(x => x: Any)
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("is_stop", col("t").isin(stopSet: _*))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pw = tok
+      .withColumn("phrase_id", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+      .select("doc_id", "phrase_id", "pos", "t")
+    val phrases = pw.groupBy("doc_id", "phrase_id")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t"))).as("phrase"),
+        count(lit(1)).as("plen"))
+    val wordScores = pw.join(phrases, Seq("doc_id", "phrase_id"))
+      .groupBy("doc_id", "t")
+      .agg(floor(sum(col("plen")).cast("double") * 1e6 / count(lit(1)) + 0.5)
+        .cast("long").as("wscore_fp"))
+    val scored = pw.join(phrases, Seq("doc_id", "phrase_id"))
+      .join(wordScores, Seq("doc_id", "t"))
+      .groupBy("doc_id", "phrase_id", "phrase")
+      .agg(sum(col("wscore_fp")).as("score_fp"))
+      .select(col("doc_id"), col("phrase"), col("score_fp")).distinct()
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score_fp"), asc("phrase"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("phrase"),
+        (col("score_fp").cast("double") / 1e6).as("rake_score"))
+  }
+
+  private val rakeKeyphrasesSql = {
+    val stopList = sqlInList(stopsEn)
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |           FROM documents),
+      | tok AS (SELECT doc_id, pos, toks[pos] AS t,
+      |     toks[pos] IN ($stopList) AS is_stop
+      |   FROM (SELECT doc_id, toks,
+      |           unnest(generate_series(1, len(toks))) AS pos FROM t)),
+      | pw AS (SELECT doc_id, phrase_id, pos, t FROM (
+      |     SELECT doc_id, pos, t, is_stop,
+      |       SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+      |         PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+      |     FROM tok) WHERE NOT is_stop),
+      | phr AS (SELECT doc_id, phrase_id,
+      |     string_agg(t, ' ' ORDER BY pos) AS phrase, COUNT(*) AS plen
+      |   FROM pw GROUP BY doc_id, phrase_id),
+      | ws AS (SELECT doc_id, t,
+      |     CAST(floor(CAST(SUM(plen) AS DOUBLE) * 1e6 / COUNT(*) + 0.5) AS BIGINT)
+      |       AS wscore_fp
+      |   FROM pw JOIN phr USING (doc_id, phrase_id) GROUP BY doc_id, t),
+      | scored AS (SELECT DISTINCT doc_id, phrase, score_fp FROM (
+      |     SELECT pw.doc_id, phr.phrase, SUM(ws.wscore_fp) AS score_fp
+      |     FROM pw JOIN phr USING (doc_id, phrase_id) JOIN ws USING (doc_id, t)
+      |     GROUP BY pw.doc_id, phr.phrase_id, phr.phrase)),
+      | ranked AS (SELECT doc_id, phrase, score_fp,
+      |     ROW_NUMBER() OVER (PARTITION BY doc_id
+      |       ORDER BY score_fp DESC, phrase) AS rk
+      |   FROM scored)
+      |SELECT doc_id, rk, phrase, CAST(score_fp AS DOUBLE) / 1e6 AS rake_score
+      |FROM ranked WHERE rk <= 3""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_rake_keyphrases", rakeKeyphrases _, Some(rakeKeyphrasesSql)),
     ("txt_bigram_logprob", bigramLogprob _, Some(bigramLogprobSql)),
     ("txt_gopher_repetition", gopherRepetition _, Some(gopherRepetitionSql)),
     ("txt_tfidf_topk", tfidfTopk _, Some(tfidfTopkSql)),

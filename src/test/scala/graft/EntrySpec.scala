@@ -118,9 +118,10 @@ class EntrySpec extends SparkSpec {
     // +st_anomaly_zscore — all with oracles → 167/167; late r7:
     // +wc_vnode_rebalance (rendezvous ring expansion),
     // +smp_preference_pairs (DPO pair construction),
-    // +st_markov_transitions (stateful step miner) → 170/170.
-    assert(SparkEntry.queries.size == 170, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 170, s"got ${SparkEntry.oracleSql.size}")
+    // +st_markov_transitions (stateful step miner),
+    // +txt_rake_keyphrases (RAKE) → 171/171.
+    assert(SparkEntry.queries.size == 171, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 171, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

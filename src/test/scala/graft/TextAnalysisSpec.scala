@@ -113,6 +113,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("RAKE: top-3 per doc, no stopwords inside phrases, degree>=freq sanity") {
+    val rows = TextAnalysis.rakeKeyphrases(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val stops = graft.functions.TextFunctions.stopsEn.toSet
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rs.length))
+    }
+    rows.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.forall(w => !stops.contains(w)),
+        s"stopword leaked into phrase '${r.getAs[String]("phrase")}'")
+      // deg/freq >= 1 per word (a word co-occurs at least with itself), so
+      // a phrase of n words scores >= n
+      assert(r.getAs[Double]("rake_score") >= words.length.toDouble - 1e-9)
+    }
+  }
+
   test("tfidf: corpus-wide terms score zero, rarer terms score higher at equal tf") {
     val n = Tables.documents(spark, sf).count()
     val rows = TextAnalysis.tfidfTopk(spark, sf).collect()
