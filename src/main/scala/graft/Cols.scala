@@ -35,4 +35,13 @@ private[graft] object Cols {
     * land exactly on .5 boundaries often enough to flip an oracle. The
     * SQL twin must use the identical floor form. */
   def fp6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** Portable 4-decimal rounding for ranked similarity scores (cosine in
+    * [-1, 1]): the same floor device as [[fp6]]. On negatives floor(+0.5)
+    * is round-half-toward-+∞ rather than half-away-from-zero — identical
+    * on both engines, which is the point: round(x, 4) tie-breaks HALF_UP
+    * in Spark but HALF_EVEN in DuckDB, a latent oracle flip the suite
+    * convention closes (ADVICE r4, swept suite-wide; ANN scores r8). The
+    * SQL twin must use the identical floor form. */
+  def fp4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
 }

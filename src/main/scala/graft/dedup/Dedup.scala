@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.{Checkpoints, QueryModule, Tables}
+import graft.{Checkpoints, Cols, QueryModule, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -433,9 +433,9 @@ object Dedup extends QueryModule {
       col("nrm").as("nb"), col("bucket").as("bucket_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("bucket"),
-        // documented round() exception (see Ann.score): cosine doubles
-        // are irrational-valued — no exact .00005 ties to tie-break
-        round(cosine(col("ea"), col("eb"), col("na"), col("nb")), 4).as("score"))
+        // suite rounding convention (see Ann.score): floor fixed-point,
+        // immune to the HALF_UP/HALF_EVEN engine divergence
+        Cols.fp4(cosine(col("ea"), col("eb"), col("na"), col("nb"))).as("score"))
       .orderBy(desc("score"), asc("vec_a"), asc("vec_b"))
       .limit(20)
   }
@@ -444,7 +444,7 @@ object Dedup extends QueryModule {
     s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
        |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-       | round(${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0), 4) AS score
+       | floor((${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin
 

@@ -749,20 +749,35 @@ object WideColumn extends QueryModule {
       |FROM rep GROUP BY event_type""".stripMargin
 
   /** Hinted handoff (how CL=ONE writes survive a down replica): writes
-    * owned by node 2 (ownership = user_id mod 4) during the Jan 10–12
-    * outage are stored as hints on the coordinator instead of applied;
+    * owned by node 2 (ownership = user_id mod 4) during the outage
+    * window are stored as hints on the coordinator instead of applied;
     * when the node returns, hints replay and the replica converges to the
     * full LWW view. Per node: write/hint counts, the handoff-completeness
     * invariant (live-before + hints = after-replay), and how many keys
     * would have served a STALE head during the outage (their newest write
-    * was sitting in a hint) — the read-side cost of writing at ONE. */
+    * was sitting in a hint) — the read-side cost of writing at ONE.
+    *
+    * The outage window is DERIVED from the data's own ts span — the
+    * middle fifth [lo + 2(hi−lo)/5, lo + 3(hi−lo)/5) in integer epoch
+    * microseconds (truncating integer division, identical in both
+    * engines) — so the driver regenerating /root/testdata with a shifted
+    * time range cannot zero the hint set (ADVICE r7: the former literal
+    * Jan 10–12 window silently coupled the entry to one generation's
+    * clock). The 1-row bounds frame is a broadcast scalar, the suite's
+    * standard device. */
   def hintedHandoff(s: SparkSession, d: String): DataFrame = {
-    val w = Tables.events(s, d)
+    val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val bounds = ev
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .select((col("lo") + expr("((hi - lo) * 2) div 5")).as("o_start"),
+        (col("lo") + expr("((hi - lo) * 3) div 5")).as("o_end"))
+    val w = ev.crossJoin(broadcast(bounds))
+      .withColumn("us", unix_micros(col("ts")))
       .withColumn("wk", writeKey)
       .withColumn("node", pmod(col("user_id"), lit(4L)))
       .withColumn("hinted", col("node") === 2L &&
-        col("ts") >= ts("2024-01-10 00:00:00") && col("ts") < ts("2024-01-12 00:00:00"))
+        col("us") >= col("o_start") && col("us") < col("o_end"))
     // replay convergence is checked by RECONSTRUCTION, not arithmetic:
     // the replica's post-replay state is the UNION of two separately
     // materialized lineages (its live writes ∪ the coordinator's hint
@@ -784,8 +799,8 @@ object WideColumn extends QueryModule {
         // live = what the down replica holds before hint replay — the
         // stale window closes once replay lands, so staleness is a
         // during-outage property, not an end-of-data one
-        max(when(col("ts") < ts("2024-01-12 00:00:00"), col("wk"))).as("truth_outage_k"),
-        max(when(!col("hinted") && col("ts") < ts("2024-01-12 00:00:00"),
+        max(when(col("us") < col("o_end"), col("wk"))).as("truth_outage_k"),
+        max(when(!col("hinted") && col("us") < col("o_end"),
           col("wk"))).as("live_outage_k"))
     perKey.join(replayed, Seq("node", "user_id", "event_type"))
       .groupBy("node")
@@ -802,11 +817,13 @@ object WideColumn extends QueryModule {
   }
 
   private val hintedHandoffSql =
-    s"""WITH w AS (SELECT user_id, event_type, ts, event_id, $writeKeySql AS wk,
-      |    user_id % 4 AS node,
-      |    (user_id % 4 = 2 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
-      |                     AND ts <  TIMESTAMP '2024-01-12 00:00:00') AS hinted
-      |  FROM events),
+    s"""WITH bounds AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+      | ob AS (SELECT lo + ((hi - lo) * 2) // 5 AS o_start,
+      |               lo + ((hi - lo) * 3) // 5 AS o_end FROM bounds),
+      | w AS (SELECT user_id, event_type, ts, event_id, $writeKeySql AS wk,
+      |    user_id % 4 AS node, epoch_us(ts) AS us, o_end,
+      |    (user_id % 4 = 2 AND epoch_us(ts) >= o_start AND epoch_us(ts) < o_end) AS hinted
+      |  FROM events, ob),
       | replayed AS (SELECT node, user_id, event_type, MAX(wk) AS replay_k FROM (
       |    SELECT node, user_id, event_type, wk FROM w WHERE NOT hinted
       |    UNION ALL
@@ -815,8 +832,8 @@ object WideColumn extends QueryModule {
       | perkey AS (SELECT node, user_id, event_type, COUNT(*) AS n_writes,
       |    SUM(CASE WHEN hinted THEN 1 ELSE 0 END) AS n_hints,
       |    MAX(wk) AS truth_k,
-      |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-12 00:00:00' THEN wk END) AS truth_outage_k,
-      |    MAX(CASE WHEN NOT hinted AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |    MAX(CASE WHEN us < o_end THEN wk END) AS truth_outage_k,
+      |    MAX(CASE WHEN NOT hinted AND us < o_end
       |             THEN wk END) AS live_outage_k
       |  FROM w GROUP BY node, user_id, event_type)
       |SELECT p.node, COUNT(*) AS n_keys,
@@ -847,8 +864,10 @@ object WideColumn extends QueryModule {
     * thing replicas would actually ship at 100 TB — that asymmetry IS
     * the Merkle point, and the entry's output proves digest mismatch ⟺
     * a differing write exists in the range (no false negatives on this
-    * corpus; WideColumnSpec asserts the equivalence). */
-  def antiEntropyRepair(s: SparkSession, d: String): DataFrame = {
+    * corpus; WideColumnSpec asserts the per-range equivalence on
+    * [[antiEntropyRanges]], the pre-aggregation frame the entry rolls
+    * up). */
+  private[graft] def antiEntropyRanges(s: SparkSession, d: String): DataFrame = {
     val md5i = graft.functions.TextFunctions.md5Int _
     val writes = Tables.events(s, d)
       .select(col("user_id"), col("event_id"))
@@ -865,16 +884,19 @@ object WideColumn extends QueryModule {
       sum(when(col("p0") =!= col("p2"), 1L).otherwise(0L)).as("x02"),
       sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("x12"))
     def pair(name: String, da: String, db: String, x: String): DataFrame =
-      perBucket.select(lit(name).as("pair"),
+      perBucket.select(lit(name).as("pair"), col("bucket"),
         (!(col(da) <=> col(db))).as("mismatch"), col(x).as("xfer"))
     pair("0-1", "d0", "d1", "x01")
       .unionByName(pair("0-2", "d0", "d2", "x02"))
       .unionByName(pair("1-2", "d1", "d2", "x12"))
+  }
+
+  def antiEntropyRepair(s: SparkSession, d: String): DataFrame =
+    antiEntropyRanges(s, d)
       .groupBy("pair")
       .agg(count(lit(1)).as("n_ranges"),
         sum(when(col("mismatch"), 1L).otherwise(0L)).as("mismatched_ranges"),
         sum(col("xfer")).as("rows_streamed"))
-  }
 
   private val antiEntropyRepairSql = {
     def md5s(x: String) = graft.functions.TextFunctions.md5IntSql(x)

@@ -100,6 +100,28 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.55, s"mean recall $mean below the IVF tier bound")
   }
 
+  test("PQ recall eval agrees with an independent brute-vs-ivfpq recount") {
+    val got = Ann.recallEvalPq(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"))).toMap
+    assert(got.size == 10, s"one row per query, got ${got.size}")
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val pq = Ann.ivfPqPrebuiltTopK(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    got.foreach { case (q, (hits, recall)) =>
+      val expect = bf(q).intersect(pq.getOrElse(q, Set.empty)).size
+      assert(hits == expect, s"query $q: n_hits $hits != recount $expect")
+      assert(math.abs(recall - expect / 10.0) < 1e-12)
+    }
+    // the quantized tier keeps a usable floor on this corpus (the AnnSpec
+    // IVF×PQ recall bound, now monitored as a driver entry)
+    val mean = got.values.map(_._2).sum / got.size
+    assert(mean >= 0.45, s"mean IVF×PQ recall $mean below the tier bound")
+  }
+
   test("int8-scored IVF recalls within 0.02 of float IVF") {
     val toSet = (rows: Array[org.apache.spark.sql.Row]) =>
       rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

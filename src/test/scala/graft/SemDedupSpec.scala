@@ -68,6 +68,21 @@ class SemDedupSpec extends SparkSpec {
       "anti-parallel vectors are not semantic duplicates")
   }
 
+  test("stored centroid model equals a fresh training bit-for-bit") {
+    SemDedup.clearPrebuiltCellCache()
+    val e = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
+    val n = e.withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
+    val fresh = SemDedup.trainedCentroids(e, n)
+      .select("cell", "centroid", "cnrm").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList, r.getDouble(2))).toSet
+    val stored = SemDedup.storedCentroids(spark, sf01)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList, r.getDouble(2))).toSet
+    assert(stored == fresh,
+      "the persisted K×dim centroid frame must equal a fresh Lloyd training")
+    assert(stored.nonEmpty)
+  }
+
   test("silhouette: covers the corpus, bounded in [-1,1], cells match dedup") {
     val rows = SemDedup.silhouette(spark, sf).collect()
     val nVecs = Tables.embeddings(spark, sf).count()

@@ -161,6 +161,26 @@ class WideColumnSpec extends SparkSpec {
     }
   }
 
+  test("anti-entropy: per range, digest mismatch ⟺ a differing write exists") {
+    // the Merkle claim the entry's doc makes (ADVICE r7): a token range's
+    // digests disagree exactly when some write's presence differs between
+    // the two replicas (xfer counts those writes). xfer>0 → mismatch can
+    // only fail on an XOR hash collision of the differing set — assert it
+    // doesn't on this corpus (no false negatives), and mismatch → xfer>0
+    // structurally (identical member sets XOR to identical digests).
+    val ranges = WideColumn.antiEntropyRanges(spark, sf01).collect()
+    assert(ranges.nonEmpty)
+    assert(ranges.exists(_.getAs[Boolean]("mismatch")),
+      "corpus produced no divergent range — the presence model is broken")
+    ranges.foreach { r =>
+      val mismatch = r.getAs[Boolean]("mismatch")
+      val xfer = r.getAs[Long]("xfer")
+      assert(mismatch == (xfer > 0L),
+        s"pair ${r.getAs[String]("pair")} bucket ${r.getAs[Long]("bucket")}: " +
+          s"mismatch=$mismatch but xfer=$xfer — digest and membership disagree")
+    }
+  }
+
   test("vnode rebalance: rendezvous hashing moves rows ONLY to the new node") {
     val rows = WideColumn.vnodeRebalance(spark, sf01).collect()
     val moved = rows.filter(r => r.getAs[Long]("old_owner") != r.getAs[Long]("new_owner"))
