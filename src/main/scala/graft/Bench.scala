@@ -137,6 +137,9 @@ object Bench {
     // unchanging plan measures EXTERNAL contention, stamping the record
     // itself as trustworthy or contaminated.
     val sentinelEvery = 10
+    // any entry at/above this steady-state cost gets its own trailing
+    // sentinel sample (bracketing — see the sampling comment below)
+    val heavySentinelSec = 1.5
     val sentinelBase = (1 to 3).map(_ => sentinelSec(spark, sfDir)).min
     val sentinelSamples = scala.collection.mutable.ArrayBuffer[(Int, String, Double, Double)]()
 
@@ -159,18 +162,26 @@ object Bench {
         (sec, gcMs() - gc0, err)
       }
       val cpuSec = if (cpu0 < 0) -1.0 else r3(processCpuSec() - cpu0)
-      // Each sample is min-of-2 probe runs: a SINGLE ~100-300 ms Spark job
-      // swings 2-3x from scheduler/GC noise even on an idle box (the solo
-      // sf0.01 shakedown hit "drift" 3.8x at loadavg 2/32 cores), whereas
-      // real co-tenant contention inflates both back-to-back runs.
-      if ((idx + 1) % sentinelEvery == 0 || idx == named.size - 1)
-        sentinelSamples +=
-          ((idx, name, (1 to 2).map(_ => sentinelSec(spark, sfDir)).min, loadAvg()))
       // min over SUCCESSFUL runs only — a fast failure must never be
       // reported as the query's steady-state time (fall back to the
       // failed runs only when every run failed, where err marks it)
       val ok = runs.filter(_._3.isEmpty)
       val best = (if (ok.nonEmpty) ok else runs).minBy(_._1)
+      // Each sample is min-of-2 probe runs: a SINGLE ~100-300 ms Spark job
+      // swings 2-3x from scheduler/GC noise even on an idle box (the solo
+      // sf0.01 shakedown hit "drift" 3.8x at loadavg 2/32 cores), whereas
+      // real co-tenant contention inflates both back-to-back runs.
+      // Sampling points: the every-10 cadence, the final entry, AND
+      // immediately after any HEAVY entry (min >= heavySentinelSec) — so
+      // every expensive entry is bracketed by a sample before (the
+      // previous cadence/heavy sample or the calibration) and one right
+      // after, distinguishing the entry's own cost from ambient load
+      // (VERDICT r7 #8: the every-10 cadence alone sampled dedup_exact's
+      // neighborhood at 6.8x and could not say which it was).
+      if ((idx + 1) % sentinelEvery == 0 || idx == named.size - 1
+          || best._1 >= heavySentinelSec)
+        sentinelSamples +=
+          ((idx, name, (1 to 2).map(_ => sentinelSec(spark, sfDir)).min, loadAvg()))
       QueryRun(name, cold = runs.head._1, min = best._1,
         gcCold = runs.head._2, gcMin = best._2,
         // err only when EVERY run failed — a transient single-run failure
@@ -223,6 +234,23 @@ object Bench {
     val fullDoc = (detailParts ++ Seq(sentinelLine, queriesLine, summary)).mkString("[", ",\n", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       fullDoc.getBytes("UTF-8"))
+    // Round-stamped archive (VERDICT r7 #3: BENCH_FULL.json is overwritten
+    // every round, so per-query regressions across rounds were
+    // undiffable). The current round = 1 + the highest committed
+    // BENCH_r0N.json — the driver writes that file at round CLOSE, so
+    // during round N only 1..N-1 exist. Committed at round end alongside
+    // the total-only record. Full runs only: a SPARK_GRAFT_BENCH_ONLY
+    // subset run must not masquerade as the round's record.
+    if (only.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val roundNo = 1 + java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala
+        .flatMap(p => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(p.getFileName.toString))
+        .map(_.group(1).toInt).foldLeft(0)(math.max)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_FULL_r$roundNo%02d.json"),
+        fullDoc.getBytes("UTF-8"))
+    }
 
     // Stdout, in increasing parse priority so a tail capture keeps the most
     // important lines: chunked detail, then the one-line per-query min map,

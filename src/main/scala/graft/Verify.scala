@@ -35,6 +35,27 @@ object Verify {
       s"${leads.size} checklist heads all live")
   }
 
+  /** Scaling-proof coverage gate (VERDICT r7 next-round #2: the decade
+    * check covered 167 of 171 entries and nothing failed when the gap
+    * opened). BENCH_SCALING.json must cover every current queries entry
+    * minus the declared streaming-harness exclusions; on drift this
+    * throws, so adding an entry without re-running the decade check
+    * fails the round's verify step loudly. Regenerate with
+    * tools/make_sf1.py + 3 Bench runs + tools/scaling_report.py. */
+  private[graft] def scalingCoverageCheck(path: String = "BENCH_SCALING.json"): Unit = {
+    val doc = Files.readString(Paths.get(path))
+    val n = "\"n_entries\":\\s*(\\d+)".r.findFirstMatchIn(doc)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"$path has no n_entries field"))
+    val superlinear = "\"n_superlinear\":\\s*(\\d+)".r.findFirstMatchIn(doc)
+      .map(_.group(1).toInt).getOrElse(-1)
+    val want = SparkEntry.queries.size
+    require(n == want,
+      s"BENCH_SCALING.json covers $n entries but SparkEntry.queries has $want — " +
+        "the decade scaling proof is stale; re-run tools/scaling_report.py at HEAD")
+    println(s"[verify] scaling: $n/$want entries covered, $superlinear superlinear")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // census first: a drifted checklist fails the round loudly before any
@@ -42,6 +63,11 @@ object Verify {
     if (Files.exists(Paths.get("SURVEY.md"))) censusCheck()
     // optional 3rd+ args: restrict to the named queries (local iteration)
     val only = args.drop(2).toSet
+    // scaling coverage gates FULL runs only (the driver's gate): a
+    // restricted local iteration mid-build legitimately predates the
+    // round-end decade re-run
+    if (only.isEmpty && Files.exists(Paths.get("BENCH_SCALING.json")))
+      scalingCoverageCheck()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

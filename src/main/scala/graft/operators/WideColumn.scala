@@ -768,16 +768,24 @@ object WideColumn extends QueryModule {
   def hintedHandoff(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-    val bounds = ev
+    // the 2-value span scalar is collected once (constant-size model
+    // frame — the CMS/PCA-moments class) and inlined as LITERALS: a
+    // broadcast-crossJoin form kept the plan join-shaped and cost a
+    // second pass over events (r8 bench: 2.2× the entry), where literal
+    // bounds restore the original single-scan codegen span
+    val Array(bRow) = ev
       .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
-      .select((col("lo") + expr("((hi - lo) * 2) div 5")).as("o_start"),
-        (col("lo") + expr("((hi - lo) * 3) div 5")).as("o_end"))
-    val w = ev.crossJoin(broadcast(bounds))
+      .collect()
+    val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+    val oStart = lo + (hi - lo) * 2 / 5
+    val oEnd = lo + (hi - lo) * 3 / 5
+    val w = ev
       .withColumn("us", unix_micros(col("ts")))
+      .withColumn("o_end", lit(oEnd))
       .withColumn("wk", writeKey)
       .withColumn("node", pmod(col("user_id"), lit(4L)))
       .withColumn("hinted", col("node") === 2L &&
-        col("us") >= col("o_start") && col("us") < col("o_end"))
+        col("us") >= lit(oStart) && col("us") < lit(oEnd))
     // replay convergence is checked by RECONSTRUCTION, not arithmetic:
     // the replica's post-replay state is the UNION of two separately
     // materialized lineages (its live writes ∪ the coordinator's hint

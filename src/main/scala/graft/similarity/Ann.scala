@@ -1037,6 +1037,22 @@ object Ann extends QueryModule {
     pqCodes(e, cb)
       .join(cells.select(col("vec_id"), col("cell"), col("nrm")), "vec_id")
       .write.mode("overwrite").parquet(s"$dir/pq_codes")
+    // the RESIDUAL tier (FAISS's IVF-PQ default) persists alongside the
+    // raw-code tier: codebooks trained on x − c(cell) + the code table —
+    // so the production-refined index also serves without retraining
+    // (r8: the inline residual entry was the suite's slowest at 4.1 s,
+    // all of it training a model a nightly build job should own)
+    val resid = graft.Checkpoints.materialize(
+      cells.join(broadcast(cent.select(col("cell"), col("centroid"))), "cell")
+        .select(col("vec_id"), col("cell"), col("nrm"),
+          zip_with(col("embedding"), col("centroid"),
+            (x, y) => x.cast("double") - y).as("resid")))
+    val rcb = trainPqCodebooks(resid, "resid")
+    rcb.write.mode("overwrite").parquet(s"$dir/respq_codebooks")
+    pqCodes(resid, rcb, "resid")
+      .join(resid.select(col("vec_id"), col("cell"), col("nrm")), "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/respq_codes")
+    graft.Checkpoints.free(resid)
     graft.Checkpoints.free(cells)
     val prev = indexDirs.putIfAbsent(d, dir.toString)
     if (prev != null) prev else dir.toString
@@ -1091,6 +1107,33 @@ object Ann extends QueryModule {
         col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
         (adcDot / nullif(col("nrm") * col("qn"), lit(0.0))).as("ascore"))
+    floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", IvfPqReRank, "ark")
+      .select(col("query_id"), col("vec_id")))
+  }
+
+  /** Residual IVF×PQ served from the persisted index — completes the
+    * prebuilt lifecycle for the LAST inline-only trainable tier (the
+    * suite's slowest entry, 4.1 s of which is Lloyd rounds a nightly
+    * build owns): stored per-cell-residual codebooks build the query
+    * ADC LUTs, the stored code table scans cell-pruned, and the score
+    * replays q·x ≈ q·c + q·r̂ with the probe-time qcdot. Same oracle as
+    * the inline tier (ivfPqResidualTopKSql): deterministic fixed-point
+    * training ⇒ stored serving must equal fresh training bit-for-bit;
+    * AnnSpec asserts the same equality Scala-side. */
+  def ivfPqResidualPrebuiltTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = prebuiltIndexDir(s, d)
+    val codes = s.read.parquet(s"$dir/respq_codes")
+    val cent = s.read.parquet(s"$dir/centroids")
+    val cb = s.read.parquet(s"$dir/respq_codebooks")
+    val e = withNorm(Tables.embeddings(s, d))
+    val probedLut = pqLut(e, cb)
+      .join(probeCells(e, cent).select(col("query_id"), col("pcell"), col("qcdot")),
+        "query_id")
+    val candidates = codes
+      .join(broadcast(probedLut),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        ((col("qcdot") + adcDot) / nullif(col("nrm") * col("qn"), lit(0.0))).as("ascore"))
     floatReRank(e, topKPerQuery(candidates, "ascore", "vec_id", IvfPqReRank, "ark")
       .select(col("query_id"), col("vec_id")))
   }
@@ -1264,6 +1307,7 @@ object Ann extends QueryModule {
     ("ann_pq_topk", pqTopK _, Some(pqTopKSql)),
     ("ann_ivfpq_topk", ivfPqTopK _, Some(ivfPqTopKSql)),
     ("ann_ivfpq_residual_topk", ivfPqResidualTopK _, Some(ivfPqResidualTopKSql)),
+    ("ann_ivfpq_residual_prebuilt_topk", ivfPqResidualPrebuiltTopK _, Some(ivfPqResidualTopKSql)),
     ("ann_bruteforce_topk", bruteForce _, Some(bruteForceSql)),
     ("ann_lsh_topk", lshTopK _, Some(lshTopKSql)),
     ("ann_rp_lsh_topk", rpLshTopK _, Some(rpLshTopKSql)),

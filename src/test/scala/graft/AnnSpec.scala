@@ -250,6 +250,18 @@ class AnnSpec extends SparkSpec {
       "stored-code ADC query path must equal the inline IVF×PQ plan")
   }
 
+  test("prebuilt residual IVF×PQ serves stored codebooks and matches the inline plan") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toMap
+    // the stored residual codebooks + code table must reproduce the
+    // inline residual training exactly (and so inherit its recall floor,
+    // asserted in the inline residual test)
+    assert(keyed(Ann.ivfPqResidualPrebuiltTopK(spark, sf))
+        == keyed(Ann.ivfPqResidualTopK(spark, sf)),
+      "stored residual ADC query path must equal the inline residual plan")
+  }
+
   test("parametric topKOf ranks an ad-hoc corpus correctly") {
     val s2 = spark
     import s2.implicits._

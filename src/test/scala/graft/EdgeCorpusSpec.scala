@@ -52,7 +52,8 @@ class EdgeCorpusSpec extends SparkSpec {
     // here. (The LSH tiers handle ragged dims via the NULL-bucket
     // contract and stay covered.)
     val fixedDimIndex = Set("ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
-      "ann_ivfpq_prebuilt_topk")
+      "ann_ivfpq_prebuilt_topk", "ann_ivfpq_residual_prebuilt_topk",
+      "ann_recall_eval_pq")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefixes.exists(n.startsWith))
       .filterNot(fixedDimIndex)

@@ -120,8 +120,12 @@ class EntrySpec extends SparkSpec {
     // +smp_preference_pairs (DPO pair construction),
     // +st_markov_transitions (stateful step miner),
     // +txt_rake_keyphrases (RAKE) → 171/171.
-    assert(SparkEntry.queries.size == 171, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 171, s"got ${SparkEntry.oracleSql.size}")
+    // r8: +ann_recall_eval_pq (quantized-tier recall gauge),
+    // +ann_ivfpq_residual_prebuilt_topk (residual tier served from the
+    // stored index), +mm_pixel_decode (real-codec PNG round trip,
+    // analytic oracle) → 174/174.
+    assert(SparkEntry.queries.size == 174, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 174, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

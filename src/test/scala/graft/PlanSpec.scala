@@ -33,7 +33,11 @@ class PlanSpec extends SparkSpec {
       // emb_cluster_silhouette broadcasts the SemK-row centroid model
       // under a constant key (Catalyst folds the synthetic equi-key
       // away) — the ANN centroid-probe idiom
-      "emb_knn_label_vote", "ann_recall_eval", "emb_cluster_silhouette",
+      // ann_recall_eval_pq composes brute force with the prebuilt IVF×PQ
+      // serve path; the residual prebuilt tier shares the inline tier's
+      // declared query-set broadcast joins
+      "emb_knn_label_vote", "ann_recall_eval", "ann_recall_eval_pq",
+      "ann_ivfpq_residual_prebuilt_topk", "emb_cluster_silhouette",
       "q11_important_stock",
       "q22_dormant_customers", "ev_gap_fill", "txt_tfidf_topk",
       // txt_bigram_logprob broadcasts the 1-row vocabulary-size scalar —
