@@ -744,8 +744,69 @@ object Dedup extends QueryModule {
        |LEFT JOIN sizes s ON s.label = d.doc_id
        |WHERE d.doc_id NOT IN (SELECT id FROM shadowed)""".stripMargin
 
+  // ---- exact-substring dedup (span coverage) ------------------------------
+  /** Exact-SUBSTRING deduplication signal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr variant
+    * the suite's doc-grain entries don't cover): a token `SpanN`-gram that
+    * appears VERBATIM in ≥ 2 distinct docs marks all its token positions
+    * as duplicated; per doc, report how many of its tokens sit inside at
+    * least one cross-doc span. The reference paper uses a suffix array;
+    * the relational equivalent is a positional n-gram inverted index —
+    * same spans, same coverage, shuffle-friendly.
+    *
+    * Scale shape: one map-only positional n-gram pass (the count-preserving
+    * native kernel), one skew-safe distinct-doc count per span (two-phase —
+    * a boilerplate span hot across millions of docs never sits in one
+    * task), one salted semi-join back to flag instances, and a
+    * doc_id-keyed distinct to union overlapping spans — every stage keyed,
+    * nothing quadratic: coverage is ≤ SpanN rows per flagged span
+    * INSTANCE, linear in corpus size, not in pair count. */
+  private val SpanN = 8
+  def substringExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val spans = docs.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.GraftColumns.column(
+        graft.plans.WordNgrams(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), SpanN)))
+        .as(Seq("i", "span")))
+    val dup = graft.functions.Skew
+      .skewSafeDistinctCount(spans, col("span"), col("doc_id"), 8, "nd")
+      .filter(col("nd") >= 2)
+      .select(col("_k").as("span"))
+    val flagged = graft.functions.Skew.saltedJoin(spans, dup, "span", 8, col("doc_id"))
+    val cov = flagged
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(SpanN - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("dup_toks"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_toks"), lit(0L)).as("n_dup_tokens"),
+        Cols.fp6(coalesce(col("dup_toks"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"))
+  }
+
+  private val substringExactSql =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |           FROM documents),
+       | sp AS (SELECT doc_id, i, array_to_string(toks[i:i+${SpanN - 1}], ' ') AS span
+       |        FROM (SELECT doc_id, toks,
+       |                unnest(generate_series(1, len(toks) - ${SpanN - 1})) AS i
+       |              FROM t WHERE len(toks) >= $SpanN) z),
+       | dup AS (SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+       | cov AS (SELECT DISTINCT sp.doc_id, sp.i + o.o AS p
+       |         FROM sp JOIN dup USING (span) CROSS JOIN generate_series(0, ${SpanN - 1}) o(o)),
+       | c AS (SELECT doc_id, COUNT(*) AS dup_toks FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       | CAST(COALESCE(c.dup_toks, 0) AS BIGINT) AS n_dup_tokens,
+       | floor(CAST(COALESCE(c.dup_toks, 0) AS DOUBLE) / len(t.toks) * 1e6 + 0.5) / 1e6
+       |   AS dup_token_frac
+       |FROM t LEFT JOIN c USING (doc_id)""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("dedup_exact", exact _, Some(exactSql)),
+    ("dedup_substring_exact", substringExact _, Some(substringExactSql)),
     ("dedup_survivors", survivors _, Some(survivorsSql)),
     ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("dedup_containment", containment _, Some(containmentSql)),

@@ -933,7 +933,104 @@ object Events extends QueryModule {
       |          THEN delta_min END) AS p90_min
       |FROM ranked GROUP BY cohort""".stripMargin
 
+  /** Truncated-kernel EWMA of the per-type daily series — the smoothing
+    * pass feeding dashboards/alerting (the full recursive EWMA is
+    * order-SEQUENTIAL and unshardable; the standard distributed form
+    * truncates the kernel, here at 8 days where 0.7⁸ < 0.06 of the mass).
+    * Weights are µ-quantized 0.7ʲ INTEGER literals (identical constants
+    * both engines — pow() last-ulp drift can't flip the oracle), each day
+    * scatters its count forward onto its ≤ 8 target days (one explode,
+    * linear), contributions regroup on (type, day), and the weighted mean
+    * normalizes by the weights of PRESENT days only — so calendar gaps
+    * degrade gracefully instead of shifting the kernel. Integer sums ⇒
+    * exact; one double division at the end, fixed-pointed. */
+  private val EwmaWeights = Seq(1000000L, 700000L, 490000L, 343000L,
+    240100L, 168070L, 117649L, 82354L) // floor(0.7^j·1e6+0.5), j=0..7
+  def ewmaSmoothing(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wArr = array(EwmaWeights.map(lit): _*)
+    val contrib = daily
+      .withColumn("j", explode(sequence(lit(0), lit(EwmaWeights.size - 1))))
+      .select(col("event_type"), date_add(col("day"), col("j")).as("day"),
+        (col("n") * element_at(wArr, col("j") + 1)).as("wn"),
+        element_at(wArr, col("j") + 1).as("w"))
+    val agg = contrib.groupBy("event_type", "day")
+      .agg(sum("wn").as("swn"), sum("w").as("sw"))
+    daily.join(agg, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n").cast("long").as("n_events"),
+        (floor(col("swn").cast("double") / col("sw") * 1e6 + 0.5) / 1e6).as("ewma"))
+  }
+
+  private val ewmaSmoothingSql = {
+    val vals = EwmaWeights.zipWithIndex
+      .map { case (w, j) => s"($j, $w)" }.mkString(", ")
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+       |               FROM events GROUP BY 1, 2),
+       | wts AS (SELECT j, w FROM (VALUES $vals) v(j, w)),
+       | contrib AS (SELECT event_type, day + j AS day, n * w AS wn, w
+       |             FROM daily CROSS JOIN wts),
+       | agg AS (SELECT event_type, day, SUM(wn) AS swn, SUM(w) AS sw
+       |         FROM contrib GROUP BY 1, 2)
+       |SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
+       | floor(CAST(a.swn AS DOUBLE) / a.sw * 1e6 + 0.5) / 1e6 AS ewma
+       |FROM daily d JOIN agg a USING (event_type, day)""".stripMargin
+  }
+
+  /** CUSUM changepoint scan per event type (Page 1954): the cumulative
+    * deviation from the series mean S_t = Σ_{i≤t}(x_i − x̄) peaks AT the
+    * changepoint — the standard level-shift detector the z-score entry
+    * (point anomalies) doesn't cover. All arithmetic stays INTEGER by
+    * scaling S_t by n_days (n·Σ_{i≤t}x_i − t·Σx), so the running sum is
+    * exact and order-independent; the peak picks
+    * (|S| desc, day asc) deterministically and normalizes back to count
+    * units only at output. One day-grain aggregate, one type-partitioned
+    * window over the DAILY frame (grows with time, not volume), one
+    * broadcast of the per-type totals. */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("n").as("sn"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("cn", sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", row_number().over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("dev", col("nd") * col("cn") - col("t") * col("sn"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("dev")).desc, col("day").asc)))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("nd").cast("long").as("n_days"),
+        col("day").as("peak_day"),
+        (floor(abs(col("dev")).cast("double") / col("nd") * 1e6 + 0.5) / 1e6)
+          .as("peak_dev"))
+  }
+
+  private val cusumChangepointSql =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |               FROM events GROUP BY 1, 2),
+      | tot AS (SELECT event_type, SUM(n) AS sn, COUNT(*) AS nd
+      |         FROM daily GROUP BY 1),
+      | cum AS (SELECT event_type, day, n,
+      |    SUM(n) OVER (PARTITION BY event_type ORDER BY day
+      |                 ROWS UNBOUNDED PRECEDING) AS cn,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |  FROM daily),
+      | dev AS (SELECT c.event_type, c.day, t.nd,
+      |    t.nd * c.cn - c.t * t.sn AS dev,
+      |    ROW_NUMBER() OVER (PARTITION BY c.event_type
+      |      ORDER BY abs(t.nd * c.cn - c.t * t.sn) DESC, c.day) AS rk
+      |  FROM cum c JOIN tot t USING (event_type))
+      |SELECT event_type, CAST(nd AS BIGINT) AS n_days, day AS peak_day,
+      | floor(CAST(abs(dev) AS DOUBLE) / nd * 1e6 + 0.5) / 1e6 AS peak_dev
+      |FROM dev WHERE rk = 1""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ev_ewma_smoothing", ewmaSmoothing _, Some(ewmaSmoothingSql)),
+    ("ev_cusum_changepoint", cusumChangepoint _, Some(cusumChangepointSql)),
     ("ev_time_to_convert", timeToConvert _, Some(timeToConvertSql)),
     ("ev_rfm", rfm _, Some(rfmSql)),
     ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),

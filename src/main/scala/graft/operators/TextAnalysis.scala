@@ -770,7 +770,166 @@ object TextAnalysis extends QueryModule {
       |FROM ranked WHERE rk <= 3""".stripMargin
   }
 
+  // The suite's fixed-point-ln device (txt_unigram_logprob /
+  // txt_bigram_logprob): each ln of an INTEGER count quantized to µ-nat
+  // longs, so every downstream sum/difference is exact integer arithmetic —
+  // order-independent and bit-identical cross-engine.
+  private def lnQ(c: Column): Column =
+    floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
+
+  /** PMI collocation mining (Church & Hanks 1990) — the corpus-level
+    * phrase detector TF-IDF/RAKE don't cover: score each bigram by
+    * pointwise mutual information against its parts' margins within the
+    * bigram table, pmi = ln c₁₂ + ln N − ln c₁ − ln c₂ (each ln
+    * µ-nat-quantized SEPARATELY, so no integer product can overflow at
+    * any corpus size), min count 5, top 20. Margins derive from the
+    * bigram counts themselves (one gram pass, no second corpus scan);
+    * both margin joins are salted (Zipf heads); the final top-20 is
+    * TakeOrdered — no global window. */
+  private val PmiMinCount = 5
+  def collocationsPmi(s: SparkSession, d: String): DataFrame = {
+    val bgc = Tables.documents(s, d)
+      .select(explode(org.apache.spark.sql.GraftColumns.column(
+        graft.plans.WordNgrams(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), 2))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("t1", substring_index(col("bg"), " ", 1))
+      .withColumn("t2", substring_index(col("bg"), " ", -1))
+    val c1 = bgc.groupBy(col("t1")).agg(sum("c12").as("c1"))
+    val c2 = bgc.groupBy(col("t2")).agg(sum("c12").as("c2"))
+    val nb = bgc.agg(sum("c12").as("nb"))
+    val cand = bgc.filter(col("c12") >= PmiMinCount)
+    graft.functions.Skew.saltedJoin(
+        graft.functions.Skew.saltedJoin(cand, c1, "t1", 8, col("bg")),
+        c2, "t2", 8, col("bg"))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi_fp",
+        lnQ(col("c12")) + lnQ(col("nb")) - lnQ(col("c1")) - lnQ(col("c2")))
+      .orderBy(desc("pmi_fp"), asc("bg"))
+      .limit(20)
+      .select(col("bg"), col("c12"),
+        (col("pmi_fp").cast("double") / 1e6).as("pmi"))
+  }
+
+  private val collocationsPmiSql =
+    s"""WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       | g AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+       |                     FOR i IN generate_series(1, len(toks)-1)]) AS bg FROM t),
+       | bgc AS (SELECT bg, COUNT(*) AS c12,
+       |    split_part(bg, ' ', 1) AS t1, split_part(bg, ' ', 2) AS t2
+       |  FROM g GROUP BY bg),
+       | m1 AS (SELECT t1, SUM(c12) AS c1 FROM bgc GROUP BY t1),
+       | m2 AS (SELECT t2, SUM(c12) AS c2 FROM bgc GROUP BY t2),
+       | nb AS (SELECT SUM(c12) AS nb FROM bgc),
+       | scored AS (SELECT bg, c12,
+       |    CAST(floor(ln(CAST(c12 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |    + CAST(floor(ln(CAST(nb AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |    - CAST(floor(ln(CAST(c1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |    - CAST(floor(ln(CAST(c2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS pmi_fp
+       |  FROM bgc JOIN m1 USING (t1) JOIN m2 USING (t2) CROSS JOIN nb
+       |  WHERE c12 >= $PmiMinCount)
+       |SELECT bg, c12, CAST(pmi_fp AS DOUBLE) / 1e6 AS pmi
+       |FROM scored ORDER BY pmi_fp DESC, bg LIMIT 20""".stripMargin
+
+  /** Zipf-law fit over the corpus term distribution — the classic corpus
+    * health gauge (natural text fits slope ≈ −1; templated/synthetic
+    * corpora flatten or steepen): least-squares slope of ln(freq) on
+    * ln(rank) over the top 100 terms. Rank is computed WITHOUT a global
+    * window: the top-100 set is TakeOrdered, and each term's rank is
+    * 1 + its dominator count via the constant-key broadcast self-join
+    * idiom (100×100 = 10⁴ broadcast-hash pairs, never a BNLJ). The
+    * regression sums run on µ-quantized ln longs — exact integer
+    * Σx/Σy/Σxy/Σx², one slope division at the end. */
+  private val ZipfTopN = 100
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    // materialized: the 100-row frame feeds BOTH sides of the rank join —
+    // without it each side re-runs the corpus token count (q11 pattern)
+    val top = graft.Checkpoints.materialize(
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("t")).limit(ZipfTopN))
+    val a = top.withColumn("j", lit(1))
+    val b = top.select(col("t").as("bt"), col("n").as("bn"))
+      .withColumn("j", lit(1))
+    val ranked = a.join(broadcast(b), "j")
+      .groupBy("t", "n")
+      .agg((sum(when(col("bn") > col("n")
+          || (col("bn") === col("n") && col("bt") < col("t")), 1L)
+        .otherwise(0L)) + 1L).as("rank"))
+    ranked
+      .select(lnQ(col("rank")).as("x"), lnQ(col("n")).as("y"))
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("cnt").cast("long").as("n_terms"),
+        Cols.fp6((col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("zipf_slope"))
+  }
+
+  private val zipfFitSql =
+    s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |           FROM documents),
+       | tf AS (SELECT t, COUNT(*) AS n FROM t GROUP BY t
+       |        ORDER BY n DESC, t LIMIT $ZipfTopN),
+       | ranked AS (SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rank FROM tf),
+       | q AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+       |              CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+       |       FROM ranked)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       | floor(CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE)
+       |   / CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |   AS zipf_slope
+       |FROM q""".stripMargin
+
+  /** Per-source unigram KL divergence vs the corpus distribution — the
+    * domain-mix diagnostic a pretraining pipeline watches per ingest
+    * source (a source drifting from the corpus LM shifts the mixture):
+    * KL(pₛ ‖ p) = Σ_w pₛ(w)·ln(pₛ(w)/p(w)), assembled as the exact
+    * integer sum Σ c_sw·(lnq c_sw + lnq C − lnq c_w − lnq Cₛ) divided
+    * once by Cₛ. Corpus margins derive from the (source, word) counts
+    * (one token pass); the vocabulary join is salted (Zipf heads), the
+    * per-source margin join too (a big source is a hot key). */
+  def sourceKl(s: SparkSession, d: String): DataFrame = {
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("csw"))
+    val w = sw.groupBy("t").agg(sum("csw").as("cw"))
+    val st = sw.groupBy("source").agg(sum("csw").as("cs"))
+    val tot = w.agg(sum("cw").as("ctot"))
+    graft.functions.Skew.saltedJoin(
+        graft.functions.Skew.saltedJoin(sw, w, "t", 8, col("source")),
+        st, "source", 8, col("t"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(min(col("cs")).as("cs"),
+        sum(col("csw") * (lnQ(col("csw")) + lnQ(col("ctot"))
+          - lnQ(col("cw")) - lnQ(col("cs")))).as("kl_fp"))
+      .select(col("source"), col("cs").cast("long").as("n_tokens"),
+        (floor(col("kl_fp").cast("double") / col("cs") + 0.5) / 1e6).as("kl_nats"))
+  }
+
+  private val sourceKlSql =
+    """WITH tok AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |            FROM documents),
+      | sw AS (SELECT source, t, COUNT(*) AS csw FROM tok GROUP BY source, t),
+      | w AS (SELECT t, SUM(csw) AS cw FROM sw GROUP BY t),
+      | st AS (SELECT source, SUM(csw) AS cs FROM sw GROUP BY source),
+      | tot AS (SELECT SUM(cw) AS ctot FROM w)
+      |SELECT sw.source, CAST(MIN(cs) AS BIGINT) AS n_tokens,
+      | floor(CAST(SUM(csw * (
+      |     CAST(floor(ln(CAST(csw AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |   + CAST(floor(ln(CAST(ctot AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |   - CAST(floor(ln(CAST(cw AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |   - CAST(floor(ln(CAST(cs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))) AS DOUBLE)
+      |   / MIN(cs) + 0.5) / 1e6 AS kl_nats
+      |FROM sw JOIN w USING (t) JOIN st USING (source) CROSS JOIN tot
+      |GROUP BY sw.source""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_collocations_pmi", collocationsPmi _, Some(collocationsPmiSql)),
+    ("txt_zipf_fit", zipfFit _, Some(zipfFitSql)),
+    ("txt_source_kl", sourceKl _, Some(sourceKlSql)),
     ("txt_rake_keyphrases", rakeKeyphrases _, Some(rakeKeyphrasesSql)),
     ("txt_bigram_logprob", bigramLogprob _, Some(bigramLogprobSql)),
     ("txt_gopher_repetition", gopherRepetition _, Some(gopherRepetitionSql)),

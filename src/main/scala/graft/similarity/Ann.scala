@@ -1030,7 +1030,11 @@ object Ann extends QueryModule {
     // LUT) plus the M-byte-per-vector code table (the scan tier: cell for
     // pruning, nrm for the cosine denominator, codes for ADC — no floats)
     val cells = graft.Checkpoints.materialize(assignCells(e, cent))
-    cells.write.mode("overwrite").parquet(s"$dir/cells")
+    // filterable metadata lives IN the index (the Milvus/Vespa design):
+    // ann_filtered_topk prunes on `label` at the parquet scan of the
+    // stored cells table instead of joining the base table per query
+    cells.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/cells")
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
     val cb = trainPqCodebooks(e)
     cb.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
@@ -1081,6 +1085,44 @@ object Ann extends QueryModule {
       .withColumn("rk", row_number().over(rank).cast("long"))
       .filter(col("rk") <= K)
   }
+
+  /** METADATA-FILTERED ANN against the persisted IVF index — the
+    * production shape every vector store ships (Milvus/Vespa/pgvector
+    * `WHERE label ...` + top-k): the filter attribute is stored IN the
+    * index (the build job joins `label` into the cells table), so the
+    * predicate prunes at the parquet scan of the index — no per-query
+    * join against the base table, and the probe/re-rank machinery is
+    * untouched. Post-filter cell assignment is identical to unfiltered
+    * assignment (it is per-vector), so the oracle replays the shared IVF
+    * training CTEs and filters `idx` by a base-table label join. At
+    * 100 TB the selectivity multiplies straight through the candidate
+    * stage — a 1/3 filter scans 1/3 of each probed cell. */
+  def filteredTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = prebuiltIndexDir(s, d)
+    val index = s.read.parquet(s"$dir/cells")
+      .filter(pmod(col("label"), lit(3)) === 0)
+    val cent = s.read.parquet(s"$dir/centroids")
+    val probe = probeCells(withNorm(Tables.embeddings(s, d)), cent)
+    index.join(broadcast(probe),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("label"), score.as("score"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
+  private def filteredTopKSql: String =
+    s"""WITH $ivfCtesSql,
+       |fidx AS (SELECT i.vec_id, i.embedding, i.nrm, i.cell, em.label
+       |  FROM idx i JOIN embeddings em ON em.vec_id = i.vec_id
+       |  WHERE em.label % 3 = 0),
+       |pairs AS (
+       |  SELECT p.query_id, i.vec_id AS neighbor_id, i.cell, i.label,
+       |    floor((${dotSql("p.qe", "i.embedding")} / nullif(p.qn * i.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |  FROM probe p JOIN fidx i ON i.cell = p.pcell AND i.vec_id != p.query_id)
+       |SELECT query_id, neighbor_id, cell, label, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM pairs) t WHERE rk <= $K""".stripMargin
 
   /** IVF×PQ served ENTIRELY from the persisted index (VERDICT r4
     * next-round #5 — the missing PQ half of the prebuilt lifecycle): the
@@ -1303,6 +1345,7 @@ object Ann extends QueryModule {
     ("emb_radius_search", radiusSearch _, Some(radiusSearchSql)),
     ("ann_pca_topk", pcaTopK _, Some(pcaTopKSql)),
     ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, Some(ivfTopKSql)),
+    ("ann_filtered_topk", filteredTopK _, Some(filteredTopKSql)),
     ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, Some(ivfPqTopKSql)),
     ("ann_pq_topk", pqTopK _, Some(pqTopKSql)),
     ("ann_ivfpq_topk", ivfPqTopK _, Some(ivfPqTopKSql)),
