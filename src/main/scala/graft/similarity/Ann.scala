@@ -1124,6 +1124,106 @@ object Ann extends QueryModule {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
        |  FROM pairs) t WHERE rk <= $K""".stripMargin
 
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998) — the
+    * post-retrieval stage every RAG/search pipeline runs between ANN
+    * top-k and the consumer: greedily pick `MmrK` of the top-`MmrCand`
+    * candidates maximizing λ·sim(q,x) − (1−λ)·max sim(x, selected), so
+    * near-duplicate hits don't crowd the result page. Greedy MMR is
+    * inherently SEQUENTIAL in the step dimension — but each step is one
+    * relational round over the per-query candidate frame (≤ MmrCand rows
+    * per query, CONSTANT at any corpus scale once the candidate stage —
+    * here the bucketed exact top-k pre-reduce — has run), so the loop
+    * costs MmrK tiny jobs regardless of corpus size. All scores are
+    * fp4-quantized INTEGERS and λ = 0.7 is applied as 7·s − 3·m (scaled
+    * ×10) — pure integer arithmetic, bit-identical cross-engine; the
+    * oracle unrolls the MmrK greedy steps as CTEs (the IVF/SemDeDup
+    * training-replay device applied to a selection loop). */
+  private val MmrK = 10
+  private val MmrCand = 30
+  private def scoreFp = floor(cosine(col("qe"), col("embedding"), col("qn"), col("nrm"))
+    * 1e4 + 0.5).cast("long")
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val pairs = e.crossJoin(broadcast(queriesOf(e)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), scoreFp.as("sfp"))
+    val cand = graft.Checkpoints.materialize(
+      topKPerQuery(pairs, "sfp", "neighbor_id", MmrCand, "crk")
+        .select("query_id", "neighbor_id", "sfp"))
+    val ce = cand.join(e.select(col("vec_id").as("neighbor_id"),
+      col("embedding"), col("nrm")), "neighbor_id")
+    val ps = graft.Checkpoints.materialize(
+      ce.select(col("query_id"), col("neighbor_id").as("aid"),
+          col("embedding").as("ae"), col("nrm").as("an"))
+        .join(ce.select(col("query_id"), col("neighbor_id").as("bid"),
+          col("embedding").as("be"), col("nrm").as("bn")), "query_id")
+        .select(col("query_id"), col("aid"), col("bid"),
+          floor(cosine(col("ae"), col("be"), col("an"), col("bn")) * 1e4 + 0.5)
+            .cast("long").as("simfp")))
+    val pick = Window.partitionBy("query_id").orderBy(desc("mmr_fp"), asc("neighbor_id"))
+    var sel = cand
+      .withColumn("mmr_fp", lit(7L) * col("sfp"))
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), lit(1).as("step"), col("neighbor_id"), col("mmr_fp"))
+    for (step <- 2 to MmrK) {
+      val ms = ps.join(sel.select(col("query_id"), col("neighbor_id").as("bid")),
+          Seq("query_id", "bid"))
+        .groupBy(col("query_id"), col("aid").as("neighbor_id"))
+        .agg(max("simfp").as("msim"))
+      val next = cand
+        .join(sel.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_anti")
+        .join(ms, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr_fp", lit(7L) * col("sfp") - lit(3L) * col("msim"))
+        .withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), lit(step).as("step"), col("neighbor_id"), col("mmr_fp"))
+      sel = graft.Checkpoints.materialize(sel.unionByName(next))
+    }
+    sel.select(col("query_id"), col("step"), col("neighbor_id"),
+      (col("mmr_fp").cast("double") / 1e5).as("mmr"))
+  }
+
+  private def mmrRerankSql: String = {
+    def stepSql(n: Int): String = {
+      val prev = if (n == 2) "sel1" else s"sel${n - 1}"
+      s"""sel$n AS MATERIALIZED (SELECT * FROM $prev UNION ALL
+         |  SELECT query_id, $n AS step, neighbor_id, mmr_fp FROM (
+         |    SELECT c.query_id, c.neighbor_id, 7 * c.sfp - 3 * m.msim AS mmr_fp,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY 7 * c.sfp - 3 * m.msim DESC, c.neighbor_id) AS rk
+         |    FROM cand c
+         |    JOIN (SELECT p.query_id, p.aid, MAX(p.simfp) AS msim
+         |          FROM ps p JOIN $prev s ON s.query_id = p.query_id AND s.neighbor_id = p.bid
+         |          GROUP BY 1, 2) m
+         |      ON m.query_id = c.query_id AND m.aid = c.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+         |      WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id)) z
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val steps = (2 to MmrK).map(stepSql).mkString(",\n")
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+       | pairs AS (
+       |  SELECT query_id, n.vec_id AS neighbor_id,
+       |    CAST(floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) AS BIGINT) AS sfp
+       |  FROM q, n WHERE n.vec_id != query_id),
+       | cand AS MATERIALIZED (SELECT query_id, neighbor_id, sfp FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sfp DESC, neighbor_id) AS rk
+       |   FROM pairs) t WHERE rk <= $MmrCand),
+       | ce AS (SELECT c.query_id, c.neighbor_id, c.sfp, n.embedding, n.nrm
+       |        FROM cand c JOIN n ON n.vec_id = c.neighbor_id),
+       | ps AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS aid, b.neighbor_id AS bid,
+       |    CAST(floor((${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) AS BIGINT) AS simfp
+       |  FROM ce a JOIN ce b ON a.query_id = b.query_id),
+       | sel1 AS MATERIALIZED (SELECT query_id, 1 AS step, neighbor_id, 7 * sfp AS mmr_fp FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sfp DESC, neighbor_id) AS rk
+       |   FROM cand) t WHERE rk = 1),
+       |$steps
+       |SELECT query_id, step, neighbor_id, CAST(mmr_fp AS DOUBLE) / 1e5 AS mmr
+       |FROM sel$MmrK""".stripMargin
+  }
+
   /** IVF×PQ served ENTIRELY from the persisted index (VERDICT r4
     * next-round #5 — the missing PQ half of the prebuilt lifecycle): the
     * candidate stage reads the stored M-byte code table (cell-pruned by
@@ -1346,6 +1446,7 @@ object Ann extends QueryModule {
     ("ann_pca_topk", pcaTopK _, Some(pcaTopKSql)),
     ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, Some(ivfTopKSql)),
     ("ann_filtered_topk", filteredTopK _, Some(filteredTopKSql)),
+    ("emb_mmr_rerank", mmrRerank _, Some(mmrRerankSql)),
     ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, Some(ivfPqTopKSql)),
     ("ann_pq_topk", pqTopK _, Some(pqTopKSql)),
     ("ann_ivfpq_topk", ivfPqTopK _, Some(ivfPqTopKSql)),

@@ -9,6 +9,69 @@ class AnnSpec extends SparkSpec {
     Ann.entries.foreach { case (name, fn, _) => fn(spark, sf).collect() }
   }
 
+  test("filtered top-k: only label%3==0 neighbors, ranks contiguous, scores descend") {
+    val rows = Ann.filteredTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("label") % 3 == 0,
+      s"unfiltered label ${r.getAs[Int]("label")} leaked into the result"))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("rk"))
+      assert(ordered.map(_.getAs[Long]("rk")).toSeq == (1L to rs.length).toSeq, s"q$q ranks")
+      val scores = ordered.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b }, s"q$q order")
+    }
+    // every returned neighbor must satisfy the predicate in the BASE table too
+    // (the stored index's label column is a faithful copy, not a stale cache)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(base(r.getAs[Long]("neighbor_id")) % 3 == 0))
+  }
+
+  test("MMR rerank equals the greedy local model; step quality is monotone") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cosFp(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 1e4 + 0.5).toLong
+    }
+    val want = (0L until 10L).flatMap { q =>
+      val qe = vecs(q)
+      val cand = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosFp(qe, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(30)
+      val sims = (for ((a, _) <- cand; (b, _) <- cand)
+        yield (a, b) -> cosFp(vecs(a), vecs(b))).toMap
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (id, mmr_fp)
+      for (step <- 1 to 10) {
+        val pickable = cand.filterNot(c => selected.exists(_._1 == c._1))
+          .map { case (id, sfp) =>
+            val pen = if (selected.isEmpty) 0L
+              else selected.map(s0 => sims((id, s0._1))).max * 3L
+            (id, 7L * sfp - pen)
+          }
+        val (id, fp) = pickable.minBy { case (id0, fp0) => (-fp0, id0) }
+        selected += ((id, fp))
+      }
+      selected.zipWithIndex.map { case ((id, fp), i) =>
+        (q, i + 1, id, fp.toDouble / 1e5)
+      }
+    }.toSet
+    val got = Ann.mmrRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("step"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("mmr"))).toSet
+    assert(got == want)
+    // achievable MMR is non-increasing: candidates shrink and the
+    // diversity penalty only grows with the selected set
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      val byStep = rs.toSeq.sortBy(_._2).map(_._4)
+      assert(byStep.zip(byStep.drop(1)).forall { case (a, b) => a >= b }, s"q$q not monotone")
+    }
+  }
+
   test("brute force: 10 ranked neighbors per query, scores descending") {
     val byQ = Ann.bruteForce(spark, sf).collect().groupBy(_.getAs[Long]("query_id"))
     assert(byQ.size == 10)

@@ -9,6 +9,32 @@ class DedupSpec extends SparkSpec {
     Dedup.entries.foreach { case (name, fn, _) => fn(spark, sf).collect() }
   }
 
+  test("substring-exact coverage matches a local span-scan model per doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spanDocs = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    val docToks = docs.map { case (id, t) => id -> graft.plans.WordShingles.sqlTokens(t) }
+    for ((id, tk) <- docToks; i <- 0 to tk.length - 8)
+      spanDocs.getOrElseUpdate(tk.slice(i, i + 8).mkString(" "),
+        scala.collection.mutable.Set[Long]()) += id
+    val dup = spanDocs.filter(_._2.size >= 2).keySet
+    val want = docToks.map { case (id, tk) =>
+      val covered = scala.collection.mutable.Set[Int]()
+      for (i <- 0 to tk.length - 8; if dup(tk.slice(i, i + 8).mkString(" ")); o <- 0 until 8)
+        covered += i + o
+      id -> ((tk.length.toLong, covered.size.toLong))
+    }
+    val got = Dedup.substringExact(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, exp) => assert(got(id) == exp, s"doc $id") }
+    // the synthetic corpus plants exact dups — the signal must be nonzero
+    assert(want.values.exists(_._2 > 0), "no duplicated span found in fixture corpus")
+  }
+
   test("exact dedup accounting is consistent") {
     val r = Dedup.exact(spark, sf).collect()(0)
     val (docs, uniq, dupes) =

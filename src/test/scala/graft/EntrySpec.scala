@@ -123,9 +123,14 @@ class EntrySpec extends SparkSpec {
     // r8: +ann_recall_eval_pq (quantized-tier recall gauge),
     // +ann_ivfpq_residual_prebuilt_topk (residual tier served from the
     // stored index), +mm_pixel_decode (real-codec PNG round trip,
-    // analytic oracle) → 174/174.
-    assert(SparkEntry.queries.size == 174, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 174, s"got ${SparkEntry.oracleSql.size}")
+    // analytic oracle) → 174/174; mid-r8 batch:
+    // +dedup_substring_exact (Lee-et-al span dedup),
+    // +ann_filtered_topk (metadata-filtered serving on the stored index),
+    // +emb_mmr_rerank (greedy MMR, 10 unrolled oracle steps),
+    // +txt_collocations_pmi, +txt_zipf_fit, +txt_source_kl,
+    // +ev_ewma_smoothing, +ev_cusum_changepoint → 182/182.
+    assert(SparkEntry.queries.size == 182, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 182, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

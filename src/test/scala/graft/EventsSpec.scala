@@ -11,6 +11,50 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  private def dailyCounts: Map[(String, java.time.LocalDate), Long] =
+    Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate))
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+
+  test("EWMA matches a local truncated-kernel model on every (type, day)") {
+    val w = Seq(1000000L, 700000L, 490000L, 343000L, 240100L, 168070L, 117649L, 82354L)
+    val daily = dailyCounts
+    val want = daily.map { case ((typ, day), n) =>
+      val terms = (0 until 8).flatMap { j =>
+        daily.get((typ, day.minusDays(j.toLong))).map(x => (x * w(j), w(j)))
+      }
+      val (swn, sw) = (terms.map(_._1).sum, terms.map(_._2).sum)
+      (typ, day) -> ((n, math.floor(swn.toDouble / sw * 1e6 + 0.5) / 1e6))
+    }
+    val got = Events.ewmaSmoothing(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toLocalDate)
+        -> ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma")))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k") }
+  }
+
+  test("CUSUM peak matches a local integer-scan model per type") {
+    val daily = dailyCounts
+    val want = daily.keys.map(_._1).toSet.map { (typ: String) =>
+      val series = daily.collect { case ((`typ`, day), n) => day -> n }.toSeq.sortBy(_._1)
+      val nd = series.size.toLong
+      val sn = series.map(_._2).sum
+      val devs = series.zipWithIndex.map { case ((day, _), i) =>
+        val cn = series.take(i + 1).map(_._2).sum
+        (day, math.abs(nd * cn - (i + 1).toLong * sn))
+      }
+      val (peakDay, peakAbs) = devs.maxBy { case (day, a) => (a, -day.toEpochDay) }
+      typ -> ((nd, peakDay, math.floor(peakAbs.toDouble / nd * 1e6 + 0.5) / 1e6))
+    }.toMap
+    val got = Events.cusumChangepoint(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[java.sql.Date]("peak_day").toLocalDate,
+          r.getAs[Double]("peak_dev")))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"mismatch for $k") }
+  }
+
   test("bitmap distinct: merged bitmap counts equal exact COUNT(DISTINCT)") {
     val got = Events.bitmapDistinct(spark, sf).collect()
       .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap

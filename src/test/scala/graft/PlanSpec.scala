@@ -47,7 +47,18 @@ class PlanSpec extends SparkSpec {
       // max rate) under its rate computation — the same idiom;
       // smp_token_budget / pipeline_curated_budget broadcast the 1-row
       // corpus token total
-      "smp_temperature_mix", "smp_token_budget", "pipeline_curated_budget")
+      "smp_temperature_mix", "smp_token_budget", "pipeline_curated_budget",
+      // txt_zipf_fit self-joins the ≤100-row top-terms frame under a
+      // constant key (rank = dominator count) — the build side is bounded
+      // by the top-N cap, not data volume; ann_filtered_topk inherits the
+      // prebuilt probe's declared centroid/query-set broadcasts;
+      // emb_mmr_rerank's candidate stage is the brute-force query-set
+      // cross join (the per-query frames downstream are constant-size)
+      "txt_zipf_fit", "ann_filtered_topk", "emb_mmr_rerank",
+      // txt_source_kl / txt_collocations_pmi broadcast the 1-row corpus
+      // total under their fixed-point-ln expressions — the same scalar
+      // idiom as txt_unigram_logprob
+      "txt_source_kl", "txt_collocations_pmi")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),

@@ -5,6 +5,68 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  private def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+
+  private def corpusTokens: Seq[(String, Array[String])] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect().toSeq
+      .map(r => r.getString(0) -> graft.plans.WordShingles.sqlTokens(r.getString(1)))
+
+  test("zipf fit matches a local integer-regression model and slopes negative") {
+    val counts = corpusTokens.flatMap(_._2).groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val top = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(100)
+    val q = top.zipWithIndex.map { case ((_, n), i) => (lnq(i + 1L), lnq(n)) }
+    val cnt = q.size.toLong
+    val (sx, sy) = (q.map(_._1).sum, q.map(_._2).sum)
+    val (sxy, sxx) = (q.map(p => p._1 * p._2).sum, q.map(p => p._1 * p._1).sum)
+    val slope = (cnt * sxy - sx * sy).toDouble / (cnt * sxx - sx * sx).toDouble
+    val want = math.floor(slope * 1e6 + 0.5) / 1e6
+    val row = TextAnalysis.zipfFit(spark, sf).collect()(0)
+    // the fixture vocabulary can be smaller than the top-N cap
+    assert(row.getAs[Long]("n_terms") == math.min(counts.size, 100))
+    assert(row.getAs[Double]("zipf_slope") == want)
+    assert(row.getAs[Double]("zipf_slope") < 0.0)
+  }
+
+  test("PMI collocations match a local margin model, top-20 order exact") {
+    val bgs = corpusTokens.flatMap { case (_, tk) => tk.dropRight(1).zip(tk.drop(1)) }
+      .map { case (a, b) => s"$a $b" }
+    val c12 = bgs.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val c1 = c12.groupBy(_._1.split(' ')(0)).map { case (t, g) => t -> g.values.sum }
+    val c2 = c12.groupBy(_._1.split(' ')(1)).map { case (t, g) => t -> g.values.sum }
+    val nb = c12.values.sum
+    val want = c12.filter(_._2 >= 5).toSeq.map { case (bg, n) =>
+      val Array(a, b) = bg.split(' ')
+      (bg, n, lnq(n) + lnq(nb) - lnq(c1(a)) - lnq(c2(b)))
+    }.sortBy { case (bg, _, fp) => (-fp, bg) }.take(20)
+      .map { case (bg, n, fp) => (bg, n, fp.toDouble / 1e6) }
+    val got = TextAnalysis.collocationsPmi(spark, sf).collect()
+      .map(r => (r.getAs[String]("bg"), r.getAs[Long]("c12"), r.getAs[Double]("pmi"))).toSeq
+    assert(got == want)
+  }
+
+  test("per-source KL matches a local model and is nonneg within quantization") {
+    val sw = corpusTokens.flatMap { case (s0, tk) => tk.map(s0 -> _) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val cw = sw.groupBy(_._1._2).map { case (t, g) => t -> g.values.sum }
+    val cs = sw.groupBy(_._1._1).map { case (s0, g) => s0 -> g.values.sum }
+    val ctot = cw.values.sum
+    val want = cs.map { case (src, csTot) =>
+      val klFp = sw.collect { case ((`src`, t), csw) =>
+        csw * (lnq(csw) + lnq(ctot) - lnq(cw(t)) - lnq(csTot))
+      }.sum
+      src -> (math.floor(klFp.toDouble / csTot + 0.5) / 1e6)
+    }
+    val got = TextAnalysis.sourceKl(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats")).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, k) =>
+      assert(got(src) == k, s"source $src")
+      // true KL >= 0; µ-quantization can dip at most ~2 µnat per term
+      assert(got(src) > -1e-3, s"KL sharply negative for $src")
+    }
+  }
+
   test("tfidf: at most 5 ranked terms per doc, scores descend, terms in doc") {
     val rows = TextAnalysis.tfidfTopk(spark, sf).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
