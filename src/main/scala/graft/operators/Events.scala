@@ -1028,7 +1028,37 @@ object Events extends QueryModule {
       | floor(CAST(abs(dev) AS DOUBLE) / nd * 1e6 + 0.5) / 1e6 AS peak_dev
       |FROM dev WHERE rk = 1""".stripMargin
 
+  /** Day-of-week seasonality profile per event type — the baseline every
+    * anomaly/forecast consumer normalizes against (a Monday spike is only
+    * a spike relative to Mondays). ISO weekday alignment: Spark's
+    * dayofweek (Sun=1) is remapped to Mon=1..Sun=7 to match DuckDB's
+    * isodow. Exact integer sums per (type, weekday) over the day-grain
+    * frame; one division at output. */
+  def seasonalityDow(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .groupBy(col("event_type"),
+        (pmod(dayofweek(col("day")) + lit(5), lit(7)) + lit(1)).as("iso_dow"))
+      .agg(count(lit(1)).cast("long").as("n_days"), sum("n").as("total"))
+      .select(col("event_type"), col("iso_dow").cast("int").as("iso_dow"),
+        col("n_days"), col("total").cast("long").as("total_events"),
+        (floor(col("total").cast("double") / col("n_days") * 1e6 + 0.5) / 1e6)
+          .as("mean_daily"))
+  }
+
+  private val seasonalityDowSql =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |               FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(isodow(day) AS INT) AS iso_dow,
+      | CAST(COUNT(*) AS BIGINT) AS n_days,
+      | CAST(SUM(n) AS BIGINT) AS total_events,
+      | floor(CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_daily
+      |FROM daily GROUP BY 1, 2""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ev_seasonality_dow", seasonalityDow _, Some(seasonalityDowSql)),
     ("ev_ewma_smoothing", ewmaSmoothing _, Some(ewmaSmoothingSql)),
     ("ev_cusum_changepoint", cusumChangepoint _, Some(cusumChangepointSql)),
     ("ev_time_to_convert", timeToConvert _, Some(timeToConvertSql)),

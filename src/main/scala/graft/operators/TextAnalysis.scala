@@ -926,7 +926,51 @@ object TextAnalysis extends QueryModule {
       |FROM sw JOIN w USING (t) JOIN st USING (source) CROSS JOIN tot
       |GROUP BY sw.source""".stripMargin
 
+  /** Pairwise source vocabulary overlap (Jaccard of distinct-token sets) —
+    * the cross-source contamination/redundancy gauge that complements
+    * txt_source_kl's distributional view: two sources can have near-zero
+    * KL yet share almost no vocabulary, and vice versa. Pair generation
+    * rides the token posting lists (pairs per token ≤ |sources|², bounded
+    * by the SOURCE taxonomy — a curated tens-to-hundreds set in practice;
+    * a very-high-cardinality grouping would switch to per-source MinHash
+    * sketches on the same machinery as dedup_minhash_lsh). Posting-list
+    * self-join salted (every stopword token hits all sources); top 20
+    * pairs via TakeOrdered. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sv = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("v"))
+    val pairs = graft.functions.Skew.saltedJoin(
+        sv, sv.select(col("source").as("src_b"), col("t")), "t", 8, col("source"))
+      .filter(col("source") < col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("v").as("va"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("v").as("vb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter").cast("long").as("inter_vocab"),
+        Cols.fp6(col("inter").cast("double") / (col("va") + col("vb") - col("inter")))
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), asc("src_a"), asc("src_b"))
+      .limit(20)
+  }
+
+  private val sourceOverlapSql =
+    """WITH sv AS (SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |            FROM documents),
+      | sz AS (SELECT source, COUNT(*) AS v FROM sv GROUP BY source),
+      | pr AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+      |        FROM sv a JOIN sv b ON a.t = b.t AND a.source < b.source
+      |        GROUP BY 1, 2)
+      |SELECT pr.src_a, pr.src_b, CAST(pr.inter AS BIGINT) AS inter_vocab,
+      | floor(CAST(pr.inter AS DOUBLE) / (sa.v + sb.v - pr.inter) * 1e6 + 0.5) / 1e6
+      |   AS jaccard
+      |FROM pr JOIN sz sa ON sa.source = pr.src_a JOIN sz sb ON sb.source = pr.src_b
+      |ORDER BY jaccard DESC, pr.src_a, pr.src_b LIMIT 20""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_source_overlap", sourceOverlap _, Some(sourceOverlapSql)),
     ("txt_collocations_pmi", collocationsPmi _, Some(collocationsPmiSql)),
     ("txt_zipf_fit", zipfFit _, Some(zipfFitSql)),
     ("txt_source_kl", sourceKl _, Some(sourceKlSql)),

@@ -1441,7 +1441,52 @@ object Ann extends QueryModule {
        |       / COALESCE(n_neighbors, 1) * 1e4 + 0.5) / 1e4 AS mean_score
        |FROM n LEFT JOIN agg ON n.vec_id = agg.vec_a""".stripMargin
 
+  /** Per-subspace PQ reconstruction distortion — the index-health gauge
+    * that pairs with the recall gauges: recall tells you the serving
+    * tier still finds the right neighbors, distortion tells you WHY it
+    * will stop (a drifting corpus raises MSE per subspace before recall
+    * visibly drops, and a hot subspace pinpoints which dims need a
+    * codebook retrain). Mean squared ‖sub − centroid(code)‖² per
+    * subspace over the full corpus; each row's error is quantized to
+    * nano-units so the per-subspace sums are exact integers
+    * (order-independent cross-engine), one division at output. Same
+    * training, same assignment tie-break as the serving tier. */
+  def pqDistortion(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cb = trainPqCodebooks(e)
+    assignCodes(subvectors(e, "embedding"), cb)
+      .join(broadcast(cb), Seq("m", "code"))
+      .withColumn("sqe_fp",
+        floor(l2sq(col("sub"), col("centroid")) * 1e9 + 0.5).cast("long"))
+      .groupBy("m")
+      .agg(count(lit(1)).cast("long").as("n_vecs"), sum("sqe_fp").as("fp"))
+      .select(col("m"), col("n_vecs"),
+        (floor(col("fp").cast("double") / col("n_vecs") + 0.5) / 1e9).as("mse"))
+  }
+
+  private def pqDistortionSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |rawv AS (SELECT vec_id,
+       |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS vec
+       |  FROM embeddings),
+       |${pqCtesSql()},
+       |asg AS (SELECT m, vec_id, sub, centroid FROM (
+       |  SELECT t.m, t.vec_id, t.sub, c.centroid,
+       |    row_number() OVER (PARTITION BY t.m, t.vec_id ORDER BY
+       |      list_sum([(t.sub[i] - c.centroid[i]) * (t.sub[i] - c.centroid[i])
+       |                FOR i IN generate_series(1, $SubDim)]) ASC,
+       |      c.code) AS rk
+       |  FROM subs t JOIN pc$PqIters c ON c.m = t.m) z WHERE rk = 1),
+       |q AS (SELECT m, CAST(floor(
+       |    list_sum([(sub[i] - centroid[i]) * (sub[i] - centroid[i])
+       |              FOR i IN generate_series(1, $SubDim)]) * 1e9 + 0.5) AS BIGINT) AS fp
+       |  FROM asg)
+       |SELECT CAST(m AS INT) AS m, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       | floor(CAST(SUM(fp) AS DOUBLE) / COUNT(*) + 0.5) / 1e9 AS mse
+       |FROM q GROUP BY m""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("emb_pq_distortion", pqDistortion _, Some(pqDistortionSql)),
     ("emb_radius_search", radiusSearch _, Some(radiusSearchSql)),
     ("ann_pca_topk", pcaTopK _, Some(pcaTopKSql)),
     ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, Some(ivfTopKSql)),

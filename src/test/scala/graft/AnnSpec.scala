@@ -72,6 +72,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("PQ distortion: one row per subspace, full corpus coverage, positive MSE") {
+    val rows = Ann.pqDistortion(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Int]("m")).sorted.toSeq == (0 until 8))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n, s"subspace ${r.getAs[Int]("m")} coverage")
+      val mse = r.getAs[Double]("mse")
+      assert(mse > 0.0 && java.lang.Double.isFinite(mse))
+    }
+  }
+
   test("brute force: 10 ranked neighbors per query, scores descending") {
     val byQ = Ann.bruteForce(spark, sf).collect().groupBy(_.getAs[Long]("query_id"))
     assert(byQ.size == 10)

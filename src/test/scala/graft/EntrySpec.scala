@@ -128,9 +128,12 @@ class EntrySpec extends SparkSpec {
     // +ann_filtered_topk (metadata-filtered serving on the stored index),
     // +emb_mmr_rerank (greedy MMR, 10 unrolled oracle steps),
     // +txt_collocations_pmi, +txt_zipf_fit, +txt_source_kl,
-    // +ev_ewma_smoothing, +ev_cusum_changepoint → 182/182.
-    assert(SparkEntry.queries.size == 182, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 182, s"got ${SparkEntry.oracleSql.size}")
+    // +ev_ewma_smoothing, +ev_cusum_changepoint → 182/182; late r8:
+    // +ev_seasonality_dow (ISO weekday profile), +txt_source_overlap
+    // (pairwise source vocab Jaccard), +emb_pq_distortion (per-subspace
+    // reconstruction MSE gauge) → 185/185.
+    assert(SparkEntry.queries.size == 185, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 185, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

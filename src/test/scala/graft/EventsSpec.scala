@@ -55,6 +55,23 @@ class EventsSpec extends SparkSpec {
     want.foreach { case (k, v) => assert(got(k) == v, s"mismatch for $k") }
   }
 
+  test("day-of-week profile matches a local recount with ISO weekday numbering") {
+    val daily = dailyCounts
+    val want = daily.toSeq
+      .groupBy { case ((typ, day), _) => (typ, day.getDayOfWeek.getValue) }
+      .map { case ((typ, dow), rows) =>
+        val total = rows.map(_._2).sum
+        (typ, dow) -> ((rows.size.toLong, total,
+          math.floor(total.toDouble / rows.size * 1e6 + 0.5) / 1e6))
+      }
+    val got = Events.seasonalityDow(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("iso_dow")) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("total_events"),
+          r.getAs[Double]("mean_daily")))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k") }
+  }
+
   test("bitmap distinct: merged bitmap counts equal exact COUNT(DISTINCT)") {
     val got = Events.bitmapDistinct(spark, sf).collect()
       .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap

@@ -67,6 +67,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("source vocabulary overlap matches a local set model, top-20 order exact") {
+    val vocab = corpusTokens.groupBy(_._1)
+      .map { case (src, g) => src -> g.flatMap(_._2).toSet }
+    val want = vocab.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      val inter = vocab(a).intersect(vocab(b)).size.toLong
+      val jac = inter.toDouble / (vocab(a).size + vocab(b).size - inter)
+      (a, b, inter, math.floor(jac * 1e6 + 0.5) / 1e6)
+    }.toSeq.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+    val got = TextAnalysis.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("inter_vocab"), r.getAs[Double]("jaccard"))).toSeq
+    assert(got == want)
+  }
+
   test("tfidf: at most 5 ranked terms per doc, scores descend, terms in doc") {
     val rows = TextAnalysis.tfidfTopk(spark, sf).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
