@@ -420,7 +420,103 @@ object Multimodal extends QueryModule {
       | CAST(sum_b AS DOUBLE) / (w * h) AS mean_b
       |FROM sums""".stripMargin
 
+  // ---- audio modality: WAV container synthesis + parse -------------------
+
+  /** Little-endian fixed-width binary from a non-negative int column —
+    * the RIFF twin of [[be]] (WAV headers are little-endian throughout). */
+  private def le(c: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map { i =>
+      unhex(lpad(hex(pmod(shiftright(c.cast("long"), 8 * i), lit(256L))), 2, "0"))
+    }: _*)
+
+  private[graft] val WavHeaderBytes = 44
+  private val AudioFrameSamples = 256
+
+  /** i-th payload byte (1-based) as a long, read from the uppercase hex
+    * image of the payload. */
+  private def byteAt(hx: Column, i: Column): Column =
+    conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("long")
+
+  /** Synthesize a bit-accurate RIFF/WAVE container per doc — sample rate
+    * and channel count derived from doc_id, the text bytes as the 16-bit
+    * PCM `data` chunk — exactly as [[synthesizeMedia]] does for PNG/JPEG:
+    * the testdata ships no audio, so the entry builds real headers and
+    * then treats them as OPAQUE input. Every multi-byte field is genuine
+    * little-endian bytes (the [[le]] helper), so a parser that reads the
+    * wrong offsets or the wrong endianness mismatches the oracle. */
+  def synthesizeWav(df: DataFrame): DataFrame = {
+    val sr = (lit(8000L) + pmod(col("doc_id"), lit(4)) * 4000L)
+    val ch = (lit(1L) + pmod(col("doc_id"), lit(2)))
+    val blockAlign = ch * 2L
+    val dataSize = octet_length(col("text").cast("binary")).cast("long")
+    val header = concat(
+      lit("RIFF").cast("binary"), le(dataSize + 36L, 4),
+      lit("WAVE").cast("binary"), lit("fmt ").cast("binary"), le(lit(16L), 4),
+      le(lit(1L), 2), le(ch, 2), le(sr, 4), le(sr * blockAlign, 4),
+      le(blockAlign, 2), le(lit(16L), 2),
+      lit("data").cast("binary"), le(dataSize, 4))
+    df.select(col("doc_id"), concat(header, col("text").cast("binary")).as("payload"))
+  }
+
+  /** Audio probe — the ffprobe-style metadata stage of an audio pipeline:
+    * parse sample rate / channels / bits / data size back out of the
+    * little-endian header BYTES, derive sample count, duration and the
+    * fixed-size frame count a feature extractor (fbank/MFCC) would fan
+    * out to, and decode the first PCM sample (16-bit LE signed) as a
+    * did-we-read-the-right-bytes sentinel. Map-only codegen expressions,
+    * no shuffle at all; a real resampler/codec slots in downstream via
+    * mapInPandas exactly as mm_pixel_decode demonstrates for images.
+    * The oracle recomputes every column arithmetically from doc_id and
+    * the text (the fields are pure functions of them), so a mis-parse of
+    * any offset or endianness hash-mismatches. */
+  def wavProbe(s: SparkSession, d: String): DataFrame =
+    parseWav(synthesizeWav(Tables.documents(s, d).filter(length(col("text")) >= 2)))
+
+  /** Parse stage of [[wavProbe]], parametric over any (doc_id, payload)
+    * frame so MultimodalSpec can prove the fields come from the BYTES
+    * (tampering a header byte shifts the parsed field). */
+  private[graft] def parseWav(media: DataFrame): DataFrame = {
+    val hx = hex(col("payload"))
+    val isWav = substring(hx, 1, 8) === "52494646" &&
+      substring(hx, 17, 8) === "57415645"
+    val ch = byteAt(hx, lit(23)) + byteAt(hx, lit(24)) * 256L
+    val sr = byteAt(hx, lit(25)) + byteAt(hx, lit(26)) * 256L +
+      byteAt(hx, lit(27)) * 65536L + byteAt(hx, lit(28)) * 16777216L
+    val blockAlign = byteAt(hx, lit(33)) + byteAt(hx, lit(34)) * 256L
+    val bits = byteAt(hx, lit(35)) + byteAt(hx, lit(36)) * 256L
+    val dataSize = byteAt(hx, lit(41)) + byteAt(hx, lit(42)) * 256L +
+      byteAt(hx, lit(43)) * 65536L + byteAt(hx, lit(44)) * 16777216L
+    val nSamples = (dataSize / blockAlign).cast("long")
+    val raw0 = byteAt(hx, lit(45)) + byteAt(hx, lit(46)) * 256L
+    val s0 = when(raw0 >= 32768L, raw0 - 65536L).otherwise(raw0)
+    media
+      .filter(isWav)
+      .select(col("doc_id"), ch.as("channels"), sr.as("sample_rate"),
+        bits.as("bits_per_sample"), nSamples.as("n_samples"),
+        graft.Cols.fp6(nSamples.cast("double") / sr).as("duration_s"),
+        ((nSamples + (AudioFrameSamples - 1)) / AudioFrameSamples).cast("long")
+          .as("n_frames"),
+        s0.as("first_sample"))
+  }
+
+  private val wavProbeSql =
+    s"""SELECT doc_id,
+       | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       | CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+       | CAST(16 AS BIGINT) AS bits_per_sample,
+       | CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2) AS BIGINT) AS n_samples,
+       | floor(CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2) AS DOUBLE)
+       |   / (8000 + (doc_id % 4) * 4000) * 1e6 + 0.5) / 1e6 AS duration_s,
+       | CAST((octet_length(encode(text)) // ((1 + doc_id % 2) * 2) + ${AudioFrameSamples - 1})
+       |   // $AudioFrameSamples AS BIGINT) AS n_frames,
+       | CAST(CASE WHEN ascii(substr(text, 1, 1)) + 256 * ascii(substr(text, 2, 1)) >= 32768
+       |      THEN ascii(substr(text, 1, 1)) + 256 * ascii(substr(text, 2, 1)) - 65536
+       |      ELSE ascii(substr(text, 1, 1)) + 256 * ascii(substr(text, 2, 1)) END AS BIGINT)
+       |   AS first_sample
+       |FROM documents WHERE length(text) >= 2""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("mm_wav_probe", wavProbe _, Some(wavProbeSql)),
     ("mm_pixel_decode", pixelDecode _, Some(pixelDecodeSql)),
     ("mm_phash_dedup", phashDedup _, Some(phashDedupSql)),
     ("mm_binary_meta", binaryMeta _, Some(binaryMetaSql)),

@@ -1057,7 +1057,119 @@ object Events extends QueryModule {
       | floor(CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_daily
       |FROM daily GROUP BY 1, 2""".stripMargin
 
+  /** Per-type inter-arrival-time profile — the traffic-model gauge behind
+    * capacity planning and bot detection (a human's clicks are seconds
+    * apart; a scraper's are milliseconds, a batch job's are uniform):
+    * per (user, type) consecutive-event gaps via one lag window ordered
+    * by (ts, event_id) — the suite's deterministic tiebreak, equal
+    * timestamps exist in the data — rolled up per type to exact long
+    * microsecond sums, with mean/min/max emitted in seconds. At scale
+    * this is one shuffle on user_id (the window) and a tiny final agg;
+    * no global ordering anywhere. */
+  def interarrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_us"),
+        min(col("gap_us")).as("min_us"), max(col("gap_us")).as("max_us"))
+      .select(col("event_type"), col("n_gaps"),
+        fp6(col("sum_us").cast("double") / col("n_gaps") / 1e6).as("mean_gap_s"),
+        (col("min_us").cast("double") / 1e6).as("min_gap_s"),
+        (col("max_us").cast("double") / 1e6).as("max_gap_s"))
+  }
+
+  private val interarrivalSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_gaps,
+      | floor(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6 * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+      | CAST(MIN(gap_us) AS DOUBLE) / 1e6 AS min_gap_s,
+      | CAST(MAX(gap_us) AS DOUBLE) / 1e6 AS max_gap_s
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin
+
+  /** Cohort LTV curve — cumulative purchase revenue per signup-week
+    * cohort by week offset, per cohort member (the growth metric behind
+    * payback-period decisions; ev_retention is its head-count twin).
+    * Money stays DECIMAL end to end: per-(cohort, offset) revenue sums
+    * exactly, the running total accumulates decimals inside the window
+    * (partitioned by cohort — never a global frame), and only the final
+    * per-user division leaves exact arithmetic, fixed-pointed at 1e6.
+    * Cohort sizes ride the same firstSeen frame (one extra tiny agg). */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = firstSeen.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val rev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")).cast("long") / 7L)
+          .cast("long").as("week_offset"))
+      .agg(sum(dec(col("value"), 2)).as("rev"))
+    val cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_rev", sum(col("rev")).over(cum))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"),
+        col("rev").cast("double").as("week_revenue"),
+        fp6(col("cum_rev").cast("double") / col("n_users")).as("ltv_per_user"))
+  }
+
+  private val cohortLtvSql =
+    """WITH fs AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      | sz AS (SELECT cohort_week, COUNT(*) AS n_users FROM fs GROUP BY 1),
+      | rev AS (
+      |  SELECT fs.cohort_week,
+      |    date_diff('day', fs.cohort_week, date_trunc('week', e.ts)) // 7 AS week_offset,
+      |    SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+      |  FROM events e JOIN fs ON e.user_id = fs.user_id
+      |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT rev.cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+      | CAST(rev AS DOUBLE) AS week_revenue,
+      | floor(CAST(SUM(rev) OVER (PARTITION BY rev.cohort_week ORDER BY week_offset
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   / n_users * 1e6 + 0.5) / 1e6 AS ltv_per_user
+      |FROM rev JOIN sz ON rev.cohort_week = sz.cohort_week""".stripMargin
+
+  /** Decade histogram of the value distribution per event type — the
+    * order-of-magnitude profile (how much volume is micro vs whale) a
+    * monetization/fraud dashboard opens with. Buckets are DIGIT COUNTS of
+    * floor(value) — pure integer/string arithmetic, identical on both
+    * engines, where a log10() bucket boundary is one ulp from flipping.
+    * One small aggregate; money stays decimal-exact. */
+  def valueHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        length(floor(col("value")).cast("long").cast("string")).as("decade"))
+      .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("event_type"), col("decade").cast("int").as("decade"),
+        col("n_events"), col("total_value"), col("min_value"), col("max_value"))
+
+  private val valueHistogramSql =
+    """SELECT event_type,
+      | CAST(length(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)) AS INT) AS decade,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      | MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("ev_value_histogram", valueHistogram _, Some(valueHistogramSql)),
+    ("ev_interarrival", interarrival _, Some(interarrivalSql)),
+    ("ev_cohort_ltv", cohortLtv _, Some(cohortLtvSql)),
     ("ev_seasonality_dow", seasonalityDow _, Some(seasonalityDowSql)),
     ("ev_ewma_smoothing", ewmaSmoothing _, Some(ewmaSmoothingSql)),
     ("ev_cusum_changepoint", cusumChangepoint _, Some(cusumChangepointSql)),

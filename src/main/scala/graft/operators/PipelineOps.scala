@@ -532,7 +532,32 @@ object PipelineOps extends QueryModule {
        | floor((chosen_q - rejected_q) * 1e6 + 0.5) / 1e6 AS quality_gap
        |FROM agg WHERE n_extremes = 2 AND chosen_q > rejected_q""".stripMargin
 
+  /** Deterministic k-fold split report — the train/eval partitioner every
+    * fine-tune/eval pipeline needs, assigned by CONTENT hash (fold =
+    * md5Int(text) mod 5) so membership is stable under any reshuffle,
+    * re-ingest, or partial re-crawl of the corpus — doc_id-based folds
+    * silently leak when ids are reassigned. Per-fold counts, token totals
+    * and source spread prove balance; the assignment itself is the same
+    * expression any consumer can re-derive map-side (no stored split
+    * table to drift). One tiny aggregate — embarrassingly parallel. */
+  def kfold(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(pmod(graft.functions.TextFunctions.md5Int(col("text")), lit(5L)).as("fold"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+
+  private val kfoldSql =
+    s"""SELECT ${graft.functions.TextFunctions.md5IntSql("text")} % 5 AS fold,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       | COUNT(DISTINCT source) AS n_sources
+       |FROM documents GROUP BY 1""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("smp_kfold", kfold _, Some(kfoldSql)),
     ("smp_preference_pairs", preferencePairs _, Some(preferencePairsSql)),
     ("pipeline_curated_budget", curatedBudget _, Some(curatedBudgetSql)),
     ("smp_token_budget", tokenBudget _, Some(tokenBudgetSql)),

@@ -969,7 +969,140 @@ object TextAnalysis extends QueryModule {
       |FROM pr JOIN sz sa ON sa.source = pr.src_a JOIN sz sb ON sb.source = pr.src_b
       |ORDER BY jaccard DESC, pr.src_a, pr.src_b LIMIT 20""".stripMargin
 
+  /** Per-doc character-level Shannon entropy — the cheapest garbage/
+    * repetition gauge in a pretraining filter stack (binary blobs and
+    * key-mashing score high, templated boilerplate scores low; C4-style
+    * pipelines threshold on it before any tokenization): H = ln n −
+    * (Σ c·ln c)/n over the doc's char counts. Each ln is µ-nat-quantized
+    * (lnQ) so the weighted sum is exact integer arithmetic — the entropy
+    * double is bit-identical cross-engine. Char grain = code points on
+    * both engines (split("")/numChars vs generate_series+substring, the
+    * mm_phash-proven device). Map-side explode + one (doc_id, ch)
+    * aggregate: no corpus-global state at all, embarrassingly parallel
+    * at 100 TB. */
+  def charEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * lnQ(col("c"))).as("s"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars_counted"),
+        col("n_distinct_chars").cast("long"),
+        Cols.fp6((lnQ(col("n")) * col("n") - col("s")).cast("double")
+          / col("n") / 1e6).as("entropy_nats"))
+
+  private val charEntropySql =
+    """WITH c AS (
+      |  SELECT doc_id, substring(text, CAST(i AS BIGINT), 1) AS ch, COUNT(*) AS c
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+      |        FROM documents WHERE length(text) > 0)
+      |  GROUP BY 1, 2),
+      | agg AS (
+      |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct_chars,
+      |    SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS s
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+      | CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+      | floor(CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) * n - s
+      |   AS DOUBLE) / n / 1e6 * 1e6 + 0.5) / 1e6 AS entropy_nats
+      |FROM agg""".stripMargin
+
+  /** Heaps'-law fit per source (+ corpus rollup row) — the vocabulary-
+    * growth twin of `txt_zipf_fit`: least-squares slope β of ln V on
+    * ln N over each doc's (token count N, type count V) point. Natural
+    * text sits β ≈ 0.4–0.6; template/boilerplate sources flatten toward
+    * 0, random-ish sources push 1 — the per-source β is the domain-mix
+    * health gauge next to `txt_source_kl`. Per-doc N/V are array ops
+    * (no explode, no shuffle); the regression sums are exact decimal
+    * sums of µ-quantized ln longs (order-independent at any scale —
+    * long sums could overflow past ~1e12 docs, DECIMAL(38,0) cannot),
+    * combined in identical double arithmetic. ROLLUP gives the corpus
+    * row from the same single aggregate. */
+  def heapsFit(s: SparkSession, d: String): DataFrame = {
+    val dec38 = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val pts = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("source"), lnQ(size(col("toks"))).as("x"),
+        lnQ(size(array_distinct(col("toks")))).as("y"))
+    pts.rollup("source")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec38(col("x"))).as("sx"), sum(dec38(col("y"))).as("sy"),
+        sum(dec38(col("x") * col("y"))).as("sxy"),
+        sum(dec38(col("x") * col("x"))).as("sxx"))
+      .select(coalesce(col("source"), lit("__corpus__")).as("source"),
+        col("cnt").cast("long").as("n_docs"),
+        Cols.fp6((col("cnt").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("cnt").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("heaps_beta"))
+  }
+
+  private val heapsFitSql =
+    """WITH pts AS (
+      |  SELECT source,
+      |    CAST(floor(ln(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+      |      AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+      |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+      | agg AS (
+      |  SELECT source, COUNT(*) AS cnt, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM pts GROUP BY ROLLUP (source))
+      |SELECT COALESCE(source, '__corpus__') AS source, CAST(cnt AS BIGINT) AS n_docs,
+      | floor((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS heaps_beta
+      |FROM agg""".stripMargin
+
+  /** Per-doc 3-gram novelty — the share of a doc's distinct word-3-gram
+    * shingles that appear NOWHERE else in the corpus (df = 1): high means
+    * genuinely new text, low means the doc is assembled from corpus
+    * boilerplate — the doc-grain complement of the dedup pair views
+    * (which only surface the top offenders, not a per-doc score to
+    * filter on). Shingles come from the same native WordShingles kernel
+    * as the dedup index (one definition corpus-wide); df is the same
+    * per-shingle window exchange shingleIndexOf uses — one shuffle on the
+    * shingle, no pair join at all, so this is strictly cheaper than any
+    * dedup entry at 100 TB. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.GraftColumns.column(
+          graft.plans.WordShingles(
+            org.apache.spark.sql.GraftColumns.expression(col("text"))))).as("sg"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        Cols.fp6(col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+
+  private val ngramNoveltySql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents),
+      | sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                 FOR i IN generate_series(1, len(toks)-2)]) AS sh FROM t),
+      | inv AS (SELECT doc_id, unnest(sh) AS sg FROM sh),
+      | dfd AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY sg) AS df FROM inv),
+      | agg AS (SELECT doc_id, COUNT(*) AS n_shingles,
+      |           SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+      |         FROM dfd GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+      | CAST(n_unique AS BIGINT) AS n_unique,
+      | floor(CAST(n_unique AS DOUBLE) / n_shingles * 1e6 + 0.5) / 1e6 AS novelty
+      |FROM agg""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_ngram_novelty", ngramNovelty _, Some(ngramNoveltySql)),
+    ("txt_char_entropy", charEntropy _, Some(charEntropySql)),
+    ("txt_heaps_fit", heapsFit _, Some(heapsFitSql)),
     ("txt_source_overlap", sourceOverlap _, Some(sourceOverlapSql)),
     ("txt_collocations_pmi", collocationsPmi _, Some(collocationsPmiSql)),
     ("txt_zipf_fit", zipfFit _, Some(zipfFitSql)),

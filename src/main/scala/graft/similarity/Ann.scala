@@ -501,7 +501,12 @@ object Ann extends QueryModule {
     * the whole corpus×KnnQ product into KnnQ partition sorts — the only
     * unbounded rank left in the suite); the pre-reduce is top-k-invariant
     * so the oracle keeps the plain rank window. */
-  def knnLabelVote(s: SparkSession, d: String): DataFrame = {
+  /** Shared per-query prediction frame: majority label among the KnnK
+    * nearest labeled vectors (vote ties broken by smaller label) — the
+    * single pipeline both the per-query vote entry and the confusion
+    * matrix aggregate read, so the two can never disagree on what
+    * "predicted" means. */
+  private def knnPredictions(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
     val q = e.filter(col("vec_id") < KnnQ)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -515,10 +520,13 @@ object Ann extends QueryModule {
       .withColumn("vrk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("votes"), asc("label"))))
       .filter(col("vrk") === 1)
+  }
+
+  def knnLabelVote(s: SparkSession, d: String): DataFrame =
+    knnPredictions(s, d)
       .select(col("query_id"), col("label").cast("long").as("pred_label"),
         col("votes"), col("true_label").cast("long").as("true_label"))
       .orderBy("query_id")
-  }
 
   private val knnLabelVoteSql =
     s"""WITH n AS (SELECT vec_id, embedding, label, ${normSql("embedding")} AS nrm FROM embeddings),
@@ -1485,7 +1493,232 @@ object Ann extends QueryModule {
        | floor(CAST(SUM(fp) AS DOUBLE) / COUNT(*) + 0.5) / 1e9 AS mse
        |FROM q GROUP BY m""".stripMargin
 
+  // ---- kNN-distance novelty (OOD) gauge ----------------------------------
+  /** Mean cosine to the k nearest BUCKET-LOCAL neighbors, inverted into a
+    * novelty score — the kNN-density OOD gauge a curation pipeline ranks
+    * ingest by (a vector far from everything is either novel signal or an
+    * encoder failure; both belong at the top of a review queue).
+    * Candidates come from the same 4-bit sign-LSH bucketing as
+    * ann_lsh_topk — never an all-pairs stage — and the per-anchor top-k
+    * window is bucket-bounded by construction. The k scores are summed
+    * as exact DECIMAL(18,4) (each is a 4-dp fixed-point value), so the
+    * mean and the final ordering are bit-identical cross-engine; anchors
+    * with fewer than k bucket mates keep what they have (k_used). */
+  private val OodK = 5
+  def oodKnnDist(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+      .withColumn("bucket", signBucket(col("embedding"), 4))
+    val a = e.select(col("vec_id").as("anchor_id"), col("label"),
+      col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
+      col("nrm"), col("bucket").as("bucket_b"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("score"), asc("neighbor_id"))
+    a.join(b, col("bucket") === col("bucket_b") && col("anchor_id") =!= col("neighbor_id"))
+      .select(col("anchor_id"), col("label"), col("neighbor_id"), score.as("score"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= OodK)
+      .groupBy("anchor_id", "label")
+      .agg(count(lit(1)).as("k_used"),
+        sum(Cols.dec(col("score"), 4)).as("ssum"))
+      .select(col("anchor_id").as("vec_id"), col("label"),
+        col("k_used").cast("long").as("k_used"),
+        Cols.fp6(lit(1.0) - col("ssum").cast("double") / col("k_used")).as("novelty"))
+      .orderBy(desc("novelty"), asc("vec_id"))
+      .limit(20)
+  }
+
+  private val oodKnnDistSql =
+    s"""WITH n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm,
+       |  ${signBucketSql("embedding", 4)} AS bucket FROM embeddings),
+       | pairs AS (
+       |  SELECT a.vec_id AS anchor_id, a.label, b.vec_id AS neighbor_id,
+       |    floor((${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       | topk AS (SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY score DESC, neighbor_id) AS rk
+       |    FROM pairs) t WHERE rk <= $OodK),
+       | agg AS (
+       |  SELECT anchor_id, label, COUNT(*) AS k_used,
+       |    SUM(CAST(score AS DECIMAL(18,4))) AS ssum
+       |  FROM topk GROUP BY 1, 2)
+       |SELECT anchor_id AS vec_id, label, CAST(k_used AS BIGINT) AS k_used,
+       | floor((1.0 - CAST(ssum AS DOUBLE) / k_used) * 1e6 + 0.5) / 1e6 AS novelty
+       |FROM agg ORDER BY novelty DESC, vec_id LIMIT 20""".stripMargin
+
+  // ---- contrastive triplet mining ----------------------------------------
+  /** Hard-triplet mining for contrastive/embedding training: for each
+    * anchor, the highest-cosine SAME-label candidate (hardest positive to
+    * beat) and the highest-cosine DIFFERENT-label candidate (the hard
+    * negative whose margin the loss pushes on). One broadcast of the
+    * anchor set over a single corpus scan; the top-1-per-(anchor, class)
+    * selection rides the same bucketed pre-reduce as every O(n)-candidate
+    * rank in this module, so no window ever sees the full corpus. Margin
+    * is the difference of the two 4-dp fixed-point scores — identical
+    * doubles cross-engine. */
+  private val TripletAnchors = 20
+  def tripletMining(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val anch = e.filter(col("vec_id") < TripletAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val pairs = e.crossJoin(broadcast(anch))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_label"), col("vec_id").as("cand_id"),
+        (col("label") === col("a_label")).as("same"), score.as("score"))
+    val local = Window
+      .partitionBy(col("anchor_id"), col("same"), pmod(hash(col("cand_id")), lit(PreReduceBuckets)))
+      .orderBy(desc("score"), asc("cand_id"))
+    val global = Window.partitionBy("anchor_id", "same").orderBy(desc("score"), asc("cand_id"))
+    val best = pairs
+      .withColumn("brk", row_number().over(local)).filter(col("brk") === 1).drop("brk")
+      .withColumn("rk", row_number().over(global)).filter(col("rk") === 1)
+    val pos = best.filter(col("same"))
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("cand_id").as("pos_id"), col("score").as("pos_score"))
+    val neg = best.filter(!col("same"))
+      .select(col("anchor_id").as("n_anchor"),
+        col("cand_id").as("neg_id"), col("score").as("neg_score"))
+    pos.join(neg, col("anchor_id") === col("n_anchor")).drop("n_anchor")
+      .select(col("anchor_id"), col("label"), col("pos_id"), col("pos_score"),
+        col("neg_id"), col("neg_score"),
+        (col("pos_score") - col("neg_score")).as("margin"))
+  }
+
+  private val tripletMiningSql =
+    s"""WITH n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       | q AS (SELECT vec_id AS anchor_id, label AS a_label, embedding AS qe, nrm AS qn
+       |       FROM n WHERE vec_id < $TripletAnchors),
+       | pairs AS (
+       |  SELECT anchor_id, a_label, n.vec_id AS cand_id, n.label = a_label AS same,
+       |    floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |  FROM q, n WHERE n.vec_id != anchor_id),
+       | best AS (SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same ORDER BY score DESC, cand_id) AS rk
+       |    FROM pairs) t WHERE rk = 1)
+       |SELECT p.anchor_id, p.a_label AS label, p.cand_id AS pos_id, p.score AS pos_score,
+       | g.cand_id AS neg_id, g.score AS neg_score, p.score - g.score AS margin
+       |FROM best p JOIN best g ON p.anchor_id = g.anchor_id
+       |WHERE p.same AND NOT g.same""".stripMargin
+
+  // ---- hybrid lexical + vector retrieval (RRF fusion) --------------------
+  /** Reciprocal-rank fusion of a lexical ranking (distinct-token Jaccard
+    * against the query doc) and a vector ranking (cosine) — the standard
+    * hybrid-retrieval shape (Cormack et al. 2009: rrf = Σ 1/(60+rank))
+    * behind every "BM25 + embeddings" search stack. Both candidate ranks
+    * are corpus-scan + broadcast-query with the bucketed top-k pre-reduce
+    * (no posting-list shuffle: the query's token SET travels with the
+    * broadcast, so lexical overlap is a map-side array_intersect); the
+    * fuse joins two ≤RrfCand-row-per-query frames. Missing-in-one-list
+    * candidates contribute 0 from that list, per the paper. */
+  private val RrfConst = 60
+  private val RrfCand = 20
+  def rrfHybrid(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val vpairs = e.crossJoin(broadcast(queriesOf(e)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), score.as("score"))
+    val vtop = topKPerQuery(vpairs, "score", "cand_id", RrfCand, "rk_v")
+      .select("query_id", "cand_id", "rk_v")
+    val dt = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
+    val qd = dt.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
+    val lpairs = dt.crossJoin(broadcast(qd))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        size(array_intersect(col("toks"), col("qtoks"))).cast("double").as("inter"),
+        size(col("toks")).as("vb"), size(col("qtoks")).as("va"))
+      .filter(col("inter") > 0)
+      .select(col("query_id"), col("cand_id"),
+        Cols.fp6(col("inter") / (col("va") + col("vb") - col("inter"))).as("jac"))
+    val ltop = topKPerQuery(lpairs, "jac", "cand_id", RrfCand, "rk_l")
+      .select("query_id", "cand_id", "rk_l")
+    val fused = vtop.join(ltop, Seq("query_id", "cand_id"), "full_outer")
+      .select(col("query_id"), col("cand_id"),
+        col("rk_v").cast("long").as("rk_v"), col("rk_l").cast("long").as("rk_l"),
+        Cols.fp6(
+          coalesce(lit(1.0) / (col("rk_v") + RrfConst), lit(0.0))
+            + coalesce(lit(1.0) / (col("rk_l") + RrfConst), lit(0.0))).as("rrf"))
+    fused
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), asc("cand_id"))).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
+  private val rrfHybridSql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+       | vp AS (
+       |  SELECT query_id, n.vec_id AS cand_id,
+       |    floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |  FROM q, n WHERE n.vec_id != query_id),
+       | vtop AS (SELECT query_id, cand_id, rk_v FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk_v
+       |    FROM vp) t WHERE rk_v <= $RrfCand),
+       | dt AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+       |        FROM documents),
+       | qd AS (SELECT doc_id AS query_id, toks AS qtoks FROM dt WHERE doc_id < 10),
+       | lp AS (
+       |  SELECT query_id, dt.doc_id AS cand_id,
+       |    floor(CAST(len(list_intersect(dt.toks, qtoks)) AS DOUBLE)
+       |      / (len(qtoks) + len(dt.toks) - len(list_intersect(dt.toks, qtoks))) * 1e6 + 0.5) / 1e6 AS jac
+       |  FROM qd, dt
+       |  WHERE dt.doc_id != query_id AND len(list_intersect(dt.toks, qtoks)) > 0),
+       | ltop AS (SELECT query_id, cand_id, rk_l FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY jac DESC, cand_id) AS rk_l
+       |    FROM lp) t WHERE rk_l <= $RrfCand),
+       | fused AS (
+       |  SELECT COALESCE(vtop.query_id, ltop.query_id) AS query_id,
+       |    COALESCE(vtop.cand_id, ltop.cand_id) AS cand_id,
+       |    CAST(rk_v AS BIGINT) AS rk_v, CAST(rk_l AS BIGINT) AS rk_l,
+       |    floor((COALESCE(1.0 / (rk_v + $RrfConst), 0.0)
+       |         + COALESCE(1.0 / (rk_l + $RrfConst), 0.0)) * 1e6 + 0.5) / 1e6 AS rrf
+       |  FROM vtop FULL OUTER JOIN ltop
+       |    ON vtop.query_id = ltop.query_id AND vtop.cand_id = ltop.cand_id)
+       |SELECT query_id, cand_id, rk_v, rk_l, rrf, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS rk
+       |  FROM fused) t WHERE rk <= $K""".stripMargin
+
+  /** Confusion matrix over the kNN classifier's held-out batch — the
+    * label-quality eval a curation pipeline watches when labels drive a
+    * mixture (which pairs of classes bleed into each other says whether
+    * the label column is trustworthy enough to stratify on). Same
+    * prediction pipeline as emb_knn_label_vote (one definition, two
+    * views), collapsed to (true, predicted) counts — a ≤|labels|²-row
+    * aggregate over the per-query frame. */
+  def labelConfusion(s: SparkSession, d: String): DataFrame =
+    knnPredictions(s, d)
+      .groupBy("true_label", "label")
+      .agg(count(lit(1)).as("n_queries"))
+      .select(col("true_label").cast("long").as("true_label"),
+        col("label").cast("long").as("pred_label"), col("n_queries"),
+        (col("true_label") === col("label")).as("correct"))
+
+  private val labelConfusionSql =
+    s"""WITH n AS (SELECT vec_id, embedding, label, ${normSql("embedding")} AS nrm FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, label AS true_label
+       |       FROM n WHERE vec_id < $KnnQ),
+       | pairs AS (
+       |  SELECT query_id, true_label, c.vec_id AS neighbor_id, c.label,
+       |    floor((${dotSql("qe", "c.embedding")} / nullif(qn * c.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |  FROM q, n c WHERE c.vec_id >= $KnnQ),
+       | nn AS (SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |    FROM pairs) t WHERE rk <= $KnnK),
+       | v AS (SELECT query_id, true_label, label, COUNT(*) AS votes
+       |       FROM nn GROUP BY query_id, true_label, label),
+       | pred AS (SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vrk
+       |    FROM v) t WHERE vrk = 1)
+       |SELECT CAST(true_label AS BIGINT) AS true_label,
+       | CAST(label AS BIGINT) AS pred_label, COUNT(*) AS n_queries,
+       | true_label = label AS correct
+       |FROM pred GROUP BY true_label, label""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("emb_label_confusion", labelConfusion _, Some(labelConfusionSql)),
+    ("emb_ood_knn", oodKnnDist _, Some(oodKnnDistSql)),
+    ("emb_triplet_mining", tripletMining _, Some(tripletMiningSql)),
+    ("ann_rrf_hybrid", rrfHybrid _, Some(rrfHybridSql)),
     ("emb_pq_distortion", pqDistortion _, Some(pqDistortionSql)),
     ("emb_radius_search", radiusSearch _, Some(radiusSearchSql)),
     ("ann_pca_topk", pcaTopK _, Some(pcaTopKSql)),

@@ -364,4 +364,118 @@ class AnnSpec extends SparkSpec {
       else assert(r.getAs[Double]("mean_score") == 0.0)
     }
   }
+
+  // shared local replay helpers for the r8 trio -------------------------
+  private def loadVecs: Map[Long, (Array[Double], Int)] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))).toMap
+
+  private def fp4cos(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    math.floor(dot / (na * nb) * 1e4 + 0.5) / 1e4
+  }
+
+  private def bucketOf(v: Array[Double], bits: Int): Long =
+    (0 until bits).map { k =>
+      val p = graft.functions.VectorFunctions.plane(0, k, 64)
+      val d = v.zip(p).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << k else 0L
+    }.sum
+
+  test("OOD novelty equals a bucket-local top-5 replay") {
+    val vecs = loadVecs
+    val scored = vecs.toSeq.flatMap { case (a, (va, la)) =>
+      val ba = bucketOf(va, 4)
+      val top = vecs.toSeq
+        .filter { case (b, (vb, _)) => b != a && bucketOf(vb, 4) == ba }
+        .map { case (b, (vb, _)) => (fp4cos(va, vb), b) }
+        .sortBy { case (s, b) => (-s, b) }.take(5)
+      if (top.isEmpty) None
+      else {
+        val sumFp = top.map(t => math.round(t._1 * 1e4)).sum
+        val novelty = math.floor(
+          (1.0 - sumFp.toDouble / 1e4 / top.size) * 1e6 + 0.5) / 1e6
+        Some((a, la, top.size.toLong, novelty))
+      }
+    }.sortBy { case (id, _, _, n) => (-n, id) }.take(20)
+    val got = Ann.oodKnnDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == scored)
+  }
+
+  test("triplet mining: hardest positive and negative recount from the corpus") {
+    val vecs = loadVecs
+    val got = Ann.tripletMining(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val a = r.getAs[Long]("anchor_id")
+      val (va, la) = vecs(a)
+      assert(r.getAs[Int]("label") == la)
+      def best(same: Boolean) = vecs.toSeq
+        .filter { case (b, (_, lb)) => b != a && (lb == la) == same }
+        .map { case (b, (vb, _)) => (fp4cos(va, vb), b) }
+        .minBy { case (s, b) => (-s, b) }
+      val (ps, pid) = best(same = true)
+      val (ns, nid) = best(same = false)
+      assert(r.getAs[Long]("pos_id") == pid && r.getAs[Double]("pos_score") == ps)
+      assert(r.getAs[Long]("neg_id") == nid && r.getAs[Double]("neg_score") == ns)
+      assert(r.getAs[Double]("margin") == ps - ns)
+      // same-label positive really is same-label, negative differs
+      assert(vecs(pid)._2 == la && vecs(nid)._2 != la)
+    }
+  }
+
+  test("label confusion aggregates exactly the per-query vote view") {
+    val votes = Ann.knnLabelVote(spark, sf).collect()
+      .map(r => (r.getAs[Long]("true_label"), r.getAs[Long]("pred_label")))
+    val want = votes.groupBy(identity).map { case ((t, p), g) =>
+      (t, p) -> g.length.toLong
+    }
+    val got = Ann.labelConfusion(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == want)
+    got.foreach(r => assert(r.getBoolean(3) == (r.getLong(0) == r.getLong(1))))
+    assert(got.map(_.getLong(2)).sum == votes.length)
+  }
+
+  test("RRF hybrid equals a full local fusion replay") {
+    val vecs = loadVecs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").distinct.toSet).toMap
+    val queries = vecs.keys.filter(_ < 10).toSeq.sorted
+    def ranks[A](cands: Seq[(Double, Long)], n: Int): Map[Long, Long] =
+      cands.sortBy { case (s, id) => (-s, id) }.take(n)
+        .zipWithIndex.map { case ((_, id), i) => id -> (i + 1L) }.toMap
+    val want = queries.flatMap { q =>
+      val vtop = ranks(vecs.toSeq.collect {
+        case (b, (vb, _)) if b != q => (fp4cos(vecs(q)._1, vb), b)
+      }, 20)
+      val qt = docs(q)
+      val ltop = ranks(docs.toSeq.collect {
+        case (b, tb) if b != q && (tb & qt).nonEmpty =>
+          val inter = (tb & qt).size.toDouble
+          (math.floor(inter / (qt.size + tb.size - inter) * 1e6 + 0.5) / 1e6, b)
+      }, 20)
+      val fused = (vtop.keySet ++ ltop.keySet).toSeq.map { c =>
+        val rrf = vtop.get(c).map(rk => 1.0 / (rk + 60)).getOrElse(0.0) +
+          ltop.get(c).map(rk => 1.0 / (rk + 60)).getOrElse(0.0)
+        (c, vtop.get(c), ltop.get(c), math.floor(rrf * 1e6 + 0.5) / 1e6)
+      }
+      fused.sortBy { case (c, _, _, s) => (-s, c) }.take(10)
+        .zipWithIndex.map { case ((c, rv, rl, s), i) =>
+          (q, c, rv, rl, s, i + 1L)
+        }
+    }.toSet
+    val got = Ann.rrfHybrid(spark, sf).collect().map { r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        Option(r.getAs[java.lang.Long]("rk_v")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("rk_l")).map(_.toLong),
+        r.getAs[Double]("rrf"), r.getAs[Long]("rk"))
+    }.toSet
+    assert(got == want)
+  }
 }

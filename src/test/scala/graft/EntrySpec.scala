@@ -131,9 +131,17 @@ class EntrySpec extends SparkSpec {
     // +ev_ewma_smoothing, +ev_cusum_changepoint → 182/182; late r8:
     // +ev_seasonality_dow (ISO weekday profile), +txt_source_overlap
     // (pairwise source vocab Jaccard), +emb_pq_distortion (per-subspace
-    // reconstruction MSE gauge) → 185/185.
-    assert(SparkEntry.queries.size == 185, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 185, s"got ${SparkEntry.oracleSql.size}")
+    // reconstruction MSE gauge) → 185/185; r8 close-out batch:
+    // +ev_interarrival (gap profile), +ev_cohort_ltv (revenue cohorts),
+    // +txt_char_entropy (char-entropy quality gauge), +txt_heaps_fit
+    // (vocab-growth slope), +emb_ood_knn (kNN novelty), +emb_triplet_mining
+    // (contrastive hard triplets), +ann_rrf_hybrid (lexical+vector RRF),
+    // +mm_wav_probe (RIFF/WAVE audio probe) → 193/193; plus
+    // +smp_kfold (content-hash fold report), +emb_label_confusion
+    // (kNN confusion matrix), +txt_ngram_novelty (df=1 shingle share),
+    // +ev_value_histogram (decade buckets) → 197/197.
+    assert(SparkEntry.queries.size == 197, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 197, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

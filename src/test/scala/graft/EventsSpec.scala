@@ -318,6 +318,62 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("value histogram: decade buckets partition all events and recount") {
+    val vals = Tables.events(spark, sf).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = vals.groupBy { case (t, v) =>
+      (t, math.floor(v).toLong.toString.length)
+    }.map { case ((t, dec), g) =>
+      (t, dec) -> ((g.length.toLong,
+        g.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum,
+        g.map(_._2).min, g.map(_._2).max))
+    }
+    val got = Events.valueHistogram(spark, sf).collect().map { r =>
+      (r.getString(0), r.getInt(1)) -> ((r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2), r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == vals.length)
+  }
+
+  test("interarrival: per-type gap stats recount from a driver-side replay") {
+    val rows = Tables.events(spark, sf)
+      .select("user_id", "event_type", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getTimestamp(3).toInstant.toEpochMilli * 1000L +
+          r.getTimestamp(3).getNanos / 1000 % 1000))
+    val byType = rows.groupBy(r => (r._1, r._2)).toSeq.flatMap { case ((_, t), es) =>
+      val us = es.sortBy(e => (e._4, e._3)).map(_._4)
+      us.zip(us.drop(1)).map { case (a, b) => t -> (b - a) }
+    }.groupBy(_._1).map { case (t, g) =>
+      val v = g.map(_._2)
+      t -> ((v.size.toLong, math.floor(v.sum.toDouble / v.size / 1e6 * 1e6 + 0.5) / 1e6,
+        v.min.toDouble / 1e6, v.max.toDouble / 1e6))
+    }
+    assert(byType.nonEmpty)
+    val got = Events.interarrival(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == byType)
+  }
+
+  test("cohort LTV is cumulative per cohort and totals the purchase revenue") {
+    val got = Events.cohortLtv(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // non-decreasing LTV within each cohort by week offset
+    got.groupBy(_._1).values.foreach { g =>
+      val curve = g.sortBy(_._2).map(_._4)
+      assert(curve.zip(curve.drop(1)).forall { case (a, b) => b >= a })
+    }
+    // week revenues sum to the exact corpus purchase total
+    val total = BigDecimal(Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)"))).collect()(0)
+      .getDecimal(0))
+    val gotTotal = got.map(r => BigDecimal(r._3).setScale(2)).sum
+    assert(gotTotal == total)
+  }
+
   test("sketch distinct counts within 5% of exact") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))

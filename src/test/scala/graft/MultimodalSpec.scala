@@ -180,4 +180,41 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(4).getAs[String]("format") == "jpeg")
     assert(rows(4).getAs[Long]("width") == 320 && rows(4).getAs[Long]("height") == 240)
   }
+
+  test("wav probe: fields recount from doc_id + text, and come from the BYTES") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.wavProbe(spark, sf).collect()
+    assert(rows.length == texts.count(_._2.length >= 2))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = texts(id)
+      val ch = 1 + id % 2
+      val sr = 8000 + (id % 4) * 4000
+      val ns = t.length / (ch * 2)
+      assert(r.getAs[Long]("channels") == ch)
+      assert(r.getAs[Long]("sample_rate") == sr)
+      assert(r.getAs[Long]("bits_per_sample") == 16)
+      assert(r.getAs[Long]("n_samples") == ns)
+      assert(r.getAs[Double]("duration_s") ==
+        math.floor(ns.toDouble / sr * 1e6 + 0.5) / 1e6)
+      assert(r.getAs[Long]("n_frames") == (ns + 255) / 256)
+      assert(r.getAs[Long]("first_sample") == t.charAt(0) + 256L * t.charAt(1))
+    }
+    // the parse reads header BYTES, not metadata: overwrite the low byte of
+    // the little-endian sample-rate field (payload byte 25) with 0x01 and
+    // the parsed rate must shift to (sr - sr%256 + 1)
+    val media = Multimodal.synthesizeWav(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(length(col("text")) >= 2).limit(5))
+    val tampered = media.withColumn("payload",
+      concat(col("payload").substr(lit(1), lit(24)), unhex(lit("01")),
+        col("payload").substr(lit(26), octet_length(col("payload")))))
+    Multimodal.parseWav(tampered).collect().foreach { r =>
+      val sr = 8000 + (r.getAs[Long]("doc_id") % 4) * 4000
+      assert(r.getAs[Long]("sample_rate") == sr - sr % 256 + 1,
+        s"doc ${r.getAs[Long]("doc_id")}: tampered byte not read")
+    }
+  }
 }

@@ -176,6 +176,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("quality_gap") > 0.0)
   }
 
+  test("kfold: content-hash folds partition the corpus and recount locally") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5Int(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = docs.groupBy(d => md5Int(d._2) % 5).map { case (f, g) =>
+      f -> ((g.length.toLong,
+        g.map(_._2.trim.split("\\s+").length.toLong).sum,
+        g.map(_._3).distinct.length.toLong))
+    }
+    val got = PipelineOps.kfold(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == docs.length)
+    assert(got.keySet.forall(f => f >= 0 && f < 5))
+  }
+
   test("no global single-partition window in packing (explain audit)") {
     val plan = PipelineOps.packGreedy(spark, sf)
       .queryExecution.executedPlan.toString()

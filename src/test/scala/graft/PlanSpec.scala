@@ -58,7 +58,15 @@ class PlanSpec extends SparkSpec {
       // txt_source_kl / txt_collocations_pmi broadcast the 1-row corpus
       // total under their fixed-point-ln expressions — the same scalar
       // idiom as txt_unigram_logprob
-      "txt_source_kl", "txt_collocations_pmi")
+      "txt_source_kl", "txt_collocations_pmi",
+      // emb_triplet_mining broadcasts the 20-row anchor set over one
+      // corpus scan; ann_rrf_hybrid broadcasts the 10-row query set for
+      // BOTH its modalities (cosine + token-set Jaccard) — the same
+      // declared query-set pattern as the ann_* tiers
+      "emb_triplet_mining", "ann_rrf_hybrid",
+      // emb_label_confusion shares emb_knn_label_vote's knnPredictions
+      // pipeline, so it inherits the declared 50-row batch broadcast
+      "emb_label_confusion")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),

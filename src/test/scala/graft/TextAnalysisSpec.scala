@@ -12,6 +12,67 @@ class TextAnalysisSpec extends SparkSpec {
       .select("source", "text").collect().toSeq
       .map(r => r.getString(0) -> graft.plans.WordShingles.sqlTokens(r.getString(1)))
 
+  test("char entropy recounts per doc from a driver-side replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.nonEmpty).toMap
+    val want = docs.map { case (id, text) =>
+      val counts = text.split("").filter(_.nonEmpty)
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val s = counts.map(c => c * lnq(c)).sum
+      val h = (lnq(n) * n - s).toDouble / n / 1e6
+      id -> ((n, counts.size.toLong, math.floor(h * 1e6 + 0.5) / 1e6))
+    }
+    val got = TextAnalysis.charEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want)
+    // word-soup text must land strictly between degenerate (0) and the
+    // uniform-ASCII ceiling ln(128)
+    got.values.foreach { case (_, _, h) => assert(h > 0 && h < math.log(128)) }
+  }
+
+  test("heaps fit: corpus row recounts from per-doc (tokens, types) points") {
+    val pts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+      .map(t => t.trim.split("\\s+")) // Spark's tokens(): no empty-filter
+      .filter(_.length > 0)
+      .map(ts => (lnq(ts.length.toLong), lnq(ts.distinct.length.toLong)))
+    val cnt = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val beta = (cnt.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (cnt.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val want = math.floor(beta * 1e6 + 0.5) / 1e6
+    val corpus = TextAnalysis.heapsFit(spark, sf).collect()
+      .find(_.getString(0) == "__corpus__").get
+    assert(corpus.getLong(1) == pts.length)
+    assert(corpus.getDouble(2) == want)
+    // vocabulary grows sublinearly but does grow
+    assert(want > 0 && want < 1)
+  }
+
+  test("ngram novelty recounts from a local shingle-df model") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val perDoc = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toArray.distinct
+    }.filter(_._2.nonEmpty)
+    val df = perDoc.flatMap(_._2).groupBy(identity).map { case (s, g) => s -> g.length }
+    val want = perDoc.map { case (id, sh) =>
+      val uniq = sh.count(df(_) == 1).toLong
+      id -> ((sh.length.toLong, uniq,
+        math.floor(uniq.toDouble / sh.length * 1e6 + 0.5) / 1e6))
+    }.toMap
+    val got = TextAnalysis.ngramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want)
+  }
+
   test("zipf fit matches a local integer-regression model and slopes negative") {
     val counts = corpusTokens.flatMap(_._2).groupBy(identity).map { case (t, g) => t -> g.size.toLong }
     val top = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(100)
