@@ -1035,10 +1035,13 @@ object TextAnalysis extends QueryModule {
         sum(dec38(col("x") * col("x"))).as("sxx"))
       .select(coalesce(col("source"), lit("__corpus__")).as("source"),
         col("cnt").cast("long").as("n_docs"),
+        // nullif: a degenerate group (all docs the same token count —
+        // 1-doc sources, uniform synthetic corpora) has zero x-variance;
+        // β is undefined there, not ±Inf
         Cols.fp6((col("cnt").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sy").cast("double"))
-          / (col("cnt").cast("double") * col("sxx").cast("double")
-            - col("sx").cast("double") * col("sx").cast("double")))
+          / nullif(col("cnt").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"), lit(0.0)))
           .as("heaps_beta"))
   }
 
@@ -1057,8 +1060,8 @@ object TextAnalysis extends QueryModule {
       |SELECT COALESCE(source, '__corpus__') AS source, CAST(cnt AS BIGINT) AS n_docs,
       | floor((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |   / (CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS heaps_beta
+      |   / NULLIF(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6 AS heaps_beta
       |FROM agg""".stripMargin
 
   /** Per-doc 3-gram novelty — the share of a doc's distinct word-3-gram
