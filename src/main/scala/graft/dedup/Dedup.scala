@@ -695,6 +695,44 @@ object Dedup extends QueryModule {
     s"""WITH RECURSIVE $ccLabelsCte
        |SELECT id, label FROM labels""".stripMargin
 
+  /** Dedup-AWARE sampling — the curation move the pair/cluster views
+    * exist for: each doc's keep probability is the base rate divided by
+    * its near-dup CLUSTER size, so a passage duplicated k× contributes
+    * ~the same expected mass as a unique one instead of k× (the
+    * "duplication is implicit upweighting" correction of Lee et al.
+    * 2022, applied at selection time rather than by deletion — softer
+    * than a keep-list, and it needs no coordination: membership is the
+    * md5 draw smp_hash_sample uses). Serves the STORED label table
+    * (one co-partitioned join against the corpus); unclustered docs
+    * have size 1. */
+  private val DedupWeightBase = 0.5
+  def dedupWeighted(s: SparkSession, d: String): DataFrame = {
+    val labels = storedLabels(s, d)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val mem = labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("cluster_size"))
+    val u = md5Int(col("text")).cast("double") / lit(math.pow(2.0, 60))
+    Tables.documents(s, d)
+      .join(mem, Seq("doc_id"), "left")
+      .na.fill(1L, Seq("cluster_size"))
+      .filter(u < lit(DedupWeightBase) / col("cluster_size"))
+      .select(col("doc_id"), col("cluster_size"),
+        Cols.fp6(lit(DedupWeightBase) / col("cluster_size")).as("keep_prob"))
+  }
+
+  private val dedupWeightedSql: String =
+    s"""WITH RECURSIVE $ccLabelsCte,
+       | sizes AS (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label),
+       | mem AS (SELECT l.id AS doc_id, s.cluster_size
+       |         FROM labels l JOIN sizes s ON l.label = s.label),
+       | w AS (SELECT d.doc_id, COALESCE(m.cluster_size, 1) AS cluster_size, d.text
+       |       FROM documents d LEFT JOIN mem m ON d.doc_id = m.doc_id)
+       |SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       | floor($DedupWeightBase / cluster_size * 1e6 + 0.5) / 1e6 AS keep_prob
+       |FROM w
+       |WHERE ${graft.functions.TextFunctions.md5IntSql("text")} / power(2.0, 60)
+       |   < $DedupWeightBase / cluster_size""".stripMargin
+
   /** The near-dup KEEP-LIST — what the pipeline actually consumes after
     * clustering: every doc outside any near-dup cluster keeps itself, every
     * cluster keeps its min-id representative, and `n_shadowed` counts the
@@ -807,6 +845,7 @@ object Dedup extends QueryModule {
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("dedup_exact", exact _, Some(exactSql)),
     ("dedup_substring_exact", substringExact _, Some(substringExactSql)),
+    ("smp_dedup_weighted", dedupWeighted _, Some(dedupWeightedSql)),
     ("dedup_survivors", survivors _, Some(survivorsSql)),
     ("dedup_ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("dedup_containment", containment _, Some(containmentSql)),

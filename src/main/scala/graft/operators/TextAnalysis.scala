@@ -981,7 +981,12 @@ object TextAnalysis extends QueryModule {
     * aggregate: no corpus-global state at all, embarrassingly parallel
     * at 100 TB. */
   def charEntropy(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    charEntropyOf(Tables.documents(s, d))
+
+  /** DataFrame-parametric entropy surface (`doc_id` + `text`) for library
+    * composition; UnicodeRobustnessSpec replays it on non-ASCII input. */
+  def charEntropyOf(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")

@@ -132,6 +132,31 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedup-weighted sampling recounts from the label table + md5 draw") {
+    val labels = Dedup.labelsPrebuilt(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = labels.values.groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5Int(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = docs.flatMap { case (id, text) =>
+      val cs = labels.get(id).map(sizes).getOrElse(1L)
+      val keep = md5Int(text).toDouble / math.pow(2.0, 60) < 0.5 / cs
+      if (keep) Some(id -> ((cs, math.floor(0.5 / cs * 1e6 + 0.5) / 1e6))) else None
+    }.toMap
+    val got = Dedup.dedupWeighted(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    // the draw must actually downweight: every clustered doc's keep_prob
+    // is strictly below the base rate
+    got.foreach { case (_, (cs, p)) => if (cs > 1) assert(p < 0.5) }
+  }
+
   test("near-dup keep-list: survivors + shadowed partition the corpus") {
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     val kept = Dedup.nearSurvivors(spark, sf).collect()

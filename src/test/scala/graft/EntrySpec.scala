@@ -139,9 +139,10 @@ class EntrySpec extends SparkSpec {
     // +mm_wav_probe (RIFF/WAVE audio probe) → 193/193; plus
     // +smp_kfold (content-hash fold report), +emb_label_confusion
     // (kNN confusion matrix), +txt_ngram_novelty (df=1 shingle share),
-    // +ev_value_histogram (decade buckets) → 197/197.
-    assert(SparkEntry.queries.size == 197, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 197, s"got ${SparkEntry.oracleSql.size}")
+    // +ev_value_histogram (decade buckets) → 197/197; +smp_dedup_weighted
+    // (cluster-size-inverse sampling off the stored label table) → 198/198.
+    assert(SparkEntry.queries.size == 198, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 198, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

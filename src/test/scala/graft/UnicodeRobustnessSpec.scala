@@ -88,6 +88,21 @@ class UnicodeRobustnessSpec extends SparkSpec {
       s"phash ${rows(7L)._1} != code-point replay $expected")
   }
 
+  test("char entropy counts CODE POINTS: a driver-side replay matches on non-ASCII") {
+    def lnq(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val rows = graft.operators.TextAnalysis.charEntropyOf(unicodeDocs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = unicodeDocs.collect().map { r =>
+      val cps = r.getString(1).codePoints().toArray
+      val counts = cps.groupBy(identity).map(_._2.length.toLong)
+      val n = cps.length.toLong
+      val s = counts.map(c => c * lnq(c)).sum
+      val h = (lnq(n) * n - s).toDouble / n / 1e6
+      r.getLong(0) -> ((n, counts.size.toLong, math.floor(h * 1e6 + 0.5) / 1e6))
+    }.toMap
+    assert(rows == want, "entropy must be code-point-exact on CJK/emoji/accents")
+  }
+
   test("quality score and canonical fingerprint are defined on non-ASCII") {
     val out = unicodeDocs.select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"),
