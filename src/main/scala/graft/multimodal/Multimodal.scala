@@ -468,7 +468,11 @@ object Multimodal extends QueryModule {
     * mapInPandas exactly as mm_pixel_decode demonstrates for images.
     * The oracle recomputes every column arithmetically from doc_id and
     * the text (the fields are pure functions of them), so a mis-parse of
-    * any offset or endianness hash-mismatches. */
+    * any offset or endianness hash-mismatches. PCM is BYTE-grain: the
+    * oracle derives first_sample from the text's UTF-8 bytes (hex of
+    * encode()), not code points — UnicodeRobustnessSpec proves the
+    * parity on multi-byte text, where the two differ and the sign branch
+    * actually fires. */
   def wavProbe(s: SparkSession, d: String): DataFrame =
     parseWav(synthesizeWav(Tables.documents(s, d).filter(length(col("text")) >= 2)))
 
@@ -509,9 +513,12 @@ object Multimodal extends QueryModule {
        |   / (8000 + (doc_id % 4) * 4000) * 1e6 + 0.5) / 1e6 AS duration_s,
        | CAST((octet_length(encode(text)) // ((1 + doc_id % 2) * 2) + ${AudioFrameSamples - 1})
        |   // $AudioFrameSamples AS BIGINT) AS n_frames,
-       | CAST(CASE WHEN ascii(substr(text, 1, 1)) + 256 * ascii(substr(text, 2, 1)) >= 32768
-       |      THEN ascii(substr(text, 1, 1)) + 256 * ascii(substr(text, 2, 1)) - 65536
-       |      ELSE ascii(substr(text, 1, 1)) + 256 * ascii(substr(text, 2, 1)) END AS BIGINT)
+       | CAST(CASE WHEN ('0x' || substr(hex(encode(text)), 1, 2))::INT
+       |         + 256 * ('0x' || substr(hex(encode(text)), 3, 2))::INT >= 32768
+       |      THEN ('0x' || substr(hex(encode(text)), 1, 2))::INT
+       |         + 256 * ('0x' || substr(hex(encode(text)), 3, 2))::INT - 65536
+       |      ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT
+       |         + 256 * ('0x' || substr(hex(encode(text)), 3, 2))::INT END AS BIGINT)
        |   AS first_sample
        |FROM documents WHERE length(text) >= 2""".stripMargin
 

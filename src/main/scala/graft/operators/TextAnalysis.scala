@@ -1076,9 +1076,11 @@ object TextAnalysis extends QueryModule {
     * (which only surface the top offenders, not a per-doc score to
     * filter on). Shingles come from the same native WordShingles kernel
     * as the dedup index (one definition corpus-wide); df is the same
-    * per-shingle window exchange shingleIndexOf uses — one shuffle on the
-    * shingle, no pair join at all, so this is strictly cheaper than any
-    * dedup entry at 100 TB. */
+    * per-shingle window exchange shingleIndexOf uses. Two exchanges —
+    * the (doc, shingle) frame shuffles once on the shingle for df and
+    * once on doc_id for the roll-up — but never a pair join, so the
+    * cost is linear in the index where every dedup pair entry adds a
+    * Σ c² candidate stage on top of the same index. */
   def ngramNovelty(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),

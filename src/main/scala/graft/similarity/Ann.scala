@@ -1498,16 +1498,20 @@ object Ann extends QueryModule {
     * novelty score — the kNN-density OOD gauge a curation pipeline ranks
     * ingest by (a vector far from everything is either novel signal or an
     * encoder failure; both belong at the top of a review queue).
-    * Candidates come from the same 4-bit sign-LSH bucketing as
-    * ann_lsh_topk — never an all-pairs stage — and the per-anchor top-k
-    * window is bucket-bounded by construction. The k scores are summed
-    * as exact DECIMAL(18,4) (each is a 4-dp fixed-point value), so the
-    * mean and the final ordering are bit-identical cross-engine; anchors
-    * with fewer than k bucket mates keep what they have (k_used). */
+    * Candidates are a SELF-join on the 8-bit (256-cell) sign-LSH bucket —
+    * the emb_radius_search shape: the pair stage is Σ c² over cell sizes,
+    * 256× sparser than all-pairs, and the per-anchor top-k window is
+    * cell-bounded (a fixed-bit code is still super-linear in the corpus,
+    * which is why the radius/near-dup family shares this cell-count
+    * discipline and scales bits with n rather than claiming linearity).
+    * The k scores are summed as exact DECIMAL(18,4) (each is a 4-dp
+    * fixed-point value), so the mean and the final ordering are
+    * bit-identical cross-engine; anchors with fewer than k cell mates
+    * keep what they have (k_used). */
   private val OodK = 5
   def oodKnnDist(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-      .withColumn("bucket", signBucket(col("embedding"), 4))
+      .withColumn("bucket", signBucket(col("embedding"), 8))
     val a = e.select(col("vec_id").as("anchor_id"), col("label"),
       col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
@@ -1528,7 +1532,7 @@ object Ann extends QueryModule {
 
   private val oodKnnDistSql =
     s"""WITH n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm,
-       |  ${signBucketSql("embedding", 4)} AS bucket FROM embeddings),
+       |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings),
        | pairs AS (
        |  SELECT a.vec_id AS anchor_id, a.label, b.vec_id AS neighbor_id,
        |    floor((${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score

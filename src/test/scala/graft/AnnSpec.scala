@@ -389,9 +389,9 @@ class AnnSpec extends SparkSpec {
   test("OOD novelty equals a bucket-local top-5 replay") {
     val vecs = loadVecs
     val scored = vecs.toSeq.flatMap { case (a, (va, la)) =>
-      val ba = bucketOf(va, 4)
+      val ba = bucketOf(va, 8)
       val top = vecs.toSeq
-        .filter { case (b, (vb, _)) => b != a && bucketOf(vb, 4) == ba }
+        .filter { case (b, (vb, _)) => b != a && bucketOf(vb, 8) == ba }
         .map { case (b, (vb, _)) => (fp4cos(va, vb), b) }
         .sortBy { case (s, b) => (-s, b) }.take(5)
       if (top.isEmpty) None

@@ -139,14 +139,9 @@ class DedupSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    def md5Int(t: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
     val want = docs.flatMap { case (id, text) =>
       val cs = labels.get(id).map(sizes).getOrElse(1L)
-      val keep = md5Int(text).toDouble / math.pow(2.0, 60) < 0.5 / cs
+      val keep = md5IntLocal(text).toDouble / math.pow(2.0, 60) < 0.5 / cs
       if (keep) Some(id -> ((cs, math.floor(0.5 / cs * 1e6 + 0.5) / 1e6))) else None
     }.toMap
     val got = Dedup.dedupWeighted(spark, sf).collect()

@@ -192,7 +192,7 @@ class MultimodalSpec extends SparkSpec {
       val t = texts(id)
       val ch = 1 + id % 2
       val sr = 8000 + (id % 4) * 4000
-      val ns = t.length / (ch * 2)
+      val ns = t.getBytes("UTF-8").length / (ch * 2)
       assert(r.getAs[Long]("channels") == ch)
       assert(r.getAs[Long]("sample_rate") == sr)
       assert(r.getAs[Long]("bits_per_sample") == 16)
@@ -200,7 +200,12 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Double]("duration_s") ==
         math.floor(ns.toDouble / sr * 1e6 + 0.5) / 1e6)
       assert(r.getAs[Long]("n_frames") == (ns + 255) / 256)
-      assert(r.getAs[Long]("first_sample") == t.charAt(0) + 256L * t.charAt(1))
+      // BYTE-grain PCM replay (== code points only on this ASCII corpus;
+      // the Unicode parity lives in UnicodeRobustnessSpec)
+      val b = t.getBytes("UTF-8")
+      val raw = (b(0) & 0xFF) + 256L * (b(1) & 0xFF)
+      val s0 = if (raw >= 32768L) raw - 65536L else raw
+      assert(r.getAs[Long]("first_sample") == s0)
     }
     // the parse reads header BYTES, not metadata: overwrite the low byte of
     // the little-endian sample-rate field (payload byte 25) with 0x01 and

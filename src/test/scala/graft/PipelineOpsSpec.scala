@@ -180,12 +180,7 @@ class PipelineOpsSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    def md5Int(t: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
-    }
-    val want = docs.groupBy(d => md5Int(d._2) % 5).map { case (f, g) =>
+    val want = docs.groupBy(d => md5IntLocal(d._2) % 5).map { case (f, g) =>
       f -> ((g.length.toLong,
         g.map(_._2.trim.split("\\s+").length.toLong).sum,
         g.map(_._3).distinct.length.toLong))

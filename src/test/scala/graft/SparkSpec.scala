@@ -17,4 +17,14 @@ abstract class SparkSpec extends AnyFunSuite {
   def spark: SparkSession = TestSpark.spark
   def sf: String = TestSpark.sf
   def sf01: String = TestSpark.sf01
+
+  /** Driver-side replica of TextFunctions.md5Int (first 15 md5 hex chars
+    * as a 60-bit long) — ONE copy for every spec's sampling replays, so a
+    * width/semantics change to the engine helper breaks tests here
+    * instead of silently pinning stale replicas. */
+  def md5IntLocal(t: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
 }

@@ -103,6 +103,27 @@ class UnicodeRobustnessSpec extends SparkSpec {
     assert(rows == want, "entropy must be code-point-exact on CJK/emoji/accents")
   }
 
+  test("wav probe decodes PCM BYTES on non-ASCII text — the sign branch fires") {
+    val media = graft.multimodal.Multimodal.synthesizeWav(unicodeDocs)
+    val rows = graft.multimodal.Multimodal.parseWav(media).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("first_sample")))).toMap
+    val texts = unicodeDocs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var negSeen = false
+    rows.foreach { case (id, (ns, s0)) =>
+      val b = texts(id).getBytes("UTF-8")
+      val ch = 1 + id % 2
+      assert(ns == b.length / (ch * 2), s"doc $id: byte-grain sample count")
+      val raw = (b(0) & 0xFF) + 256L * (b(1) & 0xFF)
+      val want = if (raw >= 32768L) raw - 65536L else raw
+      assert(s0 == want, s"doc $id: first PCM sample from UTF-8 bytes")
+      if (want < 0) negSeen = true
+    }
+    // doc 3 starts with a CJK char (multi-byte, high second byte): the
+    // 16-bit sign branch must actually fire somewhere in this corpus
+    assert(negSeen, "fixture must exercise the negative-sample branch")
+  }
+
   test("quality score and canonical fingerprint are defined on non-ASCII") {
     val out = unicodeDocs.select(col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"),
