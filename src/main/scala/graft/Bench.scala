@@ -243,10 +243,13 @@ object Bench {
     // subset run must not masquerade as the round's record.
     if (only.isEmpty) {
       import scala.jdk.CollectionConverters._
-      val roundNo = 1 + java.nio.file.Files.list(java.nio.file.Paths.get("."))
-        .iterator().asScala
-        .flatMap(p => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(p.getFileName.toString))
-        .map(_.group(1).toInt).foldLeft(0)(math.max)
+      // Files.list streams must be closed (java.nio contract)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val roundNo =
+        try 1 + listing.iterator().asScala
+          .flatMap(p => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(p.getFileName.toString))
+          .map(_.group(1).toInt).foldLeft(0)(math.max)
+        finally listing.close()
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"BENCH_FULL_r$roundNo%02d.json"),
         fullDoc.getBytes("UTF-8"))

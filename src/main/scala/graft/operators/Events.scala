@@ -1147,12 +1147,17 @@ object Events extends QueryModule {
     * order-of-magnitude profile (how much volume is micro vs whale) a
     * monetization/fraud dashboard opens with. Buckets are DIGIT COUNTS of
     * floor(value) — pure integer/string arithmetic, identical on both
-    * engines, where a log10() bucket boundary is one ulp from flipping.
-    * One small aggregate; money stays decimal-exact. */
+    * engines, where a log10() bucket boundary is one ulp from flipping —
+    * with sub-unit values split out as decade 0 (digit count can't see
+    * them: "0" and "5" both have one digit, but the micro tail is exactly
+    * what the profile exists to show). One small aggregate; money stays
+    * decimal-exact. */
   def valueHistogram(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"),
-        length(floor(col("value")).cast("long").cast("string")).as("decade"))
+        when(floor(col("value")) === 0, lit(0))
+          .otherwise(length(floor(col("value")).cast("long").cast("string")))
+          .as("decade"))
       .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
       .select(col("event_type"), col("decade").cast("int").as("decade"),
@@ -1160,7 +1165,8 @@ object Events extends QueryModule {
 
   private val valueHistogramSql =
     """SELECT event_type,
-      | CAST(length(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)) AS INT) AS decade,
+      | CAST(CASE WHEN floor(value) = 0 THEN 0
+      |      ELSE length(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)) END AS INT) AS decade,
       | COUNT(*) AS n_events,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
       | MIN(value) AS min_value, MAX(value) AS max_value

@@ -862,8 +862,11 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("cnt"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("cnt").cast("long").as("n_terms"),
+        // nullif (the heapsFit guard): a single-term vocabulary has zero
+        // x-variance — the slope is undefined there, not 0/0 = NaN
         Cols.fp6((col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          / nullif((col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            lit(0.0)))
           .as("zipf_slope"))
   }
 
@@ -878,8 +881,8 @@ object TextAnalysis extends QueryModule {
        |       FROM ranked)
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
        | floor(CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE)
-       |   / CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE) * 1e6 + 0.5) / 1e6
-       |   AS zipf_slope
+       |   / NULLIF(CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE), 0.0)
+       |   * 1e6 + 0.5) / 1e6 AS zipf_slope
        |FROM q""".stripMargin
 
   /** Per-source unigram KL divergence vs the corpus distribution — the

@@ -776,7 +776,11 @@ object WideColumn extends QueryModule {
     val Array(bRow) = ev
       .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
       .collect()
-    val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+    // empty/fully-filtered corpus: min/max are NULL — an empty outage
+    // window (0, 0) yields the correct empty result instead of an NPE in
+    // the primitive unboxing below
+    val (lo, hi) =
+      if (bRow.isNullAt(0)) (0L, 0L) else (bRow.getLong(0), bRow.getLong(1))
     val oStart = lo + (hi - lo) * 2 / 5
     val oEnd = lo + (hi - lo) * 3 / 5
     val w = ev

@@ -1081,18 +1081,26 @@ object Ann extends QueryModule {
     * neither stale nor lossy. The bench's cold run pays the one-time build, its
     * min run shows the amortized per-batch query cost — the number a
     * serving deployment actually sees. */
-  def ivfPrebuiltTopK(s: SparkSession, d: String): DataFrame = {
-    val dir = prebuiltIndexDir(s, d)
-    val index = s.read.parquet(s"$dir/cells")
-    val cent = s.read.parquet(s"$dir/centroids")
+  /** One serve body for the prebuilt-IVF read path — the filtered and
+    * unfiltered entries are the SAME probe/join/rank pipeline over a
+    * (possibly pre-filtered) index frame, and sharing it means a fix to
+    * the serve join or tie-break cannot reach one and miss the other
+    * (the knnPredictions one-definition argument). */
+  private def serveIvfIndex(s: SparkSession, d: String, index: DataFrame,
+      extraCols: Seq[Column]): DataFrame = {
+    val cent = s.read.parquet(s"${prebuiltIndexDir(s, d)}/centroids")
     val probe = probeCells(withNorm(Tables.embeddings(s, d)), cent)
     index.join(broadcast(probe),
         col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
-        score.as("score"))
+      .select(Seq(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"))
+        ++ extraCols :+ score.as("score"): _*)
       .withColumn("rk", row_number().over(rank).cast("long"))
       .filter(col("rk") <= K)
   }
+
+  def ivfPrebuiltTopK(s: SparkSession, d: String): DataFrame =
+    serveIvfIndex(s, d,
+      s.read.parquet(s"${prebuiltIndexDir(s, d)}/cells"), Seq.empty)
 
   /** METADATA-FILTERED ANN against the persisted IVF index — the
     * production shape every vector store ships (Milvus/Vespa/pgvector
@@ -1105,19 +1113,11 @@ object Ann extends QueryModule {
     * training CTEs and filters `idx` by a base-table label join. At
     * 100 TB the selectivity multiplies straight through the candidate
     * stage — a 1/3 filter scans 1/3 of each probed cell. */
-  def filteredTopK(s: SparkSession, d: String): DataFrame = {
-    val dir = prebuiltIndexDir(s, d)
-    val index = s.read.parquet(s"$dir/cells")
-      .filter(pmod(col("label"), lit(3)) === 0)
-    val cent = s.read.parquet(s"$dir/centroids")
-    val probe = probeCells(withNorm(Tables.embeddings(s, d)), cent)
-    index.join(broadcast(probe),
-        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
-        col("label"), score.as("score"))
-      .withColumn("rk", row_number().over(rank).cast("long"))
-      .filter(col("rk") <= K)
-  }
+  def filteredTopK(s: SparkSession, d: String): DataFrame =
+    serveIvfIndex(s, d,
+      s.read.parquet(s"${prebuiltIndexDir(s, d)}/cells")
+        .filter(pmod(col("label"), lit(3)) === 0),
+      Seq(col("label")))
 
   private def filteredTopKSql: String =
     s"""WITH $ivfCtesSql,
@@ -1519,6 +1519,11 @@ object Ann extends QueryModule {
     val w = Window.partitionBy("anchor_id").orderBy(desc("score"), asc("neighbor_id"))
     a.join(b, col("bucket") === col("bucket_b") && col("anchor_id") =!= col("neighbor_id"))
       .select(col("anchor_id"), col("label"), col("neighbor_id"), score.as("score"))
+      // a zero-norm neighbor has no direction, hence a NULL cosine: it is
+      // not a neighbor at all — without this it would enter the top-k
+      // (inflating k_used while contributing nothing to ssum) and bias
+      // novelty upward for under-populated cells
+      .filter(col("score").isNotNull)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= OodK)
       .groupBy("anchor_id", "label")
       .agg(count(lit(1)).as("k_used"),
@@ -1539,7 +1544,7 @@ object Ann extends QueryModule {
        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
        | topk AS (SELECT * FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY score DESC, neighbor_id) AS rk
-       |    FROM pairs) t WHERE rk <= $OodK),
+       |    FROM (SELECT * FROM pairs WHERE score IS NOT NULL) p) t WHERE rk <= $OodK),
        | agg AS (
        |  SELECT anchor_id, label, COUNT(*) AS k_used,
        |    SUM(CAST(score AS DECIMAL(18,4))) AS ssum
@@ -1549,15 +1554,17 @@ object Ann extends QueryModule {
        |FROM agg ORDER BY novelty DESC, vec_id LIMIT 20""".stripMargin
 
   // ---- contrastive triplet mining ----------------------------------------
-  /** Hard-triplet mining for contrastive/embedding training: for each
-    * anchor, the highest-cosine SAME-label candidate (hardest positive to
-    * beat) and the highest-cosine DIFFERENT-label candidate (the hard
-    * negative whose margin the loss pushes on). One broadcast of the
-    * anchor set over a single corpus scan; the top-1-per-(anchor, class)
-    * selection rides the same bucketed pre-reduce as every O(n)-candidate
-    * rank in this module, so no window ever sees the full corpus. Margin
-    * is the difference of the two 4-dp fixed-point scores — identical
-    * doubles cross-engine. */
+  /** Hard-triplet mining for contrastive/embedding training (the
+    * FaceNet-style selection, Schroff et al. 2015): for each anchor, the
+    * LOWEST-cosine SAME-label candidate (the hard positive the loss must
+    * pull close) and the HIGHEST-cosine DIFFERENT-label candidate (the
+    * hard negative it must push away). margin = pos − neg; a NEGATIVE
+    * margin marks exactly the violating triplets a trainer wants. One
+    * broadcast of the anchor set over a single corpus scan; the
+    * top-1-per-(anchor, class) selection rides the same bucketed
+    * pre-reduce as every O(n)-candidate rank in this module, so no
+    * window ever sees the full corpus. Margin is the difference of two
+    * 4-dp fixed-point scores — identical doubles cross-engine. */
   private val TripletAnchors = 20
   def tripletMining(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
@@ -1568,11 +1575,19 @@ object Ann extends QueryModule {
       .filter(col("vec_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("a_label"), col("vec_id").as("cand_id"),
         (col("label") === col("a_label")).as("same"), score.as("score"))
+    // FaceNet-sense hardness, opposite per class: the hard POSITIVE is
+    // the LOWEST-cosine same-label sample (the one the loss must pull
+    // close), the hard NEGATIVE the HIGHEST-cosine different-label one
+    // (the one it must push away). One window serves both: negating the
+    // negative branch's 4-dp fixed-point score flips its order exactly.
+    val hardness = when(col("same"), col("score")).otherwise(-col("score"))
     val local = Window
       .partitionBy(col("anchor_id"), col("same"), pmod(hash(col("cand_id")), lit(PreReduceBuckets)))
-      .orderBy(desc("score"), asc("cand_id"))
-    val global = Window.partitionBy("anchor_id", "same").orderBy(desc("score"), asc("cand_id"))
+      .orderBy(asc_nulls_last("h"), asc("cand_id"))
+    val global = Window.partitionBy("anchor_id", "same")
+      .orderBy(asc_nulls_last("h"), asc("cand_id"))
     val best = pairs
+      .withColumn("h", hardness)
       .withColumn("brk", row_number().over(local)).filter(col("brk") === 1).drop("brk")
       .withColumn("rk", row_number().over(global)).filter(col("rk") === 1)
     val pos = best.filter(col("same"))
@@ -1596,7 +1611,8 @@ object Ann extends QueryModule {
        |    floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
        |  FROM q, n WHERE n.vec_id != anchor_id),
        | best AS (SELECT * FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same ORDER BY score DESC, cand_id) AS rk
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same
+       |      ORDER BY CASE WHEN same THEN score ELSE -score END ASC NULLS LAST, cand_id) AS rk
        |    FROM pairs) t WHERE rk = 1)
        |SELECT p.anchor_id, p.a_label AS label, p.cand_id AS pos_id, p.score AS pos_score,
        | g.cand_id AS neg_id, g.score AS neg_score, p.score - g.score AS margin

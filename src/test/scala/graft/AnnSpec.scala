@@ -407,7 +407,7 @@ class AnnSpec extends SparkSpec {
     assert(got == scored)
   }
 
-  test("triplet mining: hardest positive and negative recount from the corpus") {
+  test("triplet mining: FaceNet hard positive/negative recount from the corpus") {
     val vecs = loadVecs
     val got = Ann.tripletMining(spark, sf).collect()
     assert(got.nonEmpty)
@@ -415,18 +415,24 @@ class AnnSpec extends SparkSpec {
       val a = r.getAs[Long]("anchor_id")
       val (va, la) = vecs(a)
       assert(r.getAs[Int]("label") == la)
-      def best(same: Boolean) = vecs.toSeq
-        .filter { case (b, (_, lb)) => b != a && (lb == la) == same }
-        .map { case (b, (vb, _)) => (fp4cos(va, vb), b) }
-        .minBy { case (s, b) => (-s, b) }
-      val (ps, pid) = best(same = true)
-      val (ns, nid) = best(same = false)
+      def extreme(same: Boolean, hardKey: (Double, Long) => (Double, Long)) =
+        vecs.toSeq
+          .filter { case (b, (_, lb)) => b != a && (lb == la) == same }
+          .map { case (b, (vb, _)) => (fp4cos(va, vb), b) }
+          .minBy { case (s, b) => hardKey(s, b) }
+      // hard positive = LOWEST same-label cosine; hard negative =
+      // HIGHEST different-label cosine (Schroff et al. 2015)
+      val (ps, pid) = extreme(same = true, (s, b) => (s, b))
+      val (ns, nid) = extreme(same = false, (s, b) => (-s, b))
       assert(r.getAs[Long]("pos_id") == pid && r.getAs[Double]("pos_score") == ps)
       assert(r.getAs[Long]("neg_id") == nid && r.getAs[Double]("neg_score") == ns)
       assert(r.getAs[Double]("margin") == ps - ns)
       // same-label positive really is same-label, negative differs
       assert(vecs(pid)._2 == la && vecs(nid)._2 != la)
     }
+    // the fixture must contain at least one violating (negative-margin)
+    // triplet, or the hard-mining assertion is vacuous
+    assert(got.exists(_.getAs[Double]("margin") < 0))
   }
 
   test("label confusion aggregates exactly the per-query vote view") {

@@ -322,7 +322,8 @@ class EventsSpec extends SparkSpec {
     val vals = Tables.events(spark, sf).select("event_type", "value").collect()
       .map(r => (r.getString(0), r.getDouble(1)))
     val want = vals.groupBy { case (t, v) =>
-      (t, math.floor(v).toLong.toString.length)
+      val f = math.floor(v).toLong
+      (t, if (f == 0) 0 else f.toString.length)
     }.map { case ((t, dec), g) =>
       (t, dec) -> ((g.length.toLong,
         g.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum,
