@@ -44,4 +44,23 @@ private[graft] object Cols {
     * convention closes (ADVICE r4, swept suite-wide; ANN scores r8). The
     * SQL twin must use the identical floor form. */
   def fp4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+
+  /** SQL twin of [[fp4]]: ONE definition emits the floor fragment into
+    * every DuckDB oracle string, the same one-definition-two-engines
+    * pairing as md5Int/md5IntSql — an inlined copy that drifts from
+    * [[fp4]] is a cross-engine hash flip waiting to happen (VERDICT r8
+    * "what's missing" #3). */
+  def fp4Sql(x: String): String = s"floor(($x) * 1e4 + 0.5) / 1e4"
+
+  /** [[fp4]] kept in fixed-point (LONG ×1e4) for integer score arithmetic
+    * (the MMR mix) — Scala twin of [[fp4FixSql]]. */
+  def fp4Fix(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
+
+  /** [[fp4Sql]] kept in fixed-point (BIGINT ×1e4) for oracle stages that
+    * do integer arithmetic on scores before the final descale (MMR's
+    * 7·sfp − 3·max sim mix). */
+  def fp4FixSql(x: String): String = s"CAST(floor(($x) * 1e4 + 0.5) AS BIGINT)"
+
+  /** SQL twin of [[fp6]] — same device, 6 decimal places. */
+  def fp6Sql(x: String): String = s"floor(($x) * 1e6 + 0.5) / 1e6"
 }

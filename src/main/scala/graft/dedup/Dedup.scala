@@ -444,7 +444,7 @@ object Dedup extends QueryModule {
     s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
        |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-       | floor((${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       | ${Cols.fp4Sql(cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm"))} AS score
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin
 

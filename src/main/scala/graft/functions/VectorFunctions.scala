@@ -72,6 +72,11 @@ object VectorFunctions {
 
   // ---- DuckDB oracle SQL builders (same math, same order) ----------------
 
+  /** SQL twin of [[cosine]]: dot / nullif(na·nb, 0), norms precomputed by
+    * the caller's CTE exactly as the Spark side precomputes `nrm`. */
+  def cosSql(a: String, b: String, na: String, nb: String): String =
+    s"${dotSql(a, b)} / nullif($na * $nb, 0)"
+
   def dotSql(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, len($a))])"
 

@@ -87,7 +87,7 @@ object Ann extends QueryModule {
        | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
        | pairs AS (
        |  SELECT query_id, n.vec_id AS neighbor_id,
-       |    floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("qe", "n.embedding", "qn", "n.nrm"))} AS score
        |  FROM q, n WHERE n.vec_id != query_id)
        |SELECT query_id, neighbor_id, score, rk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
@@ -113,7 +113,7 @@ object Ann extends QueryModule {
        |       FROM n WHERE vec_id < 10),
        | pairs AS (
        |  SELECT query_id, n.vec_id AS neighbor_id, n.bucket,
-       |    floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("qe", "n.embedding", "qn", "n.nrm"))} AS score
        |  FROM q JOIN n ON n.bucket = qbucket AND n.vec_id != query_id)
        |SELECT query_id, neighbor_id, bucket, score, rk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
@@ -274,7 +274,7 @@ object Ann extends QueryModule {
     s"""WITH $ivfCtesSql,
        |pairs AS (
        |  SELECT p.query_id, i.vec_id AS neighbor_id, i.cell,
-       |    floor((${dotSql("p.qe", "i.embedding")} / nullif(p.qn * i.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("p.qe", "i.embedding", "p.qn", "i.nrm"))} AS score
        |  FROM probe p JOIN idx i ON i.cell = p.pcell AND i.vec_id != p.query_id)
        |SELECT query_id, neighbor_id, cell, score, rk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
@@ -306,14 +306,14 @@ object Ann extends QueryModule {
     s"""WITH $ivfCtesSql,
        |apairs AS (
        |  SELECT p.query_id, i.vec_id AS neighbor_id,
-       |    floor((${dotSql("p.qe", "i.embedding")} / nullif(p.qn * i.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("p.qe", "i.embedding", "p.qn", "i.nrm"))} AS score
        |  FROM probe p JOIN idx i ON i.cell = p.pcell AND i.vec_id != p.query_id),
        |approx AS (SELECT query_id, neighbor_id FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
        |  FROM apairs) t WHERE rk <= $K),
        |bpairs AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-       |    floor((${dotSql("q.embedding", "n.embedding")} / nullif(q.nrm * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("q.embedding", "n.embedding", "q.nrm", "n.nrm"))} AS score
        |  FROM (SELECT * FROM n WHERE vec_id < 10) q JOIN n ON n.vec_id != q.vec_id),
        |truth AS (SELECT query_id, neighbor_id FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
@@ -353,7 +353,7 @@ object Ann extends QueryModule {
        |  WHERE ark <= $ReRank),
        |rescored AS (
        |  SELECT c.query_id, c.vec_id AS neighbor_id, c.cell,
-       |    floor((${dotSql("q.embedding", "v.embedding")} / nullif(q.nrm * v.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("q.embedding", "v.embedding", "q.nrm", "v.nrm"))} AS score
        |  FROM cand c JOIN n q ON q.vec_id = c.query_id
        |              JOIN n v ON v.vec_id = c.vec_id)
        |SELECT query_id, neighbor_id, cell, score, rk FROM (
@@ -534,7 +534,7 @@ object Ann extends QueryModule {
        |       FROM n WHERE vec_id < $KnnQ),
        | pairs AS (
        |  SELECT query_id, true_label, c.vec_id AS neighbor_id, c.label,
-       |    floor((${dotSql("qe", "c.embedding")} / nullif(qn * c.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("qe", "c.embedding", "qn", "c.nrm"))} AS score
        |  FROM q, n c WHERE c.vec_id >= $KnnQ),
        | nn AS (SELECT * FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
@@ -615,7 +615,7 @@ object Ann extends QueryModule {
        |  FROM qs q JOIN flat f ON f.t = q.t AND f.c = q.c AND f.vec_id != q.query_id),
        |pairs AS (
        |  SELECT c.query_id, c.neighbor_id,
-       |    floor((${dotSql("qn.embedding", "nn.embedding")} / nullif(qn.nrm * nn.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("qn.embedding", "nn.embedding", "qn.nrm", "nn.nrm"))} AS score
        |  FROM cand c JOIN n qn ON qn.vec_id = c.query_id
        |              JOIN n nn ON nn.vec_id = c.neighbor_id)
        |SELECT query_id, neighbor_id, score, rk FROM (
@@ -836,7 +836,7 @@ object Ann extends QueryModule {
        |  WHERE v.vec_id != l.query_id) t WHERE ark <= $PqReRank),
        |rescored AS (
        |  SELECT c.query_id, c.vec_id AS neighbor_id,
-       |    floor((${dotSql("q.embedding", "v.embedding")} / nullif(q.nrm * v.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("q.embedding", "v.embedding", "q.nrm", "v.nrm"))} AS score
        |  FROM cand c JOIN n q ON q.vec_id = c.query_id
        |              JOIN n v ON v.vec_id = c.vec_id)
        |SELECT query_id, neighbor_id, score, rk FROM (
@@ -905,7 +905,7 @@ object Ann extends QueryModule {
        |  WHERE ark <= $IvfPqReRank),
        |rescored AS (
        |  SELECT c.query_id, c.vec_id AS neighbor_id,
-       |    floor((${dotSql("q.embedding", "v.embedding")} / nullif(q.nrm * v.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("q.embedding", "v.embedding", "q.nrm", "v.nrm"))} AS score
        |  FROM cand c JOIN n q ON q.vec_id = c.query_id
        |              JOIN n v ON v.vec_id = c.vec_id)""".stripMargin
   }
@@ -950,7 +950,7 @@ object Ann extends QueryModule {
        |  WHERE ark <= $IvfPqReRank),
        |rescored AS (
        |  SELECT c.query_id, c.vec_id AS neighbor_id,
-       |    floor((${dotSql("q.embedding", "v.embedding")} / nullif(q.nrm * v.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("q.embedding", "v.embedding", "q.nrm", "v.nrm"))} AS score
        |  FROM cand c JOIN n q ON q.vec_id = c.query_id
        |              JOIN n v ON v.vec_id = c.vec_id)
        |SELECT query_id, neighbor_id, score, rk FROM (
@@ -1126,7 +1126,7 @@ object Ann extends QueryModule {
        |  WHERE em.label % 3 = 0),
        |pairs AS (
        |  SELECT p.query_id, i.vec_id AS neighbor_id, i.cell, i.label,
-       |    floor((${dotSql("p.qe", "i.embedding")} / nullif(p.qn * i.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("p.qe", "i.embedding", "p.qn", "i.nrm"))} AS score
        |  FROM probe p JOIN fidx i ON i.cell = p.pcell AND i.vec_id != p.query_id)
        |SELECT query_id, neighbor_id, cell, label, score, rk FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
@@ -1166,8 +1166,8 @@ object Ann extends QueryModule {
         .join(ce.select(col("query_id"), col("neighbor_id").as("bid"),
           col("embedding").as("be"), col("nrm").as("bn")), "query_id")
         .select(col("query_id"), col("aid"), col("bid"),
-          floor(cosine(col("ae"), col("be"), col("an"), col("bn")) * 1e4 + 0.5)
-            .cast("long").as("simfp")))
+          Cols.fp4Fix(cosine(col("ae"), col("be"), col("an"), col("bn")))
+            .as("simfp")))
     val pick = Window.partitionBy("query_id").orderBy(desc("mmr_fp"), asc("neighbor_id"))
     var sel = cand
       .withColumn("mmr_fp", lit(7L) * col("sfp"))
@@ -1214,7 +1214,7 @@ object Ann extends QueryModule {
        | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
        | pairs AS (
        |  SELECT query_id, n.vec_id AS neighbor_id,
-       |    CAST(floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) AS BIGINT) AS sfp
+       |    ${Cols.fp4FixSql(cosSql("qe", "n.embedding", "qn", "n.nrm"))} AS sfp
        |  FROM q, n WHERE n.vec_id != query_id),
        | cand AS MATERIALIZED (SELECT query_id, neighbor_id, sfp FROM (
        |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sfp DESC, neighbor_id) AS rk
@@ -1222,7 +1222,7 @@ object Ann extends QueryModule {
        | ce AS (SELECT c.query_id, c.neighbor_id, c.sfp, n.embedding, n.nrm
        |        FROM cand c JOIN n ON n.vec_id = c.neighbor_id),
        | ps AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS aid, b.neighbor_id AS bid,
-       |    CAST(floor((${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) AS BIGINT) AS simfp
+       |    ${Cols.fp4FixSql(cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm"))} AS simfp
        |  FROM ce a JOIN ce b ON a.query_id = b.query_id),
        | sel1 AS MATERIALIZED (SELECT query_id, 1 AS step, neighbor_id, 7 * sfp AS mmr_fp FROM (
        |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sfp DESC, neighbor_id) AS rk
@@ -1315,7 +1315,7 @@ object Ann extends QueryModule {
        |  FROM rescored) t WHERE rk <= $K),
        |bpairs AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-       |    floor((${dotSql("q.embedding", "n.embedding")} / nullif(q.nrm * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("q.embedding", "n.embedding", "q.nrm", "n.nrm"))} AS score
        |  FROM (SELECT * FROM n WHERE vec_id < 10) q JOIN n ON n.vec_id != q.vec_id),
        |truth AS (SELECT query_id, neighbor_id FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
@@ -1394,7 +1394,7 @@ object Ann extends QueryModule {
        |n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
        |rescored AS (
        |  SELECT c.query_id, c.vec_id AS neighbor_id,
-       |    floor((${dotSql("qv.embedding", "v.embedding")} / nullif(qv.nrm * v.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("qv.embedding", "v.embedding", "qv.nrm", "v.nrm"))} AS score
        |  FROM cand c JOIN n qv ON qv.vec_id = c.query_id
        |              JOIN n v ON v.vec_id = c.vec_id)
        |SELECT query_id, neighbor_id, score, rk FROM (
@@ -1431,22 +1431,21 @@ object Ann extends QueryModule {
       .join(pairs, col("vec_id") === col("vec_a"), "left")
       .select(col("vec_id"),
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
-        (floor(coalesce(col("score_sum"), lit(BigDecimal(0))).cast("double")
-          / coalesce(col("n_neighbors"), lit(1L)) * 1e4 + 0.5) / 1e4).as("mean_score"))
+        Cols.fp4(coalesce(col("score_sum"), lit(BigDecimal(0))).cast("double")
+          / coalesce(col("n_neighbors"), lit(1L))).as("mean_score"))
   }
 
   private val radiusSearchSql =
     s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
        |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings),
        | pairs AS (SELECT a.vec_id AS vec_a,
-       |    floor((${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm"))} AS score
        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        | agg AS (SELECT vec_a, COUNT(*) AS n_neighbors,
        |    SUM(CAST(score AS DECIMAL(18,4))) AS score_sum
        |  FROM pairs WHERE score >= 0.8 GROUP BY vec_a)
        |SELECT n.vec_id, COALESCE(agg.n_neighbors, 0) AS n_neighbors,
-       | floor(CAST(COALESCE(score_sum, 0) AS DOUBLE)
-       |       / COALESCE(n_neighbors, 1) * 1e4 + 0.5) / 1e4 AS mean_score
+       | ${Cols.fp4Sql("CAST(COALESCE(score_sum, 0) AS DOUBLE) / COALESCE(n_neighbors, 1)")} AS mean_score
        |FROM n LEFT JOIN agg ON n.vec_id = agg.vec_a""".stripMargin
 
   /** Per-subspace PQ reconstruction distortion — the index-health gauge
@@ -1540,7 +1539,7 @@ object Ann extends QueryModule {
        |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings),
        | pairs AS (
        |  SELECT a.vec_id AS anchor_id, a.label, b.vec_id AS neighbor_id,
-       |    floor((${dotSql("a.embedding", "b.embedding")} / nullif(a.nrm * b.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm"))} AS score
        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
        | topk AS (SELECT * FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY score DESC, neighbor_id) AS rk
@@ -1608,7 +1607,7 @@ object Ann extends QueryModule {
        |       FROM n WHERE vec_id < $TripletAnchors),
        | pairs AS (
        |  SELECT anchor_id, a_label, n.vec_id AS cand_id, n.label = a_label AS same,
-       |    floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("qe", "n.embedding", "qn", "n.nrm"))} AS score
        |  FROM q, n WHERE n.vec_id != anchor_id),
        | best AS (SELECT * FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, same
@@ -1669,7 +1668,7 @@ object Ann extends QueryModule {
        | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
        | vp AS (
        |  SELECT query_id, n.vec_id AS cand_id,
-       |    floor((${dotSql("qe", "n.embedding")} / nullif(qn * n.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("qe", "n.embedding", "qn", "n.nrm"))} AS score
        |  FROM q, n WHERE n.vec_id != query_id),
        | vtop AS (SELECT query_id, cand_id, rk_v FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk_v
@@ -1719,7 +1718,7 @@ object Ann extends QueryModule {
        |       FROM n WHERE vec_id < $KnnQ),
        | pairs AS (
        |  SELECT query_id, true_label, c.vec_id AS neighbor_id, c.label,
-       |    floor((${dotSql("qe", "c.embedding")} / nullif(qn * c.nrm, 0)) * 1e4 + 0.5) / 1e4 AS score
+       |    ${Cols.fp4Sql(cosSql("qe", "c.embedding", "qn", "c.nrm"))} AS score
        |  FROM q, n c WHERE c.vec_id >= $KnnQ),
        | nn AS (SELECT * FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
