@@ -421,12 +421,18 @@ object Dedup extends QueryModule {
   }
 
   // ---- embedding near-dup (LSH-bucketed cosine) ---------------------------
-  /** Top-20 same-bucket pairs by cosine over embeddings: the 8-bit sign
-    * bucket bounds candidates (never O(n²)); exact cosine ranks them. */
+  /** Top-20 same-bucket pairs by cosine over embeddings. The sign-bucket
+    * width is DERIVED from the corpus count (lshMask: cells ∝ n, expected
+    * cell ~64), so the pair stage stays linear at any scale instead of the
+    * fixed-8-bit Θ(n²/256); the 1-row count broadcasts under the mask —
+    * the q11/q15 scalar idiom. Exact cosine ranks the candidates. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.embeddings(s, d).agg(count(lit(1)).as("n_corpus"))
     val e = Tables.embeddings(s, d)
+      .crossJoin(broadcast(cnt))
       .withColumn("nrm", norm(col("embedding")))
-      .withColumn("bucket", signBucket(col("embedding"), 8))
+      .withColumn("bucket", signBucket(col("embedding"), MaxLshBits)
+        .bitwiseAND(lshMask(col("n_corpus"))))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -441,8 +447,9 @@ object Dedup extends QueryModule {
   }
 
   private val embeddingCosineSql =
-    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
-       |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings)
+    s"""WITH cnt AS (SELECT ${lshMaskSql("COUNT(*)")} AS msk FROM embeddings),
+       | n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |  ${signBucketSql("embedding", MaxLshBits)} & (SELECT msk FROM cnt) AS bucket FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
        | ${Cols.fp4Sql(cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm"))} AS score
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -1405,17 +1405,22 @@ object Ann extends QueryModule {
   /** Radius (range) search — the "all neighbors within ε" twin of top-k,
     * what ε-graph construction / near-dup blocking actually consumes:
     * per vector, the count and mean cosine of same-sign-bucket neighbors
-    * with cosine ≥ 0.8. The 8-bit sign bucket is the SEMANTICS (as in
-    * dedup_embedding_cosine): candidates are bucket-bounded, so the pair
-    * stage is Σ c² over bucket sizes, never O(n²); the mean is computed
+    * with cosine ≥ 0.8. The sign bucket is the SEMANTICS (as in
+    * dedup_embedding_cosine), and its width is DERIVED from the corpus
+    * count (lshMask: cells ∝ n, expected cell ~64), so the pair stage is
+    * Σ c² ≈ n·64 at ANY corpus scale — linear, where the former fixed
+    * 8-bit code was Θ(n²/256); the mean is computed
     * on 4-dp-rounded scores summed as exact decimals so the reduction
     * order can't flip the oracle. Vectors with no in-radius neighbor are
     * kept with n=0 (left join) — the isolation signal matters as much as
     * the neighborhoods. */
   def radiusSearch(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.embeddings(s, d).agg(count(lit(1)).as("n_corpus"))
     val e = Tables.embeddings(s, d)
+      .crossJoin(broadcast(cnt))
       .withColumn("nrm", norm(col("embedding")))
-      .withColumn("bucket", signBucket(col("embedding"), 8))
+      .withColumn("bucket", signBucket(col("embedding"), MaxLshBits)
+        .bitwiseAND(lshMask(col("n_corpus"))))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -1436,8 +1441,9 @@ object Ann extends QueryModule {
   }
 
   private val radiusSearchSql =
-    s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
-       |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings),
+    s"""WITH cnt AS (SELECT ${lshMaskSql("COUNT(*)")} AS msk FROM embeddings),
+       | n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |  ${signBucketSql("embedding", MaxLshBits)} & (SELECT msk FROM cnt) AS bucket FROM embeddings),
        | pairs AS (SELECT a.vec_id AS vec_a,
        |    ${Cols.fp4Sql(cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm"))} AS score
        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
@@ -1497,20 +1503,21 @@ object Ann extends QueryModule {
     * novelty score — the kNN-density OOD gauge a curation pipeline ranks
     * ingest by (a vector far from everything is either novel signal or an
     * encoder failure; both belong at the top of a review queue).
-    * Candidates are a SELF-join on the 8-bit (256-cell) sign-LSH bucket —
-    * the emb_radius_search shape: the pair stage is Σ c² over cell sizes,
-    * 256× sparser than all-pairs, and the per-anchor top-k window is
-    * cell-bounded (a fixed-bit code is still super-linear in the corpus,
-    * which is why the radius/near-dup family shares this cell-count
-    * discipline and scales bits with n rather than claiming linearity).
+    * Candidates are a SELF-join on the corpus-width-derived sign-LSH
+    * bucket — the emb_radius_search shape: lshMask keeps the expected
+    * cell ~64 vectors at any corpus size, so the pair stage is
+    * Σ c² ≈ n·64 (linear) and the per-anchor top-k window is
+    * cell-bounded; the former fixed 8-bit code was Θ(n²/256).
     * The k scores are summed as exact DECIMAL(18,4) (each is a 4-dp
     * fixed-point value), so the mean and the final ordering are
     * bit-identical cross-engine; anchors with fewer than k cell mates
     * keep what they have (k_used). */
   private val OodK = 5
   def oodKnnDist(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(s, d))
-      .withColumn("bucket", signBucket(col("embedding"), 8))
+    val cnt = Tables.embeddings(s, d).agg(count(lit(1)).as("n_corpus"))
+    val e = withNorm(Tables.embeddings(s, d).crossJoin(broadcast(cnt)))
+      .withColumn("bucket", signBucket(col("embedding"), MaxLshBits)
+        .bitwiseAND(lshMask(col("n_corpus"))))
     val a = e.select(col("vec_id").as("anchor_id"), col("label"),
       col("embedding").as("qe"), col("nrm").as("qn"), col("bucket"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("embedding"),
@@ -1535,8 +1542,9 @@ object Ann extends QueryModule {
   }
 
   private val oodKnnDistSql =
-    s"""WITH n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm,
-       |  ${signBucketSql("embedding", 8)} AS bucket FROM embeddings),
+    s"""WITH cnt AS (SELECT ${lshMaskSql("COUNT(*)")} AS msk FROM embeddings),
+       | n AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm,
+       |  ${signBucketSql("embedding", MaxLshBits)} & (SELECT msk FROM cnt) AS bucket FROM embeddings),
        | pairs AS (
        |  SELECT a.vec_id AS anchor_id, a.label, b.vec_id AS neighbor_id,
        |    ${Cols.fp4Sql(cosSql("a.embedding", "b.embedding", "a.nrm", "b.nrm"))} AS score

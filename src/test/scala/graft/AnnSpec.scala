@@ -365,6 +365,31 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("lshMask: cell count grows with corpus size, floor holds, mask ≡ narrower code") {
+    import graft.functions.VectorFunctions.{lshMask, signBucket, MaxLshBits}
+    // the derivation ladder (the real sf dirs all sit under the 8-bit
+    // floor — 500..2000 vectors — so growth is proven on the formula's
+    // own column evaluation over synthetic corpus counts)
+    val ns = Seq(0L, 500L, 2000L, 100000L, 1000000L, 100000000L)
+    val got = spark.createDataFrame(ns.map(Tuple1(_))).toDF("n")
+      .select(col("n"), lshMask(col("n")).as("msk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def want(n: Long): Long = // reference: bits = max(8, bitLength(n/64))
+      (1L << math.max(8, java.lang.Long.toBinaryString(n / 64).length)) - 1
+    ns.foreach(n => assert(got(n) == want(n), s"n=$n: ${got(n)} vs ${want(n)}"))
+    assert(got(500L) == 255L && got(2000L) == 255L, "test-SF corpora keep the 8-bit floor")
+    assert(got(1000000L) > got(2000L) && got(100000000L) > got(1000000L),
+      "cell count must grow with the corpus")
+    // masking the low 8 bits of the 16-plane code IS the 8-bit code —
+    // deriving the width never changes which planes existing bits use
+    val e = Tables.embeddings(spark, sf)
+    val mismatch = e.select(
+        signBucket(col("embedding"), MaxLshBits).bitwiseAND(lit(255L)).as("m"),
+        signBucket(col("embedding"), 8).as("b"))
+      .filter(col("m") =!= col("b")).count()
+    assert(mismatch == 0, s"$mismatch vectors where masked wide code != narrow code")
+  }
+
   // shared local replay helpers for the r8 trio -------------------------
   private def loadVecs: Map[Long, (Array[Double], Int)] =
     spark.read.parquet(s"$sf/embeddings.parquet")

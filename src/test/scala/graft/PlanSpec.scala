@@ -66,7 +66,10 @@ class PlanSpec extends SparkSpec {
       "emb_triplet_mining", "ann_rrf_hybrid",
       // emb_label_confusion shares emb_knn_label_vote's knnPredictions
       // pipeline, so it inherits the declared 50-row batch broadcast
-      "emb_label_confusion")
+      "emb_label_confusion",
+      // the corpus-derived-LSH family broadcasts the 1-row embeddings
+      // count under its lshMask bucket width (the q11/q15 scalar idiom)
+      "dedup_embedding_cosine", "emb_radius_search", "emb_ood_knn")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
