@@ -119,8 +119,15 @@ object Ann extends QueryModule {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
        |  FROM pairs) t WHERE rk <= $K""".stripMargin
 
+  // Floors for the corpus-derived model sizes (modelK/probeK): at the test
+  // SFs (500–2000 vectors) both derivations sit on these floors, so the
+  // literals keep their historical meaning; past n ≈ IvfTargetCell·IvfK
+  // the cell count grows ∝ n/256 and the probe budget tracks ~10% of it.
   private val NProbe = 3
   private val IvfK = 8
+  private val IvfTargetCell = 256
+  private def ivfKD(n: org.apache.spark.sql.Column) = modelK(n, IvfK, IvfTargetCell)
+  private def nProbeD(n: org.apache.spark.sql.Column) = probeK(n, NProbe, IvfK, IvfTargetCell)
   // 2 rounds suffice on this corpus (numpy: recall 0.601/0.615 at iters=2
   // vs 0.600/0.621 at 3 — isotropic data converges immediately); each extra
   // round costs a full train-assign + recompute stage pair.
@@ -166,7 +173,10 @@ object Ann extends QueryModule {
     * checkpoint, not the whole training lineage. */
   private def trainCentroids(e: DataFrame): DataFrame = {
     val train = e.filter(pmod(col("vec_id"), lit(10)) < 3)
-    var cent = e.filter(col("vec_id") < IvfK)
+    // seed count = the corpus-derived model width (floor: IvfK) — the
+    // 1-row count broadcasts under the seed filter, the q11/q15 idiom
+    val kF = broadcast(e.agg(ivfKD(count(lit(1))).as("kd")))
+    var cent = e.crossJoin(kF).filter(col("vec_id") < col("kd"))
       .select(col("vec_id").cast("int").as("cell"),
         col("embedding").cast("array<double>").as("centroid"), col("nrm").as("cnrm"))
     for (_ <- 1 to IvfIters) {
@@ -193,7 +203,9 @@ object Ann extends QueryModule {
   /** Probed cells per query: the NProbe nearest centroids. `qcdot` (the
     * raw query·centroid dot) rides along for the residual-PQ score
     * decomposition q·x ≈ q·c + q·r̂. */
-  private def probeCells(e: DataFrame, cent: DataFrame): DataFrame =
+  private def probeCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    // probe budget scales with the derived cell count (floor: NProbe)
+    val npF = broadcast(e.agg(nProbeD(count(lit(1))).as("npd")))
     queriesOf(e).withColumn("j", lit(1))
       .join(broadcast(cent.withColumn("j", lit(1))), "j")
       .select(col("query_id"), col("qe"), col("qn"), col("cell"),
@@ -201,9 +213,11 @@ object Ann extends QueryModule {
         (dot(col("qe"), col("centroid")) / nullif(col("qn") * col("cnrm"), lit(0.0))).as("cscore"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("cscore"), asc("cell"))))
-      .filter(col("crk") <= NProbe)
+      .crossJoin(npF)
+      .filter(col("crk") <= col("npd"))
       .select(col("query_id"), col("qe"), col("qn"), col("cell").as("pcell"),
         col("qcdot"))
+  }
 
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
@@ -249,10 +263,12 @@ object Ann extends QueryModule {
       .mkString(",\n")
     val last = s"tc${IvfIters}n"
     s"""n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |prm AS (SELECT ${modelKSql("COUNT(*)", IvfK, IvfTargetCell)} AS kd,
+       |  ${probeKSql("COUNT(*)", NProbe, IvfK, IvfTargetCell)} AS npd FROM embeddings),
        |tr AS (SELECT * FROM n WHERE vec_id % 10 < 3),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
        |  [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, len(embedding))] AS centroid
-       |  FROM embeddings WHERE vec_id < $IvfK),
+       |  FROM embeddings WHERE vec_id < (SELECT kd FROM prm)),
        |c0n AS (SELECT cell, centroid, ${normSql("centroid")} AS cnrm FROM c0),
        |$rounds,
        |idx AS (SELECT vec_id, embedding, nrm, cell FROM (
@@ -267,7 +283,7 @@ object Ann extends QueryModule {
        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |      ${dotSql("q.embedding", "c.centroid")} / nullif(q.nrm * c.cnrm, 0) DESC,
        |      c.cell) AS crk
-       |  FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN $last c) WHERE crk <= $NProbe)""".stripMargin
+       |  FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN $last c) WHERE crk <= (SELECT npd FROM prm))""".stripMargin
   }
 
   private def ivfTopKSql: String =

@@ -390,6 +390,21 @@ class AnnSpec extends SparkSpec {
     assert(mismatch == 0, s"$mismatch vectors where masked wide code != narrow code")
   }
 
+  test("modelK/probeK: corpus-derived model width with the literal floors") {
+    import graft.functions.VectorFunctions.{modelK, probeK}
+    val ns = Seq(0L, 500L, 2000L, 100000L, 10000000L)
+    val got = spark.createDataFrame(ns.map(Tuple1(_))).toDF("n")
+      .select(col("n"), modelK(col("n"), 8, 256).as("k"),
+        probeK(col("n"), 3, 8, 256).as("np"), modelK(col("n"), 8, 64).as("semk"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((8L, 3L, 8L)), "empty corpus stays on the floors")
+    assert(got(500L) == ((8L, 3L, 8L)), "sf0.01 embeddings sit on the floors")
+    assert(got(2000L) == ((8L, 3L, 31L)), "sf0.1 derives the 31-cell semantic model")
+    assert(got(100000L) == ((390L, 39L, 1562L)), "k = n/targetCell, np = ceil(k/10)")
+    assert(got(10000000L)._1 > got(100000L)._1 && got(10000000L)._2 > got(100000L)._2,
+      "model width and probe budget must keep growing with the corpus")
+  }
+
   // shared local replay helpers for the r8 trio -------------------------
   private def loadVecs: Map[Long, (Array[Double], Int)] =
     spark.read.parquet(s"$sf/embeddings.parquet")

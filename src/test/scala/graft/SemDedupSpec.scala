@@ -83,6 +83,20 @@ class SemDedupSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("model width derives from the corpus: sf0.01 floors at SemK, sf0.1 grows") {
+    val e01 = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
+    val n01 = e01.withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
+    val k01 = SemDedup.trainedCentroids(e01, n01).count()
+    assert(k01 == 8, s"500 vectors sit on the SemK=8 floor, got $k01")
+    // sf0.1 has 2000 vectors → k = floor(2000/64) = 31 seeds; Lloyd may
+    // empty a cell or two, so assert growth, bounded by the seed count
+    val e1 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding"))
+    val n1 = e1.withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
+    val k1 = SemDedup.trainedCentroids(e1, n1).count()
+    assert(k1 > 8 && k1 <= 31, s"sf0.1 must train a wider model than the floor, got $k1")
+  }
+
   test("silhouette: covers the corpus, bounded in [-1,1], cells match dedup") {
     val rows = SemDedup.silhouette(spark, sf).collect()
     val nVecs = Tables.embeddings(spark, sf).count()
