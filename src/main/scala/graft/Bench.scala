@@ -143,6 +143,17 @@ object Bench {
     val sentinelBase = (1 to 3).map(_ => sentinelSec(spark, sfDir)).min
     val sentinelSamples = scala.collection.mutable.ArrayBuffer[(Int, String, Double, Double)]()
 
+    // Streaming harness floor (VERDICT r8 ask #8): the steady-state cost
+    // of one MINIMAL stateful drain through the same AvailableNow/memory-
+    // sink machinery every st_* entry pays. min-of-3 — the first run also
+    // pays the temp-dir staging, which is not part of the floor.
+    val stFloorSec = r3((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingEntries.harnessFloor(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min)
+
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results: Seq[QueryRun] = named.zipWithIndex.map { case ((name, fn), idx) =>
@@ -214,7 +225,13 @@ object Bench {
     val drifts = sentinelSamples.map(_._3 / sentinelFloor).toSeq.sorted
     val maxDrift = if (drifts.isEmpty) 1.0 else r3(drifts.last)
     val medianDrift = if (drifts.isEmpty) 1.0 else r3(drifts(drifts.size / 2))
-    val contaminated = medianDrift > 2.0
+    // Gate tightened 2.0 → 1.5 (VERDICT r8 "wrong" #1): the r8 driver
+    // record shipped at median drift 1.79 with contaminated=false and its
+    // headline was ~1.8× ambient-inflated — sustained co-tenant load well
+    // under 2× still invalidates per-entry cross-round comparison, which
+    // is what the record exists for. A contaminated record must be re-run
+    // on a quieter box, not graded.
+    val contaminated = medianDrift > 1.5
     val sentinelLine = {
       val samples = sentinelSamples.map { case (idx, after, sec, load) =>
         s"""{"after_idx":$idx,"after":${jsonStr(after)},"sec":$sec,"drift":${r3(sec / sentinelFloor)},"loadavg":$load}"""
@@ -225,9 +242,14 @@ object Bench {
     val queriesLine = s"""{"metric":"queries","unit":"sec","queries":$minTimes,"sf":"$sfDir"}"""
     val total = r3(results.map(_.min).sum)
     val totalCold = r3(results.map(_.cold).sum)
+    // Drift-corrected total: raw / median sentinel drift — the headline a
+    // contended run WOULD have produced at the sentinel floor. Printed
+    // beside the raw value (never replacing it) so an ambient-inflated
+    // record carries its own correction (VERDICT r8 "wrong" #1).
+    val totalCorrected = r3(total / math.max(medianDrift, 1.0))
     val errJson = if (failed.isEmpty) "" else s""","errors":${failed.mkString("{", ",", "}")}"""
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"runs_per_query":$nRuns,"n_queries":${results.size},"n_failed":${failed.size},"sentinel_max_drift":$maxDrift,"sentinel_median_drift":$medianDrift,"contaminated":$contaminated$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_drift_corrected":$totalCorrected,"total_cold":$totalCold,"st_floor_sec":$stFloorSec,"runs_per_query":$nRuns,"n_queries":${results.size},"n_failed":${failed.size},"sentinel_max_drift":$maxDrift,"sentinel_median_drift":$medianDrift,"contaminated":$contaminated$errJson,"sf":"$sfDir"}"""
 
     // File pickup: the whole document (detail + sentinel + per-query mins
     // + summary).

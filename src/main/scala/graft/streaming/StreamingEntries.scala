@@ -84,6 +84,20 @@ object StreamingEntries extends QueryModule {
       dir.toString
     })
 
+  /** Harness-floor probe for the bench record (VERDICT r8 ask #8): one
+    * minimal stateful drain — a global count over the 5-row region table
+    * through the SAME AvailableNow / memory-sink / state-partition
+    * machinery every st_* entry pays. Its steady-state wall time is the
+    * per-entry harness floor (micro-batch setup + state-store commits +
+    * sink drain), so cross-round diffs can separate a real streaming
+    * regression from harness/environment drift: an st_* entry is only
+    * code-regressed by the amount it moved BEYOND the floor's move. */
+  private[graft] def harnessFloor(s: SparkSession, d: String): DataFrame = {
+    val sch = s.read.parquet(s"$d/region.parquet").schema
+    val src = s.readStream.schema(sch).parquet(stageDir(d, "region"))
+    drain(src.groupBy().count(), "complete")
+  }
+
   /** Streaming view of the events table (same nanos-or-micros `ts`
     * normalization as Tables.events — branch on the type the reader
     * produced, since the testdata has shipped both generations). */
