@@ -1146,7 +1146,7 @@ object Events extends QueryModule {
   /** Decade histogram of the value distribution per event type — the
     * order-of-magnitude profile (how much volume is micro vs whale) a
     * monetization/fraud dashboard opens with. Buckets are DIGIT COUNTS of
-    * floor(value) — pure integer/string arithmetic, identical on both
+    * floor(abs(value)) — pure integer/string arithmetic, identical on both
     * engines, where a log10() bucket boundary is one ulp from flipping —
     * with sub-unit values split out as decade 0 (digit count can't see
     * them: "0" and "5" both have one digit, but the micro tail is exactly
@@ -1155,8 +1155,13 @@ object Events extends QueryModule {
   def valueHistogram(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"),
-        when(floor(col("value")) === 0, lit(0))
-          .otherwise(length(floor(col("value")).cast("long").cast("string")))
+        // abs BEFORE the digit count (ADVICE r8): floor(-3.2) = -4 has
+        // string length 2 — a negative micro-value would collide with the
+        // 2-digit decade, and [-1, 0) would miss the decade-0 branch; the
+        // magnitude decade is the profile's meaning for signed values
+        // (refunds/chargebacks in a real ledger)
+        when(floor(abs(col("value"))) === 0, lit(0))
+          .otherwise(length(floor(abs(col("value"))).cast("long").cast("string")))
           .as("decade"))
       .agg(count(lit(1)).as("n_events"), sumExact(col("value"), 2).as("total_value"),
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
@@ -1165,8 +1170,8 @@ object Events extends QueryModule {
 
   private val valueHistogramSql =
     """SELECT event_type,
-      | CAST(CASE WHEN floor(value) = 0 THEN 0
-      |      ELSE length(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)) END AS INT) AS decade,
+      | CAST(CASE WHEN floor(abs(value)) = 0 THEN 0
+      |      ELSE length(CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR)) END AS INT) AS decade,
       | COUNT(*) AS n_events,
       | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
       | MIN(value) AS min_value, MAX(value) AS max_value

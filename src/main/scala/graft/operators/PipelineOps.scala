@@ -544,7 +544,12 @@ object PipelineOps extends QueryModule {
     Tables.documents(s, d)
       .select(pmod(graft.functions.TextFunctions.md5Int(col("text")), lit(5L)).as("fold"),
         col("source"),
-        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+        // split('') yields [""] on both engines, so an empty/whitespace
+        // doc would count one phantom token (ADVICE r8): keep the doc in
+        // its fold, count its tokens as the zero they are
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+          .as("n_toks"))
       .groupBy("fold")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"),
         countDistinct(col("source")).as("n_sources"))
@@ -552,7 +557,8 @@ object PipelineOps extends QueryModule {
   private val kfoldSql =
     s"""SELECT ${graft.functions.TextFunctions.md5IntSql("text")} % 5 AS fold,
        | COUNT(*) AS n_docs,
-       | CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       | CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+       |     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
        | COUNT(DISTINCT source) AS n_sources
        |FROM documents GROUP BY 1""".stripMargin
 

@@ -1042,16 +1042,22 @@ object TextAnalysis extends QueryModule {
   def heapsFit(s: SparkSession, d: String): DataFrame = {
     val dec38 = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val pts = Tables.documents(s, d)
+      // length(trim) gate, not size(toks) > 0: split('') yields [""] on
+      // both engines, so an empty/whitespace doc passed the old gate and
+      // entered the fit as a phantom (N=1, V=1) point (ADVICE r8)
+      .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) > 0)
       .select(col("source"), lnQ(size(col("toks"))).as("x"),
         lnQ(size(array_distinct(col("toks")))).as("y"))
     pts.rollup("source")
-      .agg(count(lit(1)).as("cnt"),
+      .agg(grouping(col("source")).as("g"), count(lit(1)).as("cnt"),
         sum(dec38(col("x"))).as("sx"), sum(dec38(col("y"))).as("sy"),
         sum(dec38(col("x") * col("y"))).as("sxy"),
         sum(dec38(col("x") * col("x"))).as("sxx"))
-      .select(coalesce(col("source"), lit("__corpus__")).as("source"),
+      // GROUPING(), not COALESCE: a genuine NULL source group must keep
+      // its NULL label instead of colliding with the grand-total row
+      // (ADVICE r8)
+      .select(when(col("g") === 1, lit("__corpus__")).otherwise(col("source")).as("source"),
         col("cnt").cast("long").as("n_docs"),
         // nullif: a degenerate group (all docs the same token count —
         // 1-doc sources, uniform synthetic corpora) has zero x-variance;
@@ -1070,12 +1076,12 @@ object TextAnalysis extends QueryModule {
       |      * 1e6 + 0.5) AS BIGINT) AS x,
       |    CAST(floor(ln(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
       |      AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
-      |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0),
+      |  FROM documents WHERE length(trim(text)) > 0),
       | agg AS (
-      |  SELECT source, COUNT(*) AS cnt, SUM(x) AS sx, SUM(y) AS sy,
+      |  SELECT source, GROUPING(source) AS g, COUNT(*) AS cnt, SUM(x) AS sx, SUM(y) AS sy,
       |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
       |  FROM pts GROUP BY ROLLUP (source))
-      |SELECT COALESCE(source, '__corpus__') AS source, CAST(cnt AS BIGINT) AS n_docs,
+      |SELECT CASE WHEN g = 1 THEN '__corpus__' ELSE source END AS source, CAST(cnt AS BIGINT) AS n_docs,
       | floor((CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE)
       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |   / NULLIF(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
@@ -1088,24 +1094,28 @@ object TextAnalysis extends QueryModule {
     * boilerplate — the doc-grain complement of the dedup pair views
     * (which only surface the top offenders, not a per-doc score to
     * filter on). Shingles come from the same native WordShingles kernel
-    * as the dedup index (one definition corpus-wide); df is the same
-    * per-shingle window exchange shingleIndexOf uses. Two exchanges —
-    * the (doc, shingle) frame shuffles once on the shingle for df and
-    * once on doc_id for the roll-up — but never a pair join, so the
-    * cost is linear in the index where every dedup pair entry adds a
-    * Σ c² candidate stage on top of the same index. */
-  def ngramNovelty(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    * as the dedup index (one definition corpus-wide). df is a
+    * groupBy(sg) count — partial map-side combine collapses a Zipf-head
+    * shingle's occurrences BEFORE the exchange, where the former
+    * unbounded per-shingle window shuffled and sorted every occurrence
+    * of the hot shingles into single partitions (ADVICE r8) — joined
+    * back SALTED (the PMI-margin discipline: the probe side is exactly
+    * as Zipf-headed as the aggregate was). Three linear exchanges,
+    * never a pair join. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(org.apache.spark.sql.GraftColumns.column(
           graft.plans.WordShingles(
             org.apache.spark.sql.GraftColumns.expression(col("text"))))).as("sg"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
+    val dfCounts = pairs.groupBy("sg").agg(count(lit(1)).as("df"))
+    graft.functions.Skew.saltedJoin(pairs, dfCounts, "sg", 8, col("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         Cols.fp6(col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+  }
 
   private val ngramNoveltySql =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -49,6 +49,16 @@ class SkewSpec extends SparkSpec {
         .queryExecution.executedPlan.toString()
       assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(tfidfPlan).isDefined,
         s"tfidf term join must exchange on (term, _salt):\n${tfidfPlan.take(1200)}")
+      // txt_ngram_novelty shares the discipline since its df moved from a
+      // per-shingle window (hot partitions on Zipf-head shingles, ADVICE
+      // r8) to groupBy + salted join back — assert the salt is in ITS
+      // plan on the same hostile corpus, and that the boilerplate-heavy
+      // docs score near-zero novelty (2 hapax unigrams can contribute at
+      // most the tail of each doc's shingle set)
+      val novPlan = graft.operators.TextAnalysis.ngramNovelty(spark, dir)
+        .queryExecution.executedPlan.toString()
+      assert("hashpartitioning\\([^)]*_salt".r.findFirstIn(novPlan).isDefined,
+        s"novelty df join must exchange on (sg, _salt):\n${novPlan.take(1200)}")
       // exactness under the hot key: every doc has 200 occurrences of the
       // hot token (cf = 1M) + 2 hapax tokens, 202 tokens, 3 distinct
       val rows = df.collect()
