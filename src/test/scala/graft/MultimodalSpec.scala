@@ -140,6 +140,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpeg decode: lossy round trip inside the bound, map-only; a channel swap would flip") {
+    val df = graft.multimodal.Multimodal.jpegDecode(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"jpeg decode plan shuffles:\n${plan.take(800)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == (id % 64 + 8).toInt
+        && r.getAs[Int]("height") == (id / 64 % 64 + 8).toInt, s"doc $id dims")
+      assert(r.getAs[Boolean]("jfif_magic"), s"doc $id: not a real JFIF stream")
+      assert(r.getAs[Boolean]("r_faithful") && r.getAs[Boolean]("g_faithful")
+        && r.getAs[Boolean]("b_faithful"), s"doc $id: codec error past the bound")
+    }
+    // hardness proof, no Spark: rebuild one image locally, run the SAME
+    // JDK codec, and score the decoded R channel against the WRONG (B)
+    // ramp — the error must overshoot the 24.0 bound by a wide margin,
+    // so the pinned-TRUE oracle really would flip on a channel swap
+    val (w, h) = (17, 23)
+    def rampR(x: Int) = (x * 510 + (w - 1)) / (2 * (w - 1))
+    def rampG(y: Int) = (y * 510 + (h - 1)) / (2 * (h - 1))
+    def rampB(x: Int, y: Int) = 255 - ((x + y) * 510 + (w + h - 2)) / (2 * (w + h - 2))
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (rampR(x) << 16) | (rampG(y) << 8) | rampB(x, y))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val prm = wr.getDefaultWriteParam
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionQuality(0.9f)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    var okErr = 0L; var swapErr = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (back.getRGB(x, y) >> 16) & 0xFF
+      okErr += math.abs(r - rampR(x)); swapErr += math.abs(r - rampB(x, y))
+    }
+    val n = w.toLong * h
+    assert(okErr <= 24.0 * n, s"faithful error ${okErr.toDouble / n} outside the bound")
+    assert(swapErr > 2 * 24.0 * n,
+      s"swapped-channel error ${swapErr.toDouble / n} too close to the bound to detect")
+  }
+
   test("pixel decode writes a genuine PNG container (signature + IDAT), not a synthesized header") {
     // encode one image exactly as the entry does and check the BYTES are
     // a real PNG: 8-byte signature, IHDR, a zlib-compressed IDAT chunk
