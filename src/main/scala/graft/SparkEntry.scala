@@ -11,7 +11,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     operators.Analytics, operators.AnalyticsSubqueries,
     operators.WideColumn, operators.Events,
-    operators.TextAnalysis, operators.PipelineOps, dedup.Dedup,
+    operators.TextAnalysis, operators.BpeOps, operators.PipelineOps, dedup.Dedup,
     dedup.SemDedup,
     similarity.Ann, similarity.Pca, multimodal.Multimodal,
     streaming.StreamingEntries)

@@ -1,0 +1,217 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained byte-pair-encoding merge table (VERDICT r8 ask #7):
+  * the REAL subword tokenizer behind token accounting, replacing the
+  * whitespace/regex estimates that previously denominated mixing weights
+  * and pack budgets (a 100 TB data mix is decided in subword tokens).
+  *
+  * One algorithm, three implementations that must agree bit-for-bit:
+  * this driver-side trainer, the [[graft.plans.BpeTokenCount]] codegen
+  * kernel, and the DuckDB oracle CTEs emitted by [[trainCtes]] — so the
+  * semantics are pinned to operations every engine implements
+  * identically:
+  *
+  *  - vocabulary: whitespace tokens (TextFunctions.tokens semantics) of
+  *    non-blank docs, top [[VocabTop]] by (freq DESC, word ASC in UTF-8
+  *    byte order — Spark's UTF8String and DuckDB's VARCHAR both compare
+  *    binary UTF-8, and the local comparator here mirrors them; Java's
+  *    UTF-16 compareTo would diverge on astral code points);
+  *  - symbolization: ' ' + code points joined by ' ' + ' ' (code points,
+  *    not UTF-16 units — the charEntropy device);
+  *  - [[Merges]] training steps: count adjacent-symbol pairs weighted by
+  *    word frequency, pick argmax (weight DESC, pair ASC), update every
+  *    vocab word with TWO leftmost-non-overlapping replace passes;
+  *  - application (inference): the same two replace passes per merge in
+  *    rank order. Two passes, not replace-to-fixpoint: a single
+  *    replace's match consumes the shared boundary space and skips the
+  *    next adjacent occurrence; the second pass catches it. (Residual
+  *    stragglers in 4+-long same-symbol runs survive identically in
+  *    every engine — the semantics are the pass count, not convergence.)
+  *
+  * Training collects only the bounded top-[[VocabTop]] frequency table
+  * (the CMS/heavy-hitters constant-size-model precedent) and loops on
+  * the driver; the corpus-sized work — the word-frequency aggregate and
+  * the per-row application — stays distributed. The trained table is
+  * cached per sf dir (the prebuilt-model lifecycle: train once, serve
+  * everywhere; at 100 TB the same table is trained nightly and
+  * broadcast into every accounting job). */
+object Bpe {
+  val Merges = 32
+  val VocabTop = 256
+
+  final case class Merge(pair: String, merged: String, weight: Long)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+
+  /** Test hook (the prebuilt-cache convention): rewritten fixture corpora
+    * must retrain instead of serving stale merges. */
+  private[graft] def clearCache(): Unit = cache.clear()
+
+  /** UTF-8 byte-order less-than — the collation Spark's UTF8String and
+    * DuckDB's VARCHAR share; the driver-side trainer must tie-break with
+    * the same one. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** ' ' + code points joined by ' ' + ' ' — code-point grain, so a
+    * surrogate pair is ONE symbol on every engine. */
+  def syms(word: String): String = {
+    val sb = new java.lang.StringBuilder(word.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp).append(' ')
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Two leftmost-non-overlapping replace passes — THE application
+    * primitive all three implementations share. */
+  def rep2(s: String, p: String, q: String): String =
+    s.replace(p, q).replace(p, q)
+
+  /** Train (or serve the cached) merge table for a corpus dir. */
+  def train(spark: SparkSession, d: String): Seq[Merge] =
+    cache.computeIfAbsent(d, dir => {
+      val vocab = Tables.documents(spark, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("word")).limit(VocabTop)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      var vs = vocab.map { case (w, f) => (syms(w), f) }
+      val out = Seq.newBuilder[Merge]
+      var k = 0
+      var exhausted = false
+      while (k < Merges && !exhausted) {
+        val pc = new java.util.HashMap[String, java.lang.Long]()
+        vs.foreach { case (s, f) =>
+          val l = s.substring(1, s.length - 1).split(" ", -1)
+          var i = 0
+          while (i < l.length - 1) {
+            pc.merge(l(i) + " " + l(i + 1), f, (a, b) => a + b)
+            i += 1
+          }
+        }
+        if (pc.isEmpty) exhausted = true
+        else {
+          var best: String = null
+          var bw = -1L
+          pc.forEach { (p, w) =>
+            if (w > bw || (w == bw && utf8Lt(p, best))) { best = p; bw = w }
+          }
+          val merged = best.replace(" ", "")
+          out += Merge(best, merged, bw)
+          vs = vs.map { case (s, f) =>
+            (rep2(s, " " + best + " ", " " + merged + " "), f)
+          }
+        }
+        k += 1
+      }
+      out.result()
+    })
+
+  // ---- DuckDB oracle builders: training + application replayed in SQL ----
+
+  /** Symbolization of a word expression — the SQL twin of [[syms]]
+    * (substring/length are code-point-grain in DuckDB). */
+  private def symsSql(w: String): String =
+    s"' ' || array_to_string([substring($w, CAST(i AS INT), 1) " +
+      s"FOR i IN generate_series(1, length($w))], ' ') || ' '"
+
+  /** The full training unrolled as CTEs: w0 (bounded vocab) → v0
+    * (symbolized) → [p_k (pair stats) → b_k (argmax merge) → v_k
+    * (two-pass update)] × [[Merges]]. Every v/b is MATERIALIZED — each
+    * round references its predecessor more than once, and inlined CTEs
+    * would expand exponentially (the MMR-oracle lesson). A step with no
+    * remaining pairs yields an empty b_k; COALESCE turns its patterns
+    * into an unmatchable sentinel so the update is a no-op, exactly as
+    * the trainer stops early. */
+  private[graft] def trainCtes: String = {
+    val head =
+      s"""w0 AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |    FROM documents WHERE length(trim(text)) > 0)
+         |  WHERE length(word) > 0 GROUP BY word ORDER BY freq DESC, word LIMIT $VocabTop),
+         |v0 AS MATERIALIZED (SELECT ${symsSql("word")} AS s, freq FROM w0)""".stripMargin
+    val steps = (1 to Merges).map { k =>
+      s"""p$k AS (
+         |  SELECT l[i] || ' ' || l[i+1] AS pr, SUM(freq) AS wgt FROM (
+         |    SELECT string_split(trim(s, ' '), ' ') AS l, freq,
+         |           unnest(generate_series(1, len(string_split(trim(s, ' '), ' ')) - 1)) AS i
+         |    FROM v${k - 1})
+         |  GROUP BY pr),
+         |b$k AS MATERIALIZED (SELECT pr AS pair, replace(pr, ' ', '') AS merged, wgt
+         |  FROM p$k ORDER BY wgt DESC, pr LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT replace(replace(s,
+         |    ${patSql(k)}, ${repSql(k)}), ${patSql(k)}, ${repSql(k)}) AS s, freq FROM v${k - 1})""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  private def patSql(k: Int): String =
+    s"COALESCE((SELECT ' ' || pair || ' ' FROM b$k), chr(1))"
+  private def repSql(k: Int): String =
+    s"COALESCE((SELECT ' ' || merged || ' ' FROM b$k), chr(1))"
+
+  /** rank/pair/merged/weight union over the trained steps (empty steps
+    * contribute no row — matching the trainer's early stop). */
+  private[graft] def mergesUnionSql: String =
+    (1 to Merges).map(k =>
+      s"SELECT $k AS rank, pair, merged, CAST(wgt AS BIGINT) AS weight FROM b$k")
+      .mkString("\n UNION ALL ")
+
+  /** Application of the trained merges to a symbolized expression: the
+    * same two replace passes per rank, unrolled. */
+  private def applySql(inner0: String): String =
+    (1 to Merges).foldLeft(inner0) { (inner, k) =>
+      s"replace(replace($inner, ${patSql(k)}, ${repSql(k)}), ${patSql(k)}, ${repSql(k)})"
+    }
+
+  /** CTEs mapping every distinct corpus word to its BPE subword count —
+    * the oracle applies merges over the VOCABULARY and joins counts back
+    * (per-word, the application is a pure function, so the distinct-word
+    * frame is the cheapest exact replay). Appends to [[trainCtes]]. */
+  private[graft] def applyCtes: String =
+    s"""dw AS MATERIALIZED (SELECT DISTINCT word FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents WHERE length(trim(text)) > 0) WHERE length(word) > 0),
+       |ap AS MATERIALIZED (SELECT word,
+       |    CAST(length(fs) - length(replace(fs, ' ', '')) - 1 AS BIGINT) AS n_bpe FROM (
+       |    SELECT word, ${applySql("s")} AS fs FROM (
+       |      SELECT word, ${symsSql("word")} AS s FROM dw))),
+       |docw AS (SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents WHERE length(trim(text)) > 0) WHERE length(word) > 0),
+       |doctok AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    CAST(COUNT(a.word) AS BIGINT) AS n_ws_tokens,
+       |    CAST(COALESCE(SUM(a.n_bpe), 0) AS BIGINT) AS n_bpe_tokens
+       |  FROM (SELECT doc_id FROM documents) d
+       |  LEFT JOIN docw ON d.doc_id = docw.doc_id
+       |  LEFT JOIN ap a ON docw.word = a.word
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** Full training + application prefix, ending in `doctok (doc_id,
+    * n_ws_tokens, n_bpe_tokens)` — what the re-denominated budget/pack
+    * oracles compose over. */
+  private[graft] def bpeCtes: String = s"$trainCtes,\n$applyCtes"
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{Cols, QueryModule, Tables}
+import graft.functions.Bpe
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.D — the real subword tokenizer (VERDICT r8 ask #7 /
+  * "what's missing" #2): a corpus-trained BPE merge table surfaced as a
+  * model entry, a per-doc accounting entry, and the denomination behind
+  * the mixing/packing entries (smp_token_budget, doc_pack_greedy,
+  * pipeline_curated_budget re-denominate through [[bpeCount]]).
+  *
+  * Exactness device: training AND application are replayed in the DuckDB
+  * oracle ([[Bpe.trainCtes]]/[[Bpe.applyCtes]] — the SemDeDup/IVF
+  * trained-model-in-SQL discipline extended from k-means to BPE), so the
+  * merge table and every downstream token count are hash-checked, not
+  * estimated. */
+object BpeOps extends QueryModule {
+
+  /** Per-row BPE subword count column over `text` for a corpus dir — the
+    * codegen'd kernel with that dir's trained merges riding along as a
+    * broadcast-model literal. */
+  def bpeCount(s: SparkSession, d: String): Column = {
+    val m = Bpe.train(s, d).map(x => (x.pair, x.merged))
+    org.apache.spark.sql.GraftColumns.column(
+      graft.plans.BpeTokenCount(
+        org.apache.spark.sql.GraftColumns.expression(col("text")), m))
+  }
+
+  /** The trained merge table itself as a driver entry — rank, pair,
+    * merged symbol, and the weighted support it was chosen on. The
+    * oracle re-trains from scratch in SQL, so a drifted trainer (wrong
+    * tie-break, wrong pass count, stale cache) hash-mismatches. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Bpe.train(s, d).zipWithIndex
+      .map { case (m, i) => (i + 1, m.pair, m.merged, m.weight) }
+      .toDF("rank", "pair", "merged", "weight")
+  }
+
+  private val bpeMergesSql =
+    s"""WITH ${Bpe.trainCtes}
+       |SELECT * FROM (${Bpe.mergesUnionSql})
+       |ORDER BY rank""".stripMargin
+
+  /** Per-doc token accounting in BOTH denominations: whitespace words
+    * and BPE subwords, plus their ratio — the fertility gauge (subwords
+    * per word) a tokenizer owner watches per corpus slice. Map-only: the
+    * kernel runs once per row, the merge table is a literal. */
+  def bpeTokenize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(graft.functions.TextFunctions.tokens(col("text")),
+          t => length(t) > 0)).cast("long").as("n_ws_tokens"),
+        bpeCount(s, d).as("n_bpe_tokens"))
+      .withColumn("subword_ratio",
+        Cols.fp6(col("n_bpe_tokens").cast("double") / nullif(col("n_ws_tokens").cast("double"), lit(0.0))))
+
+  private val bpeTokenizeSql =
+    s"""WITH ${Bpe.trainCtes},
+       |${Bpe.applyCtes}
+       |SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       | ${Cols.fp6Sql("CAST(n_bpe_tokens AS DOUBLE) / nullif(CAST(n_ws_tokens AS DOUBLE), 0)")} AS subword_ratio
+       |FROM doctok""".stripMargin
+
+  override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("txt_bpe_merges", bpeMerges _, Some(bpeMergesSql)),
+    ("txt_bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)))
+}

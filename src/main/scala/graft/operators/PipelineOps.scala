@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Cols, QueryModule, Tables}
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,7 +94,10 @@ object PipelineOps extends QueryModule {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
-      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      // packs are budgeted in REAL subword tokens (the corpus-trained BPE
+      // kernel, VERDICT r8 ask #7) — a 512-slot sequence is a model-input
+      // budget, and models consume subwords, not whitespace words
+      .withColumn("n_tok", BpeOps.bpeCount(s, d))
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("pack_id", expr("(cum - n_tok) div 512"))
       .groupBy("source", "pack_id")
@@ -103,9 +106,9 @@ object PipelineOps extends QueryModule {
   }
 
   private val packGreedySql =
-    """WITH t AS (SELECT source, doc_id,
-      |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
-      |  FROM documents),
+    s"""WITH ${graft.functions.Bpe.bpeCtes},
+      | t AS (SELECT d.source, d.doc_id, dt.n_bpe_tokens AS n_tok
+      |  FROM documents d JOIN doctok dt ON d.doc_id = dt.doc_id),
       | c AS (SELECT source, doc_id, n_tok,
       |   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -392,14 +395,16 @@ object PipelineOps extends QueryModule {
     * HALF_UP in Spark vs HALF_EVEN in DuckDB on an exact-ratio boundary.
     * Map-only at any scale; the 100 TB version is this exact plan. */
   def tokenBudget(s: SparkSession, d: String): DataFrame =
-    tokenBudgetOf(Tables.documents(s, d))
+    tokenBudgetOf(Tables.documents(s, d), BpeOps.bpeCount(s, d))
 
   /** Parametric form — `docs` needs (source, lang, text); the capstone
-    * runs it over the curated subset. */
-  private[graft] def tokenBudgetOf(docs: DataFrame): DataFrame = {
+    * runs it over the curated subset. `nToks` is the per-row token
+    * denomination: REAL subword tokens from the corpus-trained BPE
+    * kernel (VERDICT r8 ask #7) — mixing weights at 100 TB are decided
+    * in the tokens the model actually consumes. */
+  private[graft] def tokenBudgetOf(docs: DataFrame, nToks: Column): DataFrame = {
     val g = docs
-      .select(col("source"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .select(col("source"), col("lang"), nToks.as("n_toks"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
     val total = g.agg(sum(col("n_tokens")).as("total"))
@@ -437,7 +442,11 @@ object PipelineOps extends QueryModule {
       .filter(col("stage") === "kept").select("doc_id")
     val surv = graft.dedup.SemDedup.semanticPrebuilt(s, d)
       .select(col("vec_id").as("doc_id"))
-    tokenBudgetOf(Tables.documents(s, d).join(kept, "doc_id").join(surv, "doc_id"))
+    // the tokenizer is trained on the FULL corpus (the nightly-build
+    // model), then applied to the curated subset — the real order of
+    // operations when the same merge table serves every accounting job
+    tokenBudgetOf(Tables.documents(s, d).join(kept, "doc_id").join(surv, "doc_id"),
+      BpeOps.bpeCount(s, d))
   }
 
   private val curatedBudgetSql =
@@ -445,11 +454,12 @@ object PipelineOps extends QueryModule {
        | ${graft.operators.TextAnalysis.funnelStageCtes},
        | surv AS (SELECT af.vec_id FROM af LEFT JOIN drops ON af.vec_id = drops.dropped
        |          WHERE drops.dropped IS NULL),
-       | cur AS (SELECT d.source, d.lang, d.text FROM documents d
+       | ${graft.functions.Bpe.bpeCtes},
+       | cur AS (SELECT d.source, d.lang, d.doc_id FROM documents d
        |         JOIN f ON d.doc_id = f.doc_id AND f.stage = 'kept'
        |         JOIN surv ON d.doc_id = surv.vec_id),
-       | ct AS (SELECT source, lang,
-       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks FROM cur),
+       | ct AS (SELECT cur.source, cur.lang, dt.n_bpe_tokens AS n_toks
+       |  FROM cur JOIN doctok dt ON cur.doc_id = dt.doc_id),
        | g AS (SELECT source, lang, COUNT(*) AS n_docs,
        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM ct GROUP BY source, lang),
        | tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM g)
@@ -458,8 +468,9 @@ object PipelineOps extends QueryModule {
        |FROM g CROSS JOIN tt ORDER BY source, lang""".stripMargin
 
   private val tokenBudgetSql =
-    """WITH t AS (SELECT source, lang,
-      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks FROM documents),
+    s"""WITH ${graft.functions.Bpe.bpeCtes},
+      | t AS (SELECT d.source, d.lang, dt.n_bpe_tokens AS n_toks
+      |  FROM documents d JOIN doctok dt ON d.doc_id = dt.doc_id),
       | g AS (SELECT source, lang, COUNT(*) AS n_docs,
       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY source, lang),
       | tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM g)

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.Bpe
+import graft.operators.BpeOps
+import org.apache.spark.sql.functions._
+
+/** The BPE tokenizer family. The deep cross-engine parity proof is the
+  * driver oracle (training AND application replayed in SQL); these specs
+  * pin the local invariants the oracle can't see from one corpus: trainer
+  * determinism, merge-table shape, code-point symbol grain, memoized
+  * kernel correctness across distinct merge tables, and the downstream
+  * re-denominations staying consistent with the accounting entry. */
+class BpeSpec extends SparkSpec {
+
+  test("merge table: contiguous ranks, single-space pairs, merged = pair sans space") {
+    val rows = BpeOps.bpeMerges(spark, sf01).collect()
+    assert(rows.length > 0 && rows.length <= Bpe.Merges)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length), "ranks contiguous")
+    rows.foreach { r =>
+      val pair = r.getString(1)
+      assert(pair.count(_ == ' ') == 1, s"pair '$pair' must be two symbols")
+      assert(r.getString(2) == pair.replace(" ", ""), s"merged of '$pair'")
+      assert(r.getLong(3) > 0, "support weight must be positive")
+    }
+  }
+
+  test("trainer is deterministic and the per-dir cache serves the same table") {
+    val a = Bpe.train(spark, sf)
+    Bpe.clearCache()
+    val b = Bpe.train(spark, sf)
+    assert(a == b, "retraining from scratch must reproduce the merge table")
+    assert(Bpe.train(spark, sf) eq b, "second call must serve the cached table")
+  }
+
+  test("kernel: code-point symbols, empty-input zeros, per-table memo isolation") {
+    // an astral code point is ONE symbol, not two UTF-16 units
+    assert(graft.plans.BpeTokenCount.applyWord("𝄞a",
+      Array.empty, Array.empty) == 2L)
+    assert(Bpe.syms("𝄞a") == " 𝄞 a ")
+    // no merges → token count = code points per word
+    assert(graft.plans.BpeTokenCount.applyWord("abc", Array.empty, Array.empty) == 3L)
+    // two DIFFERENT merge tables must not cross-contaminate the word memo
+    val t1 = (Array(" a b "), Array(" ab "))
+    val t2 = (Array(" b c "), Array(" bc "))
+    assert(graft.plans.BpeTokenCount.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"), t1._1, t1._2) == 2L)
+    assert(graft.plans.BpeTokenCount.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"), t2._1, t2._2) == 2L)
+    assert(graft.plans.BpeTokenCount.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"), t1._1, t1._2) == 2L)
+    // blank/whitespace-only text counts zero
+    Seq("", "   ", "\n").foreach { t =>
+      assert(graft.plans.BpeTokenCount.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        t1._1, t1._2) == 0L, s"'$t' must count 0")
+    }
+  }
+
+  test("tokenize: subwords bound between word count and code-point count") {
+    val rows = BpeOps.bpeTokenize(spark, sf01).collect()
+    assert(rows.length == Tables.documents(spark, sf01).count())
+    rows.foreach { r =>
+      val ws = r.getAs[Long]("n_ws_tokens")
+      val bpe = r.getAs[Long]("n_bpe_tokens")
+      assert(bpe >= ws, s"doc ${r.getLong(0)}: every word is >= 1 subword")
+      if (ws == 0) assert(bpe == 0 && r.isNullAt(r.fieldIndex("subword_ratio")))
+      else assert(r.getAs[Double]("subword_ratio") >= 1.0)
+    }
+    // merges must actually fire on a natural corpus: total subwords are
+    // strictly fewer than total code points (the unmerged ceiling)
+    val totBpe = rows.map(_.getAs[Long]("n_bpe_tokens")).sum
+    val totCp = Tables.documents(spark, sf01)
+      .select(sum(size(split(col("text"), ""))).cast("long")).head.getLong(0)
+    assert(totBpe < totCp, "trained merges should compress below char grain")
+  }
+
+  test("pack budgets re-denominate through the SAME kernel as the accounting entry") {
+    val perSource = BpeOps.bpeTokenize(spark, sf01)
+      .join(Tables.documents(spark, sf01).select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(sum("n_bpe_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val packed = graft.operators.PipelineOps.packGreedy(spark, sf01)
+      .groupBy("source").agg(sum("tokens_started").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(packed == perSource,
+      "pack token totals must equal the accounting entry's per-source sums")
+  }
+}

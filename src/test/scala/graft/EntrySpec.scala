@@ -141,9 +141,10 @@ class EntrySpec extends SparkSpec {
     // (kNN confusion matrix), +txt_ngram_novelty (df=1 shingle share),
     // +ev_value_histogram (decade buckets) → 197/197; +smp_dedup_weighted
     // (cluster-size-inverse sampling off the stored label table) → 198/198.
-    // r9: +mm_jpeg_decode (lossy real-codec twin) → 199/199.
-    assert(SparkEntry.queries.size == 199, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 199, s"got ${SparkEntry.oracleSql.size}")
+    // r9: +mm_jpeg_decode (lossy real-codec twin), +txt_bpe_merges,
+    // +txt_bpe_tokenize (real BPE tokenizer) → 201/201.
+    assert(SparkEntry.queries.size == 201, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 201, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -31,7 +31,8 @@ class PipelineOpsSpec extends SparkSpec {
     val freshSurv = graft.dedup.SemDedup.semantic(spark, sf01)
       .select(col("vec_id").as("doc_id"))
     val inline = PipelineOps.tokenBudgetOf(
-      Tables.documents(spark, sf01).join(kept, "doc_id").join(freshSurv, "doc_id"))
+      Tables.documents(spark, sf01).join(kept, "doc_id").join(freshSurv, "doc_id"),
+      graft.operators.BpeOps.bpeCount(spark, sf01))
       .collect().toSeq
     assert(served == inline,
       "stored-keep-list capstone must equal the inline-trained composition")
