@@ -58,4 +58,57 @@ class MessageStoreSpec extends SparkSpec {
     store.dropKeyspace()
     assert(!spark.catalog.databaseExists(ks))
   }
+
+  test("token-range connector: split planning, pk pushdown pruning, column pruning") {
+    import graft.sources.connector.{TokenLayout, TokenRangeSource}
+    val s2 = spark
+    import s2.implicits._
+    // a keyspace-shaped messages table, token-bucketed on the partition key
+    val rows = (0L until 500L).map(i =>
+      (i % 37, i, s"m$i", s"u${i % 7}", s"message $i"))
+    val df = rows.toDF("channel_id", "write_seq", "message_id", "author_id", "message")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tokenrange").toString
+    TokenLayout.writeTokenBucketed(df, "channel_id", dir)
+
+    def load(splits: Int) = spark.read
+      .format(classOf[TokenRangeSource].getName)
+      .option("pk", "channel_id").option("splits", splits.toString)
+      .load(dir)
+
+    // full scan round-trips every row, planned as `splits` token ranges
+    val got = load(4).collect()
+    assert(got.length == rows.length)
+    assert(got.map(r => (r.getAs[Long]("channel_id"), r.getAs[Long]("write_seq"))).toSet
+      == rows.map(r => (r._1, r._2)).toSet)
+    val fullPlan = load(4).queryExecution.executedPlan.toString()
+    assert(fullPlan.contains("TokenRanges: 4"),
+      s"4 requested splits must plan 4 token ranges:\n${fullPlan.take(900)}")
+    assert(load(4).rdd.getNumPartitions == 4)
+
+    // pk equality: result exact, AND the scan plans exactly ONE range
+    // (the bucket owning the key's token) with the filter reported pushed
+    val one = load(4).filter(col("channel_id") === 17L)
+    assert(one.collect().map(_.getAs[Long]("write_seq")).toSet
+      == rows.filter(_._1 == 17L).map(_._2).toSet)
+    val prunedPlan = one.queryExecution.executedPlan.toString()
+    assert(prunedPlan.contains("TokenRanges: 1"),
+      s"pk equality must prune to the owning token range:\n${prunedPlan.take(900)}")
+    assert(prunedPlan.contains("PushedFilters: [channel_id = 17]"),
+      s"pushdown must be reported:\n${prunedPlan.take(900)}")
+    assert(one.rdd.getNumPartitions == 1)
+
+    // residual contract: a non-pk filter is NOT claimed as pushed and
+    // still evaluates correctly
+    val res = load(4).filter(col("author_id") === "u3").collect()
+    assert(res.length == rows.count(_._4 == "u3"))
+
+    // column pruning reaches the reader's parquet projection
+    val narrow = load(4).select("message_id")
+    assert(narrow.queryExecution.executedPlan.toString()
+      .contains("ReadSchema: struct<message_id:string>"))
+    assert(narrow.collect().map(_.getString(0)).toSet == rows.map(_._3).toSet)
+
+    // count-style empty projection still counts every row
+    assert(load(2).count() == rows.length)
+  }
 }
