@@ -194,10 +194,12 @@ object Bpe {
     s"""dw AS MATERIALIZED (SELECT DISTINCT word FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |    FROM documents WHERE length(trim(text)) > 0) WHERE length(word) > 0),
-       |ap AS MATERIALIZED (SELECT word,
-       |    CAST(length(fs) - length(replace(fs, ' ', '')) - 1 AS BIGINT) AS n_bpe FROM (
+       |apf AS MATERIALIZED (
        |    SELECT word, ${applySql("s")} AS fs FROM (
-       |      SELECT word, ${symsSql("word")} AS s FROM dw))),
+       |      SELECT word, ${symsSql("word")} AS s FROM dw)),
+       |ap AS MATERIALIZED (SELECT word,
+       |    CAST(length(fs) - length(replace(fs, ' ', '')) - 1 AS BIGINT) AS n_bpe
+       |  FROM apf),
        |docw AS (SELECT doc_id, word FROM (
        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
        |    FROM documents WHERE length(trim(text)) > 0) WHERE length(word) > 0),

@@ -64,7 +64,38 @@ object BpeOps extends QueryModule {
        | ${Cols.fp6Sql("CAST(n_bpe_tokens AS DOUBLE) / nullif(CAST(n_ws_tokens AS DOUBLE), 0)")} AS subword_ratio
        |FROM doctok""".stripMargin
 
+  /** Top-30 corpus subwords by occurrence — the derived VOCABULARY view
+    * (what a tokenizer owner inspects after retraining: did the merges
+    * produce the units the corpus actually repeats?). The array kernel
+    * streams each doc's subword sequence; the corpus count is one
+    * map-side-combined aggregate on the subword (Zipf-headed, so the
+    * partial combine is what bounds the exchange), top-30 via
+    * TakeOrdered. The oracle re-derives the same view from the
+    * distinct-word replay: per-word subword multiplicities × word
+    * occurrence counts. */
+  def bpeVocab(s: SparkSession, d: String): DataFrame = {
+    val m = Bpe.train(s, d).map(x => (x.pair, x.merged))
+    Tables.documents(s, d)
+      .select(explode(org.apache.spark.sql.GraftColumns.column(
+        graft.plans.BpeTokens(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), m))).as("subword"))
+      .groupBy("subword").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("subword"))
+      .limit(30)
+  }
+
+  private val bpeVocabSql =
+    s"""WITH ${Bpe.trainCtes},
+       |${Bpe.applyCtes},
+       |sw AS (SELECT word, unnest(string_split(trim(fs, ' '), ' ')) AS subword FROM apf),
+       |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM docw GROUP BY word)
+       |SELECT sw.subword, CAST(SUM(wc.c) AS BIGINT) AS n_occurrences
+       |FROM sw JOIN wc ON sw.word = wc.word
+       |GROUP BY sw.subword
+       |ORDER BY n_occurrences DESC, subword LIMIT 30""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("txt_bpe_merges", bpeMerges _, Some(bpeMergesSql)),
-    ("txt_bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)))
+    ("txt_bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)),
+    ("txt_bpe_vocab", bpeVocab _, Some(bpeVocabSql)))
 }

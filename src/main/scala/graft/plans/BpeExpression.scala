@@ -52,6 +52,79 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** The subword STREAM sibling of [[BpeTokenCount]]: the document's BPE
+  * token sequence as an array — what a shard writer / vocabulary view
+  * consumes where the count kernel only does accounting. Same merge
+  * semantics, same per-(table, thread) word memo (caching the split
+  * subword arrays instead of counts). */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING child, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+
+  @transient private lazy val pats: Array[String] =
+    merges.map(m => " " + m._1 + " ").toArray
+  @transient private lazy val reps: Array[String] =
+    merges.map(m => " " + m._2 + " ").toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokens.compute(input.asInstanceOf[UTF8String], pats, reps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patsRef = ctx.addReferenceObj("bpePats", pats, "java.lang.String[]")
+    val repsRef = ctx.addReferenceObj("bpeReps", reps, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.BpeTokens$$.MODULE$$.compute($c, $patsRef, $repsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
+object BpeTokens {
+  private val memo = new ThreadLocal[
+      java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Array[UTF8String]]]] {
+    override def initialValue() =
+      new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Array[UTF8String]]]()
+  }
+
+  def compute(u: UTF8String, pats: Array[String], reps: Array[String])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = WordShingles.sqlTokens(u.toString)
+    val m = memo.get().computeIfAbsent(pats,
+      _ => new java.util.HashMap[String, Array[UTF8String]]())
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        var subs = m.get(w)
+        if (subs == null) {
+          var s = graft.functions.Bpe.syms(w)
+          var k = 0
+          while (k < pats.length) {
+            s = graft.functions.Bpe.rep2(s, pats(k), reps(k))
+            k += 1
+          }
+          subs = s.substring(1, s.length - 1).split(" ", -1)
+            .map(UTF8String.fromString)
+          m.put(w, subs)
+        }
+        var j = 0
+        while (j < subs.length) { out += subs(j); j += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object BpeTokenCount {
   private val memo = new ThreadLocal[
       java.util.WeakHashMap[AnyRef, java.util.HashMap[String, java.lang.Long]]] {

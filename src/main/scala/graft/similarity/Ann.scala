@@ -296,6 +296,45 @@ object Ann extends QueryModule {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
        |  FROM pairs) t WHERE rk <= $K""".stripMargin
 
+  /** Per-cell population, corpus share and mean cosine-to-centroid of the
+    * IVF index — the BALANCE gauge beside the recall (ann_recall_eval)
+    * and distortion (emb_pq_distortion) gauges: a cell swallowing half
+    * the corpus means every probe of it scans half the corpus (the skew
+    * that decides whether nprobe·⟨cell⟩ cost math holds), and a cell
+    * with low mean affinity is a centroid the data drifted away from.
+    * Per-row affinity is µ-quantized BEFORE the per-cell mean (order-free
+    * integer sums, the silhouette device); zero-norm vectors coalesce to
+    * −2 exactly as assignment scores them. */
+  def ivfCellStats(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cent = trainCentroids(e)
+    val idx = assignCells(e, cent)
+    val tot = broadcast(idx.agg(count(lit(1)).as("n_total")))
+    idx.join(broadcast(cent.select(col("cell"), col("centroid"), col("cnrm"))), "cell")
+      .select(col("cell"),
+        floor(coalesce(
+          dot(col("embedding"), col("centroid")) / nullif(col("nrm") * col("cnrm"), lit(0.0)),
+          lit(-2.0)) * 1e6 + 0.5).cast("long").as("afp"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("afp")).as("s"))
+      .crossJoin(tot)
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        Cols.fp6(col("n_vecs").cast("double") / col("n_total")).as("corpus_share"),
+        (col("s").cast("double") / col("n_vecs") / 1e6).as("mean_affinity"))
+  }
+
+  private def ivfCellStatsSql: String =
+    s"""WITH $ivfCtesSql,
+       |aff AS (SELECT i.cell,
+       |   CAST(floor(coalesce(${dotSql("i.embedding", "c.centroid")}
+       |     / nullif(i.nrm * c.cnrm, 0), -2.0) * 1e6 + 0.5) AS BIGINT) AS afp
+       |  FROM idx i JOIN tc${IvfIters}n c ON i.cell = c.cell),
+       |tot AS (SELECT COUNT(*) AS n FROM idx)
+       |SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
+       | ${Cols.fp6Sql("CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot)")} AS corpus_share,
+       | CAST(SUM(afp) AS DOUBLE) / COUNT(*) / 1e6 AS mean_affinity
+       |FROM aff GROUP BY cell""".stripMargin
+
   // ---- index-quality evaluation: recall@K vs brute force -----------------
   /** Per-query recall@K of the IVF tier against the brute-force ground
     * truth — the index-quality gauge a production ANN deployment monitors
@@ -1780,6 +1819,7 @@ object Ann extends QueryModule {
     ("ann_recall_eval", recallEval _, Some(recallEvalSql)),
     ("ann_recall_eval_pq", recallEvalPq _, Some(recallEvalPqSql)),
     ("ann_ivf_int8_topk", ivfInt8TopK _, Some(ivfInt8TopKSql)),
+    ("ann_ivf_cell_stats", ivfCellStats _, Some(ivfCellStatsSql)),
     ("vec_norm_stats", normStats _, Some(normStatsSql)),
     ("emb_centroid_per_label", centroidPerLabel _, Some(centroidPerLabelSql)),
     ("emb_knn_label_vote", knnLabelVote _, Some(knnLabelVoteSql)),

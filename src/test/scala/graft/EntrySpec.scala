@@ -142,9 +142,10 @@ class EntrySpec extends SparkSpec {
     // +ev_value_histogram (decade buckets) → 197/197; +smp_dedup_weighted
     // (cluster-size-inverse sampling off the stored label table) → 198/198.
     // r9: +mm_jpeg_decode (lossy real-codec twin), +txt_bpe_merges,
-    // +txt_bpe_tokenize (real BPE tokenizer) → 201/201.
-    assert(SparkEntry.queries.size == 201, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 201, s"got ${SparkEntry.oracleSql.size}")
+    // +txt_bpe_tokenize, +txt_bpe_vocab (real BPE tokenizer family),
+    // +ann_ivf_cell_stats (index balance gauge) → 203/203.
+    assert(SparkEntry.queries.size == 203, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 203, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

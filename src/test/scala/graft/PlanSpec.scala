@@ -69,7 +69,10 @@ class PlanSpec extends SparkSpec {
       "emb_label_confusion",
       // the corpus-derived-LSH family broadcasts the 1-row embeddings
       // count under its lshMask bucket width (the q11/q15 scalar idiom)
-      "dedup_embedding_cosine", "emb_radius_search", "emb_ood_knn")
+      "dedup_embedding_cosine", "emb_radius_search", "emb_ood_knn",
+      // ann_ivf_cell_stats inherits the IVF training broadcasts and adds
+      // its own 1-row corpus-total scalar
+      "ann_ivf_cell_stats")
     SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
