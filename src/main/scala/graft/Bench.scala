@@ -146,8 +146,11 @@ object Bench {
     // Streaming harness floor (VERDICT r8 ask #8): the steady-state cost
     // of one MINIMAL stateful drain through the same AvailableNow/memory-
     // sink machinery every st_* entry pays. min-of-3 — the first run also
-    // pays the temp-dir staging, which is not part of the floor.
-    val stFloorSec = r3((1 to 3).map { _ =>
+    // pays the temp-dir staging, which is not part of the floor. Skipped
+    // (-1.0) when a BENCH_ONLY subset contains no st_* entry: a local
+    // q1-only iteration must not pay three stream drains up front.
+    val wantStFloor = only.forall(_.exists(_.startsWith("st_")))
+    val stFloorSec = if (!wantStFloor) -1.0 else r3((1 to 3).map { _ =>
       val t0 = System.nanoTime()
       graft.streaming.StreamingEntries.harnessFloor(spark, sfDir)
         .write.mode("overwrite").format("noop").save()

@@ -423,8 +423,9 @@ object Dedup extends QueryModule {
   // ---- embedding near-dup (LSH-bucketed cosine) ---------------------------
   /** Top-20 same-bucket pairs by cosine over embeddings. The sign-bucket
     * width is DERIVED from the corpus count (lshMask: cells ∝ n, expected
-    * cell ~64), so the pair stage stays linear at any scale instead of the
-    * fixed-8-bit Θ(n²/256); the 1-row count broadcasts under the mask —
+    * cell ~64), so the pair stage stays linear up to the 16-plane budget
+    * (~4M vectors; raise MaxLshBits past that) instead of the fixed-8-bit
+    * Θ(n²/256); the 1-row count broadcasts under the mask —
     * the q11/q15 scalar idiom. Exact cosine ranks the candidates. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
     val cnt = Tables.embeddings(s, d).agg(count(lit(1)).as("n_corpus"))

@@ -86,17 +86,25 @@ object VectorFunctions {
     * FIXED bit count is Θ(n²/2^bits) (VERDICT r8 "what's wrong" #2).
     * Masking the low b bits of the [[MaxLshBits]]-plane code IS
     * signBucket(·, b), so deriving b never changes the plane family.
+    * The derivation CLAMPS at [[MaxLshBits]] — an unmasked bit past the
+    * plane budget would silently revert the pair stage to fixed-width
+    * growth; past ~targetCell·2^MaxLshBits (~4M) vectors, raise the
+    * budget (safe: planes are deterministic in (t, k), so widening never
+    * reshuffles existing bits) rather than trusting the floor of a mask
+    * the code cannot honor (r9 review finding).
     * The derivation is integer-exact and engine-portable — bit length via
     * the binary-string length, no float log near a power-of-two boundary;
     * each engine computes it from its own COUNT(*) of the same table
     * ([[lshMaskSql]] is the one-definition twin). */
   def lshMask(n: Column, minBits: Int = 8, targetCell: Int = 64): Column =
-    pow(lit(2.0), greatest(lit(minBits), length(bin(floor(n / targetCell)))))
+    pow(lit(2.0), least(lit(MaxLshBits),
+      greatest(lit(minBits), length(bin(floor(n / targetCell))))))
       .cast("long") - 1
 
   /** SQL twin of [[lshMask]] — same derivation from a count expression. */
   def lshMaskSql(n: String, minBits: Int = 8, targetCell: Int = 64): String =
-    s"CAST(pow(2, greatest($minBits, length(bin(CAST(floor(($n) / $targetCell) AS BIGINT))))) AS BIGINT) - 1"
+    s"CAST(pow(2, least($MaxLshBits, greatest($minBits, " +
+      s"length(bin(CAST(floor(($n) / $targetCell) AS BIGINT)))))) AS BIGINT) - 1"
 
   /** Corpus-derived k-means model width: k = max(kMin, floor(n /
     * targetCell)), the k ≈ n/⟨cell⟩ rule (SemDeDup §3; FAISS IVF

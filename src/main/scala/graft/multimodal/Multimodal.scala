@@ -477,8 +477,13 @@ object Multimodal extends QueryModule {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        wr.setOutput(ios)
         wr.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+        // MemoryCacheImageOutputStream only promises the cached bytes to
+        // the backing stream on flush/close — the built-in writer happens
+        // to flush, but an ImageIO plugin ahead of it need not (r9 review)
+        ios.close()
         val bytes = bos.toByteArray // a real JFIF stream: SOI .. DCT scans .. EOI
         val magicOk = bytes.length > 4 &&
           (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&

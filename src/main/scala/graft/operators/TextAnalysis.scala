@@ -1101,7 +1101,14 @@ object TextAnalysis extends QueryModule {
     * of the hot shingles into single partitions (ADVICE r8) — joined
     * back SALTED (the PMI-margin discipline: the probe side is exactly
     * as Zipf-headed as the aggregate was). Three linear exchanges,
-    * never a pair join. */
+    * never a pair join. The kernel/scan lineage feeds both the df
+    * aggregate and the probe side and so evaluates twice — measured
+    * (sf0.1, sentinel-interleaved): double-eval 0.93 s vs 1.12 s with a
+    * localCheckpoint of the pair frame (write cost > kernel recompute,
+    * the rakeKeyphrases lesson) vs 0.55 s for the old per-shingle window
+    * that serializes Zipf-head shingles into single sort partitions at
+    * scale — the salted shape's local premium is the price of the
+    * hot-key ceiling. */
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.documents(s, d)
       .select(col("doc_id"),

@@ -18,9 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * A per-(merge-table, thread) word memo serves the Zipf head: the
   * corpus repeats its frequent words endlessly, and the application is a
   * pure function of the word, so the per-occurrence loop collapses to a
-  * hash probe for all but first sightings (the memo is executor-local
-  * vocabulary state — bounded by distinct words seen by the task, the
-  * same working set the tokenizer's own trie would hold). */
+  * hash probe for all but first sightings. The memo is CAPPED at
+  * [[BpeTokenCount.MemoCap]] entries — executor task threads are pooled
+  * and outlive tasks, and an uncapped map would grow toward the full
+  * observed vocabulary of a hapax-heavy 100 TB corpus (r9 review
+  * finding); past the cap the Zipf head is already resident and tail
+  * words just compute (which memoizing never helped anyway). */
 case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 
@@ -114,7 +117,7 @@ object BpeTokens {
           }
           subs = s.substring(1, s.length - 1).split(" ", -1)
             .map(UTF8String.fromString)
-          m.put(w, subs)
+          if (m.size < BpeTokenCount.MemoCap) m.put(w, subs)
         }
         var j = 0
         while (j < subs.length) { out += subs(j); j += 1 }
@@ -126,6 +129,11 @@ object BpeTokens {
 }
 
 object BpeTokenCount {
+  /** Word-memo bound per (merge table, thread) — comfortably holds any
+    * Zipf head while keeping pooled executor threads from accumulating a
+    * corpus-sized vocabulary. */
+  final val MemoCap = 1 << 16
+
   private val memo = new ThreadLocal[
       java.util.WeakHashMap[AnyRef, java.util.HashMap[String, java.lang.Long]]] {
     override def initialValue() =
@@ -144,7 +152,7 @@ object BpeTokenCount {
         var c = m.get(w)
         if (c == null) {
           c = java.lang.Long.valueOf(applyWord(w, pats, reps))
-          m.put(w, c)
+          if (m.size < MemoCap) m.put(w, c)
         }
         total += c.longValue()
       }

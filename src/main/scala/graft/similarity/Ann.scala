@@ -1463,8 +1463,9 @@ object Ann extends QueryModule {
     * with cosine ≥ 0.8. The sign bucket is the SEMANTICS (as in
     * dedup_embedding_cosine), and its width is DERIVED from the corpus
     * count (lshMask: cells ∝ n, expected cell ~64), so the pair stage is
-    * Σ c² ≈ n·64 at ANY corpus scale — linear, where the former fixed
-    * 8-bit code was Θ(n²/256); the mean is computed
+    * Σ c² ≈ n·64 up to the 16-plane budget (~4M vectors; raise
+    * MaxLshBits past that) — linear, where the former fixed 8-bit code
+    * was Θ(n²/256); the mean is computed
     * on 4-dp-rounded scores summed as exact decimals so the reduction
     * order can't flip the oracle. Vectors with no in-radius neighbor are
     * kept with n=0 (left join) — the isolation signal matters as much as
@@ -1560,7 +1561,7 @@ object Ann extends QueryModule {
     * encoder failure; both belong at the top of a review queue).
     * Candidates are a SELF-join on the corpus-width-derived sign-LSH
     * bucket — the emb_radius_search shape: lshMask keeps the expected
-    * cell ~64 vectors at any corpus size, so the pair stage is
+    * cell ~64 vectors up to the 16-plane budget, so the pair stage is
     * Σ c² ≈ n·64 (linear) and the per-anchor top-k window is
     * cell-bounded; the former fixed 8-bit code was Θ(n²/256).
     * The k scores are summed as exact DECIMAL(18,4) (each is a 4-dp

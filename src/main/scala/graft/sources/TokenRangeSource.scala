@@ -203,12 +203,16 @@ private[connector] final class TokenRangeScan(path: String,
       case None => dirs
     }
     val nRanges = math.min(splits, math.max(1, kept.size))
-    // contiguous assignment: range r owns buckets [r·B/n, (r+1)·B/n)
-    kept.groupBy { case (b, _) => b * nRanges / TokenLayout.Buckets }
+    // contiguous assignment over the PRESENT buckets (index within
+    // `kept`, not the absolute ring position): a sparse or pruned layout
+    // whose populated buckets cluster in one half of the ring must still
+    // honor the requested split count (r9 review finding)
+    kept.zipWithIndex
+      .groupBy { case (_, i) => i * nRanges / kept.size }
       .toSeq.sortBy(_._1)
       .map { case (_, group) =>
-        TokenRangePartition(group.head._1, group.last._1,
-          group.flatMap(g => TokenRangeSource.parquetFiles(g._2)).toArray)
+        TokenRangePartition(group.head._1._1, group.last._1._1,
+          group.flatMap(g => TokenRangeSource.parquetFiles(g._1._2)).toArray)
       }
       .filter(_.files.nonEmpty)
       .toArray[InputPartition]
@@ -249,25 +253,31 @@ private[connector] final class TokenRangeReader(files: Array[String],
   private var fileIdx = 0
   private var reader: ParquetReader[Group] = _
   private var current: Group = _
+  // resolved once per partition from the FIRST file's footer: the layout
+  // writes one schema per table, so re-opening every footer would double
+  // the scan's metadata round trips (r9 review finding)
+  private var readConf: Configuration = _
 
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (fileIdx >= files.length) return false
     val path = new org.apache.hadoop.fs.Path(files(fileIdx))
-    // projection schema must carry the FILE's own repetition (Spark
-    // writes non-nullable columns as `required`; declaring them
-    // `optional` in the requested schema fails the contains check), so
-    // select the projected fields out of the footer's MessageType
-    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(path, new Configuration()))
-    val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
-    val wanted = projected.fields.map(_.name).toSet
-    val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
-    val conf = new Configuration()
-    conf.set("parquet.read.schema",
-      new MessageType(fileSchema.getName, kept.asJava).toString)
+    if (readConf == null) {
+      // projection schema must carry the FILE's own repetition (Spark
+      // writes non-nullable columns as `required`; declaring them
+      // `optional` in the requested schema fails the contains check), so
+      // select the projected fields out of the footer's MessageType
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(path, new Configuration()))
+      val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
+      val wanted = projected.fields.map(_.name).toSet
+      val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
+      readConf = new Configuration()
+      readConf.set("parquet.read.schema",
+        new MessageType(fileSchema.getName, kept.asJava).toString)
+    }
     reader = ParquetReader
       .builder(new GroupReadSupport(), path)
-      .withConf(conf)
+      .withConf(readConf)
       .build()
     fileIdx += 1
     true

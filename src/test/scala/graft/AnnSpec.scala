@@ -374,12 +374,18 @@ class AnnSpec extends SparkSpec {
     val got = spark.createDataFrame(ns.map(Tuple1(_))).toDF("n")
       .select(col("n"), lshMask(col("n")).as("msk")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def want(n: Long): Long = // reference: bits = max(8, bitLength(n/64))
-      (1L << math.max(8, java.lang.Long.toBinaryString(n / 64).length)) - 1
+    // reference: bits = min(MaxLshBits, max(8, bitLength(n/64))) — the
+    // plane-budget clamp keeps the mask honest (r9 review finding: an
+    // unmasked bit past the 16-plane code would silently revert to
+    // fixed-width growth)
+    def want(n: Long): Long =
+      (1L << math.min(MaxLshBits,
+        math.max(8, java.lang.Long.toBinaryString(n / 64).length))) - 1
     ns.foreach(n => assert(got(n) == want(n), s"n=$n: ${got(n)} vs ${want(n)}"))
     assert(got(500L) == 255L && got(2000L) == 255L, "test-SF corpora keep the 8-bit floor")
-    assert(got(1000000L) > got(2000L) && got(100000000L) > got(1000000L),
-      "cell count must grow with the corpus")
+    assert(got(1000000L) > got(2000L), "cell count must grow with the corpus")
+    assert(got(100000000L) == (1L << MaxLshBits) - 1,
+      "past the plane budget the mask clamps to the full 16-bit code")
     // masking the low 8 bits of the 16-plane code IS the 8-bit code —
     // deriving the width never changes which planes existing bits use
     val e = Tables.embeddings(spark, sf)
