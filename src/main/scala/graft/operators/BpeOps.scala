@@ -49,7 +49,16 @@ object BpeOps extends QueryModule {
     * per word) a tokenizer owner watches per corpus slice. Map-only: the
     * kernel runs once per row, the merge table is a literal. */
   def bpeTokenize(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    tokenizeOf(s, d, Tables.documents(s, d))
+
+  /** Parametric form over any (doc_id, text) frame — ONE definition for
+    * the batch entry and the streaming twin (st_bpe_tokenize), so the
+    * hash-equal proof of their equivalence cannot drift. The merge table
+    * always comes from the dir's trained model (the nightly-build
+    * lifecycle: train on the corpus, apply to whatever arrives). */
+  private[graft] def tokenizeOf(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         size(filter(graft.functions.TextFunctions.tokens(col("text")),
           t => length(t) > 0)).cast("long").as("n_ws_tokens"),
@@ -57,7 +66,7 @@ object BpeOps extends QueryModule {
       .withColumn("subword_ratio",
         Cols.fp6(col("n_bpe_tokens").cast("double") / nullif(col("n_ws_tokens").cast("double"), lit(0.0))))
 
-  private val bpeTokenizeSql =
+  private[graft] val bpeTokenizeSql =
     s"""WITH ${Bpe.trainCtes},
        |${Bpe.applyCtes}
        |SELECT doc_id, n_ws_tokens, n_bpe_tokens,

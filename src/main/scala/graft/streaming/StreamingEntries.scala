@@ -578,7 +578,21 @@ object StreamingEntries extends QueryModule {
           .as("p"))
   }
 
+  /** Streaming twin of txt_bpe_tokenize: the ingest-side token
+    * accounting a live pipeline runs as documents arrive — the trained
+    * merge table (the nightly-build model, trained on the batch corpus)
+    * rides into the stream as a literal and the codegen'd kernel is a
+    * stateless map, so the drain is append-mode with zero state. The
+    * oracle is the batch twin's SQL VERBATIM: hash-green ⟺ streamed
+    * accounting equals the batch recount bit-for-bit. */
+  def stBpeTokenize(s: SparkSession, d: String): DataFrame =
+    drain(graft.operators.BpeOps.tokenizeOf(s, d,
+      documentsStream(s, d).select(col("doc_id"), col("text"))), "append")
+
+  private val stBpeTokenizeSql = graft.operators.BpeOps.bpeTokenizeSql
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_bpe_tokenize", stBpeTokenize _, Some(stBpeTokenizeSql)),
     ("st_markov_transitions", stMarkovTransitions _,
       Some(graft.operators.Events.markovTransitionsSql)),
     ("st_anomaly_zscore", stAnomalyZscore _, Some(graft.operators.Events.anomalyZscoreSql)),

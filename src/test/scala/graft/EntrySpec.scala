@@ -143,9 +143,10 @@ class EntrySpec extends SparkSpec {
     // (cluster-size-inverse sampling off the stored label table) → 198/198.
     // r9: +mm_jpeg_decode (lossy real-codec twin), +txt_bpe_merges,
     // +txt_bpe_tokenize, +txt_bpe_vocab (real BPE tokenizer family),
-    // +ann_ivf_cell_stats (index balance gauge) → 203/203.
-    assert(SparkEntry.queries.size == 203, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 203, s"got ${SparkEntry.oracleSql.size}")
+    // +ann_ivf_cell_stats (index balance gauge), +st_bpe_tokenize
+    // (streaming accounting twin) → 204/204.
+    assert(SparkEntry.queries.size == 204, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 204, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
