@@ -1095,6 +1095,66 @@ object Events extends QueryModule {
       | CAST(MAX(gap_us) AS DOUBLE) / 1e6 AS max_gap_s
       |FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""".stripMargin
 
+  /** Lag-1..7 autocorrelation of each event type's daily-count series —
+    * the memory gauge behind seasonality (a weekly cycle shows as an
+    * ACF peak at lag 7) and burst detection (white-noise traffic decays
+    * to ~0 by lag 1). Pairs are calendar-aligned: day t pairs with day
+    * t+k only when BOTH days exist in the series, so gaps drop pairs
+    * rather than shifting the series (the gap-fill entry owns imputation).
+    * Exactness device: daily counts are integers, so ALL five Pearson
+    * moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact BIGINTs in both
+    * engines — order-independent by construction — and only the final
+    * r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) leaves integer space
+    * (IEEE sqrt/divide, engine-identical, fixed-pointed at 1e6). A
+    * zero-variance side yields NULL via the nullif guard, not a crash.
+    * Scale shape: ONE data-sized shuffle (the daily pre-agg, map-side
+    * combined); the lag explode ×7 and self-join run on the tiny
+    * types×days frame (broadcast under AQE), and the final agg is
+    * types×7 rows. At 100 TB the daily frame is still ~types×365 rows
+    * per year — the join never touches raw events. */
+  def autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily
+      .withColumn("k", explode(sequence(lit(1), lit(7))))
+      .select(col("event_type"), col("k"),
+        date_add(col("day"), col("k")).as("day"), col("n").as("x"))
+    lagged.join(daily.withColumnRenamed("n", "y"), Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("k").cast("int").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        fp6((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt(((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))).cast("double")),
+            lit(0.0))).as("acf"))
+  }
+
+  private val autocorrSql =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |               FROM events GROUP BY 1, 2),
+      | pairs AS (
+      |  SELECT a.event_type, k.k, a.n AS x, b.n AS y
+      |  FROM daily a
+      |  JOIN (SELECT unnest(range(1, 8)) AS k) k ON TRUE
+      |  JOIN daily b ON b.event_type = a.event_type
+      |               AND b.day = a.day + CAST(k.k AS INT)),
+      | m AS (SELECT event_type, CAST(k AS INT) AS lag, COUNT(*) AS np,
+      |   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |   CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |   CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |   CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, lag, np AS n_pairs,
+      | floor(CAST(np * sxy - sx * sy AS DOUBLE) /
+      |   nullif(sqrt(CAST((np * sxx - sx * sx) * (np * syy - sy * sy) AS DOUBLE)), 0.0)
+      |   * 1e6 + 0.5) / 1e6 AS acf
+      |FROM m""".stripMargin
+
   /** Cohort LTV curve — cumulative purchase revenue per signup-week
     * cohort by week offset, per cohort member (the growth metric behind
     * payback-period decisions; ev_retention is its head-count twin).
@@ -1180,6 +1240,7 @@ object Events extends QueryModule {
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("ev_value_histogram", valueHistogram _, Some(valueHistogramSql)),
     ("ev_interarrival", interarrival _, Some(interarrivalSql)),
+    ("ev_autocorr", autocorr _, Some(autocorrSql)),
     ("ev_cohort_ltv", cohortLtv _, Some(cohortLtvSql)),
     ("ev_seasonality_dow", seasonalityDow _, Some(seasonalityDowSql)),
     ("ev_ewma_smoothing", ewmaSmoothing _, Some(ewmaSmoothingSql)),
