@@ -144,9 +144,11 @@ class EntrySpec extends SparkSpec {
     // r9: +mm_jpeg_decode (lossy real-codec twin), +txt_bpe_merges,
     // +txt_bpe_tokenize, +txt_bpe_vocab (real BPE tokenizer family),
     // +ann_ivf_cell_stats (index balance gauge), +st_bpe_tokenize
-    // (streaming accounting twin) → 204/204.
-    assert(SparkEntry.queries.size == 204, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 204, s"got ${SparkEntry.oracleSql.size}")
+    // (streaming accounting twin) → 204/204. r10: +ev_autocorr (daily
+    // ACF at lags 1..7 — landed late in r9, integrated with its SURVEY
+    // line, spec, and scaling row this round) → 205/205.
+    assert(SparkEntry.queries.size == 205, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 205, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -55,6 +55,38 @@ class EventsSpec extends SparkSpec {
     want.foreach { case (k, v) => assert(got(k) == v, s"mismatch for $k") }
   }
 
+  test("ACF matches a local calendar-aligned Pearson recount per (type, lag)") {
+    val daily = dailyCounts
+    val want = daily.keys.map(_._1).toSet.flatMap { (typ: String) =>
+      val series = daily.collect { case ((`typ`, day), n) => day -> n }.toMap
+      (1 to 7).flatMap { k =>
+        val pairs = series.toSeq.flatMap { case (day, x) =>
+          series.get(day.plusDays(k.toLong)).map(y => (x, y))
+        }
+        if (pairs.isEmpty) None
+        else {
+          val np = pairs.size.toLong
+          val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+          val sxy = pairs.map(p => p._1 * p._2).sum
+          val sxx = pairs.map(p => p._1 * p._1).sum
+          val syy = pairs.map(p => p._2 * p._2).sum
+          val den = math.sqrt(((np * sxx - sx * sx) * (np * syy - sy * sy)).toDouble)
+          val acf = if (den == 0.0) null
+                    else java.lang.Double.valueOf(
+                      math.floor((np * sxy - sx * sy).toDouble / den * 1e6 + 0.5) / 1e6)
+          Some((typ, k) -> ((np, acf)))
+        }
+      }
+    }.toMap
+    val got = Events.autocorr(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("lag")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[java.lang.Double]("acf")))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k") }
+    // the synthetic events table spans months — every type must have all 7 lags
+    assert(got.keySet.map(_._1).forall(t => (1 to 7).forall(k => got.contains((t, k)))))
+  }
+
   test("day-of-week profile matches a local recount with ISO weekday numbering") {
     val daily = dailyCounts
     val want = daily.toSeq
