@@ -111,4 +111,74 @@ class MessageStoreSpec extends SparkSpec {
     // count-style empty projection still counts every row
     assert(load(2).count() == rows.length)
   }
+
+  test("token-range connector: DSv2 write path — append, overwrite, bucket placement") {
+    import graft.sources.connector.{TokenLayout, TokenRangeSource}
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tr_write").toString
+    val fmt = classOf[TokenRangeSource].getName
+    val ddl = "channel_id BIGINT, write_seq BIGINT, message_id STRING"
+    val batch1 = (0L until 200L).map(i => (i % 23, i, s"m$i"))
+
+    // fresh table: DDL bootstrap (the CREATE TABLE analog) + first insert
+    batch1.toDF("channel_id", "write_seq", "message_id")
+      .write.format(fmt).option("pk", "channel_id").option("schema", ddl)
+      .mode("append").save(dir)
+    def load = spark.read.format(fmt).option("pk", "channel_id").load(dir)
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("channel_id"), r.getAs[Long]("write_seq"),
+        r.getAs[String]("message_id"))).toSet
+    assert(asSet(load.collect()) == batch1.toSet)
+
+    // bucket placement: every row in tb=<k> must token-hash to bucket k
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tb=")).toSeq
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val k = d.getName.stripPrefix("tb=").toInt
+      val ids = spark.read.parquet(d.getAbsolutePath)
+        .select("channel_id").collect().map(_.getLong(0)).toSet
+      assert(ids.forall(TokenLayout.bucketOfValue(_) == k),
+        s"rows in ${d.getName} must hash to bucket $k")
+    }
+
+    // second append (the BatchStatement shape): union visible, nothing lost
+    val batch2 = (1000L until 1100L).map(i => (i % 23, i, s"m$i"))
+    batch2.toDF("channel_id", "write_seq", "message_id")
+      .write.format(fmt).option("pk", "channel_id").mode("append").save(dir)
+    assert(asSet(load.collect()) == (batch1 ++ batch2).toSet)
+
+    // clustering-slice pushdown: footer stats prune the batch-1 files
+    // (write_seq ≤ 199) from a write_seq ≥ 1000 slice; result exact
+    val sliced = spark.read.format(fmt)
+      .option("pk", "channel_id").option("ck", "write_seq").load(dir)
+      .filter(col("write_seq") >= 1000L)
+    assert(asSet(sliced.collect()) == batch2.toSet)
+    val slicePlan = sliced.queryExecution.executedPlan.toString()
+    assert(slicePlan.contains("write_seq >= 1000"),
+      s"ck range must be reported pushed:\n${slicePlan.take(900)}")
+    val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(slicePlan)
+    assert(pruned.isDefined, s"plan must report the file prune:\n${slicePlan.take(900)}")
+    assert(pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+      "the disjoint-range batch-1 files must actually be pruned")
+
+    // IN-list pushdown (the multi-get): plans only the keys' owning buckets
+    val keys = Seq(3L, 17L)
+    val multi = load.filter(col("channel_id").isin(keys: _*))
+    assert(asSet(multi.collect())
+      == (batch1 ++ batch2).filter(r => keys.contains(r._1)).toSet)
+    val multiPlan = multi.queryExecution.executedPlan.toString()
+    assert(multiPlan.contains("channel_id IN"),
+      s"IN-list must be reported pushed:\n${multiPlan.take(900)}")
+    val wantRanges = keys.map(TokenLayout.bucketOfValue).distinct.size
+    assert(multiPlan.contains(s"TokenRanges: $wantRanges"),
+      s"multi-get must plan only the owning buckets ($wantRanges):\n${multiPlan.take(900)}")
+
+    // overwrite = truncate + insert: only the new rows remain
+    val batch3 = (0L until 50L).map(i => (i % 5, i, s"n$i"))
+    batch3.toDF("channel_id", "write_seq", "message_id")
+      .write.format(fmt).option("pk", "channel_id").mode("overwrite").save(dir)
+    assert(asSet(load.collect()) == batch3.toSet)
+  }
 }
