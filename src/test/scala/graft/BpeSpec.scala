@@ -14,7 +14,7 @@ class BpeSpec extends SparkSpec {
 
   test("merge table: contiguous ranks, single-space pairs, merged = pair sans space") {
     val rows = BpeOps.bpeMerges(spark, sf01).collect()
-    assert(rows.length > 0 && rows.length <= Bpe.Merges)
+    assert(rows.length > 0 && rows.length <= Bpe.MergesCap)
     assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length), "ranks contiguous")
     rows.foreach { r =>
       val pair = r.getString(1)
@@ -22,6 +22,31 @@ class BpeSpec extends SparkSpec {
       assert(r.getString(2) == pair.replace(" ", ""), s"merged of '$pair'")
       assert(r.getLong(3) > 0, "support weight must be positive")
     }
+  }
+
+  test("model size derives from the corpus: floors at small n, grows, caps") {
+    // the derivation itself (pure function, engine-portable formula)
+    assert(Bpe.mergesFor(500) == Bpe.MergesFloor, "sub-1024 corpora sit on the floor")
+    assert(Bpe.vocabTopFor(500) == Bpe.VocabFloor)
+    assert(Bpe.mergesFor(6000) > Bpe.MergesFloor
+      && Bpe.mergesFor(6000) < Bpe.MergesCap, "mid-size corpora grow past the floor")
+    assert(Bpe.vocabTopFor(6000) > Bpe.VocabFloor
+      && Bpe.vocabTopFor(6000) < Bpe.VocabCap)
+    assert(Bpe.mergesFor(100000000L) == Bpe.MergesCap, "the documented replay ceiling")
+    assert(Bpe.vocabTopFor(100000000L) == Bpe.VocabCap)
+    // and the trained tables actually differ in size across SFs when the
+    // derivation says they should (sf0.01: 500 docs → floor 32;
+    // sf0.1: 5000 docs → 40 — the strictly-between-floor-and-cap case)
+    val sfBig = "/root/testdata/sf0.1"
+    val nSmall = Tables.documents(spark, sf01).count()
+    val nBig = Tables.documents(spark, sfBig).count()
+    val mSmall = Bpe.train(spark, sf01).size
+    val mBig = Bpe.train(spark, sfBig).size
+    assert(mSmall <= Bpe.mergesFor(nSmall))
+    assert(mBig <= Bpe.mergesFor(nBig))
+    if (Bpe.mergesFor(nBig) > Bpe.mergesFor(nSmall))
+      assert(mBig > mSmall,
+        s"larger corpus ($nBig docs) must train a deeper table than $nSmall docs")
   }
 
   test("trainer is deterministic and the per-dir cache serves the same table") {
