@@ -146,9 +146,11 @@ class EntrySpec extends SparkSpec {
     // +ann_ivf_cell_stats (index balance gauge), +st_bpe_tokenize
     // (streaming accounting twin) → 204/204. r10: +ev_autocorr (daily
     // ACF at lags 1..7 — landed late in r9, integrated with its SURVEY
-    // line, spec, and scaling row this round) → 205/205.
-    assert(SparkEntry.queries.size == 205, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 205, s"got ${SparkEntry.oracleSql.size}")
+    // line, spec, and scaling row this round) → 205/205; +wc_connector_multiget
+    // (IN-list read through the DSv2 connector over a table written
+    // through its sink) → 206/206.
+    assert(SparkEntry.queries.size == 206, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 206, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -181,4 +181,27 @@ class MessageStoreSpec extends SparkSpec {
       .write.format(fmt).option("pk", "channel_id").mode("overwrite").save(dir)
     assert(asSet(load.collect()) == batch3.toSet)
   }
+
+  test("wc_connector_multiget: round trip equals a direct orders read, IN pushed") {
+    import graft.operators.WideColumn
+    val got = WideColumn.connectorMultiget(spark, sf01)
+    // ground truth straight off the source table, bypassing the connector
+    val keys = Tables.orders(spark, sf01)
+      .filter(col("o_orderkey") % 97 === 0)
+      .orderBy(col("o_orderkey")).limit(8)
+      .collect().map(_.getAs[Long]("o_orderkey")).toSet
+    assert(keys.nonEmpty)
+    val want = Tables.orders(spark, sf01)
+      .collect().filter(r => keys(r.getAs[Long]("o_orderkey")))
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+        r.getAs[String]("o_orderstatus"), r.getAs[Double]("o_totalprice"))).toSet
+    val rows = got.collect().map(r => (r.getAs[Long]("o_orderkey"),
+      r.getAs[Long]("o_custkey"), r.getAs[String]("o_orderstatus"),
+      r.getAs[Double]("o_totalprice"))).toSet
+    assert(rows == want, "connector round trip must be bit-exact")
+    // and the scan actually pruned: IN reported pushed, ranges ≤ key count
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(plan.contains("o_orderkey IN"),
+      s"multi-get IN-list must reach the connector scan:\n${plan.take(900)}")
+  }
 }
