@@ -362,6 +362,66 @@ object Dedup extends QueryModule {
   private val minhashLshSql: String =
     s"WITH $minhashPairsCte\nSELECT doc_a, doc_b, jaccard FROM mh"
 
+  // ---- LSH recall gauge (r10) --------------------------------------------
+  /** The banded-LSH S-curve MEASURED on the real corpus — the dedup twin
+    * of ann_recall_eval (an index ships with its quality gauge): for
+    * every exact word-3-gram Jaccard pair at j ≥ 0.05 (ground truth the
+    * df-capped inverted index computes completely — any pair with
+    * positive Jaccard shares a surviving shingle unless the df cap
+    * dropped it, and both engines share the cap), whether the 16-band ×
+    * 4-row MinHash blocking surfaced it as a candidate. Reported per
+    * 0.1-wide Jaccard band (n_pairs, n_caught, recall): the empirical
+    * 1-(1-j⁴)¹⁶ curve operators size bands against. One SHARED stored
+    * shingle index feeds the truth self-join and the candidate
+    * signature pipeline — no extra corpus pass. */
+  def lshRecall(s: SparkSession, d: String): DataFrame =
+    lshRecallFrom(sharedShingleIndex(s, d))
+
+  /** DataFrame-parametric form over any corpus with `doc_id` + `text`. */
+  def lshRecallOf(docs: DataFrame): DataFrame =
+    lshRecallFrom(Checkpoints.materialize(shingleIndexOf(docs)))
+
+  private def lshRecallFrom(inv: DataFrame): DataFrame = {
+    val counts = inv.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
+    val truth = inv.select(col("doc_id").as("doc_a"), col("sg"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")),
+        col("sg") === col("sg_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+    val cands = lshCandidates(inv).withColumn("hit", lit(1L))
+    truth.join(cands, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("j_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_caught"))
+      .select(col("j_band"), col("n_pairs"), col("n_caught"),
+        Cols.fp6(col("n_caught").cast("double") / col("n_pairs")).as("recall"))
+      .orderBy("j_band")
+  }
+
+  private val lshRecallSql: String =
+    s"""WITH $lshCandidatesCte,
+       | cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM inv GROUP BY doc_id),
+       | tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |   FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2),
+       | truth AS (SELECT * FROM (
+       |   SELECT tp.doc_a, tp.doc_b,
+       |     CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
+       |   FROM tp JOIN cnt ca ON ca.doc_id = tp.doc_a
+       |           JOIN cnt cb ON cb.doc_id = tp.doc_b)
+       |  WHERE jaccard >= 0.05)
+       |SELECT CAST(floor(jaccard * 10) AS INT) AS j_band,
+       | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       | CAST(COUNT(c.doc_a) AS BIGINT) AS n_caught,
+       | ${Cols.fp6Sql("CAST(COUNT(c.doc_a) AS DOUBLE) / COUNT(*)")} AS recall
+       |FROM truth t LEFT JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- edit-distance-verified fuzzy pairs --------------------------------
   /** Fuzzy near-dup pairs: the SAME banded-LSH blocking as
     * dedup_minhash_lsh (never all pairs), but VERIFIED by levenshtein on
@@ -906,6 +966,7 @@ object Dedup extends QueryModule {
     ("dedup_containment", containment _, Some(containmentSql)),
     ("dedup_winnow_pairs", winnowPairs _, Some(winnowPairsSql)),
     ("dedup_minhash_lsh", minhashLsh _, Some(minhashLshSql)),
+    ("dedup_lsh_recall", lshRecall _, Some(lshRecallSql)),
     ("dedup_fuzzy_pairs", fuzzyPairs _, Some(fuzzyPairsSql)),
     ("dedup_simhash", simhash _, Some(simhashSql)),
     ("dedup_clusters", clusters _, Some(clustersSql)),

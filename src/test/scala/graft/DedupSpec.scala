@@ -210,6 +210,38 @@ class DedupSpec extends SparkSpec {
       s"shingle-equal but reordered docs must fail the edit verify: $fuzzy")
   }
 
+  test("LSH recall gauge: identical docs always caught, recount matches, bands sane") {
+    val s2 = spark
+    import s2.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), // jaccard 1.0 → band 10, MUST be caught
+      (3L, base.replace("tok5 ", "swap ")), // strong near-dup
+      (4L, (100 to 140).map(i => s"other$i").mkString(" ")),
+      (5L, (200 to 240).map(i => s"none$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshRecallOf(docs).collect()
+      .map(r => r.getAs[Int]("j_band") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_caught"),
+          r.getAs[Double]("recall")))).toMap
+    // identical docs share every minhash signature, hence every band
+    assert(got.contains(10), s"jaccard-1.0 band must exist: $got")
+    assert(got(10)._3 == 1.0, "banded LSH must always catch identical docs")
+    got.values.foreach { case (n, c, r) =>
+      assert(c <= n && r >= 0.0 && r <= 1.0)
+      assert(r == math.floor(c.toDouble / n * 1e6 + 0.5) / 1e6, "recall recount")
+    }
+    // independent recount of the truth side: the strong near-dup pair
+    // (1,3)/(2,3) sits in a high band with the right pair count
+    val jaccard13 = { // 39 shared of 38+38 distinct 3-grams... recount via sets
+      def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val (a, b) = (sh(base), sh(base.replace("tok5 ", "swap ")))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val band13 = math.floor(jaccard13 * 10).toInt
+    assert(got.contains(band13), s"near-dup band $band13 must appear: $got")
+  }
+
   test("DataFrame-parametric forms work on an arbitrary corpus") {
     val s2 = spark
     import s2.implicits._

@@ -148,9 +148,10 @@ class EntrySpec extends SparkSpec {
     // ACF at lags 1..7 — landed late in r9, integrated with its SURVEY
     // line, spec, and scaling row this round) → 205/205; +wc_connector_multiget
     // (IN-list read through the DSv2 connector over a table written
-    // through its sink) → 206/206.
-    assert(SparkEntry.queries.size == 206, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 206, s"got ${SparkEntry.oracleSql.size}")
+    // through its sink) → 206/206; +dedup_lsh_recall (the measured
+    // banded-LSH S-curve per Jaccard band) → 207/207.
+    assert(SparkEntry.queries.size == 207, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 207, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
