@@ -342,6 +342,74 @@ object Ann extends QueryModule {
     * raise nprobe). Composes the two existing oracle-replayable paths;
     * at 100 TB the ground truth runs over a sampled query set, which is
     * exactly the shape here (10 fixed queries vs the full corpus). */
+  // ---- Matryoshka truncation gauge (r10) ---------------------------------
+  /** Recall@K of PREFIX-truncated embeddings vs the full-dim truth — the
+    * gauge behind Matryoshka-representation serving (Kusupati et al.
+    * 2022): a 100 TB ANN tier often searches the first 8/16/32 dims
+    * (4-8× less memory bandwidth) and re-ranks the shortlist at full
+    * width, and this entry measures exactly what that truncation costs
+    * on THIS corpus, per query. Each tier renormalizes over the prefix
+    * (the MRL semantic — cosine in the truncated space, not a partial
+    * dot in the full space), ranks with the suite's (score desc,
+    * neighbor_id) total order, and reports hits against the full-dim
+    * top-K. Same declared 10-query broadcast pattern as the other
+    * gauges (PlanSpec intentional). */
+  def matryoshkaEval(s: SparkSession, d: String): DataFrame = {
+    val truth = bruteForce(s, d).select(col("query_id"), col("neighbor_id"))
+    val tiers = Seq(8, 16, 32)
+    tiers.map { dt =>
+      val c = withNorm(Tables.embeddings(s, d)
+        .select(col("vec_id"), slice(col("embedding"), 1, dt).as("embedding")))
+      val approx = c.crossJoin(broadcast(queriesOf(c)))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+        .withColumn("rk", row_number().over(rank).cast("long"))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+        .select(lit(dt).as("dim_tier"), col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(K)).as("recall_at_k"))
+    }.reduce(_ unionByName _).orderBy("dim_tier", "query_id")
+  }
+
+  private def matryoshkaEvalSql: String = {
+    val truth =
+      s"""n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+         | bpairs AS (
+         |  SELECT query_id, n.vec_id AS neighbor_id,
+         |    ${Cols.fp4Sql(cosSql("qe", "n.embedding", "qn", "n.nrm"))} AS score
+         |  FROM q, n WHERE n.vec_id != query_id),
+         | truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+         |  FROM bpairs) t WHERE rk <= $K)""".stripMargin
+    val tiers = Seq(8, 16, 32).map { dt =>
+      s"""n$dt AS (SELECT vec_id, embedding[1:$dt] AS e, ${normSql(s"embedding[1:$dt]")} AS nrm
+         |   FROM embeddings),
+         | q$dt AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n$dt WHERE vec_id < 10),
+         | p$dt AS (
+         |  SELECT query_id, n$dt.vec_id AS neighbor_id,
+         |    ${Cols.fp4Sql(cosSql("qe", s"n$dt.e", "qn", s"n$dt.nrm"))} AS score
+         |  FROM q$dt, n$dt WHERE n$dt.vec_id != query_id),
+         | a$dt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+         |  FROM p$dt) t WHERE rk <= $K)""".stripMargin
+    }
+    val unions = Seq(8, 16, 32).map { dt =>
+      s"""SELECT $dt AS dim_tier, t.query_id,
+         |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / $K AS recall_at_k
+         |FROM truth t LEFT JOIN a$dt a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id""".stripMargin
+    }
+    s"WITH ${(truth +: tiers).mkString(",\n")}\n" +
+      unions.mkString("\nUNION ALL\n") + "\nORDER BY dim_tier, query_id"
+  }
+
   def recallEval(s: SparkSession, d: String): DataFrame = {
     val truth = bruteForce(s, d).select(col("query_id"), col("neighbor_id"))
     val approx = ivfTopK(s, d).select(col("query_id"), col("neighbor_id"))
@@ -1818,6 +1886,7 @@ object Ann extends QueryModule {
     ("ann_rp_lsh_topk", rpLshTopK _, Some(rpLshTopKSql)),
     ("ann_ivf_topk", ivfTopK _, Some(ivfTopKSql)),
     ("ann_recall_eval", recallEval _, Some(recallEvalSql)),
+    ("emb_matryoshka_eval", matryoshkaEval _, Some(matryoshkaEvalSql)),
     ("ann_recall_eval_pq", recallEvalPq _, Some(recallEvalPqSql)),
     ("ann_ivf_int8_topk", ivfInt8TopK _, Some(ivfInt8TopKSql)),
     ("ann_ivf_cell_stats", ivfCellStats _, Some(ivfCellStatsSql)),

@@ -174,6 +174,43 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.55, s"mean recall $mean below the IVF tier bound")
   }
 
+  test("matryoshka eval: widest tier recounts against a local prefix model") {
+    val got = Ann.matryoshkaEval(spark, sf).collect()
+      .map(r => (r.getAs[Int]("dim_tier"), r.getAs[Long]("query_id")) ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))).toMap
+    assert(got.size == 30, s"3 tiers x 10 queries, got ${got.size}")
+    got.foreach { case ((t, q), (hits, recall)) =>
+      assert(hits >= 0 && hits <= 10, s"($t,$q)")
+      assert(math.abs(recall - hits / 10.0) < 1e-12)
+    }
+    // independent recount at the widest tier: prefix-32 cosine top-10
+    // from raw vectors, fp4-rounded with the suite's tie order
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray.take(32)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4 + 0.5) / 1e4
+    }
+    val bf = Ann.bruteForce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    (0L until 10L).foreach { q =>
+      val top = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val expect = bf(q).intersect(top).size
+      assert(got((32, q))._1 == expect,
+        s"query $q tier 32: ${got((32, q))._1} != recount $expect")
+    }
+    // shape: mean recall at the widest tier should dominate the narrowest
+    def mean(t: Int) = (0L until 10L).map(q => got((t, q))._2).sum / 10.0
+    assert(mean(32) >= mean(8),
+      s"prefix-32 recall ${mean(32)} must not trail prefix-8 ${mean(8)}")
+  }
+
   test("PQ recall eval agrees with an independent brute-vs-ivfpq recount") {
     val got = Ann.recallEvalPq(spark, sf).collect()
       .map(r => r.getAs[Long]("query_id") ->

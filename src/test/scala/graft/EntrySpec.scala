@@ -149,9 +149,10 @@ class EntrySpec extends SparkSpec {
     // line, spec, and scaling row this round) → 205/205; +wc_connector_multiget
     // (IN-list read through the DSv2 connector over a table written
     // through its sink) → 206/206; +dedup_lsh_recall (the measured
-    // banded-LSH S-curve per Jaccard band) → 207/207.
-    assert(SparkEntry.queries.size == 207, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 207, s"got ${SparkEntry.oracleSql.size}")
+    // banded-LSH S-curve per Jaccard band) → 207/207; +emb_matryoshka_eval
+    // (prefix-truncation recall@10 at dims 8/16/32) → 208/208.
+    assert(SparkEntry.queries.size == 208, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 208, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
