@@ -410,6 +410,62 @@ object Ann extends QueryModule {
       unions.mkString("\nUNION ALL\n") + "\nORDER BY dim_tier, query_id"
   }
 
+  /** The SERVING half of the Matryoshka pair: shortlist with the cheap
+    * prefix-8 tier (4·K candidates through the bounded-fan-in pre-reduce
+    * — at 100 TB this stage reads an 8-float stripe, 8× less bandwidth
+    * than the full row), then re-rank ONLY the shortlist at full width
+    * and keep top-K. The re-rank join broadcasts the tiny shortlist
+    * (|queries|·4K rows) against one full-width scan, so the expensive
+    * vectors are touched once for 40 rows per query instead of n —
+    * exactly the two-stage layout emb_matryoshka_eval prices. Scores and
+    * ranks use the suite's fp4 + (score desc, neighbor_id) total order
+    * at BOTH stages, so the shortlist boundary is engine-stable. */
+  def matryoshkaRerank(s: SparkSession, d: String): DataFrame = {
+    val shortDim = 8
+    val shortK = 4 * K
+    val trunc = withNorm(Tables.embeddings(s, d)
+      .select(col("vec_id"), slice(col("embedding"), 1, shortDim).as("embedding")))
+    val shortlist = topKPerQuery(
+      trunc.crossJoin(broadcast(queriesOf(trunc)))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("s8")),
+      "s8", "neighbor_id", shortK, "srk")
+      .select("query_id", "neighbor_id")
+    val full = withNorm(Tables.embeddings(s, d))
+    full.join(broadcast(shortlist), full("vec_id") === col("neighbor_id"))
+      .join(broadcast(queriesOf(full)), "query_id")
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .filter(col("rk") <= K)
+      .orderBy("query_id", "rk")
+  }
+
+  private def matryoshkaRerankSql: String = {
+    val shortDim = 8
+    val shortK = 4 * K
+    s"""WITH n8 AS (SELECT vec_id, embedding[1:$shortDim] AS e,
+       |   ${normSql(s"embedding[1:$shortDim]")} AS nrm FROM embeddings),
+       | q8 AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n8 WHERE vec_id < 10),
+       | p8 AS (
+       |  SELECT query_id, n8.vec_id AS neighbor_id,
+       |    ${Cols.fp4Sql(cosSql("qe", "n8.e", "qn", "n8.nrm"))} AS s8
+       |  FROM q8, n8 WHERE n8.vec_id != query_id),
+       | short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s8 DESC, neighbor_id) AS srk
+       |  FROM p8) t WHERE srk <= $shortK),
+       | nf AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       | qf AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM nf WHERE vec_id < 10),
+       | rer AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${Cols.fp4Sql(cosSql("qf.qe", "nf.embedding", "qf.qn", "nf.nrm"))} AS score
+       |  FROM short s
+       |  JOIN nf ON nf.vec_id = s.neighbor_id
+       |  JOIN qf ON qf.query_id = s.query_id)
+       |SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM rer) t WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
+
   def recallEval(s: SparkSession, d: String): DataFrame = {
     val truth = bruteForce(s, d).select(col("query_id"), col("neighbor_id"))
     val approx = ivfTopK(s, d).select(col("query_id"), col("neighbor_id"))
@@ -1887,6 +1943,7 @@ object Ann extends QueryModule {
     ("ann_ivf_topk", ivfTopK _, Some(ivfTopKSql)),
     ("ann_recall_eval", recallEval _, Some(recallEvalSql)),
     ("emb_matryoshka_eval", matryoshkaEval _, Some(matryoshkaEvalSql)),
+    ("ann_matryoshka_rerank", matryoshkaRerank _, Some(matryoshkaRerankSql)),
     ("ann_recall_eval_pq", recallEvalPq _, Some(recallEvalPqSql)),
     ("ann_ivf_int8_topk", ivfInt8TopK _, Some(ivfInt8TopKSql)),
     ("ann_ivf_cell_stats", ivfCellStats _, Some(ivfCellStatsSql)),

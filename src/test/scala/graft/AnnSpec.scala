@@ -211,6 +211,34 @@ class AnnSpec extends SparkSpec {
       s"prefix-32 recall ${mean(32)} must not trail prefix-8 ${mean(8)}")
   }
 
+  test("matryoshka rerank: exact recount of the two-stage shortlist/re-rank") {
+    val got = Ann.matryoshkaRerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(got.size == 100, s"10 queries x top-10, got ${got.size}")
+    val rows = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) { s += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      math.floor(s / (math.sqrt(na) * math.sqrt(nb)) * 1e4 + 0.5) / 1e4
+    }
+    (0L until 10L).foreach { q =>
+      val short = rows.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(rows(q), v, 8)) }
+        .sortBy { case (id, s) => (-s, id) }.take(40).map(_._1)
+      val rerank = short
+        .map(id => (id, cos(rows(q), rows(id), rows(id).length)))
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+      rerank.zipWithIndex.foreach { case (id, i) =>
+        assert(got((q, (i + 1).toLong)) == id,
+          s"query $q rank ${i + 1}: ${got((q, (i + 1).toLong))} != recount $id")
+      }
+    }
+  }
+
   test("PQ recall eval agrees with an independent brute-vs-ivfpq recount") {
     val got = Ann.recallEvalPq(spark, sf).collect()
       .map(r => r.getAs[Long]("query_id") ->

@@ -150,9 +150,11 @@ class EntrySpec extends SparkSpec {
     // (IN-list read through the DSv2 connector over a table written
     // through its sink) → 206/206; +dedup_lsh_recall (the measured
     // banded-LSH S-curve per Jaccard band) → 207/207; +emb_matryoshka_eval
-    // (prefix-truncation recall@10 at dims 8/16/32) → 208/208.
-    assert(SparkEntry.queries.size == 208, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 208, s"got ${SparkEntry.oracleSql.size}")
+    // (prefix-truncation recall@10 at dims 8/16/32) → 208/208;
+    // +ann_matryoshka_rerank (prefix-8 shortlist re-ranked at full
+    // width — the serving half of the pair) → 209/209.
+    assert(SparkEntry.queries.size == 209, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 209, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -27,8 +27,9 @@ class PlanSpec extends SparkSpec {
       "ann_ivfpq_residual_topk", "ann_ivf_prebuilt_topk",
       "ann_ivfpq_prebuilt_topk", "ann_pca_topk",
       // emb_matryoshka_eval runs the brute-force gauge at three prefix
-      // widths — the same declared 10-query broadcast cross join
-      "emb_matryoshka_eval",
+      // widths — the same declared 10-query broadcast cross join;
+      // ann_matryoshka_rerank's shortlist stage is the same pattern
+      "emb_matryoshka_eval", "ann_matryoshka_rerank",
       // emb_knn_label_vote broadcasts the 50-row query batch over one
       // corpus scan — the same declared query-set pattern;
       // ann_recall_eval composes the brute-force and IVF tiers, so it
