@@ -875,6 +875,101 @@ object Events extends QueryModule {
       |   / 1000000.0 AS p
       |FROM cnt""".stripMargin
 
+  /** Stationary visit distribution of the event-type transition graph —
+    * PageRank with damping 0.85 over the Markov chain ev_markov_transitions
+    * estimates, ranking types by long-run visit probability (where a
+    * session RESTS, not just where it steps; teleport keeps disconnected
+    * or absorbing types from swallowing the chain).
+    *
+    * Scale shape is the Pca/CMS constant-model discipline: the ONE
+    * data-sized pass is the transition count (a map-side-combined
+    * groupBy on the events scan); what leaves the executors is the
+    * |types|²-cell transition model plus the type list — constant in
+    * row count, bounded loudly at 1024 types — and the 20 power-iteration
+    * steps run on that constant model driver-side, exactly like the PCA
+    * eigensolve (a relational unroll would replace one constant transfer
+    * with 20 tiny jobs). Cross-engine determinism: the iteration state is
+    * a LONG mass in 1e12 units, floored after every float op, so order
+    * never matters (long sums are associative) and the DuckDB oracle —
+    * 20 unrolled CTEs of the identical floor shapes — reproduces every
+    * bit. Dangling types redistribute their mass uniformly each step. */
+  private val PrIters = 20
+  private val PrScale = 1e12
+  def stationaryRank(s: SparkSession, d: String): DataFrame = {
+    val steps = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val model = steps.unionByName(
+        Tables.events(s, d).select(col("event_type").as("from_type")).distinct()
+          .select(col("from_type"), lit(null).cast("string").as("to_type"),
+            lit(0L).as("n")))
+      .collect()
+    val nodes = model.collect { case r if r.isNullAt(1) => r.getString(0) }.sorted
+    val nT = nodes.length
+    require(nT <= 1024,
+      s"stationary-rank model collect is bounded at 1024 event types (got $nT); " +
+        "a wider domain needs the relational-iteration variant")
+    val edges = model.filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = edges.groupBy(_._1).map { case (f, es) => f -> es.map(_._3).sum }
+    val p = edges.map { case (f, t, n) => (f, t) -> (n.toDouble / out(f).toDouble) }.toMap
+    val tele = math.floor(0.15 * (PrScale / nT.toDouble)).toLong
+    var mass = nodes.map(_ -> math.floor(PrScale / nT.toDouble).toLong).toMap
+    for (_ <- 1 to PrIters) {
+      val dang = nodes.filterNot(out.contains).map(mass).sum
+      mass = nodes.map { t =>
+        val c = edges.collect {
+          case (f, `t`, _) => math.floor(mass(f).toDouble * p((f, t))).toLong
+        }.sum
+        t -> (tele + math.floor(0.85 * c.toDouble).toLong
+          + math.floor(0.85 * (dang.toDouble / nT.toDouble)).toLong)
+      }.toMap
+    }
+    import s.implicits._
+    nodes.map(t => (t, mass(t))).sortBy { case (t, m) => (-m, t) }.zipWithIndex
+      .map { case ((t, m), i) =>
+        (t, m, math.floor((m.toDouble / PrScale) * 1e6 + 0.5) / 1e6, (i + 1).toLong)
+      }.toSeq.toDF("event_type", "mass", "pi", "rk")
+  }
+
+  private val stationaryRankSql: String = {
+    val base =
+      """steps AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        | edges AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |  FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        | outs AS MATERIALIZED (SELECT from_type, CAST(SUM(n) AS BIGINT) AS outn FROM edges GROUP BY 1),
+        | pe AS MATERIALIZED (SELECT e.from_type, e.to_type, CAST(e.n AS DOUBLE) / CAST(o.outn AS DOUBLE) AS p
+        |  FROM edges e JOIN outs o USING (from_type)),
+        | nodes AS MATERIALIZED (SELECT DISTINCT event_type FROM events),
+        | nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        | it0 AS MATERIALIZED (SELECT event_type, CAST(FLOOR(1e12 / CAST(nn.n AS DOUBLE)) AS BIGINT) AS mass
+        |  FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to PrIters).map { k =>
+      s"""it$k AS MATERIALIZED (
+         |  SELECT nodes.event_type,
+         |    CAST(FLOOR(0.15 * (1e12 / CAST(nn.n AS DOUBLE))) AS BIGINT)
+         |    + CAST(FLOOR(0.85 * CAST(COALESCE(c.c, 0) AS DOUBLE)) AS BIGINT)
+         |    + CAST(FLOOR(0.85 * (CAST(d.dang AS DOUBLE) / CAST(nn.n AS DOUBLE))) AS BIGINT) AS mass
+         |  FROM nodes CROSS JOIN nn
+         |  CROSS JOIN (SELECT CAST(COALESCE(SUM(p.mass), 0) AS BIGINT) AS dang
+         |              FROM it${k - 1} p LEFT JOIN outs o ON o.from_type = p.event_type
+         |              WHERE o.from_type IS NULL) d
+         |  LEFT JOIN (SELECT pe.to_type AS event_type,
+         |               CAST(SUM(CAST(FLOOR(p.mass * pe.p) AS BIGINT)) AS BIGINT) AS c
+         |             FROM it${k - 1} p JOIN pe ON pe.from_type = p.event_type
+         |             GROUP BY 1) c ON c.event_type = nodes.event_type)""".stripMargin
+    }
+    s"WITH ${(base +: iters).mkString(",\n")}\n" +
+      s"""SELECT event_type, mass,
+         |  ${Cols.fp6Sql(s"CAST(mass AS DOUBLE) / 1e12")} AS pi,
+         |  ROW_NUMBER() OVER (ORDER BY mass DESC, event_type) AS rk
+         |FROM it$PrIters ORDER BY rk""".stripMargin
+  }
+
   /** Funnel latency — the "how long does conversion take" companion of
     * ev_funnel: per user, first signup → first subsequent purchase; per
     * weekly signup cohort, the conversion count with EXACT lower-median
@@ -1248,6 +1343,7 @@ object Events extends QueryModule {
     ("ev_time_to_convert", timeToConvert _, Some(timeToConvertSql)),
     ("ev_rfm", rfm _, Some(rfmSql)),
     ("ev_markov_transitions", markovTransitions _, Some(markovTransitionsSql)),
+    ("ev_stationary_rank", stationaryRank _, Some(stationaryRankSql)),
     ("ev_bitmap_distinct", bitmapDistinct _, Some(bitmapDistinctSql)),
     ("ev_cms_frequency", cmsFrequency _, Some(cmsFrequencySql)),
     ("ev_cms_daily_rollup", cmsDailyRollup _, Some(cmsDailyRollupSql)),

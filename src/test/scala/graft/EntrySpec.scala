@@ -152,9 +152,11 @@ class EntrySpec extends SparkSpec {
     // banded-LSH S-curve per Jaccard band) → 207/207; +emb_matryoshka_eval
     // (prefix-truncation recall@10 at dims 8/16/32) → 208/208;
     // +ann_matryoshka_rerank (prefix-8 shortlist re-ranked at full
-    // width — the serving half of the pair) → 209/209.
-    assert(SparkEntry.queries.size == 209, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 209, s"got ${SparkEntry.oracleSql.size}")
+    // width — the serving half of the pair) → 209/209;
+    // +ev_stationary_rank (PageRank over the event-type transition
+    // chain in exact 1e12 fixed point) → 210/210.
+    assert(SparkEntry.queries.size == 210, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 210, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -325,6 +325,47 @@ class EventsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_transitions")).sum == n - users)
   }
 
+  test("stationary rank: masses recount from an independent local replay") {
+    val got = Events.stationaryRank(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("mass"), r.getAs[Double]("pi"), r.getAs[Long]("rk")))).toMap
+    // independent replay: transitions from a local sort, then the same
+    // fixed-point iteration written from the SURVEY math, not the entry
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).map(_._4)
+      s.zip(s.drop(1))
+    }.toSeq.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val nodes = ev.map(_._4).distinct.sorted
+    val nT = nodes.length
+    val out = trans.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    var mass = nodes.map(_ -> math.floor(1e12 / nT.toDouble).toLong).toMap
+    (1 to 20).foreach { _ =>
+      val dang = nodes.filterNot(out.contains).map(mass).sum
+      mass = nodes.map { t =>
+        val c = trans.collect { case ((f, `t`), n) =>
+          math.floor(mass(f).toDouble * (n.toDouble / out(f).toDouble)).toLong
+        }.sum
+        t -> (math.floor(0.15 * (1e12 / nT.toDouble)).toLong
+          + math.floor(0.85 * c.toDouble).toLong
+          + math.floor(0.85 * (dang.toDouble / nT.toDouble)).toLong)
+      }.toMap
+    }
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { t =>
+      assert(got(t)._1 == mass(t), s"$t: ${got(t)._1} != replay ${mass(t)}")
+      assert(math.abs(got(t)._2 - math.floor(mass(t).toDouble / 1e12 * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+    // rk is the (mass desc, type) permutation; total mass conserved up to
+    // the per-iteration floor leak (≤ 3 units/node/iteration)
+    val byRank = got.toSeq.sortBy { case (t, (m, _, _)) => (-m, t) }.map(_._1)
+    byRank.zipWithIndex.foreach { case (t, i) => assert(got(t)._3 == i + 1L) }
+    val total = got.values.map(_._1).sum
+    assert(total <= 1000000000000L && total >= 1000000000000L - 3L * nT * 21,
+      s"mass leak out of bounds: $total")
+  }
+
   test("time-to-convert: medians recount from a driver-side replay") {
     val rows = Events.timeToConvert(spark, sf01).collect()
     assert(rows.nonEmpty)
