@@ -477,6 +477,84 @@ object Ann extends QueryModule {
       .orderBy("query_id")
   }
 
+  /** Recall@K vs nprobe — the IVF operating curve (the ANN sibling of
+    * dedup_lsh_recall's banded S-curve): how much recall each extra
+    * probed cell buys on THIS corpus, which is the number a serving team
+    * reads before spending nprobe·⟨cell⟩ more scan per query. One
+    * trained index, one candidate pass at the WIDEST rung (crk ≤ 4,
+    * bracketing the corpus-derived npd ≈ 3) with the probe rank riding
+    * along; each rung then just filters the materialized candidate
+    * frame — no retraining, no re-scan per rung. Per query the curve is
+    * monotone non-decreasing BY CONSTRUCTION (candidate sets nest and
+    * truth/approx share one total order — AnnSpec asserts the theorem). */
+  def probeSweep(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, d))
+    val cent = trainCentroids(e)
+    val index = assignCells(e, cent)
+    val probeAll = queriesOf(e).withColumn("j", lit(1))
+      .join(broadcast(cent.withColumn("j", lit(1))), "j")
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"),
+        (dot(col("qe"), col("centroid")) / nullif(col("qn") * col("cnrm"), lit(0.0))).as("cscore"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cscore"), asc("cell"))))
+      .filter(col("crk") <= 4)
+      .select(col("query_id"), col("qe"), col("qn"), col("cell").as("pcell"), col("crk"))
+    val cand = index.join(broadcast(probeAll),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("crk"), score.as("score"))
+      .transform(graft.Checkpoints.materialize)
+    val truth = bruteForce(s, d).select(col("query_id"), col("neighbor_id"))
+    Seq(1, 2, 4).map { np =>
+      val approx = cand.filter(col("crk") <= np)
+        .withColumn("rk", row_number().over(rank))
+        .filter(col("rk") <= K)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+        .select(lit(np).as("nprobe"), col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(K)).as("recall_at_k"))
+    }.reduce(_ unionByName _).orderBy("nprobe", "query_id")
+  }
+
+  private def probeSweepSql: String = {
+    val last = s"tc${IvfIters}n"
+    val branches = Seq(1, 2, 4).map { np =>
+      s"""a$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+         |  FROM cand WHERE crk <= $np) t WHERE rk <= $K)""".stripMargin
+    }
+    val unions = Seq(1, 2, 4).map { np =>
+      s"""SELECT $np AS nprobe, t.query_id,
+         |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / $K AS recall_at_k
+         |FROM truth t LEFT JOIN a$np a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id""".stripMargin
+    }
+    s"""WITH $ivfCtesSql,
+       |probeAll AS (SELECT query_id, qe, qn, cell AS pcell, crk FROM (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qe, q.nrm AS qn, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dotSql("q.embedding", "c.centroid")} / nullif(q.nrm * c.cnrm, 0) DESC,
+       |      c.cell) AS crk
+       |  FROM (SELECT * FROM n WHERE vec_id < 10) q CROSS JOIN $last c) WHERE crk <= 4),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, i.vec_id AS neighbor_id, p.crk,
+       |    ${Cols.fp4Sql(cosSql("p.qe", "i.embedding", "p.qn", "i.nrm"))} AS score
+       |  FROM probeAll p JOIN idx i ON i.cell = p.pcell AND i.vec_id != p.query_id),
+       |bpairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${Cols.fp4Sql(cosSql("q.embedding", "n.embedding", "q.nrm", "n.nrm"))} AS score
+       |  FROM (SELECT * FROM n WHERE vec_id < 10) q JOIN n ON n.vec_id != q.vec_id),
+       |truth AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM bpairs) t WHERE rk <= $K),
+       |${branches.mkString(",\n")}
+       |${unions.mkString("\nUNION ALL\n")}
+       |ORDER BY nprobe, query_id""".stripMargin
+  }
+
   /** The recall oracle composes the IVF serving CTEs with a brute-force
     * twin over the same `n` base — both rank with the identical
     * (score desc, neighbor_id) total order, so the top-k sets are
@@ -1944,6 +2022,7 @@ object Ann extends QueryModule {
     ("ann_recall_eval", recallEval _, Some(recallEvalSql)),
     ("emb_matryoshka_eval", matryoshkaEval _, Some(matryoshkaEvalSql)),
     ("ann_matryoshka_rerank", matryoshkaRerank _, Some(matryoshkaRerankSql)),
+    ("ann_probe_sweep", probeSweep _, Some(probeSweepSql)),
     ("ann_recall_eval_pq", recallEvalPq _, Some(recallEvalPqSql)),
     ("ann_ivf_int8_topk", ivfInt8TopK _, Some(ivfInt8TopKSql)),
     ("ann_ivf_cell_stats", ivfCellStats _, Some(ivfCellStatsSql)),

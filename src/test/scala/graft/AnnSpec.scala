@@ -239,6 +239,26 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("probe sweep: per-query recall is monotone in nprobe, tops at the IVF tier") {
+    val got = Ann.probeSweep(spark, sf).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("query_id")) ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))).toMap
+    assert(got.size == 30, s"3 rungs x 10 queries, got ${got.size}")
+    got.foreach { case ((np, q), (hits, recall)) =>
+      assert(hits >= 0 && hits <= 10, s"($np,$q)")
+      assert(math.abs(recall - hits / 10.0) < 1e-12)
+    }
+    // the nesting theorem: candidate sets grow with nprobe and truth/approx
+    // share one total order, so per-query hits may never decrease
+    (0L until 10L).foreach { q =>
+      assert(got((1, q))._1 <= got((2, q))._1 && got((2, q))._1 <= got((4, q))._1,
+        s"query $q: hits ${got((1, q))._1}/${got((2, q))._1}/${got((4, q))._1} not monotone")
+    }
+    // the widest rung must see real recall on this corpus
+    val mean4 = (0L until 10L).map(q => got((4, q))._2).sum / 10.0
+    assert(mean4 >= 0.55, s"nprobe=4 mean recall $mean4 below the IVF tier bound")
+  }
+
   test("PQ recall eval agrees with an independent brute-vs-ivfpq recount") {
     val got = Ann.recallEvalPq(spark, sf).collect()
       .map(r => r.getAs[Long]("query_id") ->

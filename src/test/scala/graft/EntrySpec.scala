@@ -154,9 +154,10 @@ class EntrySpec extends SparkSpec {
     // +ann_matryoshka_rerank (prefix-8 shortlist re-ranked at full
     // width — the serving half of the pair) → 209/209;
     // +ev_stationary_rank (PageRank over the event-type transition
-    // chain in exact 1e12 fixed point) → 210/210.
-    assert(SparkEntry.queries.size == 210, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 210, s"got ${SparkEntry.oracleSql.size}")
+    // chain in exact 1e12 fixed point) → 210/210; +ann_probe_sweep
+    // (recall@10 at nprobe 1/2/4 on one trained index) → 211/211.
+    assert(SparkEntry.queries.size == 211, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 211, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -29,7 +29,7 @@ class PlanSpec extends SparkSpec {
       // emb_matryoshka_eval runs the brute-force gauge at three prefix
       // widths — the same declared 10-query broadcast cross join;
       // ann_matryoshka_rerank's shortlist stage is the same pattern
-      "emb_matryoshka_eval", "ann_matryoshka_rerank",
+      "emb_matryoshka_eval", "ann_matryoshka_rerank", "ann_probe_sweep",
       // emb_knn_label_vote broadcasts the 50-row query batch over one
       // corpus scan — the same declared query-set pattern;
       // ann_recall_eval composes the brute-force and IVF tiers, so it
