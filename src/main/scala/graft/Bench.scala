@@ -251,7 +251,16 @@ object Bench {
         .map(_._3 / sentinelFloor).getOrElse(sentinelBase / sentinelFloor)
       val after = samplesByIdx.find(_._1 >= entryIdx)
         .map(_._3 / sentinelFloor).getOrElse(before)
-      math.max(1.0, (before + after) / 2)
+      // transient-spike guard (r10 review): a single spiked probe beside a
+      // clean entry would otherwise halve a genuine measurement — the
+      // correction only deflates as far as the MEDIAN of the 5 nearest
+      // samples supports (sustained regional load keeps correcting; a
+      // lone spike is outvoted by its calm neighborhood)
+      val near = samplesByIdx.sortBy(x => math.abs(x._1 - entryIdx)).take(5)
+        .map(_._3 / sentinelFloor)
+      val nearMedian =
+        if (near.isEmpty) (before + after) / 2 else near.sorted.apply(near.size / 2)
+      math.max(1.0, math.min((before + after) / 2, nearMedian))
     }
     val minCorr: Map[String, Double] = results.zipWithIndex.map { case (q, idx) =>
       q.name -> r3(q.min / bracketDrift(idx))

@@ -382,14 +382,9 @@ object Dedup extends QueryModule {
     lshRecallFrom(Checkpoints.materialize(shingleIndexOf(docs)))
 
   private def lshRecallFrom(inv: DataFrame): DataFrame = {
-    val counts = inv.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_sh"))
-    val truth = inv.select(col("doc_id").as("doc_a"), col("sg"))
-      .join(inv.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")),
-        col("sg") === col("sg_b") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"))
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+    // ground truth rides the ONE pair substrate the gauged entries use —
+    // a private copy here could silently diverge from what it gauges
+    val truth = shinglePairCountsFrom(inv)
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= 0.05)

@@ -896,6 +896,14 @@ object Events extends QueryModule {
   private val PrIters = 20
   private val PrScale = 1e12
   def stationaryRank(s: SparkSession, d: String): DataFrame = {
+    // the loud bound runs BEFORE the |types|²-row model collect it bounds
+    // (a guard after the collect can never fire before the driver OOM it
+    // is supposed to prevent) — one 1-row aggregate, then the model pull
+    val nT = Tables.events(s, d)
+      .agg(countDistinct("event_type")).first().getLong(0).toInt
+    require(nT <= 1024,
+      s"stationary-rank model collect is bounded at 1024 event types (got $nT); " +
+        "a wider domain needs the relational-iteration variant")
     val steps = Tables.events(s, d)
       .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
       .filter(col("next_type").isNotNull)
@@ -907,22 +915,21 @@ object Events extends QueryModule {
             lit(0L).as("n")))
       .collect()
     val nodes = model.collect { case r if r.isNullAt(1) => r.getString(0) }.sorted
-    val nT = nodes.length
-    require(nT <= 1024,
-      s"stationary-rank model collect is bounded at 1024 event types (got $nT); " +
-        "a wider domain needs the relational-iteration variant")
     val edges = model.filter(!_.isNullAt(1))
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val out = edges.groupBy(_._1).map { case (f, es) => f -> es.map(_._3).sum }
-    val p = edges.map { case (f, t, n) => (f, t) -> (n.toDouble / out(f).toDouble) }.toMap
+    // incoming adjacency grouped ONCE (the SQL oracle's GROUP BY to_type):
+    // scanning the edge array per node per iteration would be O(it·V·E)
+    val into = edges.map { case (f, t, n) => t -> (f, n.toDouble / out(f).toDouble) }
+      .groupBy(_._1).map { case (t, es) => t -> es.map(_._2).toSeq }
+      .withDefaultValue(Seq.empty)
     val tele = math.floor(0.15 * (PrScale / nT.toDouble)).toLong
     var mass = nodes.map(_ -> math.floor(PrScale / nT.toDouble).toLong).toMap
     for (_ <- 1 to PrIters) {
       val dang = nodes.filterNot(out.contains).map(mass).sum
       mass = nodes.map { t =>
-        val c = edges.collect {
-          case (f, `t`, _) => math.floor(mass(f).toDouble * p((f, t))).toLong
-        }.sum
+        val c = into(t)
+          .map { case (f, p) => math.floor(mass(f).toDouble * p).toLong }.sum
         t -> (tele + math.floor(0.85 * c.toDouble).toLong
           + math.floor(0.85 * (dang.toDouble / nT.toDouble)).toLong)
       }.toMap

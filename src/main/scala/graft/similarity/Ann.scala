@@ -355,7 +355,11 @@ object Ann extends QueryModule {
     * top-K. Same declared 10-query broadcast pattern as the other
     * gauges (PlanSpec intentional). */
   def matryoshkaEval(s: SparkSession, d: String): DataFrame = {
+    // materialized: the three tier branches below each reference this
+    // frame, and Spark does not dedupe common subtrees — unmaterialized,
+    // the full-corpus brute-force cross join would run 3×
     val truth = bruteForce(s, d).select(col("query_id"), col("neighbor_id"))
+      .transform(graft.Checkpoints.materialize)
     val tiers = Seq(8, 16, 32)
     tiers.map { dt =>
       val c = withNorm(Tables.embeddings(s, d)
@@ -503,7 +507,9 @@ object Ann extends QueryModule {
         col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("crk"), score.as("score"))
       .transform(graft.Checkpoints.materialize)
+    // materialized like cand: each of the three rungs joins this frame
     val truth = bruteForce(s, d).select(col("query_id"), col("neighbor_id"))
+      .transform(graft.Checkpoints.materialize)
     Seq(1, 2, 4).map { np =>
       val approx = cand.filter(col("crk") <= np)
         .withColumn("rk", row_number().over(rank))

@@ -487,7 +487,13 @@ private[connector] final class TokenRangeBatchWrite(path: String,
       }
     }
     root.mkdirs()
-    TokenRangeWriterFactory(path, writeSchema, pkIdx)
+    // app-unique token in file names: partitionId/taskId restart near 0 in
+    // every new application, so a second app appending to the same table
+    // would collide with the first app's part files (parquet CREATE mode
+    // throws FileAlreadyExists) — the same reason Spark's own committer
+    // stamps a per-job UUID into its part file names
+    TokenRangeWriterFactory(path, writeSchema, pkIdx,
+      java.util.UUID.randomUUID().toString.take(8))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -504,14 +510,14 @@ private[connector] final case class TokenRangeCommit(files: Array[String])
     extends WriterCommitMessage
 
 private[connector] final case class TokenRangeWriterFactory(path: String,
-    writeSchema: StructType, pkIdx: Int) extends DataWriterFactory {
+    writeSchema: StructType, pkIdx: Int, writeId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TokenRangeDataWriter(path, writeSchema, pkIdx, partitionId, taskId)
+    new TokenRangeDataWriter(path, writeSchema, pkIdx, partitionId, taskId, writeId)
 }
 
 private[connector] final class TokenRangeDataWriter(path: String,
-    writeSchema: StructType, pkIdx: Int, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+    writeSchema: StructType, pkIdx: Int, partitionId: Int, taskId: Long,
+    writeId: String) extends DataWriter[InternalRow] {
 
   private val msgType = TokenRangeSource.toParquet(writeSchema)
   private val factory = new SimpleGroupFactory(msgType)
@@ -527,7 +533,7 @@ private[connector] final class TokenRangeDataWriter(path: String,
   private def writerFor(bucket: Int) = writers.getOrElseUpdate(bucket, {
     val dir = new java.io.File(s"$path/tb=$bucket")
     dir.mkdirs()
-    val file = s"${dir.getAbsolutePath}/part-$partitionId-$taskId.parquet"
+    val file = s"${dir.getAbsolutePath}/part-$partitionId-$taskId-$writeId.parquet"
     (ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
       .withConf(conf).withType(msgType).build(), file)
   })
