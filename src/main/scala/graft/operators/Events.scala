@@ -895,22 +895,28 @@ object Events extends QueryModule {
     * bit. Dangling types redistribute their mass uniformly each step. */
   private val PrIters = 20
   private val PrScale = 1e12
-  def stationaryRank(s: SparkSession, d: String): DataFrame = {
+  def stationaryRank(s: SparkSession, d: String): DataFrame =
+    stationaryRankOf(Tables.events(s, d))
+
+  /** DataFrame-parametric form: `ev` needs user_id, ts, event_id,
+    * event_type — the library surface (and the degenerate-graph test
+    * seam: single-type and transition-free corpora are legal chains). */
+  def stationaryRankOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     // the loud bound runs BEFORE the |types|²-row model collect it bounds
     // (a guard after the collect can never fire before the driver OOM it
     // is supposed to prevent) — one 1-row aggregate, then the model pull
-    val nT = Tables.events(s, d)
-      .agg(countDistinct("event_type")).first().getLong(0).toInt
+    val nT = ev.agg(countDistinct("event_type")).first().getLong(0).toInt
     require(nT <= 1024,
       s"stationary-rank model collect is bounded at 1024 event types (got $nT); " +
         "a wider domain needs the relational-iteration variant")
-    val steps = Tables.events(s, d)
+    val steps = ev
       .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
     val model = steps.unionByName(
-        Tables.events(s, d).select(col("event_type").as("from_type")).distinct()
+        ev.select(col("event_type").as("from_type")).distinct()
           .select(col("from_type"), lit(null).cast("string").as("to_type"),
             lit(0L).as("n")))
       .collect()

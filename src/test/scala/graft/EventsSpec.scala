@@ -366,6 +366,31 @@ class EventsSpec extends SparkSpec {
       s"mass leak out of bounds: $total")
   }
 
+  test("stationary rank: degenerate chains (one type; no transitions) stay lawful") {
+    val s2 = spark
+    import s2.implicits._
+    def ev(rows: Seq[(Long, String, Long, String)]) = rows
+      .map { case (u, t, e, ty) => (u, java.sql.Timestamp.valueOf(t), e, ty) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    // one type, self-loop chain: the stationary law forces ALL mass there
+    val one = Events.stationaryRankOf(
+      ev(Seq((1L, "2024-01-01 00:00:00", 1L, "view"),
+             (1L, "2024-01-01 00:01:00", 2L, "view")))).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("rk") == 1L)
+    assert(one.head.getAs[Long]("mass") > 990000000000L, s"${one.head}")
+    // no transitions at all: every type dangles, teleport + uniform
+    // redistribution keep the distribution exactly symmetric
+    val iso = Events.stationaryRankOf(
+      ev(Seq((1L, "2024-01-01 00:00:00", 1L, "a"),
+             (2L, "2024-01-01 00:00:00", 2L, "b"),
+             (3L, "2024-01-01 00:00:00", 3L, "c")))).collect()
+    assert(iso.length == 3)
+    assert(iso.map(_.getAs[Long]("mass")).distinct.length == 1,
+      "transition-free chain must stay uniform")
+    assert(iso.map(_.getAs[String]("event_type")).toSeq == Seq("a", "b", "c"),
+      "uniform masses tie-break by type name")
+  }
+
   test("time-to-convert: medians recount from a driver-side replay") {
     val rows = Events.timeToConvert(spark, sf01).collect()
     assert(rows.nonEmpty)
