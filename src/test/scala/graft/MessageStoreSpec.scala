@@ -149,6 +149,22 @@ class MessageStoreSpec extends SparkSpec {
       .write.format(fmt).option("pk", "channel_id").mode("append").save(dir)
     assert(asSet(load.collect()) == (batch1 ++ batch2).toSet)
 
+    // file names carry a per-JOB unique id (r10 review): partition/task ids
+    // restart near 0 in a new application, so without the suffix a second
+    // app's append would collide on part-0-0.parquet; two jobs must show
+    // two distinct suffixes under the part-<p>-<t>-<writeId> format
+    val partNames = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tb="))
+      .flatMap(_.listFiles()).map(_.getName)
+      .filter(_.endsWith(".parquet"))
+    val pat = "part-\\d+-\\d+-([0-9a-f]{8})\\.parquet".r
+    val writeIds = partNames.map {
+      case pat(id) => id
+      case other => fail(s"sink file name without a write id: $other")
+    }.toSet
+    assert(writeIds.size >= 2,
+      s"two append jobs must stamp two distinct write ids, got $writeIds")
+
     // clustering-slice pushdown: footer stats prune the batch-1 files
     // (write_seq ≤ 199) from a write_seq ≥ 1000 slice; result exact
     val sliced = spark.read.format(fmt)
