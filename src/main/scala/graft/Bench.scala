@@ -243,24 +243,22 @@ object Bench {
     // cadence/heavy sample before it, the next cadence/heavy/final sample
     // after it — so each entry can carry the ambient correction its OWN
     // neighborhood measured, not the record-wide median). Correction =
-    // min / mean(bracketing drifts), floored at 1 (a clean neighborhood
-    // never inflates an entry).
+    // min / min(bracketing drifts), floored at 1 (a clean neighborhood
+    // never inflates an entry; a single spiked probe never deflates one).
     val samplesByIdx = sentinelSamples.toSeq
     def bracketDrift(entryIdx: Int): Double = {
       val before = samplesByIdx.filter(_._1 < entryIdx).lastOption
         .map(_._3 / sentinelFloor).getOrElse(sentinelBase / sentinelFloor)
       val after = samplesByIdx.find(_._1 >= entryIdx)
         .map(_._3 / sentinelFloor).getOrElse(before)
-      // transient-spike guard (r10 review): a single spiked probe beside a
-      // clean entry would otherwise halve a genuine measurement — the
-      // correction only deflates as far as the MEDIAN of the 5 nearest
-      // samples supports (sustained regional load keeps correcting; a
-      // lone spike is outvoted by its calm neighborhood)
-      val near = samplesByIdx.sortBy(x => math.abs(x._1 - entryIdx)).take(5)
-        .map(_._3 / sentinelFloor)
-      val nearMedian =
-        if (near.isEmpty) (before + after) / 2 else near.sorted.apply(near.size / 2)
-      math.max(1.0, math.min((before + after) / 2, nearMedian))
+      // transient-spike guard (r10 review, refined): correct by the MIN of
+      // the two bracketing drifts — when BOTH probes saw elevation the
+      // entry between them almost surely ran contended (correct, by the
+      // conservative smaller figure; this keeps the r9 per-entry regional
+      // correction alive even for bursts narrower than a 5-sample window),
+      // while a SINGLE spiked probe beside a calm one yields a calm min
+      // and cannot deflate a clean measurement
+      math.max(1.0, math.min(before, after))
     }
     val minCorr: Map[String, Double] = results.zipWithIndex.map { case (q, idx) =>
       q.name -> r3(q.min / bracketDrift(idx))

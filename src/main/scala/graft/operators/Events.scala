@@ -901,8 +901,12 @@ object Events extends QueryModule {
   /** DataFrame-parametric form: `ev` needs user_id, ts, event_id,
     * event_type — the library surface (and the degenerate-graph test
     * seam: single-type and transition-free corpora are legal chains). */
-  def stationaryRankOf(ev: DataFrame): DataFrame = {
-    val s = ev.sparkSession
+  def stationaryRankOf(evRaw: DataFrame): DataFrame = {
+    val s = evRaw.sparkSession
+    // NULL event types are excluded from the chain (countDistinct below is
+    // null-excluding; the node set must agree with it exactly or the
+    // PrScale/nT normalization and the 1024 bound both drift)
+    val ev = evRaw.filter(col("event_type").isNotNull)
     // the loud bound runs BEFORE the |types|²-row model collect it bounds
     // (a guard after the collect can never fire before the driver OOM it
     // is supposed to prevent) — one 1-row aggregate, then the model pull
@@ -951,13 +955,14 @@ object Events extends QueryModule {
     val base =
       """steps AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        |  FROM events),
+        |  FROM (SELECT * FROM events WHERE event_type IS NOT NULL)),
         | edges AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
         |  FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2),
         | outs AS MATERIALIZED (SELECT from_type, CAST(SUM(n) AS BIGINT) AS outn FROM edges GROUP BY 1),
         | pe AS MATERIALIZED (SELECT e.from_type, e.to_type, CAST(e.n AS DOUBLE) / CAST(o.outn AS DOUBLE) AS p
         |  FROM edges e JOIN outs o USING (from_type)),
-        | nodes AS MATERIALIZED (SELECT DISTINCT event_type FROM events),
+        | nodes AS MATERIALIZED (SELECT DISTINCT event_type FROM events
+        |   WHERE event_type IS NOT NULL),
         | nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
         | it0 AS MATERIALIZED (SELECT event_type, CAST(FLOOR(1e12 / CAST(nn.n AS DOUBLE)) AS BIGINT) AS mass
         |  FROM nodes CROSS JOIN nn)""".stripMargin

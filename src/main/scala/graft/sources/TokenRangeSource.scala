@@ -456,7 +456,10 @@ private[connector] final class TokenRangeReader(files: Array[String],
 // `tb=<k>` bucket directory through the SAME ring function the read path
 // plans by, so a write→read round trip stays range-aligned with zero
 // shuffle beyond the write's own distribution. Commit protocol: task
-// writers place uniquely-named files directly (part-<partition>-<task>);
+// writers place uniquely-named files directly
+// (part-<partition>-<task>-<per-job id>; the job id is what keeps a
+// SECOND application's append from colliding — partition/task ids
+// restart near 0 in every new app);
 // job commit is a no-op, job/task abort deletes the placed files — the
 // direct-placement tradeoff a real object-store committer resolves with
 // a manifest, documented here rather than hidden.

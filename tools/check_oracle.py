@@ -23,7 +23,7 @@ def main(outdir, sfdir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_rows_only = n_inflight = 0
     for name in sorted(oracle):
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         if not files:
@@ -62,10 +62,13 @@ def main(outdir, sfdir):
         parts = glob.glob(os.path.join(outdir, d, "*.parquet"))
         if not parts:
             print(f"IN-FLIGHT {d}  (no completed parquet; live Verify run?)")
+            n_inflight += 1
             continue
         n = con.sql(f"SELECT count(*) FROM '{outdir}/{d}/*.parquet'").fetchone()[0]
         print(f"ROWS-ONLY {d}  ({n} rows)")
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(missing)} rows-only")
+        n_rows_only += 1
+    flight = f", {n_inflight} in-flight" if n_inflight else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only{flight}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
