@@ -36,11 +36,21 @@ import org.apache.spark.sql.SparkSession
   * records the 1-min /proc/loadavg at its start and the JVM's process-CPU
   * seconds it consumed. A `{"metric":"sentinel",...}` line carries
   * baseline, samples, max and median drift, and the summary carries
-  * `sentinel_max_drift`/`sentinel_median_drift` + `contaminated` (true
-  * when MEDIAN drift > 2× — sustained co-tenant load inflates every
-  * sample, so the record is environment-bound and must not be graded as
-  * steady-state perf; a lone spiked sample is ambient noise and only
-  * shows up in max_drift).
+  * `sentinel_max_drift`/`sentinel_median_drift` + `contaminated`.
+  *
+  * Un-shippable contaminated records (VERDICT r10 #1 — the r10 record of
+  * record shipped `contaminated: true` and every per-entry number in it
+  * needed judge-side solo re-measurement): entries whose bracketing
+  * sentinels breach the bound (min-of-brackets > 2×, or both brackets
+  * inside a 5-sample window whose median drift > 2×) are REQUEUED and
+  * re-measured after the suite tail, each retry bracketed by its own
+  * fresh sentinel pair; the ambient first measurement stays in the
+  * artifact as `min_ambient`. The record is `contaminated` only when the
+  * whole run was loaded (median drift > 1.5×) or a retry ALSO ran
+  * bracketed-contended — and then the full doc goes to
+  * BENCH_INVALID.json (BENCH_FULL.json untouched), no round archive is
+  * stamped, and the process exits 1, so a failing record cannot silently
+  * become the round's artifact.
   *
   * Inter-query hygiene: `clearCache` alone does NOT release
   * `localCheckpoint` blocks (dedup_clusters / IVF Lloyd rounds leave
@@ -90,7 +100,20 @@ object Bench {
 
   final case class QueryRun(name: String, cold: Double, min: Double,
                             gcCold: Long, gcMin: Long, err: Option[String],
-                            load: Double, cpuSec: Double)
+                            load: Double, cpuSec: Double,
+                            minAmbient: Option[Double] = None)
+
+  /** True median (ADVICE r10 #3): even-sized samples average the two
+    * middle elements — `sorted(n/2)` alone is the UPPER median, which
+    * marked 2-sample short runs contaminated on drifts a true median
+    * clears. */
+  private def med(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 1.0
+    else {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
 
   /** Fixed ~100 ms reference probe (lineitem scan + 4-group aggregate):
     * wall-time drift on a plan this trivial can only come from the
@@ -159,7 +182,9 @@ object Bench {
 
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results: Seq[QueryRun] = named.zipWithIndex.map { case ((name, fn), idx) =>
+
+    /** One measured entry: nRuns timed executions + state release. */
+    def measureEntry(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QueryRun = {
       val loadBefore = loadAvg()
       val cpu0 = processCpuSec()
       val runs = (1 to nRuns).map { _ =>
@@ -181,6 +206,17 @@ object Bench {
       // failed runs only when every run failed, where err marks it)
       val ok = runs.filter(_._3.isEmpty)
       val best = (if (ok.nonEmpty) ok else runs).minBy(_._1)
+      QueryRun(name, cold = runs.head._1, min = best._1,
+        gcCold = runs.head._2, gcMin = best._2,
+        // err only when EVERY run failed — a transient single-run failure
+        // with a valid steady-state min is not a failed query (stderr
+        // still logs the transient); n_failed counts truly-failed only
+        err = if (ok.isEmpty) runs.flatMap(_._3).headOption else None,
+        load = loadBefore, cpuSec = cpuSec)
+    }
+
+    val results0: Seq[QueryRun] = named.zipWithIndex.map { case ((name, fn), idx) =>
+      val q = measureEntry(name, fn)
       // Each sample is min-of-2 probe runs: a SINGLE ~100-300 ms Spark job
       // swings 2-3x from scheduler/GC noise even on an idle box (the solo
       // sf0.01 shakedown hit "drift" 3.8x at loadavg 2/32 cores), whereas
@@ -193,75 +229,129 @@ object Bench {
       // (VERDICT r7 #8: the every-10 cadence alone sampled dedup_exact's
       // neighborhood at 6.8x and could not say which it was).
       if ((idx + 1) % sentinelEvery == 0 || idx == named.size - 1
-          || best._1 >= heavySentinelSec)
+          || q.min >= heavySentinelSec)
         sentinelSamples +=
           ((idx, name, (1 to 2).map(_ => sentinelSec(spark, sfDir)).min, loadAvg()))
-      QueryRun(name, cold = runs.head._1, min = best._1,
-        gcCold = runs.head._2, gcMin = best._2,
-        // err only when EVERY run failed — a transient single-run failure
-        // with a valid steady-state min is not a failed query (stderr
-        // still logs the transient); n_failed counts truly-failed only
-        err = if (ok.isEmpty) runs.flatMap(_._3).headOption else None,
-        load = loadBefore, cpuSec = cpuSec)
+      q
     }
 
+    // ---- Requeue + contamination verdict (VERDICT r10 next-round #1:
+    // the r10 record of record shipped `contaminated: true` — a failing
+    // record must be un-shippable). Entries whose bracketing sentinels
+    // breached the bound are RE-MEASURED after the suite tail (the first
+    // sample stays in the artifact as `min_ambient`); if an entry's
+    // retry is ALSO bracketed contended, the record is invalid: the full
+    // doc goes to BENCH_INVALID.json instead of BENCH_FULL.json and the
+    // process exits nonzero, so a gate-failing record can never silently
+    // become the round's artifact.
+    val samples1 = sentinelSamples.toSeq
+    def floorOf(extra: Seq[Double]): Double =
+      math.max(((sentinelBase +: samples1.map(_._3)) ++ extra).min, 0.001)
+    val floor1 = floorOf(Nil)
+    val drifts1 = samples1.map(_._3 / floor1)
+    // regional criterion (r9): samples inside any 5-consecutive-sample
+    // window with median drift > 2 are "hot" — entries bracketed by two
+    // hot samples are requeued even when their own bracket min stays ≤ 2
+    // (the r9 failure mode: sustained regional load the per-entry min-of-
+    // brackets is blind to when every probe in the region is elevated).
+    val hotSample: Set[Int] =
+      if (drifts1.size < 5) Set.empty
+      else drifts1.zipWithIndex.sliding(5)
+        .filter(w => med(w.map(_._1)) > 2.0).flatMap(_.map(_._2)).toSet
+    // bracketing samples of an entry: the last sample before it (or the
+    // calibration) and the first at/after it (or the before-sample)
+    def bracket1(entryIdx: Int): ((Double, Boolean), (Double, Boolean)) = {
+      val before = samples1.zipWithIndex.filter(_._1._1 < entryIdx).lastOption
+        .map { case (s, i) => (s._3 / floor1, hotSample(i)) }
+        .getOrElse((sentinelBase / floor1, false))
+      val after = samples1.zipWithIndex.find(_._1._1 >= entryIdx)
+        .map { case (s, i) => (s._3 / floor1, hotSample(i)) }
+        .getOrElse(before)
+      (before, after)
+    }
+    def breached1(idx: Int): Boolean = {
+      val ((bd, bh), (ad, ah)) = bracket1(idx)
+      math.min(bd, ad) > 2.0 || (bh && ah)
+    }
+    val requeueIdx = results0.zipWithIndex.collect {
+      case (q, idx) if q.err.isEmpty && breached1(idx) => idx
+    }
+    // runtime bound: a run where most of the suite breached is a hosed
+    // box, not a requeue candidate — skip the retries and mark invalid
+    val MaxRequeue = 64
+    val requeueSkipped = requeueIdx.size > MaxRequeue
+    // each retry is bracketed by its own fresh min-of-2 sentinel pair, so
+    // the retry carries per-entry evidence of whether it ran clean
+    val retried: Map[Int, (QueryRun, Double, Double)] =
+      if (requeueSkipped) Map.empty
+      else requeueIdx.map { idx =>
+        val (name, fn) = named(idx)
+        val sb = (1 to 2).map(_ => sentinelSec(spark, sfDir)).min
+        val q = measureEntry(name, fn)
+        val sa = (1 to 2).map(_ => sentinelSec(spark, sfDir)).min
+        idx -> ((q, sb, sa))
+      }.toMap
+    val retrySent = retried.values.flatMap(v => Seq(v._2, v._3)).toSeq
+    // final floor: the fastest sentinel observed ANYWHERE in the run —
+    // calibration can itself be contended or still warming, so the
+    // up-front min alone is not a safe denominator
+    val sentinelFloor = floorOf(retrySent)
+
+    // final per-entry record: steady-state min = min over both passes
+    // (the retry of a truly-contended entry lands lower; a pass-1 min the
+    // retry can't beat was not ambient-inflated after all); pass-1 min is
+    // kept as min_ambient for the audit trail
+    val results: Seq[QueryRun] = results0.zipWithIndex.map { case (q, idx) =>
+      retried.get(idx) match {
+        case Some((rq, _, _)) =>
+          val useRetry = rq.err.isEmpty && rq.min <= q.min
+          q.copy(min = if (useRetry) rq.min else q.min,
+            gcMin = if (useRetry) rq.gcMin else q.gcMin,
+            cpuSec = if (useRetry) rq.cpuSec else q.cpuSec,
+            minAmbient = Some(q.min))
+        case None => q
+      }
+    }
     val failed = results.collect { case q if q.err.isDefined =>
       s"${jsonStr(q.name)}:${jsonStr(q.err.get)}"
     }
-    // Sentinel record: per-sample drift vs the FLOOR — the fastest sentinel
-    // observed anywhere in the run (calibration can itself be contended or
-    // still warming, so the up-front min alone is not a safe denominator).
-    // Headline contamination verdict: MEDIAN drift > 2× — the r5 failure
-    // mode was sustained co-tenant load (2.6× across the whole record),
-    // which inflates every sample; a single spiked sample is ambient noise
-    // and must not condemn an otherwise-clean record (max_drift stays in
-    // the artifact as the spike diagnostic).
-    val sentinelFloor =
-      math.max((sentinelBase +: sentinelSamples.map(_._3).toSeq).min, 0.001)
-    val drifts = sentinelSamples.map(_._3 / sentinelFloor).toSeq.sorted
-    val maxDrift = if (drifts.isEmpty) 1.0 else r3(drifts.last)
-    val medianDrift = if (drifts.isEmpty) 1.0 else r3(drifts(drifts.size / 2))
-    // Gate tightened 2.0 → 1.5 (VERDICT r8 "wrong" #1): the r8 driver
-    // record shipped at median drift 1.79 with contaminated=false and its
-    // headline was ~1.8× ambient-inflated — sustained co-tenant load well
-    // under 2× still invalidates per-entry cross-round comparison, which
-    // is what the record exists for. A contaminated record must be re-run
-    // on a quieter box, not graded.
-    // REGIONAL criterion (VERDICT r9 perf section: the r9 record passed
-    // the median gate at 1.303 while its st_*/wc_* windows ran 3-8.5× —
-    // the median is blind to a contended REGION): any 5-consecutive-
-    // sample median > 2 marks the record window-contaminated too.
-    val orderedDrifts = sentinelSamples.map(_._3 / sentinelFloor).toSeq
-    val windowMaxMedian = r3(
-      if (orderedDrifts.isEmpty) 1.0
-      else if (orderedDrifts.size < 5) orderedDrifts.sorted.apply(orderedDrifts.size / 2)
-      else orderedDrifts.sliding(5).map(w => w.sorted.apply(w.size / 2)).max)
-    val contaminated = medianDrift > 1.5 || windowMaxMedian > 2.0
-
-    // Per-entry bracket-corrected steady-state time (VERDICT r9 perf ask:
-    // the sampling cadence already brackets every entry — the previous
-    // cadence/heavy sample before it, the next cadence/heavy/final sample
-    // after it — so each entry can carry the ambient correction its OWN
-    // neighborhood measured, not the record-wide median). Correction =
-    // min / min(bracketing drifts), floored at 1 (a clean neighborhood
-    // never inflates an entry; a single spiked probe never deflates one).
-    val samplesByIdx = sentinelSamples.toSeq
-    def bracketDrift(entryIdx: Int): Double = {
-      val before = samplesByIdx.filter(_._1 < entryIdx).lastOption
-        .map(_._3 / sentinelFloor).getOrElse(sentinelBase / sentinelFloor)
-      val after = samplesByIdx.find(_._1 >= entryIdx)
-        .map(_._3 / sentinelFloor).getOrElse(before)
-      // transient-spike guard (r10 review, refined): correct by the MIN of
-      // the two bracketing drifts — when BOTH probes saw elevation the
-      // entry between them almost surely ran contended (correct, by the
-      // conservative smaller figure; this keeps the r9 per-entry regional
-      // correction alive even for bursts narrower than a 5-sample window),
-      // while a SINGLE spiked probe beside a calm one yields a calm min
-      // and cannot deflate a clean measurement
-      math.max(1.0, math.min(before, after))
+    // entries whose RETRY also ran bracketed-contended — unfixable within
+    // this run, and exactly what makes the record invalid
+    val stillContended: Seq[String] = retried.toSeq.sortBy(_._1).collect {
+      case (idx, (_, sb, sa)) if math.min(sb, sa) / sentinelFloor > 2.0 =>
+        results0(idx).name
     }
+    val allDrifts = (samples1.map(_._3) ++ retrySent).map(_ / sentinelFloor)
+    val maxDrift = r3(if (allDrifts.isEmpty) 1.0 else allDrifts.max)
+    // Median gate at 1.5 (VERDICT r8 "wrong" #1): sustained co-tenant
+    // load well under 2× still invalidates per-entry cross-round
+    // comparison — and a whole-run-contended box is nothing a requeue
+    // pass can repair. windowMaxMedian stays in the artifact as the
+    // regional DIAGNOSTIC (vs the final floor); the regional GATE is now
+    // the requeue mechanism: hot-window entries were re-measured, and
+    // only a still-contended retry condemns the record.
+    val medianDrift = r3(med(allDrifts))
+    val windowMaxMedian = r3(
+      if (drifts1.isEmpty) 1.0
+      else if (drifts1.size < 5) med(samples1.map(_._3 / sentinelFloor))
+      else samples1.map(_._3 / sentinelFloor).sliding(5).map(med).max)
+    val contaminated =
+      medianDrift > 1.5 || stillContended.nonEmpty || requeueSkipped
+
+    // Per-entry bracket-corrected steady-state time (VERDICT r9 perf ask):
+    // correction = min / drift, drift = the calmest bracketing evidence
+    // available for the entry — min of the pass-1 brackets and (when
+    // retried) the retry's own bracket pair — floored at 1, so a clean
+    // neighborhood never inflates an entry and a single spiked probe
+    // never deflates one.
     val minCorr: Map[String, Double] = results.zipWithIndex.map { case (q, idx) =>
-      q.name -> r3(q.min / bracketDrift(idx))
+      val ((bd, _), (ad, _)) = bracket1(idx)
+      val d1 = math.min(bd, ad) * floor1 / sentinelFloor
+      val d = retried.get(idx) match {
+        case Some((_, sb, sa)) => math.min(d1, math.min(sb, sa) / sentinelFloor)
+        case None => d1
+      }
+      q.name -> r3(q.min / math.max(1.0, d))
     }.toMap
 
     // Detail lines: chunks of 16 queries, each its own parseable JSON line.
@@ -274,7 +364,9 @@ object Bench {
           if (q.name.startsWith("st_") && stFloorSec >= 0)
             s""","st_floor":$stFloorSec,"code_sec":${r3(math.max(0.0, minCorr(q.name) - stFloorSec))}"""
           else ""
-        s"""${jsonStr(q.name)}:{"cold":${q.cold},"min":${q.min},"min_corr":${minCorr(q.name)},"gc_ms_cold":${q.gcCold},"gc_ms_min":${q.gcMin},"load":${q.load},"cpu_sec":${q.cpuSec}$stPart${q.err.map(e => s""","err":${jsonStr(e)}""").getOrElse("")}}"""
+        val ambPart =
+          q.minAmbient.map(a => s""","min_ambient":$a""").getOrElse("")
+        s"""${jsonStr(q.name)}:{"cold":${q.cold},"min":${q.min},"min_corr":${minCorr(q.name)},"gc_ms_cold":${q.gcCold},"gc_ms_min":${q.gcMin},"load":${q.load},"cpu_sec":${q.cpuSec}$stPart$ambPart${q.err.map(e => s""","err":${jsonStr(e)}""").getOrElse("")}}"""
       }.mkString("{", ",", "}")
       s"""{"metric":"queries_part","part":${i + 1},"queries":$qs}"""
     }.toSeq
@@ -282,7 +374,11 @@ object Bench {
       val samples = sentinelSamples.map { case (idx, after, sec, load) =>
         s"""{"after_idx":$idx,"after":${jsonStr(after)},"sec":$sec,"drift":${r3(sec / sentinelFloor)},"loadavg":$load}"""
       }.mkString("[", ",", "]")
-      s"""{"metric":"sentinel","baseline_sec":$sentinelBase,"floor_sec":$sentinelFloor,"every":$sentinelEvery,"max_drift":$maxDrift,"median_drift":$medianDrift,"window_max_median":$windowMaxMedian,"contaminated":$contaminated,"samples":$samples}"""
+      val requeue = retried.toSeq.sortBy(_._1).map { case (idx, (rq, sb, sa)) =>
+        s"""{"name":${jsonStr(results0(idx).name)},"min_ambient":${results0(idx).min},"retry_min":${rq.min},"sb_drift":${r3(sb / sentinelFloor)},"sa_drift":${r3(sa / sentinelFloor)}}"""
+      }.mkString("[", ",", "]")
+      val still = stillContended.map(jsonStr).mkString("[", ",", "]")
+      s"""{"metric":"sentinel","baseline_sec":$sentinelBase,"floor_sec":$sentinelFloor,"every":$sentinelEvery,"max_drift":$maxDrift,"median_drift":$medianDrift,"window_max_median":$windowMaxMedian,"contaminated":$contaminated,"n_requeued":${retried.size},"requeue_skipped":$requeueSkipped,"still_contended":$still,"samples":$samples,"requeue":$requeue}"""
     }
     val minTimes = results.map(q => s"${jsonStr(q.name)}:${q.min}").mkString("{", ",", "}")
     val queriesLine = s"""{"metric":"queries","unit":"sec","queries":$minTimes,"sf":"$sfDir"}"""
@@ -298,21 +394,26 @@ object Bench {
     val totalBracket = r3(results.map(q => minCorr(q.name)).sum)
     val errJson = if (failed.isEmpty) "" else s""","errors":${failed.mkString("{", ",", "}")}"""
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_drift_corrected":$totalCorrected,"total_bracket_corrected":$totalBracket,"total_cold":$totalCold,"st_floor_sec":$stFloorSec,"runs_per_query":$nRuns,"n_queries":${results.size},"n_failed":${failed.size},"sentinel_max_drift":$maxDrift,"sentinel_median_drift":$medianDrift,"window_max_median":$windowMaxMedian,"contaminated":$contaminated$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_drift_corrected":$totalCorrected,"total_bracket_corrected":$totalBracket,"total_cold":$totalCold,"st_floor_sec":$stFloorSec,"runs_per_query":$nRuns,"n_queries":${results.size},"n_failed":${failed.size},"sentinel_max_drift":$maxDrift,"sentinel_median_drift":$medianDrift,"window_max_median":$windowMaxMedian,"n_requeued":${retried.size},"n_still_contended":${stillContended.size},"contaminated":$contaminated$errJson,"sf":"$sfDir"}"""
 
     // File pickup: the whole document (detail + sentinel + per-query mins
-    // + summary).
+    // + summary). A CONTAMINATED full run goes to BENCH_INVALID.json —
+    // never BENCH_FULL.json — so a gate-failing record cannot overwrite
+    // (or masquerade as) the record of record (VERDICT r10 #1).
     val fullDoc = (detailParts ++ Seq(sentinelLine, queriesLine, summary)).mkString("[", ",\n", "]")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val invalidFullRun = contaminated && only.isEmpty
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(if (invalidFullRun) "BENCH_INVALID.json" else "BENCH_FULL.json"),
       fullDoc.getBytes("UTF-8"))
     // Round-stamped archive (VERDICT r7 #3: BENCH_FULL.json is overwritten
     // every round, so per-query regressions across rounds were
     // undiffable). The current round = 1 + the highest committed
     // BENCH_r0N.json — the driver writes that file at round CLOSE, so
     // during round N only 1..N-1 exist. Committed at round end alongside
-    // the total-only record. Full runs only: a SPARK_GRAFT_BENCH_ONLY
-    // subset run must not masquerade as the round's record.
-    if (only.isEmpty) {
+    // the total-only record. Full CLEAN runs only: a SPARK_GRAFT_BENCH_ONLY
+    // subset run or a contaminated record must not masquerade as the
+    // round's record.
+    if (only.isEmpty && !contaminated) {
       import scala.jdk.CollectionConverters._
       // Files.list streams must be closed (java.nio contract)
       val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
@@ -334,5 +435,14 @@ object Bench {
     println(queriesLine)
     println(summary)
     spark.stop()
+    // a contaminated FULL record exits nonzero so the run gets repeated,
+    // not recorded (subset iterations on a busy dev box stay rc=0 — they
+    // were never record candidates)
+    if (invalidFullRun) {
+      System.err.println("[bench] record CONTAMINATED — wrote BENCH_INVALID.json; " +
+        s"median_drift=$medianDrift still_contended=${stillContended.mkString(",")}" +
+        (if (requeueSkipped) s" requeue_skipped(n=${requeueIdx.size})" else ""))
+      sys.exit(1)
+    }
   }
 }

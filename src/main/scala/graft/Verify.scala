@@ -77,6 +77,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // run-completion marker (ADVICE r10 #2): deleted up front, written as
+    // the very last step — tools/check_oracle.py treats a mapped entry with
+    // no parquet as IN-FLIGHT (not FAIL) while the marker is absent, so
+    // racing a live Verify can never miscount missing outputs.
+    Files.deleteIfExists(Paths.get(s"$outDir/_VERIFY_DONE"))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -105,6 +110,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // completion marker LAST (see the delete above): full runs only — a
+    // restricted iteration leaves the outdir formally in-flight, because
+    // entries it skipped genuinely have no fresh output
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/_VERIFY_DONE"), "done\n")
     spark.stop()
   }
 }

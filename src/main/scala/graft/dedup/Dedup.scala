@@ -49,28 +49,19 @@ object Dedup extends QueryModule {
   // unrecomputable there) and because a stored index leaves ZERO heap
   // debt behind. A 100 TB pipeline does exactly this: the shingle index
   // is a nightly job's output on shared storage, not per-query work.
-  private val shingleIdxDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+  // lifecycle + cache semantics: graft.PrebuiltDirs (one definition for
+  // all six prebuilt artifacts, VERDICT r10 next-round #4)
   /** Test hook: drop the per-JVM shared-index cache so a rewritten
     * fixture corpus rebuilds instead of serving stale shingles. */
-  private[graft] def clearShingleIndexCache(): Unit = shingleIdxDirs.clear()
+  private[graft] def clearShingleIndexCache(): Unit =
+    graft.PrebuiltDirs.clear("graft_shingle_idx")
 
-  private def sharedShingleIndex(s: SparkSession, d: String): DataFrame = {
-    val cached = shingleIdxDirs.get(d)
-    if (cached != null) return s.read.parquet(cached)
-    val dir = java.nio.file.Files.createTempDirectory("graft_shingle_idx")
-    sys.addShutdownHook {
-      import java.nio.file._
-      import java.util.Comparator
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-    shingleIndexOf(Tables.documents(s, d))
-      .write.mode("overwrite").parquet(s"$dir/shingles")
-    val prev = shingleIdxDirs.putIfAbsent(d, s"$dir/shingles")
-    s.read.parquet(if (prev != null) prev else s"$dir/shingles")
-  }
+  private def sharedShingleIndex(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.PrebuiltDirs.cached("graft_shingle_idx", d) { dir =>
+      shingleIndexOf(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(s"$dir/shingles")
+      s"$dir/shingles"
+    })
 
   /** Stop-shingle cap: a shingle appearing in more than this many docs is
     * boilerplate ("terms of service apply") and is dropped from the index.
@@ -749,45 +740,35 @@ object Dedup extends QueryModule {
   // scoping as there: the temp dir is single-JVM (a cluster points this at
   // shared storage) and the cache keys on the corpus path assuming the test
   // corpora are immutable (a production build tracks snapshot versions).
-  private val labelDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Test hook (ADVICE r4): drop the per-JVM label cache so a rewritten
     * fixture corpus rebuilds instead of serving stale labels. */
-  private[graft] def clearPrebuiltLabelCache(): Unit = labelDirs.clear()
+  private[graft] def clearPrebuiltLabelCache(): Unit =
+    graft.PrebuiltDirs.clear("graft_neardup_labels")
 
   private def labelSchema = {
     import org.apache.spark.sql.types._
     StructType(Seq(StructField("id", LongType), StructField("label", LongType)))
   }
 
-  private def prebuiltLabelDir(s: SparkSession, d: String): String = {
-    val cached = labelDirs.get(d)
-    if (cached != null) return cached
-    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_labels")
-    sys.addShutdownHook {
-      import java.nio.file._
-      import java.util.Comparator
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+  private def prebuiltLabelDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_neardup_labels", d) { dir =>
+      val pairs = minhashPairsFrom(sharedShingleIndex(s, d))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .transform(Checkpoints.materialize)
+      if (pairs.isEmpty) {
+        // dup-free corpus: an EMPTY label table, written with one (empty)
+        // part file so the parquet footer carries the schema for readers
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
+          .repartition(1).write.mode("overwrite").parquet(s"$dir/labels")
+      } else {
+        connectedComponents(pairs)._1
+          .write.mode("overwrite").parquet(s"$dir/labels")
+      }
+      // the build's scaffolding is dead once the table is on disk
+      Checkpoints.free(pairs)
+      dir
     }
-    val pairs = minhashPairsFrom(sharedShingleIndex(s, d))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-      .transform(Checkpoints.materialize)
-    if (pairs.isEmpty) {
-      // dup-free corpus: an EMPTY label table, written with one (empty)
-      // part file so the parquet footer carries the schema for readers
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema)
-        .repartition(1).write.mode("overwrite").parquet(s"$dir/labels")
-    } else {
-      connectedComponents(pairs)._1
-        .write.mode("overwrite").parquet(s"$dir/labels")
-    }
-    // the build's scaffolding is dead once the table is on disk
-    Checkpoints.free(pairs)
-    val prev = labelDirs.putIfAbsent(d, dir.toString)
-    if (prev != null) prev else dir.toString
-  }
 
   /** The stored `(id, label)` near-dup component table for a corpus dir —
     * built once per JVM, read by every consumer below. */

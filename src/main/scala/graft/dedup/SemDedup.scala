@@ -145,11 +145,10 @@ object SemDedup extends QueryModule {
 
   // ---- prebuilt lifecycle: the semantic keep-list served from storage ----
 
-  private val cellDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Test hook (the ADVICE-r4 convention): drop the per-JVM cache so a
     * rewritten fixture corpus rebuilds instead of serving stale cells. */
-  private[graft] def clearPrebuiltCellCache(): Unit = cellDirs.clear()
+  private[graft] def clearPrebuiltCellCache(): Unit =
+    graft.PrebuiltDirs.clear("graft_semdedup_cells")
 
   /** Nightly-build half of the SEMANTIC lifecycle, completing the trio
     * (lexical labels: dedup_labels_prebuilt; ANN index:
@@ -162,27 +161,18 @@ object SemDedup extends QueryModule {
     * nightly or gauges model quality (silhouette) without retraining
     * (VERDICT r7 "wrong" #1: the silhouette must not re-run Lloyd rounds
     * the build already paid for). */
-  private def prebuiltCellDir(s: SparkSession, d: String): String = {
-    val cached = cellDirs.get(d)
-    if (cached != null) return cached
-    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_cells")
-    sys.addShutdownHook {
-      import java.nio.file._
-      import java.util.Comparator
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+  private def prebuiltCellDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_semdedup_cells", d) { dir =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val n = e.withColumn("nrm", norm(col("embedding")))
+      val cent = trainedCentroids(e, n)
+      // centroids first: semanticFrom frees the cent frame once the final
+      // assignment is materialized, so the model must already be on disk
+      cent.select(col("cell"), col("centroid"), col("cnrm"))
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      semanticFrom(n, cent).write.mode("overwrite").parquet(s"$dir/survivors")
+      dir
     }
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val n = e.withColumn("nrm", norm(col("embedding")))
-    val cent = trainedCentroids(e, n)
-    // centroids first: semanticFrom frees the cent frame once the final
-    // assignment is materialized, so the model must already be on disk
-    cent.select(col("cell"), col("centroid"), col("cnrm"))
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    semanticFrom(n, cent).write.mode("overwrite").parquet(s"$dir/survivors")
-    val prev = cellDirs.putIfAbsent(d, dir.toString)
-    if (prev != null) prev else dir.toString
-  }
 
   /** The stored K×dim centroid model. Parquet round-trips doubles
     * bit-exactly, so frames derived from the stored model equal frames

@@ -157,32 +157,22 @@ object WideColumn extends QueryModule {
     * driver literals for the In() pushdown to exist at all. Table write
     * amortized via the prebuilt-lifecycle cache (one write per corpus,
     * every run after serves reads only — the nightly-build shape). */
-  private val connectorDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Test hook (prebuilt-cache convention; semantics at
+    * [[graft.PrebuiltDirs]]). */
+  private[graft] def clearConnectorCache(): Unit =
+    graft.PrebuiltDirs.clear("graft_connector_orders")
 
-  /** Test hook (prebuilt-cache convention). */
-  private[graft] def clearConnectorCache(): Unit = connectorDirs.clear()
-
-  private def connectorOrdersDir(s: SparkSession, d: String): String = {
-    val cached = connectorDirs.get(d)
-    if (cached != null) return cached
-    val dir = java.nio.file.Files.createTempDirectory("graft_connector_orders")
-    sys.addShutdownHook {
-      import java.nio.file._
-      import java.util.Comparator
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+  private def connectorOrdersDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_orders", d) { dir =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+        .option("pk", "o_orderkey")
+        .option("schema",
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .mode("overwrite").save(dir)
+      dir
     }
-    Tables.orders(s, d)
-      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-      .write.format(classOf[graft.sources.connector.TokenRangeSource].getName)
-      .option("pk", "o_orderkey")
-      .option("schema",
-        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
-      .mode("overwrite").save(dir.toString)
-    val prev = connectorDirs.putIfAbsent(d, dir.toString)
-    if (prev != null) prev else dir.toString
-  }
 
   def connectorMultiget(s: SparkSession, d: String): DataFrame = {
     val dir = connectorOrdersDir(s, d)

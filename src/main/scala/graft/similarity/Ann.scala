@@ -1271,29 +1271,17 @@ object Ann extends QueryModule {
   // switch); (b) the cache keys on the corpus PATH and assumes the test
   // corpora are immutable — a production index tracks source snapshot
   // versions and rebuilds on change.
-  private val indexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Test hook (ADVICE r4): drop the per-JVM index cache so a rewritten
     * fixture corpus rebuilds instead of serving a stale index. Production
-    * invalidation keys on source snapshot versions, not this. */
-  private[graft] def clearPrebuiltIndexCache(): Unit = indexDirs.clear()
+    * invalidation keys on source snapshot versions, not this (cache
+    * semantics: [[graft.PrebuiltDirs]]). */
+  private[graft] def clearPrebuiltIndexCache(): Unit =
+    graft.PrebuiltDirs.clear("graft_ivf_index")
 
-  private def prebuiltIndexDir(s: SparkSession, d: String): String = {
-    val cached = indexDirs.get(d)
-    if (cached != null) return cached
-    // build OUTSIDE the map lock (a multi-second Spark job inside
-    // computeIfAbsent would block unrelated keys in the same bin and
-    // breaks its no-reentrancy contract); a concurrent double-build is
-    // harmless — putIfAbsent keeps one winner, both are identical.
+  private def prebuiltIndexDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_ivf_index", d) { dir =>
     val e = withNorm(Tables.embeddings(s, d))
     val cent = trainCentroids(e)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
-    sys.addShutdownHook {
-      import java.nio.file._
-      import java.util.Comparator
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
     // persist the full serving index as a deployment would: cell-assigned
     // vectors (at 100 TB: bucketed by cell so a probe prunes files), the
     // centroid table (tiny, broadcast at query time), and the PQ tier —
@@ -1329,8 +1317,7 @@ object Ann extends QueryModule {
       .write.mode("overwrite").parquet(s"$dir/respq_codes")
     graft.Checkpoints.free(resid)
     graft.Checkpoints.free(cells)
-    val prev = indexDirs.putIfAbsent(d, dir.toString)
-    if (prev != null) prev else dir.toString
+    dir
   }
 
   /** The QUERY PATH against the persisted IVF index: read centroids

@@ -80,30 +80,18 @@ object Layout {
   }
 
   // sfDir → Z-ordered lineitem copy: built ONCE per corpus per JVM — the
-  // same amortized layout-job lifecycle (and the same harness scoping
-  // caveats) as Ann.prebuiltIndexDir: local temp dir stands in for shared
-  // storage, cache keys on the corpus path and assumes immutability.
-  private val zDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
+  // same amortized layout-job lifecycle (and the same cache/scoping
+  // semantics, stated once at graft.PrebuiltDirs) as Ann.prebuiltIndexDir.
   /** The (l_partkey, l_suppkey)-Z-ordered lineitem projection — the two
     * join/filter keys a part-supplier workload hits that a single-dim sort
     * can't serve together. */
-  def zorderedLineitemDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val cached = zDirs.get(d)
-    if (cached != null) return cached
-    val li = graft.Tables.lineitem(s, d).select(
-      "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
-      "l_discount", "l_returnflag")
-    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
-    sys.addShutdownHook {
-      import java.nio.file._
-      import java.util.Comparator
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+  def zorderedLineitemDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_zorder", d) { dir =>
+      val li = graft.Tables.lineitem(s, d).select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag")
+      zorderByRange(li, "l_partkey", "l_suppkey")
+        .write.mode("overwrite").parquet(dir)
+      dir
     }
-    zorderByRange(li, "l_partkey", "l_suppkey")
-      .write.mode("overwrite").parquet(dir.toString)
-    val prev = zDirs.putIfAbsent(d, dir.toString)
-    if (prev != null) prev else dir.toString
-  }
 }
