@@ -156,8 +156,11 @@ class EntrySpec extends SparkSpec {
     // +ev_stationary_rank (PageRank over the event-type transition
     // chain in exact 1e12 fixed point) → 210/210; +ann_probe_sweep
     // (recall@10 at nprobe 1/2/4 on one trained index) → 211/211.
-    assert(SparkEntry.queries.size == 211, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 211, s"got ${SparkEntry.oracleSql.size}")
+    // r11: +wc_connector_user_lookup (TEXT partition key + timestamp
+    // payload through the DSv2 sink's manifest commit — the reference's
+    // users-table shape, server.py:263-269) → 212/212.
+    assert(SparkEntry.queries.size == 212, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 212, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
