@@ -239,11 +239,16 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("probe sweep: per-query recall is monotone in nprobe, tops at the IVF tier") {
+  test("probe sweep: rungs derive from the probe budget; per-query recall monotone") {
     val got = Ann.probeSweep(spark, sf).collect()
-      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("query_id")) ->
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("query_id")) ->
         ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))).toMap
-    assert(got.size == 30, s"3 rungs x 10 queries, got ${got.size}")
+    // rungs = distinct{1, ceil(npd/2), npd, 2npd}; npd sits on its floor
+    // (3) at this corpus, so the derived set is {1, 2, 3, 6} — half
+    // budget, the budget itself, double budget (VERDICT r10 #8)
+    val rungs = got.keySet.map(_._1).toSeq.sorted
+    assert(rungs == Seq(1L, 2L, 3L, 6L), s"derived rungs: $rungs")
+    assert(got.size == rungs.size * 10, s"rungs x 10 queries, got ${got.size}")
     got.foreach { case ((np, q), (hits, recall)) =>
       assert(hits >= 0 && hits <= 10, s"($np,$q)")
       assert(math.abs(recall - hits / 10.0) < 1e-12)
@@ -251,12 +256,53 @@ class AnnSpec extends SparkSpec {
     // the nesting theorem: candidate sets grow with nprobe and truth/approx
     // share one total order, so per-query hits may never decrease
     (0L until 10L).foreach { q =>
-      assert(got((1, q))._1 <= got((2, q))._1 && got((2, q))._1 <= got((4, q))._1,
-        s"query $q: hits ${got((1, q))._1}/${got((2, q))._1}/${got((4, q))._1} not monotone")
+      rungs.zip(rungs.drop(1)).foreach { case (a, b) =>
+        assert(got((a, q))._1 <= got((b, q))._1,
+          s"query $q: hits dropped from rung $a (${got((a, q))._1}) to $b (${got((b, q))._1})")
+      }
     }
-    // the widest rung must see real recall on this corpus
-    val mean4 = (0L until 10L).map(q => got((4, q))._2).sum / 10.0
-    assert(mean4 >= 0.55, s"nprobe=4 mean recall $mean4 below the IVF tier bound")
+    // the widest rung (2x the operating budget) must see real recall
+    val meanW = (0L until 10L).map(q => got((rungs.last, q))._2).sum / 10.0
+    assert(meanW >= 0.55, s"widest-rung mean recall $meanW below the IVF tier bound")
+  }
+
+  test("two-level IVF: equals flat IVF at the degenerate floor; prunes with recall parity past it") {
+    // at the test floors (kd=8 -> ksup=2, nps=2) every super-cell is
+    // probed, so the cell-probe budget and tie-breaks reduce EXACTLY to
+    // flat IVF's — the degenerate-equality theorem
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("rk"))
+    val flat = Ann.ivfTopK(spark, sf).collect().map(key).toSet
+    val two = Ann.ivf2TopK(spark, sf).collect().map(key).toSet
+    assert(two == flat, "floor-degenerate two-level IVF must equal flat IVF")
+
+    // NON-degenerate path: 3000 synthetic vectors -> kd=11, ksup=3,
+    // nps=2 — the super tier really prunes (a query descends into 2 of 3
+    // super-cells' cells). Recall vs brute force must stay within a
+    // fixed floor of flat IVF's: the price of the pruned tier is bounded.
+    val s2 = spark
+    val e = s2.range(3000).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 8), j -> sin(id * j * 0.7 + j))").as("embedding"))
+      .withColumn("nrm", expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + x * x))"))
+    val truth = Ann.topKOf(e.select("vec_id", "embedding"),
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")), 10)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      (0L until 10L).map(q =>
+        (truth(q) intersect byQ.getOrElse(q, Set.empty)).size / 10.0).sum / 10.0
+    }
+    val rFlat = recallOf(Ann.ivfTopKOf(e).collect())
+    val rTwo = recallOf(Ann.ivf2TopKOf(e).collect())
+    // 0.2 floor: at ksup=3 each unprobed super-cell hides a third of the
+    // cell space, the coarsest the tier ever is — granularity improves as
+    // ksup grows (measured here: flat 0.90, two-level 0.74)
+    assert(rTwo >= rFlat - 0.2,
+      s"two-level recall $rTwo fell more than 0.2 below flat $rFlat")
+    assert(rTwo >= 0.3, s"two-level recall $rTwo collapsed on the synthetic corpus")
   }
 
   test("PQ recall eval agrees with an independent brute-vs-ivfpq recount") {

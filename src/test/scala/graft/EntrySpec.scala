@@ -158,9 +158,11 @@ class EntrySpec extends SparkSpec {
     // (recall@10 at nprobe 1/2/4 on one trained index) → 211/211.
     // r11: +wc_connector_user_lookup (TEXT partition key + timestamp
     // payload through the DSv2 sink's manifest commit — the reference's
-    // users-table shape, server.py:263-269) → 212/212.
-    assert(SparkEntry.queries.size == 212, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 212, s"got ${SparkEntry.oracleSql.size}")
+    // users-table shape, server.py:263-269) → 212/212; +ann_ivf2_topk
+    // (two-level coarse quantizer: √k super-cells over the k cell
+    // centroids, closing the flat-broadcast ceiling) → 213/213.
+    assert(SparkEntry.queries.size == 213, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 213, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

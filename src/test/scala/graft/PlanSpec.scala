@@ -23,6 +23,10 @@ class PlanSpec extends SparkSpec {
     // wc_page_chain broadcasts the 1-row page-1 cursor aggregate under its
     // seek predicate — the same scalar idiom
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
+      // ann_ivf2_topk: the same broadcast model/query-set joins as
+      // ann_ivf_topk, plus the √k super-centroid frame — every build side
+      // is a bounded model frame, never data-sized
+      "ann_ivf2_topk",
       "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "ann_ivfpq_residual_topk", "ann_ivf_prebuilt_topk",
       "ann_ivfpq_prebuilt_topk", "ann_pca_topk",
