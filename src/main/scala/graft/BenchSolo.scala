@@ -17,17 +17,10 @@ import org.apache.spark.sql.SparkSession
   * figure a capacity plan uses.
   */
 object BenchSolo {
-  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
-
-  private def sentinelSec(spark: SparkSession, sfDir: String): Double = {
-    import org.apache.spark.sql.functions._
-    val t0 = System.nanoTime()
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)), sum(col("l_quantity")))
-      .write.mode("overwrite").format("noop").save()
-    r3((System.nanoTime() - t0) / 1e9)
-  }
+  // ONE definition with Bench (r11 review): the solo appendix is only
+  // comparable to the suite record if probe plan, rounding, and state
+  // hygiene are the same code
+  import Bench.{r3, releaseState, sentinelSec}
 
   /** Slowest-N by min_corr from BENCH_FULL.json's queries_part lines. */
   private def slowestFromRecord(n: Int): Seq[String] = {
@@ -51,12 +44,6 @@ object BenchSolo {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val floor = (1 to 3).map(_ => sentinelSec(spark, sfDir)).min.max(0.001)
 
-    def releaseState(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
-
     val lines = names.map { name =>
       // idle gate: wait (bounded) for a calm sentinel before measuring
       var drift = 0.0
@@ -70,7 +57,7 @@ object BenchSolo {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val sec = r3((System.nanoTime() - t0) / 1e9)
-        releaseState()
+        releaseState(spark)
         sec
       }
       once() // discarded warm-up (codegen + prebuilt builds)

@@ -77,11 +77,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // run-completion marker (ADVICE r10 #2): deleted up front, written as
-    // the very last step — tools/check_oracle.py treats a mapped entry with
-    // no parquet as IN-FLIGHT (not FAIL) while the marker is absent, so
-    // racing a live Verify can never miscount missing outputs.
-    Files.deleteIfExists(Paths.get(s"$outDir/_VERIFY_DONE"))
+    // run-completion marker (ADVICE r10 #2): deleted up front on FULL
+    // runs, written back as the very last step — tools/check_oracle.py
+    // treats a mapped entry with no parquet as IN-FLIGHT (not FAIL) while
+    // the marker is absent, so racing a live Verify can never miscount
+    // missing outputs. Restricted runs leave the marker alone (r11
+    // review): they only REFRESH named entries inside an outdir whose
+    // completeness state they do not change — deleting it would turn a
+    // genuinely-missing output of a failed subset entry into a permanent
+    // IN-FLIGHT.
+    if (only.isEmpty) Files.deleteIfExists(Paths.get(s"$outDir/_VERIFY_DONE"))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

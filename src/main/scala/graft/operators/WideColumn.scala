@@ -158,9 +158,11 @@ object WideColumn extends QueryModule {
     * amortized via the prebuilt-lifecycle cache (one write per corpus,
     * every run after serves reads only — the nightly-build shape). */
   /** Test hook (prebuilt-cache convention; semantics at
-    * [[graft.PrebuiltDirs]]). */
-  private[graft] def clearConnectorCache(): Unit =
+    * [[graft.PrebuiltDirs]]) — clears BOTH connector-backed tables. */
+  private[graft] def clearConnectorCache(): Unit = {
     graft.PrebuiltDirs.clear("graft_connector_orders")
+    graft.PrebuiltDirs.clear("graft_connector_users")
+  }
 
   private def connectorOrdersDir(s: SparkSession, d: String): String =
     graft.PrebuiltDirs.cached("graft_connector_orders", d) { dir =>

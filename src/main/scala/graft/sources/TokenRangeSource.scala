@@ -183,47 +183,91 @@ object TokenRangeSource {
       (k, new java.io.File(path, rel).getAbsolutePath)
     }
 
-  /** Serialize manifest flips: an exclusive lock file under `_manifests`,
-    * create-if-absent (atomic on POSIX and object stores with
-    * if-none-match). A crashed committer's stale lock (> 60 s) is stolen
-    * — the maintenance-sweep tradeoff, documented rather than hidden. */
+  /** Serialize manifest flips: an exclusive owner-stamped lock file under
+    * `_manifests`, create-if-absent (atomic on POSIX and on object stores
+    * with if-none-match). A crashed committer's stale lock (> 10 min —
+    * commits are seconds of file moves) is stolen by ATOMIC RENAME to a
+    * unique tombstone, so exactly one stealer retires it (a delete-based
+    * steal is a TOCTOU: two waiters can both "delete stale + recreate"
+    * and believe they hold it — r11 review). Release deletes the lock
+    * only when it still carries this holder's token, so a holder whose
+    * lock WAS stolen cannot delete the new holder's lock. The lock is a
+    * CONTENTION reducer, not the correctness point: [[publishManifest]]
+    * is CAS-safe on its own, so even a double-holder window cannot lose
+    * a committed version. */
   private[connector] def withCommitLock[T](path: String)(body: => T): T = {
     val mdir = manifestDir(path)
     mdir.mkdirs()
     val lock = new java.io.File(mdir, "commit.lock")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + 120000L
     var held = false
     while (!held) {
       try {
-        java.nio.file.Files.createFile(lock.toPath); held = true
+        java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          if (lock.exists() && System.currentTimeMillis() - lock.lastModified() > 60000L)
-            lock.delete() // stale holder (crashed commit) — steal
-          else if (System.currentTimeMillis() > deadline)
+          if (lock.exists()
+              && System.currentTimeMillis() - lock.lastModified() > 600000L) {
+            // steal-by-rename: only ONE stealer's move succeeds
+            try java.nio.file.Files.move(lock.toPath,
+              new java.io.File(mdir, s"stale-$token.lock").toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: Exception => () }
+          } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"token-range commit lock at $lock held for > 120 s")
           else Thread.sleep(50L)
       }
     }
-    try body finally lock.delete()
+    try body finally {
+      try {
+        val owner = new String(
+          java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+        if (owner == token) lock.delete()
+      } catch { case _: Exception => () }
+    }
   }
 
-  /** Publish a new table version: write the full visible-file list to a
-    * temp file, atomic-rename it to `v<N+1>.manifest`. Callers hold the
-    * commit lock. Readers either resolve the old version or the new one —
-    * never a partial list (the rename is the atomicity point). */
-  private[connector] def publishManifest(path: String, rel: Seq[String]): Int = {
+  /** Publish a new table version by COMPARE-AND-SWAP: rebase on the
+    * currently-visible file list, write the full new list to a temp file,
+    * and claim `v<N+1>.manifest` via `Files.createLink` — a hard link
+    * fails atomically if the target exists (the POSIX primitive; an
+    * object store uses if-none-match PUT), so two racing committers can
+    * NEVER both own a version: the loser re-reads the winner's manifest
+    * as its new base and retries at N+2, and no committed version is
+    * ever silently replaced (the r11 review's lost-update scenario).
+    * Readers either resolve the old version or the new one — never a
+    * partial list. */
+  private[connector] def publishManifest(path: String, placedRel: Seq[String],
+      truncate: Boolean): Int = {
     val mdir = manifestDir(path)
     mdir.mkdirs()
-    val v = currentVersion(path).getOrElse(0) + 1
-    val tmp = java.io.File.createTempFile(s"manifest-v$v-", ".tmp", mdir)
-    java.nio.file.Files.write(tmp.toPath,
-      rel.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(mdir, s"v$v.manifest").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    v
+    var published = -1
+    while (published < 0) {
+      val base = if (truncate) Nil else visibleRelFiles(path).map(_._2)
+      val v = currentVersion(path).getOrElse(0) + 1
+      val tmp = java.io.File.createTempFile(s"manifest-v$v-", ".tmp", mdir)
+      java.nio.file.Files.write(tmp.toPath,
+        (base ++ placedRel).distinct.sorted
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      val target = new java.io.File(mdir, s"v$v.manifest").toPath
+      try {
+        try { java.nio.file.Files.createLink(target, tmp.toPath); published = v }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // lost CAS: rebase + retry
+          case _: UnsupportedOperationException =>
+            // no-hardlink filesystem: atomic rename (exclusive only under
+            // the commit lock — documented fallback)
+            java.nio.file.Files.move(tmp.toPath, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            published = v
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
+    }
+    published
   }
 
   private[connector] def stagingDir(path: String, writeId: String) =
@@ -585,31 +629,36 @@ private[connector] final class TokenRangeReader(files: Array[String],
   private var fileIdx = 0
   private var reader: ParquetReader[Group] = _
   private var current: Group = _
-  // resolved once per partition from the FIRST file's footer: the layout
-  // writes one schema per table, so re-opening every footer would double
-  // the scan's metadata round trips (r9 review finding)
-  private var readConf: Configuration = _
+  // projection schema must carry each FILE's own repetition: Spark's
+  // committer writes non-nullable columns as `required` while the sink
+  // writes `optional`, and a manifest can legally mix both (legacy table
+  // + connector appends — r11 review caught the one-conf-per-partition
+  // shortcut crashing exactly there). Resolved per file from its footer,
+  // memoized by footer schema so a uniform table builds ONE conf; at
+  // 100 TB the footer metadata lives in the stats catalog the ck-prune
+  // note already posits, not per-task reads.
+  private val confBySchema = scala.collection.mutable.Map.empty[String, Configuration]
+
+  private def confFor(path: org.apache.hadoop.fs.Path): Configuration = {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(path, new Configuration()))
+    val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
+    confBySchema.getOrElseUpdate(fileSchema.toString, {
+      val wanted = projected.fields.map(_.name).toSet
+      val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
+      val c = new Configuration()
+      c.set("parquet.read.schema",
+        new MessageType(fileSchema.getName, kept.asJava).toString)
+      c
+    })
+  }
 
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (fileIdx >= files.length) return false
     val path = new org.apache.hadoop.fs.Path(files(fileIdx))
-    if (readConf == null) {
-      // projection schema must carry the FILE's own repetition (Spark
-      // writes non-nullable columns as `required`; declaring them
-      // `optional` in the requested schema fails the contains check), so
-      // select the projected fields out of the footer's MessageType
-      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(path, new Configuration()))
-      val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
-      val wanted = projected.fields.map(_.name).toSet
-      val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
-      readConf = new Configuration()
-      readConf.set("parquet.read.schema",
-        new MessageType(fileSchema.getName, kept.asJava).toString)
-    }
     reader = ParquetReader
       .builder(new GroupReadSupport(), path)
-      .withConf(readConf)
+      .withConf(confFor(path))
       .build()
     fileIdx += 1
     true
@@ -710,12 +759,14 @@ private[connector] final class TokenRangeBatchWrite(path: String,
       case _ => Array.empty[String]
     }
     TokenRangeSource.withCommitLock(path) {
-      // base FIRST: on a legacy (manifest-less) table the base is a
-      // physical listing, which must not see the files this commit is
-      // about to place
-      val base =
-        if (doTruncate) Nil
-        else TokenRangeSource.visibleRelFiles(path).map(_._2)
+      // LEGACY tables first (r11 review): a manifest-less table reads
+      // via physical listing, so moving files in before any manifest
+      // exists would expose a torn batch (and a crash mid-move would
+      // leave it visible forever). Pin the current legacy listing as
+      // manifest v1 BEFORE the first move — from then on readers resolve
+      // manifests and the moves are invisible until the flip.
+      if (TokenRangeSource.currentVersion(path).isEmpty)
+        TokenRangeSource.publishManifest(path, Nil, truncate = false)
       val placedRel = staged.map { f =>
         val file = new java.io.File(f)
         val bucketName = file.getParentFile.getName // tb=<k>
@@ -725,7 +776,9 @@ private[connector] final class TokenRangeBatchWrite(path: String,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         s"$bucketName/${file.getName}"
       }.toSeq
-      TokenRangeSource.publishManifest(path, (base ++ placedRel).distinct)
+      // CAS publish: rebases on the visible set it observes; the lock
+      // only reduces contention (see publishManifest)
+      TokenRangeSource.publishManifest(path, placedRel, doTruncate)
     }
     TokenRangeSource.deleteRecursively(TokenRangeSource.stagingDir(path, writeId))
   }

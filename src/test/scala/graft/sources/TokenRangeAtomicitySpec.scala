@@ -104,6 +104,27 @@ class TokenRangeAtomicitySpec extends SparkSpec {
     assert(load(dir).filter(col("pk") >= 3000L).count() == 30)
   }
 
+  test("legacy table: first connector commit pins the physical listing as a manifest before any move") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    // legacy layout: Spark's own committer (writeTokenBucketed), no manifest
+    val legacy = (0L until 60L).map(i => (i % 7, s"L$i"))
+    TokenLayout.writeTokenBucketed(
+      legacy.toDF("pk", "v"), "pk", dir)
+    assert(TokenRangeSource.currentVersion(dir).isEmpty)
+    assert(load(dir).count() == 60)
+    // first connector append over it: the commit must FIRST pin the
+    // legacy listing as a manifest (so the file moves are invisible),
+    // then flip to the union — a reader can never see a torn batch
+    (100L until 130L).map(i => (i, s"N$i")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    val v = TokenRangeSource.currentVersion(dir)
+    assert(v.exists(_ >= 2), s"expected legacy-pin + flip manifests, got $v")
+    assert(load(dir).count() == 90)
+    // the legacy rows are manifest-listed (not just physically present)
+    assert(load(dir).filter(col("pk") < 100L).count() == 60)
+  }
+
   test("TEXT partition key: users-shaped table, ts/decimal/binary round trip, pruned point lookup") {
     val dir = freshDir()
     val userDdl = "username STRING, user_id BIGINT, balance DECIMAL(12,2), " +

@@ -79,7 +79,12 @@ def main(outdir, sfdir):
         n_rows_only += 1
     flight = f", {n_inflight} in-flight" if n_inflight else ""
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only{flight}")
-    return 1 if n_fail else 0
+    # rc=2 on in-flight (r11 review): a CRASHED Verify run (marker deleted,
+    # never rewritten) is indistinguishable from a live one, so a run with
+    # in-flight entries must not exit 0 — a gate consumer keying on the
+    # exit code would otherwise pass a run that verified nothing. rc=0
+    # means strictly: every mapped entry present and green.
+    return 1 if n_fail else (2 if n_inflight else 0)
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
