@@ -162,6 +162,7 @@ object WideColumn extends QueryModule {
   private[graft] def clearConnectorCache(): Unit = {
     graft.PrebuiltDirs.clear("graft_connector_orders")
     graft.PrebuiltDirs.clear("graft_connector_users")
+    graft.PrebuiltDirs.clear("graft_connector_snap")
   }
 
   private def connectorOrdersDir(s: SparkSession, d: String): String =
@@ -242,6 +243,50 @@ object WideColumn extends QueryModule {
       |FROM customer WHERE c_name = (
       |  SELECT c_name FROM customer WHERE c_custkey % 97 = 0
       |  ORDER BY c_custkey LIMIT 1)""".stripMargin
+
+  // ---- SNAPSHOT (time-travel) read through the connector (r11) -----------
+  /** Version-pinned read over the manifest history: orders land in TWO
+    * appends (odd orderkeys, then even), and the entry aggregates the
+    * table AS OF the first append's version — `.option("version", v)`
+    * resolves that manifest, whose files outlive later flips (the same
+    * property that makes a compaction's read-and-overwrite safe). The
+    * oracle aggregates only the odd keys, so the hash check proves the
+    * pinned scan reads exactly the old version — a current-version read
+    * would include the second append and flip the hash. The Iceberg/
+    * Delta time-travel surface, earned by the manifest the atomic
+    * commit already needed. Versions on a fresh table: v1 = the empty
+    * pre-move pin, v2 = first append, v3 = second — the entry pins
+    * versions(dir)(1). */
+  private def connectorSnapDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_snap", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .write.format(fmt).option("pk", "o_orderkey")
+        .option("schema", "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .mode("append").save(dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.format(fmt).option("pk", "o_orderkey")
+        .mode("append").save(dir)
+      dir
+    }
+
+  def connectorSnapshotRead(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorSnapDir(s, d)
+    val asOf = graft.sources.connector.TokenRangeSource.versions(dir)(1)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "o_orderkey").option("version", asOf.toString).load(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.sumExact(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val connectorSnapshotReadSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |GROUP BY o_orderstatus""".stripMargin
 
   // TTL semantics: rows expire writetime + TTL; read at a fixed "now".
   def ttlExpiry(s: SparkSession, d: String): DataFrame =
@@ -1149,6 +1194,7 @@ object WideColumn extends QueryModule {
     ("wc_token_range_scan", tokenRangeScan _, Some(tokenRangeScanSql)),
     ("wc_connector_multiget", connectorMultiget _, Some(connectorMultigetSql)),
     ("wc_connector_user_lookup", connectorUserLookup _, Some(connectorUserLookupSql)),
+    ("wc_connector_snapshot_read", connectorSnapshotRead _, Some(connectorSnapshotReadSql)),
     ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
     ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)))

@@ -159,14 +159,32 @@ object TokenRangeSource {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** All published manifest versions, ascending — the table's history.
+    * Public surface for SNAPSHOT reads: pass one of these as
+    * `.option("version", v)` to pin a scan to that version (old files
+    * outlive the flip, so every published version stays readable until a
+    * maintenance sweep reaps unreferenced files — Iceberg/Delta time
+    * travel, earned by the same manifest that makes commits atomic). */
+  def versions(path: String): Seq[Int] = {
+    val files = Option(manifestDir(path).listFiles()).getOrElse(Array.empty)
+    files.flatMap(f => f.getName match {
+      case ManifestName(v) => Some(v.toInt)
+      case _ => None
+    }).sorted.toSeq
+  }
+
   /** Visible data files as (bucket, RELATIVE path `tb=<k>/<name>`):
-    * the highest manifest's list, or — for manifest-less legacy tables
-    * written by Spark's own committer — the physical `tb=` listing. */
-  private[connector] def visibleRelFiles(path: String): Seq[(Int, String)] =
-    currentVersion(path) match {
+    * the requested (default: highest) manifest's list, or — for
+    * manifest-less legacy tables written by Spark's own committer — the
+    * physical `tb=` listing. */
+  private[connector] def visibleRelFiles(path: String,
+      version: Option[Int] = None): Seq[(Int, String)] =
+    version.orElse(currentVersion(path)) match {
       case Some(v) =>
-        val lines = java.nio.file.Files.readAllLines(
-          new java.io.File(manifestDir(path), s"v$v.manifest").toPath).asScala
+        val mf = new java.io.File(manifestDir(path), s"v$v.manifest")
+        require(mf.isFile, s"token-range table at $path has no version $v " +
+          s"(published: ${versions(path).mkString(", ")})")
+        val lines = java.nio.file.Files.readAllLines(mf.toPath).asScala
         lines.filter(_.nonEmpty).map { rel =>
           val k = rel.takeWhile(_ != '/').stripPrefix("tb=").toInt
           (k, rel)
@@ -178,8 +196,9 @@ object TokenRangeSource {
     }
 
   /** Visible data files as (bucket, absolute path), bucket-ascending. */
-  private[connector] def visibleFiles(path: String): Seq[(Int, String)] =
-    visibleRelFiles(path).map { case (k, rel) =>
+  private[connector] def visibleFiles(path: String,
+      version: Option[Int] = None): Seq[(Int, String)] =
+    visibleRelFiles(path, version).map { case (k, rel) =>
       (k, new java.io.File(path, rel).getAbsolutePath)
     }
 
@@ -508,7 +527,8 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
     new TokenRangeScan(TokenRangeSource.pathOf(options), required,
       tableSchema, pushed, pkBuckets,
       if (ckPushed) Some((ckName, ckLo, ckHi)) else None,
-      math.max(1, Option(options.get("splits")).map(_.toInt).getOrElse(4)))
+      math.max(1, Option(options.get("splits")).map(_.toInt).getOrElse(4)),
+      Option(options.get("version")).map(_.toInt))
 }
 
 /** One input partition = one contiguous token range's files. */
@@ -518,7 +538,7 @@ private[connector] final case class TokenRangePartition(
 private[connector] final class TokenRangeScan(path: String,
     required: StructType, full: StructType, pushed: Array[Filter],
     pkBuckets: Option[Set[Int]], ckSlice: Option[(String, Long, Long)],
-    splits: Int) extends Scan with Batch {
+    splits: Int, version: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -559,9 +579,10 @@ private[connector] final class TokenRangeScan(path: String,
   }
 
   private lazy val partitions: Array[InputPartition] = {
-    // ONE manifest resolution per scan: the file list is pinned here, so
-    // a commit racing this query flips later reads, never this plan
-    val byBucket = TokenRangeSource.visibleFiles(path)
+    // ONE manifest resolution per scan (pinned to `version` for snapshot
+    // reads): the file list is resolved here, so a commit racing this
+    // query flips later reads, never this plan
+    val byBucket = TokenRangeSource.visibleFiles(path, version)
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (k, fs) => (k, fs.map(_._2)) }
     val kept = pkBuckets match {
@@ -609,7 +630,8 @@ private[connector] final class TokenRangeScan(path: String,
     }.mkString("[", ", ", "]")
     val nParts = partitions.length // forces ckKept/ckTotal
     val slice = if (ckSlice.isDefined) s" PrunedFiles: $ckKept/$ckTotal" else ""
-    s"TokenRangeScan path=$path TokenRanges: $nParts$slice " +
+    val snap = version.map(v => s" Version: $v").getOrElse("")
+    s"TokenRangeScan path=$path$snap TokenRanges: $nParts$slice " +
       s"PushedFilters: $pf ReadSchema: ${required.catalogString}"
   }
 }

@@ -160,9 +160,11 @@ class EntrySpec extends SparkSpec {
     // payload through the DSv2 sink's manifest commit — the reference's
     // users-table shape, server.py:263-269) → 212/212; +ann_ivf2_topk
     // (two-level coarse quantizer: √k super-cells over the k cell
-    // centroids, closing the flat-broadcast ceiling) → 213/213.
-    assert(SparkEntry.queries.size == 213, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 213, s"got ${SparkEntry.oracleSql.size}")
+    // centroids, closing the flat-broadcast ceiling) → 213/213;
+    // +wc_connector_snapshot_read (version-pinned manifest read — time
+    // travel from the atomic-commit manifest) → 214/214.
+    assert(SparkEntry.queries.size == 214, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 214, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

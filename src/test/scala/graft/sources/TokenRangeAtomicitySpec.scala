@@ -123,6 +123,16 @@ class TokenRangeAtomicitySpec extends SparkSpec {
     assert(load(dir).count() == 90)
     // the legacy rows are manifest-listed (not just physically present)
     assert(load(dir).filter(col("pk") < 100L).count() == 60)
+
+    // SNAPSHOT read: the legacy-pin version still serves the pre-append
+    // table (old files outlive the flip), and the version list is public
+    val vs = TokenRangeSource.versions(dir)
+    assert(vs == vs.sorted && vs.size >= 2, s"versions: $vs")
+    val pinned = spark.read.format(fmt).option("pk", "pk")
+      .option("version", vs.head.toString).load(dir)
+    assert(pinned.count() == 60, "version-pinned read must see the old table")
+    assert(pinned.queryExecution.executedPlan.toString()
+      .contains(s"Version: ${vs.head}"))
   }
 
   test("TEXT partition key: users-shaped table, ts/decimal/binary round trip, pruned point lookup") {
