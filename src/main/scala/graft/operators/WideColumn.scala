@@ -163,6 +163,8 @@ object WideColumn extends QueryModule {
     graft.PrebuiltDirs.clear("graft_connector_orders")
     graft.PrebuiltDirs.clear("graft_connector_users")
     graft.PrebuiltDirs.clear("graft_connector_snap")
+    graft.PrebuiltDirs.clear("graft_connector_del")
+    graft.PrebuiltDirs.clear("graft_connector_cmp")
   }
 
   private def connectorOrdersDir(s: SparkSession, d: String): String =
@@ -287,6 +289,115 @@ object WideColumn extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_orderkey % 2 = 1
       |GROUP BY o_orderstatus""".stripMargin
+
+  // ---- row-level DELETE through the connector (r11) -----------------------
+  /** CQL `DELETE FROM t WHERE pk IN (...)` (the reference's delete
+    * surface) through the DSv2 `SupportsDelete` hook: orders are written
+    * once per (JVM, corpus) through the sink, then 8 derived partition
+    * keys (smallest ≡ 0 mod 97 — the multiget rule; bounded 8-row
+    * collect, a real client supplies its keys) are deleted via
+    * `deleteWhere(In(pk, keys))`. The delete is COPY-ON-WRITE at bucket
+    * grain: only files in the keys' owning token buckets are rewritten
+    * without the matching rows, every other bucket's files survive in
+    * the new manifest by reference (TokenRangeDeleteSpec asserts file
+    * identity), and the swap is one atomic manifest flip — readers see
+    * pre- or post-delete in full, never a mix. The entry then aggregates
+    * the CURRENT table version, so the oracle compare (orders minus the
+    * derived keys) proves the delete removed exactly those rows and
+    * nothing else, end-to-end through the connector. At 100 TB the cost
+    * is the affected buckets' rewrite, not a table scan. */
+  private def connectorDeleteDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_del", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format(fmt).option("pk", "o_orderkey")
+        .option("schema",
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .mode("overwrite").save(dir)
+      val keys = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .orderBy(asc("o_orderkey")).limit(8)
+        .select("o_orderkey").collect().map(_.getLong(0))
+      // the DSv2 DELETE surface itself (what `DELETE FROM` plans to),
+      // not a side helper
+      val provider = new graft.sources.connector.TokenRangeSource()
+      val props = new java.util.HashMap[String, String]()
+      props.put("path", dir); props.put("pk", "o_orderkey")
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(props)
+      provider.getTable(provider.inferSchema(opts), Array.empty, props)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In(
+            "o_orderkey", keys.map(Long.box).toArray[Any])))
+      dir
+    }
+
+  def connectorDelete(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorDeleteDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "o_orderkey").load(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.sumExact(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val connectorDeleteSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey NOT IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+      |  ORDER BY o_orderkey LIMIT 8)
+      |GROUP BY o_orderstatus""".stripMargin
+
+  // ---- per-bucket COMPACTION through the connector (r11) ------------------
+  /** Cassandra's compaction (merge many SSTables per range into one) at
+    * the connector layer: orders land in THREE appends (keys ≡ 0/1/2
+    * mod 3 — every bucket dir accumulates up to 3 part files), then
+    * `TokenRangeOps.compact` rewrites the table to ONE file per
+    * non-empty token bucket in a single atomic read-and-overwrite job —
+    * safe because the read plans the pre-compaction manifest and old
+    * files outlive the flip (snapshot isolation; the same property the
+    * snapshot-read entry pins versions by). The entry groups the
+    * compacted table by the RECOMPUTED ring bucket of each key, so the
+    * oracle (the ring arithmetic replayed verbatim in SQL over the raw
+    * orders) proves BOTH that compaction preserved every row bit-exactly
+    * AND that the Scala ring function and its SQL twin agree — the
+    * placement invariant the whole token-range layout rests on.
+    * TokenRangeDeleteSpec asserts the physical half: one file per
+    * non-empty bucket after, more before, old version still readable. */
+  private def connectorCompactDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_cmp", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      (0 until 3).foreach { r =>
+        o.filter(col("o_orderkey") % 3 === r)
+          .write.format(fmt).option("pk", "o_orderkey")
+          .option("schema",
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+          .mode("append").save(dir)
+      }
+      graft.sources.connector.TokenRangeOps.compact(s, dir, "o_orderkey")
+      dir
+    }
+
+  def connectorCompact(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorCompactDir(s, d)
+    val t = s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "o_orderkey").load(dir)
+    t.groupBy(graft.sources.connector.TokenLayout.bucketOf(col("o_orderkey"))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        Cols.sumExact(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val connectorCompactSql =
+    """SELECT CAST(floor(((o_orderkey * 2654435761) % 1000000007) * 16
+      |  / 1000000007) AS INT) AS bucket,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
 
   // TTL semantics: rows expire writetime + TTL; read at a fixed "now".
   def ttlExpiry(s: SparkSession, d: String): DataFrame =
@@ -1195,6 +1306,8 @@ object WideColumn extends QueryModule {
     ("wc_connector_multiget", connectorMultiget _, Some(connectorMultigetSql)),
     ("wc_connector_user_lookup", connectorUserLookup _, Some(connectorUserLookupSql)),
     ("wc_connector_snapshot_read", connectorSnapshotRead _, Some(connectorSnapshotReadSql)),
+    ("wc_connector_delete", connectorDelete _, Some(connectorDeleteSql)),
+    ("wc_connector_compact", connectorCompact _, Some(connectorCompactSql)),
     ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
     ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)))

@@ -259,14 +259,19 @@ object TokenRangeSource {
     * as its new base and retries at N+2, and no committed version is
     * ever silently replaced (the r11 review's lost-update scenario).
     * Readers either resolve the old version or the new one — never a
-    * partial list. */
+    * partial list. `removeRel` drops files from the rebased list in the
+    * SAME flip that adds `placedRel` — the copy-on-write primitive
+    * row-level DELETE and per-bucket compaction publish through (old and
+    * new rows can never be visible together, and files already removed
+    * by a racing committer drop out as a no-op on the rebase). */
   private[connector] def publishManifest(path: String, placedRel: Seq[String],
-      truncate: Boolean): Int = {
+      truncate: Boolean, removeRel: Set[String] = Set.empty): Int = {
     val mdir = manifestDir(path)
     mdir.mkdirs()
     var published = -1
     while (published < 0) {
-      val base = if (truncate) Nil else visibleRelFiles(path).map(_._2)
+      val base0 = if (truncate) Nil else visibleRelFiles(path).map(_._2)
+      val base = base0.filterNot(removeRel)
       val v = currentVersion(path).getOrElse(0) + 1
       val tmp = java.io.File.createTempFile(s"manifest-v$v-", ".tmp", mdir)
       java.nio.file.Files.write(tmp.toPath,
@@ -426,7 +431,7 @@ object TokenLayout {
 
 private[connector] final class TokenRangeTable(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends Table with SupportsRead
-    with SupportsWrite {
+    with SupportsWrite with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"token_range(${TokenRangeSource.pathOf(options)})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -449,8 +454,42 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
       case other => throw new IllegalArgumentException(
         s"token-range sink buckets on a BIGINT/INT/TEXT partition key, $pk is $other")
     }
+    // copy-on-write rewrites (row-level DELETE, compaction) name the
+    // files their commit retires in the same manifest flip that adds the
+    // rewritten ones — newline-separated relative paths (tb=<k>/<name>)
+    val replace = Option(info.options.get("replaceFiles"))
+      .map(_.split('\n').toSeq.filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
     new TokenRangeWriteBuilder(TokenRangeSource.pathOf(options),
-      info.schema(), pkIdx)
+      info.schema(), pkIdx, replace)
+  }
+
+  // ---- row-level DELETE (CQL `DELETE ... WHERE pk = ?` / `pk IN (...)`,
+  // server.py's delete surface) — the DSv2 SupportsDelete hook, served by
+  // the copy-on-write rewrite in [[TokenRangeOps.deleteKeys]]: only the
+  // keys' OWNING BUCKETS' files are rewritten, every other bucket's files
+  // survive by reference, and the swap is one atomic manifest flip.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val pk = Option(options.get("pk")).getOrElse("")
+    filters.forall {
+      case EqualTo(a, _) => a.equalsIgnoreCase(pk)
+      case In(a, vs) => a.equalsIgnoreCase(pk) && vs.nonEmpty
+      case _ => false
+    }
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      "token-range DELETE supports partition-key predicates only (CQL parity)")
+    val keys = filters.flatMap {
+      case EqualTo(_, v) => Seq(v)
+      case In(_, vs) => vs.toSeq
+      case _ => Nil
+    }.toSeq
+    TokenRangeOps.deleteKeys(org.apache.spark.sql.SparkSession.active,
+      TokenRangeSource.pathOf(options),
+      Option(options.get("pk")).getOrElse(
+        throw new IllegalArgumentException("token-range DELETE requires the pk option")),
+      keys)
   }
 }
 
@@ -740,18 +779,19 @@ private[connector] final class TokenRangeReader(files: Array[String],
 // See the provider scaladoc for the four atomicity guarantees.
 
 private[connector] final class TokenRangeWriteBuilder(path: String,
-    writeSchema: StructType, pkIdx: Int)
+    writeSchema: StructType, pkIdx: Int, replaceRel: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new TokenRangeBatchWrite(path, writeSchema, pkIdx, doTruncate)
+      new TokenRangeBatchWrite(path, writeSchema, pkIdx, doTruncate, replaceRel)
   }
 }
 
 private[connector] final class TokenRangeBatchWrite(path: String,
-    writeSchema: StructType, pkIdx: Int, doTruncate: Boolean)
+    writeSchema: StructType, pkIdx: Int, doTruncate: Boolean,
+    replaceRel: Set[String] = Set.empty)
     extends BatchWrite {
 
   // app-unique token in file names AND the staging dir: partitionId/taskId
@@ -799,8 +839,10 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         s"$bucketName/${file.getName}"
       }.toSeq
       // CAS publish: rebases on the visible set it observes; the lock
-      // only reduces contention (see publishManifest)
-      TokenRangeSource.publishManifest(path, placedRel, doTruncate)
+      // only reduces contention (see publishManifest). replaceRel retires
+      // the files a copy-on-write rewrite (DELETE/compaction) supersedes
+      // in the SAME flip their rewritten successors appear.
+      TokenRangeSource.publishManifest(path, placedRel, doTruncate, replaceRel)
     }
     TokenRangeSource.deleteRecursively(TokenRangeSource.stagingDir(path, writeId))
   }
@@ -903,4 +945,116 @@ private[connector] final class TokenRangeDataWriter(path: String,
   }
 
   override def close(): Unit = ()
+}
+
+/** Table-maintenance operations over the manifest layer: row-level DELETE
+  * and per-bucket compaction, both expressed as COPY-ON-WRITE rewrites
+  * that publish through one atomic manifest flip (the primitive
+  * [[TokenRangeSource.publishManifest]]'s `removeRel` exists for).
+  *
+  * Concurrency model (documented, Delta/Iceberg-style optimistic): each
+  * rewrite pins the version it read, rewrites from that snapshot, and its
+  * commit REBASES on whatever is visible at flip time — so an append
+  * racing a delete/compaction lands intact (its files join the rebased
+  * list), and a file another committer already retired drops out of the
+  * rebase as a no-op. Two rewrites of the SAME files race last-writer-
+  * wins (both rewrote the same snapshot rows); coordinating overlapping
+  * rewrites is the caller's job, exactly as in the lakehouse designs. */
+object TokenRangeOps {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.{col, not}
+
+  private def fmt = classOf[TokenRangeSource].getName
+
+  private def bucketOfKey(v: Any): Int = v match {
+    case l: Long => TokenLayout.bucketOfValue(l)
+    case i: Int => TokenLayout.bucketOfValue(i.toLong)
+    case s: String => TokenLayout.bucketOfStringValue(s)
+    case u: UTF8String => TokenLayout.bucketOfStringValue(u.toString)
+    case other => throw new IllegalArgumentException(
+      s"token-range DELETE key of unsupported type ${other.getClass}")
+  }
+
+  /** Row-level DELETE of the given partition keys (CQL
+    * `DELETE FROM t WHERE pk IN (...)`, server.py's delete surface):
+    * only files in the keys' OWNING token buckets are read and
+    * rewritten without the matching rows — every other bucket's files
+    * survive in the new manifest BY REFERENCE (untouched on disk,
+    * spec-asserted) — and the swap is one atomic flip: readers see the
+    * pre-delete version in full until the commit, the post-delete
+    * version after it, never a mix. The rewrite is a distributed Spark
+    * job (survivors shuffle nothing — they re-route to the same bucket),
+    * so a 100 TB table deletes at the cost of the affected buckets, not
+    * a table scan. */
+  def deleteKeys(spark: SparkSession, path: String, pk: String,
+      keys: Seq[Any]): Unit = {
+    require(keys.nonEmpty, "token-range DELETE requires at least one key")
+    // legacy (manifest-less) tables pin their listing as v1 first, the
+    // same move the write path makes — from here on everything is
+    // manifest-resolved and the rewrite is invisible until the flip
+    TokenRangeSource.withCommitLock(path) {
+      if (TokenRangeSource.currentVersion(path).isEmpty)
+        TokenRangeSource.publishManifest(path, Nil, truncate = false)
+    }
+    val buckets = keys.map(bucketOfKey).toSet
+    val pinned = TokenRangeSource.currentVersion(path)
+    val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
+      .collect { case (k, rel) if buckets(k) => rel }
+    if (affectedRel.isEmpty) return // keys own no visible files: no-op
+    val affectedAbs = affectedRel
+      .map(rel => new java.io.File(path, rel).getAbsolutePath)
+    val survivors = spark.read.parquet(affectedAbs: _*)
+      .filter(not(col(pk).isin(keys.map {
+        case u: UTF8String => u.toString
+        case v => v
+      }: _*)))
+    survivors.write.format(fmt)
+      .option("pk", pk)
+      .option("replaceFiles", affectedRel.mkString("\n"))
+      .mode("append").save(path)
+  }
+
+  /** Compact the CURRENT version into one file per non-empty token
+    * bucket (Cassandra's compaction / OPTIMIZE analog): one atomic
+    * read-and-overwrite job — the read plans the pre-compaction
+    * manifest, the overwrite's flip publishes only the compacted files,
+    * and snapshot isolation (old files outlive the flip) is what makes
+    * reading and replacing the SAME table in one job safe. The
+    * `repartition` on the bucket value puts each bucket's rows in one
+    * task, so exactly one output file per non-empty bucket; data is
+    * byte-identical by construction and oracle-checked by the driver
+    * entry. Unreferenced pre-compaction files stay readable via their
+    * pinned versions until [[vacuum]] reaps them. */
+  def compact(spark: SparkSession, path: String, pk: String): Unit = {
+    val t = spark.read.format(fmt).option("pk", pk).load(path)
+    val dt = t.schema(pk).dataType
+    t.repartition(TokenLayout.Buckets, TokenLayout.bucketOfColumn(col(pk), dt))
+      .write.format(fmt).option("pk", pk)
+      .mode("overwrite").save(path)
+  }
+
+  /** Maintenance sweep: delete data files referenced by NO manifest at
+    * or above `retainFrom` (and the manifests below it) — the
+    * reaps-unreferenced-SSTables half of compaction, kept separate from
+    * the flip so every published version stays readable until the
+    * operator explicitly retires history. Returns the deleted file
+    * count. */
+  def vacuum(path: String, retainFrom: Int): Int =
+    TokenRangeSource.withCommitLock(path) {
+      val keepVs = TokenRangeSource.versions(path).filter(_ >= retainFrom)
+      require(keepVs.nonEmpty,
+        s"vacuum(retainFrom=$retainFrom) would retire every version of $path")
+      val live = keepVs.flatMap(v =>
+        TokenRangeSource.visibleRelFiles(path, Some(v)).map(_._2)).toSet
+      val all = TokenRangeSource.bucketDirs(path).flatMap { case (k, dir) =>
+        TokenRangeSource.parquetFiles(dir).map(f =>
+          s"tb=$k/${new java.io.File(f).getName}" -> f)
+      }
+      val dead = all.filterNot { case (rel, _) => live(rel) }
+      dead.foreach { case (_, abs) => new java.io.File(abs).delete() }
+      TokenRangeSource.versions(path).filter(_ < retainFrom).foreach { v =>
+        new java.io.File(TokenRangeSource.manifestDir(path), s"v$v.manifest").delete()
+      }
+      dead.size
+    }
 }

@@ -162,9 +162,14 @@ class EntrySpec extends SparkSpec {
     // (two-level coarse quantizer: √k super-cells over the k cell
     // centroids, closing the flat-broadcast ceiling) → 213/213;
     // +wc_connector_snapshot_read (version-pinned manifest read — time
-    // travel from the atomic-commit manifest) → 214/214.
-    assert(SparkEntry.queries.size == 214, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 214, s"got ${SparkEntry.oracleSql.size}")
+    // travel from the atomic-commit manifest) → 214/214;
+    // +wc_connector_delete (CQL DELETE by partition key through
+    // SupportsDelete — bucket-grain copy-on-write + one manifest flip)
+    // → 215/215; +wc_connector_compact (one file per non-empty bucket
+    // in an atomic read-and-overwrite; oracle replays the ring
+    // arithmetic in SQL) → 216/216.
+    assert(SparkEntry.queries.size == 216, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 216, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -1,0 +1,167 @@
+package graft.sources.connector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The r11 table-maintenance layer over the manifest: row-level DELETE
+  * (CQL `DELETE ... WHERE pk IN (...)`, the reference's delete surface)
+  * as a bucket-grain copy-on-write rewrite, per-bucket COMPACTION as one
+  * atomic read-and-overwrite, and the VACUUM sweep that retires
+  * unreferenced files. The load-bearing claims, each asserted here:
+  * a delete rewrites ONLY the keys' owning buckets (every other bucket's
+  * files survive by reference, byte-identical), the swap is one manifest
+  * flip (the pre-delete version stays pinned-readable), compaction leaves
+  * exactly one file per non-empty bucket without changing a row, and
+  * vacuum deletes exactly the files no retained version references. */
+class TokenRangeDeleteSpec extends SparkSpec {
+  private val fmt = classOf[TokenRangeSource].getName
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_tr_delete").toString
+
+  private val ddl = "pk BIGINT, v STRING"
+
+  private def seed(dir: String, keys: Seq[Long]): Unit = {
+    val s2 = spark; import s2.implicits._
+    keys.map(i => (i, s"a$i")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk").option("schema", ddl)
+      .mode("append").save(dir)
+  }
+  private def load(dir: String) =
+    spark.read.format(fmt).option("pk", "pk").load(dir)
+  private def relFiles(dir: String): Set[(Int, String)] =
+    TokenRangeSource.visibleRelFiles(dir).toSet
+
+  test("deleteKeys: removes exactly the keys; untouched buckets survive by reference; old version pinned-readable") {
+    val dir = freshDir()
+    val all = (0L until 200L)
+    seed(dir, all)
+    val before = relFiles(dir)
+    val vBefore = TokenRangeSource.currentVersion(dir).get
+
+    val doomed = Seq(3L, 77L, 141L)
+    TokenRangeOps.deleteKeys(spark, dir, "pk", doomed)
+
+    // exactly those rows gone, every other row intact
+    val got = load(dir).select("pk").collect().map(_.getLong(0)).toSet
+    assert(got == all.toSet -- doomed)
+
+    // bucket-grain copy-on-write: files in unaffected buckets are the
+    // SAME manifest entries (and the same bytes on disk); affected
+    // buckets' files were all retired and rewritten
+    val affected = doomed.map(TokenLayout.bucketOfValue).toSet
+    val after = relFiles(dir)
+    val beforeUntouched = before.filterNot { case (k, _) => affected(k) }
+    val afterUntouched = after.filterNot { case (k, _) => affected(k) }
+    assert(afterUntouched == beforeUntouched,
+      "a delete must not rewrite buckets it does not touch")
+    val beforeAffected = before.filter { case (k, _) => affected(k) }.map(_._2)
+    val afterAffected = after.filter { case (k, _) => affected(k) }.map(_._2)
+    assert(beforeAffected.nonEmpty && (beforeAffected & afterAffected).isEmpty,
+      "every affected-bucket file must be retired by the rewrite")
+
+    // one atomic flip: exactly one new version, and the pre-delete
+    // version still serves the pre-delete table in full
+    val vAfter = TokenRangeSource.currentVersion(dir).get
+    assert(vAfter == vBefore + 1)
+    val pinned = spark.read.format(fmt).option("pk", "pk")
+      .option("version", vBefore.toString).load(dir)
+    assert(pinned.count() == all.size,
+      "the pre-delete version must stay readable (snapshot isolation)")
+  }
+
+  test("SupportsDelete: deleteWhere(In/EqualTo on pk) works through the DSv2 table; non-pk predicates refused") {
+    val dir = freshDir()
+    seed(dir, 0L until 50L)
+    val provider = new TokenRangeSource()
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", dir); props.put("pk", "pk")
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(props)
+    val table = provider.getTable(provider.inferSchema(opts), Array.empty, props)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+
+    assert(table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("pk", Array[Any](1L, 2L)))))
+    assert(table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("pk", 3L))))
+    // CQL parity: DELETE restricts by partition key, not arbitrary columns
+    assert(!table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("v", "a1"))))
+
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("pk", Array[Any](1L, 2L)),
+      org.apache.spark.sql.sources.EqualTo("pk", 3L)))
+    assert(load(dir).select("pk").collect().map(_.getLong(0)).toSet
+      == (0L until 50L).toSet -- Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("v", "a9")))
+    }
+  }
+
+  test("deleteKeys: deleting every row of a bucket leaves the bucket empty (no ghost file), others intact") {
+    val dir = freshDir()
+    // keys all landing in one bucket plus a control key elsewhere
+    val together = (0L until 5000L)
+      .filter(TokenLayout.bucketOfValue(_) == 0).take(4).toSeq
+    assert(together.size == 4)
+    val control = (0L until 5000L).find(TokenLayout.bucketOfValue(_) == 1).get
+    seed(dir, together :+ control)
+    TokenRangeOps.deleteKeys(spark, dir, "pk", together)
+    assert(load(dir).select("pk").collect().map(_.getLong(0)).toSeq
+      == Seq(control))
+    assert(!relFiles(dir).exists(_._1 == 0),
+      "an emptied bucket must publish no file at all")
+  }
+
+  test("compact: one file per non-empty bucket, zero row changes, old version readable until vacuum") {
+    val dir = freshDir()
+    val all = (0L until 300L)
+    // three appends → up to 3 part files per bucket
+    (0 until 3).foreach(r => seed(dir, all.filter(_ % 3 == r)))
+    val before = load(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val filesBefore = relFiles(dir)
+    val nonEmptyBuckets = filesBefore.map(_._1)
+    assert(filesBefore.size > nonEmptyBuckets.size,
+      "the fixture must start with multiple files in some bucket")
+    val vBefore = TokenRangeSource.currentVersion(dir).get
+
+    TokenRangeOps.compact(spark, dir, "pk")
+
+    val filesAfter = relFiles(dir)
+    assert(filesAfter.map(_._1) == nonEmptyBuckets, "no bucket may vanish")
+    assert(filesAfter.size == nonEmptyBuckets.size,
+      s"compaction must leave ONE file per non-empty bucket, got $filesAfter")
+    val after = load(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction must not change a single row")
+    // placement invariant: every physical row still hashes to its dir
+    TokenRangeSource.bucketDirs(dir).foreach { case (k, d) =>
+      val inManifest = filesAfter.collect {
+        case (b, rel) if b == k => new java.io.File(dir, rel).getAbsolutePath }
+      if (inManifest.nonEmpty) {
+        val pks = spark.read.parquet(inManifest.toSeq: _*)
+          .select("pk").collect().map(_.getLong(0))
+        assert(pks.forall(TokenLayout.bucketOfValue(_) == k))
+      }
+    }
+    // snapshot isolation: the pre-compaction version still reads in full
+    val pinned = spark.read.format(fmt).option("pk", "pk")
+      .option("version", vBefore.toString).load(dir)
+    assert(pinned.count() == all.size)
+
+    // VACUUM retires history: only files the retained versions reference
+    // survive; the pre-compaction manifests are gone
+    val vAfter = TokenRangeSource.currentVersion(dir).get
+    val reaped = TokenRangeOps.vacuum(dir, retainFrom = vAfter)
+    assert(reaped == filesBefore.size,
+      s"vacuum must reap every pre-compaction file, reaped $reaped of ${filesBefore.size}")
+    assert(TokenRangeSource.versions(dir) == Seq(vAfter))
+    assert(load(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == before, "vacuum must never touch the current version's data")
+    // vacuum refuses to retire everything
+    intercept[IllegalArgumentException] {
+      TokenRangeOps.vacuum(dir, retainFrom = vAfter + 100)
+    }
+  }
+}
