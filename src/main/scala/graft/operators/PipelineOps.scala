@@ -573,7 +573,79 @@ object PipelineOps extends QueryModule {
        | COUNT(DISTINCT source) AS n_sources
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each doc by how
+    * much more likely its HASHED-unigram features are under the TARGET
+    * distribution (here the `en` slice — the "high-quality domain" stand-
+    * in) than under the raw corpus, log w(x) = Σ_f c_f(x)·[ln p_tgt(f) −
+    * ln p_raw(f)] with add-1 smoothing over the 256 hash buckets. The
+    * hashing trick is what makes the method corpus-scale: the feature
+    * space is a CONSTANT 256 rows regardless of vocabulary, so the
+    * per-doc scoring join is a broadcast and the only data-sized work is
+    * one (doc, feature) count — map-side combinable off a single explode
+    * (the raw and target margins re-aggregate THAT frame, not the
+    * corpus). Every ln is µ-nat-quantized before the weighted sum, so
+    * doc scores are exact integer arithmetic, order-independent, and the
+    * top-20 (TakeOrdered, never a global window) ties deterministically
+    * on doc_id. */
+  private val DsirBuckets = 256L
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val lnFp: Column => Column =
+      c => floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
+    // ONE corpus pass: (doc, lang, feature) counts; everything downstream
+    // re-aggregates this ≤ |docs|·256 frame
+    val docFeat = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.TextFunctions.md5Int(col("t")), lit(DsirBuckets)).as("f"))
+      .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
+    val raw = docFeat.groupBy("f").agg(sum("c").as("cr"))
+    val tgt = docFeat.filter(col("lang") === "en")
+      .groupBy("f").agg(sum("c").as("ct"))
+    val feat = raw.join(tgt, Seq("f"), "left").na.fill(0L, Seq("ct"))
+    val scal = feat.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val delta = feat.crossJoin(broadcast(scal))
+      .select(col("f"),
+        (lnFp(col("ct") + 1) - lnFp(col("nt") + DsirBuckets)
+          - lnFp(col("cr") + 1) + lnFp(col("nr") + DsirBuckets)).as("delta_fp"))
+    docFeat.join(broadcast(delta), Seq("f"))
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("delta_fp")).as("logw_fp"),
+        sum("c").as("n_tokens"))
+      .orderBy(desc("logw_fp"), asc("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("logw_fp").cast("double") / 1e6).as("log_weight"))
+  }
+
+  private val dsirWeightsSql = {
+    def lnq(x: String) =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH tok AS (SELECT doc_id, lang,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+       | docfeat AS (SELECT doc_id, lang,
+       |    ${graft.functions.TextFunctions.md5IntSql("t")} % 256 AS f,
+       |    COUNT(*) AS c
+       |  FROM tok GROUP BY 1, 2, 3),
+       | raw AS (SELECT f, CAST(SUM(c) AS BIGINT) AS cr FROM docfeat GROUP BY f),
+       | tgt AS (SELECT f, CAST(SUM(c) AS BIGINT) AS ct FROM docfeat
+       |         WHERE lang = 'en' GROUP BY f),
+       | feat AS (SELECT raw.f, cr, COALESCE(ct, 0) AS ct
+       |          FROM raw LEFT JOIN tgt ON raw.f = tgt.f),
+       | scal AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+       |                 CAST(SUM(ct) AS BIGINT) AS nt FROM feat),
+       | delta AS (SELECT f, ${lnq("ct + 1")} - ${lnq("nt + 256")}
+       |             - ${lnq("cr + 1")} + ${lnq("nr + 256")} AS delta_fp
+       |           FROM feat CROSS JOIN scal),
+       | w AS (SELECT doc_id, CAST(SUM(c * delta_fp) AS BIGINT) AS logw_fp,
+       |         CAST(SUM(c) AS BIGINT) AS n_tokens
+       |       FROM docfeat JOIN delta USING (f) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, CAST(logw_fp AS DOUBLE) / 1e6 AS log_weight
+       |FROM w ORDER BY logw_fp DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("smp_dsir_weights", dsirWeights _, Some(dsirWeightsSql)),
     ("smp_kfold", kfold _, Some(kfoldSql)),
     ("smp_preference_pairs", preferencePairs _, Some(preferencePairsSql)),
     ("pipeline_curated_budget", curatedBudget _, Some(curatedBudgetSql)),

@@ -519,6 +519,75 @@ object TextAnalysis extends QueryModule {
       |FROM tok JOIN freq USING (t) CROSS JOIN n
       |GROUP BY doc_id, n_total""".stripMargin
 
+  /** CCNet's perplexity TIERING on top of the unigram-LM surprisal
+    * (Wenzek et al. 2020 split the corpus into head/middle/tail by LM
+    * perplexity; training pipelines route the tiers differently): each
+    * doc's nll/token (the txt_unigram_logprob device, kept in µ-nat
+    * LONGs) is banded into 5 tiers of 0.02 nats around the CORPUS MEAN
+    * (unigram surprisal varies far less per doc than full-LM perplexity
+    * — the corpus-level σ is ~0.03 nats — so the bands are sized to the
+    * signal),
+    * and the entry reports each band's population, mean length, and mean
+    * surprisal. Banding by mean-relative thresholds rather than ntile is
+    * the 100 TB-honest choice: quantile assignment needs a corpus-wide
+    * rank (a global sort), while the mean is one scalar aggregate and
+    * the banding is then map-only — the same reason the histogram entry
+    * uses fixed decades. All threshold arithmetic is exact integer
+    * µ-nats (shift → clamp → integer-divide, positive operands so
+    * truncation == floor in both engines); only the per-band means
+    * return to float. */
+  def perplexityBucket(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("cf"))
+    val total = freq.agg(sum("cf").as("n_total"))
+    val lnFp: Column => Column =
+      c => floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
+    // one expensive token join (salted — Zipf heads, as unigramLogprob),
+    // materialized because BOTH the mean aggregate and the banding read it
+    val perDoc = graft.Checkpoints.materialize(
+      graft.functions.Skew.saltedJoin(toks, freq, "t", 8, col("doc_id"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id", "n_chars", "n_total")
+        .agg(count(lit(1)).as("n_tokens"), sum(lnFp(col("cf"))).as("sum_lncf_fp"))
+        .select(col("doc_id"), col("n_chars"),
+          floor((lnFp(col("n_total")) * col("n_tokens") - col("sum_lncf_fp"))
+            .cast("double") / col("n_tokens") + 0.5).cast("long").as("nll_fp")))
+    // corpus mean in integer µ-nats: DIV (truncating; operands positive),
+    // nullif-guarded for the empty corpus
+    val m = perDoc.agg(sum("nll_fp").as("s"), count(lit(1)).as("nd"))
+      .select(expr("s div nullif(nd, 0)").as("mean_fp"))
+    perDoc.crossJoin(broadcast(m))
+      .withColumn("band",
+        expr("least(99999L, greatest(0L, nll_fp - mean_fp + 50000L)) div 20000L")
+          .cast("int"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+        (floor(sum("nll_fp").cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("avg_nll"))
+  }
+
+  private val perplexityBucketSql =
+    """WITH tok AS (SELECT doc_id, n_chars,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+      | freq AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
+      | n AS (SELECT COUNT(*) AS n_total FROM tok),
+      | perdoc AS (SELECT doc_id, n_chars,
+      |    CAST(floor(CAST(CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) * COUNT(*)
+      |        - SUM(CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / COUNT(*) + 0.5) AS BIGINT) AS nll_fp
+      |  FROM tok JOIN freq USING (t) CROSS JOIN n
+      |  GROUP BY doc_id, n_chars, n_total),
+      | m AS (SELECT CAST(SUM(nll_fp) AS BIGINT) // NULLIF(COUNT(*), 0) AS mean_fp
+      |       FROM perdoc)
+      |SELECT CAST(least(99999, greatest(0, nll_fp - mean_fp + 50000)) // 20000 AS INT) AS band,
+      | COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      | floor(CAST(SUM(nll_fp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_nll
+      |FROM perdoc CROSS JOIN m
+      |GROUP BY 1""".stripMargin
+
   /** Per-doc top-5 TF-IDF terms — the classic keyword/relevance extraction
     * pass. Plan: one explode → (doc, term) counts, a term-keyed document-
     * frequency aggregate joined back ON TERM (a shuffle join, deliberately
@@ -1152,6 +1221,7 @@ object TextAnalysis extends QueryModule {
     ("txt_gopher_repetition", gopherRepetition _, Some(gopherRepetitionSql)),
     ("txt_tfidf_topk", tfidfTopk _, Some(tfidfTopkSql)),
     ("txt_unigram_logprob", unigramLogprob _, Some(unigramLogprobSql)),
+    ("txt_perplexity_bucket", perplexityBucket _, Some(perplexityBucketSql)),
     ("txt_token_stats", tokenStats _, Some(tokenStatsSql)),
     ("txt_unigram_stats", unigramStats _, Some(unigramStatsSql)),
     ("txt_quality_score", qualityScore _, Some(qualityScoreSql)),

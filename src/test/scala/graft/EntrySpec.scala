@@ -167,9 +167,13 @@ class EntrySpec extends SparkSpec {
     // SupportsDelete — bucket-grain copy-on-write + one manifest flip)
     // → 215/215; +wc_connector_compact (one file per non-empty bucket
     // in an atomic read-and-overwrite; oracle replays the ring
-    // arithmetic in SQL) → 216/216.
-    assert(SparkEntry.queries.size == 216, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 216, s"got ${SparkEntry.oracleSql.size}")
+    // arithmetic in SQL) → 216/216; +txt_perplexity_bucket (CCNet
+    // head/middle/tail tiering — 5 mean-relative µ-nat bands, map-only
+    // after one scalar aggregate) → 217/217; +smp_dsir_weights (DSIR
+    // hashed-feature importance weights, 256-bucket broadcast scoring)
+    // → 218/218.
+    assert(SparkEntry.queries.size == 218, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 218, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

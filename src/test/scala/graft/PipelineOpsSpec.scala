@@ -39,6 +39,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("DSIR weights match a local hashed-feature model, top-20 order exact") {
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        graft.plans.WordShingles.sqlTokens(r.getAs[String]("text")).toSeq))
+    // the md5Int device, replayed locally (15 hex nibbles -> signed int64)
+    def md5int(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val feats = docs.map { case (id, lang, ts) => (id, lang, ts.map(t => md5int(t) % 256L)) }
+    val cr = feats.flatMap(_._3).groupBy(identity).map { case (f, xs) => f -> xs.length.toLong }
+    val ct = feats.filter(_._2 == "en").flatMap(_._3).groupBy(identity)
+      .map { case (f, xs) => f -> xs.length.toLong }
+    val nr = cr.values.sum; val nt = ct.values.sum
+    def lnq(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val delta = cr.keys.map(f => f ->
+      (lnq(ct.getOrElse(f, 0L) + 1) - lnq(nt + 256) - lnq(cr(f) + 1) + lnq(nr + 256))).toMap
+    val w = feats.map { case (id, lang, fs) => (id, lang, fs.map(delta).sum, fs.length.toLong) }
+    val top = w.sortBy { case (id, _, lw, _) => (-lw, id) }.take(20)
+    val got = PipelineOps.dsirWeights(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Double]("log_weight")))
+    assert(got.map(_._1).toSeq == top.map(_._1).toSeq, "top-20 id order must be exact")
+    got.zip(top).foreach { case ((_, ntk, lw), (_, _, elw, entk)) =>
+      assert(ntk == entk)
+      assert(math.abs(lw - elw.toDouble / 1e6) < 1e-9)
+    }
+    // and the signal points the right way: target-slice docs carry higher
+    // importance weight on average (the resampling direction DSIR exists for)
+    val (en, other) = w.partition(_._2 == "en")
+    val meanEn = en.map(_._3.toDouble).sum / en.length
+    val meanOther = other.map(_._3.toDouble).sum / other.length
+    assert(meanEn > meanOther,
+      s"target slice must upweight: en $meanEn vs other $meanOther")
+  }
+
   test("hash sample keeps ~10% and is reproducible") {
     val n = Tables.documents(spark, sf).count().toDouble
     val a = PipelineOps.hashSample(spark, sf).collect().map(_.getLong(0)).toSet

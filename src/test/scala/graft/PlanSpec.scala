@@ -67,6 +67,12 @@ class PlanSpec extends SparkSpec {
       // total under their fixed-point-ln expressions — the same scalar
       // idiom as txt_unigram_logprob
       "txt_source_kl", "txt_collocations_pmi",
+      // txt_perplexity_bucket broadcasts two 1-row scalars (corpus token
+      // total, corpus mean surprisal) — the same scalar idiom;
+      // smp_dsir_weights broadcasts the 1-row smoothing totals under its
+      // constant-256-row feature frame (the hashing trick is exactly
+      // what keeps that build side constant-size at any corpus)
+      "txt_perplexity_bucket", "smp_dsir_weights",
       // emb_triplet_mining broadcasts the 20-row anchor set over one
       // corpus scan; ann_rrf_hybrid broadcasts the 10-row query set for
       // BOTH its modalities (cosine + token-set Jaccard) — the same

@@ -237,6 +237,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall(_ > 0))
   }
 
+  test("perplexity bands recount from a local replay of the unigram LM") {
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+        toks(r.getAs[String]("text"))))
+    val cf = docs.flatMap(_._3).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val nTotal = docs.map(_._3.length).sum
+    def lnFp(x: Double): Long = math.round(math.log(x) * 1e6)
+    val nll = docs.map { case (id, nc, ts) =>
+      val sum = ts.map(t => lnFp(cf(t).toDouble)).sum
+      (id, nc,
+        math.floor((lnFp(nTotal.toDouble) * ts.length - sum).toDouble / ts.length + 0.5).toLong)
+    }
+    val mean = nll.map(_._3).sum / nll.length // positive operands: trunc == floor == div
+    val bands = nll.groupBy { case (_, _, f) =>
+      (math.min(99999L, math.max(0L, f - mean + 50000L)) / 20000L).toInt }
+    val got = TextAnalysis.perplexityBucket(spark, sf).collect()
+      .map(r => r.getAs[Int]("band") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("avg_chars"), r.getAs[Double]("avg_nll")))
+      .toMap
+    assert(got.keySet == bands.keySet, s"bands: got ${got.keySet}, want ${bands.keySet}")
+    bands.foreach { case (b, xs) =>
+      val (n, avgChars, avgNll) = got(b)
+      assert(n == xs.length, s"band $b population")
+      assert(math.abs(avgChars - xs.map(_._2).sum.toDouble / xs.length) < 1e-9)
+      val expNll = math.floor(xs.map(_._3).sum.toDouble / xs.length + 0.5) / 1e6
+      assert(math.abs(avgNll - expNll) < 1e-12, s"band $b mean surprisal")
+    }
+    // every doc lands in exactly one band
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
+
   test("bigram LM: one score per multi-token doc, n-1 bigrams, nll positive") {
     val docs = TextAnalysis.bigramLogprob(spark, sf).collect()
     val tokCounts = Tables.documents(spark, sf)
