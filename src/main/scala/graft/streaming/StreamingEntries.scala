@@ -591,7 +591,69 @@ object StreamingEntries extends QueryModule {
 
   private val stBpeTokenizeSql = graft.operators.BpeOps.bpeTokenizeSql
 
+  // ---- streaming ingest INTO the connector (r11) ---------------------------
+  /** The write half of a streaming deployment: the events stream drains
+    * via foreachBatch, each micro-batch ONE append through the DSv2
+    * token-range sink — so a micro-batch is exactly one manifest-atomic
+    * commit (the per-batch BatchStatement guarantee: a reader racing the
+    * stream sees whole batches, never a torn one) and the manifest
+    * history IS the stream's commit log (StreamingEntriesSpec walks it:
+    * one version per batch, counts prefix-summing to the total). The
+    * source is staged as 4 files with maxFilesPerTrigger=1 → 4 real
+    * micro-batches. The entry reads the final table back THROUGH the
+    * connector and aggregates per event type, so the oracle (the same
+    * aggregate over raw events) proves no batch was lost or doubled
+    * across the stream → sink → manifest → scan round trip. Exactly-once
+    * here rests on AvailableNow's bounded replay + idempotent-by-content
+    * appends; a production resume after a mid-stream crash would key the
+    * staged writeId by (checkpoint batchId) so a replayed batch replaces
+    * rather than doubles — the documented lakehouse idempotent-sink
+    * move. */
+  private[graft] def clearConnectorStreamCache(): Unit =
+    graft.PrebuiltDirs.clear("graft_connector_stream")
+
+  private[graft] def connectorStreamDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_stream", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_ev4")
+      srcDir.toFile.deleteOnExit()
+      graft.Tables.events(s, d).select("event_id", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite").parquet(srcDir.toString)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+      ckpt.toFile.deleteOnExit()
+      val sch = s.read.parquet(srcDir.toString).schema
+      val src = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = src.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.format(fmt).option("pk", "event_id")
+            .option("schema", "event_id BIGINT, event_type STRING, value DOUBLE")
+            .mode("append").save(dir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dir
+    }
+
+  def stConnectorAppend(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorStreamDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "event_id").load(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Cols.sumExact(col("value"), 2).as("total_value"))
+  }
+
+  private val stConnectorAppendSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("st_connector_append", stConnectorAppend _, Some(stConnectorAppendSql)),
     ("st_bpe_tokenize", stBpeTokenize _, Some(stBpeTokenizeSql)),
     ("st_markov_transitions", stMarkovTransitions _,
       Some(graft.operators.Events.markovTransitionsSql)),

@@ -171,9 +171,11 @@ class EntrySpec extends SparkSpec {
     // head/middle/tail tiering — 5 mean-relative µ-nat bands, map-only
     // after one scalar aggregate) → 217/217; +smp_dsir_weights (DSIR
     // hashed-feature importance weights, 256-bucket broadcast scoring)
-    // → 218/218.
-    assert(SparkEntry.queries.size == 218, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 218, s"got ${SparkEntry.oracleSql.size}")
+    // → 218/218; +st_connector_append (streaming ingest through the
+    // DSv2 sink — one manifest-atomic commit per micro-batch, read back
+    // through the connector) → 219/219.
+    assert(SparkEntry.queries.size == 219, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 219, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -7,6 +7,37 @@ import org.apache.spark.sql.functions._
   * local mirrors of their DuckDB oracles. */
 class StreamingEntriesSpec extends SparkSpec {
 
+  test("connector append stream: one manifest commit per micro-batch, counts prefix-sum, final table exact") {
+    import graft.sources.connector.TokenRangeSource
+    // fresh run (the prebuilt cache would otherwise serve a prior JVM run)
+    StreamingEntries.clearConnectorStreamCache()
+    val got = StreamingEntries.stConnectorAppend(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("total_value"))).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), graft.Cols.sumExact(col("value"), 2).as("tv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Double]("tv"))).toMap
+    assert(got == want, "the streamed table must equal the batch aggregate")
+
+    // the manifest history is the stream's commit log: empty pin + one
+    // version per micro-batch (4 staged files, maxFilesPerTrigger=1)
+    val dir = StreamingEntries.connectorStreamDir(spark, sf)
+    val vs = TokenRangeSource.versions(dir)
+    assert(vs.size == 5, s"expected empty-pin + 4 batch commits, got $vs")
+    // version-pinned counts prefix-sum: each commit adds exactly one
+    // whole batch (no torn batch is ever a readable state)
+    val counts = vs.map(v => spark.read
+      .format(classOf[TokenRangeSource].getName)
+      .option("pk", "event_id").option("version", v.toString)
+      .load(dir).count())
+    assert(counts.head == 0L)
+    assert(counts == counts.sorted, s"commit log must be monotone: $counts")
+    val total = Tables.events(spark, sf).count()
+    assert(counts.last == total)
+    val batchSizes = counts.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(batchSizes.forall(_ > 0) && batchSizes.sum == total)
+  }
+
   test("streamed bitmap partials carry the exact daily distinct counts") {
     val streamed = StreamingEntries.stBitmapDaily(spark, sf).collect()
       .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
