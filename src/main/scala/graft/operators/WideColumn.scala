@@ -165,6 +165,7 @@ object WideColumn extends QueryModule {
     graft.PrebuiltDirs.clear("graft_connector_snap")
     graft.PrebuiltDirs.clear("graft_connector_del")
     graft.PrebuiltDirs.clear("graft_connector_cmp")
+    graft.PrebuiltDirs.clear("graft_connector_ttl")
   }
 
   private def connectorOrdersDir(s: SparkSession, d: String): String =
@@ -398,6 +399,61 @@ object WideColumn extends QueryModule {
       |  COUNT(*) AS n_rows,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1""".stripMargin
+
+  // ---- TTL expiry at the connector layer (r11) ----------------------------
+  /** CQL TTL made physical at the connector (wc_ttl_expiry proves the
+    * READ-time semantics; this is the tombstone-then-compact half):
+    * events land in two appends split at the TTL horizon (the
+    * time-correlated ingest shape — each load is one time-slab of
+    * files), then `TokenRangeOps.expire` drops rows at-or-before the
+    * horizon choosing the cheapest correct move per file from parquet
+    * footer min/max stats: wholly-expired files RETIRE from the manifest
+    * without being read (Cassandra's drop-the-SSTable fast path),
+    * wholly-live files survive by reference, only straddlers rewrite —
+    * here the tranche split makes expiry a pure METADATA flip, which is
+    * the 100 TB claim (TokenRangeDeleteSpec drives the straddling
+    * rewrite path on a mixed fixture). The entry aggregates the
+    * post-expiry table through the connector; the oracle filters raw
+    * events at the same horizon, so the hash check proves expiry dropped
+    * exactly the expired rows. */
+  private val TtlCutoffMicros =
+    java.time.Instant.parse("2024-01-13T00:00:00Z").getEpochSecond * 1000000L
+
+  private def connectorTtlDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_ttl", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "event_type", "value")
+      val cutoff = ts("2024-01-13")
+      ev.filter(col("ts") <= cutoff)
+        .write.format(fmt).option("pk", "event_id")
+        .option("schema",
+          "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .mode("append").save(dir)
+      ev.filter(col("ts") > cutoff)
+        .write.format(fmt).option("pk", "event_id")
+        .option("schema",
+          "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .mode("append").save(dir)
+      graft.sources.connector.TokenRangeOps.expire(
+        s, dir, "event_id", "ts", TtlCutoffMicros)
+      dir
+    }
+
+  def connectorTtl(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorTtlDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "event_id").load(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_alive"),
+        Cols.sumExact(col("value"), 2).as("sum_value"))
+  }
+
+  private val connectorTtlSql =
+    """SELECT event_type, COUNT(*) AS n_alive,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE ts > TIMESTAMP '2024-01-13'
+      |GROUP BY event_type""".stripMargin
 
   // TTL semantics: rows expire writetime + TTL; read at a fixed "now".
   def ttlExpiry(s: SparkSession, d: String): DataFrame =
@@ -1308,6 +1364,7 @@ object WideColumn extends QueryModule {
     ("wc_connector_snapshot_read", connectorSnapshotRead _, Some(connectorSnapshotReadSql)),
     ("wc_connector_delete", connectorDelete _, Some(connectorDeleteSql)),
     ("wc_connector_compact", connectorCompact _, Some(connectorCompactSql)),
+    ("wc_connector_ttl", connectorTtl _, Some(connectorTtlSql)),
     ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
     ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)))

@@ -95,14 +95,24 @@ final class TokenRangeSource extends TableProvider {
     // bootstrap path for FIRST writes: a fresh keyspace table has no
     // footer to infer from, so (Cassandra's create-then-insert parity)
     // the caller declares the schema as DDL — reads of a populated table
-    // never need it
-    if (TokenRangeSource.visibleFiles(path).isEmpty) {
-      val ddl = options.get("schema")
-      require(ddl != null,
-        s"token-range table at $path is empty: pass .option(\"schema\", <ddl>) " +
-          "to create it (the CREATE TABLE analog), or write via an existing table")
-      StructType.fromDDL(ddl)
-    } else TokenRangeSource.inferFromFooter(path)
+    // never need it. A table whose CURRENT version is empty (every row
+    // deleted/expired) still knows its schema: old files outlive the
+    // flip until vacuum, so walk the history for the newest version with
+    // a footer to read (a truncated table is not a dropped table).
+    val current = TokenRangeSource.visibleFiles(path)
+    val anyFile = if (current.nonEmpty) current.headOption
+      else TokenRangeSource.versions(path).reverse.iterator
+        .map(v => TokenRangeSource.visibleFiles(path, Some(v)))
+        .collectFirst { case fs if fs.nonEmpty => fs.head }
+    anyFile match {
+      case Some((_, f)) => TokenRangeSource.inferFromFile(f)
+      case None =>
+        val ddl = options.get("schema")
+        require(ddl != null,
+          s"token-range table at $path is empty: pass .option(\"schema\", <ddl>) " +
+            "to create it (the CREATE TABLE analog), or write via an existing table")
+        StructType.fromDDL(ddl)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -303,10 +313,12 @@ object TokenRangeSource {
     f.delete()
   }
 
-  private[connector] def inferFromFooter(path: String): StructType = {
-    val first = visibleFiles(path).head._2
+  private[connector] def inferFromFooter(path: String): StructType =
+    inferFromFile(visibleFiles(path).head._2)
+
+  private[connector] def inferFromFile(file: String): StructType = {
     val rd = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(first), new Configuration()))
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), new Configuration()))
     try toSpark(rd.getFileMetaData.getSchema) finally rd.close()
   }
 
@@ -1031,6 +1043,78 @@ object TokenRangeOps {
     t.repartition(TokenLayout.Buckets, TokenLayout.bucketOfColumn(col(pk), dt))
       .write.format(fmt).option("pk", pk)
       .mode("overwrite").save(path)
+  }
+
+  /** TTL expiry (CQL's `USING TTL` read-time semantics made physical —
+    * the tombstone-then-compact path): drop every row whose `tsCol` is at
+    * or before `cutoffMicros`, choosing the CHEAPEST correct move per
+    * file from its parquet footer min/max stats:
+    *   - max(ts) <= cutoff  → the file is wholly expired: RETIRE it from
+    *     the manifest outright (no read, no rewrite — Cassandra's
+    *     "drop the whole SSTable" fast path);
+    *   - min(ts) >  cutoff  → wholly live: survives BY REFERENCE;
+    *   - straddling (or stats missing) → copy-on-write rewrite of the
+    *     survivors, conservative-correct.
+    * All three land in ONE atomic manifest flip. At 100 TB with
+    * time-correlated ingest (each load lands one time-slab of files),
+    * almost every file is wholly-expired or wholly-live and expiry is a
+    * metadata operation — the entry + spec assert exactly that. */
+  def expire(spark: SparkSession, path: String, pk: String, tsCol: String,
+      cutoffMicros: Long): Unit = {
+    TokenRangeSource.withCommitLock(path) {
+      if (TokenRangeSource.currentVersion(path).isEmpty)
+        TokenRangeSource.publishManifest(path, Nil, truncate = false)
+    }
+    val pinned = TokenRangeSource.currentVersion(path)
+    val files = TokenRangeSource.visibleRelFiles(path, pinned).map(_._2)
+    def minMax(rel: String): Option[(Long, Long)] = {
+      val abs = new java.io.File(path, rel).getAbsolutePath
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), new Configuration()))
+      try {
+        val stats = rd.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString.equalsIgnoreCase(tsCol))
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue, mx.longValue))
+                case _ => None
+              }
+            }
+        }
+        if (stats.size == rd.getFooter.getBlocks.size())
+          Some((stats.map(_._1).min, stats.map(_._2).max))
+        else None // some row group lacks stats: straddle conservatively
+      } finally rd.close()
+    }
+    val classed = files.map(rel => rel -> minMax(rel))
+    val retired = classed.collect {
+      case (rel, Some((_, mx))) if mx <= cutoffMicros => rel }
+    val straddling = classed.collect {
+      case (rel, None) => rel
+      case (rel, Some((mn, mx))) if mn <= cutoffMicros && mx > cutoffMicros => rel }
+    if (retired.isEmpty && straddling.isEmpty) return // nothing expired
+    if (straddling.isEmpty) {
+      // metadata-only expiry: every affected file dies wholesale
+      TokenRangeSource.withCommitLock(path) {
+        TokenRangeSource.publishManifest(path, Nil, truncate = false,
+          removeRel = retired.toSet)
+      }
+    } else {
+      // survivors of the straddling files only; wholly-expired files ride
+      // the same flip via replaceFiles without ever being read
+      val survivors = spark.read.parquet(
+          straddling.map(rel => new java.io.File(path, rel).getAbsolutePath): _*)
+        .filter(col(tsCol) > org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.lit(cutoffMicros)))
+      survivors.write.format(fmt)
+        .option("pk", pk)
+        .option("replaceFiles", (retired ++ straddling).mkString("\n"))
+        .mode("append").save(path)
+    }
   }
 
   /** Maintenance sweep: delete data files referenced by NO manifest at

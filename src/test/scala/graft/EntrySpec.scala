@@ -173,9 +173,11 @@ class EntrySpec extends SparkSpec {
     // hashed-feature importance weights, 256-bucket broadcast scoring)
     // → 218/218; +st_connector_append (streaming ingest through the
     // DSv2 sink — one manifest-atomic commit per micro-batch, read back
-    // through the connector) → 219/219.
-    assert(SparkEntry.queries.size == 219, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 219, s"got ${SparkEntry.oracleSql.size}")
+    // through the connector) → 219/219; +wc_connector_ttl (TTL expiry
+    // as stats-driven copy-on-write: wholly-expired files retire from
+    // the manifest unread, wholly-live survive by reference) → 220/220.
+    assert(SparkEntry.queries.size == 220, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 220, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -115,6 +115,64 @@ class TokenRangeDeleteSpec extends SparkSpec {
       "an emptied bucket must publish no file at all")
   }
 
+  test("expire: wholly-expired files retire unread, wholly-live survive by reference, straddlers rewrite — one flip") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    val tddl = "pk BIGINT, ts TIMESTAMP, v STRING"
+    def tranche(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("pk", "us", "v")
+        .select(col("pk"), org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"), col("v"))
+        .coalesce(1) // one task -> one file per touched bucket, so each
+                     // tranche's time-class is a whole-FILE property
+        .write.format(fmt).option("pk", "pk").option("schema", tddl)
+        .mode("append").save(dir)
+    // A: wholly expired; B: wholly live; C: a guaranteed STRADDLER —
+    // 8 keys all owning the same token bucket, ts alternating across the
+    // cutoff (5000), single task -> exactly one mixed file
+    val cKeys = (200L until 5000L).filter(TokenLayout.bucketOfValue(_) == 3).take(8).toSeq
+    assert(cKeys.size == 8)
+    tranche((0L until 40L).map(i => (i, 1000L + i, s"old$i")))
+    tranche((100L until 140L).map(i => (i, 9000L + i, s"new$i")))
+    tranche(cKeys.zipWithIndex.map { case (k, i) =>
+      (k, if (i % 2 == 0) 2000L else 8000L, s"mix$k") })
+    val before = TokenRangeSource.visibleRelFiles(dir).map(_._2).toSet
+    val vBefore = TokenRangeSource.currentVersion(dir).get
+    // identify each tranche's files by content
+    def filesOf(pred: Long => Boolean): Set[String] =
+      before.filter { rel =>
+        spark.read.parquet(new java.io.File(dir, rel).getAbsolutePath)
+          .select("pk").collect().map(_.getLong(0)).forall(pred)
+      }
+    val aFiles = filesOf(_ < 100L); val bFiles = filesOf(k => k >= 100L && k < 200L)
+    val cFiles = filesOf(_ >= 200L)
+    assert(aFiles.nonEmpty && bFiles.nonEmpty && cFiles.size == 1)
+
+    TokenRangeOps.expire(spark, dir, "pk", "ts", 5000L)
+
+    val after = TokenRangeSource.visibleRelFiles(dir).map(_._2).toSet
+    assert((after & aFiles).isEmpty, "wholly-expired files must retire")
+    assert(bFiles.subsetOf(after), "wholly-live files must survive by reference")
+    assert((after & cFiles).isEmpty, "straddling files must be rewritten")
+    assert(TokenRangeSource.currentVersion(dir).get == vBefore + 1,
+      "expiry must be ONE atomic flip")
+    val rows = spark.read.format(fmt).option("pk", "pk").load(dir)
+      .select("pk").collect().map(_.getLong(0)).toSet
+    val want = (100L until 140L).toSet ++
+      cKeys.zipWithIndex.collect { case (k, i) if i % 2 == 1 => k }
+    assert(rows == want, "exactly the post-horizon rows must survive")
+
+    // metadata-only path: a second horizon past B/C retires everything
+    // without a rewrite job (no new data files in the flip)
+    TokenRangeOps.expire(spark, dir, "pk", "ts", 100000L)
+    assert(spark.read.format(fmt).option("pk", "pk").load(dir).count() == 0)
+    assert(TokenRangeSource.visibleRelFiles(dir).isEmpty)
+
+    // no-op horizon: nothing at or below it → no version bump
+    val vNow = TokenRangeSource.currentVersion(dir).get
+    TokenRangeOps.expire(spark, dir, "pk", "ts", 1L)
+    assert(TokenRangeSource.currentVersion(dir).get == vNow)
+  }
+
   test("compact: one file per non-empty bucket, zero row changes, old version readable until vacuum") {
     val dir = freshDir()
     val all = (0L until 300L)
