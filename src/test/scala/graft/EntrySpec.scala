@@ -175,9 +175,12 @@ class EntrySpec extends SparkSpec {
     // DSv2 sink — one manifest-atomic commit per micro-batch, read back
     // through the connector) → 219/219; +wc_connector_ttl (TTL expiry
     // as stats-driven copy-on-write: wholly-expired files retire from
-    // the manifest unread, wholly-live survive by reference) → 220/220.
-    assert(SparkEntry.queries.size == 220, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 220, s"got ${SparkEntry.oracleSql.size}")
+    // the manifest unread, wholly-live survive by reference) → 220/220;
+    // +ev_holt_trend (Brown double exponential smoothing — level+trend
+    // forecast from two truncated-kernel passes, the second pass
+    // day-grain) → 221/221.
+    assert(SparkEntry.queries.size == 221, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 221, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

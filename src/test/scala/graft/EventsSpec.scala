@@ -34,6 +34,41 @@ class EventsSpec extends SparkSpec {
     want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k") }
   }
 
+  test("Holt trend matches a local double-smoothing model; trend tracks growth direction") {
+    val w = Seq(1000000L, 700000L, 490000L, 343000L, 240100L, 168070L, 117649L, 82354L)
+    val daily = dailyCounts
+    def smooth(series: Map[(String, java.time.LocalDate), Long], scale: Double)
+        : Map[(String, java.time.LocalDate), Long] =
+      series.map { case ((typ, day), _) =>
+        val terms = (0 until 8).flatMap { j =>
+          series.get((typ, day.minusDays(j.toLong))).map(x => (x * w(j), w(j)))
+        }
+        val (swv, sw) = (terms.map(_._1).sum, terms.map(_._2).sum)
+        (typ, day) -> math.floor(swv.toDouble / sw * scale + 0.5).toLong
+      }
+    val s1 = smooth(daily, 1e6)
+    val s2 = smooth(s1, 1.0) // s1 already carries the 1e6 fixed point
+    val want = daily.map { case (k, n) =>
+      val (f1, f2) = (s1(k), s2(k))
+      val tFp = math.floor((f1 - f2).toDouble * 7.0 / 3.0 + 0.5).toLong
+      k -> ((n, (2 * f1 - f2).toDouble / 1e6, tFp.toDouble / 1e6,
+        (2 * f1 - f2 + tFp).toDouble / 1e6))
+    }
+    val got = Events.holtTrend(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toLocalDate)
+        -> ((r.getAs[Long]("n_events"), r.getAs[Double]("level"),
+             r.getAs[Double]("trend"), r.getAs[Double]("forecast_next")))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"mismatch at $k") }
+    // directional sanity on a synthetic ramp: a strictly increasing series
+    // must carry positive trend once the kernel warms up
+    val ramp = (0 until 16).map(i =>
+      ("ramp", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)) -> (100L + 50L * i)).toMap
+    val r1 = smooth(ramp, 1e6); val r2 = smooth(r1, 1.0)
+    val lastDay = ("ramp", java.time.LocalDate.of(2024, 1, 1).plusDays(15L))
+    assert(r1(lastDay) > r2(lastDay), "on a ramp S1 leads S2, giving positive trend")
+  }
+
   test("CUSUM peak matches a local integer-scan model per type") {
     val daily = dailyCounts
     val want = daily.keys.map(_._1).toSet.map { (typ: String) =>
