@@ -1059,77 +1059,93 @@ object Events extends QueryModule {
     * exact; one double division at the end, fixed-pointed. */
   private val EwmaWeights = Seq(1000000L, 700000L, 490000L, 343000L,
     240100L, 168070L, 117649L, 82354L) // floor(0.7^j·1e6+0.5), j=0..7
+
+  /** The ONE truncated-kernel scatter (shared by ev_ewma_smoothing and
+    * ev_holt_trend — r11 review hoisted the second copy): each (type,
+    * day, value) row scatters its weighted value onto its ≤ 8 forward
+    * days via one explode (linear), contributions regroup on (type,
+    * day). Weights are the µ-quantized 0.7ʲ INTEGER literals (identical
+    * constants both engines — pow() last-ulp drift can't flip an
+    * oracle); the caller normalizes swv by sw, i.e. by the weights of
+    * PRESENT days only, so calendar gaps degrade gracefully instead of
+    * shifting the kernel. Integer sums ⇒ exact. */
+  private def kernelSmooth(src: DataFrame, valCol: Column): DataFrame = {
+    val wArr = array(EwmaWeights.map(lit): _*)
+    src.withColumn("j", explode(sequence(lit(0), lit(EwmaWeights.size - 1))))
+      .select(col("event_type"), date_add(col("day"), col("j")).as("day"),
+        (valCol * element_at(wArr, col("j") + 1)).as("wv"),
+        element_at(wArr, col("j") + 1).as("w"))
+      .groupBy("event_type", "day")
+      .agg(sum("wv").as("swv"), sum("w").as("sw"))
+  }
+
+  /** SQL twins of the shared kernel: the daily-counts + weight-table CTE
+    * prefix, and one scatter+regroup CTE pair per smoothing pass. */
+  private val dailyWtsCtes = {
+    val vals = EwmaWeights.zipWithIndex
+      .map { case (w, j) => s"($j, $w)" }.mkString(", ")
+    s"""daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+       |               FROM events GROUP BY 1, 2),
+       | wts AS (SELECT j, w FROM (VALUES $vals) v(j, w))""".stripMargin
+  }
+  private def kernelSmoothSql(src: String, valExpr: String,
+      contrib: String, agg: String): String =
+    s"""$contrib AS (SELECT event_type, day + j AS day, $valExpr * w AS wv, w
+       |        FROM $src CROSS JOIN wts),
+       | $agg AS (SELECT event_type, day, SUM(wv) AS swv, SUM(w) AS sw
+       |        FROM $contrib GROUP BY 1, 2)""".stripMargin
+
+  /** Truncated-kernel EWMA of the per-type daily series — the smoothing
+    * pass feeding dashboards/alerting (the full recursive EWMA is
+    * order-SEQUENTIAL and unshardable; the standard distributed form
+    * truncates the kernel, here at 8 days where 0.7⁸ < 0.06 of the
+    * mass). One [[kernelSmooth]] pass; one double division at the end,
+    * fixed-pointed. */
   def ewmaSmoothing(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val wArr = array(EwmaWeights.map(lit): _*)
-    val contrib = daily
-      .withColumn("j", explode(sequence(lit(0), lit(EwmaWeights.size - 1))))
-      .select(col("event_type"), date_add(col("day"), col("j")).as("day"),
-        (col("n") * element_at(wArr, col("j") + 1)).as("wn"),
-        element_at(wArr, col("j") + 1).as("w"))
-    val agg = contrib.groupBy("event_type", "day")
-      .agg(sum("wn").as("swn"), sum("w").as("sw"))
-    daily.join(agg, Seq("event_type", "day"))
+    daily.join(kernelSmooth(daily, col("n")), Seq("event_type", "day"))
       .select(col("event_type"), col("day"), col("n").cast("long").as("n_events"),
-        (floor(col("swn").cast("double") / col("sw") * 1e6 + 0.5) / 1e6).as("ewma"))
+        (floor(col("swv").cast("double") / col("sw") * 1e6 + 0.5) / 1e6).as("ewma"))
   }
 
-  private val ewmaSmoothingSql = {
-    val vals = EwmaWeights.zipWithIndex
-      .map { case (w, j) => s"($j, $w)" }.mkString(", ")
-    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
-       |               FROM events GROUP BY 1, 2),
-       | wts AS (SELECT j, w FROM (VALUES $vals) v(j, w)),
-       | contrib AS (SELECT event_type, day + j AS day, n * w AS wn, w
-       |             FROM daily CROSS JOIN wts),
-       | agg AS (SELECT event_type, day, SUM(wn) AS swn, SUM(w) AS sw
-       |         FROM contrib GROUP BY 1, 2)
+  private val ewmaSmoothingSql =
+    s"""WITH $dailyWtsCtes,
+       | ${kernelSmoothSql("daily", "n", "c1", "a1")}
        |SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
-       | floor(CAST(a.swn AS DOUBLE) / a.sw * 1e6 + 0.5) / 1e6 AS ewma
-       |FROM daily d JOIN agg a USING (event_type, day)""".stripMargin
-  }
+       | floor(CAST(a.swv AS DOUBLE) / a.sw * 1e6 + 0.5) / 1e6 AS ewma
+       |FROM daily d JOIN a1 a USING (event_type, day)""".stripMargin
 
   /** Brown's double exponential smoothing (the Holt-style level+trend
     * forecaster; Brown 1956) on the per-type daily series — the
     * TREND-aware gauge the flat EWMA can't give (a steadily growing
-    * series always lags a single smoothing). Both smoothing passes reuse
-    * the truncated-kernel scatter device (ev_ewma_smoothing: µ-quantized
-    * 0.7ʲ integer weights, each day scatters ≤ 8 days forward, regroup,
-    * normalize by PRESENT days' weights): S₁ smooths the daily counts,
-    * S₂ smooths S₁ — the second pass runs on the DAY-GRAIN frame, so its
-    * cost is calendar-bounded, volume-independent. Level = 2S₁ − S₂,
-    * trend = (α/(1−α))(S₁ − S₂) with α/(1−α) = 7/3 exact, forecast =
+    * series always lags a single smoothing). Two [[kernelSmooth]]
+    * passes: S₁ smooths the daily counts, S₂ smooths S₁ — the second
+    * pass runs on the DAY-GRAIN frame, so its cost is calendar-bounded,
+    * volume-independent. Level = 2S₁ − S₂, trend = (α/(1−α))(S₁ − S₂);
+    * the kernel's decay is (1−α) = 0.7, so α = 0.3 and the coefficient
+    * is 3/7 exact (the r11 review caught the inverted 7/3). Forecast =
     * level + trend. S₁ is floored to 1e6 fixed point between the passes
     * so every downstream sum is integer-exact; the one trend division
     * happens in double on an exact integer difference (identical IEEE
     * ops both engines) and floors back to fixed point — negative
-    * differences floor identically (floor, not truncate, both engines). */
+    * differences floor identically (floor, not truncate, both
+    * engines). */
   def holtTrend(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val wArr = array(EwmaWeights.map(lit): _*)
-    def smooth(src: DataFrame, valCol: Column): DataFrame = {
-      val contrib = src
-        .withColumn("j", explode(sequence(lit(0), lit(EwmaWeights.size - 1))))
-        .select(col("event_type"), date_add(col("day"), col("j")).as("day"),
-          (valCol * element_at(wArr, col("j") + 1)).as("wv"),
-          element_at(wArr, col("j") + 1).as("w"))
-      contrib.groupBy("event_type", "day")
-        .agg(sum("wv").as("swv"), sum("w").as("sw"))
-    }
-    val s1 = daily.join(smooth(daily, col("n")), Seq("event_type", "day"))
+    val s1 = daily.join(kernelSmooth(daily, col("n")), Seq("event_type", "day"))
       .select(col("event_type"), col("day"), col("n"),
         floor(col("swv").cast("double") / col("sw") * 1e6 + 0.5)
           .cast("long").as("s1_fp"))
-    val s2 = s1.join(smooth(s1, col("s1_fp")), Seq("event_type", "day"))
+    val s2 = s1.join(kernelSmooth(s1, col("s1_fp")), Seq("event_type", "day"))
       .select(col("event_type"), col("day"), col("n"), col("s1_fp"),
         floor(col("swv").cast("double") / col("sw") + 0.5)
           .cast("long").as("s2_fp"))
     s2.withColumn("t_fp",
-        floor((col("s1_fp") - col("s2_fp")).cast("double") * 7.0 / 3.0 + 0.5)
+        floor((col("s1_fp") - col("s2_fp")).cast("double") * 3.0 / 7.0 + 0.5)
           .cast("long"))
       .select(col("event_type"), col("day"), col("n").cast("long").as("n_events"),
         ((lit(2L) * col("s1_fp") - col("s2_fp")).cast("double") / 1e6).as("level"),
@@ -1138,35 +1154,24 @@ object Events extends QueryModule {
           .as("forecast_next"))
   }
 
-  private val holtTrendSql = {
-    val vals = EwmaWeights.zipWithIndex
-      .map { case (w, j) => s"($j, $w)" }.mkString(", ")
-    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
-       |               FROM events GROUP BY 1, 2),
-       | wts AS (SELECT j, w FROM (VALUES $vals) v(j, w)),
-       | c1 AS (SELECT event_type, day + j AS day, n * w AS wv, w
-       |        FROM daily CROSS JOIN wts),
-       | a1 AS (SELECT event_type, day, SUM(wv) AS swv, SUM(w) AS sw
-       |        FROM c1 GROUP BY 1, 2),
+  private val holtTrendSql =
+    s"""WITH $dailyWtsCtes,
+       | ${kernelSmoothSql("daily", "n", "c1", "a1")},
        | s1 AS (SELECT d.event_type, d.day, d.n,
        |    CAST(floor(CAST(a.swv AS DOUBLE) / a.sw * 1e6 + 0.5) AS BIGINT) AS s1_fp
        |  FROM daily d JOIN a1 a USING (event_type, day)),
-       | c2 AS (SELECT event_type, day + j AS day, s1_fp * w AS wv, w
-       |        FROM s1 CROSS JOIN wts),
-       | a2 AS (SELECT event_type, day, SUM(wv) AS swv, SUM(w) AS sw
-       |        FROM c2 GROUP BY 1, 2),
+       | ${kernelSmoothSql("s1", "s1_fp", "c2", "a2")},
        | s2 AS (SELECT s1.event_type, s1.day, s1.n, s1.s1_fp,
        |    CAST(floor(CAST(a.swv AS DOUBLE) / a.sw + 0.5) AS BIGINT) AS s2_fp
        |  FROM s1 JOIN a2 a USING (event_type, day)),
        | t AS (SELECT *,
-       |    CAST(floor(CAST(s1_fp - s2_fp AS DOUBLE) * 7.0 / 3.0 + 0.5) AS BIGINT) AS t_fp
+       |    CAST(floor(CAST(s1_fp - s2_fp AS DOUBLE) * 3.0 / 7.0 + 0.5) AS BIGINT) AS t_fp
        |  FROM s2)
        |SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
        | CAST(2 * s1_fp - s2_fp AS DOUBLE) / 1e6 AS level,
        | CAST(t_fp AS DOUBLE) / 1e6 AS trend,
        | CAST(2 * s1_fp - s2_fp + t_fp AS DOUBLE) / 1e6 AS forecast_next
        |FROM t""".stripMargin
-  }
 
   /** CUSUM changepoint scan per event type (Page 1954): the cumulative
     * deviation from the series mean S_t = Σ_{i≤t}(x_i − x̄) peaks AT the

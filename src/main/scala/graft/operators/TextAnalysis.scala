@@ -473,86 +473,86 @@ object TextAnalysis extends QueryModule {
       |FROM tok JOIN freq USING (t)
       |GROUP BY doc_id""".stripMargin
 
-  /** Per-doc negative log-likelihood under the corpus unigram LM — the
-    * CCNet-style perplexity filter ("does this doc look like the corpus"),
-    * the standard soft quality signal next to the hard Gopher gates.
-    * nll/token = ln(N_total) − avg ln(cf_t). Float sums are
-    * order-dependent, so ln values are rounded to FIXED-POINT micro-nats
-    * BEFORE summation (the emb_centroid_per_label device): the per-doc sum
-    * is exact integer arithmetic — order-independent, bit-identical in any
-    * engine — and only the final per-token division returns to float.
-    * Plan: token explode → corpus frequencies on one term shuffle; the
-    * total-token count is Σcf over the vocab-sized aggregate, broadcast as
-    * the 1-row scalar. */
-  def unigramLogprob(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val freq = toks.groupBy("t").agg(count(lit(1)).as("cf"))
-    // N_total = Σ cf — derived from the vocab-sized aggregate, NOT a third
-    // scan+explode of the corpus (Spark plans repeated subtrees separately)
-    val total = freq.agg(sum("cf").as("n_total"))
-    // floor(x+0.5), not round(): Spark rounds HALF_UP, DuckDB HALF_EVEN —
-    // a tie at the fixed-point boundary of an ln-derived double would flip
-    // the oracle red (the quantizeInt8 device, applied per ADVICE r4).
-    // ln(cf) >= 0 (cf >= 1), so floor(x+0.5) == HALF_UP here.
-    val lnFp: Column => Column =
-      c => floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
-    // salted token join — same Zipf-head reasoning as unigramStats
-    graft.functions.Skew.saltedJoin(toks, freq, "t", 8, col("doc_id"))
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id", "n_total")
-      .agg(count(lit(1)).as("n_tokens"), sum(lnFp(col("cf"))).as("sum_lncf_fp"))
-      .select(col("doc_id"), col("n_tokens"),
-        (floor((lnFp(col("n_total")) * col("n_tokens") - col("sum_lncf_fp"))
-          .cast("double") / col("n_tokens") + 0.5) / lit(1e6)).as("nll_per_token"))
-  }
-
-  private val unigramLogprobSql =
-    """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-      |            FROM documents),
-      | freq AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
-      | n AS (SELECT COUNT(*) AS n_total FROM tok)
-      |SELECT doc_id, COUNT(*) AS n_tokens,
-      | floor(CAST(CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) * COUNT(*)
-      |         - SUM(CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-      |       / COUNT(*) + 0.5) / 1e6 AS nll_per_token
-      |FROM tok JOIN freq USING (t) CROSS JOIN n
-      |GROUP BY doc_id, n_total""".stripMargin
-
-  /** CCNet's perplexity TIERING on top of the unigram-LM surprisal
-    * (Wenzek et al. 2020 split the corpus into head/middle/tail by LM
-    * perplexity; training pipelines route the tiers differently): each
-    * doc's nll/token (the txt_unigram_logprob device, kept in µ-nat
-    * LONGs) is banded into 5 tiers of 0.02 nats around the CORPUS MEAN
-    * (unigram surprisal varies far less per doc than full-LM perplexity
-    * — the corpus-level σ is ~0.03 nats — so the bands are sized to the
-    * signal),
-    * and the entry reports each band's population, mean length, and mean
-    * surprisal. Banding by mean-relative thresholds rather than ntile is
-    * the 100 TB-honest choice: quantile assignment needs a corpus-wide
-    * rank (a global sort), while the mean is one scalar aggregate and
-    * the banding is then map-only — the same reason the histogram entry
-    * uses fixed decades. All threshold arithmetic is exact integer
-    * µ-nats (shift → clamp → integer-divide, positive operands so
-    * truncation == floor in both engines); only the per-band means
-    * return to float. */
-  def perplexityBucket(s: SparkSession, d: String): DataFrame = {
+  /** Shared per-doc unigram-surprisal substrate — the ONE definition of
+    * "nll/token under the corpus unigram LM" that txt_unigram_logprob
+    * (the raw filter signal) and txt_perplexity_bucket (the tiering on
+    * top) both read, so the fixed-point device cannot drift between
+    * them (r11 review). nll/token = ln(N_total) − avg ln(cf_t). Float
+    * sums are order-dependent, so ln values are rounded to FIXED-POINT
+    * micro-nats BEFORE summation (the emb_centroid_per_label device):
+    * the per-doc sum is exact integer arithmetic — order-independent,
+    * bit-identical in any engine — and the per-token division floors
+    * back to a µ-nat LONG. floor(x+0.5), not round(): Spark rounds
+    * HALF_UP, DuckDB HALF_EVEN — a tie at the fixed-point boundary of
+    * an ln-derived double would flip the oracle red (the quantizeInt8
+    * device, applied per ADVICE r4); ln(cf) >= 0 so floor(x+0.5) ==
+    * HALF_UP here. Plan: token explode → corpus frequencies on one term
+    * shuffle (SALTED — Zipf heads, as unigramStats); N_total = Σcf over
+    * the vocab-sized aggregate (not a second corpus scan), broadcast as
+    * the 1-row scalar. Returns (doc_id, n_chars, n_tokens, nll_fp). */
+  private def perDocNll(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), explode(tokens(col("text"))).as("t"))
     val freq = toks.groupBy("t").agg(count(lit(1)).as("cf"))
     val total = freq.agg(sum("cf").as("n_total"))
     val lnFp: Column => Column =
       c => floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
-    // one expensive token join (salted — Zipf heads, as unigramLogprob),
-    // materialized because BOTH the mean aggregate and the banding read it
-    val perDoc = graft.Checkpoints.materialize(
-      graft.functions.Skew.saltedJoin(toks, freq, "t", 8, col("doc_id"))
-        .crossJoin(broadcast(total))
-        .groupBy("doc_id", "n_chars", "n_total")
-        .agg(count(lit(1)).as("n_tokens"), sum(lnFp(col("cf"))).as("sum_lncf_fp"))
-        .select(col("doc_id"), col("n_chars"),
-          floor((lnFp(col("n_total")) * col("n_tokens") - col("sum_lncf_fp"))
-            .cast("double") / col("n_tokens") + 0.5).cast("long").as("nll_fp")))
+    graft.functions.Skew.saltedJoin(toks, freq, "t", 8, col("doc_id"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "n_chars", "n_total")
+      .agg(count(lit(1)).as("n_tokens"), sum(lnFp(col("cf"))).as("sum_lncf_fp"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        floor((lnFp(col("n_total")) * col("n_tokens") - col("sum_lncf_fp"))
+          .cast("double") / col("n_tokens") + 0.5).cast("long").as("nll_fp"))
+  }
+
+  /** The SQL twin of [[perDocNll]]: the WITH-clause prefix both oracles
+    * open with — one definition, two consumers, zero drift. */
+  private val perDocNllCtes =
+    """tok AS (SELECT doc_id, n_chars,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+      | freq AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
+      | n AS (SELECT COUNT(*) AS n_total FROM tok),
+      | perdoc AS (SELECT doc_id, n_chars, COUNT(*) AS n_tokens,
+      |    CAST(floor(CAST(CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) * COUNT(*)
+      |        - SUM(CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / COUNT(*) + 0.5) AS BIGINT) AS nll_fp
+      |  FROM tok JOIN freq USING (t) CROSS JOIN n
+      |  GROUP BY doc_id, n_chars, n_total)""".stripMargin
+
+  /** Per-doc negative log-likelihood under the corpus unigram LM — the
+    * CCNet-style perplexity filter ("does this doc look like the
+    * corpus"), the standard soft quality signal next to the hard Gopher
+    * gates. The raw per-doc read of [[perDocNll]]. */
+  def unigramLogprob(s: SparkSession, d: String): DataFrame =
+    perDocNll(s, d).select(col("doc_id"), col("n_tokens"),
+      (col("nll_fp").cast("double") / 1e6).as("nll_per_token"))
+
+  private val unigramLogprobSql =
+    s"""WITH $perDocNllCtes
+       |SELECT doc_id, n_tokens, CAST(nll_fp AS DOUBLE) / 1e6 AS nll_per_token
+       |FROM perdoc""".stripMargin
+
+  /** CCNet's perplexity TIERING on top of the unigram-LM surprisal
+    * (Wenzek et al. 2020 split the corpus into head/middle/tail by LM
+    * perplexity; training pipelines route the tiers differently): each
+    * doc's nll/token ([[perDocNll]], µ-nat LONGs) is banded into 5
+    * tiers of 0.02 nats around the CORPUS MEAN (unigram surprisal
+    * varies far less per doc than full-LM perplexity — the corpus-level
+    * σ is ~0.03 nats — so the bands are sized to the signal), and the
+    * entry reports each band's population, mean length, and mean
+    * surprisal. Banding by mean-relative thresholds rather than ntile
+    * is the 100 TB-honest choice: quantile assignment needs a
+    * corpus-wide rank (a global sort), while the mean is one scalar
+    * aggregate and the banding is then map-only — the same reason the
+    * histogram entry uses fixed decades. All threshold arithmetic is
+    * exact integer µ-nats (shift → clamp → integer-divide, positive
+    * operands so truncation == floor in both engines); only the
+    * per-band means return to float. */
+  def perplexityBucket(s: SparkSession, d: String): DataFrame = {
+    // materialized: BOTH the mean aggregate and the banding read the one
+    // expensive token-join frame
+    val perDoc = graft.Checkpoints.materialize(perDocNll(s, d))
     // corpus mean in integer µ-nats: DIV (truncating; operands positive),
     // nullif-guarded for the empty corpus
     val m = perDoc.agg(sum("nll_fp").as("s"), count(lit(1)).as("nd"))
@@ -569,24 +569,15 @@ object TextAnalysis extends QueryModule {
   }
 
   private val perplexityBucketSql =
-    """WITH tok AS (SELECT doc_id, n_chars,
-      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
-      | freq AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
-      | n AS (SELECT COUNT(*) AS n_total FROM tok),
-      | perdoc AS (SELECT doc_id, n_chars,
-      |    CAST(floor(CAST(CAST(floor(ln(CAST(n_total AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) * COUNT(*)
-      |        - SUM(CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-      |      / COUNT(*) + 0.5) AS BIGINT) AS nll_fp
-      |  FROM tok JOIN freq USING (t) CROSS JOIN n
-      |  GROUP BY doc_id, n_chars, n_total),
-      | m AS (SELECT CAST(SUM(nll_fp) AS BIGINT) // NULLIF(COUNT(*), 0) AS mean_fp
-      |       FROM perdoc)
-      |SELECT CAST(least(99999, greatest(0, nll_fp - mean_fp + 50000)) // 20000 AS INT) AS band,
-      | COUNT(*) AS n_docs,
-      | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-      | floor(CAST(SUM(nll_fp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_nll
-      |FROM perdoc CROSS JOIN m
-      |GROUP BY 1""".stripMargin
+    s"""WITH $perDocNllCtes,
+       | m AS (SELECT CAST(SUM(nll_fp) AS BIGINT) // NULLIF(COUNT(*), 0) AS mean_fp
+       |       FROM perdoc)
+       |SELECT CAST(least(99999, greatest(0, nll_fp - mean_fp + 50000)) // 20000 AS INT) AS band,
+       | COUNT(*) AS n_docs,
+       | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       | floor(CAST(SUM(nll_fp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS avg_nll
+       |FROM perdoc CROSS JOIN m
+       |GROUP BY 1""".stripMargin
 
   /** Per-doc top-5 TF-IDF terms — the classic keyword/relevance extraction
     * pass. Plan: one explode → (doc, term) counts, a term-keyed document-

@@ -480,9 +480,14 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   // the copy-on-write rewrite in [[TokenRangeOps.deleteKeys]]: only the
   // keys' OWNING BUCKETS' files are rewritten, every other bucket's files
   // survive by reference, and the swap is one atomic manifest flip.
+  // the DSv2 contract is CONJUNCTIVE: a row is deleted iff EVERY filter
+  // matches, so multiple pk predicates INTERSECT their key sets (r11
+  // review: the first cut unioned them — unrequested data loss). An
+  // empty filter array would mean unconditional DELETE (truncate) —
+  // refuse it here so Spark plans the truncate path explicitly instead.
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     val pk = Option(options.get("pk")).getOrElse("")
-    filters.forall {
+    filters.nonEmpty && filters.forall {
       case EqualTo(a, _) => a.equalsIgnoreCase(pk)
       case In(a, vs) => a.equalsIgnoreCase(pk) && vs.nonEmpty
       case _ => false
@@ -492,16 +497,18 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters),
       "token-range DELETE supports partition-key predicates only (CQL parity)")
-    val keys = filters.flatMap {
-      case EqualTo(_, v) => Seq(v)
-      case In(_, vs) => vs.toSeq
-      case _ => Nil
-    }.toSeq
+    val keySets: Seq[Set[Any]] = filters.toSeq.map {
+      case EqualTo(_, v) => Set[Any](v)
+      case In(_, vs) => vs.toSet[Any]
+      case f => throw new IllegalArgumentException(s"unsupported DELETE filter $f")
+    }
+    val keys = keySets.reduce(_ intersect _)
+    if (keys.isEmpty) return // conjunction matches no key: delete nothing
     TokenRangeOps.deleteKeys(org.apache.spark.sql.SparkSession.active,
       TokenRangeSource.pathOf(options),
       Option(options.get("pk")).getOrElse(
         throw new IllegalArgumentException("token-range DELETE requires the pk option")),
-      keys)
+      keys.toSeq)
   }
 }
 
@@ -1026,23 +1033,33 @@ object TokenRangeOps {
       .mode("append").save(path)
   }
 
-  /** Compact the CURRENT version into one file per non-empty token
-    * bucket (Cassandra's compaction / OPTIMIZE analog): one atomic
-    * read-and-overwrite job — the read plans the pre-compaction
-    * manifest, the overwrite's flip publishes only the compacted files,
-    * and snapshot isolation (old files outlive the flip) is what makes
-    * reading and replacing the SAME table in one job safe. The
+  /** Compact a SNAPSHOT of the table into one file per non-empty token
+    * bucket (Cassandra's compaction / OPTIMIZE analog): pin the current
+    * version, read exactly its files, and publish the compacted files
+    * while RETIRING exactly the pinned snapshot's files — one atomic
+    * flip via the same append+replaceFiles primitive DELETE uses, so an
+    * append that commits while the compaction runs REBASES in intact
+    * (the r11 review caught the first cut's mode("overwrite"), whose
+    * truncate-at-flip silently dropped any concurrently-committed
+    * append). Snapshot isolation (old files outlive the flip) is what
+    * makes reading and replacing the same table in one job safe. The
     * `repartition` on the bucket value puts each bucket's rows in one
     * task, so exactly one output file per non-empty bucket; data is
     * byte-identical by construction and oracle-checked by the driver
     * entry. Unreferenced pre-compaction files stay readable via their
     * pinned versions until [[vacuum]] reaps them. */
   def compact(spark: SparkSession, path: String, pk: String): Unit = {
-    val t = spark.read.format(fmt).option("pk", pk).load(path)
+    val pinned = TokenRangeSource.currentVersion(path)
+    val snapshotRel = TokenRangeSource.visibleRelFiles(path, pinned).map(_._2)
+    if (snapshotRel.isEmpty) return // nothing to compact
+    val t = spark.read.format(fmt).option("pk", pk)
+      .options(pinned.map(v => "version" -> v.toString).toMap)
+      .load(path)
     val dt = t.schema(pk).dataType
     t.repartition(TokenLayout.Buckets, TokenLayout.bucketOfColumn(col(pk), dt))
       .write.format(fmt).option("pk", pk)
-      .mode("overwrite").save(path)
+      .option("replaceFiles", snapshotRel.mkString("\n"))
+      .mode("append").save(path)
   }
 
   /** TTL expiry (CQL's `USING TTL` read-time semantics made physical —
@@ -1067,35 +1084,49 @@ object TokenRangeOps {
     }
     val pinned = TokenRangeSource.currentVersion(path)
     val files = TokenRangeSource.visibleRelFiles(path, pinned).map(_._2)
-    def minMax(rel: String): Option[(Long, Long)] = {
+    // per-file (min, max, nNulls) of the ts column, or None when any row
+    // group lacks usable stats (→ straddle conservatively). NULL-ts rows
+    // NEVER expire (CQL: no writetime → no TTL), and parquet min/max
+    // ignore nulls — so a file is only wholly-expired if its stats also
+    // prove it holds NO null (r11 review: the first cut dropped null rows
+    // unread when their file's non-null max fell under the cutoff).
+    sealed trait Cls
+    case object Retire extends Cls; case object Keep extends Cls
+    case object Straddle extends Cls
+    def classify(rel: String): Cls = {
       val abs = new java.io.File(path, rel).getAbsolutePath
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(abs), new Configuration()))
       try {
-        val stats = rd.getFooter.getBlocks.asScala.flatMap { b =>
+        val blocks = rd.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) return Retire // zero row groups: no rows to keep
+        val stats = blocks.flatMap { b =>
           b.getColumns.asScala
             .find(_.getPath.toDotString.equalsIgnoreCase(tsCol))
             .flatMap { c =>
               val st = c.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              if (st == null || st.isEmpty) None
+              else if (!st.hasNonNullValue)
+                // all-null row group: expires nothing, straddles nothing
+                Some((Long.MaxValue, Long.MinValue, st.getNumNulls))
               else (st.genericGetMin, st.genericGetMax) match {
                 case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.longValue, mx.longValue))
+                  Some((mn.longValue, mx.longValue, st.getNumNulls))
                 case _ => None
               }
             }
         }
-        if (stats.size == rd.getFooter.getBlocks.size())
-          Some((stats.map(_._1).min, stats.map(_._2).max))
-        else None // some row group lacks stats: straddle conservatively
+        if (stats.size != blocks.size) return Straddle // stats gap: be safe
+        val mn = stats.map(_._1).min; val mx = stats.map(_._2).max
+        val nulls = stats.map(_._3).sum
+        if (mx <= cutoffMicros && nulls == 0) Retire
+        else if (mn > cutoffMicros) Keep // null rows survive with it
+        else Straddle
       } finally rd.close()
     }
-    val classed = files.map(rel => rel -> minMax(rel))
-    val retired = classed.collect {
-      case (rel, Some((_, mx))) if mx <= cutoffMicros => rel }
-    val straddling = classed.collect {
-      case (rel, None) => rel
-      case (rel, Some((mn, mx))) if mn <= cutoffMicros && mx > cutoffMicros => rel }
+    val classed = files.map(rel => rel -> classify(rel))
+    val retired = classed.collect { case (rel, Retire) => rel }
+    val straddling = classed.collect { case (rel, Straddle) => rel }
     if (retired.isEmpty && straddling.isEmpty) return // nothing expired
     if (straddling.isEmpty) {
       // metadata-only expiry: every affected file dies wholesale
@@ -1104,11 +1135,13 @@ object TokenRangeOps {
           removeRel = retired.toSet)
       }
     } else {
-      // survivors of the straddling files only; wholly-expired files ride
+      // survivors of the straddling files only (null ts survives — CQL
+      // rows without a writetime never expire); wholly-expired files ride
       // the same flip via replaceFiles without ever being read
+      val tsc = col(tsCol)
       val survivors = spark.read.parquet(
           straddling.map(rel => new java.io.File(path, rel).getAbsolutePath): _*)
-        .filter(col(tsCol) > org.apache.spark.sql.functions
+        .filter(tsc.isNull || tsc > org.apache.spark.sql.functions
           .timestamp_micros(org.apache.spark.sql.functions.lit(cutoffMicros)))
       survivors.write.format(fmt)
         .option("pk", pk)

@@ -50,7 +50,7 @@ class EventsSpec extends SparkSpec {
     val s2 = smooth(s1, 1.0) // s1 already carries the 1e6 fixed point
     val want = daily.map { case (k, n) =>
       val (f1, f2) = (s1(k), s2(k))
-      val tFp = math.floor((f1 - f2).toDouble * 7.0 / 3.0 + 0.5).toLong
+      val tFp = math.floor((f1 - f2).toDouble * 3.0 / 7.0 + 0.5).toLong
       k -> ((n, (2 * f1 - f2).toDouble / 1e6, tFp.toDouble / 1e6,
         (2 * f1 - f2 + tFp).toDouble / 1e6))
     }

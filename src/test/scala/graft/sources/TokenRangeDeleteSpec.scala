@@ -89,11 +89,29 @@ class TokenRangeDeleteSpec extends SparkSpec {
     assert(!table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.EqualTo("v", "a1"))))
 
+    // the DSv2 contract is CONJUNCTIVE: In(1,2) AND pk=3 matches nothing,
+    // so nothing may be deleted (the r11 review caught a union semantics
+    // here that deleted all three)
+    val vBefore = TokenRangeSource.currentVersion(dir).get
     table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("pk", Array[Any](1L, 2L)),
       org.apache.spark.sql.sources.EqualTo("pk", 3L)))
+    assert(load(dir).count() == 50, "contradictory conjunction deletes nothing")
+    assert(TokenRangeSource.currentVersion(dir).get == vBefore, "and flips nothing")
+    // an overlapping conjunction deletes exactly the intersection
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("pk", Array[Any](1L, 2L, 3L)),
+      org.apache.spark.sql.sources.In("pk", Array[Any](2L, 3L, 4L))))
+    assert(load(dir).select("pk").collect().map(_.getLong(0)).toSet
+      == (0L until 50L).toSet -- Set(2L, 3L))
+    // a single-predicate delete is the plain CQL shape
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("pk", 1L)))
     assert(load(dir).select("pk").collect().map(_.getLong(0)).toSet
       == (0L until 50L).toSet -- Set(1L, 2L, 3L))
+    // an empty filter array is an unconditional DELETE — refused up front
+    // (canDeleteWhere=false routes Spark to the explicit truncate path)
+    assert(!table.canDeleteWhere(Array.empty[org.apache.spark.sql.sources.Filter]))
     intercept[IllegalArgumentException] {
       table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
         org.apache.spark.sql.sources.EqualTo("v", "a9")))
@@ -113,6 +131,30 @@ class TokenRangeDeleteSpec extends SparkSpec {
       == Seq(control))
     assert(!relFiles(dir).exists(_._1 == 0),
       "an emptied bucket must publish no file at all")
+  }
+
+  test("compact racing an append: the committed append survives the flip (no lost update)") {
+    val dir = freshDir()
+    seed(dir, 0L until 100L)
+    val v1 = TokenRangeSource.currentVersion(dir).get
+    val snapshotRel = TokenRangeSource.visibleRelFiles(dir, Some(v1)).map(_._2)
+    // an append COMMITS while the compaction job is mid-flight (after its
+    // snapshot read, before its flip)
+    seed(dir, 1000L until 1010L)
+    // the compaction finishes from its v1 snapshot: publish the rewritten
+    // files while retiring exactly v1's files — the commit TokenRangeOps
+    // .compact issues when it loses the race (r11 review: the old
+    // mode("overwrite") truncate-at-flip dropped the append here)
+    spark.read.format(fmt).option("pk", "pk")
+      .option("version", v1.toString).load(dir)
+      .repartition(TokenLayout.Buckets,
+        TokenLayout.bucketOf(org.apache.spark.sql.functions.col("pk")))
+      .write.format(fmt).option("pk", "pk")
+      .option("replaceFiles", snapshotRel.mkString("\n"))
+      .mode("append").save(dir)
+    assert(load(dir).count() == 110,
+      "a committed concurrent append must survive the compaction flip")
+    assert(load(dir).filter(col("pk") >= 1000L).count() == 10)
   }
 
   test("expire: wholly-expired files retire unread, wholly-live survive by reference, straddlers rewrite — one flip") {
@@ -135,6 +177,17 @@ class TokenRangeDeleteSpec extends SparkSpec {
     tranche((100L until 140L).map(i => (i, 9000L + i, s"new$i")))
     tranche(cKeys.zipWithIndex.map { case (k, i) =>
       (k, if (i % 2 == 0) 2000L else 8000L, s"mix$k") })
+    // D: NULL-ts rows (CQL: no writetime -> never expires) mixed with
+    // expired rows in one file — the file must REWRITE (stats alone say
+    // wholly-expired) and the null rows must survive it
+    (5000L until 5004L).map(i => (i, Option.empty[Long], s"null$i"))
+      .toDF("pk", "us", "v")
+      .union((6000L until 6004L).map(i => (i, Option(1500L), s"old$i"))
+        .toDF("pk", "us", "v"))
+      .select(col("pk"), org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"), col("v"))
+      .coalesce(1)
+      .write.format(fmt).option("pk", "pk").option("schema", tddl)
+      .mode("append").save(dir)
     val before = TokenRangeSource.visibleRelFiles(dir).map(_._2).toSet
     val vBefore = TokenRangeSource.currentVersion(dir).get
     // identify each tranche's files by content
@@ -144,7 +197,7 @@ class TokenRangeDeleteSpec extends SparkSpec {
           .select("pk").collect().map(_.getLong(0)).forall(pred)
       }
     val aFiles = filesOf(_ < 100L); val bFiles = filesOf(k => k >= 100L && k < 200L)
-    val cFiles = filesOf(_ >= 200L)
+    val cFiles = filesOf(k => k >= 200L && k < 5000L)
     assert(aFiles.nonEmpty && bFiles.nonEmpty && cFiles.size == 1)
 
     TokenRangeOps.expire(spark, dir, "pk", "ts", 5000L)
@@ -158,12 +211,18 @@ class TokenRangeDeleteSpec extends SparkSpec {
     val rows = spark.read.format(fmt).option("pk", "pk").load(dir)
       .select("pk").collect().map(_.getLong(0)).toSet
     val want = (100L until 140L).toSet ++
-      cKeys.zipWithIndex.collect { case (k, i) if i % 2 == 1 => k }
-    assert(rows == want, "exactly the post-horizon rows must survive")
+      cKeys.zipWithIndex.collect { case (k, i) if i % 2 == 1 => k } ++
+      (5000L until 5004L) // null-ts rows never expire
+    assert(rows == want, "exactly the post-horizon + null-ts rows must survive")
 
-    // metadata-only path: a second horizon past B/C retires everything
-    // without a rewrite job (no new data files in the flip)
+    // a second horizon past B/C retires every timed row; the null-ts
+    // rows (no writetime) survive every horizon
     TokenRangeOps.expire(spark, dir, "pk", "ts", 100000L)
+    assert(spark.read.format(fmt).option("pk", "pk").load(dir)
+      .select("pk").collect().map(_.getLong(0)).toSet == (5000L until 5004L).toSet)
+    // and a table that really holds nothing empties completely: delete
+    // the null rows, then the manifest lists no files
+    TokenRangeOps.deleteKeys(spark, dir, "pk", (5000L until 5004L))
     assert(spark.read.format(fmt).option("pk", "pk").load(dir).count() == 0)
     assert(TokenRangeSource.visibleRelFiles(dir).isEmpty)
 
