@@ -125,13 +125,25 @@ object Bpe {
   def train(spark: SparkSession, d: String): Seq[Merge] =
     cache.computeIfAbsent(d, dir => {
       val nDocs = Tables.documents(spark, dir).count()
-      val nMerges = mergesFor(nDocs)
+      trainAt(spark, dir, mergesFor(nDocs), vocabTopFor(nDocs))
+    })
+
+  /** The parametric trainer behind [[train]] — the SAME loop at any
+    * (merges, vocab) size. This is the production entry point the
+    * documented replay ceiling points at: past ~48 merges the oracle's
+    * unrolled-CTE replay stops being feasible, and the correctness gate
+    * becomes the HELD-OUT SPOT CHECK (BpeSpec: the codegen serving
+    * kernel must agree with the trainer's own reference application on
+    * sampled docs, out-of-vocab words included) instead of full SQL
+    * re-derivation. Uncached: production-size training is explicit. */
+  private[graft] def trainAt(spark: SparkSession, dir: String,
+      nMerges: Int, vocabTop: Int): Seq[Merge] = {
       val vocab = Tables.documents(spark, dir)
         .filter(length(trim(col("text"))) > 0)
         .select(explode(TextFunctions.tokens(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy("word").agg(count(lit(1)).as("freq"))
-        .orderBy(desc("freq"), asc("word")).limit(vocabTopFor(nDocs))
+        .orderBy(desc("freq"), asc("word")).limit(vocabTop)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       var vs = vocab.map { case (w, f) => (syms(w), f) }
       val out = Seq.newBuilder[Merge]
@@ -163,7 +175,7 @@ object Bpe {
         k += 1
       }
       out.result()
-    })
+  }
 
   // ---- DuckDB oracle builders: training + application replayed in SQL ----
 

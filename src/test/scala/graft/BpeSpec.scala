@@ -24,6 +24,66 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("held-out spot-check gate: a production-size model (past the replay cap) serves identically through the codegen kernel") {
+    // the documented ceiling (SURVEY section-5 / r10 verdict missing #3b):
+    // past ~48 merges the DuckDB unrolled-CTE replay stops being feasible,
+    // and the production gate is this — train big, then prove the SERVING
+    // kernel (the codegen catalyst expression) agrees with the TRAINER's
+    // own reference application on a held-out doc sample, out-of-vocab
+    // words included (training only ever saw the top-vocab words; every
+    // other word exercises the model on unseen input).
+    val nMerges = 192; val vocabTop = 2048
+    val merges = Bpe.trainAt(spark, sf01, nMerges, vocabTop)
+    assert(merges.size > Bpe.MergesCap,
+      s"the fixture must exceed the replay cap, got ${merges.size}")
+    val pairs = merges.map(m => (m.pair, m.merged))
+
+    // serving side: the distributed codegen kernel over the held-out docs
+    val sample = Tables.documents(spark, sf01)
+      .filter(col("doc_id") % 7 === 3)
+    val served = sample
+      .select(col("doc_id"), org.apache.spark.sql.GraftColumns.column(
+        graft.plans.BpeTokens(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), pairs)).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    // reference side: the trainer's own primitives (syms + rep2 chain),
+    // applied word by word on the driver — the implementation the model
+    // was fit under, i.e. the ground truth for what the merges MEAN
+    def ref(text: String): Seq[String] =
+      text.trim.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var sy = Bpe.syms(w)
+        pairs.foreach { case (p, q) => sy = Bpe.rep2(sy, s" $p ", s" $q ") }
+        sy.trim.split(" ").toSeq
+      }
+    val texts = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served.keySet == texts.keySet && served.nonEmpty)
+    served.foreach { case (id, toks) =>
+      assert(toks == ref(texts(id)), s"kernel/reference divergence in doc $id")
+    }
+    // the gate genuinely exercises out-of-vocab words: the sample must
+    // contain words the trainer never saw in its top-vocab window — at
+    // this fixture's vocabTop the whole vocabulary fits, so shrink the
+    // training window and re-check on a model that cannot have seen all
+    // sample words
+    val smallVocab = Bpe.trainAt(spark, sf01, nMerges, 64)
+      .map(m => (m.pair, m.merged))
+    val servedSmall = sample
+      .select(col("doc_id"), org.apache.spark.sql.GraftColumns.column(
+        graft.plans.BpeTokens(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), smallVocab)).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    servedSmall.foreach { case (id, toks) =>
+      val expected = texts(id).trim.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var sy = Bpe.syms(w)
+        smallVocab.foreach { case (p, q) => sy = Bpe.rep2(sy, s" $p ", s" $q ") }
+        sy.trim.split(" ").toSeq
+      }
+      assert(toks == expected, s"OOV kernel/reference divergence in doc $id")
+    }
+  }
+
   test("model size derives from the corpus: floors at small n, grows, caps") {
     // the derivation itself (pure function, engine-portable formula)
     assert(Bpe.mergesFor(500) == Bpe.MergesFloor, "sub-1024 corpora sit on the floor")

@@ -104,6 +104,42 @@ class TokenRangeAtomicitySpec extends SparkSpec {
     assert(load(dir).filter(col("pk") >= 3000L).count() == 30)
   }
 
+  test("manifest CAS under thread-level contention: every committer lands, no version lost or doubled") {
+    val dir = freshDir()
+    seed(dir, 10L)
+    val v0 = TokenRangeSource.currentVersion(dir).get
+    // 8 committers race full job commits (stage -> lock -> move -> CAS
+    // flip) from their own threads; the CAS + rebase must make ALL of
+    // their batches visible regardless of interleaving
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        val base = 1000L * (t + 1)
+        val (bw, msgs) = stage(dir,
+          (base until base + 10L).map(i => (i, s"t$t-$i")), truncate = false)
+        bw.commit(msgs)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(load(dir).count() == 90, "all 8 racing appends must be visible")
+    (1 to 8).foreach { t =>
+      val base = 1000L * t
+      assert(load(dir).filter(col("pk") >= base && col("pk") < base + 10L)
+        .count() == 10, s"committer $t's batch must land whole")
+    }
+    // version history: strictly increasing, no gaps, one flip per commit
+    val vs = TokenRangeSource.versions(dir)
+    assert(vs == (vs.min to vs.max), s"no version gaps: $vs")
+    assert(vs.max == v0 + 8, s"exactly 8 flips after v$v0: $vs")
+    // monotone growth: each version's file list contains its predecessor's
+    // minus nothing (appends never retire files)
+    vs.sliding(2).filter(_.size == 2).foreach { w =>
+      val (a, b) = (w.head, w.last)
+      val fa = TokenRangeSource.visibleRelFiles(dir, Some(a)).map(_._2).toSet
+      val fb = TokenRangeSource.visibleRelFiles(dir, Some(b)).map(_._2).toSet
+      assert(fa.subsetOf(fb), s"v$a not within v$b - a committed file was dropped")
+    }
+  }
+
   test("legacy table: first connector commit pins the physical listing as a manifest before any move") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir()
