@@ -1132,7 +1132,11 @@ object Events extends QueryModule {
     * ops both engines) and floors back to fixed point — negative
     * differences floor identically (floor, not truncate, both
     * engines). */
-  def holtTrend(s: SparkSession, d: String): DataFrame = {
+  /** The integer Holt frame both entries read: (event_type, day, n,
+    * s1_fp, s2_fp, t_fp) — model state in exact µ fixed point, so the
+    * backtest can difference forecasts against actuals without leaving
+    * integers. */
+  private def holtFrame(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
@@ -1145,17 +1149,21 @@ object Events extends QueryModule {
         floor(col("swv").cast("double") / col("sw") + 0.5)
           .cast("long").as("s2_fp"))
     s2.withColumn("t_fp",
-        floor((col("s1_fp") - col("s2_fp")).cast("double") * 3.0 / 7.0 + 0.5)
-          .cast("long"))
+      floor((col("s1_fp") - col("s2_fp")).cast("double") * 3.0 / 7.0 + 0.5)
+        .cast("long"))
+  }
+
+  def holtTrend(s: SparkSession, d: String): DataFrame =
+    holtFrame(s, d)
       .select(col("event_type"), col("day"), col("n").cast("long").as("n_events"),
         ((lit(2L) * col("s1_fp") - col("s2_fp")).cast("double") / 1e6).as("level"),
         (col("t_fp").cast("double") / 1e6).as("trend"),
         ((lit(2L) * col("s1_fp") - col("s2_fp") + col("t_fp")).cast("double") / 1e6)
           .as("forecast_next"))
-  }
 
-  private val holtTrendSql =
-    s"""WITH $dailyWtsCtes,
+  /** The SQL twin of [[holtFrame]] — shared by both Holt oracles. */
+  private val holtCtes =
+    s"""$dailyWtsCtes,
        | ${kernelSmoothSql("daily", "n", "c1", "a1")},
        | s1 AS (SELECT d.event_type, d.day, d.n,
        |    CAST(floor(CAST(a.swv AS DOUBLE) / a.sw * 1e6 + 0.5) AS BIGINT) AS s1_fp
@@ -1166,12 +1174,53 @@ object Events extends QueryModule {
        |  FROM s1 JOIN a2 a USING (event_type, day)),
        | t AS (SELECT *,
        |    CAST(floor(CAST(s1_fp - s2_fp AS DOUBLE) * 3.0 / 7.0 + 0.5) AS BIGINT) AS t_fp
-       |  FROM s2)
+       |  FROM s2)""".stripMargin
+
+  private val holtTrendSql =
+    s"""WITH $holtCtes
        |SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
        | CAST(2 * s1_fp - s2_fp AS DOUBLE) / 1e6 AS level,
        | CAST(t_fp AS DOUBLE) / 1e6 AS trend,
        | CAST(2 * s1_fp - s2_fp + t_fp AS DOUBLE) / 1e6 AS forecast_next
        |FROM t""".stripMargin
+
+  /** Backtest of the Holt forecaster — the evaluation half a forecaster
+    * is incomplete without: each day's one-step-ahead forecast
+    * (level + trend, the [[holtFrame]] integers) is differenced against
+    * the NEXT day's actual count, per-type MAE and signed BIAS out. The
+    * error stays in exact integer µ-units (forecast_fp − n·10⁶) until
+    * the final per-type division, so the backtest is order-independent
+    * and engine-exact; the day+1 self-join runs on the day-grain frame
+    * (calendar-bounded). Days with no successor drop out (a backtest
+    * scores only days whose truth arrived). */
+  def forecastError(s: SparkSession, d: String): DataFrame = {
+    val f = holtFrame(s, d)
+      .withColumn("fcst_fp",
+        lit(2L) * col("s1_fp") - col("s2_fp") + col("t_fp"))
+    val actual = f.select(col("event_type"),
+      date_sub(col("day"), 1).as("day"), col("n").as("n_next"))
+    f.join(actual, Seq("event_type", "day"))
+      .withColumn("err_fp", col("fcst_fp") - col("n_next") * lit(1000000L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        (floor(sum(abs(col("err_fp"))).cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("mae"),
+        (floor(sum(col("err_fp")).cast("double") / count(lit(1)) + 0.5) / 1e6)
+          .as("bias"))
+  }
+
+  private val forecastErrorSql =
+    s"""WITH $holtCtes,
+       | f AS (SELECT event_type, day, n,
+       |    2 * s1_fp - s2_fp + t_fp AS fcst_fp FROM t),
+       | j AS (SELECT f.event_type,
+       |    f.fcst_fp - d2.n * 1000000 AS err_fp
+       |  FROM f JOIN daily d2
+       |    ON f.event_type = d2.event_type AND d2.day = f.day + 1)
+       |SELECT event_type, COUNT(*) AS n_days,
+       | floor(CAST(SUM(ABS(err_fp)) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS mae,
+       | floor(CAST(SUM(err_fp) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS bias
+       |FROM j GROUP BY event_type""".stripMargin
 
   /** CUSUM changepoint scan per event type (Page 1954): the cumulative
     * deviation from the series mean S_t = Σ_{i≤t}(x_i − x̄) peaks AT the
@@ -1440,6 +1489,7 @@ object Events extends QueryModule {
     ("ev_seasonality_dow", seasonalityDow _, Some(seasonalityDowSql)),
     ("ev_ewma_smoothing", ewmaSmoothing _, Some(ewmaSmoothingSql)),
     ("ev_holt_trend", holtTrend _, Some(holtTrendSql)),
+    ("ev_forecast_error", forecastError _, Some(forecastErrorSql)),
     ("ev_cusum_changepoint", cusumChangepoint _, Some(cusumChangepointSql)),
     ("ev_time_to_convert", timeToConvert _, Some(timeToConvertSql)),
     ("ev_rfm", rfm _, Some(rfmSql)),

@@ -166,6 +166,7 @@ object WideColumn extends QueryModule {
     graft.PrebuiltDirs.clear("graft_connector_del")
     graft.PrebuiltDirs.clear("graft_connector_cmp")
     graft.PrebuiltDirs.clear("graft_connector_ttl")
+    graft.PrebuiltDirs.clear("graft_connector_ups")
   }
 
   private def connectorOrdersDir(s: SparkSession, d: String): String =
@@ -454,6 +455,60 @@ object WideColumn extends QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events WHERE ts > TIMESTAMP '2024-01-13'
       |GROUP BY event_type""".stripMargin
+
+  // ---- INSERT-is-UPSERT through the connector (r11) ------------------------
+  /** CQL's write semantic — every INSERT is an upsert by partition key —
+    * at the connector layer: orders land through the sink, then the 8
+    * derived keys (smallest ≡ 0 mod 97, the suite's multiget rule) are
+    * RE-INSERTED with status 'U' and price + 1000, via
+    * `TokenRangeOps.upsert`: only the keys' owning buckets' files are
+    * rewritten (old rows anti-joined out, incoming written beside the
+    * survivors), everything else survives the manifest flip by
+    * reference, and the swap is atomic — the BatchStatement-of-upserts
+    * shape (server.py's insert path). The entry aggregates the
+    * post-upsert table per status; the oracle applies the same
+    * replacement to raw orders in SQL, so the hash check proves the
+    * upsert replaced exactly those rows (the new 'U' group) and
+    * disturbed nothing else. */
+  private def connectorUpsertDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_ups", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format(fmt).option("pk", "o_orderkey")
+        .option("schema",
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .mode("overwrite").save(dir)
+      val incoming = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .orderBy(asc("o_orderkey")).limit(8)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      graft.sources.connector.TokenRangeOps.upsert(s, dir, "o_orderkey", incoming)
+      dir
+    }
+
+  def connectorUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorUpsertDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "o_orderkey").load(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.sumExact(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val connectorUpsertSql =
+    """WITH k AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+      |           ORDER BY o_orderkey LIMIT 8),
+      | up AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM k)
+      |         THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM k)
+      |         THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM up GROUP BY o_orderstatus""".stripMargin
 
   // TTL semantics: rows expire writetime + TTL; read at a fixed "now".
   def ttlExpiry(s: SparkSession, d: String): DataFrame =
@@ -1365,6 +1420,7 @@ object WideColumn extends QueryModule {
     ("wc_connector_delete", connectorDelete _, Some(connectorDeleteSql)),
     ("wc_connector_compact", connectorCompact _, Some(connectorCompactSql)),
     ("wc_connector_ttl", connectorTtl _, Some(connectorTtlSql)),
+    ("wc_connector_upsert", connectorUpsert _, Some(connectorUpsertSql)),
     ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
     ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)))

@@ -1062,6 +1062,50 @@ object TokenRangeOps {
       .mode("append").save(path)
   }
 
+  /** CQL's INSERT-IS-UPSERT at the connector layer: replace-by-partition-
+    * key in ONE atomic flip. Only the incoming keys' OWNING BUCKETS'
+    * files are read and rewritten — each rewritten file keeps its rows
+    * whose pk is NOT being upserted (a left-anti join against the
+    * incoming frame) and the incoming rows are written beside them;
+    * every other bucket's files survive by reference, and the manifest
+    * flip publishes survivors + incoming while retiring the affected
+    * files (the same append+replaceFiles primitive DELETE/compaction
+    * use, so a racing append rebases in intact). A reader sees the
+    * pre-upsert table in full until the flip, the post-upsert one after
+    * — the row-level LWW register the reference's INSERT path implements
+    * per key, here at batch grain. At 100 TB the cost is the touched
+    * buckets' rewrite, not a table scan. */
+  def upsert(spark: SparkSession, path: String, pk: String,
+      incoming: org.apache.spark.sql.DataFrame): Unit = {
+    TokenRangeSource.withCommitLock(path) {
+      if (TokenRangeSource.currentVersion(path).isEmpty)
+        TokenRangeSource.publishManifest(path, Nil, truncate = false)
+    }
+    val dt = incoming.schema(pk).dataType
+    // owning buckets of the incoming keys: a ≤ Buckets-row distinct
+    // aggregate (bounded by the ring width, never by data volume)
+    val buckets = incoming
+      .select(TokenLayout.bucketOfColumn(col(pk), dt).as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pinned = TokenRangeSource.currentVersion(path)
+    val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
+      .collect { case (k, rel) if buckets(k) => rel }
+    val cols = incoming.schema.fieldNames.map(col)
+    val merged =
+      if (affectedRel.isEmpty) incoming.select(cols: _*)
+      else {
+        val old = spark.read.parquet(affectedRel
+          .map(rel => new java.io.File(path, rel).getAbsolutePath): _*)
+        old.join(incoming.select(pk).distinct(), Seq(pk), "left_anti")
+          .select(cols: _*)
+          .unionByName(incoming.select(cols: _*))
+      }
+    merged.write.format(fmt)
+      .option("pk", pk)
+      .option("replaceFiles", affectedRel.mkString("\n"))
+      .mode("append").save(path)
+  }
+
   /** TTL expiry (CQL's `USING TTL` read-time semantics made physical —
     * the tombstone-then-compact path): drop every row whose `tsCol` is at
     * or before `cutoffMicros`, choosing the CHEAPEST correct move per

@@ -178,9 +178,13 @@ class EntrySpec extends SparkSpec {
     // the manifest unread, wholly-live survive by reference) → 220/220;
     // +ev_holt_trend (Brown double exponential smoothing — level+trend
     // forecast from two truncated-kernel passes, the second pass
-    // day-grain) → 221/221.
-    assert(SparkEntry.queries.size == 221, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 221, s"got ${SparkEntry.oracleSql.size}")
+    // day-grain) → 221/221; +ev_forecast_error (the Holt backtest —
+    // one-step-ahead forecast vs next-day actual, exact integer µ-unit
+    // errors) → 222/222; +wc_connector_upsert (CQL INSERT-is-upsert as
+    // an atomic bucket-grain copy-on-write through the connector)
+    // → 223/223.
+    assert(SparkEntry.queries.size == 223, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 223, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -133,6 +133,48 @@ class TokenRangeDeleteSpec extends SparkSpec {
       "an emptied bucket must publish no file at all")
   }
 
+  test("upsert: replaces exactly the incoming keys, untouched buckets by reference, one flip, empty-table bootstrap") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    seed(dir, 0L until 200L)
+    val before = relFiles(dir)
+    val vBefore = TokenRangeSource.currentVersion(dir).get
+    val incoming = Seq((3L, "NEW3"), (77L, "NEW77"), (900L, "NEW900"))
+      .toDF("pk", "v") // 900 is a brand-new key: upsert must insert it
+    TokenRangeOps.upsert(spark, dir, "pk", incoming)
+
+    val got = load(dir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 201)
+    assert(got(3L) == "NEW3" && got(77L) == "NEW77" && got(900L) == "NEW900")
+    assert((0L until 200L).filterNot(Set(3L, 77L))
+      .forall(k => got(k) == s"a$k"), "non-upserted rows untouched")
+
+    // bucket-grain: only the incoming keys' owning buckets rewrote
+    val affected = Seq(3L, 77L, 900L).map(TokenLayout.bucketOfValue).toSet
+    val after = relFiles(dir)
+    assert(after.filterNot(f => affected(f._1))
+      == before.filterNot(f => affected(f._1)),
+      "an upsert must not rewrite buckets it does not touch")
+    // one atomic flip; the pre-upsert version still serves the old rows
+    assert(TokenRangeSource.currentVersion(dir).get == vBefore + 1)
+    val pinned = spark.read.format(fmt).option("pk", "pk")
+      .option("version", vBefore.toString).load(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pinned(3L) == "a3" && !pinned.contains(900L))
+
+    // bootstrap: upsert into an EMPTY keyspace table is a plain insert
+    val fresh = freshDir()
+    new java.io.File(fresh).mkdirs()
+    // (schema comes from the incoming frame through the sink's DDL-less
+    // append path: the table has a manifest after the legacy pin)
+    Seq((1L, "x")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk").option("schema", ddl)
+      .mode("append").save(fresh)
+    TokenRangeOps.upsert(spark, fresh, "pk", Seq((1L, "y"), (2L, "z")).toDF("pk", "v"))
+    assert(load(fresh).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "y", 2L -> "z"))
+  }
+
   test("compact racing an append: the committed append survives the flip (no lost update)") {
     val dir = freshDir()
     seed(dir, 0L until 100L)
