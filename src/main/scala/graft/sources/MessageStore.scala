@@ -148,13 +148,34 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
 
   /** Compaction analog: physically rewrite users to its LWW view — the same
     * single primary-key shuffle Cassandra compaction performs. One atomic
-    * read-and-overwrite job: the connector's manifest commit gives snapshot
-    * isolation (the scan reads the old version's files, which outlive the
-    * flip), so no staging table is needed and a reader racing the
-    * compaction sees either the full old or the full new table. */
-  def compactUsers(): Unit =
-    latestUsers()
+    * job: pin the current version, resolve LWW over exactly that snapshot,
+    * and publish the resolved rows while RETIRING exactly the snapshot's
+    * files (the connector's append+replaceFiles primitive — NOT a blanket
+    * overwrite, whose truncate-at-flip would drop an insert that commits
+    * while the compaction runs; the same lost-update class the r11 review
+    * caught in TokenRangeOps.compact). A racing insert's files rebase into
+    * the flip untouched, and read-time LWW resolves them against the
+    * compacted rows exactly as before. Readers see either the full old or
+    * the full new table (snapshot isolation: old files outlive the flip). */
+  def compactUsers(): Unit = {
+    import graft.sources.connector.TokenRangeSource
+    val dir = s"$root/users"
+    val pinned = TokenRangeSource.currentVersion(dir)
+    val snapshotRel = TokenRangeSource.visibleRelFiles(dir, pinned).map(_._2)
+    if (snapshotRel.isEmpty) return // empty table: nothing to compact
+    val snapshot = spark.read.format(provider)
+      .option("pk", "username")
+      .options(pinned.map(v => "version" -> v.toString).toMap)
+      .load(dir)
+    snapshot
+      .withColumn("rn", row_number().over(usersPk))
+      .filter(col("rn") === 1)
+      .drop("rn", "write_seq")
       .withColumn("write_seq", lit(nextSeq()))
       .select("user_id", "username", "email", "password", "write_seq")
-      .write.mode("overwrite").insertInto(usersT)
+      .write.format(provider)
+      .option("pk", "username")
+      .option("replaceFiles", snapshotRel.mkString("\n"))
+      .mode("append").save(dir)
+  }
 }

@@ -160,7 +160,7 @@ object TokenRangeSource {
   private val ManifestName = "v(\\d+)\\.manifest".r
 
   /** Highest complete manifest version, if any manifest exists. */
-  private[connector] def currentVersion(path: String): Option[Int] = {
+  private[sources] def currentVersion(path: String): Option[Int] = {
     val files = Option(manifestDir(path).listFiles()).getOrElse(Array.empty)
     val vs = files.flatMap(f => f.getName match {
       case ManifestName(v) => Some(v.toInt)
@@ -187,7 +187,7 @@ object TokenRangeSource {
     * the requested (default: highest) manifest's list, or — for
     * manifest-less legacy tables written by Spark's own committer — the
     * physical `tb=` listing. */
-  private[connector] def visibleRelFiles(path: String,
+  private[sources] def visibleRelFiles(path: String,
       version: Option[Int] = None): Seq[(Int, String)] =
     version.orElse(currentVersion(path)) match {
       case Some(v) =>
