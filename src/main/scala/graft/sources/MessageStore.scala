@@ -158,24 +158,34 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
     * compacted rows exactly as before. Readers see either the full old or
     * the full new table (snapshot isolation: old files outlive the flip). */
   def compactUsers(): Unit = {
-    import graft.sources.connector.TokenRangeSource
+    import graft.sources.connector.{TokenRangeOps, TokenRangeSource}
     val dir = s"$root/users"
-    val pinned = TokenRangeSource.currentVersion(dir)
-    val snapshotRel = TokenRangeSource.visibleRelFiles(dir, pinned).map(_._2)
-    if (snapshotRel.isEmpty) return // empty table: nothing to compact
-    val snapshot = spark.read.format(provider)
-      .option("pk", "username")
-      .options(pinned.map(v => "version" -> v.toString).toMap)
-      .load(dir)
-    snapshot
-      .withColumn("rn", row_number().over(usersPk))
-      .filter(col("rn") === 1)
-      .drop("rn", "write_seq")
-      .withColumn("write_seq", lit(nextSeq()))
-      .select("user_id", "username", "email", "password", "write_seq")
-      .write.format(provider)
-      .option("pk", "username")
-      .option("replaceFiles", snapshotRel.mkString("\n"))
-      .mode("append").save(dir)
+    TokenRangeOps.withConflictRetry("compactUsers") {
+      val pinned = TokenRangeSource.currentVersion(dir)
+      val snapshotRel = TokenRangeSource.visibleRelFiles(dir, pinned).map(_._2)
+      TokenRangeOps.onSnapshotPinned()
+      if (snapshotRel.nonEmpty) { // empty table: nothing to compact
+        val snapshot = spark.read.format(provider)
+          .option("pk", "username")
+          .options(pinned.map(v => "version" -> v.toString).toMap)
+          .load(dir)
+        // the rn=1 winner KEEPS its own write_seq (it IS the snapshot's
+        // max per username) — re-stamping with a fresh nextSeq() was the
+        // r12 lost-update: an insert that drew its seq before the
+        // snapshot pin but committed after it would rebase into the flip
+        // and then LOSE read-time LWW to a re-stamped stale row. With the
+        // original seq preserved, every racing insert resolves exactly as
+        // it would have against the uncompacted table.
+        snapshot
+          .withColumn("rn", row_number().over(usersPk))
+          .filter(col("rn") === 1)
+          .drop("rn")
+          .select("user_id", "username", "email", "password", "write_seq")
+          .write.format(provider)
+          .option("pk", "username")
+          .option("replaceFiles", snapshotRel.mkString("\n"))
+          .mode("append").save(dir)
+      }
+    }
   }
 }

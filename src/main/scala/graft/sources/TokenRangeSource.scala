@@ -87,6 +87,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * manifest, not the rename, is what makes the publish atomic). Here the
   * move keeps the `tb=<k>` layout physically clean so file-level tooling
   * (bucket placement checks, range-local maintenance) stays trivial. */
+/** A copy-on-write rewrite raced a committer that retired (some of) the
+  * files it meant to replace: publishing would resurrect deleted rows and
+  * duplicate survivors, so the publish refuses instead. Callers re-run
+  * the rewrite from the freshly-visible snapshot ([[TokenRangeOps]] does
+  * so automatically, bounded retries). */
+final class ManifestConflictException(msg: String) extends RuntimeException(msg)
+
 final class TokenRangeSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
@@ -138,12 +145,25 @@ object TokenRangeSource {
 
   // ---- physical layout helpers -------------------------------------------
 
-  /** Bucket directories `tb=<k>` under the table path, ascending. */
+  /** Bucket directories `tb=<k>` under the table path, ascending. A
+    * non-numeric bucket dir (the classic: `tb=__HIVE_DEFAULT_PARTITION__`
+    * left by a legacy Spark write whose partition key held NULLs) fails
+    * with a DESCRIPTIVE error instead of a bare NumberFormatException —
+    * null keys cannot ride the token ring (CQL parity: the sink refuses
+    * them at write time), so such a dir is a layout defect to repair,
+    * not data to silently skip (ADVICE r12). */
   private[connector] def bucketDirs(path: String): Seq[(Int, java.io.File)] = {
     val root = new java.io.File(path)
     val dirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("tb="))
-      .map(f => f.getName.stripPrefix("tb=").toInt -> f)
+      .map { f =>
+        val suffix = f.getName.stripPrefix("tb=")
+        require(suffix.nonEmpty && suffix.forall(_.isDigit),
+          s"token-range table at $path has a non-numeric bucket dir " +
+            s"'${f.getName}' (a null or foreign partition value cannot ride " +
+            "the token ring; repair the layout or remove the directory)")
+        suffix.toInt -> f
+      }
     dirs.sortBy(_._1).toSeq
   }
 
@@ -212,13 +232,27 @@ object TokenRangeSource {
       (k, new java.io.File(path, rel).getAbsolutePath)
     }
 
+  /** Liveness thresholds (r12 advice: the old 120 s waiter deadline sat
+    * UNDER the old 600 s steal threshold, so a crashed committer's lock
+    * starved every waiter to death for ~8 min before anyone could steal
+    * it). Commits are seconds of file moves, so a 60 s stale bound is
+    * generous; the waiter deadline is 3× the steal bound, so a live
+    * waiter always OUTLIVES the first steal opportunity and recovers
+    * from a crashed committer without manual cleanup. A legitimately
+    * slow (>60 s) commit whose lock gets stolen stays CORRECT — the CAS
+    * in [[publishManifest]] owns correctness, the lock only contention. */
+  private[sources] val LockStealAfterMillis = 60000L
+  private[sources] val LockWaitDeadlineMillis = 180000L
+
   /** Serialize manifest flips: an exclusive owner-stamped lock file under
     * `_manifests`, create-if-absent (atomic on POSIX and on object stores
-    * with if-none-match). A crashed committer's stale lock (> 10 min —
-    * commits are seconds of file moves) is stolen by ATOMIC RENAME to a
+    * with if-none-match). A crashed committer's stale lock (>
+    * [[LockStealAfterMillis]] — commits are seconds of file moves) is
+    * stolen by ATOMIC RENAME to a
     * unique tombstone, so exactly one stealer retires it (a delete-based
     * steal is a TOCTOU: two waiters can both "delete stale + recreate"
-    * and believe they hold it — r11 review). Release deletes the lock
+    * and believe they hold it — r11 review); [[TokenRangeOps.vacuum]]
+    * reaps the tombstones. Release deletes the lock
     * only when it still carries this holder's token, so a holder whose
     * lock WAS stolen cannot delete the new holder's lock. The lock is a
     * CONTENTION reducer, not the correctness point: [[publishManifest]]
@@ -229,7 +263,7 @@ object TokenRangeSource {
     mdir.mkdirs()
     val lock = new java.io.File(mdir, "commit.lock")
     val token = java.util.UUID.randomUUID().toString
-    val deadline = System.currentTimeMillis() + 120000L
+    val deadline = System.currentTimeMillis() + LockWaitDeadlineMillis
     var held = false
     while (!held) {
       try {
@@ -239,7 +273,7 @@ object TokenRangeSource {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           if (lock.exists()
-              && System.currentTimeMillis() - lock.lastModified() > 600000L) {
+              && System.currentTimeMillis() - lock.lastModified() > LockStealAfterMillis) {
             // steal-by-rename: only ONE stealer's move succeeds
             try java.nio.file.Files.move(lock.toPath,
               new java.io.File(mdir, s"stale-$token.lock").toPath,
@@ -247,7 +281,8 @@ object TokenRangeSource {
             catch { case _: Exception => () }
           } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
-              s"token-range commit lock at $lock held for > 120 s")
+              s"token-range commit lock at $lock held for > " +
+                s"${LockWaitDeadlineMillis / 1000} s")
           else Thread.sleep(50L)
       }
     }
@@ -272,8 +307,17 @@ object TokenRangeSource {
     * partial list. `removeRel` drops files from the rebased list in the
     * SAME flip that adds `placedRel` — the copy-on-write primitive
     * row-level DELETE and per-bucket compaction publish through (old and
-    * new rows can never be visible together, and files already removed
-    * by a racing committer drop out as a no-op on the rebase). */
+    * new rows can never be visible together).
+    *
+    * CONFLICT VALIDATION (r12 verdict #2 — the one silent-data-loss path):
+    * a `removeRel` file ABSENT from the freshly-read base means a racing
+    * committer already retired it — this rewrite's snapshot rows were
+    * superseded mid-flight, and publishing anyway would RESURRECT the
+    * racer's deleted rows and DUPLICATE its survivors in one flip. The
+    * publish now FAILS with [[ManifestConflictException]] instead of
+    * no-op-dropping the conflict; [[TokenRangeOps]]' rewrites catch it
+    * and re-run from the new snapshot (bounded retries) — the standard
+    * optimistic-concurrency loop of the lakehouse designs. */
   private[connector] def publishManifest(path: String, placedRel: Seq[String],
       truncate: Boolean, removeRel: Set[String] = Set.empty): Int = {
     val mdir = manifestDir(path)
@@ -281,6 +325,14 @@ object TokenRangeSource {
     var published = -1
     while (published < 0) {
       val base0 = if (truncate) Nil else visibleRelFiles(path).map(_._2)
+      if (!truncate && removeRel.nonEmpty) {
+        val missing = removeRel -- base0.toSet
+        if (missing.nonEmpty) throw new ManifestConflictException(
+          s"copy-on-write conflict at $path: ${missing.size} of " +
+            s"${removeRel.size} files this rewrite retires were already " +
+            s"retired by a racing committer (e.g. ${missing.head}); " +
+            "re-run the rewrite from the current snapshot")
+      }
       val base = base0.filterNot(removeRel)
       val v = currentVersion(path).getOrElse(0) + 1
       val tmp = java.io.File.createTempFile(s"manifest-v$v-", ".tmp", mdir)
@@ -293,11 +345,20 @@ object TokenRangeSource {
         catch {
           case _: java.nio.file.FileAlreadyExistsException => () // lost CAS: rebase + retry
           case _: UnsupportedOperationException =>
-            // no-hardlink filesystem: atomic rename (exclusive only under
-            // the commit lock — documented fallback)
-            java.nio.file.Files.move(tmp.toPath, target,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            published = v
+            // no-hardlink filesystem: atomic rename, exclusive only under
+            // the commit lock. Re-check target absence first — POSIX
+            // ATOMIC_MOVE REPLACES an existing target, so a stolen-lock
+            // double-holder window could otherwise overwrite a committed
+            // version, the exact lost update the CAS exists to prevent
+            // (r12 advice). A target appearing between this check and the
+            // move needs a third writer inside the double-holder window —
+            // the documented residual risk of a no-hardlink filesystem.
+            if (java.nio.file.Files.exists(target)) () // lost CAS: rebase + retry
+            else {
+              java.nio.file.Files.move(tmp.toPath, target,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              published = v
+            }
         }
       } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
     }
@@ -839,31 +900,39 @@ private[connector] final class TokenRangeBatchWrite(path: String,
       case TokenRangeCommit(files) => files
       case _ => Array.empty[String]
     }
-    TokenRangeSource.withCommitLock(path) {
-      // LEGACY tables first (r11 review): a manifest-less table reads
-      // via physical listing, so moving files in before any manifest
-      // exists would expose a torn batch (and a crash mid-move would
-      // leave it visible forever). Pin the current legacy listing as
-      // manifest v1 BEFORE the first move — from then on readers resolve
-      // manifests and the moves are invisible until the flip.
-      if (TokenRangeSource.currentVersion(path).isEmpty)
-        TokenRangeSource.publishManifest(path, Nil, truncate = false)
-      val placedRel = staged.map { f =>
-        val file = new java.io.File(f)
-        val bucketName = file.getParentFile.getName // tb=<k>
-        val dst = new java.io.File(new java.io.File(path, bucketName), file.getName)
-        dst.getParentFile.mkdirs()
-        java.nio.file.Files.move(file.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        s"$bucketName/${file.getName}"
-      }.toSeq
-      // CAS publish: rebases on the visible set it observes; the lock
-      // only reduces contention (see publishManifest). replaceRel retires
-      // the files a copy-on-write rewrite (DELETE/compaction) supersedes
-      // in the SAME flip their rewritten successors appear.
-      TokenRangeSource.publishManifest(path, placedRel, doTruncate, replaceRel)
-    }
-    TokenRangeSource.deleteRecursively(TokenRangeSource.stagingDir(path, writeId))
+    try {
+      TokenRangeSource.withCommitLock(path) {
+        // LEGACY tables first (r11 review): a manifest-less table reads
+        // via physical listing, so moving files in before any manifest
+        // exists would expose a torn batch (and a crash mid-move would
+        // leave it visible forever). Pin the current legacy listing as
+        // manifest v1 BEFORE the first move — from then on readers resolve
+        // manifests and the moves are invisible until the flip.
+        if (TokenRangeSource.currentVersion(path).isEmpty)
+          TokenRangeSource.publishManifest(path, Nil, truncate = false)
+        val placedRel = staged.map { f =>
+          val file = new java.io.File(f)
+          val bucketName = file.getParentFile.getName // tb=<k>
+          val dst = new java.io.File(new java.io.File(path, bucketName), file.getName)
+          dst.getParentFile.mkdirs()
+          java.nio.file.Files.move(file.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          s"$bucketName/${file.getName}"
+        }.toSeq
+        // CAS publish: rebases on the visible set it observes; the lock
+        // only reduces contention (see publishManifest). replaceRel retires
+        // the files a copy-on-write rewrite (DELETE/compaction) supersedes
+        // in the SAME flip their rewritten successors appear — and FAILS
+        // with ManifestConflictException when a racing committer already
+        // retired any of them (r12 verdict #2). On that failure the moved
+        // files are referenced by NO manifest (invisible; vacuum reaps
+        // them) and TokenRangeOps re-runs the rewrite from the new
+        // snapshot.
+        TokenRangeSource.publishManifest(path, placedRel, doTruncate, replaceRel)
+      }
+      ()
+    } finally
+      TokenRangeSource.deleteRecursively(TokenRangeSource.stagingDir(path, writeId))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -975,15 +1044,55 @@ private[connector] final class TokenRangeDataWriter(path: String,
   * rewrite pins the version it read, rewrites from that snapshot, and its
   * commit REBASES on whatever is visible at flip time — so an append
   * racing a delete/compaction lands intact (its files join the rebased
-  * list), and a file another committer already retired drops out of the
-  * rebase as a no-op. Two rewrites of the SAME files race last-writer-
-  * wins (both rewrote the same snapshot rows); coordinating overlapping
-  * rewrites is the caller's job, exactly as in the lakehouse designs. */
+  * list). Two rewrites whose retired-file sets OVERLAP conflict-validate
+  * at the flip (r12 verdict #2): the loser's publish throws
+  * [[ManifestConflictException]] instead of silently resurrecting the
+  * winner's deleted rows, and the ops below RE-RUN the whole rewrite from
+  * the newly-visible snapshot (bounded retries) — the optimistic-
+  * concurrency loop of the lakehouse designs, now validated rather than
+  * delegated to the caller. */
 object TokenRangeOps {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions.{col, not}
 
   private def fmt = classOf[TokenRangeSource].getName
+
+  /** A conflict surfaces from a Spark write wrapped in SparkException
+    * layers — walk the cause chain. */
+  @annotation.tailrec
+  private def isConflict(t: Throwable): Boolean = t match {
+    case null => false
+    case _: ManifestConflictException => true
+    case other => isConflict(other.getCause)
+  }
+
+  private val MaxRewriteAttempts = 5
+
+  /** Test seam: invoked once per attempt AFTER the rewrite pins its
+    * snapshot and BEFORE it publishes — a spec installs a racing commit
+    * here to drive the conflict path deterministically (single-threaded,
+    * no sleeps). Production value is a no-op. */
+  private[graft] var onSnapshotPinned: () => Unit = () => ()
+
+  /** Optimistic-concurrency loop around one copy-on-write rewrite: re-run
+    * `body` (which re-pins the CURRENT snapshot each attempt) until its
+    * publish lands without a [[ManifestConflictException]]. */
+  private[sources] def withConflictRetry[T](what: String)(body: => T): T = {
+    var attempt = 1
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case t: Throwable if isConflict(t) =>
+          if (attempt >= MaxRewriteAttempts)
+            throw new IllegalStateException(
+              s"token-range $what rewrite lost $MaxRewriteAttempts consecutive " +
+                "copy-on-write races; giving up", t)
+          attempt += 1
+      }
+    }
+    out.get
+  }
 
   private def bucketOfKey(v: Any): Int = v match {
     case l: Long => TokenLayout.bucketOfValue(l)
@@ -1016,21 +1125,25 @@ object TokenRangeOps {
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
     }
     val buckets = keys.map(bucketOfKey).toSet
-    val pinned = TokenRangeSource.currentVersion(path)
-    val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
-      .collect { case (k, rel) if buckets(k) => rel }
-    if (affectedRel.isEmpty) return // keys own no visible files: no-op
-    val affectedAbs = affectedRel
-      .map(rel => new java.io.File(path, rel).getAbsolutePath)
-    val survivors = spark.read.parquet(affectedAbs: _*)
-      .filter(not(col(pk).isin(keys.map {
-        case u: UTF8String => u.toString
-        case v => v
-      }: _*)))
-    survivors.write.format(fmt)
-      .option("pk", pk)
-      .option("replaceFiles", affectedRel.mkString("\n"))
-      .mode("append").save(path)
+    withConflictRetry("DELETE") {
+      val pinned = TokenRangeSource.currentVersion(path)
+      val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
+        .collect { case (k, rel) if buckets(k) => rel }
+      onSnapshotPinned()
+      if (affectedRel.nonEmpty) { // keys owning no visible files: no-op
+        val affectedAbs = affectedRel
+          .map(rel => new java.io.File(path, rel).getAbsolutePath)
+        val survivors = spark.read.parquet(affectedAbs: _*)
+          .filter(not(col(pk).isin(keys.map {
+            case u: UTF8String => u.toString
+            case v => v
+          }: _*)))
+        survivors.write.format(fmt)
+          .option("pk", pk)
+          .option("replaceFiles", affectedRel.mkString("\n"))
+          .mode("append").save(path)
+      }
+    }
   }
 
   /** Compact a SNAPSHOT of the table into one file per non-empty token
@@ -1048,19 +1161,22 @@ object TokenRangeOps {
     * byte-identical by construction and oracle-checked by the driver
     * entry. Unreferenced pre-compaction files stay readable via their
     * pinned versions until [[vacuum]] reaps them. */
-  def compact(spark: SparkSession, path: String, pk: String): Unit = {
-    val pinned = TokenRangeSource.currentVersion(path)
-    val snapshotRel = TokenRangeSource.visibleRelFiles(path, pinned).map(_._2)
-    if (snapshotRel.isEmpty) return // nothing to compact
-    val t = spark.read.format(fmt).option("pk", pk)
-      .options(pinned.map(v => "version" -> v.toString).toMap)
-      .load(path)
-    val dt = t.schema(pk).dataType
-    t.repartition(TokenLayout.Buckets, TokenLayout.bucketOfColumn(col(pk), dt))
-      .write.format(fmt).option("pk", pk)
-      .option("replaceFiles", snapshotRel.mkString("\n"))
-      .mode("append").save(path)
-  }
+  def compact(spark: SparkSession, path: String, pk: String): Unit =
+    withConflictRetry("compact") {
+      val pinned = TokenRangeSource.currentVersion(path)
+      val snapshotRel = TokenRangeSource.visibleRelFiles(path, pinned).map(_._2)
+      onSnapshotPinned()
+      if (snapshotRel.nonEmpty) { // empty table: nothing to compact
+        val t = spark.read.format(fmt).option("pk", pk)
+          .options(pinned.map(v => "version" -> v.toString).toMap)
+          .load(path)
+        val dt = t.schema(pk).dataType
+        t.repartition(TokenLayout.Buckets, TokenLayout.bucketOfColumn(col(pk), dt))
+          .write.format(fmt).option("pk", pk)
+          .option("replaceFiles", snapshotRel.mkString("\n"))
+          .mode("append").save(path)
+      }
+    }
 
   /** CQL's INSERT-IS-UPSERT at the connector layer: replace-by-partition-
     * key in ONE atomic flip. Only the incoming keys' OWNING BUCKETS'
@@ -1087,23 +1203,26 @@ object TokenRangeOps {
     val buckets = incoming
       .select(TokenLayout.bucketOfColumn(col(pk), dt).as("tb"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val pinned = TokenRangeSource.currentVersion(path)
-    val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
-      .collect { case (k, rel) if buckets(k) => rel }
-    val cols = incoming.schema.fieldNames.map(col)
-    val merged =
-      if (affectedRel.isEmpty) incoming.select(cols: _*)
-      else {
-        val old = spark.read.parquet(affectedRel
-          .map(rel => new java.io.File(path, rel).getAbsolutePath): _*)
-        old.join(incoming.select(pk).distinct(), Seq(pk), "left_anti")
-          .select(cols: _*)
-          .unionByName(incoming.select(cols: _*))
-      }
-    merged.write.format(fmt)
-      .option("pk", pk)
-      .option("replaceFiles", affectedRel.mkString("\n"))
-      .mode("append").save(path)
+    withConflictRetry("upsert") {
+      val pinned = TokenRangeSource.currentVersion(path)
+      val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
+        .collect { case (k, rel) if buckets(k) => rel }
+      onSnapshotPinned()
+      val cols = incoming.schema.fieldNames.map(col)
+      val merged =
+        if (affectedRel.isEmpty) incoming.select(cols: _*)
+        else {
+          val old = spark.read.parquet(affectedRel
+            .map(rel => new java.io.File(path, rel).getAbsolutePath): _*)
+          old.join(incoming.select(pk).distinct(), Seq(pk), "left_anti")
+            .select(cols: _*)
+            .unionByName(incoming.select(cols: _*))
+        }
+      merged.write.format(fmt)
+        .option("pk", pk)
+        .option("replaceFiles", affectedRel.mkString("\n"))
+        .mode("append").save(path)
+    }
   }
 
   /** TTL expiry (CQL's `USING TTL` read-time semantics made physical —
@@ -1126,8 +1245,10 @@ object TokenRangeOps {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
     }
+    withConflictRetry("expire") {
     val pinned = TokenRangeSource.currentVersion(path)
     val files = TokenRangeSource.visibleRelFiles(path, pinned).map(_._2)
+    onSnapshotPinned()
     // per-file (min, max, nNulls) of the ts column, or None when any row
     // group lacks usable stats (→ straddle conservatively). NULL-ts rows
     // NEVER expire (CQL: no writetime → no TTL), and parquet min/max
@@ -1171,8 +1292,8 @@ object TokenRangeOps {
     val classed = files.map(rel => rel -> classify(rel))
     val retired = classed.collect { case (rel, Retire) => rel }
     val straddling = classed.collect { case (rel, Straddle) => rel }
-    if (retired.isEmpty && straddling.isEmpty) return // nothing expired
-    if (straddling.isEmpty) {
+    if (retired.isEmpty && straddling.isEmpty) () // nothing expired
+    else if (straddling.isEmpty) {
       // metadata-only expiry: every affected file dies wholesale
       TokenRangeSource.withCommitLock(path) {
         TokenRangeSource.publishManifest(path, Nil, truncate = false,
@@ -1192,6 +1313,7 @@ object TokenRangeOps {
         .option("replaceFiles", (retired ++ straddling).mkString("\n"))
         .mode("append").save(path)
     }
+    } // withConflictRetry("expire")
   }
 
   /** Maintenance sweep: delete data files referenced by NO manifest at
@@ -1216,6 +1338,12 @@ object TokenRangeOps {
       TokenRangeSource.versions(path).filter(_ < retainFrom).foreach { v =>
         new java.io.File(TokenRangeSource.manifestDir(path), s"v$v.manifest").delete()
       }
+      // reap stolen-lock tombstones (stale-<uuid>.lock accumulate one per
+      // crashed committer — r12 advice: nothing deleted them before)
+      Option(TokenRangeSource.manifestDir(path).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("stale-") && f.getName.endsWith(".lock"))
+        .foreach(_.delete())
       dead.size
     }
 }

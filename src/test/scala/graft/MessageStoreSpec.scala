@@ -220,4 +220,34 @@ class MessageStoreSpec extends SparkSpec {
     assert(plan.contains("o_orderkey IN"),
       s"multi-get IN-list must reach the connector scan:\n${plan.take(900)}")
   }
+
+  test("compactUsers: a racing insert resolves LWW exactly as without the compaction") {
+    // the r12 lost-update (ADVICE medium): the old compactUsers re-stamped
+    // every compacted row with a FRESH nextSeq(), so an insert that drew
+    // its write_seq before the re-stamp but committed after the snapshot
+    // pin rebased into the flip yet LOST read-time LWW to the re-stamped
+    // stale row. The fix keeps each username's winning row's ORIGINAL
+    // write_seq through the rewrite — so the racing insert (strictly later
+    // seq) must win, exactly as it would against the uncompacted table.
+    import graft.sources.connector.TokenRangeOps
+    val ks2 = s"ks_lww_${System.nanoTime()}"
+    val ms = new graft.sources.MessageStore(spark, ks2)
+    ms.createKeyspace(); ms.createTables()
+    ms.insertUsers(Seq(("u1", "carol", "carol@v1.io", "pw")))
+    ms.insertUsers(Seq(("u1", "carol", "carol@v2.io", "pw")))
+    assert(ms.user("carol").collect().head.getAs[String]("email") == "carol@v2.io")
+    // racing insert commits BETWEEN the compaction's snapshot pin and its
+    // publish (deterministic via the seam; one-shot so the insert's own
+    // machinery never re-triggers it)
+    TokenRangeOps.onSnapshotPinned = () => {
+      TokenRangeOps.onSnapshotPinned = () => ()
+      ms.insertUsers(Seq(("u1", "carol", "carol@v3.io", "pw")))
+    }
+    ms.compactUsers()
+    val got = ms.user("carol").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("email") == "carol@v3.io",
+      "the racing insert's later write_seq must win LWW over the compacted row")
+    ms.dropKeyspace()
+  }
 }
