@@ -52,6 +52,18 @@ import org.apache.spark.sql.SparkSession
   * stamped, and the process exits 1, so a failing record cannot silently
   * become the round's artifact.
   *
+  * History-aware requeue (VERDICT r11 ask #2 / r12 #3): the sentinel is a
+  * ~100 ms probe — contention that inflates a multi-second entry but
+  * spares the probe (the r11 record shipped q8_market_share at 10× solo
+  * under calm brackets) is invisible to it. So each entry is ALSO checked
+  * against its archived reference minute (min of BENCH_SOLO.json's
+  * solo_sec and the newest same-sf BENCH_FULL_r*.json minute): pass-1 min
+  * > 3× reference → requeue; FINAL min still > 3× → the record is
+  * contaminated (a real ≥3× regression should block the record and be
+  * adjudicated, exactly as contention would be — silence is the failure
+  * mode). Entries with no archived reference (new this round, foreign sf)
+  * are exempt.
+  *
   * Inter-query hygiene: `clearCache` alone does NOT release
   * `localCheckpoint` blocks (dedup_clusters / IVF Lloyd rounds leave
   * MEMORY_AND_DISK RDD blocks in the executor block manager; r2's ev_*
@@ -114,6 +126,55 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+
+  // ---- history-aware requeue reference (VERDICT r11 ask #2 / r12 #3) ----
+  // Sentinel brackets are blind to contention that inflates a heavy entry
+  // but spares the ~100 ms probe (the r11 record shipped q8_market_share
+  // at 10× its solo minute under CALM brackets). Per-entry reference
+  // minutes from the two archives committed beside the bench — the solo
+  // appendix (BENCH_SOLO.json, warm per-entry minutes on an idle box) and
+  // the newest round archive (BENCH_FULL_r*.json `queries` map) — give a
+  // second, entry-grained criterion: pass-1 min > HistFactor× reference →
+  // requeue even when brackets are calm; a FINAL min still above it
+  // condemns the record (a genuine 3× regression should block the record
+  // and be adjudicated, exactly like contention would be).
+
+  private[graft] val HistFactor = 3.0
+  // entries under this floor are scheduler-noise-dominated: a 0.03→0.10 s
+  // wobble is not contention evidence
+  private[graft] val HistFloorSec = 0.1
+
+  private def readFileStr(p: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8"))
+    catch { case _: Throwable => None }
+
+  /** Per-entry reference minutes for `sfDir`: min of the solo-appendix
+    * minute and the newest same-sf round archive's minute. Empty when
+    * neither artifact exists (fresh checkout, foreign sf) — the criterion
+    * then simply never fires. */
+  private[graft] def historyRef(sfDir: String): Map[String, Double] = {
+    val solo: Map[String, Double] = readFileStr("BENCH_SOLO.json").toSeq.flatMap { s =>
+      if (!s.contains("\"sf\":\"" + sfDir + "\"")) Nil
+      else "\"([A-Za-z0-9_]+)\":\\{\"solo_sec\":([0-9.]+)".r
+        .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    }.toMap
+    val archives = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("BENCH_FULL_r\\d+\\.json"))
+      .sorted(Ordering[String].reverse)
+    val qLine = ("\"metric\":\"queries\",\"unit\":\"sec\",\"queries\":\\{([^}]*)\\}," +
+      "\"sf\":\"([^\"]*)\"").r
+    val round: Map[String, Double] = archives.iterator.flatMap { f =>
+      readFileStr(f).flatMap { s =>
+        qLine.findFirstMatchIn(s).filter(_.group(2) == sfDir).map(m =>
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(m.group(1))
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap)
+      }
+    }.take(1).toSeq.headOption.getOrElse(Map.empty)
+    (solo.keySet ++ round.keySet).iterator.map { k =>
+      k -> (solo.get(k).toSeq ++ round.get(k).toSeq).min
+    }.toMap
+  }
 
   /** Fixed ~100 ms reference probe (lineitem scan + 4-group aggregate):
     * wall-time drift on a plan this trivial can only come from the
@@ -273,8 +334,16 @@ object Bench {
       val ((bd, bh), (ad, ah)) = bracket1(idx)
       math.min(bd, ad) > 2.0 || (bh && ah)
     }
+    // history-aware criterion (r11 ask #2, r12 #3): an entry far above its
+    // archived reference minute is requeued even when its sentinel
+    // brackets are calm — the blind spot that let q8_market_share ship at
+    // 10× solo in the r11 record
+    val histRef = historyRef(sfDir)
+    def histBreached(min: Double, name: String): Boolean =
+      histRef.get(name).exists(h => min > HistFactor * math.max(h, HistFloorSec))
     val requeueIdx = results0.zipWithIndex.collect {
-      case (q, idx) if q.err.isEmpty && breached1(idx) => idx
+      case (q, idx) if q.err.isEmpty
+        && (breached1(idx) || histBreached(q.min, q.name)) => idx
     }
     // runtime bound: a run where most of the suite breached is a hosed
     // box, not a requeue candidate — skip the retries and mark invalid
@@ -324,6 +393,13 @@ object Bench {
           if math.min(sb, sa) / sentinelFloor > 2.0 || rq.err.isDefined =>
         results0(idx).name
     }
+    // entries whose FINAL (min-of-both-passes) minute still exceeds the
+    // history bound: either the box is contended in a way the sentinels
+    // can't see, or the entry genuinely regressed ≥3× — both must block
+    // the record and be adjudicated, never ship silently
+    val histStillSlow: Seq[String] = results.collect {
+      case q if q.err.isEmpty && histBreached(q.min, q.name) => q.name
+    }
     val allDrifts = (samples1.map(_._3) ++ retrySent).map(_ / sentinelFloor)
     val maxDrift = r3(if (allDrifts.isEmpty) 1.0 else allDrifts.max)
     // Median gate at 1.5 (VERDICT r8 "wrong" #1): sustained co-tenant
@@ -339,7 +415,8 @@ object Bench {
       else if (drifts1.size < 5) med(samples1.map(_._3 / sentinelFloor))
       else samples1.map(_._3 / sentinelFloor).sliding(5).map(med).max)
     val contaminated =
-      medianDrift > 1.5 || stillContended.nonEmpty || requeueSkipped
+      medianDrift > 1.5 || stillContended.nonEmpty || requeueSkipped ||
+        histStillSlow.nonEmpty
 
     // Per-entry bracket-corrected steady-state time (VERDICT r9 perf ask):
     // correction = min / drift, drift = the calmest bracketing evidence
@@ -385,7 +462,10 @@ object Bench {
         s"""{"name":${jsonStr(results0(idx).name)},"min_ambient":${results0(idx).min},"retry_min":${rq.min},"sb_drift":${r3(sb / sentinelFloor)},"sa_drift":${r3(sa / sentinelFloor)}}"""
       }.mkString("[", ",", "]")
       val still = stillContended.map(jsonStr).mkString("[", ",", "]")
-      s"""{"metric":"sentinel","baseline_sec":$sentinelBase,"floor_sec":$sentinelFloor,"every":$sentinelEvery,"max_drift":$maxDrift,"median_drift":$medianDrift,"window_max_median":$windowMaxMedian,"contaminated":$contaminated,"n_requeued":${retried.size},"requeue_skipped":$requeueSkipped,"still_contended":$still,"samples":$samples,"requeue":$requeue}"""
+      val histSlow = histStillSlow.map(n =>
+        s"""{"name":${jsonStr(n)},"ref_sec":${histRef.getOrElse(n, -1.0)}}""")
+        .mkString("[", ",", "]")
+      s"""{"metric":"sentinel","baseline_sec":$sentinelBase,"floor_sec":$sentinelFloor,"every":$sentinelEvery,"max_drift":$maxDrift,"median_drift":$medianDrift,"window_max_median":$windowMaxMedian,"contaminated":$contaminated,"n_requeued":${retried.size},"requeue_skipped":$requeueSkipped,"still_contended":$still,"hist_ref_entries":${histRef.size},"hist_still_slow":$histSlow,"samples":$samples,"requeue":$requeue}"""
     }
     val minTimes = results.map(q => s"${jsonStr(q.name)}:${q.min}").mkString("{", ",", "}")
     val queriesLine = s"""{"metric":"queries","unit":"sec","queries":$minTimes,"sf":"$sfDir"}"""
@@ -401,7 +481,7 @@ object Bench {
     val totalBracket = r3(results.map(q => minCorr(q.name)).sum)
     val errJson = if (failed.isEmpty) "" else s""","errors":${failed.mkString("{", ",", "}")}"""
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_drift_corrected":$totalCorrected,"total_bracket_corrected":$totalBracket,"total_cold":$totalCold,"st_floor_sec":$stFloorSec,"runs_per_query":$nRuns,"n_queries":${results.size},"n_failed":${failed.size},"sentinel_max_drift":$maxDrift,"sentinel_median_drift":$medianDrift,"window_max_median":$windowMaxMedian,"n_requeued":${retried.size},"n_still_contended":${stillContended.size},"contaminated":$contaminated$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_drift_corrected":$totalCorrected,"total_bracket_corrected":$totalBracket,"total_cold":$totalCold,"st_floor_sec":$stFloorSec,"runs_per_query":$nRuns,"n_queries":${results.size},"n_failed":${failed.size},"sentinel_max_drift":$maxDrift,"sentinel_median_drift":$medianDrift,"window_max_median":$windowMaxMedian,"n_requeued":${retried.size},"n_still_contended":${stillContended.size},"n_hist_slow":${histStillSlow.size},"contaminated":$contaminated$errJson,"sf":"$sfDir"}"""
 
     // File pickup: the whole document (detail + sentinel + per-query mins
     // + summary). A CONTAMINATED full run goes to BENCH_INVALID.json —
@@ -448,6 +528,7 @@ object Bench {
     if (invalidFullRun) {
       System.err.println("[bench] record CONTAMINATED — wrote BENCH_INVALID.json; " +
         s"median_drift=$medianDrift still_contended=${stillContended.mkString(",")}" +
+        (if (histStillSlow.nonEmpty) s" hist_slow=${histStillSlow.mkString(",")}" else "") +
         (if (requeueSkipped) s" requeue_skipped(n=${requeueIdx.size})" else ""))
       sys.exit(1)
     }

@@ -1586,45 +1586,80 @@ object Ann extends QueryModule {
   private def scoreFp = floor(cosine(col("qe"), col("embedding"), col("qn"), col("nrm"))
     * 1e4 + 0.5).cast("long")
   def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = withNorm(Tables.embeddings(s, d))
     val pairs = e.crossJoin(broadcast(queriesOf(e)))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), scoreFp.as("sfp"))
-    val cand = graft.Checkpoints.materialize(
+    // candidate frame: ≤ |queries|·MmrCand rows — CONSTANT at any corpus
+    // scale once the bucketed top-k pre-reduce has run. This is the one
+    // corpus-sized stage; everything below operates on the constant model
+    // (the CMS/PageRank/PCA collect-a-constant-model device — r12 verdict
+    // #9: the former 10 relational greedy rounds were 10 scheduler-bound
+    // tiny jobs; a greedy loop is inherently sequential, so it runs where
+    // sequential is free).
+    val candC: Array[(Long, Long, Long)] =
       topKPerQuery(pairs, "sfp", "neighbor_id", MmrCand, "crk")
-        .select("query_id", "neighbor_id", "sfp"))
-    val ce = cand.join(e.select(col("vec_id").as("neighbor_id"),
-      col("embedding"), col("nrm")), "neighbor_id")
-    val ps = graft.Checkpoints.materialize(
-      ce.select(col("query_id"), col("neighbor_id").as("aid"),
-          col("embedding").as("ae"), col("nrm").as("an"))
-        .join(ce.select(col("query_id"), col("neighbor_id").as("bid"),
-          col("embedding").as("be"), col("nrm").as("bn")), "query_id")
-        .select(col("query_id"), col("aid"), col("bid"),
-          Cols.fp4Fix(cosine(col("ae"), col("be"), col("an"), col("bn")))
-            .as("simfp")))
-    val pick = Window.partitionBy("query_id").orderBy(desc("mmr_fp"), asc("neighbor_id"))
-    var sel = cand
-      .withColumn("mmr_fp", lit(7L) * col("sfp"))
-      .withColumn("rk", row_number().over(pick))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), lit(1).as("step"), col("neighbor_id"), col("mmr_fp"))
-    for (step <- 2 to MmrK) {
-      val ms = ps.join(sel.select(col("query_id"), col("neighbor_id").as("bid")),
-          Seq("query_id", "bid"))
-        .groupBy(col("query_id"), col("aid").as("neighbor_id"))
-        .agg(max("simfp").as("msim"))
-      val next = cand
-        .join(sel.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_anti")
-        .join(ms, Seq("query_id", "neighbor_id"))
-        .withColumn("mmr_fp", lit(7L) * col("sfp") - lit(3L) * col("msim"))
-        .withColumn("rk", row_number().over(pick))
-        .filter(col("rk") === 1)
-        .select(col("query_id"), lit(step).as("step"), col("neighbor_id"), col("mmr_fp"))
-      sel = graft.Checkpoints.materialize(sel.unionByName(next))
+        .select("query_id", "neighbor_id", "sfp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // candidate embeddings via ONE pushed-down IN-list scan (≤ |queries|·
+    // MmrCand ids) — no join, no window, no second corpus-shaped stage
+    val ids = candC.map(_._2).distinct.toSeq
+    val embC: Map[Long, Array[Float]] =
+      Tables.embeddings(s, d).filter(col("vec_id").isin(ids: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // driver-side replay of fp4Fix∘cosine: the SAME sequential double
+    // left fold as VectorFunctions.dot (per-element float→double cast,
+    // acc+x·y left to right) and the same zero-norm→null guard, so every
+    // pairwise sim is bit-identical to the former relational ps frame and
+    // the unrolled oracle (AnnSpec asserts full-outcome equality against
+    // an independent local model)
+    def dotL(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
     }
-    sel.select(col("query_id"), col("step"), col("neighbor_id"),
-      (col("mmr_fp").cast("double") / 1e5).as("mmr"))
+    def simFp(a: Array[Float], b: Array[Float]): Option[Long] = {
+      val den = math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b))
+      if (den == 0.0) None // nullif guard: zero-norm vectors have no direction
+      else Some(math.floor(dotL(a, b) / den * 1e4 + 0.5).toLong)
+    }
+    // the MmrK greedy steps over the constant model (≤ |queries|·MmrCand
+    // candidates, ≤ MmrCand² sims per query): identical integer
+    // arithmetic (7·sfp − 3·max-sim, ties to the smaller neighbor_id), so
+    // results are bit-identical to the former relational unroll and the
+    // oracle. A candidate with NO valid sim to the selected set ranks
+    // last (the relational null-ordering), i.e. is never picked while a
+    // valid one remains.
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    candC.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, cands) =>
+      val sfp = cands.map(c => c._2 -> c._3).toMap
+      val remaining = scala.collection.mutable.SortedSet(sfp.keySet.toSeq: _*)
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      var step = 1
+      var exhausted = false
+      while (step <= MmrK && remaining.nonEmpty && !exhausted) {
+        val scored = remaining.toSeq.flatMap { id =>
+          val pen: Option[Long] =
+            if (selected.isEmpty) Some(0L)
+            else {
+              val sims = selected.flatMap(b => simFp(embC(id), embC(b)))
+              if (sims.isEmpty) None else Some(sims.max * 3L)
+            }
+          pen.map(p => (id, 7L * sfp(id) - p))
+        }
+        if (scored.isEmpty) exhausted = true
+        else {
+          val (id, fp) = scored.minBy { case (id0, fp0) => (-fp0, id0) }
+          out += ((q, step, id, fp.toDouble / 1e5))
+          selected += id; remaining -= id; step += 1
+        }
+      }
+    }
+    out.toSeq.toDF("query_id", "step", "neighbor_id", "mmr")
   }
 
   private def mmrRerankSql: String = {
