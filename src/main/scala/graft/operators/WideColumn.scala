@@ -167,6 +167,7 @@ object WideColumn extends QueryModule {
     graft.PrebuiltDirs.clear("graft_connector_cmp")
     graft.PrebuiltDirs.clear("graft_connector_ttl")
     graft.PrebuiltDirs.clear("graft_connector_ups")
+    graft.PrebuiltDirs.clear("graft_connector_cpk")
   }
 
   private def connectorOrdersDir(s: SparkSession, d: String): String =
@@ -247,6 +248,53 @@ object WideColumn extends QueryModule {
       |FROM customer WHERE c_name = (
       |  SELECT c_name FROM customer WHERE c_custkey % 97 = 0
       |  ORDER BY c_custkey LIMIT 1)""".stripMargin
+
+  // ---- COMPOSITE-partition-key point lookup THROUGH the connector (r13) --
+  /** Cassandra's `PRIMARY KEY ((a, b))` — the most common wide-row idiom
+    * beyond single-key tables (VERDICT r12 #8) — riding the connector
+    * end-to-end: a lineitem projection keyed on (l_orderkey,
+    * l_linenumber) is written once per (JVM, corpus) through the
+    * token-range sink, the TUPLE ring-hashed by catalyst's chained
+    * xxhash64 (the Murmur3-over-serialized-tuple analog), and the entry
+    * reads ONE line back by BOTH equalities — pruned on the driver to the
+    * tuple's owning token bucket (partial equality on `l_orderkey` alone
+    * cannot be routed, exactly as CQL requires the full partition key).
+    * The oracle compares against a direct lineitem read, so the hash
+    * check proves the composite write→route→read round trip is bit-exact
+    * through the manifest commit. Lookup key derived deterministically
+    * (bounded 1-row collect — a real client supplies the key; EqualTo
+    * pushdown needs driver literals). */
+  private def connectorCompositeDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_cpk", d) { dir =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .write.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+        .option("pk", "l_orderkey,l_linenumber")
+        .option("schema",
+          "l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE")
+        .mode("overwrite").save(dir)
+      dir
+    }
+
+  def compositeKeyLookup(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorCompositeDir(s, d)
+    val kr = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 97 === 0)
+      .orderBy(asc("l_orderkey"), desc("l_linenumber")).limit(1)
+      .select("l_orderkey", "l_linenumber").collect().head
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "l_orderkey,l_linenumber").load(dir)
+      .filter(col("l_orderkey") === kr.getLong(0)
+        && col("l_linenumber") === kr.getInt(1))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+  }
+
+  private val compositeKeyLookupSql =
+    """WITH k AS (SELECT l_orderkey AS ok, l_linenumber AS ln FROM lineitem
+      |  WHERE l_orderkey % 97 = 0
+      |  ORDER BY l_orderkey, l_linenumber DESC LIMIT 1)
+      |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem, k WHERE l_orderkey = k.ok AND l_linenumber = k.ln""".stripMargin
 
   // ---- SNAPSHOT (time-travel) read through the connector (r11) -----------
   /** Version-pinned read over the manifest history: orders land in TWO
@@ -1416,6 +1464,7 @@ object WideColumn extends QueryModule {
     ("wc_token_range_scan", tokenRangeScan _, Some(tokenRangeScanSql)),
     ("wc_connector_multiget", connectorMultiget _, Some(connectorMultigetSql)),
     ("wc_connector_user_lookup", connectorUserLookup _, Some(connectorUserLookupSql)),
+    ("wc_composite_key_lookup", compositeKeyLookup _, Some(compositeKeyLookupSql)),
     ("wc_connector_snapshot_read", connectorSnapshotRead _, Some(connectorSnapshotReadSql)),
     ("wc_connector_delete", connectorDelete _, Some(connectorDeleteSql)),
     ("wc_connector_compact", connectorCompact _, Some(connectorCompactSql)),

@@ -395,13 +395,14 @@ object Ann extends QueryModule {
   }
 
   /** The two-level serving path, DataFrame-parametric for AnnSpec's
-    * non-degenerate synthetic corpus: super-probe → cell-probe within
-    * probed super-cells (top npd by exact centroid cosine — the same
-    * budget flat IVF spends) → candidate scan → exact re-rank. */
-  private[graft] def ivf2TopKOf(e: DataFrame): DataFrame = {
-    val cent = trainCentroids(e)
-    val index = assignCells(e, cent)
-    val (sup, cellmap) = superTier(e, cent)
+    * non-degenerate synthetic corpus AND shared verbatim by the inline
+    * tier (ann_ivf2_topk) and its persisted twin (ann_ivf2_prebuilt_topk)
+    * — the serveIvfIndex one-definition argument: super-probe →
+    * cell-probe within probed super-cells (top npd by exact centroid
+    * cosine — the same budget flat IVF spends) → candidate scan → exact
+    * re-rank. */
+  private def ivf2Serve(e: DataFrame, index: DataFrame, cent: DataFrame,
+      sup: DataFrame, cellmap: DataFrame): DataFrame = {
     val npsF = broadcast(e.agg(ivfKD(count(lit(1))).as("kd"))
       .select(greatest(lit(2L),
         ceil(greatest(lit(2L), floor(sqrt(col("kd"))).cast("long")) / lit(5.0))
@@ -436,8 +437,34 @@ object Ann extends QueryModule {
       .filter(col("rk") <= K)
   }
 
+  private[graft] def ivf2TopKOf(e: DataFrame): DataFrame = {
+    val cent = trainCentroids(e)
+    val index = assignCells(e, cent)
+    val (sup, cellmap) = superTier(e, cent)
+    ivf2Serve(e, index, cent, sup, cellmap)
+  }
+
   def ivf2TopK(s: SparkSession, d: String): DataFrame =
     ivf2TopKOf(withNorm(Tables.embeddings(s, d)))
+
+  /** The two-level tier served ENTIRELY from the persisted index (r12
+    * verdict #6 — the LAST trainable tier without a prebuilt twin: every
+    * call retrained both Lloyd levels inline). The build job persists the
+    * √k super-centroids and the cell→super map beside the IVF tables;
+    * serving reads all four frames and runs the identical three-tier
+    * query path — fixed-point training makes stored ≡ fresh bit-for-bit,
+    * so the entry shares ann_ivf2_topk's unrolled oracle and the hash
+    * check proves the persisted super tier is neither stale nor lossy
+    * (AnnSpec asserts the same equality Scala-side). */
+  def ivf2PrebuiltTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = prebuiltIndexDir(s, d)
+    val e = withNorm(Tables.embeddings(s, d))
+    ivf2Serve(e,
+      s.read.parquet(s"$dir/cells"),
+      s.read.parquet(s"$dir/centroids"),
+      s.read.parquet(s"$dir/super_centroids"),
+      s.read.parquet(s"$dir/cellmap"))
+  }
 
   /** The super tier unrolled into SQL on top of the shared training CTEs
     * — seeds, one fixed-point Lloyd round, cell→super map, then the
@@ -1480,6 +1507,12 @@ object Ann extends QueryModule {
     cells.join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
       .write.mode("overwrite").parquet(s"$dir/cells")
     cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    // the two-level tier's frames (r12 #6): √k super-centroids + the
+    // cell→super map — k-row model frames, trivially cheap beside the PQ
+    // codes, and they retire the last per-call inline retrain in the suite
+    val (sup, cellmap) = superTier(e, cent)
+    sup.write.mode("overwrite").parquet(s"$dir/super_centroids")
+    cellmap.write.mode("overwrite").parquet(s"$dir/cellmap")
     val cb = trainPqCodebooks(e)
     cb.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
     pqCodes(e, cb)
@@ -2222,6 +2255,7 @@ object Ann extends QueryModule {
     ("ann_pca_topk", pcaTopK _, Some(pcaTopKSql)),
     ("ann_ivf_prebuilt_topk", ivfPrebuiltTopK _, Some(ivfTopKSql)),
     ("ann_ivf2_topk", ivf2TopK _, Some(ivf2TopKSql)),
+    ("ann_ivf2_prebuilt_topk", ivf2PrebuiltTopK _, Some(ivf2TopKSql)),
     ("ann_filtered_topk", filteredTopK _, Some(filteredTopKSql)),
     ("emb_mmr_rerank", mmrRerank _, Some(mmrRerankSql)),
     ("ann_ivfpq_prebuilt_topk", ivfPqPrebuiltTopK _, Some(ivfPqTopKSql)),

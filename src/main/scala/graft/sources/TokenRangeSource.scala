@@ -492,6 +492,42 @@ object TokenLayout {
     (token * Buckets / Ring).toInt
   }
 
+  // ---- COMPOSITE partition keys (r12 verdict #8): Cassandra's
+  // `PRIMARY KEY ((a, b), c)` — the partitioner hashes the SERIALIZED
+  // (a, b) tuple. The Spark-native analog: catalyst's multi-child
+  // xxhash64, which chains each column's hash as the next one's seed
+  // (seed 42 start) — a canonical serialization-free tuple hash that is
+  // identical in the column expression (write routing), the driver twin
+  // (pushdown pruning), and the task writers, so a two-column point
+  // lookup prunes to the one owning bucket exactly like a single-key one.
+
+  /** Ring bucket of a composite partition key, as a column expression
+    * (the write path's router for ≥2 pk columns). */
+  def bucketOfComposite(pks: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    floor(pmod(xxhash64(pks: _*), lit(Ring)) * Buckets / Ring).cast("int")
+  }
+
+  /** Driver/task-side twin of [[bucketOfComposite]]: catalyst
+    * XxHash64Function chained exactly as the multi-child expression
+    * chains it (each value hashed with the previous hash as seed). */
+  def bucketOfCompositeValues(vs: Seq[Any], dts: Seq[DataType]): Int = {
+    var h = 42L
+    vs.zip(dts).foreach { case (v, dt) =>
+      val cv: Any = (v, dt) match {
+        case (s: String, StringType) => UTF8String.fromString(s)
+        case (u: UTF8String, StringType) => u
+        case (n: java.lang.Number, LongType) => n.longValue
+        case (n: java.lang.Number, IntegerType) => n.intValue
+        case (other, _) => other
+      }
+      h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(cv, dt, h)
+    }
+    val m = h % Ring
+    val token = if (m < 0) m + Ring else m
+    (token * Buckets / Ring).toInt
+  }
+
   def writeTokenBucketed(df: org.apache.spark.sql.DataFrame, pk: String,
       path: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -520,12 +556,18 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val pk = Option(options.get("pk")).orElse(Option(info.options.get("pk")))
       .getOrElse(throw new IllegalArgumentException(
-        "token-range sink requires the pk option (the bucketing partition key)"))
-    val pkIdx = info.schema().fieldIndex(pk)
-    info.schema()(pkIdx).dataType match {
-      case LongType | IntegerType | StringType => ()
-      case other => throw new IllegalArgumentException(
-        s"token-range sink buckets on a BIGINT/INT/TEXT partition key, $pk is $other")
+        "token-range sink requires the pk option (the bucketing partition key; " +
+          "comma-separate for a composite key)"))
+    // composite partition keys (r12 #8): `pk` is a comma-separated column
+    // list — CQL's `PRIMARY KEY ((a, b))`, ring-hashed as one tuple
+    val pkIdx = pk.split(',').map(_.trim).toSeq.map(info.schema().fieldIndex)
+    pkIdx.foreach { i =>
+      info.schema()(i).dataType match {
+        case LongType | IntegerType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"token-range sink buckets on BIGINT/INT/TEXT partition key columns, " +
+            s"${info.schema()(i).name} is $other")
+      }
     }
     // copy-on-write rewrites (row-level DELETE, compaction) name the
     // files their commit retires in the same manifest flip that adds the
@@ -579,6 +621,10 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
     with SupportsPushDownRequiredColumns {
 
   private val pkName = Option(options.get("pk")).getOrElse("")
+  // composite partition keys (r12 #8): `pk=a,b` — pruning requires
+  // conjunctive EQUALITY on every component (CQL: the full partition key
+  // must be bound), ring-hashed as one tuple by the driver twin
+  private val pkNames = pkName.split(',').map(_.trim).filter(_.nonEmpty).toSeq
   private val ckName = Option(options.get("ck")).getOrElse("")
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -632,6 +678,35 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       case LessThanOrEqual(a, v) if a.equalsIgnoreCase(ckName) && asLong(v).isDefined =>
         ckHi = math.min(ckHi, asLong(v).get); ckPushed = true; true
       case _ => false
+    }
+    // composite pk: when EVERY component carries an equality literal, the
+    // tuple's owning bucket is computable on the driver — prune to it and
+    // report the component filters pushed. Partial equality (only `a` of
+    // (a, b)) cannot be bucket-routed (the tuple hash needs every part,
+    // exactly as Cassandra requires the full partition key) and stays
+    // residual-only.
+    if (pkNames.size > 1) {
+      val eqs: Map[String, Any] = filters.collect {
+        case EqualTo(a, v) if pkNames.exists(_.equalsIgnoreCase(a)) =>
+          pkNames.find(_.equalsIgnoreCase(a)).get -> v
+      }.toMap
+      if (pkNames.forall(eqs.contains)) {
+        val fields = pkNames.flatMap(n =>
+          tableSchema.fields.find(_.name.equalsIgnoreCase(n)))
+        val routable = fields.size == pkNames.size && fields.forall(_.dataType match {
+          case LongType | IntegerType | StringType => true
+          case _ => false
+        })
+        if (routable) {
+          restrictBuckets(Set(TokenLayout.bucketOfCompositeValues(
+            pkNames.map(eqs), fields.map(_.dataType))))
+          val compositeEq = filters.filter {
+            case EqualTo(a, _) => pkNames.exists(_.equalsIgnoreCase(a))
+            case _ => false
+          }
+          pushed = (pushed ++ compositeEq).distinct
+        }
+      }
     }
     // residual contract: EVERYTHING is re-evaluated by Spark post-scan —
     // pushdown here is a pruning hint, never a correctness dependency
@@ -859,7 +934,7 @@ private[connector] final class TokenRangeReader(files: Array[String],
 // See the provider scaladoc for the four atomicity guarantees.
 
 private[connector] final class TokenRangeWriteBuilder(path: String,
-    writeSchema: StructType, pkIdx: Int, replaceRel: Set[String] = Set.empty)
+    writeSchema: StructType, pkIdx: Seq[Int], replaceRel: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -870,7 +945,7 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
 }
 
 private[connector] final class TokenRangeBatchWrite(path: String,
-    writeSchema: StructType, pkIdx: Int, doTruncate: Boolean,
+    writeSchema: StructType, pkIdx: Seq[Int], doTruncate: Boolean,
     replaceRel: Set[String] = Set.empty)
     extends BatchWrite {
 
@@ -950,13 +1025,13 @@ private[connector] final case class TokenRangeCommit(files: Array[String])
     extends WriterCommitMessage
 
 private[connector] final case class TokenRangeWriterFactory(path: String,
-    writeSchema: StructType, pkIdx: Int, writeId: String) extends DataWriterFactory {
+    writeSchema: StructType, pkIdx: Seq[Int], writeId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new TokenRangeDataWriter(path, writeSchema, pkIdx, partitionId, taskId, writeId)
 }
 
 private[connector] final class TokenRangeDataWriter(path: String,
-    writeSchema: StructType, pkIdx: Int, partitionId: Int, taskId: Long,
+    writeSchema: StructType, pkIdx: Seq[Int], partitionId: Int, taskId: Long,
     writeId: String) extends DataWriter[InternalRow] {
 
   private val msgType = TokenRangeSource.toParquet(writeSchema)
@@ -981,19 +1056,35 @@ private[connector] final class TokenRangeDataWriter(path: String,
       .withConf(conf).withType(msgType).build(), file)
   })
 
-  private def bucketOfRow(row: InternalRow): Int =
-    writeSchema(pkIdx).dataType match {
-      case LongType => TokenLayout.bucketOfValue(row.getLong(pkIdx))
-      case IntegerType => TokenLayout.bucketOfValue(row.getInt(pkIdx).toLong)
-      case StringType =>
-        TokenLayout.bucketOfStringValue(row.getUTF8String(pkIdx).toString)
+  private def pkValue(row: InternalRow, i: Int): Any =
+    writeSchema(i).dataType match {
+      case LongType => row.getLong(i)
+      case IntegerType => row.getInt(i)
+      case StringType => row.getUTF8String(i)
       case other => throw new IllegalArgumentException(
         s"unsupported partition-key type $other")
     }
 
+  private def bucketOfRow(row: InternalRow): Int =
+    if (pkIdx.size == 1) {
+      val i = pkIdx.head
+      writeSchema(i).dataType match {
+        case LongType => TokenLayout.bucketOfValue(row.getLong(i))
+        case IntegerType => TokenLayout.bucketOfValue(row.getInt(i).toLong)
+        case StringType =>
+          TokenLayout.bucketOfStringValue(row.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition-key type $other")
+      }
+    } else
+      // composite key: the chained xxhash64 tuple ring (same function as
+      // the column expression and the pushdown twin)
+      TokenLayout.bucketOfCompositeValues(
+        pkIdx.map(pkValue(row, _)), pkIdx.map(writeSchema(_).dataType))
+
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(pkIdx),
-      "token-range sink: partition key must be non-null (CQL parity)")
+    pkIdx.foreach(i => require(!row.isNullAt(i),
+      "token-range sink: partition key must be non-null (CQL parity)"))
     val g = factory.newGroup()
     var i = 0
     while (i < writeSchema.fields.length) {

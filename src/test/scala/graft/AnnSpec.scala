@@ -444,6 +444,20 @@ class AnnSpec extends SparkSpec {
     assert(keyed(Ann.ivfPrebuiltTopK(spark, sf)) == prebuilt)
   }
 
+  test("prebuilt two-level IVF serves the stored super tier and matches the inline plan") {
+    // r12 verdict #6: the last trainable tier without a persisted twin —
+    // stored super-centroids + cell→super map must serve exactly what
+    // fresh two-level training computes (fixed-point training ⇒ the
+    // shared oracle proves the same equality cross-engine)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toMap
+    val stored = keyed(Ann.ivf2PrebuiltTopK(spark, sf))
+    val fresh = keyed(Ann.ivf2TopK(spark, sf))
+    assert(stored == fresh,
+      "the persisted super tier must equal the inline two-level plan")
+  }
+
   test("prebuilt IVF×PQ serves stored codes and matches the inline plan") {
     def keyed(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk")) ->

@@ -182,9 +182,13 @@ class EntrySpec extends SparkSpec {
     // one-step-ahead forecast vs next-day actual, exact integer µ-unit
     // errors) → 222/222; +wc_connector_upsert (CQL INSERT-is-upsert as
     // an atomic bucket-grain copy-on-write through the connector)
-    // → 223/223.
-    assert(SparkEntry.queries.size == 223, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 223, s"got ${SparkEntry.oracleSql.size}")
+    // → 223/223; +ann_ivf2_prebuilt_topk (the two-level tier served from
+    // the persisted super-centroids + cell→super map — the last inline
+    // retrain retired) → 224/224; +wc_composite_key_lookup (composite
+    // partition keys: (l_orderkey, l_linenumber) tuple ring via chained
+    // xxhash64, pruned to the owning bucket) → 225/225.
+    assert(SparkEntry.queries.size == 225, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 225, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -38,7 +38,7 @@ class TokenRangeAtomicitySpec extends SparkSpec {
     * the job itself deliberately NOT committed. */
   private def stage(dir: String, rows: Seq[(Long, String)],
       truncate: Boolean): (TokenRangeBatchWrite, Array[org.apache.spark.sql.connector.write.WriterCommitMessage]) = {
-    val bw = new TokenRangeBatchWrite(dir, schema, 0, truncate)
+    val bw = new TokenRangeBatchWrite(dir, schema, Seq(0), truncate)
     val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
     rows.foreach { case (k, v) =>
       w.write(new GenericInternalRow(Array[Any](k, UTF8String.fromString(v))))

@@ -1,0 +1,87 @@
+package graft.sources.connector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Composite partition keys through the connector (VERDICT r12 #8):
+  * Cassandra's `PRIMARY KEY ((a, b))` — the tuple ring-hashed by
+  * catalyst's chained multi-child xxhash64, identical in the column
+  * expression, the task writers' routing, and the driver-side pushdown
+  * twin. Full-equality lookups prune to the ONE owning bucket; partial
+  * equality (one component) is NOT routed — CQL requires the full
+  * partition key — but still evaluates correctly as a residual. */
+class TokenRangeCompositeSpec extends SparkSpec {
+  private val fmt = classOf[TokenRangeSource].getName
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_tr_cpk").toString
+
+  private val rows: Seq[(Long, Int, String)] =
+    for (o <- 0L until 40L; l <- 1 to 4) yield (o, l, s"v$o-$l")
+
+  private def seed(dir: String): Unit = {
+    val s2 = spark; import s2.implicits._
+    rows.toDF("okey", "line", "v")
+      .write.format(fmt).option("pk", "okey,line")
+      .option("schema", "okey BIGINT, line INT, v STRING")
+      .mode("append").save(dir)
+  }
+  private def load(dir: String) = spark.read.format(fmt)
+    .option("pk", "okey,line").option("splits", "4").load(dir)
+
+  test("composite-key round trip is exact and bucket placement follows the tuple ring") {
+    val dir = freshDir()
+    seed(dir)
+    val got = load(dir).collect()
+      .map(r => (r.getAs[Long]("okey"), r.getAs[Int]("line"), r.getAs[String]("v")))
+    assert(got.toSet == rows.toSet)
+    assert(got.length == rows.length)
+    // every physical row sits in the bucket its TUPLE hashes to — the
+    // write router, the column expression and the driver twin agree
+    TokenRangeSource.bucketDirs(dir).foreach { case (k, d) =>
+      val in = spark.read.parquet(d.getAbsolutePath)
+        .select("okey", "line").collect()
+      in.foreach { r =>
+        val want = TokenLayout.bucketOfCompositeValues(
+          Seq(r.getLong(0), r.getInt(1)),
+          Seq(org.apache.spark.sql.types.LongType,
+            org.apache.spark.sql.types.IntegerType))
+        assert(want == k, s"row (${r.getLong(0)},${r.getInt(1)}) in tb=$k hashes to $want")
+      }
+    }
+  }
+
+  test("full composite equality prunes to the owning bucket; partial equality stays residual") {
+    val dir = freshDir()
+    seed(dir)
+    // full equality: exactly one token range planned, both filters pushed
+    val one = load(dir).filter(col("okey") === 17L && col("line") === 3)
+    val hits = one.collect()
+    assert(hits.length == 1 && hits.head.getAs[String]("v") == "v17-3")
+    val plan = one.queryExecution.executedPlan.toString()
+    assert(plan.contains("TokenRanges: 1"),
+      s"full composite equality must prune to 1 bucket:\n${plan.take(900)}")
+    assert(plan.contains("okey = 17") && plan.contains("line = 3"),
+      s"both component equalities must be reported pushed:\n${plan.take(900)}")
+    // partial equality: cannot be tuple-routed (CQL: full partition key
+    // required) — plans the full range set, result still exact
+    val part = load(dir).filter(col("okey") === 17L)
+    assert(part.collect().length == 4)
+    val partPlan = part.queryExecution.executedPlan.toString()
+    assert(!partPlan.contains("TokenRanges: 1"),
+      s"partial equality must NOT claim a single-bucket prune:\n${partPlan.take(900)}")
+  }
+
+  test("null composite-key component is refused at write (CQL parity)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    val bad = Seq((Some(1L), Option.empty[Int], "x"))
+      .toDF("okey", "line", "v")
+    val ex = intercept[Exception] {
+      bad.write.format(fmt).option("pk", "okey,line")
+        .option("schema", "okey BIGINT, line INT, v STRING")
+        .mode("append").save(dir)
+    }
+    assert(ex.getMessage != null)
+  }
+}
