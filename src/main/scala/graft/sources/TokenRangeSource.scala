@@ -173,6 +173,12 @@ object TokenRangeSource {
       .map(_.getAbsolutePath).sorted.toSeq
 
   // ---- manifest layer (the atomic-publish core) --------------------------
+  //
+  // Storage rides the [[ManifestIO]] seam (r12 #5): the local-FS
+  // implementation is production for local[*]; an object-store
+  // implementation swaps in if-none-match PUTs without touching the
+  // protocol below.
+  private[connector] var manifestIO: ManifestIO = LocalManifestIO
 
   private[connector] def manifestDir(path: String) =
     new java.io.File(path, "_manifests")
@@ -181,11 +187,10 @@ object TokenRangeSource {
 
   /** Highest complete manifest version, if any manifest exists. */
   private[sources] def currentVersion(path: String): Option[Int] = {
-    val files = Option(manifestDir(path).listFiles()).getOrElse(Array.empty)
-    val vs = files.flatMap(f => f.getName match {
+    val vs = manifestIO.listNames(manifestDir(path).getPath).flatMap {
       case ManifestName(v) => Some(v.toInt)
       case _ => None
-    })
+    }
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -195,30 +200,68 @@ object TokenRangeSource {
     * outlive the flip, so every published version stays readable until a
     * maintenance sweep reaps unreferenced files — Iceberg/Delta time
     * travel, earned by the same manifest that makes commits atomic). */
-  def versions(path: String): Seq[Int] = {
-    val files = Option(manifestDir(path).listFiles()).getOrElse(Array.empty)
-    files.flatMap(f => f.getName match {
+  def versions(path: String): Seq[Int] =
+    manifestIO.listNames(manifestDir(path).getPath).flatMap {
       case ManifestName(v) => Some(v.toInt)
       case _ => None
-    }).sorted.toSeq
+    }.sorted
+
+  // ---- per-bucket manifest SEGMENTS (r12 #5: the flat format re-wrote
+  // and re-parsed the FULL file list per commit — tens of MB per commit
+  // at 10⁶ files). A version file now holds one line per bucket:
+  //     @<k> segments/<seg-...>.seg        (pointer to the bucket's list)
+  // or, for untouched buckets rebased from a legacy flat version, the
+  // plain `tb=<k>/<name>` file lines carried verbatim (both forms parse,
+  // so histories mix freely). A commit touching buckets B writes |B| new
+  // segment files + one ≤(Buckets)-line version file and carries every
+  // other pointer BY REFERENCE — commit cost is O(touched buckets'
+  // files), never O(table files). Segments are immutable and uniquely
+  // named, so reads cache them by path.
+
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def segmentRels(path: String, segRel: String): Seq[String] = {
+    if (segCache.size > 65536) segCache.clear() // bound the JVM-local cache
+    val abs = new java.io.File(manifestDir(path), segRel).getPath
+    segCache.computeIfAbsent(abs, p =>
+      manifestIO.read(p).split('\n').toSeq.filter(_.nonEmpty))
+  }
+
+  private def bucketOfRel(rel: String): Int =
+    rel.takeWhile(_ != '/').stripPrefix("tb=").toInt
+
+  /** Segment paths (relative to the manifest dir) referenced by `v` —
+    * vacuum's liveness set. */
+  private[connector] def referencedSegments(path: String, v: Int): Set[String] =
+    versionLines(path, v).collect {
+      case l if l.startsWith("@") => l.dropWhile(_ != ' ').trim
+    }.toSet
+
+  /** Raw version-file lines of `v` (pointer and/or flat-file lines). */
+  private def versionLines(path: String, v: Int): Seq[String] = {
+    val mf = new java.io.File(manifestDir(path), s"v$v.manifest").getPath
+    require(manifestIO.exists(mf),
+      s"token-range table at $path has no version $v " +
+        s"(published: ${versions(path).mkString(", ")})")
+    manifestIO.read(mf).split('\n').toSeq.filter(_.nonEmpty)
   }
 
   /** Visible data files as (bucket, RELATIVE path `tb=<k>/<name>`):
-    * the requested (default: highest) manifest's list, or — for
-    * manifest-less legacy tables written by Spark's own committer — the
+    * the requested (default: highest) manifest's list — pointer lines
+    * resolve through their (cached, immutable) segments — or, for
+    * manifest-less legacy tables written by Spark's own committer, the
     * physical `tb=` listing. */
   private[sources] def visibleRelFiles(path: String,
       version: Option[Int] = None): Seq[(Int, String)] =
     version.orElse(currentVersion(path)) match {
       case Some(v) =>
-        val mf = new java.io.File(manifestDir(path), s"v$v.manifest")
-        require(mf.isFile, s"token-range table at $path has no version $v " +
-          s"(published: ${versions(path).mkString(", ")})")
-        val lines = java.nio.file.Files.readAllLines(mf.toPath).asScala
-        lines.filter(_.nonEmpty).map { rel =>
-          val k = rel.takeWhile(_ != '/').stripPrefix("tb=").toInt
-          (k, rel)
-        }.toSeq.sorted
+        versionLines(path, v).flatMap { line =>
+          if (line.startsWith("@")) {
+            val segRel = line.dropWhile(_ != ' ').trim
+            segmentRels(path, segRel).map(rel => (bucketOfRel(rel), rel))
+          } else Seq((bucketOfRel(line), line))
+        }.sorted
       case None =>
         bucketDirs(path).flatMap { case (k, dir) =>
           parquetFiles(dir).map(f => (k, s"tb=$k/${new java.io.File(f).getName}"))
@@ -261,45 +304,40 @@ object TokenRangeSource {
   private[connector] def withCommitLock[T](path: String)(body: => T): T = {
     val mdir = manifestDir(path)
     mdir.mkdirs()
-    val lock = new java.io.File(mdir, "commit.lock")
+    val lock = new java.io.File(mdir, "commit.lock").getPath
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + LockWaitDeadlineMillis
     var held = false
     while (!held) {
-      try {
-        java.nio.file.Files.write(lock.toPath, token.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        held = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          if (lock.exists()
-              && System.currentTimeMillis() - lock.lastModified() > LockStealAfterMillis) {
-            // steal-by-rename: only ONE stealer's move succeeds
-            try java.nio.file.Files.move(lock.toPath,
-              new java.io.File(mdir, s"stale-$token.lock").toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch { case _: Exception => () }
-          } else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"token-range commit lock at $lock held for > " +
-                s"${LockWaitDeadlineMillis / 1000} s")
-          else Thread.sleep(50L)
+      if (manifestIO.createExclusive(lock, token)) held = true
+      else {
+        if (manifestIO.exists(lock)
+            && System.currentTimeMillis() - manifestIO.lastModified(lock) > LockStealAfterMillis) {
+          // steal-by-rename: only ONE stealer's move succeeds
+          try manifestIO.moveAtomic(lock,
+            new java.io.File(mdir, s"stale-$token.lock").getPath)
+          catch { case _: Exception => () }
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"token-range commit lock at $lock held for > " +
+              s"${LockWaitDeadlineMillis / 1000} s")
+        else Thread.sleep(50L)
       }
     }
     try body finally {
       try {
-        val owner = new String(
-          java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
-        if (owner == token) lock.delete()
+        if (manifestIO.read(lock) == token) manifestIO.delete(lock)
       } catch { case _: Exception => () }
     }
   }
 
   /** Publish a new table version by COMPARE-AND-SWAP: rebase on the
-    * currently-visible file list, write the full new list to a temp file,
-    * and claim `v<N+1>.manifest` via `Files.createLink` — a hard link
-    * fails atomically if the target exists (the POSIX primitive; an
-    * object store uses if-none-match PUT), so two racing committers can
+    * currently-visible version, fold the touched buckets into fresh
+    * immutable segments (carrying every untouched bucket's pointer BY
+    * REFERENCE — O(touched) commit cost), and claim `v<N+1>.manifest`
+    * via [[ManifestIO.createExclusive]] — create-iff-absent is atomic
+    * (hard link locally; an object store uses if-none-match PUT), so two
+    * racing committers can
     * NEVER both own a version: the loser re-reads the winner's manifest
     * as its new base and retries at N+2, and no committed version is
     * ever silently replaced (the r11 review's lost-update scenario).
@@ -322,45 +360,71 @@ object TokenRangeSource {
       truncate: Boolean, removeRel: Set[String] = Set.empty): Int = {
     val mdir = manifestDir(path)
     mdir.mkdirs()
+    // buckets this commit touches — the ONLY buckets whose lists are read
+    // or rewritten; every other bucket's pointer/flat lines carry by
+    // reference (O(touched) commit cost, the r12 #5 scale fix)
+    val touched: Set[Int] =
+      (placedRel.map(bucketOfRel) ++ removeRel.map(bucketOfRel)).toSet
+    val placedByBucket = placedRel.groupBy(bucketOfRel)
     var published = -1
     while (published < 0) {
-      val base0 = if (truncate) Nil else visibleRelFiles(path).map(_._2)
+      val vCur = currentVersion(path)
+      // current lines, partitioned into carried (untouched) and rebased
+      // (touched) — a legacy flat version's lines and a segmented
+      // version's pointers both route by bucket
+      val curLines: Seq[String] = (vCur, truncate) match {
+        case (Some(v), false) => versionLines(path, v)
+        case (None, false) =>
+          // manifest-less legacy table: pin the physical listing (flat
+          // lines; untouched buckets carry verbatim, touched ones fold
+          // into segments — the one-time conversion is incremental)
+          bucketDirs(path).flatMap { case (k, dir) =>
+            parquetFiles(dir).map(f => s"tb=$k/${new java.io.File(f).getName}")
+          }
+        case _ => Nil
+      }
+      def lineBucket(l: String): Int =
+        if (l.startsWith("@")) l.drop(1).takeWhile(_ != ' ').trim.toInt
+        else bucketOfRel(l)
+      val (rebasedLines, carriedLines) = curLines.partition(l => touched(lineBucket(l)))
+      // resolve ONLY the touched buckets' current contents
+      val baseTouched: Map[Int, Seq[String]] = rebasedLines
+        .flatMap { l =>
+          if (l.startsWith("@")) segmentRels(path, l.dropWhile(_ != ' ').trim)
+          else Seq(l)
+        }
+        .groupBy(bucketOfRel)
       if (!truncate && removeRel.nonEmpty) {
-        val missing = removeRel -- base0.toSet
+        val visibleTouched = baseTouched.values.flatten.toSet
+        val missing = removeRel -- visibleTouched
         if (missing.nonEmpty) throw new ManifestConflictException(
           s"copy-on-write conflict at $path: ${missing.size} of " +
             s"${removeRel.size} files this rewrite retires were already " +
             s"retired by a racing committer (e.g. ${missing.head}); " +
             "re-run the rewrite from the current snapshot")
       }
-      val base = base0.filterNot(removeRel)
-      val v = currentVersion(path).getOrElse(0) + 1
-      val tmp = java.io.File.createTempFile(s"manifest-v$v-", ".tmp", mdir)
-      java.nio.file.Files.write(tmp.toPath,
-        (base ++ placedRel).distinct.sorted
-          .mkString("", "\n", "\n").getBytes("UTF-8"))
-      val target = new java.io.File(mdir, s"v$v.manifest").toPath
-      try {
-        try { java.nio.file.Files.createLink(target, tmp.toPath); published = v }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => () // lost CAS: rebase + retry
-          case _: UnsupportedOperationException =>
-            // no-hardlink filesystem: atomic rename, exclusive only under
-            // the commit lock. Re-check target absence first — POSIX
-            // ATOMIC_MOVE REPLACES an existing target, so a stolen-lock
-            // double-holder window could otherwise overwrite a committed
-            // version, the exact lost update the CAS exists to prevent
-            // (r12 advice). A target appearing between this check and the
-            // move needs a third writer inside the double-holder window —
-            // the documented residual risk of a no-hardlink filesystem.
-            if (java.nio.file.Files.exists(target)) () // lost CAS: rebase + retry
-            else {
-              java.nio.file.Files.move(tmp.toPath, target,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              published = v
-            }
+      // new per-bucket lists → one immutable segment file per non-empty
+      // touched bucket (unique names: a lost CAS leaves orphans that
+      // vacuum reaps, never a corrupt reference)
+      val newPtrLines: Seq[String] = touched.toSeq.sorted.flatMap { k =>
+        val rels = (baseTouched.getOrElse(k, Nil).filterNot(removeRel)
+          ++ placedByBucket.getOrElse(k, Nil)).distinct.sorted
+        if (rels.isEmpty) None
+        else {
+          val segRel = s"segments/seg-${java.util.UUID.randomUUID().toString.take(12)}.seg"
+          manifestIO.write(new java.io.File(mdir, segRel).getPath,
+            rels.mkString("", "\n", "\n"))
+          Some(s"@$k $segRel")
         }
-      } finally java.nio.file.Files.deleteIfExists(tmp.toPath)
+      }
+      val body = (carriedLines ++ newPtrLines).sorted.mkString("", "\n", "\n")
+      val v = vCur.getOrElse(0) + 1
+      // CAS: create-iff-absent (hard link / if-none-match via ManifestIO).
+      // The loser re-reads the winner's version as its new base and
+      // retries at v+1 — no committed version is ever replaced.
+      if (manifestIO.createExclusive(
+          new java.io.File(mdir, s"v$v.manifest").getPath, body))
+        published = v
     }
     published
   }
@@ -1426,6 +1490,14 @@ object TokenRangeOps {
       }
       val dead = all.filterNot { case (rel, _) => live(rel) }
       dead.foreach { case (_, abs) => new java.io.File(abs).delete() }
+      // manifest SEGMENTS referenced by no retained version die with the
+      // versions (orphans from lost CAS attempts land here too)
+      val liveSegs = keepVs
+        .flatMap(v => TokenRangeSource.referencedSegments(path, v)).toSet
+      val segDir = new java.io.File(TokenRangeSource.manifestDir(path), "segments")
+      Option(segDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => !liveSegs(s"segments/${f.getName}"))
+        .foreach(_.delete())
       TokenRangeSource.versions(path).filter(_ < retainFrom).foreach { v =>
         new java.io.File(TokenRangeSource.manifestDir(path), s"v$v.manifest").delete()
       }
