@@ -155,18 +155,25 @@ object Bench {
     * then simply never fires. */
   private[graft] def historyRef(sfDir: String): Map[String, Double] = {
     val solo: Map[String, Double] = readFileStr("BENCH_SOLO.json").toSeq.flatMap { s =>
-      if (!s.contains("\"sf\":\"" + sfDir + "\"")) Nil
+      // gate on the file's OWN sf field, not a whole-file contains(): a
+      // future multi-sf solo file must fail closed, never leak a 10×-
+      // faster small-sf minute in as this sf's reference (r13 review)
+      val soloSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1))
+      if (!soloSf.contains(sfDir)) Nil
       else "\"([A-Za-z0-9_]+)\":\\{\"solo_sec\":([0-9.]+)".r
         .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
     }.toMap
+    // newest round first, by PARSED round number (lexicographic sort
+    // breaks at r100 against the %02d-padded names — r13 review)
     val archives = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.matches("BENCH_FULL_r\\d+\\.json"))
-      .sorted(Ordering[String].reverse)
+      .sortBy(n => -"\\d+".r.findFirstIn(n).get.toInt)
     val qLine = ("\"metric\":\"queries\",\"unit\":\"sec\",\"queries\":\\{([^}]*)\\}," +
       "\"sf\":\"([^\"]*)\"").r
     val round: Map[String, Double] = archives.iterator.flatMap { f =>
       readFileStr(f).flatMap { s =>
-        qLine.findFirstMatchIn(s).filter(_.group(2) == sfDir).map(m =>
+        // pick the queries line whose sf matches (not blindly the first)
+        qLine.findAllMatchIn(s).find(_.group(2) == sfDir).map(m =>
           "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(m.group(1))
             .map(x => x.group(1) -> x.group(2).toDouble).toMap)
       }

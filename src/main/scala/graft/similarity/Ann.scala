@@ -1631,10 +1631,15 @@ object Ann extends QueryModule {
     // #9: the former 10 relational greedy rounds were 10 scheduler-bound
     // tiny jobs; a greedy loop is inherently sequential, so it runs where
     // sequential is free).
-    val candC: Array[(Long, Long, Long)] =
+    // sfp is Option: a zero-norm query (or a zero-norm corpus vector that
+    // squeezes into a small corpus's top-MmrCand) carries a NULL score —
+    // the relational form ranked those DESC NULLS LAST, and the replay
+    // below preserves exactly that ordering (EdgeCorpusSpec drives it)
+    val candC: Array[(Long, Long, Option[Long])] =
       topKPerQuery(pairs, "sfp", "neighbor_id", MmrCand, "crk")
         .select("query_id", "neighbor_id", "sfp")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
     // candidate embeddings via ONE pushed-down IN-list scan (≤ |queries|·
     // MmrCand ids) — no join, no window, no second corpus-shaped stage
     val ids = candC.map(_._2).distinct.toSeq
@@ -1662,34 +1667,34 @@ object Ann extends QueryModule {
     }
     // the MmrK greedy steps over the constant model (≤ |queries|·MmrCand
     // candidates, ≤ MmrCand² sims per query): identical integer
-    // arithmetic (7·sfp − 3·max-sim, ties to the smaller neighbor_id), so
-    // results are bit-identical to the former relational unroll and the
-    // oracle. A candidate with NO valid sim to the selected set ranks
-    // last (the relational null-ordering), i.e. is never picked while a
-    // valid one remains.
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    // arithmetic (7·sfp − 3·max-sim, ties to the smaller neighbor_id),
+    // identical null algebra (mmr_fp is NULL when sfp is null or — past
+    // step 1 — every sim to the selected set is null; null ranks DESC
+    // NULLS LAST, so a null candidate is picked only when no valid one
+    // remains, by smallest id) — so results are bit-identical to the
+    // former relational unroll and the oracle, degenerate corpora
+    // included.
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Option[Double])]()
     candC.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, cands) =>
-      val sfp = cands.map(c => c._2 -> c._3).toMap
+      val sfp: Map[Long, Option[Long]] = cands.map(c => c._2 -> c._3).toMap
       val remaining = scala.collection.mutable.SortedSet(sfp.keySet.toSeq: _*)
       val selected = scala.collection.mutable.ArrayBuffer[Long]()
       var step = 1
-      var exhausted = false
-      while (step <= MmrK && remaining.nonEmpty && !exhausted) {
-        val scored = remaining.toSeq.flatMap { id =>
-          val pen: Option[Long] =
-            if (selected.isEmpty) Some(0L)
+      while (step <= MmrK && remaining.nonEmpty) {
+        val scored: Seq[(Long, Option[Long])] = remaining.toSeq.map { id =>
+          val mmrFp: Option[Long] =
+            if (selected.isEmpty) sfp(id).map(7L * _)
             else {
               val sims = selected.flatMap(b => simFp(embC(id), embC(b)))
-              if (sims.isEmpty) None else Some(sims.max * 3L)
+              for (s <- sfp(id); m <- sims.maxOption) yield 7L * s - 3L * m
             }
-          pen.map(p => (id, 7L * sfp(id) - p))
+          (id, mmrFp)
         }
-        if (scored.isEmpty) exhausted = true
-        else {
-          val (id, fp) = scored.minBy { case (id0, fp0) => (-fp0, id0) }
-          out += ((q, step, id, fp.toDouble / 1e5))
-          selected += id; remaining -= id; step += 1
+        val (id, fp) = scored.minBy { case (id0, fp0) =>
+          (fp0.isEmpty, -fp0.getOrElse(0L), id0)
         }
+        out += ((q, step, id, fp.map(_.toDouble / 1e5)))
+        selected += id; remaining -= id; step += 1
       }
     }
     out.toSeq.toDF("query_id", "step", "neighbor_id", "mmr")

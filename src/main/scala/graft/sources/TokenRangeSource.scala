@@ -231,6 +231,28 @@ object TokenRangeSource {
   private def bucketOfRel(rel: String): Int =
     rel.takeWhile(_ != '/').stripPrefix("tb=").toInt
 
+  /** The table's recorded partition key (comma-joined for composite) —
+    * written once by the first connector commit, validated by the keyed
+    * rewrite ops (r13 review: deleteKeys with one component of a
+    * composite key would otherwise route to the WRONG buckets and
+    * silently retain rows). Absent on pre-r13 tables: validation simply
+    * skips. */
+  private[connector] def recordedPk(path: String): Option[String] = {
+    val f = new java.io.File(manifestDir(path), "table.properties").getPath
+    if (!manifestIO.exists(f)) None
+    else manifestIO.read(f).split('\n').collectFirst {
+      case l if l.startsWith("pk=") => l.stripPrefix("pk=").trim
+    }
+  }
+
+  private[connector] def recordPk(path: String, pk: String): Unit = {
+    // create-iff-absent: the FIRST writer's key wins; Cassandra does not
+    // allow re-keying a table either
+    manifestIO.createExclusive(
+      new java.io.File(manifestDir(path), "table.properties").getPath, s"pk=$pk")
+    ()
+  }
+
   /** Segment paths (relative to the manifest dir) referenced by `v` —
     * vacuum's liveness set. */
   private[connector] def referencedSegments(path: String, v: Int): Set[String] =
@@ -1049,6 +1071,10 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // manifests and the moves are invisible until the flip.
         if (TokenRangeSource.currentVersion(path).isEmpty)
           TokenRangeSource.publishManifest(path, Nil, truncate = false)
+        // record the bucketing key once (first committer wins) so the
+        // keyed rewrite ops can validate callers against it
+        TokenRangeSource.recordPk(path,
+          pkIdx.map(writeSchema(_).name).mkString(","))
         val placedRel = staged.map { f =>
           val file = new java.io.File(f)
           val bucketName = file.getParentFile.getName // tb=<k>
@@ -1120,6 +1146,12 @@ private[connector] final class TokenRangeDataWriter(path: String,
       .withConf(conf).withType(msgType).build(), file)
   })
 
+  // hoisted off the per-row hot path (r13 review: the composite branch
+  // rebuilt two Seqs and re-resolved schema fields per written row)
+  private val pkIdxArr = pkIdx.toArray
+  private val pkDts = pkIdx.map(writeSchema(_).dataType)
+  private val pkScratch = new Array[Any](pkIdxArr.length)
+
   private def pkValue(row: InternalRow, i: Int): Any =
     writeSchema(i).dataType match {
       case LongType => row.getLong(i)
@@ -1130,8 +1162,8 @@ private[connector] final class TokenRangeDataWriter(path: String,
     }
 
   private def bucketOfRow(row: InternalRow): Int =
-    if (pkIdx.size == 1) {
-      val i = pkIdx.head
+    if (pkIdxArr.length == 1) {
+      val i = pkIdxArr(0)
       writeSchema(i).dataType match {
         case LongType => TokenLayout.bucketOfValue(row.getLong(i))
         case IntegerType => TokenLayout.bucketOfValue(row.getInt(i).toLong)
@@ -1140,15 +1172,25 @@ private[connector] final class TokenRangeDataWriter(path: String,
         case other => throw new IllegalArgumentException(
           s"unsupported partition-key type $other")
       }
-    } else
+    } else {
       // composite key: the chained xxhash64 tuple ring (same function as
-      // the column expression and the pushdown twin)
+      // the column expression and the pushdown twin); scratch array reuse
+      // keeps the per-row cost allocation-light (single-writer task)
+      var j = 0
+      while (j < pkIdxArr.length) {
+        pkScratch(j) = pkValue(row, pkIdxArr(j)); j += 1
+      }
       TokenLayout.bucketOfCompositeValues(
-        pkIdx.map(pkValue(row, _)), pkIdx.map(writeSchema(_).dataType))
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(pkScratch), pkDts)
+    }
 
   override def write(row: InternalRow): Unit = {
-    pkIdx.foreach(i => require(!row.isNullAt(i),
-      "token-range sink: partition key must be non-null (CQL parity)"))
+    var pi = 0
+    while (pi < pkIdxArr.length) {
+      require(!row.isNullAt(pkIdxArr(pi)),
+        "token-range sink: partition key must be non-null (CQL parity)")
+      pi += 1
+    }
     val g = factory.newGroup()
     var i = 0
     while (i < writeSchema.fields.length) {
@@ -1258,6 +1300,25 @@ object TokenRangeOps {
       s"token-range DELETE key of unsupported type ${other.getClass}")
   }
 
+  /** Keyed rewrites must name the table's FULL recorded partition key
+    * (r13 review): deleteKeys("a") against a table bucketed on (a, b)
+    * would route to the single-column ring — the WRONG buckets — and
+    * silently retain rows whose files it never read. Tables written
+    * before the key was recorded skip the check (nothing to validate
+    * against). `singleOnly` ops (per-key bucket routing) additionally
+    * refuse composite-keyed tables outright. */
+  private def requirePkMatches(path: String, pk: String,
+      what: String, singleOnly: Boolean = false): Unit =
+    TokenRangeSource.recordedPk(path).foreach { rec =>
+      require(rec.equalsIgnoreCase(pk.split(',').map(_.trim).mkString(",")),
+        s"token-range $what at $path: table is bucketed on pk '$rec' but " +
+          s"the operation was given '$pk' — keyed rewrites must use the " +
+          "table's full partition key")
+      require(!singleOnly || !rec.contains(','),
+        s"token-range $what at $path routes buckets per single key value " +
+          s"and does not support the composite key '$rec' yet")
+    }
+
   /** Row-level DELETE of the given partition keys (CQL
     * `DELETE FROM t WHERE pk IN (...)`, server.py's delete surface):
     * only files in the keys' OWNING token buckets are read and
@@ -1272,6 +1333,7 @@ object TokenRangeOps {
   def deleteKeys(spark: SparkSession, path: String, pk: String,
       keys: Seq[Any]): Unit = {
     require(keys.nonEmpty, "token-range DELETE requires at least one key")
+    requirePkMatches(path, pk, "DELETE", singleOnly = true)
     // legacy (manifest-less) tables pin their listing as v1 first, the
     // same move the write path makes — from here on everything is
     // manifest-resolved and the rewrite is invisible until the flip
@@ -1316,7 +1378,8 @@ object TokenRangeOps {
     * byte-identical by construction and oracle-checked by the driver
     * entry. Unreferenced pre-compaction files stay readable via their
     * pinned versions until [[vacuum]] reaps them. */
-  def compact(spark: SparkSession, path: String, pk: String): Unit =
+  def compact(spark: SparkSession, path: String, pk: String): Unit = {
+    requirePkMatches(path, pk, "compact")
     withConflictRetry("compact") {
       val pinned = TokenRangeSource.currentVersion(path)
       val snapshotRel = TokenRangeSource.visibleRelFiles(path, pinned).map(_._2)
@@ -1325,13 +1388,22 @@ object TokenRangeOps {
         val t = spark.read.format(fmt).option("pk", pk)
           .options(pinned.map(v => "version" -> v.toString).toMap)
           .load(path)
-        val dt = t.schema(pk).dataType
-        t.repartition(TokenLayout.Buckets, TokenLayout.bucketOfColumn(col(pk), dt))
+        // composite keys repartition on the TUPLE ring expression — the
+        // same chained xxhash64 the task writers route by, so each
+        // bucket's rows land in one task → one output file per bucket
+        // (TokenRangeCompositeSpec asserts the expression/twin agreement
+        // through exactly this path)
+        val pks = pk.split(',').map(_.trim).toSeq
+        val bucketExpr =
+          if (pks.size == 1) TokenLayout.bucketOfColumn(col(pk), t.schema(pk).dataType)
+          else TokenLayout.bucketOfComposite(pks.map(col))
+        t.repartition(TokenLayout.Buckets, bucketExpr)
           .write.format(fmt).option("pk", pk)
           .option("replaceFiles", snapshotRel.mkString("\n"))
           .mode("append").save(path)
       }
     }
+  }
 
   /** CQL's INSERT-IS-UPSERT at the connector layer: replace-by-partition-
     * key in ONE atomic flip. Only the incoming keys' OWNING BUCKETS'
@@ -1348,6 +1420,7 @@ object TokenRangeOps {
     * buckets' rewrite, not a table scan. */
   def upsert(spark: SparkSession, path: String, pk: String,
       incoming: org.apache.spark.sql.DataFrame): Unit = {
+    requirePkMatches(path, pk, "upsert", singleOnly = true)
     TokenRangeSource.withCommitLock(path) {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
@@ -1396,6 +1469,7 @@ object TokenRangeOps {
     * metadata operation — the entry + spec assert exactly that. */
   def expire(spark: SparkSession, path: String, pk: String, tsCol: String,
       cutoffMicros: Long): Unit = {
+    requirePkMatches(path, pk, "expire") // composite ok: pk just passes through to the sink
     TokenRangeSource.withCommitLock(path) {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)

@@ -238,12 +238,14 @@ class MessageStoreSpec extends SparkSpec {
     assert(ms.user("carol").collect().head.getAs[String]("email") == "carol@v2.io")
     // racing insert commits BETWEEN the compaction's snapshot pin and its
     // publish (deterministic via the seam; one-shot so the insert's own
-    // machinery never re-triggers it)
+    // machinery never re-triggers it; finally-reset so a failure here
+    // cannot leak the closure into later tests)
     TokenRangeOps.onSnapshotPinned = () => {
       TokenRangeOps.onSnapshotPinned = () => ()
       ms.insertUsers(Seq(("u1", "carol", "carol@v3.io", "pw")))
     }
-    ms.compactUsers()
+    try ms.compactUsers()
+    finally TokenRangeOps.onSnapshotPinned = () => ()
     val got = ms.user("carol").collect()
     assert(got.length == 1)
     assert(got.head.getAs[String]("email") == "carol@v3.io",

@@ -25,8 +25,9 @@ class PlanSpec extends SparkSpec {
     val intentional = Set("ann_bruteforce_topk", "ann_ivf_topk",
       // ann_ivf2_topk: the same broadcast model/query-set joins as
       // ann_ivf_topk, plus the √k super-centroid frame — every build side
-      // is a bounded model frame, never data-sized
-      "ann_ivf2_topk",
+      // is a bounded model frame, never data-sized; the prebuilt twin
+      // serves through the identical ivf2Serve path
+      "ann_ivf2_topk", "ann_ivf2_prebuilt_topk",
       "ann_ivf_int8_topk", "ann_pq_topk", "ann_ivfpq_topk",
       "ann_ivfpq_residual_topk", "ann_ivf_prebuilt_topk",
       "ann_ivfpq_prebuilt_topk", "ann_pca_topk",

@@ -72,6 +72,55 @@ class TokenRangeCompositeSpec extends SparkSpec {
       s"partial equality must NOT claim a single-bucket prune:\n${partPlan.take(900)}")
   }
 
+  test("compact on a composite table routes by the TUPLE expression: one file per bucket, expression == twin") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    seed(dir); seed(dir) // two appends → ≥2 files in populated buckets
+    TokenRangeOps.compact(spark, dir, "okey,line")
+    // compaction repartitions on TokenLayout.bucketOfComposite (the
+    // column expression) and the sink routes by the driver twin — one
+    // output file per non-empty bucket proves they agree row-for-row
+    val perBucket = TokenRangeSource.visibleRelFiles(dir, None)
+      .groupBy(_._1).map { case (k, fs) => k -> fs.size }
+    assert(perBucket.nonEmpty && perBucket.values.forall(_ == 1),
+      s"compacted composite layout must be 1 file/bucket: $perBucket")
+    assert(load(dir).count() == rows.length * 2) // both appends, LWW is read-time
+    // and the expression agrees with the twin on every tuple directly
+    val exprBuckets = rows.toDF("okey", "line", "v")
+      .select(col("okey"), col("line"),
+        TokenLayout.bucketOfComposite(Seq(col("okey"), col("line"))).as("tb"))
+      .collect()
+    exprBuckets.foreach { r =>
+      val want = TokenLayout.bucketOfCompositeValues(
+        Seq(r.getLong(0), r.getInt(1)),
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType))
+      assert(r.getInt(2) == want,
+        s"expression/twin drift on (${r.getLong(0)},${r.getInt(1)}): ${r.getInt(2)} vs $want")
+    }
+  }
+
+  test("keyed rewrites validate against the recorded pk: a single component is refused") {
+    val dir = freshDir()
+    seed(dir)
+    // deleteKeys with ONE component of the composite key would route to
+    // the single-column ring — the WRONG buckets — and silently retain
+    // rows; the recorded-pk check refuses it instead (r13 review)
+    val exDel = intercept[IllegalArgumentException] {
+      TokenRangeOps.deleteKeys(spark, dir, "okey", Seq(17L))
+    }
+    assert(exDel.getMessage.contains("full partition key"), exDel.getMessage)
+    val exCompact = intercept[IllegalArgumentException] {
+      TokenRangeOps.compact(spark, dir, "okey")
+    }
+    assert(exCompact.getMessage.contains("full partition key"), exCompact.getMessage)
+    // and even with the full key, per-key-routing ops refuse composite
+    val exDel2 = intercept[IllegalArgumentException] {
+      TokenRangeOps.deleteKeys(spark, dir, "okey,line", Seq(17L))
+    }
+    assert(exDel2.getMessage.contains("composite"), exDel2.getMessage)
+  }
+
   test("null composite-key component is refused at write (CQL parity)") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir()

@@ -34,15 +34,19 @@ class TokenRangeConflictSpec extends SparkSpec {
   private def load(dir: String) =
     spark.read.format(fmt).option("pk", "pk").load(dir)
 
-  /** Install a ONE-SHOT racing action on the snapshot-pinned seam: it
-    * uninstalls itself before running, so the racer (which may itself be
-    * a TokenRangeOps rewrite that pins a snapshot) never re-triggers it
-    * and the retried attempt runs clean. */
-  private def raceOnce(action: => Unit): Unit =
+  /** Run `body` with a ONE-SHOT racing action installed on the
+    * snapshot-pinned seam: the seam uninstalls itself before running the
+    * action (so a racer that is itself a TokenRangeOps rewrite never
+    * re-triggers it, and the retried attempt runs clean), and the
+    * finally-reset guarantees no stale closure leaks into later tests
+    * even when `body` throws before the seam fires (r13 review). */
+  private def withRace(action: => Unit)(body: => Unit): Unit = {
     TokenRangeOps.onSnapshotPinned = () => {
       TokenRangeOps.onSnapshotPinned = () => ()
       action
     }
+    try body finally TokenRangeOps.onSnapshotPinned = () => ()
+  }
 
   test("publishManifest refuses a removeRel file a racing committer already retired") {
     val dir = freshDir("graft_tr_conflict_low")
@@ -71,8 +75,9 @@ class TokenRangeConflictSpec extends SparkSpec {
     // the compaction's replaceFiles still name the pre-delete files the
     // DELETE just retired → its first publish conflicts → it retries from
     // the post-delete snapshot
-    raceOnce(TokenRangeOps.deleteKeys(spark, dir, "pk", doomed))
-    TokenRangeOps.compact(spark, dir, "pk")
+    withRace(TokenRangeOps.deleteKeys(spark, dir, "pk", doomed)) {
+      TokenRangeOps.compact(spark, dir, "pk")
+    }
     val rows = load(dir).collect()
     assert(rows.length == 197, s"expected 197 survivors, got ${rows.length}")
     val pks = rows.map(_.getAs[Long]("pk"))
@@ -103,8 +108,9 @@ class TokenRangeConflictSpec extends SparkSpec {
       (10L, "fresh10", new java.sql.Timestamp(2000L * 1000)),
       (60L, "fresh60", new java.sql.Timestamp(2000L * 1000)))
       .toDF("pk", "v", "ts")
-    raceOnce(TokenRangeOps.upsert(spark, dir, "pk", incoming))
-    TokenRangeOps.expire(spark, dir, "pk", "ts", cutoff)
+    withRace(TokenRangeOps.upsert(spark, dir, "pk", incoming)) {
+      TokenRangeOps.expire(spark, dir, "pk", "ts", cutoff)
+    }
     val rows = load(dir).collect().map(r =>
       r.getAs[Long]("pk") -> r.getAs[String]("v")).toMap
     // serial order (upsert, then expire): keys 0-49 expired EXCEPT 10
