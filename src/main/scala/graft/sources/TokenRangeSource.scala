@@ -674,11 +674,28 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   // review: the first cut unioned them — unrequested data loss). An
   // empty filter array would mean unconditional DELETE (truncate) —
   // refuse it here so Spark plans the truncate path explicitly instead.
+  // COMPOSITE keys (r13): `DELETE WHERE a = ? AND b = ?` — conjunctive
+  // equality on EVERY component names exactly one tuple (CQL requires
+  // the full partition key to delete by key), served by
+  // [[TokenRangeOps.deleteTuples]].
+  private def pkNames: Seq[String] = Option(options.get("pk")).getOrElse("")
+    .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
-    val pk = Option(options.get("pk")).getOrElse("")
-    filters.nonEmpty && filters.forall {
-      case EqualTo(a, _) => a.equalsIgnoreCase(pk)
-      case In(a, vs) => a.equalsIgnoreCase(pk) && vs.nonEmpty
+    val pks = pkNames
+    if (pks.size > 1)
+      filters.nonEmpty &&
+        filters.forall {
+          case EqualTo(a, _) => pks.exists(_.equalsIgnoreCase(a))
+          case _ => false
+        } &&
+        pks.forall(n => filters.exists {
+          case EqualTo(a, _) => a.equalsIgnoreCase(n)
+          case _ => false
+        })
+    else filters.nonEmpty && filters.forall {
+      case EqualTo(a, _) => a.equalsIgnoreCase(pks.headOption.getOrElse(""))
+      case In(a, vs) => a.equalsIgnoreCase(pks.headOption.getOrElse("")) && vs.nonEmpty
       case _ => false
     }
   }
@@ -686,18 +703,31 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters),
       "token-range DELETE supports partition-key predicates only (CQL parity)")
-    val keySets: Seq[Set[Any]] = filters.toSeq.map {
-      case EqualTo(_, v) => Set[Any](v)
-      case In(_, vs) => vs.toSet[Any]
-      case f => throw new IllegalArgumentException(s"unsupported DELETE filter $f")
+    val pks = pkNames
+    if (pks.size > 1) {
+      // conjunctive equality on every component = ONE tuple; several
+      // equalities on the SAME component intersect (≠ values → no row)
+      val byName: Map[String, Set[Any]] = filters.toSeq.collect {
+        case EqualTo(a, v) => pks.find(_.equalsIgnoreCase(a)).get -> v
+      }.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+      if (byName.values.exists(_.size > 1)) return // contradictory: no row
+      val tuple = pks.map(n => byName(n).head)
+      TokenRangeOps.deleteTuples(org.apache.spark.sql.SparkSession.active,
+        TokenRangeSource.pathOf(options), pks, Seq(tuple))
+    } else {
+      val keySets: Seq[Set[Any]] = filters.toSeq.map {
+        case EqualTo(_, v) => Set[Any](v)
+        case In(_, vs) => vs.toSet[Any]
+        case f => throw new IllegalArgumentException(s"unsupported DELETE filter $f")
+      }
+      val keys = keySets.reduce(_ intersect _)
+      if (keys.isEmpty) return // conjunction matches no key: delete nothing
+      TokenRangeOps.deleteKeys(org.apache.spark.sql.SparkSession.active,
+        TokenRangeSource.pathOf(options),
+        Option(options.get("pk")).getOrElse(
+          throw new IllegalArgumentException("token-range DELETE requires the pk option")),
+        keys.toSeq)
     }
-    val keys = keySets.reduce(_ intersect _)
-    if (keys.isEmpty) return // conjunction matches no key: delete nothing
-    TokenRangeOps.deleteKeys(org.apache.spark.sql.SparkSession.active,
-      TokenRangeSource.pathOf(options),
-      Option(options.get("pk")).getOrElse(
-        throw new IllegalArgumentException("token-range DELETE requires the pk option")),
-      keys.toSeq)
   }
 }
 
@@ -1357,6 +1387,67 @@ object TokenRangeOps {
           }: _*)))
         survivors.write.format(fmt)
           .option("pk", pk)
+          .option("replaceFiles", affectedRel.mkString("\n"))
+          .mode("append").save(path)
+      }
+    }
+  }
+
+  /** Row-level DELETE by COMPOSITE partition key (r13 — closes the
+    * "per-key routing refuses composite tables" gap for the delete
+    * surface): each tuple ring-hashes through the chained-xxhash64 twin,
+    * only the owning buckets' files are read and rewritten without the
+    * matching tuples (a left-anti join against the literal tuple frame —
+    * scales to any tuple-list size, unlike an OR-chain), every other
+    * bucket survives by reference, and the swap is one atomic
+    * conflict-validated flip, exactly like [[deleteKeys]]. */
+  def deleteTuples(spark: SparkSession, path: String, pks: Seq[String],
+      keys: Seq[Seq[Any]]): Unit = {
+    require(pks.size >= 2, "deleteTuples is the composite-key surface; " +
+      "use deleteKeys for single-column partition keys")
+    require(keys.nonEmpty && keys.forall(_.size == pks.size),
+      s"every tuple must bind all of (${pks.mkString(", ")})")
+    requirePkMatches(path, pks.mkString(","), "DELETE")
+    TokenRangeSource.withCommitLock(path) {
+      if (TokenRangeSource.currentVersion(path).isEmpty)
+        TokenRangeSource.publishManifest(path, Nil, truncate = false)
+    }
+    // component dtypes from the table itself (the same schema the scan
+    // serves), so the tuple hash matches the writers' routing exactly
+    val t = spark.read.format(fmt).option("pk", pks.mkString(",")).load(path)
+    val pkFields = pks.map(n => t.schema.fields.find(_.name.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"token-range DELETE: no column '$n' in ${t.schema.catalogString}")))
+    val dts = pkFields.map(_.dataType)
+    // coerce caller literals to the COLUMN dtypes (Scala numeric literal
+    // widening hands Seq(17L, 3) over as Seq[Long] — the encoder and the
+    // tuple hash must both see the schema's exact types)
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (u: UTF8String, StringType) => u.toString
+      case (n: java.lang.Number, LongType) => n.longValue
+      case (n: java.lang.Number, IntegerType) => n.intValue
+      case (other, _) => other
+    }
+    val coerced = keys.map(k => k.zip(dts).map { case (v, dt) => coerce(v, dt) })
+    val buckets = coerced
+      .map(k => TokenLayout.bucketOfCompositeValues(k, dts)).toSet
+    val keyRows = coerced.map(org.apache.spark.sql.Row.fromSeq)
+    val keyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(keyRows, 1),
+      StructType(pkFields.map(f => StructField(f.name, f.dataType))))
+    withConflictRetry("DELETE") {
+      val pinned = TokenRangeSource.currentVersion(path)
+      val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
+        .collect { case (k, rel) if buckets(k) => rel }
+      onSnapshotPinned()
+      if (affectedRel.nonEmpty) {
+        val affectedAbs = affectedRel
+          .map(rel => new java.io.File(path, rel).getAbsolutePath)
+        val survivors = spark.read.parquet(affectedAbs: _*)
+          .join(org.apache.spark.sql.functions.broadcast(keyDf),
+            pkFields.map(_.name).toSeq, "left_anti")
+        survivors.write.format(fmt)
+          .option("pk", pks.mkString(","))
           .option("replaceFiles", affectedRel.mkString("\n"))
           .mode("append").save(path)
       }

@@ -1,0 +1,107 @@
+package graft.sources.connector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The ManifestIO seam's SECOND implementation: a no-hardlink filesystem
+  * (the documented object-store / exotic-FS fallback, where
+  * createExclusive cannot ride `Files.createLink` and falls back to
+  * exists-check + ATOMIC_MOVE under the commit lock). Driving the whole
+  * atomic-publish protocol through it proves the protocol never depended
+  * on hard links — the seam's reason to exist (VERDICT r12 #5) — and
+  * exercises the fallback branch the POSIX default never reaches. */
+object NoHardLinkManifestIO extends ManifestIO {
+  // counts fallback CAS decisions so the spec can prove this impl (not
+  // the default) served the run
+  val exclusiveCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  override def listNames(dir: String): Seq[String] = LocalManifestIO.listNames(dir)
+  override def read(path: String): String = LocalManifestIO.read(path)
+  override def write(path: String, content: String): Unit =
+    LocalManifestIO.write(path, content)
+  override def moveAtomic(src: String, dst: String): Unit =
+    LocalManifestIO.moveAtomic(src, dst)
+  override def delete(path: String): Boolean = LocalManifestIO.delete(path)
+  override def exists(path: String): Boolean = LocalManifestIO.exists(path)
+  override def lastModified(path: String): Long = LocalManifestIO.lastModified(path)
+
+  override def createExclusive(path: String, content: String): Boolean = {
+    exclusiveCalls.incrementAndGet()
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    // the no-hardlink recipe, verbatim: write-temp, re-check absence,
+    // atomic rename (exclusive only under the commit lock)
+    if (java.nio.file.Files.exists(target)) return false
+    val tmp = java.nio.file.Files.createTempFile(target.getParent, "nhl-", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      if (java.nio.file.Files.exists(target)) false
+      else {
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}
+
+class ManifestIOSpec extends SparkSpec {
+  private val fmt = classOf[TokenRangeSource].getName
+
+  private def withNoHardLinks(body: => Unit): Unit = {
+    val prev = TokenRangeSource.manifestIO
+    TokenRangeSource.manifestIO = NoHardLinkManifestIO
+    try body finally TokenRangeSource.manifestIO = prev
+  }
+
+  test("the full atomic-publish protocol runs on a no-hardlink ManifestIO") {
+    withNoHardLinks {
+      val s2 = spark; import s2.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_tr_nhl").toString
+      val before = NoHardLinkManifestIO.exclusiveCalls.get()
+
+      // append → read → second append → delete → compact → expire-free
+      // vacuum: every commit flips through the fallback CAS
+      (0L until 100L).map(i => (i, s"a$i")).toDF("pk", "v")
+        .write.format(fmt).option("pk", "pk")
+        .option("schema", "pk BIGINT, v STRING").mode("append").save(dir)
+      def load = spark.read.format(fmt).option("pk", "pk").load(dir)
+      assert(load.count() == 100)
+      (100L until 120L).map(i => (i, s"b$i")).toDF("pk", "v")
+        .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+      assert(load.count() == 120)
+      TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(5L, 50L, 105L))
+      assert(load.count() == 117)
+      TokenRangeOps.compact(spark, dir, "pk")
+      val rows = load.collect().map(_.getAs[Long]("pk"))
+      assert(rows.length == 117 && rows.toSet.intersect(Set(5L, 50L, 105L)).isEmpty)
+      // snapshot history still resolves (segments + versions readable)
+      val vs = TokenRangeSource.versions(dir)
+      assert(vs.size >= 4)
+      TokenRangeOps.vacuum(dir, vs.max)
+      assert(load.count() == 117, "vacuum must not reap the live version's files")
+
+      assert(NoHardLinkManifestIO.exclusiveCalls.get() > before,
+        "the fallback impl must actually have served the CAS decisions")
+    }
+  }
+
+  test("no-hardlink CAS refuses to replace an existing version (lost CAS, not lost update)") {
+    withNoHardLinks {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tr_nhl2").toString
+      val v1 = TokenRangeSource.publishManifest(dir,
+        Seq("tb=1/a.parquet"), truncate = false)
+      // a direct conflicting claim of the SAME version must lose, and the
+      // loser's CAS loop must land at the next version — never replace
+      val mdir = TokenRangeSource.manifestDir(dir).getPath
+      val claimed = TokenRangeSource.manifestIO.createExclusive(
+        new java.io.File(mdir, s"v$v1.manifest").getPath, "attacker\n")
+      assert(!claimed, "an existing version must never be replaced")
+      val v2 = TokenRangeSource.publishManifest(dir,
+        Seq("tb=1/b.parquet"), truncate = false)
+      assert(v2 == v1 + 1)
+      assert(TokenRangeSource.visibleRelFiles(dir, Some(v2)).map(_._2)
+        == Seq("tb=1/a.parquet", "tb=1/b.parquet"))
+    }
+  }
+}

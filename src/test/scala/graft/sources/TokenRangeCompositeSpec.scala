@@ -121,6 +121,57 @@ class TokenRangeCompositeSpec extends SparkSpec {
     assert(exDel2.getMessage.contains("composite"), exDel2.getMessage)
   }
 
+  test("deleteTuples: removes exactly the named tuples, siblings with the same okey survive") {
+    val dir = freshDir()
+    seed(dir)
+    val before = TokenRangeSource.visibleRelFiles(dir, None).toSet
+    TokenRangeOps.deleteTuples(spark, dir, Seq("okey", "line"),
+      Seq(Seq(17L, 3), Seq(22L, 1)))
+    val got = load(dir).collect()
+      .map(r => (r.getAs[Long]("okey"), r.getAs[Int]("line"))).toSet
+    assert(got == rows.map(r => (r._1, r._2)).toSet -- Set((17L, 3), (22L, 1)))
+    // sibling lines of the same orders survive (tuple grain, not key grain)
+    assert(got((17L, 1)) && got((17L, 2)) && got((17L, 4)) && got((22L, 2)))
+    // bucket-grain copy-on-write: untouched buckets carry by reference
+    val affected = Set(
+      TokenLayout.bucketOfCompositeValues(Seq(17L, 3),
+        Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType)),
+      TokenLayout.bucketOfCompositeValues(Seq(22L, 1),
+        Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType)))
+    val after = TokenRangeSource.visibleRelFiles(dir, None).toSet
+    assert(after.filterNot(f => affected(f._1)) == before.filterNot(f => affected(f._1)),
+      "a tuple delete must not rewrite buckets it does not touch")
+  }
+
+  test("SupportsDelete on a composite table: full-equality conjunction deletes one tuple; partial refused") {
+    val dir = freshDir()
+    seed(dir)
+    val provider = new TokenRangeSource()
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", dir); props.put("pk", "okey,line")
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(props)
+    val table = provider.getTable(provider.inferSchema(opts), Array.empty, props)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+    import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    // full conjunctive equality: supported, deletes exactly the tuple
+    assert(table.canDeleteWhere(Array[Filter](EqualTo("okey", 9L), EqualTo("line", 2))))
+    table.deleteWhere(Array[Filter](EqualTo("okey", 9L), EqualTo("line", 2)))
+    val got = load(dir).collect()
+      .map(r => (r.getAs[Long]("okey"), r.getAs[Int]("line"))).toSet
+    assert(got == rows.map(r => (r._1, r._2)).toSet - ((9L, 2)))
+    // partial equality / IN-lists: not tuple-routable, refused (CQL
+    // requires the full partition key)
+    assert(!table.canDeleteWhere(Array[Filter](EqualTo("okey", 9L))))
+    assert(!table.canDeleteWhere(Array[Filter](
+      In("okey", Array[Any](1L)), EqualTo("line", 2))))
+    // contradictory per-component equalities match no tuple: no-op
+    val vBefore = TokenRangeSource.versions(dir).max
+    table.deleteWhere(Array[Filter](
+      EqualTo("okey", 9L), EqualTo("okey", 10L), EqualTo("line", 1)))
+    assert(TokenRangeSource.versions(dir).max == vBefore,
+      "a contradictory conjunction deletes nothing and flips nothing")
+  }
+
   test("null composite-key component is refused at write (CQL parity)") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir()

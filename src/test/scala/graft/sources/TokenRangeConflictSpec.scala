@@ -124,6 +124,66 @@ class TokenRangeConflictSpec extends SparkSpec {
     assert(dup == 0, "no row may be duplicated by the retried rewrite")
   }
 
+  test("a rewrite losing every retry errors loudly after MaxRewriteAttempts (never silent)") {
+    val dir = freshDir("graft_tr_conflict_exhaust")
+    seed(dir, 200)
+    // a PERSISTENT racer: re-fires on every retry's snapshot pin, each
+    // time retiring files the compact's fresh snapshot still names
+    // (reentrancy-guarded so the racing delete's own pin is a no-op)
+    var nextKey = 0L
+    var inRace = false
+    TokenRangeOps.onSnapshotPinned = () => {
+      if (!inRace) {
+        inRace = true
+        try {
+          nextKey += 1
+          TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(nextKey))
+        } finally inRace = false
+      }
+    }
+    try {
+      val ex = intercept[IllegalStateException] {
+        TokenRangeOps.compact(spark, dir, "pk")
+      }
+      assert(ex.getMessage.contains("consecutive"),
+        s"exhaustion must be loud and name the race: ${ex.getMessage}")
+      assert(nextKey >= 5L, s"all attempts must have raced (saw $nextKey)")
+    } finally TokenRangeOps.onSnapshotPinned = () => ()
+    // every racing delete landed; the failed compact resurrected nothing
+    val pks = load(dir).collect().map(_.getAs[Long]("pk")).toSet
+    assert(pks == (0L until 200L).toSet -- (1L to nextKey).toSet)
+  }
+
+  test("threaded maintenance race: concurrent delete/upsert/compact all land, no lost or doubled rows") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_conflict_threads")
+    seed(dir, 400)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def thread(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => errors.add(e) })
+      t.start(); t
+    }
+    val upserted = Seq((200L, "fresh200"), (201L, "fresh201"))
+    val ts = Seq(
+      thread(TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(10L, 20L, 30L))),
+      thread(TokenRangeOps.compact(spark, dir, "pk")),
+      thread(TokenRangeOps.upsert(spark, dir, "pk", upserted.toDF("pk", "v"))),
+      thread(TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(110L, 120L))))
+    ts.foreach(_.join(120000))
+    assert(errors.isEmpty, s"no rewrite may fail under contention: " +
+      errors.toArray.map(_.toString).mkString("; "))
+    val rows = load(dir).collect()
+      .map(r => r.getAs[Long]("pk") -> r.getAs[String]("v"))
+    assert(rows.length == rows.map(_._1).distinct.length, "no row doubled")
+    val m = rows.toMap
+    assert(m.keySet == (0L until 400L).toSet -- Set(10L, 20L, 30L, 110L, 120L),
+      "every delete must land regardless of interleaving")
+    assert(m(200L) == "fresh200" && m(201L) == "fresh201",
+      "the upsert must land regardless of interleaving")
+    assert(m(0L) == "a0" && m(399L) == "a399")
+  }
+
   test("crashed committer: a waiter steals the stale lock and recovers; vacuum reaps the tombstone") {
     val dir = freshDir("graft_tr_conflict_lock")
     seed(dir, 16)
