@@ -802,6 +802,45 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
     // exactly as Cassandra requires the full partition key) and stays
     // residual-only.
     if (pkNames.size > 1) {
+      // tuple MULTIGET (r13): an OR of full-equality conjunctions —
+      // `(a=1 AND b=2) OR (a=3 AND b=4)` — is the composite analog of the
+      // single-key IN-list; it prunes to the UNION of the tuples' owning
+      // buckets. Any disjunct that fails to bind every component (or
+      // can't be routed) makes the whole OR residual-only: a partially
+      // bound disjunct could match rows in any bucket, and bucket pruning
+      // must stay CONSERVATIVE (an over-prune would drop matching rows —
+      // this is the one place the residual contract does not save us).
+      def conjEqs(f: Filter): Option[Map[String, Any]] = f match {
+        case org.apache.spark.sql.sources.And(l, r) =>
+          for {
+            a <- conjEqs(l); b <- conjEqs(r)
+            if a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))
+          } yield a ++ b
+        case EqualTo(a, v) if pkNames.exists(_.equalsIgnoreCase(a)) =>
+          Some(Map(pkNames.find(_.equalsIgnoreCase(a)).get -> v))
+        case _ => None
+      }
+      def tupleDisjuncts(f: Filter): Option[Seq[Map[String, Any]]] = f match {
+        case org.apache.spark.sql.sources.Or(l, r) =>
+          for (a <- tupleDisjuncts(l); b <- tupleDisjuncts(r)) yield a ++ b
+        case other => conjEqs(other).filter(m => pkNames.forall(m.contains)).map(Seq(_))
+      }
+      val pkFields = pkNames.flatMap(n =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(n)))
+      val routableSchema = pkFields.size == pkNames.size && pkFields.forall(_.dataType match {
+        case LongType | IntegerType | StringType => true
+        case _ => false
+      })
+      if (routableSchema) filters.foreach {
+        case f @ org.apache.spark.sql.sources.Or(_, _) =>
+          tupleDisjuncts(f).foreach { tuples =>
+            restrictBuckets(tuples.map(m =>
+              TokenLayout.bucketOfCompositeValues(
+                pkNames.map(m), pkFields.map(_.dataType))).toSet)
+            pushed = (pushed :+ f).distinct
+          }
+        case _ => ()
+      }
       val eqs: Map[String, Any] = filters.collect {
         case EqualTo(a, v) if pkNames.exists(_.equalsIgnoreCase(a)) =>
           pkNames.find(_.equalsIgnoreCase(a)).get -> v
@@ -1511,16 +1550,24 @@ object TokenRangeOps {
     * buckets' rewrite, not a table scan. */
   def upsert(spark: SparkSession, path: String, pk: String,
       incoming: org.apache.spark.sql.DataFrame): Unit = {
-    requirePkMatches(path, pk, "upsert", singleOnly = true)
+    requirePkMatches(path, pk, "upsert")
     TokenRangeSource.withCommitLock(path) {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
     }
-    val dt = incoming.schema(pk).dataType
+    // single OR composite key (r13): the bucket expression and the
+    // replace-by-key anti-join both generalize column-for-column — a
+    // composite upsert replaces at TUPLE grain, exactly CQL's
+    // INSERT-is-upsert on `PRIMARY KEY ((a, b))`
+    val pks = pk.split(',').map(_.trim).toSeq
+    val bucketCol =
+      if (pks.size == 1)
+        TokenLayout.bucketOfColumn(col(pk), incoming.schema(pk).dataType)
+      else TokenLayout.bucketOfComposite(pks.map(col))
     // owning buckets of the incoming keys: a ≤ Buckets-row distinct
     // aggregate (bounded by the ring width, never by data volume)
     val buckets = incoming
-      .select(TokenLayout.bucketOfColumn(col(pk), dt).as("tb"))
+      .select(bucketCol.as("tb"))
       .distinct().collect().map(_.getInt(0)).toSet
     withConflictRetry("upsert") {
       val pinned = TokenRangeSource.currentVersion(path)
@@ -1533,7 +1580,7 @@ object TokenRangeOps {
         else {
           val old = spark.read.parquet(affectedRel
             .map(rel => new java.io.File(path, rel).getAbsolutePath): _*)
-          old.join(incoming.select(pk).distinct(), Seq(pk), "left_anti")
+          old.join(incoming.select(pks.map(col): _*).distinct(), pks, "left_anti")
             .select(cols: _*)
             .unionByName(incoming.select(cols: _*))
         }

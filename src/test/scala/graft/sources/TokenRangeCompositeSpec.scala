@@ -172,6 +172,58 @@ class TokenRangeCompositeSpec extends SparkSpec {
       "a contradictory conjunction deletes nothing and flips nothing")
   }
 
+  test("tuple multiget: OR of full-equality conjunctions prunes to the union of owning buckets") {
+    val dir = freshDir()
+    seed(dir)
+    val multi = load(dir).filter(
+      (col("okey") === 17L && col("line") === 3)
+        || (col("okey") === 22L && col("line") === 1))
+    val got = multi.collect()
+      .map(r => (r.getAs[Long]("okey"), r.getAs[Int]("line"))).toSet
+    assert(got == Set((17L, 3), (22L, 1)))
+    val wantBuckets = Set(Seq[Any](17L, 3), Seq[Any](22L, 1)).map(t =>
+      TokenLayout.bucketOfCompositeValues(t,
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType))).size
+    val plan = multi.queryExecution.executedPlan.toString()
+    assert(plan.contains(s"TokenRanges: $wantBuckets"),
+      s"tuple multiget must plan only the owning buckets ($wantBuckets):\n${plan.take(900)}")
+    // a PARTIALLY bound disjunct poisons the prune (it could match rows
+    // in any bucket) — the whole OR stays residual, result still exact
+    val part = load(dir).filter(
+      (col("okey") === 17L && col("line") === 3) || (col("okey") === 22L))
+    assert(part.collect().length == 5) // (17,3) + all four lines of 22
+    val partPlan = part.queryExecution.executedPlan.toString()
+    assert(partPlan.contains("TokenRanges: 4"),
+      s"a partially bound disjunct must not prune:\n${partPlan.take(900)}")
+  }
+
+  test("upsert on a composite table replaces at TUPLE grain") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    seed(dir)
+    val incoming = Seq((17L, 3, "updated17-3"), (99L, 9, "new99-9"))
+      .toDF("okey", "line", "v")
+    val before = TokenRangeSource.visibleRelFiles(dir, None).toSet
+    TokenRangeOps.upsert(spark, dir, "okey,line", incoming)
+    val m = load(dir).collect()
+      .map(r => ((r.getAs[Long]("okey"), r.getAs[Int]("line")), r.getAs[String]("v")))
+    assert(m.length == rows.length + 1) // one replaced, one genuinely new
+    val mm = m.toMap
+    assert(m.length == mm.size, "no tuple doubled")
+    assert(mm((17L, 3)) == "updated17-3", "the matching tuple is replaced")
+    assert(mm((17L, 2)) == "v17-2", "sibling lines of the same okey survive")
+    assert(mm((99L, 9)) == "new99-9")
+    // bucket-grain: untouched buckets carry by reference
+    val touched = Set(Seq[Any](17L, 3), Seq[Any](99L, 9)).map(t =>
+      TokenLayout.bucketOfCompositeValues(t,
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType)))
+    val after = TokenRangeSource.visibleRelFiles(dir, None).toSet
+    assert(after.filterNot(f => touched(f._1)) == before.filterNot(f => touched(f._1)),
+      "a tuple upsert must not rewrite buckets it does not touch")
+  }
+
   test("null composite-key component is refused at write (CQL parity)") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir()
