@@ -802,14 +802,24 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
     // exactly as Cassandra requires the full partition key) and stays
     // residual-only.
     if (pkNames.size > 1) {
+      // ONE schema lookup + routability check for both composite prunes
+      // below (the point-lookup conjunction and the tuple multiget) — a
+      // dtype-whitelist change must reach both or neither (r13 review)
+      val pkFields = pkNames.flatMap(n =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(n)))
+      val routableSchema = pkFields.size == pkNames.size && pkFields.forall(_.dataType match {
+        case LongType | IntegerType | StringType => true
+        case _ => false
+      })
       // tuple MULTIGET (r13): an OR of full-equality conjunctions —
       // `(a=1 AND b=2) OR (a=3 AND b=4)` — is the composite analog of the
       // single-key IN-list; it prunes to the UNION of the tuples' owning
-      // buckets. Any disjunct that fails to bind every component (or
-      // can't be routed) makes the whole OR residual-only: a partially
-      // bound disjunct could match rows in any bucket, and bucket pruning
-      // must stay CONSERVATIVE (an over-prune would drop matching rows —
-      // this is the one place the residual contract does not save us).
+      // buckets. Extra NON-pk conjuncts inside a disjunct only narrow it
+      // (ignored for routing); but a disjunct that fails to bind every pk
+      // component makes the whole OR residual-only: a partially bound
+      // disjunct could match rows in any bucket, and bucket pruning must
+      // stay CONSERVATIVE (an over-prune would drop matching rows — this
+      // is the one place the residual contract does not save us).
       def conjEqs(f: Filter): Option[Map[String, Any]] = f match {
         case org.apache.spark.sql.sources.And(l, r) =>
           for {
@@ -818,19 +828,15 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
           } yield a ++ b
         case EqualTo(a, v) if pkNames.exists(_.equalsIgnoreCase(a)) =>
           Some(Map(pkNames.find(_.equalsIgnoreCase(a)).get -> v))
-        case _ => None
+        // any other conjunct (non-pk equality, ranges, nested ORs) only
+        // NARROWS the disjunct — contributes no binding, poisons nothing
+        case _ => Some(Map.empty)
       }
       def tupleDisjuncts(f: Filter): Option[Seq[Map[String, Any]]] = f match {
         case org.apache.spark.sql.sources.Or(l, r) =>
           for (a <- tupleDisjuncts(l); b <- tupleDisjuncts(r)) yield a ++ b
         case other => conjEqs(other).filter(m => pkNames.forall(m.contains)).map(Seq(_))
       }
-      val pkFields = pkNames.flatMap(n =>
-        tableSchema.fields.find(_.name.equalsIgnoreCase(n)))
-      val routableSchema = pkFields.size == pkNames.size && pkFields.forall(_.dataType match {
-        case LongType | IntegerType | StringType => true
-        case _ => false
-      })
       if (routableSchema) filters.foreach {
         case f @ org.apache.spark.sql.sources.Or(_, _) =>
           tupleDisjuncts(f).foreach { tuples =>
@@ -845,22 +851,14 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
         case EqualTo(a, v) if pkNames.exists(_.equalsIgnoreCase(a)) =>
           pkNames.find(_.equalsIgnoreCase(a)).get -> v
       }.toMap
-      if (pkNames.forall(eqs.contains)) {
-        val fields = pkNames.flatMap(n =>
-          tableSchema.fields.find(_.name.equalsIgnoreCase(n)))
-        val routable = fields.size == pkNames.size && fields.forall(_.dataType match {
-          case LongType | IntegerType | StringType => true
+      if (pkNames.forall(eqs.contains) && routableSchema) {
+        restrictBuckets(Set(TokenLayout.bucketOfCompositeValues(
+          pkNames.map(eqs), pkFields.map(_.dataType))))
+        val compositeEq = filters.filter {
+          case EqualTo(a, _) => pkNames.exists(_.equalsIgnoreCase(a))
           case _ => false
-        })
-        if (routable) {
-          restrictBuckets(Set(TokenLayout.bucketOfCompositeValues(
-            pkNames.map(eqs), fields.map(_.dataType))))
-          val compositeEq = filters.filter {
-            case EqualTo(a, _) => pkNames.exists(_.equalsIgnoreCase(a))
-            case _ => false
-          }
-          pushed = (pushed ++ compositeEq).distinct
         }
+        pushed = (pushed ++ compositeEq).distinct
       }
     }
     // residual contract: EVERYTHING is re-evaluated by Spark post-scan —
@@ -1451,6 +1449,10 @@ object TokenRangeOps {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
     }
+    // an EMPTY table deletes nothing — and has no footer to read the
+    // component dtypes from (r13 review: the schemaless load below would
+    // error where deleteKeys no-ops)
+    if (TokenRangeSource.visibleFiles(path).isEmpty) return
     // component dtypes from the table itself (the same schema the scan
     // serves), so the tuple hash matches the writers' routing exactly
     val t = spark.read.format(fmt).option("pk", pks.mkString(",")).load(path)
@@ -1558,15 +1560,28 @@ object TokenRangeOps {
     // single OR composite key (r13): the bucket expression and the
     // replace-by-key anti-join both generalize column-for-column — a
     // composite upsert replaces at TUPLE grain, exactly CQL's
-    // INSERT-is-upsert on `PRIMARY KEY ((a, b))`
+    // INSERT-is-upsert on `PRIMARY KEY ((a, b))`.
+    // ALIGN the incoming frame to the TABLE's schema first (r13 review):
+    // xxhash64 hashes Int and Long differently, so a dtype-widened
+    // incoming frame (line LONG vs the table's INT) would route tuples to
+    // the WRONG bucket — missing the rows it should replace — and write
+    // schema-drifted files beside the originals. Casting to the stored
+    // schema keeps routing and the on-disk layout canonical (deleteTuples
+    // coerces its literals for the same reason).
     val pks = pk.split(',').map(_.trim).toSeq
+    val aligned = TokenRangeSource.visibleFiles(path).headOption
+      .map(f => TokenRangeSource.inferFromFile(f._2)) match {
+      case Some(ts) => incoming.select(ts.fields.map(f =>
+        col(f.name).cast(f.dataType)).toSeq: _*)
+      case None => incoming // fresh/empty table: incoming defines the schema
+    }
     val bucketCol =
       if (pks.size == 1)
-        TokenLayout.bucketOfColumn(col(pk), incoming.schema(pk).dataType)
+        TokenLayout.bucketOfColumn(col(pk), aligned.schema(pk).dataType)
       else TokenLayout.bucketOfComposite(pks.map(col))
     // owning buckets of the incoming keys: a ≤ Buckets-row distinct
     // aggregate (bounded by the ring width, never by data volume)
-    val buckets = incoming
+    val buckets = aligned
       .select(bucketCol.as("tb"))
       .distinct().collect().map(_.getInt(0)).toSet
     withConflictRetry("upsert") {
@@ -1574,15 +1589,15 @@ object TokenRangeOps {
       val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
         .collect { case (k, rel) if buckets(k) => rel }
       onSnapshotPinned()
-      val cols = incoming.schema.fieldNames.map(col)
+      val cols = aligned.schema.fieldNames.map(col)
       val merged =
-        if (affectedRel.isEmpty) incoming.select(cols: _*)
+        if (affectedRel.isEmpty) aligned.select(cols: _*)
         else {
           val old = spark.read.parquet(affectedRel
             .map(rel => new java.io.File(path, rel).getAbsolutePath): _*)
-          old.join(incoming.select(pks.map(col): _*).distinct(), pks, "left_anti")
+          old.join(aligned.select(pks.map(col): _*).distinct(), pks, "left_anti")
             .select(cols: _*)
-            .unionByName(incoming.select(cols: _*))
+            .unionByName(aligned.select(cols: _*))
         }
       merged.write.format(fmt)
         .option("pk", pk)

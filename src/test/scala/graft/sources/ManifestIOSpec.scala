@@ -4,12 +4,19 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** The ManifestIO seam's SECOND implementation: a no-hardlink filesystem
-  * (the documented object-store / exotic-FS fallback, where
-  * createExclusive cannot ride `Files.createLink` and falls back to
-  * exists-check + ATOMIC_MOVE under the commit lock). Driving the whole
-  * atomic-publish protocol through it proves the protocol never depended
-  * on hard links — the seam's reason to exist (VERDICT r12 #5) — and
-  * exercises the fallback branch the POSIX default never reaches. */
+  * (the documented exotic-FS fallback, where createExclusive cannot ride
+  * `Files.createLink` and falls back to exists-check + ATOMIC_MOVE).
+  * Driving the whole atomic-publish protocol through it proves the
+  * PROTOCOL runs end-to-end without hard links — the seam's reason to
+  * exist (VERDICT r12 #5) — and exercises the fallback branch the POSIX
+  * default never reaches.
+  *
+  * Honesty note (r13 review): exists-check + rename is NOT a true CAS —
+  * two claimers inside a stolen-lock double-holder window have a TOCTOU,
+  * exactly as LocalManifestIO documents for its own no-hardlink branch.
+  * A REAL alternative backend supplies an atomic conditional primitive
+  * (object-store if-none-match PUT, HDFS create-no-overwrite); this test
+  * impl proves protocol-compatibility, not lock-free concurrency. */
 object NoHardLinkManifestIO extends ManifestIO {
   // counts fallback CAS decisions so the spec can prove this impl (not
   // the default) served the run
@@ -37,9 +44,13 @@ object NoHardLinkManifestIO extends ManifestIO {
       java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
       if (java.nio.file.Files.exists(target)) false
       else {
-        java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        true
+        // a platform whose rename REFUSES existing targets reports the
+        // race as a lost CAS rather than crashing the caller's loop
+        try {
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       }
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }

@@ -224,6 +224,51 @@ class TokenRangeCompositeSpec extends SparkSpec {
       "a tuple upsert must not rewrite buckets it does not touch")
   }
 
+  test("dtype-widened incoming upsert frame still replaces (aligned to the table schema)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    seed(dir)
+    // line arrives as LONG (a JSON/bigint source) against the table's INT
+    // — xxhash64 hashes Int and Long differently, so without schema
+    // alignment the tuple would route to the WRONG bucket, miss the row
+    // it should replace, and leave a duplicate (r13 review)
+    val widened = Seq((17L, 3L, "widened17-3")).toDF("okey", "line", "v")
+    TokenRangeOps.upsert(spark, dir, "okey,line", widened)
+    val m = load(dir).collect()
+      .map(r => ((r.getAs[Long]("okey"), r.getAs[Int]("line")), r.getAs[String]("v")))
+    assert(m.length == rows.length, "replace, not duplicate")
+    assert(m.toMap.apply((17L, 3)) == "widened17-3")
+    // and the table still reads uniformly (no schema-drifted files)
+    assert(load(dir).schema("line").dataType
+      == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("deleteTuples on an empty table is a no-op (parity with deleteKeys)") {
+    val dir = freshDir()
+    // a bare table dir: no files, no manifest, no footer to infer a
+    // schema from — the old code crashed in the schemaless load here
+    TokenRangeOps.deleteTuples(spark, dir, Seq("okey", "line"), Seq(Seq(1L, 2)))
+    assert(TokenRangeSource.visibleRelFiles(dir, None).isEmpty)
+  }
+
+  test("multiget prune tolerates extra non-pk conjuncts inside a disjunct") {
+    val dir = freshDir()
+    seed(dir)
+    val q = load(dir).filter(
+      (col("okey") === 17L && col("line") === 3 && col("v") === "v17-3")
+        || (col("okey") === 22L && col("line") === 1))
+    val got = q.collect()
+      .map(r => (r.getAs[Long]("okey"), r.getAs[Int]("line"))).toSet
+    assert(got == Set((17L, 3), (22L, 1)))
+    val nBuckets = Set(Seq[Any](17L, 3), Seq[Any](22L, 1)).map(t =>
+      TokenLayout.bucketOfCompositeValues(t,
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType))).size
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains(s"TokenRanges: $nBuckets"),
+      s"a non-pk conjunct only narrows its disjunct — prune must hold:\n${plan.take(900)}")
+  }
+
   test("null composite-key component is refused at write (CQL parity)") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir()

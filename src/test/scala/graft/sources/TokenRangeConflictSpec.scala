@@ -171,6 +171,8 @@ class TokenRangeConflictSpec extends SparkSpec {
       thread(TokenRangeOps.upsert(spark, dir, "pk", upserted.toDF("pk", "v"))),
       thread(TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(110L, 120L))))
     ts.foreach(_.join(120000))
+    assert(ts.forall(!_.isAlive), "a hung rewrite is its own failure — " +
+      "do not let it masquerade as lost rows downstream")
     assert(errors.isEmpty, s"no rewrite may fail under contention: " +
       errors.toArray.map(_.toString).mkString("; "))
     val rows = load(dir).collect()
