@@ -269,6 +269,76 @@ class TokenRangeCompositeSpec extends SparkSpec {
       s"a non-pk conjunct only narrows its disjunct — prune must hold:\n${plan.take(900)}")
   }
 
+  test("three-column (TEXT, BIGINT, INT) composite key: round trip, prune, expression == twin") {
+    val s2 = spark; import s2.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val dir = freshDir()
+    val rows3 = for (t <- Seq("alpha", "bravo", "charlie"); o <- 0L until 20L; l <- 1 to 2)
+      yield (t, o, l, s"v$t-$o-$l")
+    rows3.toDF("tenant", "okey", "line", "v")
+      .write.format(fmt).option("pk", "tenant,okey,line")
+      .option("schema", "tenant STRING, okey BIGINT, line INT, v STRING")
+      .mode("append").save(dir)
+    def load3 = spark.read.format(fmt)
+      .option("pk", "tenant,okey,line").option("splits", "4").load(dir)
+    // round trip exact
+    assert(load3.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getInt(2), r.getString(3))).toSet == rows3.toSet)
+    // full three-way equality prunes to ONE bucket
+    val one = load3.filter(col("tenant") === "bravo"
+      && col("okey") === 7L && col("line") === 2)
+    assert(one.collect().map(_.getString(3)).toSeq == Seq("vbravo-7-2"))
+    val plan = one.queryExecution.executedPlan.toString()
+    assert(plan.contains("TokenRanges: 1"),
+      s"3-col full equality must prune to 1 bucket:\n${plan.take(900)}")
+    // expression == driver twin over every tuple (string + numeric mix
+    // chains through xxhash64 with per-type hashing — the riskiest case)
+    rows3.toDF("tenant", "okey", "line", "v")
+      .select(col("tenant"), col("okey"), col("line"),
+        TokenLayout.bucketOfComposite(
+          Seq(col("tenant"), col("okey"), col("line"))).as("tb"))
+      .collect().foreach { r =>
+        val want = TokenLayout.bucketOfCompositeValues(
+          Seq(r.getString(0), r.getLong(1), r.getInt(2)),
+          Seq(StringType, LongType, IntegerType))
+        assert(r.getInt(3) == want,
+          s"expr/twin drift on (${r.getString(0)},${r.getLong(1)},${r.getInt(2)})")
+      }
+    // placement: physical rows sit in their tuple's bucket
+    TokenRangeSource.bucketDirs(dir).foreach { case (k, d) =>
+      spark.read.parquet(d.getAbsolutePath)
+        .select("tenant", "okey", "line").collect().foreach { r =>
+          assert(TokenLayout.bucketOfCompositeValues(
+            Seq(r.getString(0), r.getLong(1), r.getInt(2)),
+            Seq(StringType, LongType, IntegerType)) == k)
+        }
+    }
+  }
+
+  test("snapshot reads stay exact across the legacy→segmented transition") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    // legacy table (Spark committer, no manifest), then two connector
+    // commits: v1 pins the legacy listing (flat lines), v2/v3 are
+    // incremental segmented rebases
+    TokenLayout.writeTokenBucketed(
+      (0L until 100L).map(i => (i, s"a$i")).toDF("pk", "v"), "pk", dir)
+    Seq((1000L, "x")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(7L))
+    val vs = TokenRangeSource.versions(dir)
+    assert(vs.size >= 3)
+    def at(v: Int) = spark.read.format(fmt).option("pk", "pk")
+      .option("version", v.toString).load(dir)
+      .select("pk").collect().map(_.getLong(0)).toSet
+    // v1 = the pinned legacy listing, exactly
+    assert(at(vs.head) == (0L until 100L).toSet)
+    // the append's version sees legacy + new row (mixed flat+pointer)
+    assert(at(vs(1)) == (0L until 100L).toSet + 1000L)
+    // the delete's version drops exactly key 7
+    assert(at(vs(2)) == (0L until 100L).toSet + 1000L - 7L)
+  }
+
   test("null composite-key component is refused at write (CQL parity)") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir()
