@@ -168,6 +168,7 @@ object WideColumn extends QueryModule {
     graft.PrebuiltDirs.clear("graft_connector_ttl")
     graft.PrebuiltDirs.clear("graft_connector_ups")
     graft.PrebuiltDirs.clear("graft_connector_cpk")
+    graft.PrebuiltDirs.clear("graft_connector_cck")
   }
 
   private def connectorOrdersDir(s: SparkSession, d: String): String =
@@ -295,6 +296,75 @@ object WideColumn extends QueryModule {
       |  ORDER BY l_orderkey, l_linenumber DESC LIMIT 1)
       |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem, k WHERE l_orderkey = k.ok AND l_linenumber = k.ln""".stripMargin
+
+  // ---- COMPOSITE partition key + CLUSTERING slice in ONE scan (r14) ------
+  /** The FULL Cassandra primary-key idiom — `PRIMARY KEY ((a, b), c)`,
+    * the shape every time-series keyspace uses (partition = entity tuple,
+    * clustering = time) — riding the connector end-to-end (VERDICT r13
+    * next-round #5): events keyed on ((user_id, event_type), ts_us) are
+    * written through the sink with the clustering key DECLARED, so the
+    * write sorts each bucket file by ts_us (DSv2 required ordering — the
+    * r14 physical-clustering-order work) and `rollRows` splits buckets
+    * into disjoint time slabs. The entry then reads ONE partition's
+    * middle-third time slice: tuple equality prunes to the owning token
+    * bucket (TokenRanges: 1) AND the ck range prunes file slabs by footer
+    * stats (PrunedFiles) — both prunes in the same scan, which is exactly
+    * a Cassandra clustering-range read of one partition. Bounds derive
+    * from bounded 1-row collects (a real client supplies key and slice);
+    * integer arithmetic is mirrored shape-for-shape in the oracle. */
+  private def connectorCompositeCkDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_cck", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      // one task per bucket at ingest (the same tuple-ring expression the
+      // sink routes by), so rollRows yields ~(bucket rows / 2048) files
+      // per bucket, each a disjoint ts slab — the time-window-SSTable
+      // layout, at every SF
+      val bucketExpr = graft.sources.connector.TokenLayout
+        .bucketOfComposite(Seq(col("user_id"), col("event_type")))
+      ev.repartition(graft.sources.connector.TokenLayout.Buckets, bucketExpr)
+        .write.format(fmt)
+        .option("pk", "user_id,event_type").option("ck", "ts_us")
+        .option("rollRows", "2048")
+        .option("schema",
+          "event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT, value DOUBLE")
+        .mode("overwrite").save(dir)
+      dir
+    }
+
+  def compositeClusteredSlice(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorCompositeCkDir(s, d)
+    val k = Tables.events(s, d).filter(col("user_id") % 7 === 0)
+      .orderBy(asc("user_id"), asc("event_type")).limit(1)
+      .select("user_id", "event_type").collect().head
+    val (uid, et) = (k.getLong(0), k.getString(1))
+    val b = Tables.events(s, d)
+      .filter(col("user_id") === uid && col("event_type") === et)
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+      .collect().head
+    val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+    val lo = lo0 + (hi0 - lo0) / 3
+    val hi = lo0 + 2 * ((hi0 - lo0) / 3)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "user_id,event_type").option("ck", "ts_us").load(dir)
+      .filter(col("user_id") === uid && col("event_type") === et
+        && col("ts_us") >= lo && col("ts_us") <= hi)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+  }
+
+  private val compositeClusteredSliceSql =
+    """WITH k AS (SELECT user_id AS uid, event_type AS et FROM events
+      |    WHERE user_id % 7 = 0 ORDER BY user_id, event_type LIMIT 1),
+      |  b AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+      |    FROM events, k WHERE user_id = k.uid AND event_type = k.et)
+      |SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM events, k, b
+      |WHERE user_id = k.uid AND event_type = k.et
+      |  AND epoch_us(ts) >= b.lo + (b.hi - b.lo) // 3
+      |  AND epoch_us(ts) <= b.lo + 2 * ((b.hi - b.lo) // 3)""".stripMargin
 
   // ---- SNAPSHOT (time-travel) read through the connector (r11) -----------
   /** Version-pinned read over the manifest history: orders land in TWO
@@ -1465,6 +1535,8 @@ object WideColumn extends QueryModule {
     ("wc_connector_multiget", connectorMultiget _, Some(connectorMultigetSql)),
     ("wc_connector_user_lookup", connectorUserLookup _, Some(connectorUserLookupSql)),
     ("wc_composite_key_lookup", compositeKeyLookup _, Some(compositeKeyLookupSql)),
+    ("wc_composite_clustered_slice", compositeClusteredSlice _,
+      Some(compositeClusteredSliceSql)),
     ("wc_connector_snapshot_read", connectorSnapshotRead _, Some(connectorSnapshotReadSql)),
     ("wc_connector_delete", connectorDelete _, Some(connectorDeleteSql)),
     ("wc_connector_compact", connectorCompact _, Some(connectorCompactSql)),

@@ -37,6 +37,10 @@ private[connector] trait ManifestIO {
   def delete(path: String): Boolean
   def exists(path: String): Boolean
   def lastModified(path: String): Long
+  /** Refresh `path`'s modification time to now — the lock HEARTBEAT
+    * primitive (ADVICE r13: a legitimately long hold must not look
+    * stale). Content is never changed; a missing file is a no-op. */
+  def touch(path: String): Unit
 }
 
 private[connector] object LocalManifestIO extends ManifestIO {
@@ -88,4 +92,7 @@ private[connector] object LocalManifestIO extends ManifestIO {
   override def delete(path: String): Boolean = new java.io.File(path).delete()
   override def exists(path: String): Boolean = new java.io.File(path).exists()
   override def lastModified(path: String): Long = new java.io.File(path).lastModified()
+  override def touch(path: String): Unit = {
+    new java.io.File(path).setLastModified(System.currentTimeMillis()); ()
+  }
 }

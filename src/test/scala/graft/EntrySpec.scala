@@ -187,8 +187,12 @@ class EntrySpec extends SparkSpec {
     // retrain retired) → 224/224; +wc_composite_key_lookup (composite
     // partition keys: (l_orderkey, l_linenumber) tuple ring via chained
     // xxhash64, pruned to the owning bucket) → 225/225.
-    assert(SparkEntry.queries.size == 225, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 225, s"got ${SparkEntry.oracleSql.size}")
+    // r14: +wc_composite_clustered_slice (the FULL Cassandra primary-key
+    // idiom PRIMARY KEY ((user_id, event_type), ts_us): tuple-equality
+    // bucket prune + physical-clustering-order file-slab prune in ONE
+    // scan) → 226/226.
+    assert(SparkEntry.queries.size == 226, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 226, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -152,12 +152,13 @@ class MessageStoreSpec extends SparkSpec {
     // file names carry a per-JOB unique id (r10 review): partition/task ids
     // restart near 0 in a new application, so without the suffix a second
     // app's append would collide on part-0-0.parquet; two jobs must show
-    // two distinct suffixes under the part-<p>-<t>-<writeId> format
+    // two distinct suffixes under the part-<p>-<t>-<writeId>-<seq> format
+    // (the trailing seq is the r14 rollRows file counter, 0 when unrolled)
     val partNames = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("tb="))
       .flatMap(_.listFiles()).map(_.getName)
       .filter(_.endsWith(".parquet"))
-    val pat = "part-\\d+-\\d+-([0-9a-f]{8})\\.parquet".r
+    val pat = "part-\\d+-\\d+-([0-9a-f]{8})-\\d+\\.parquet".r
     val writeIds = partNames.map {
       case pat(id) => id
       case other => fail(s"sink file name without a write id: $other")

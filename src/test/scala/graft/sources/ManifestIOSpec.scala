@@ -31,6 +31,7 @@ object NoHardLinkManifestIO extends ManifestIO {
   override def delete(path: String): Boolean = LocalManifestIO.delete(path)
   override def exists(path: String): Boolean = LocalManifestIO.exists(path)
   override def lastModified(path: String): Long = LocalManifestIO.lastModified(path)
+  override def touch(path: String): Unit = LocalManifestIO.touch(path)
 
   override def createExclusive(path: String, content: String): Boolean = {
     exclusiveCalls.incrementAndGet()

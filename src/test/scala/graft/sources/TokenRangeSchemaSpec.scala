@@ -1,0 +1,117 @@
+package graft.sources.connector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Schema evolution at the connector boundary (VERDICT r13 next-round #3
+  * / "wrong" #2): CQL refuses unknown columns until `ALTER TABLE ADD` —
+  * the sink and upsert now refuse LOUDLY instead of silently dropping or
+  * forking the layout, and [[TokenRangeOps.addColumn]] is the ALTER
+  * analog: metadata-only, files written before it read NULL for the new
+  * column (parquet's added-optional-column contract), rewrites carry it. */
+class TokenRangeSchemaSpec extends SparkSpec {
+  private val fmt = classOf[TokenRangeSource].getName
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def seed(dir: String): Unit = {
+    val s2 = spark; import s2.implicits._
+    (0L until 32L).map(i => (i, s"v$i")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, v STRING").mode("append").save(dir)
+  }
+  private def load(dir: String) =
+    spark.read.format(fmt).option("pk", "pk").load(dir)
+
+  test("a write with an unknown column is refused with the ALTER hint; dtype drift is refused") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_sch1")
+    seed(dir)
+    val exUnknown = intercept[Exception] {
+      Seq((99L, "x", 1.0)).toDF("pk", "v", "score")
+        .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    }
+    assert(exUnknown.getMessage.contains("addColumn"))
+    val exDtype = intercept[Exception] {
+      Seq((99, "x")).toDF("pk", "v") // pk INT vs stored BIGINT
+        .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    }
+    assert(exDtype.getMessage.contains("stored schema"))
+    // upsert refuses the same drift instead of silently dropping the column
+    val exUpsert = intercept[Exception] {
+      TokenRangeOps.upsert(spark, dir, "pk",
+        Seq((5L, "new", 1.0)).toDF("pk", "v", "score"))
+    }
+    assert(exUpsert.getMessage.contains("addColumn"))
+    assert(load(dir).count() == 32, "no refused write may leave rows behind")
+  }
+
+  test("addColumn: old files read NULL, new writes bind it, rewrites carry it") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_sch2")
+    seed(dir)
+    TokenRangeOps.addColumn(dir, "score DOUBLE")
+    // duplicate refused (footer or alter — either way it exists)
+    assert(intercept[Exception] { TokenRangeOps.addColumn(dir, "v STRING") }
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception] { TokenRangeOps.addColumn(dir, "score DOUBLE") }
+      .getMessage.contains("already exists"))
+
+    // the stored schema now carries the column; pre-ALTER rows read NULL
+    val t0 = load(dir)
+    assert(t0.schema.fieldNames.toSeq == Seq("pk", "v", "score"))
+    assert(t0.filter(col("score").isNull).count() == 32)
+
+    // a write binding the new column lands beside the old files
+    Seq((100L, "w", 2.5)).toDF("pk", "v", "score")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    // and a SUBSET write (CQL INSERT names a column subset) still lands
+    Seq((101L, "s")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    val rows = load(dir).select("pk", "v", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(rows(100L) == (("w", 2.5)))
+    assert(rows(101L) == (("s", null)))
+    assert(rows(5L) == (("v5", null)))
+
+    // projecting ONLY the post-ALTER column over pre-ALTER files works
+    // (row cadence preserved, values NULL)
+    assert(load(dir).select("score").count() == 34)
+
+    // upsert on a pre-ALTER key: the rewrite reads old files aligned to
+    // the stored schema — the new column must NOT be dropped from
+    // surviving rows written post-ALTER
+    TokenRangeOps.upsert(spark, dir, "pk",
+      Seq((5L, "upserted", 9.9)).toDF("pk", "v", "score"))
+    val after = load(dir).select("pk", "v", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(after.length == 34)
+    assert(after.find(_._1 == 5L).contains((5L, "upserted", 9.9)))
+    assert(after.find(_._1 == 100L).contains((100L, "w", 2.5)),
+      "a rewrite sharing bucket files must carry the ALTER column through")
+
+    // compact folds everything into uniform post-ALTER files; data intact
+    TokenRangeOps.compact(spark, dir, "pk")
+    val compacted = load(dir).select("pk", "v", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(compacted == after.toSet)
+  }
+
+  test("subset-column appends cannot shrink the stored schema (it is recorded metadata)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_sch3")
+    seed(dir)
+    // an append binding ONLY pk: legal (unbound columns read NULL) —
+    // and the table schema must still be the full creation schema
+    Seq(Tuple1(200L)).toDF("pk")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    val t = load(dir)
+    assert(t.schema.fieldNames.toSeq == Seq("pk", "v"))
+    val r = t.filter(col("pk") === 200L).collect()
+    assert(r.length == 1 && r.head.isNullAt(1))
+  }
+}
