@@ -190,9 +190,11 @@ class EntrySpec extends SparkSpec {
     // r14: +wc_composite_clustered_slice (the FULL Cassandra primary-key
     // idiom PRIMARY KEY ((user_id, event_type), ts_us): tuple-equality
     // bucket prune + physical-clustering-order file-slab prune in ONE
-    // scan) → 226/226.
-    assert(SparkEntry.queries.size == 226, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 226, s"got ${SparkEntry.oracleSql.size}")
+    // scan) → 226/226; +wc_alter_add_column (ALTER TABLE ADD as table
+    // metadata: pre-ALTER files read NULL for the new column, post-ALTER
+    // appends bind it — the mixed-footer read oracle-hashed) → 227/227.
+    assert(SparkEntry.queries.size == 227, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 227, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
