@@ -109,7 +109,12 @@ final class TokenRangeSource extends TableProvider {
       require(ddl != null,
         s"token-range table at $path is empty: pass .option(\"schema\", <ddl>) " +
           "to create it (the CREATE TABLE analog), or write via an existing table")
-      StructType.fromDDL(ddl)
+      // CREATE-then-ALTER-then-first-write: columns ALTERed onto a
+      // still-empty table fold onto the caller's DDL
+      val base = StructType.fromDDL(ddl)
+      val have = base.fieldNames.map(_.toLowerCase).toSet
+      StructType(base.fields ++ TokenRangeSource.alterFields(path)
+        .filterNot(a => have(a.name.toLowerCase)))
     }
   }
 
@@ -268,18 +273,39 @@ object TokenRangeSource {
 
   /** The table's recorded CLUSTERING key (r13 verdict #1 — `WITH
     * CLUSTERING ORDER BY`, server.py:181-183, made PHYSICAL): recorded by
-    * the first committer that declares `ck`, from then on EVERY write
-    * through the sink sorts rows by it within each bucket file (the sink
-    * declares the ordering to Catalyst — see [[TokenRangeWriteBuilder]]),
-    * so the footer-stats ck-slice prune bites on any ingest order, not
-    * just time-correlated loads. Absent on pre-ck tables and tables that
-    * never declared one: writes stay order-preserving as before. */
+    * the FIRST committer that declares `ck` — its own CAS-claimed file,
+    * so a table CREATED without one (or before r14) still records it the
+    * first time a writer declares it (r14 review: piggybacking on the
+    * create-iff-absent table.properties silently dropped exactly those) —
+    * from then on EVERY write through the sink sorts rows by it within
+    * each bucket file (the sink declares the ordering to Catalyst — see
+    * [[TokenRangeWriteBuilder]]), so the footer-stats ck-slice prune
+    * bites on any ingest order, not just time-correlated loads, and a
+    * contradicting later `ck` is refused. Absent on tables that never
+    * declared one: writes stay order-preserving as before. */
   private[connector] def recordedCk(path: String): Option[String] = {
-    val f = new java.io.File(manifestDir(path), "table.properties").getPath
-    if (!manifestIO.exists(f)) None
-    else manifestIO.read(f).split('\n').collectFirst {
-      case l if l.startsWith("ck=") => l.stripPrefix("ck=").trim
+    val cf = new java.io.File(manifestDir(path), "clustering.properties").getPath
+    val fromOwn =
+      if (!manifestIO.exists(cf)) None
+      else manifestIO.read(cf).split('\n').collectFirst {
+        case l if l.startsWith("ck=") => l.stripPrefix("ck=").trim
+      }
+    fromOwn.orElse {
+      // creation-time declaration (recorded beside pk by recordPk)
+      val f = new java.io.File(manifestDir(path), "table.properties").getPath
+      if (!manifestIO.exists(f)) None
+      else manifestIO.read(f).split('\n').collectFirst {
+        case l if l.startsWith("ck=") => l.stripPrefix("ck=").trim
+      }
     }.filter(_.nonEmpty)
+  }
+
+  private[connector] def recordCk(path: String, ck: String): Unit = {
+    if (recordedCk(path).isEmpty)
+      manifestIO.createExclusive(
+        new java.io.File(manifestDir(path), "clustering.properties").getPath,
+        s"ck=$ck")
+    ()
   }
 
   /** Validate a caller-supplied pk against the recorded one (ADVICE r13:
@@ -296,7 +322,7 @@ object TokenRangeSource {
       require(rec.equalsIgnoreCase(pk.split(',').map(_.trim).mkString(",")),
         s"token-range $what at $path: table is bucketed on pk '$rec' but " +
           s"the operation was given '$pk' — the pk option must name the " +
-          "table's full recorded partition key (same columns, same order)")
+          "table's recorded full partition key (same columns, same order)")
     }
 
   /** Segment paths (relative to the manifest dir) referenced by `v` —
@@ -406,10 +432,29 @@ object TokenRangeSource {
         else Thread.sleep(50L)
       }
     }
-    // heartbeat while held: re-verify ownership, then refresh mtime. The
-    // read-then-touch pair can race a steal (touching the NEW holder's
-    // lock), which only delays the next steal by one window — never
-    // affects ownership or the CAS.
+    heldWithHeartbeat(lock, token)(body)
+  }
+
+  /** Non-blocking variant: run `body` under the commit lock iff it is
+    * FREE right now, else None — for best-effort maintenance (the
+    * retention sweep) that must never convoy behind live committers
+    * (r14 review: a blocking sweep inside every commit's tail serialized
+    * concurrent writers on the 180 s wait). */
+  private[connector] def tryWithCommitLock[T](path: String)(body: => T): Option[T] = {
+    val mdir = manifestDir(path)
+    mdir.mkdirs()
+    val lock = new java.io.File(mdir, "commit.lock").getPath
+    val token = java.util.UUID.randomUUID().toString
+    if (!manifestIO.createExclusive(lock, token)) None
+    else Some(heldWithHeartbeat(lock, token)(body))
+  }
+
+  /** The held-lock phase both acquirers share: heartbeat while running,
+    * token-checked release. The heartbeat re-verifies ownership, then
+    * refreshes mtime; the read-then-touch pair can race a steal (touching
+    * the NEW holder's lock), which only delays the next steal by one
+    * window — never affects ownership or the CAS. */
+  private def heldWithHeartbeat[T](lock: String, token: String)(body: => T): T = {
     val hb = heartbeatPool.scheduleAtFixedRate(() => {
       try { if (manifestIO.read(lock) == token) manifestIO.touch(lock) }
       catch { case _: Exception => () }
@@ -1204,15 +1249,22 @@ private[connector] final class TokenRangeReader(files: Array[String],
   // TABLE ADD (or by a subset-column append) lack some projected columns
   // — those read NULL (r13 verdict #3), never crash the Group accessor.
   private val confBySchema =
-    scala.collection.mutable.Map.empty[String, (Configuration, Set[String])]
-  private var present: Set[String] = Set.empty
+    scala.collection.mutable.Map.empty[String, (Configuration, Map[String, String])]
+  // projected-name (lowercased) → THIS file's field name: absent keys read
+  // NULL; the value carries the file's own casing because Group accessors
+  // are case-sensitive while the table layer matches names like Spark
+  // (case-insensitively) — r14 review: a case-drifted append was accepted
+  // by the write guard but read back all-NULL by an exact-match reader
+  private var present: Map[String, String] = Map.empty
 
-  private def confFor(path: org.apache.hadoop.fs.Path): (Configuration, Set[String]) = {
+  private def confFor(path: org.apache.hadoop.fs.Path)
+      : (Configuration, Map[String, String]) = {
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(path, new Configuration()))
     val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
     confBySchema.getOrElseUpdate(fileSchema.toString, {
-      val wanted = projected.fields.map(_.name).toSet
-      val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
+      val wanted = projected.fields.map(_.name.toLowerCase).toSet
+      val kept = fileSchema.getFields.asScala
+        .filter(f => wanted(f.getName.toLowerCase))
       // projecting ONLY post-ALTER columns over a pre-ALTER file: no file
       // column is wanted — read the first file column for row CADENCE
       // (every projected value is NULL), like the empty-projection path
@@ -1221,7 +1273,7 @@ private[connector] final class TokenRangeReader(files: Array[String],
       val c = new Configuration()
       c.set("parquet.read.schema",
         new MessageType(fileSchema.getName, readFields.asJava).toString)
-      (c, kept.map(_.getName).toSet)
+      (c, kept.map(f => f.getName.toLowerCase -> f.getName).toMap)
     })
   }
 
@@ -1255,22 +1307,24 @@ private[connector] final class TokenRangeReader(files: Array[String],
     var i = 0
     while (i < projected.fields.length) {
       val f = projected.fields(i)
+      // the FILE's own field name (case may drift from the table layer's)
+      val fn = present.getOrElse(f.name.toLowerCase, null)
       vals(i) =
-        if (!present.contains(f.name)) null // pre-ALTER / subset-append file
-        else if (current.getFieldRepetitionCount(f.name) == 0) null
+        if (fn == null) null // pre-ALTER / subset-append file
+        else if (current.getFieldRepetitionCount(fn) == 0) null
         else f.dataType match {
-          case LongType => current.getLong(f.name, 0)
-          case IntegerType => current.getInteger(f.name, 0)
-          case DoubleType => current.getDouble(f.name, 0)
-          case FloatType => current.getFloat(f.name, 0)
-          case BooleanType => current.getBoolean(f.name, 0)
-          case StringType => UTF8String.fromString(current.getString(f.name, 0))
+          case LongType => current.getLong(fn, 0)
+          case IntegerType => current.getInteger(fn, 0)
+          case DoubleType => current.getDouble(fn, 0)
+          case FloatType => current.getFloat(fn, 0)
+          case BooleanType => current.getBoolean(fn, 0)
+          case StringType => UTF8String.fromString(current.getString(fn, 0))
           // µs since epoch, stored/read as the raw INT64 Spark holds
-          case TimestampType => current.getLong(f.name, 0)
+          case TimestampType => current.getLong(fn, 0)
           // annotated-INT64 unscaled decimal → Spark Decimal, exact
           case dt: DecimalType =>
-            Decimal(current.getLong(f.name, 0), dt.precision, dt.scale)
-          case BinaryType => current.getBinary(f.name, 0).getBytes
+            Decimal(current.getLong(fn, 0), dt.precision, dt.scale)
+          case BinaryType => current.getBinary(fn, 0).getBytes
           case other => throw new IllegalArgumentException(s"unsupported $other")
         }
       i += 1
@@ -1381,7 +1435,18 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // the wrong ring and point-lookup pruning would silently miss them)
         val writerPk = pkIdx.map(writeSchema(_).name).mkString(",")
         TokenRangeSource.requireRecordedPk(path, writerPk, "write")
-        TokenRangeSource.recordPk(path, writerPk, ckName, Some(writeSchema.toDDL))
+        if (TokenRangeSource.recordedPk(path).isEmpty) {
+          // creation record. For a pre-existing LEGACY table (data files,
+          // no properties yet) the creation schema is the TABLE's stored
+          // view, never this write's — a subset-column first append must
+          // not shrink what later inference sees (r14 review)
+          val creation = TokenRangeSource.storedSchema(path).getOrElse(writeSchema)
+          TokenRangeSource.recordPk(path, writerPk, ckName, Some(creation.toDDL))
+        }
+        // the clustering key records on FIRST declaration, not first
+        // commit — a table created without one still becomes physically
+        // clustered the day a writer declares it (r14 review)
+        ckName.foreach(ck => TokenRangeSource.recordCk(path, ck))
         val placedRel = staged.map { f =>
           val file = new java.io.File(f)
           val bucketName = file.getParentFile.getName // tb=<k>
@@ -1638,16 +1703,17 @@ object TokenRangeOps {
     * against). `singleOnly` ops (per-key bucket routing) additionally
     * refuse composite-keyed tables outright. */
   private def requirePkMatches(path: String, pk: String,
-      what: String, singleOnly: Boolean = false): Unit =
+      what: String, singleOnly: Boolean = false): Unit = {
+    // ONE normalization/comparison for ops, writers and scans (r14
+    // review: two hand-kept copies of the same check would let the paths
+    // disagree the day key normalization changes)
+    TokenRangeSource.requireRecordedPk(path, pk, what)
     TokenRangeSource.recordedPk(path).foreach { rec =>
-      require(rec.equalsIgnoreCase(pk.split(',').map(_.trim).mkString(",")),
-        s"token-range $what at $path: table is bucketed on pk '$rec' but " +
-          s"the operation was given '$pk' — keyed rewrites must use the " +
-          "table's full partition key")
       require(!singleOnly || !rec.contains(','),
         s"token-range $what at $path routes buckets per single key value " +
           s"and does not support the composite key '$rec' yet")
     }
+  }
 
   /** Row-level DELETE of the given partition keys (CQL
     * `DELETE FROM t WHERE pk IN (...)`, server.py's delete surface):
@@ -1818,11 +1884,16 @@ object TokenRangeOps {
     val f = parsed.head.copy(nullable = true)
     TokenRangeSource.toParquet(StructType(Array(f))) // dtype-domain check
     TokenRangeSource.withCommitLock(path) {
-      TokenRangeSource.storedSchema(path).foreach { ts =>
-        require(!ts.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-          s"token-range ALTER at $path: column '${f.name}' already exists " +
-            s"in ${ts.catalogString}")
-      }
+      // duplicate check against the stored view OR, on a still-empty
+      // table (CREATE-then-ALTER flow), against the bare alter history —
+      // a skipped check would record the same name twice and poison every
+      // later read with a duplicate field (r14 review)
+      val existing = TokenRangeSource.storedSchema(path)
+        .map(_.fieldNames.toSeq)
+        .getOrElse(TokenRangeSource.alterFields(path).map(_.name))
+      require(!existing.exists(_.equalsIgnoreCase(f.name)),
+        s"token-range ALTER at $path: column '${f.name}' already exists " +
+          s"in (${existing.mkString(", ")})")
       val mdir = TokenRangeSource.manifestDir(path)
       var i = TokenRangeSource.alterFields(path).size + 1
       while (!TokenRangeSource.manifestIO.createExclusive(
@@ -1896,16 +1967,18 @@ object TokenRangeOps {
             s"do not exist in the stored schema ${ts.catalogString} — CQL " +
             "refuses unknown columns; add them first with TokenRangeOps.addColumn")
         val haveIn = incoming.columns.map(_.toLowerCase).toSet
-        pks.foreach(p => require(haveIn(p.toLowerCase),
-          s"token-range upsert at $path: incoming frame must bind the full " +
-            s"partition key ($pk), missing '$p'"))
-        // stored columns the frame does not bind write NULL (whole-row
-        // replace at batch grain — unbound columns are not carried over)
-        incoming.select(ts.fields.map { f =>
-          (if (haveIn(f.name.toLowerCase)) col(f.name).cast(f.dataType)
-           else org.apache.spark.sql.functions.lit(null).cast(f.dataType))
-            .as(f.name)
-        }.toSeq: _*)
+        // upsert replaces WHOLE rows, so a frame that binds only a column
+        // subset is refused LOUDLY (r14 review): NULL-filling the rest
+        // would silently clobber existing values, and carrying them over
+        // is CQL's cell-grain merge — not this batch-grain op's contract.
+        // Callers that mean "keep the old value" must read-modify-write.
+        val missing = ts.fields.map(_.name).filterNot(n => haveIn(n.toLowerCase))
+        require(missing.isEmpty,
+          s"token-range upsert at $path replaces whole rows: the incoming " +
+            s"frame must bind every stored column, missing " +
+            s"[${missing.mkString(", ")}] (bind explicit NULLs to clear them)")
+        incoming.select(ts.fields.map(f =>
+          col(f.name).cast(f.dataType)).toSeq: _*)
       case None => incoming // fresh/empty table: incoming defines the schema
     }
     val bucketCol =
@@ -2044,6 +2117,14 @@ object TokenRangeOps {
   def vacuum(path: String, retainFrom: Int,
       stagingTtlMillis: Long = 24L * 3600 * 1000): Int =
     TokenRangeSource.withCommitLock(path) {
+      vacuumLocked(path, retainFrom, stagingTtlMillis)
+    }
+
+  /** [[vacuum]]'s body, for callers that already hold (or conditionally
+    * acquired) the commit lock. */
+  private def vacuumLocked(path: String, retainFrom: Int,
+      stagingTtlMillis: Long): Int =
+    {
       val keepVs = TokenRangeSource.versions(path).filter(_ >= retainFrom)
       require(keepVs.nonEmpty,
         s"vacuum(retainFrom=$retainFrom) would retire every version of $path")
@@ -2119,11 +2200,16 @@ object TokenRangeOps {
 
   /** The post-commit sweep hook: reap history beyond the recorded
     * retention, best-effort. Called by [[TokenRangeBatchWrite.commit]]
-    * after the lock is released; each commit past the bound retires at
-    * most its own overhang, so the amortized cost is O(1) versions. */
+    * after its own lock is released, and only if the lock is FREE (a
+    * busy table defers to the next commit — never a convoy on the hot
+    * write path; r14 review); each commit past the bound retires at most
+    * its own overhang, so the amortized cost is O(1) versions. */
   private[connector] def retentionSweep(path: String): Unit =
     try retentionKeep(path).foreach { keep =>
       val vs = TokenRangeSource.versions(path)
-      if (vs.size > keep) vacuum(path, vs.takeRight(keep).head)
+      if (vs.size > keep)
+        TokenRangeSource.tryWithCommitLock(path) {
+          vacuumLocked(path, vs.takeRight(keep).head, 24L * 3600 * 1000)
+        }
     } catch { case _: Exception => () } // never fail the caller's commit
 }

@@ -100,6 +100,34 @@ class TokenRangeClusteringSpec extends SparkSpec {
     assert(all.map(_.getLong(1)).toSet == (0L until 4096L).toSet)
   }
 
+  test("a table created WITHOUT ck records it on first declaration, then enforces it") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_ck5")
+    // creation commit declares no clustering
+    Seq((1L, 10L, "a")).toDF("pk", "seq", "v")
+      .write.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, seq BIGINT, v STRING")
+      .mode("append").save(dir)
+    assert(TokenRangeSource.recordedCk(dir).isEmpty)
+    // FIRST declaration records (not first commit — r14 review: the
+    // create-iff-absent properties file silently dropped late declarers)
+    Seq((2L, 20L, "b")).toDF("pk", "seq", "v")
+      .write.format(fmt).option("pk", "pk").option("ck", "seq")
+      .mode("append").save(dir)
+    assert(TokenRangeSource.recordedCk(dir).contains("seq"))
+    // a contradicting later declaration is refused from now on
+    val ex = intercept[Exception] {
+      Seq((3L, 30L, "c")).toDF("pk", "seq", "v")
+        .write.format(fmt).option("pk", "pk").option("ck", "pk")
+        .mode("append").save(dir)
+    }
+    assert(ex.getMessage.contains("clustered on ck 'seq'"))
+    assert(load(dir).count() == 2)
+  }
+
+  private def load(dir: String) =
+    spark.read.format(fmt).option("pk", "pk").load(dir)
+
   test("PRIMARY KEY ((a, b), c): tuple bucket prune AND ck file-slab prune in ONE scan") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir("graft_tr_ck4")

@@ -51,7 +51,7 @@ class TokenRangeMaintenanceSpec extends SparkSpec {
       Seq((99L, 9, "x")).toDF("a", "b", "v")
         .write.format(fmt).option("pk", "v,b").mode("append").save(dir)
     }
-    assert(exOther.getMessage.contains("recorded partition key"))
+    assert(exOther.getMessage.contains("full partition key"))
     // the matching key still writes (same columns, same order;
     // whitespace drift normalizes away)
     Seq((99L, 9, "x")).toDF("a", "b", "v")

@@ -101,6 +101,66 @@ class TokenRangeSchemaSpec extends SparkSpec {
     assert(compacted == after.toSet)
   }
 
+  test("a legacy table's first connector commit records the TABLE's schema, not the write's") {
+    val s2 = spark; import s2.implicits._
+    // legacy layout: Spark's own committer, no manifest, no properties
+    val dir = freshDir("graft_tr_sch4")
+    val df = (0L until 32L).map(i => (i, s"v$i", i * 1.5)).toDF("pk", "v", "w")
+    TokenLayout.writeTokenBucketed(df, "pk", dir)
+    // first connector write binds ONLY (pk, v): the recorded creation
+    // schema must still be the legacy table's full (pk, v, w) — a subset
+    // append must never shrink what inference (and rewrites) see
+    Seq((100L, "x")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    val t = load(dir)
+    assert(t.schema.fieldNames.toSeq == Seq("pk", "v", "w"))
+    assert(t.filter(col("pk") === 5L).select("w").collect().head.getDouble(0) == 7.5)
+    // and a rewrite (upsert) carries w for untouched rows
+    TokenRangeOps.upsert(spark, dir, "pk",
+      Seq((100L, "y", 0.0)).toDF("pk", "v", "w"))
+    assert(load(dir).filter(col("pk") === 5L)
+      .select("w").collect().head.getDouble(0) == 7.5)
+  }
+
+  test("a case-drifted append is read back by value, not as NULLs") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_sch5")
+    seed(dir)
+    // the write guard matches case-insensitively (Spark's resolution
+    // rule); the reader must do the same even though the parquet footer
+    // now carries the drifted casing
+    Seq((200L, "cased")).toDF("PK", "V")
+      .write.format(fmt).option("pk", "PK").mode("append").save(dir)
+    val r = load(dir).filter(col("pk") === 200L).collect()
+    assert(r.length == 1 && r.head.getString(1) == "cased",
+      s"case-drifted file must read by value, got ${r.mkString}")
+  }
+
+  test("upsert refuses a frame that binds only a column subset (no silent NULL-clobber)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_sch6")
+    seed(dir)
+    val ex = intercept[Exception] {
+      TokenRangeOps.upsert(spark, dir, "pk", Seq(Tuple1(5L)).toDF("pk"))
+    }
+    assert(ex.getMessage.contains("bind every stored column"))
+    assert(load(dir).filter(col("pk") === 5L).collect().head.getString(1) == "v5",
+      "the refused upsert must not have touched the row")
+  }
+
+  test("addColumn on a still-empty table: duplicates refused, alters fold onto the creation DDL") {
+    val dir = freshDir("graft_tr_sch7")
+    TokenRangeOps.addColumn(dir, "score DOUBLE")
+    assert(intercept[Exception] { TokenRangeOps.addColumn(dir, "score DOUBLE") }
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception] { TokenRangeOps.addColumn(dir, "SCORE STRING") }
+      .getMessage.contains("already exists"))
+    // first read of the empty table folds the alter onto the caller's DDL
+    val t = spark.read.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, v STRING").load(dir)
+    assert(t.schema.fieldNames.toSeq == Seq("pk", "v", "score"))
+  }
+
   test("subset-column appends cannot shrink the stored schema (it is recorded metadata)") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir("graft_tr_sch3")
