@@ -58,6 +58,9 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
     s"$wh/graft_tr/$keyspace"
   }
 
+  /** Physical location of a keyspace table (test/ops surface). */
+  private[graft] def tablePath(table: String): String = s"$root/$table"
+
   private val usersPk =
     Window.partitionBy("username").orderBy(desc("write_seq"), desc("user_id"))
 
@@ -78,7 +81,12 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
          |  channel_id BIGINT, write_seq BIGINT, message_id STRING,
          |  author_id STRING, message STRING)
          |USING $provider
-         |OPTIONS (path '$root/messages', pk 'channel_id', ck 'write_seq')""".stripMargin)
+         |OPTIONS (path '$root/messages', pk 'channel_id', ck 'write_seq DESC')""".stripMargin)
+    // ^ the reference's own declaration (`WITH CLUSTERING ORDER BY
+    // (message_id DESC)`, server.py:181-183), PHYSICAL as of r14: every
+    // insert sorts newest-first within its bucket files via the sink's
+    // declared ordering, so the newest-page read pattern scans
+    // front-of-file — not a query-time ORDER BY over arrival order.
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $usersT (
          |  user_id STRING, username STRING, email STRING, password STRING,

@@ -109,12 +109,10 @@ final class TokenRangeSource extends TableProvider {
       require(ddl != null,
         s"token-range table at $path is empty: pass .option(\"schema\", <ddl>) " +
           "to create it (the CREATE TABLE analog), or write via an existing table")
-      // CREATE-then-ALTER-then-first-write: columns ALTERed onto a
+      // CREATE-then-ALTER-then-first-write: edits recorded against a
       // still-empty table fold onto the caller's DDL
-      val base = StructType.fromDDL(ddl)
-      val have = base.fieldNames.map(_.toLowerCase).toSet
-      StructType(base.fields ++ TokenRangeSource.alterFields(path)
-        .filterNot(a => have(a.name.toLowerCase)))
+      TokenRangeSource.applyEdits(StructType.fromDDL(ddl),
+        TokenRangeSource.schemaEdits(path))
     }
   }
 
@@ -283,7 +281,7 @@ object TokenRangeSource {
     * bites on any ingest order, not just time-correlated loads, and a
     * contradicting later `ck` is refused. Absent on tables that never
     * declared one: writes stay order-preserving as before. */
-  private[connector] def recordedCk(path: String): Option[String] = {
+  private[graft] def recordedCk(path: String): Option[String] = {
     val cf = new java.io.File(manifestDir(path), "clustering.properties").getPath
     val fromOwn =
       if (!manifestIO.exists(cf)) None
@@ -307,6 +305,30 @@ object TokenRangeSource {
         s"ck=$ck")
     ()
   }
+
+  /** Parse a clustering-key SPEC — the full CQL `CLUSTERING ORDER BY`
+    * surface: a comma-separated list of `col [ASC|DESC]` (direction
+    * optional, ASC default; the reference's own declaration is
+    * `message_id DESC`, server.py:181-183). Returns (column, ascending)
+    * pairs. */
+  private[connector] def parseCkSpec(spec: String): Seq[(String, Boolean)] =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      part.split("\\s+").toSeq match {
+        case Seq(c) => (c, true)
+        case Seq(c, dir) if dir.equalsIgnoreCase("asc") => (c, true)
+        case Seq(c, dir) if dir.equalsIgnoreCase("desc") => (c, false)
+        case _ => throw new IllegalArgumentException(
+          s"token-range clustering spec: cannot parse '$part' " +
+            "(expected 'col', 'col ASC' or 'col DESC')")
+      }
+    }
+
+  /** Canonical form for recording/comparison: lowercased names,
+    * explicit direction, single-space/comma separators. */
+  private[connector] def normalizeCkSpec(spec: String): String =
+    parseCkSpec(spec).map { case (c, asc) =>
+      s"${c.toLowerCase} ${if (asc) "ASC" else "DESC"}"
+    }.mkString(",")
 
   /** Validate a caller-supplied pk against the recorded one (ADVICE r13:
     * [[TokenRangeOps]]' keyed rewrites were guarded but a DIRECT
@@ -592,19 +614,58 @@ object TokenRangeSource {
   // ---- schema evolution (r13 verdict #3: ALTER TABLE ADD analog) ---------
 
   private val AlterName = "alter-(\\d+)\\.schema".r
+  private val DropName = "drop-(\\d+)\\.schema".r
 
-  /** Columns added AFTER creation via [[TokenRangeOps.addColumn]] — one
-    * immutable CAS-claimed DDL file per column, ordered by claim index.
-    * Metadata-only: no data file is rewritten; files written before the
-    * ALTER simply lack the column, and the reader materializes NULL for
-    * it (exactly parquet's contract for added optional columns). */
-  private[connector] def alterFields(path: String): Seq[StructField] =
+  /** The ordered SCHEMA-EDIT log recorded after creation — one immutable
+    * CAS-claimed file per edit, a shared index space so adds and drops
+    * interleave deterministically: `alter-<i>.schema` holds one column's
+    * DDL ([[TokenRangeOps.addColumn]] — ALTER TABLE ADD), `drop-<i>
+    * .schema` holds one column name ([[TokenRangeOps.dropColumn]] —
+    * ALTER TABLE DROP). Metadata-only: no data file is rewritten; files
+    * written before an ADD lack the column and read NULL (parquet's
+    * added-optional-column contract), files written before a DROP still
+    * hold the bytes but the column leaves the stored view (compact to
+    * physically discard; a later re-ADD of the same name resurfaces
+    * surviving values — documented divergence from Cassandra's
+    * drop-timestamp masking). */
+  private[connector] def schemaEdits(path: String)
+      : Seq[Either[String, StructField]] =
     manifestIO.listNames(manifestDir(path).getPath).collect {
-      case n @ AlterName(i) => (i.toInt, n)
-    }.sortBy(_._1).flatMap { case (_, n) =>
-      StructType.fromDDL(
-        manifestIO.read(new java.io.File(manifestDir(path), n).getPath)).fields
+      case n @ AlterName(i) => (i.toInt, n, true)
+      case n @ DropName(i) => (i.toInt, n, false)
+    }.sortBy(_._1).map { case (_, n, isAdd) =>
+      val body = manifestIO.read(new java.io.File(manifestDir(path), n).getPath)
+      if (isAdd) Right(StructType.fromDDL(body).fields.head.copy(nullable = true))
+      else Left(body.trim)
     }
+
+  /** Fold the edit log over a base schema: ADD appends (skipped if the
+    * name is already present — a post-ADD footer may carry it), DROP
+    * removes. */
+  private[connector] def applyEdits(base: StructType,
+      edits: Seq[Either[String, StructField]]): StructType =
+    edits.foldLeft(base) {
+      case (s, Right(f)) =>
+        if (s.fieldNames.exists(_.equalsIgnoreCase(f.name))) s
+        else StructType(s.fields :+ f)
+      case (s, Left(n)) =>
+        StructType(s.fields.filterNot(_.name.equalsIgnoreCase(n)))
+    }
+
+  /** Claim the next free shared edit index as `<prefix>-<i>.schema` with
+    * `body` — callers hold the commit lock, so the existence probe cannot
+    * race another editor. */
+  private[connector] def claimEdit(path: String, prefix: String, body: String): Unit = {
+    val mdir = manifestDir(path)
+    def taken(j: Int): Boolean =
+      manifestIO.exists(new java.io.File(mdir, s"alter-$j.schema").getPath) ||
+        manifestIO.exists(new java.io.File(mdir, s"drop-$j.schema").getPath)
+    var i = schemaEdits(path).size + 1
+    while (taken(i)) i += 1
+    manifestIO.createExclusive(
+      new java.io.File(mdir, s"$prefix-$i.schema").getPath, body)
+    ()
+  }
 
   /** The table's STORED schema: the recorded creation schema (r14
     * tables), else the newest readable footer (current version, else
@@ -622,11 +683,7 @@ object TokenRangeSource {
           .collectFirst { case fs if fs.nonEmpty => fs.head }
       anyFile.map { case (_, f) => inferFromFile(f) }
     }
-    base.map { b =>
-      val have = b.fieldNames.map(_.toLowerCase).toSet
-      StructType(b.fields ++
-        alterFields(path).filterNot(a => have(a.name.toLowerCase)))
-    }
+    base.map(b => applyEdits(b, schemaEdits(path)))
   }
 
   private[connector] def inferFromFile(file: String): StructType = {
@@ -832,30 +889,37 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
     // commit re-validates under the lock, so a racing first-recording
     // cannot slip a mismatched writer through this early check
     TokenRangeSource.requireRecordedPk(tablePath, pk, "write")
-    // CLUSTERING key (r13 verdict #1): declared per-write via `ck` or
+    // CLUSTERING spec (r13 verdict #1): declared per-write via `ck` or
     // inherited from the table's recorded one — CQL fixes the clustering
-    // order at CREATE, so a write that contradicts the recorded ck is
-    // refused rather than silently fragmenting the physical order
+    // order at CREATE, so a write that contradicts the recorded spec is
+    // refused rather than silently fragmenting the physical order. The
+    // spec is the full CQL surface: `c1 [ASC|DESC], c2 [ASC|DESC], ...`
+    // (the reference's own table declares `message_id DESC`,
+    // server.py:181-183; compound keys sort lexicographically).
     val recCk = TokenRangeSource.recordedCk(tablePath)
     val optCk = Option(options.get("ck")).orElse(Option(info.options.get("ck")))
       .map(_.trim).filter(_.nonEmpty)
     (optCk, recCk) match {
-      case (Some(o), Some(r)) => require(o.equalsIgnoreCase(r),
-        s"token-range write at $tablePath: table is clustered on ck '$r' " +
-          s"but the write declared '$o' — the clustering key is fixed at creation")
+      case (Some(o), Some(r)) =>
+        require(TokenRangeSource.normalizeCkSpec(o)
+            == TokenRangeSource.normalizeCkSpec(r),
+          s"token-range write at $tablePath: table is clustered on ck '$r' " +
+            s"but the write declared '$o' — the clustering key is fixed at creation")
       case _ => ()
     }
     val ck = optCk.orElse(recCk)
-    ck.foreach { c =>
-      val f = info.schema().fields.find(_.name.equalsIgnoreCase(c))
-        .getOrElse(throw new IllegalArgumentException(
-          s"token-range clustering key '$c' is not in the write schema " +
-            info.schema().catalogString))
-      f.dataType match {
-        case LongType | IntegerType | TimestampType => ()
-        case other => throw new IllegalArgumentException(
-          "token-range clustering key must be an integral or timestamp " +
-            s"column (footer min/max pruning domain), '$c' is $other")
+    ck.foreach { spec =>
+      TokenRangeSource.parseCkSpec(spec).foreach { case (c, _) =>
+        val f = info.schema().fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"token-range clustering key '$c' is not in the write schema " +
+              info.schema().catalogString))
+        f.dataType match {
+          case LongType | IntegerType | TimestampType => ()
+          case other => throw new IllegalArgumentException(
+            "token-range clustering key must be an integral or timestamp " +
+              s"column (footer min/max pruning domain), '$c' is $other")
+        }
       }
     }
     // roll bucket files every N rows (the SSTable-size analog): with the
@@ -970,7 +1034,13 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   // conjunctive EQUALITY on every component (CQL: the full partition key
   // must be bound), ring-hashed as one tuple by the driver twin
   private val pkNames = pkName.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-  private val ckName = Option(options.get("ck")).getOrElse("")
+  // slice pruning keys on the PRIMARY (first) clustering column of the
+  // spec — `ck` accepts the full `c1 [ASC|DESC], c2 ...` CQL surface; a
+  // compound spec's later columns order files but footer min/max pruning
+  // is only sound on the lexicographic leader. Direction is irrelevant
+  // to [min,max] intersection.
+  private val ckName = Option(options.get("ck")).map(_.trim).filter(_.nonEmpty)
+    .map(s => TokenRangeSource.parseCkSpec(s).head._1).getOrElse("")
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   // intersection of every pushed pk constraint's owning-bucket set: an
@@ -1377,10 +1447,13 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
     override def distributionStrictlyRequired(): Boolean = false
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      ckName.map { ck =>
-        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-          org.apache.spark.sql.connector.expressions.Expressions.column(ck),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      ckName.map { spec =>
+        TokenRangeSource.parseCkSpec(spec).map { case (c, asc) =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            if (asc) org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+            else org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING)
+        }.toArray
       }.getOrElse(Array.empty)
   }
 }
@@ -1435,18 +1508,21 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // the wrong ring and point-lookup pruning would silently miss them)
         val writerPk = pkIdx.map(writeSchema(_).name).mkString(",")
         TokenRangeSource.requireRecordedPk(path, writerPk, "write")
+        // canonical clustering spec everywhere it is recorded, so later
+        // comparisons are insensitive to case/spacing/implicit-ASC
+        val ckNorm = ckName.map(TokenRangeSource.normalizeCkSpec)
         if (TokenRangeSource.recordedPk(path).isEmpty) {
           // creation record. For a pre-existing LEGACY table (data files,
           // no properties yet) the creation schema is the TABLE's stored
           // view, never this write's — a subset-column first append must
           // not shrink what later inference sees (r14 review)
           val creation = TokenRangeSource.storedSchema(path).getOrElse(writeSchema)
-          TokenRangeSource.recordPk(path, writerPk, ckName, Some(creation.toDDL))
+          TokenRangeSource.recordPk(path, writerPk, ckNorm, Some(creation.toDDL))
         }
         // the clustering key records on FIRST declaration, not first
         // commit — a table created without one still becomes physically
         // clustered the day a writer declares it (r14 review)
-        ckName.foreach(ck => TokenRangeSource.recordCk(path, ck))
+        ckNorm.foreach(ck => TokenRangeSource.recordCk(path, ck))
         val placedRel = staged.map { f =>
           val file = new java.io.File(f)
           val bucketName = file.getParentFile.getName // tb=<k>
@@ -1885,21 +1961,45 @@ object TokenRangeOps {
     TokenRangeSource.toParquet(StructType(Array(f))) // dtype-domain check
     TokenRangeSource.withCommitLock(path) {
       // duplicate check against the stored view OR, on a still-empty
-      // table (CREATE-then-ALTER flow), against the bare alter history —
+      // table (CREATE-then-ALTER flow), against the folded edit log —
       // a skipped check would record the same name twice and poison every
       // later read with a duplicate field (r14 review)
       val existing = TokenRangeSource.storedSchema(path)
-        .map(_.fieldNames.toSeq)
-        .getOrElse(TokenRangeSource.alterFields(path).map(_.name))
+        .getOrElse(TokenRangeSource.applyEdits(
+          StructType(Array.empty[StructField]), TokenRangeSource.schemaEdits(path)))
+        .fieldNames.toSeq
       require(!existing.exists(_.equalsIgnoreCase(f.name)),
         s"token-range ALTER at $path: column '${f.name}' already exists " +
           s"in (${existing.mkString(", ")})")
-      val mdir = TokenRangeSource.manifestDir(path)
-      var i = TokenRangeSource.alterFields(path).size + 1
-      while (!TokenRangeSource.manifestIO.createExclusive(
-        new java.io.File(mdir, s"alter-$i.schema").getPath, f.toDDL)) i += 1
+      TokenRangeSource.claimEdit(path, "alter", f.toDDL)
     }
   }
+
+  /** ALTER TABLE DROP analog: remove a column from the stored view —
+    * metadata-only (old files keep the bytes until a compact rewrites
+    * them; a later re-ADD of the same name resurfaces surviving values,
+    * the documented divergence from Cassandra's drop-timestamps).
+    * Partition-key and clustering-key columns refuse, as CQL does. */
+  def dropColumn(path: String, name: String): Unit =
+    TokenRangeSource.withCommitLock(path) {
+      val view = TokenRangeSource.storedSchema(path)
+        .getOrElse(TokenRangeSource.applyEdits(
+          StructType(Array.empty[StructField]), TokenRangeSource.schemaEdits(path)))
+      require(view.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"token-range ALTER at $path: no column '$name' in ${view.catalogString}")
+      TokenRangeSource.recordedPk(path).foreach { pk =>
+        require(!pk.split(',').map(_.trim).exists(_.equalsIgnoreCase(name)),
+          s"token-range ALTER at $path: cannot drop partition-key component " +
+            s"'$name' (CQL parity)")
+      }
+      TokenRangeSource.recordedCk(path).foreach { ck =>
+        require(!TokenRangeSource.parseCkSpec(ck).map(_._1)
+            .exists(_.equalsIgnoreCase(name)),
+          s"token-range ALTER at $path: cannot drop clustering-key column " +
+            s"'$name' (CQL parity)")
+      }
+      TokenRangeSource.claimEdit(path, "drop", name.toLowerCase)
+    }
 
   /** Read specific data files ALIGNED to the stored schema: merged across
     * heterogeneous footers (pre/post-ALTER files, subset-column appends)

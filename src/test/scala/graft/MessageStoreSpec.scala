@@ -31,6 +31,10 @@ class MessageStoreSpec extends SparkSpec {
     assert(ch1.head.getAs[String]("message") == "third in channel 1")
     val seqs = ch1.map(_.getAs[Long]("write_seq"))
     assert(seqs.sameElements(seqs.sortBy(-_)), "clustering order must be newest-first")
+    // r14: the reference's CLUSTERING ORDER BY ... DESC is PHYSICAL —
+    // recorded at first declaration and enforced on every later write
+    assert(graft.sources.connector.TokenRangeSource
+      .recordedCk(store.tablePath("messages")).contains("write_seq DESC"))
 
     // full scan sees both channels
     assert(store.allMessages().count() == 4)

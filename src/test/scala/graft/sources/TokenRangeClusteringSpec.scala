@@ -69,7 +69,7 @@ class TokenRangeClusteringSpec extends SparkSpec {
       .write.format(fmt).option("pk", "pk").option("ck", "seq")
       .option("schema", "pk BIGINT, seq BIGINT, v STRING")
       .mode("append").save(dir)
-    assert(TokenRangeSource.recordedCk(dir).contains("seq"))
+    assert(TokenRangeSource.recordedCk(dir).contains("seq ASC"))
 
     // a later write that CONTRADICTS the recorded ck is refused (CQL
     // fixes clustering at CREATE); one that declares nothing inherits it
@@ -79,7 +79,7 @@ class TokenRangeClusteringSpec extends SparkSpec {
         .write.format(fmt).option("pk", "pk").option("ck", "pk")
         .mode("append").save(dir)
     }
-    assert(ex.getMessage.contains("clustered on ck 'seq'"))
+    assert(ex.getMessage.contains("clustered on ck 'seq ASC'"))
 
     // compact with rollRows: REBUILDS the layout as disjoint ck slabs per
     // bucket (time-window-compaction shape) — slice prune bites after it
@@ -114,14 +114,14 @@ class TokenRangeClusteringSpec extends SparkSpec {
     Seq((2L, 20L, "b")).toDF("pk", "seq", "v")
       .write.format(fmt).option("pk", "pk").option("ck", "seq")
       .mode("append").save(dir)
-    assert(TokenRangeSource.recordedCk(dir).contains("seq"))
+    assert(TokenRangeSource.recordedCk(dir).contains("seq ASC"))
     // a contradicting later declaration is refused from now on
     val ex = intercept[Exception] {
       Seq((3L, 30L, "c")).toDF("pk", "seq", "v")
         .write.format(fmt).option("pk", "pk").option("ck", "pk")
         .mode("append").save(dir)
     }
-    assert(ex.getMessage.contains("clustered on ck 'seq'"))
+    assert(ex.getMessage.contains("clustered on ck 'seq ASC'"))
     assert(load(dir).count() == 2)
   }
 
@@ -160,6 +160,79 @@ class TokenRangeClusteringSpec extends SparkSpec {
     val (kept, total) = (pruned.get.group(1).toInt, pruned.get.group(2).toInt)
     assert(kept < total,
       s"the slice must prune slab files within the one bucket, kept $kept/$total")
+  }
+
+  test("CLUSTERING ORDER BY (seq DESC): files store descending, prune still bites, spec enforced") {
+    val dir = freshDir("graft_tr_ck6")
+    // the reference's own declaration shape (message_id DESC,
+    // server.py:181-183)
+    shuffledDf(spark).coalesce(2)
+      .write.format(fmt).option("pk", "pk").option("ck", "seq DESC")
+      .option("rollRows", "32")
+      .option("schema", "pk BIGINT, seq BIGINT, v STRING")
+      .mode("append").save(dir)
+    assert(TokenRangeSource.recordedCk(dir).contains("seq DESC"))
+    // physical order is DESCENDING inside each bucket file
+    val files = TokenRangeSource.visibleFiles(dir).map(_._2)
+    files.take(4).foreach { f =>
+      val seqs = spark.read.parquet(f).select("seq").collect().map(_.getLong(0))
+      assert(seqs.sameElements(seqs.sorted.reverse),
+        s"rows inside $f must be ck-DESC-sorted")
+    }
+    // min/max slice pruning is direction-free: a top-domain slice still
+    // keeps a strict file subset
+    val sliced = spark.read.format(fmt)
+      .option("pk", "pk").option("ck", "seq DESC").load(dir)
+      .filter(col("seq") >= 3584L)
+    assert(sliced.count() == 512)
+    val pruned = "PrunedFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(sliced.queryExecution.executedPlan.toString())
+    assert(pruned.isDefined
+      && pruned.get.group(1).toInt * 2 < pruned.get.group(2).toInt)
+    // an ASC re-declaration contradicts the recorded DESC → refused
+    val s2 = spark; import s2.implicits._
+    val ex = intercept[Exception] {
+      Seq((1L, 9999L, "x")).toDF("pk", "seq", "v")
+        .write.format(fmt).option("pk", "pk").option("ck", "seq")
+        .mode("append").save(dir)
+    }
+    assert(ex.getMessage.contains("clustered on ck 'seq DESC'"))
+    // direction/case/spacing drift in an AGREEING spec normalizes away
+    Seq((1L, 9999L, "x")).toDF("pk", "seq", "v")
+      .write.format(fmt).option("pk", "pk").option("ck", "SEQ  desc")
+      .mode("append").save(dir)
+    assert(load(dir).count() == 4097)
+  }
+
+  test("compound clustering key (c1 ASC, c2 DESC): lexicographic in-file order, prune on the leader") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_ck7")
+    val df = (0L until 2048L)
+      .sortBy(i => java.lang.Long.reverse(i) >>> 53)
+      .map(i => (i % 16, i / 128, i % 128, s"v$i"))
+      .toDF("pk", "c1", "c2", "v")
+    df.coalesce(1)
+      .write.format(fmt).option("pk", "pk").option("ck", "c1, c2 DESC")
+      .option("rollRows", "16")
+      .option("schema", "pk BIGINT, c1 BIGINT, c2 BIGINT, v STRING")
+      .mode("append").save(dir)
+    assert(TokenRangeSource.recordedCk(dir).contains("c1 ASC,c2 DESC"))
+    // lexicographic (c1 asc, c2 desc) inside each file
+    val f = TokenRangeSource.visibleFiles(dir).head._2
+    val rows = spark.read.parquet(f).select("c1", "c2").collect()
+      .map(r => (r.getLong(0), -r.getLong(1)))
+    assert(rows.sameElements(rows.sorted),
+      s"rows inside $f must sort (c1 ASC, c2 DESC)")
+    // slice prune keys on the LEADER column c1
+    val sliced = spark.read.format(fmt)
+      .option("pk", "pk").option("ck", "c1, c2 DESC").load(dir)
+      .filter(col("c1") >= 14L)
+    assert(sliced.count() == 256)
+    val pruned = "PrunedFiles: (\\d+)/(\\d+)".r
+      .findFirstMatchIn(sliced.queryExecution.executedPlan.toString())
+    assert(pruned.isDefined
+      && pruned.get.group(1).toInt * 2 < pruned.get.group(2).toInt,
+      s"leader-column slice must prune, got ${pruned}")
   }
 
   test("a write whose schema lacks the clustering key is refused") {

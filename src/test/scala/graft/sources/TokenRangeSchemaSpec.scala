@@ -161,6 +161,41 @@ class TokenRangeSchemaSpec extends SparkSpec {
     assert(t.schema.fieldNames.toSeq == Seq("pk", "v", "score"))
   }
 
+  test("dropColumn: leaves the stored view, writes refuse it, compact discards it, re-ADD resurfaces") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_sch8")
+    (0L until 16L).map(i => (i, s"v$i", i * 2.0)).toDF("pk", "v", "score")
+      .write.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, v STRING, score DOUBLE")
+      .mode("append").save(dir)
+    // pk / unknown columns refuse (CQL parity)
+    assert(intercept[Exception] { TokenRangeOps.dropColumn(dir, "pk") }
+      .getMessage.contains("partition-key"))
+    assert(intercept[Exception] { TokenRangeOps.dropColumn(dir, "nope") }
+      .getMessage.contains("no column"))
+    TokenRangeOps.dropColumn(dir, "score")
+    // dropped from the stored view; writes binding it now refuse
+    assert(load(dir).schema.fieldNames.toSeq == Seq("pk", "v"))
+    assert(intercept[Exception] {
+      Seq((99L, "x", 1.0)).toDF("pk", "v", "score")
+        .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    }.getMessage.contains("addColumn"))
+    // a re-ADD resurfaces surviving values (documented divergence from
+    // drop-timestamp masking) — and typed anew
+    TokenRangeOps.addColumn(dir, "score DOUBLE")
+    assert(load(dir).schema.fieldNames.toSeq == Seq("pk", "v", "score"))
+    assert(load(dir).filter(col("pk") === 3L)
+      .select("score").collect().head.getDouble(0) == 6.0)
+    // drop again, compact: the bytes leave the physical files too, so a
+    // re-ADD after the rewrite reads NULL
+    TokenRangeOps.dropColumn(dir, "score")
+    TokenRangeOps.compact(spark, dir, "pk")
+    TokenRangeOps.addColumn(dir, "score DOUBLE")
+    assert(load(dir).filter(col("score").isNotNull).count() == 0,
+      "compact after DROP must physically discard the column")
+    assert(load(dir).count() == 16)
+  }
+
   test("subset-column appends cannot shrink the stored schema (it is recorded metadata)") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir("graft_tr_sch3")

@@ -69,7 +69,7 @@ class TokenRangeStreamingCompositeSpec extends SparkSpec {
     val f = TokenRangeSource.visibleFiles(dir).head._2
     val seqs = spark.read.parquet(f).select("seq").collect().map(_.getLong(0))
     assert(seqs.sameElements(seqs.sorted), s"rows inside $f must be ck-sorted")
-    assert(TokenRangeSource.recordedCk(dir).contains("seq"))
+    assert(TokenRangeSource.recordedCk(dir).contains("seq ASC"))
     assert(TokenRangeSource.recordedPk(dir).contains("user_id,etype"))
   }
 }
