@@ -76,17 +76,23 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
   }
 
   def createTables(): Unit = {
+    // the reference's own declaration (`WITH CLUSTERING ORDER BY
+    // (message_id DESC)`, server.py:181-183), PHYSICAL as of r14: every
+    // insert sorts newest-first within its bucket files via the sink's
+    // declared ordering, so the newest-page read pattern scans
+    // front-of-file — not a query-time ORDER BY over arrival order. A
+    // keyspace whose table already RECORDED a clustering spec keeps it
+    // (the spec is fixed at creation; re-registering the catalog entry
+    // with a contradicting literal would make every insert refuse —
+    // r14 review's upgrade-path break).
+    val msgCk = graft.sources.connector.TokenRangeSource
+      .recordedCk(tablePath("messages")).getOrElse("write_seq DESC")
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $messagesT (
          |  channel_id BIGINT, write_seq BIGINT, message_id STRING,
          |  author_id STRING, message STRING)
          |USING $provider
-         |OPTIONS (path '$root/messages', pk 'channel_id', ck 'write_seq DESC')""".stripMargin)
-    // ^ the reference's own declaration (`WITH CLUSTERING ORDER BY
-    // (message_id DESC)`, server.py:181-183), PHYSICAL as of r14: every
-    // insert sorts newest-first within its bucket files via the sink's
-    // declared ordering, so the newest-page read pattern scans
-    // front-of-file — not a query-time ORDER BY over arrival order.
+         |OPTIONS (path '$root/messages', pk 'channel_id', ck '$msgCk')""".stripMargin)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $usersT (
          |  user_id STRING, username STRING, email STRING, password STRING,

@@ -298,7 +298,7 @@ object TokenRangeSource {
     }.filter(_.nonEmpty)
   }
 
-  private[connector] def recordCk(path: String, ck: String): Unit = {
+  private[graft] def recordCk(path: String, ck: String): Unit = {
     if (recordedCk(path).isEmpty)
       manifestIO.createExclusive(
         new java.io.File(manifestDir(path), "clustering.properties").getPath,
@@ -311,8 +311,8 @@ object TokenRangeSource {
     * optional, ASC default; the reference's own declaration is
     * `message_id DESC`, server.py:181-183). Returns (column, ascending)
     * pairs. */
-  private[connector] def parseCkSpec(spec: String): Seq[(String, Boolean)] =
-    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+  private[connector] def parseCkSpec(spec: String): Seq[(String, Boolean)] = {
+    val parts = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
       part.split("\\s+").toSeq match {
         case Seq(c) => (c, true)
         case Seq(c, dir) if dir.equalsIgnoreCase("asc") => (c, true)
@@ -322,6 +322,13 @@ object TokenRangeSource {
             "(expected 'col', 'col ASC' or 'col DESC')")
       }
     }
+    // a degenerate spec (',', whitespace) would normalize to "" and
+    // permanently poison ck recording (r14 review) — refuse it here, the
+    // one funnel every consumer parses through
+    require(parts.nonEmpty,
+      s"token-range clustering spec '$spec' names no columns")
+    parts
+  }
 
   /** Canonical form for recording/comparison: lowercased names,
     * explicit direction, single-space/comma separators. */
@@ -613,30 +620,34 @@ object TokenRangeSource {
 
   // ---- schema evolution (r13 verdict #3: ALTER TABLE ADD analog) ---------
 
+  private val EditName = "edit-(\\d+)\\.schema".r
+  // pre-edit-log r14 working format, parsed for compatibility only
   private val AlterName = "alter-(\\d+)\\.schema".r
-  private val DropName = "drop-(\\d+)\\.schema".r
 
   /** The ordered SCHEMA-EDIT log recorded after creation — one immutable
-    * CAS-claimed file per edit, a shared index space so adds and drops
-    * interleave deterministically: `alter-<i>.schema` holds one column's
-    * DDL ([[TokenRangeOps.addColumn]] — ALTER TABLE ADD), `drop-<i>
-    * .schema` holds one column name ([[TokenRangeOps.dropColumn]] —
-    * ALTER TABLE DROP). Metadata-only: no data file is rewritten; files
-    * written before an ADD lack the column and read NULL (parquet's
-    * added-optional-column contract), files written before a DROP still
-    * hold the bytes but the column leaves the stored view (compact to
-    * physically discard; a later re-ADD of the same name resurfaces
-    * surviving values — documented divergence from Cassandra's
-    * drop-timestamp masking). */
+    * CAS-claimed file per edit, ONE name space (`edit-<i>.schema`) so two
+    * racing editors can never tie on an index with different prefixes:
+    * the body's first word says what it is — `ADD <column ddl>`
+    * ([[TokenRangeOps.addColumn]] — ALTER TABLE ADD) or `DROP <name>`
+    * ([[TokenRangeOps.dropColumn]] — ALTER TABLE DROP). Metadata-only: no
+    * data file is rewritten; files written before an ADD lack the column
+    * and read NULL (parquet's added-optional-column contract), files
+    * written before a DROP still hold the bytes but the column leaves the
+    * stored view (compact to physically discard; a later re-ADD of the
+    * same name resurfaces surviving values — documented divergence from
+    * Cassandra's drop-timestamp masking). */
   private[connector] def schemaEdits(path: String)
       : Seq[Either[String, StructField]] =
     manifestIO.listNames(manifestDir(path).getPath).collect {
-      case n @ AlterName(i) => (i.toInt, n, true)
-      case n @ DropName(i) => (i.toInt, n, false)
-    }.sortBy(_._1).map { case (_, n, isAdd) =>
+      case n @ EditName(i) => (i.toInt, n)
+      case n @ AlterName(i) => (i.toInt, n)
+    }.sortBy(_._1).map { case (_, n) =>
       val body = manifestIO.read(new java.io.File(manifestDir(path), n).getPath)
-      if (isAdd) Right(StructType.fromDDL(body).fields.head.copy(nullable = true))
-      else Left(body.trim)
+      if (n.startsWith("alter-")) // legacy: bare column DDL, always an ADD
+        Right(StructType.fromDDL(body).fields.head.copy(nullable = true))
+      else if (body.startsWith("DROP ")) Left(body.stripPrefix("DROP ").trim)
+      else Right(StructType.fromDDL(body.stripPrefix("ADD "))
+        .fields.head.copy(nullable = true))
     }
 
   /** Fold the edit log over a base schema: ADD appends (skipped if the
@@ -652,19 +663,26 @@ object TokenRangeSource {
         StructType(s.fields.filterNot(_.name.equalsIgnoreCase(n)))
     }
 
-  /** Claim the next free shared edit index as `<prefix>-<i>.schema` with
-    * `body` — callers hold the commit lock, so the existence probe cannot
-    * race another editor. */
-  private[connector] def claimEdit(path: String, prefix: String, body: String): Unit = {
+  /** The table's CURRENT logical view for the ALTER ops: the stored
+    * schema, or — on a still-empty table (CREATE-then-ALTER flow, no
+    * schema recorded yet) — the bare folded edit log. */
+  private[connector] def currentView(path: String): StructType =
+    storedSchema(path).getOrElse(
+      applyEdits(StructType(Array.empty[StructField]), schemaEdits(path)))
+
+  /** Claim the next free edit index by CAS: a lost race (the documented
+    * double-holder window — a stolen lock after a heartbeat stall, or the
+    * no-hardlink backend) retries at the next index instead of silently
+    * reporting success without recording anything (r14 review). */
+  private[connector] def claimEdit(path: String, body: String): Unit = {
     val mdir = manifestDir(path)
-    def taken(j: Int): Boolean =
-      manifestIO.exists(new java.io.File(mdir, s"alter-$j.schema").getPath) ||
-        manifestIO.exists(new java.io.File(mdir, s"drop-$j.schema").getPath)
-    var i = schemaEdits(path).size + 1
-    while (taken(i)) i += 1
-    manifestIO.createExclusive(
-      new java.io.File(mdir, s"$prefix-$i.schema").getPath, body)
-    ()
+    val names = manifestIO.listNames(mdir.getPath)
+    var i = 1 + names.collect {
+      case EditName(j) => j.toInt
+      case AlterName(j) => j.toInt
+    }.foldLeft(0)(math.max)
+    while (!manifestIO.createExclusive(
+      new java.io.File(mdir, s"edit-$i.schema").getPath, body)) i += 1
   }
 
   /** The table's STORED schema: the recorded creation schema (r14
@@ -1511,6 +1529,19 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // canonical clustering spec everywhere it is recorded, so later
         // comparisons are insensitive to case/spacing/implicit-ASC
         val ckNorm = ckName.map(TokenRangeSource.normalizeCkSpec)
+        // re-validate the ck UNDER THE LOCK too (r14 review): two racing
+        // first-declarers with contradicting specs both pass the
+        // planning-time check (nothing recorded yet) — the loser must
+        // fail here, before publishing files sorted opposite to the
+        // spec the winner just recorded
+        (ckNorm, TokenRangeSource.recordedCk(path)) match {
+          case (Some(o), Some(r)) =>
+            require(o == TokenRangeSource.normalizeCkSpec(r),
+              s"token-range write at $path: table is clustered on ck '$r' " +
+                s"but the write declared '$o' — the clustering key is " +
+                "fixed at creation (a racing declarer recorded first)")
+          case _ => ()
+        }
         if (TokenRangeSource.recordedPk(path).isEmpty) {
           // creation record. For a pre-existing LEGACY table (data files,
           // no properties yet) the creation schema is the TABLE's stored
@@ -1964,14 +1995,11 @@ object TokenRangeOps {
       // table (CREATE-then-ALTER flow), against the folded edit log —
       // a skipped check would record the same name twice and poison every
       // later read with a duplicate field (r14 review)
-      val existing = TokenRangeSource.storedSchema(path)
-        .getOrElse(TokenRangeSource.applyEdits(
-          StructType(Array.empty[StructField]), TokenRangeSource.schemaEdits(path)))
-        .fieldNames.toSeq
+      val existing = TokenRangeSource.currentView(path).fieldNames.toSeq
       require(!existing.exists(_.equalsIgnoreCase(f.name)),
         s"token-range ALTER at $path: column '${f.name}' already exists " +
           s"in (${existing.mkString(", ")})")
-      TokenRangeSource.claimEdit(path, "alter", f.toDDL)
+      TokenRangeSource.claimEdit(path, s"ADD ${f.toDDL}")
     }
   }
 
@@ -1982,11 +2010,18 @@ object TokenRangeOps {
     * Partition-key and clustering-key columns refuse, as CQL does. */
   def dropColumn(path: String, name: String): Unit =
     TokenRangeSource.withCommitLock(path) {
-      val view = TokenRangeSource.storedSchema(path)
-        .getOrElse(TokenRangeSource.applyEdits(
-          StructType(Array.empty[StructField]), TokenRangeSource.schemaEdits(path)))
+      val view = TokenRangeSource.currentView(path)
+      // on a STILL-EMPTY table only ADDed columns are droppable — the
+      // creation DDL lives with the caller until the first commit records
+      // it, so a creation column cannot be validated (write first, or
+      // drop it from the DDL you pass)
       require(view.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"token-range ALTER at $path: no column '$name' in ${view.catalogString}")
+        s"token-range ALTER at $path: no column '$name' in " +
+          s"${view.catalogString}" +
+          (if (TokenRangeSource.storedSchema(path).isEmpty)
+            " (empty table: no schema recorded yet — only ALTER-added " +
+              "columns are droppable before the first commit)"
+          else ""))
       TokenRangeSource.recordedPk(path).foreach { pk =>
         require(!pk.split(',').map(_.trim).exists(_.equalsIgnoreCase(name)),
           s"token-range ALTER at $path: cannot drop partition-key component " +
@@ -1998,7 +2033,7 @@ object TokenRangeOps {
           s"token-range ALTER at $path: cannot drop clustering-key column " +
             s"'$name' (CQL parity)")
       }
-      TokenRangeSource.claimEdit(path, "drop", name.toLowerCase)
+      TokenRangeSource.claimEdit(path, s"DROP ${name.toLowerCase}")
     }
 
   /** Read specific data files ALIGNED to the stored schema: merged across

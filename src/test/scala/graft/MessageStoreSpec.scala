@@ -35,6 +35,22 @@ class MessageStoreSpec extends SparkSpec {
     // recorded at first declaration and enforced on every later write
     assert(graft.sources.connector.TokenRangeSource
       .recordedCk(store.tablePath("messages")).contains("write_seq DESC"))
+    // upgrade path (r14 review): a keyspace whose messages table already
+    // recorded a PRE-DESC spec keeps it — createTables re-registers the
+    // recorded value instead of a contradicting literal, so inserts on
+    // old keyspaces never refuse
+    locally {
+      val ksOld = s"ks_pre_desc_${System.nanoTime()}"
+      val old = new MessageStore(spark, ksOld)
+      graft.sources.connector.TokenRangeSource
+        .recordCk(old.tablePath("messages"), "write_seq ASC")
+      old.createKeyspace(); old.createTables()
+      old.insertMessages(Seq((9L, "u1", "legacy keyspace still writes")))
+      assert(old.messages(9L).count() == 1)
+      assert(graft.sources.connector.TokenRangeSource
+        .recordedCk(old.tablePath("messages")).contains("write_seq ASC"))
+      old.dropKeyspace()
+    }
 
     // full scan sees both channels
     assert(store.allMessages().count() == 4)

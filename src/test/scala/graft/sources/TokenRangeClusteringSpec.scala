@@ -244,5 +244,13 @@ class TokenRangeClusteringSpec extends SparkSpec {
         .mode("append").save(dir)
     }
     assert(ex.getMessage.contains("not in the write schema"))
+    // a degenerate spec (no columns) refuses descriptively instead of
+    // normalizing to "" and poisoning the ck record (r14 review)
+    val exEmpty = intercept[Exception] {
+      Seq((1L, "x")).toDF("pk", "v")
+        .write.format(fmt).option("pk", "pk").option("ck", " , ")
+        .mode("append").save(dir)
+    }
+    assert(exEmpty.getMessage.contains("names no columns"))
   }
 }
