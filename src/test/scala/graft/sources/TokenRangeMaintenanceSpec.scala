@@ -123,6 +123,44 @@ class TokenRangeMaintenanceSpec extends SparkSpec {
     assert(exOld.getMessage.contains("no version"))
   }
 
+  test("history / AS-OF-TIMESTAMP reads / describeTable (the DESCRIBE + TIMESTAMP AS OF surface)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_hist")
+    Seq((1L, "a")).toDF("pk", "v").write.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, v STRING").mode("append").save(dir)
+    Thread.sleep(60) // mtime resolution guard
+    val between = System.currentTimeMillis()
+    Thread.sleep(60)
+    Seq((2L, "b")).toDF("pk", "v").write.format(fmt).option("pk", "pk")
+      .mode("append").save(dir)
+
+    // history: one row per version, publish times monotone, file counts grow
+    val hist = TokenRangeSource.history(dir)
+    assert(hist.map(_._1) == TokenRangeSource.versions(dir))
+    assert(hist.map(_._2).sameElements(hist.map(_._2).sorted))
+    assert(hist.last._3 == 2)
+
+    // AS-OF-TIMESTAMP between the appends resolves the first append's
+    // version: exactly one row visible
+    val asOf = spark.read.format(fmt).option("pk", "pk")
+      .option("asOfMillis", between.toString).load(dir)
+    assert(asOf.count() == 1)
+    assert(asOf.collect().head.getLong(0) == 1L)
+    // before the table existed: descriptive refusal
+    val ex = intercept[Exception] {
+      spark.read.format(fmt).option("pk", "pk")
+        .option("asOfMillis", (hist.head._2 - 10000).toString).load(dir).count()
+    }
+    assert(ex.getMessage.contains("no version published"))
+
+    // describeTable aggregates the recorded metadata
+    TokenRangeOps.setRetention(dir, 5)
+    val d = TokenRangeOps.describeTable(dir)
+    assert(d("pk") == "pk" && d("retention") == "5")
+    assert(d("schema").contains("v:string"))
+    assert(d("current_version").toInt == hist.last._1 && d("live_files") == "2")
+  }
+
   test("the lock heartbeat keeps a long hold from ever looking stale") {
     val dir = freshDir("graft_tr_hb")
     new java.io.File(dir).mkdirs()
