@@ -99,21 +99,35 @@ final class TokenRangeSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = TokenRangeSource.pathOf(options)
-    // bootstrap path for FIRST writes: a fresh keyspace table has no
-    // footer to infer from, so (Cassandra's create-then-insert parity)
-    // the caller declares the schema as DDL — reads of a populated table
-    // never need it. Otherwise the STORED schema serves: newest readable
-    // footer + ALTER-added columns (see [[TokenRangeSource.storedSchema]]).
-    TokenRangeSource.storedSchema(path).getOrElse {
-      val ddl = options.get("schema")
-      require(ddl != null,
-        s"token-range table at $path is empty: pass .option(\"schema\", <ddl>) " +
-          "to create it (the CREATE TABLE analog), or write via an existing table")
-      // CREATE-then-ALTER-then-first-write: edits recorded against a
-      // still-empty table fold onto the caller's DDL
-      TokenRangeSource.applyEdits(StructType.fromDDL(ddl),
-        TokenRangeSource.schemaEdits(path))
-    }
+    // VERSION-PINNED reads serve that version's OWN logical schema
+    // (ADVICE r14: folding the CURRENT edit log into a pinned scan meant
+    // a pre-DROP snapshot could no longer see the dropped column its
+    // files still hold — unlike the per-snapshot schemas of the lakehouse
+    // formats this mirrors). The pin is the `#edits` count the manifest
+    // recorded at publish; pre-r15 manifests lack it and serve the
+    // current view (documented legacy behavior).
+    val pinned = Option(options.get("version")).map(_.toInt)
+      .orElse(Option(options.get("asOfMillis")).map(m =>
+        TokenRangeSource.versionAsOf(path, m.toLong)))
+    pinned.flatMap(v => TokenRangeSource.storedSchemaAt(path, v))
+      .orElse(
+        // bootstrap path for FIRST writes: a fresh keyspace table has no
+        // footer to infer from, so (Cassandra's create-then-insert parity)
+        // the caller declares the schema as DDL — reads of a populated
+        // table never need it. Otherwise the STORED schema serves: the
+        // recorded creation schema (or newest readable footer) + the
+        // CURRENT edit log (see [[TokenRangeSource.storedSchema]]).
+        TokenRangeSource.storedSchema(path))
+      .getOrElse {
+        val ddl = options.get("schema")
+        require(ddl != null,
+          s"token-range table at $path is empty: pass .option(\"schema\", <ddl>) " +
+            "to create it (the CREATE TABLE analog), or write via an existing table")
+        // CREATE-then-ALTER-then-first-write: edits recorded against a
+        // still-empty table fold onto the caller's DDL
+        TokenRangeSource.applyEdits(StructType.fromDDL(ddl),
+          TokenRangeSource.schemaEdits(path))
+      }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -212,13 +226,21 @@ object TokenRangeSource {
     }
 
   /** Newest version published AT OR BEFORE `millis` — the AS-OF-TIMESTAMP
-    * resolution behind the scan's `asOfMillis` option. */
+    * resolution behind the scan's `asOfMillis` option. Resolves manifest
+    * MTIMES only (ADVICE r14: the first cut called [[history]] twice —
+    * three times on the error path — and history resolves every version's
+    * full file list just to report a count, making each asOfMillis scan
+    * plan O(versions × files) of manifest reads on long histories). */
   def versionAsOf(path: String, millis: Long): Int = {
-    val vs = history(path).filter(_._2 <= millis).map(_._1)
-    require(vs.nonEmpty,
+    val vs = versions(path).map { v =>
+      val mf = new java.io.File(manifestDir(path), s"v$v.manifest").getPath
+      (v, manifestIO.lastModified(mf))
+    }
+    val ok = vs.filter(_._2 <= millis).map(_._1)
+    require(ok.nonEmpty,
       s"token-range table at $path has no version published at or before " +
-        s"$millis (earliest: ${history(path).headOption.map(_._2)})")
-    vs.max
+        s"$millis (earliest: ${vs.headOption.map(_._2)})")
+    ok.max
   }
 
   // ---- per-bucket manifest SEGMENTS (r12 #5: the flat format re-wrote
@@ -382,7 +404,11 @@ object TokenRangeSource {
       case l if l.startsWith("@") => l.dropWhile(_ != ' ').trim
     }.toSet
 
-  /** Raw version-file lines of `v` (pointer and/or flat-file lines). */
+  /** Raw version-file lines of `v`: pointer and/or flat-file lines, plus
+    * `#key value` METADATA headers (r15: `#edits <n>` pins the schema-edit
+    * log length at publish time, so time travel serves each version's OWN
+    * logical schema — ADVICE r14: a pinned pre-DROP read must still see
+    * the dropped column its files hold). */
   private def versionLines(path: String, v: Int): Seq[String] = {
     val mf = new java.io.File(manifestDir(path), s"v$v.manifest").getPath
     require(manifestIO.exists(mf),
@@ -390,6 +416,14 @@ object TokenRangeSource {
         s"(published: ${versions(path).mkString(", ")})")
     manifestIO.read(mf).split('\n').toSeq.filter(_.nonEmpty)
   }
+
+  /** The schema-edit count recorded when `v` was published; None for
+    * manifests written before the header existed (pre-r15) — those serve
+    * the CURRENT edit log, the documented legacy behavior. */
+  private[connector] def editCountAt(path: String, v: Int): Option[Int] =
+    versionLines(path, v).collectFirst {
+      case l if l.startsWith("#edits ") => l.stripPrefix("#edits ").trim.toInt
+    }
 
   /** Visible data files as (bucket, RELATIVE path `tb=<k>/<name>`):
     * the requested (default: highest) manifest's list — pointer lines
@@ -400,7 +434,7 @@ object TokenRangeSource {
       version: Option[Int] = None): Seq[(Int, String)] =
     version.orElse(currentVersion(path)) match {
       case Some(v) =>
-        versionLines(path, v).flatMap { line =>
+        versionLines(path, v).filterNot(_.startsWith("#")).flatMap { line =>
           if (line.startsWith("@")) {
             val segRel = line.dropWhile(_ != ' ').trim
             segmentRels(path, segRel).map(rel => (bucketOfRel(rel), rel))
@@ -429,8 +463,11 @@ object TokenRangeSource {
     * slow (>60 s) commit whose lock gets stolen stays CORRECT — the CAS
     * in [[publishManifest]] owns correctness, the lock only contention. */
   // `var` is a TEST seam only (the heartbeat spec shrinks the window to
-  // prove liveness without a 60 s wait); production never mutates it
-  private[sources] var LockStealAfterMillis = 60000L
+  // prove liveness without a 60 s wait); production never mutates it.
+  // @volatile (ADVICE r14): the steal logic, the waiter loop and the
+  // heartbeat thread all read it while a test mutates it — without the
+  // fence a parallel suite could run a steal check against a stale value.
+  @volatile private[sources] var LockStealAfterMillis = 60000L
   private[sources] val LockWaitDeadlineMillis = 180000L
 
   /** Serialize manifest flips: an exclusive owner-stamped lock file under
@@ -505,11 +542,13 @@ object TokenRangeSource {
     * the NEW holder's lock), which only delays the next steal by one
     * window — never affects ownership or the CAS. */
   private def heldWithHeartbeat[T](lock: String, token: String)(body: => T): T = {
+    // clamp (ADVICE r14): a test seam shrinking the steal window below
+    // 3 ms would otherwise yield a zero/negative scheduleAtFixedRate period
+    val period = math.max(1L, LockStealAfterMillis / 3)
     val hb = heartbeatPool.scheduleAtFixedRate(() => {
       try { if (manifestIO.read(lock) == token) manifestIO.touch(lock) }
       catch { case _: Exception => () }
-    }, LockStealAfterMillis / 3, LockStealAfterMillis / 3,
-      java.util.concurrent.TimeUnit.MILLISECONDS)
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body finally {
       hb.cancel(false)
       try {
@@ -570,8 +609,9 @@ object TokenRangeSource {
       // current lines, partitioned into carried (untouched) and rebased
       // (touched) — a legacy flat version's lines and a segmented
       // version's pointers both route by bucket
+      // `#` metadata headers never carry: each publish stamps its own
       val curLines: Seq[String] = (vCur, truncate) match {
-        case (Some(v), false) => versionLines(path, v)
+        case (Some(v), false) => versionLines(path, v).filterNot(_.startsWith("#"))
         case (None, false) =>
           // manifest-less legacy table: pin the physical listing (flat
           // lines; untouched buckets carry verbatim, touched ones fold
@@ -615,7 +655,10 @@ object TokenRangeSource {
           Some(s"@$k $segRel")
         }
       }
-      val body = (carriedLines ++ newPtrLines).sorted.mkString("", "\n", "\n")
+      // header first: the edit-log length at publish time (the version's
+      // schema pin); one listNames of the manifest dir per publish
+      val body = (s"#edits ${schemaEdits(path).size}" +:
+        (carriedLines ++ newPtrLines).sorted).mkString("", "\n", "\n")
       val v = vCur.getOrElse(0) + 1
       // CAS: create-iff-absent (hard link / if-none-match via ManifestIO).
       // The loser re-reads the winner's version as its new base and
@@ -723,6 +766,26 @@ object TokenRangeSource {
       anyFile.map { case (_, f) => inferFromFile(f) }
     }
     base.map(b => applyEdits(b, schemaEdits(path)))
+  }
+
+  /** [[storedSchema]] pinned to version `v`: same base (the creation
+    * schema, else a readable footer — preferring v's own files), but the
+    * edit log TRUNCATED to the length recorded in v's manifest header —
+    * so `DESCRIBE`-at-a-version and pinned scans serve the schema that
+    * was live when v published. Header-less (pre-r15) manifests fold the
+    * full current log, the pre-pin behavior. */
+  private[connector] def storedSchemaAt(path: String, v: Int): Option[StructType] = {
+    val base = recordedSchema(path).orElse {
+      val own = visibleFiles(path, Some(v))
+      val anyFile = if (own.nonEmpty) own.headOption
+        else versions(path).filter(_ <= v).reverse.iterator
+          .map(u => visibleFiles(path, Some(u)))
+          .collectFirst { case fs if fs.nonEmpty => fs.head }
+      anyFile.map { case (_, f) => inferFromFile(f) }
+    }
+    val edits = schemaEdits(path)
+    val pinnedEdits = editCountAt(path, v).map(edits.take).getOrElse(edits)
+    base.map(b => applyEdits(b, pinnedEdits))
   }
 
   private[connector] def inferFromFile(file: String): StructType = {
@@ -969,12 +1032,24 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
       .orElse(Option(info.options.get("rollRows")))
       .map(_.toLong).getOrElse(Long.MaxValue)
     require(rollRows > 0, "rollRows must be positive")
+    // the caller's CREATE TABLE DDL, if declared — threaded to commit so
+    // a first write binding a column SUBSET records the DECLARED schema,
+    // not the subset frame's (ADVICE r14: table.properties is
+    // create-iff-absent, so the shrunken record was permanent and later
+    // writes binding declared-but-unrecorded columns were refused)
+    val declaredDdl = Option(options.get("schema"))
+      .orElse(Option(info.options.get("schema"))).map(_.trim).filter(_.nonEmpty)
     // schema-drift guard (r13 verdict #3): CQL refuses unknown columns
     // until ALTER TABLE ADD; silently accepting them would fork the
     // table's schema file-by-file (and a dtype drift would re-route ring
     // hashes). A write MAY name a SUBSET of stored columns (CQL INSERT
-    // parity: unbound columns read NULL).
-    TokenRangeSource.storedSchema(tablePath).foreach { ts =>
+    // parity: unbound columns read NULL). On a still-EMPTY table the
+    // declared DDL (+ pre-creation edits) is the stored view — a first
+    // write binding columns outside its own CREATE refuses too.
+    TokenRangeSource.storedSchema(tablePath)
+      .orElse(declaredDdl.map(d => TokenRangeSource.applyEdits(
+        StructType.fromDDL(d), TokenRangeSource.schemaEdits(tablePath))))
+      .foreach { ts =>
       val byName = ts.fields.map(f => f.name.toLowerCase -> f).toMap
       info.schema().fields.foreach { f =>
         byName.get(f.name.toLowerCase) match {
@@ -993,7 +1068,8 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
         }
       }
     }
-    new TokenRangeWriteBuilder(tablePath, info.schema(), pkIdx, replace, ck, rollRows)
+    new TokenRangeWriteBuilder(tablePath, info.schema(), pkIdx, replace, ck, rollRows,
+      declaredDdl)
   }
 
   // ---- row-level DELETE (CQL `DELETE ... WHERE pk = ?` / `pk IN (...)`,
@@ -1464,7 +1540,8 @@ private[connector] final class TokenRangeReader(files: Array[String],
 
 private[connector] final class TokenRangeWriteBuilder(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], replaceRel: Set[String] = Set.empty,
-    ckName: Option[String] = None, rollRows: Long = Long.MaxValue)
+    ckName: Option[String] = None, rollRows: Long = Long.MaxValue,
+    declaredDdl: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -1485,7 +1562,7 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       new TokenRangeBatchWrite(path, writeSchema, pkIdx, doTruncate, replaceRel,
-        ckName, rollRows)
+        ckName, rollRows, declaredDdl)
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution =
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
@@ -1506,7 +1583,7 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
 private[connector] final class TokenRangeBatchWrite(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], doTruncate: Boolean,
     replaceRel: Set[String] = Set.empty, ckName: Option[String] = None,
-    rollRows: Long = Long.MaxValue)
+    rollRows: Long = Long.MaxValue, declaredDdl: Option[String] = None)
     extends BatchWrite {
 
   // app-unique token in file names AND the staging dir: partitionId/taskId
@@ -1573,8 +1650,14 @@ private[connector] final class TokenRangeBatchWrite(path: String,
           // creation record. For a pre-existing LEGACY table (data files,
           // no properties yet) the creation schema is the TABLE's stored
           // view, never this write's — a subset-column first append must
-          // not shrink what later inference sees (r14 review)
-          val creation = TokenRangeSource.storedSchema(path).getOrElse(writeSchema)
+          // not shrink what later inference sees (r14 review). On a FRESH
+          // table the caller's CREATE TABLE DDL wins over this write's
+          // frame (ADVICE r14: a declared-then-subset-bound first insert
+          // must not permanently shrink the creation schema either).
+          val creation = TokenRangeSource.storedSchema(path)
+            .orElse(declaredDdl.map(d => StructType(
+              StructType.fromDDL(d).fields.map(_.copy(nullable = true)))))
+            .getOrElse(writeSchema)
           TokenRangeSource.recordPk(path, writerPk, ckNorm, Some(creation.toDDL))
         }
         // the clustering key records on FIRST declaration, not first
@@ -1981,9 +2064,14 @@ object TokenRangeOps {
       val snapshotRel = TokenRangeSource.visibleRelFiles(path, pinned).map(_._2)
       onSnapshotPinned()
       if (snapshotRel.nonEmpty) { // empty table: nothing to compact
-        val t = spark.read.format(fmt).option("pk", pk)
-          .options(pinned.map(v => "version" -> v.toString).toMap)
-          .load(path)
+        // align the pinned read to the CURRENT logical view: the pin now
+        // serves the version's OWN schema (r15), and compaction's contract
+        // is to rewrite into the current one (post-DROP compaction is how
+        // dropped bytes physically leave the files)
+        val t = alignToStored(path,
+          spark.read.format(fmt).option("pk", pk)
+            .options(pinned.map(v => "version" -> v.toString).toMap)
+            .load(path))
         // composite keys repartition on the TUPLE ring expression — the
         // same chained xxhash64 the task writers route by, so each
         // bucket's rows land in one task → one output file per bucket
@@ -2071,8 +2159,17 @@ object TokenRangeOps {
     * footer's view (which, post-ALTER, would silently DROP the new
     * column from every rewritten row). */
   private def readFilesAligned(spark: SparkSession, path: String,
-      absFiles: Seq[String]): DataFrame = {
-    val raw = spark.read.option("mergeSchema", "true").parquet(absFiles: _*)
+      absFiles: Seq[String]): DataFrame =
+    alignToStored(path,
+      spark.read.option("mergeSchema", "true").parquet(absFiles: _*))
+
+  /** Project `raw` onto the table's CURRENT stored view: missing columns
+    * NULL-filled, dtypes cast, extra columns dropped. Rewrites pass
+    * through this so a version-PINNED read (which serves that version's
+    * own schema — possibly including since-DROPped columns, r15) never
+    * leaks a dropped column back into rewritten files. */
+  private def alignToStored(path: String,
+      raw: DataFrame): DataFrame =
     TokenRangeSource.storedSchema(path) match {
       case None => raw
       case Some(ts) =>
@@ -2083,7 +2180,6 @@ object TokenRangeOps {
             .as(f.name)
         }.toSeq: _*)
     }
-  }
 
   /** CQL's INSERT-IS-UPSERT at the connector layer: replace-by-partition-
     * key in ONE atomic flip. Only the incoming keys' OWNING BUCKETS'
@@ -2365,7 +2461,10 @@ object TokenRangeOps {
     * retention policy, version span, live file count. Every value is
     * read-only metadata — no data file is touched. */
   def describeTable(path: String): Map[String, String] = {
-    val hist = TokenRangeSource.history(path)
+    // version numbers only; the FILE count resolves just the CURRENT
+    // version's list (ADVICE r14: history() resolves every version's full
+    // file list — O(versions × files) for a one-table summary)
+    val vs = TokenRangeSource.versions(path)
     Map(
       "pk" -> TokenRangeSource.recordedPk(path).getOrElse(""),
       "ck" -> TokenRangeSource.recordedCk(path).getOrElse(""),
@@ -2373,9 +2472,11 @@ object TokenRangeOps {
         .map(_.catalogString).getOrElse(""),
       "schema_edits" -> TokenRangeSource.schemaEdits(path).size.toString,
       "retention" -> retentionKeep(path).map(_.toString).getOrElse(""),
-      "versions" -> hist.size.toString,
-      "current_version" -> hist.lastOption.map(_._1.toString).getOrElse(""),
-      "live_files" -> hist.lastOption.map(_._3.toString).getOrElse("0"))
+      "versions" -> vs.size.toString,
+      "current_version" -> vs.lastOption.map(_.toString).getOrElse(""),
+      "live_files" -> vs.lastOption
+        .map(v => TokenRangeSource.visibleRelFiles(path, Some(v)).size.toString)
+        .getOrElse("0"))
   }
 
   /** The post-commit sweep hook: reap history beyond the recorded
@@ -2384,12 +2485,54 @@ object TokenRangeOps {
     * busy table defers to the next commit — never a convoy on the hot
     * write path; r14 review); each commit past the bound retires at most
     * its own overhang, so the amortized cost is O(1) versions. */
+  /** Consecutive skipped/failed sweeps per table, for the operator signal
+    * below (ADVICE r14: a crashed committer's leftover lock — or any
+    * persistent vacuum failure — invisibly suppressed retention forever:
+    * tryWithCommitLock never steals, and every exception was swallowed). */
+  private val sweepSkips =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private val SweepSkipWarnAfter = 3
+
   private[connector] def retentionSweep(path: String): Unit =
     try retentionKeep(path).foreach { keep =>
       val vs = TokenRangeSource.versions(path)
-      if (vs.size > keep)
-        TokenRangeSource.tryWithCommitLock(path) {
+      if (vs.size > keep) {
+        var ran = TokenRangeSource.tryWithCommitLock(path) {
           vacuumLocked(path, vs.takeRight(keep).head, 24L * 3600 * 1000)
+        }.isDefined
+        if (!ran) {
+          // busy OR a crashed committer's stale lock. The sweep never
+          // blocks (no convoy), but a STALE lock it can retire the same
+          // way withCommitLock's waiters do — steal-by-rename to a unique
+          // tombstone (exactly-one-stealer) — then try once more, so an
+          // otherwise-idle table's retention is not suppressed until some
+          // future commit happens to steal it.
+          val mdir = TokenRangeSource.manifestDir(path)
+          val lock = new java.io.File(mdir, "commit.lock").getPath
+          val io = TokenRangeSource.manifestIO
+          if (io.exists(lock) && System.currentTimeMillis() - io.lastModified(lock)
+              > TokenRangeSource.LockStealAfterMillis) {
+            try io.moveAtomic(lock, new java.io.File(mdir,
+              s"stale-sweep-${java.util.UUID.randomUUID().toString.take(8)}.lock").getPath)
+            catch { case _: Exception => () }
+            ran = TokenRangeSource.tryWithCommitLock(path) {
+              vacuumLocked(path, vs.takeRight(keep).head, 24L * 3600 * 1000)
+            }.isDefined
+          }
         }
-    } catch { case _: Exception => () } // never fail the caller's commit
+        val skips = if (ran) { sweepSkips.remove(path); 0 }
+          else sweepSkips.merge(path, 1, (a, b) => a + b)
+        if (skips == SweepSkipWarnAfter) // log once per streak, not per commit
+          System.err.println(s"[token-range] retention sweep at $path skipped " +
+            s"$skips consecutive times (lock held or contended) — history is " +
+            "growing beyond the retained bound; run TokenRangeOps.vacuum manually " +
+            "if this persists")
+      }
+    } catch {
+      case e: Exception => // never fail the caller's commit — but say so
+        val skips = sweepSkips.merge(path, 1, (a, b) => a + b)
+        if (skips <= SweepSkipWarnAfter)
+          System.err.println(s"[token-range] retention sweep at $path failed: " +
+            s"${e.getMessage}")
+    }
 }

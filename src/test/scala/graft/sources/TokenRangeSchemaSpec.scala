@@ -196,6 +196,69 @@ class TokenRangeSchemaSpec extends SparkSpec {
     assert(load(dir).count() == 16)
   }
 
+  test("a declared CREATE schema survives a subset-binding first insert (ADVICE r14)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_sch9")
+    // CREATE TABLE (pk, v, w) ... then the first INSERT binds only (pk, v)
+    // — the CQL flow the write guard explicitly permits on populated
+    // tables. The creation record must be the DECLARED schema, not the
+    // subset frame's, or later writes binding w are refused as unknown.
+    Seq((1L, "a"), (2L, "b")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, v STRING, w DOUBLE")
+      .mode("append").save(dir)
+    val t = load(dir)
+    assert(t.schema.fieldNames.toSeq == Seq("pk", "v", "w"),
+      "the declared DDL, not the subset frame, is the creation schema")
+    assert(t.filter(col("w").isNull).count() == 2)
+    // a later write binding the declared-but-previously-unbound column lands
+    Seq((3L, "c", 1.5)).toDF("pk", "v", "w")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    assert(load(dir).filter(col("pk") === 3L)
+      .select("w").collect().head.getDouble(0) == 1.5)
+    // and a FIRST write binding a column outside its own CREATE refuses
+    val dir2 = freshDir("graft_tr_sch9b")
+    val ex = intercept[Exception] {
+      Seq((1L, "a", 9.9)).toDF("pk", "v", "oops")
+        .write.format(fmt).option("pk", "pk")
+        .option("schema", "pk BIGINT, v STRING").mode("append").save(dir2)
+    }
+    assert(ex.getMessage.contains("does not exist"))
+  }
+
+  test("schema edits are version-pinned: time travel serves each version's own schema (ADVICE r14)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_sch10")
+    seed(dir) // publishes v1 (empty pin) + v2 (the 32 rows)
+    TokenRangeOps.addColumn(dir, "score DOUBLE") // edit 1
+    Seq((100L, "w", 2.5)).toDF("pk", "v", "score")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir) // v3
+    val Seq(_, v2, v3) = TokenRangeSource.versions(dir)
+    // pinned PRE-ALTER: the column did not exist at v2 — it must not appear
+    val atV2 = spark.read.format(fmt).option("pk", "pk")
+      .option("version", v2.toString).load(dir)
+    assert(atV2.schema.fieldNames.toSeq == Seq("pk", "v"),
+      s"v$v2 predates the ADD; got ${atV2.schema.fieldNames.toSeq}")
+    assert(atV2.count() == 32)
+    // pinned POST-ALTER: sees it, with the bound value
+    val atV3 = spark.read.format(fmt).option("pk", "pk")
+      .option("version", v3.toString).load(dir)
+    assert(atV3.schema.fieldNames.toSeq == Seq("pk", "v", "score"))
+    assert(atV3.filter(col("pk") === 100L)
+      .select("score").collect().head.getDouble(0) == 2.5)
+    // DROP v (metadata-only, no new version): the CURRENT view loses it,
+    // but the pinned pre-drop version must still read the stored values —
+    // its files hold the bytes and the version is advertised pinned-readable
+    TokenRangeOps.dropColumn(dir, "v") // edit 2
+    assert(load(dir).schema.fieldNames.toSeq == Seq("pk", "score"))
+    val pinned = spark.read.format(fmt).option("pk", "pk")
+      .option("version", v3.toString).load(dir)
+    assert(pinned.schema.fieldNames.toSeq == Seq("pk", "v", "score"),
+      "a pinned pre-DROP snapshot serves its own schema, not the current one")
+    assert(pinned.filter(col("pk") === 5L).select("v")
+      .collect().head.getString(0) == "v5")
+  }
+
   test("subset-column appends cannot shrink the stored schema (it is recorded metadata)") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir("graft_tr_sch3")
