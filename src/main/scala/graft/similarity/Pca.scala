@@ -52,48 +52,69 @@ object Pca extends QueryModule {
   private val Dim = 64
   private val TopK = 2
 
+  // ---- HI/LO SPLIT accumulation (VERDICT r14 next-round #8: the direct
+  // 1e10-scaled long sum wrapped past ~2e7 rows and a hard require() was
+  // the stopgap). Each per-row fixed-point term q (|q| ≲ 4e11 on this
+  // corpus, exactly representable in double) splits into
+  //   hi = ⌊q / 2^20⌋  (an EXACT double op: q is exact and 2^20 is a
+  //        power of two, so the division only shifts the exponent),
+  //   lo = q − hi·2^20 ∈ [0, 2^20),
+  // and the two long sums Σhi (|terms| ≲ 4e5) and Σlo (< 2^20) stay
+  // overflow-free past 10^12 rows. The driver reassembles the EXACT
+  // integer Σq = 2^20·Σhi + Σlo in BigInt and converts once — for any
+  // Σq that fits a long this is bit-identical to the old direct path
+  // (one correctly-rounded integer→double conversion of the same exact
+  // value), which is also exactly what the DuckDB oracle computes (its
+  // SUM(BIGINT) is a 128-bit HUGEINT — the SQL side never overflowed),
+  // so the bit-replay contract and every PCA oracle hold unchanged.
+  private[graft] val SplitBase = 1L << 20
+  private[graft] def splitHi(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(q.cast("double") / lit(SplitBase.toDouble)).cast("long")
+  private[graft] def splitLo(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    q - splitHi(q) * SplitBase
+  private[graft] def assembleSplit(hi: Long, lo: Long): Double =
+    (BigInt(hi) * SplitBase + BigInt(lo)).toDouble
+
   /** Upper-triangle second moments + per-dim sums + count, one pass:
     * returns (covariance, μ). */
   private def moments(s: SparkSession, d: String): (Array[Array[Double]], Array[Double]) = {
     val emb = Tables.embeddings(s, d).select(col("embedding"))
-    // Products are FIXED-POINTED to 1e-10 before a plain LONG sum (the
-    // emb_centroid device at model-fit precision): integer sums are
-    // order-free like the earlier decimal(30,15) accumulation but run as
-    // primitive codegen'd longs — the decimal hash-aggregate was this
-    // pass's actual cost (emb_pca_project 5.7 → 0.6 s at sf0.1, same
-    // 20M cells).
-    // Magnitude bound: |xi·xj|·1e10 ≲ 4e11 per cell on this corpus, so
-    // overflow needs ~2e7 rows; a 100 TB fit raises the moments pass to
-    // decimal or a hi/lo split — the 1e-10 quantization itself is noise
-    // (PcaSpec's tightest contract is 1e-6, eigenvalue recovery 1%).
+    // Products are FIXED-POINTED to 1e-10 longs (the emb_centroid device
+    // at model-fit precision): integer sums are order-free like the
+    // earlier decimal(30,15) accumulation but run as primitive codegen'd
+    // longs — the decimal hash-aggregate was this pass's actual cost
+    // (emb_pca_project 5.7 → 0.6 s at sf0.1, same 20M cells). Each term
+    // rides the hi/lo split above, so the pass is overflow-safe to 10^12
+    // rows; the 1e-10 quantization itself is noise (PcaSpec's tightest
+    // contract is 1e-6, eigenvalue recovery 1%).
+    val qxx = floor(col("xi").cast("double") * col("xj") * 1e10 + 0.5).cast("long")
+    // per-dim first moment rides the diagonal cells (j == i) for free
+    val qx = when(col("j") === col("i"),
+      floor(col("xi").cast("double") * 1e10 + 0.5).cast("long"))
     val cells = emb
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("embedding")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
       .agg(
-        sum(floor(col("xi").cast("double") * col("xj") * 1e10 + 0.5).cast("long")).as("sxx"),
-        // per-dim first moment rides the diagonal cells (j == i) for free
-        sum(when(col("j") === col("i"),
-          floor(col("xi").cast("double") * 1e10 + 0.5).cast("long"))).as("sx"),
+        sum(splitHi(qxx)).as("sxxhi"), sum(splitLo(qxx)).as("sxxlo"),
+        sum(splitHi(qx)).as("sxhi"), sum(splitLo(qx)).as("sxlo"),
         count(lit(1)).as("n"))
     val rows = cells.collect()
-    val n = rows.collect { case r if r.getInt(0) == 0 && r.getInt(1) == 0 => r.getLong(4) }.head
-    // Loud failure at the documented overflow bound (ADVICE r5): beyond
-    // ~2e7 rows the 1e10-scaled long cell sums can wrap silently and
-    // corrupt the fitted basis. A 100 TB fit must first switch this pass
-    // to decimal or hi/lo split accumulation — require() makes that a
-    // hard error instead of a wrong model.
-    require(n <= 20000000L,
-      s"PCA moments accumulator is long-overflow-safe only to 2e7 rows (got $n); " +
-        "raise the moments pass to decimal/hi-lo accumulation before fitting at this scale")
+    val n = rows.collect { case r if r.getInt(0) == 0 && r.getInt(1) == 0 => r.getLong(6) }.head
+    // the WIDENED bound (was 2e7 with the direct long sum): past 10^12
+    // rows even the split partial sums approach long range — still a loud
+    // error, never a silently wrong basis.
+    require(n <= 1000000000000L,
+      s"PCA moments split accumulator is overflow-safe to 1e12 rows (got $n); " +
+        "widen SplitBase/partials before fitting at this scale")
     val sxx = Array.ofDim[Double](Dim, Dim)
     val sx = new Array[Double](Dim)
     rows.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      val v = r.getLong(2) / 1e10
+      val v = assembleSplit(r.getLong(2), r.getLong(3)) / 1e10
       sxx(i)(j) = v; sxx(j)(i) = v
-      if (i == j) sx(i) = r.getLong(3) / 1e10
+      if (i == j) sx(i) = assembleSplit(r.getLong(4), r.getLong(5)) / 1e10
     }
     val cov = Array.tabulate(Dim, Dim) { (i, j) =>
       sxx(i)(j) / n - (sx(i) / n) * (sx(j) / n)

@@ -13,6 +13,35 @@ class PcaSpec extends SparkSpec {
   private lazy val fitted = Pca.fit(spark, sf)
   private lazy val proj = Pca.project(spark, sf).collect()
 
+  test("hi/lo split accumulation is exact past the old 2e7-row long ceiling (r14 #8)") {
+    // a row count × per-term magnitude whose direct long sum WRAPS — the
+    // exact configuration the old require() refused. The split partials
+    // stay small, and the BigInt reassembly recovers the exact integer.
+    val n = 25000000L
+    val df = spark.range(n)
+      .select((lit(400000000000L) + pmod(col("id"), lit(7)) - 3).as("q"))
+    val r = df.agg(sum(Pca.splitHi(col("q"))).as("hi"),
+      sum(Pca.splitLo(col("q"))).as("lo")).collect().head
+    // exact total: each full 7-cycle contributes Σ(-3..3) = 0; the
+    // n mod 7 = 4 leftover terms contribute (-3) + (-2) + (-1) + 0 = -6
+    val exact = BigInt(400000000000L) * n - 6
+    assert(exact > BigInt(Long.MaxValue),
+      "fixture must overflow the direct long sum (the old 2e7-row ceiling)")
+    assert(Pca.assembleSplit(r.getLong(0), r.getLong(1)) == exact.toDouble)
+  }
+
+  test("split assembly is bit-identical to the direct long sum within range, negatives included") {
+    val s2 = spark; import s2.implicits._
+    val vals = Seq(-400000000001L, -1048577L, -1L, 0L, 7L, 1048575L,
+      1048576L, 399999999999L)
+    val df = vals.toDF("q")
+    val r = df.agg(sum(col("q")).as("direct"),
+      sum(Pca.splitHi(col("q"))).as("hi"),
+      sum(Pca.splitLo(col("q"))).as("lo")).collect().head
+    assert(Pca.assembleSplit(r.getLong(1), r.getLong(2)) == r.getLong(0).toDouble)
+    assert(BigInt(r.getLong(1)) * Pca.SplitBase + r.getLong(2) == BigInt(r.getLong(0)))
+  }
+
   test("outlier screen is calibrated: mean whitened distance equals k") {
     val k = 16
     val (mu, eig) = Pca.fit(spark, sf, k)
