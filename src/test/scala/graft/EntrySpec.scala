@@ -193,8 +193,12 @@ class EntrySpec extends SparkSpec {
     // scan) → 226/226; +wc_alter_add_column (ALTER TABLE ADD as table
     // metadata: pre-ALTER files read NULL for the new column, post-ALTER
     // appends bind it — the mixed-footer read oracle-hashed) → 227/227.
-    assert(SparkEntry.queries.size == 227, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 227, s"got ${SparkEntry.oracleSql.size}")
+    // r15: +st_connector_tail (CDC tail — readStream FROM the connector,
+    // offset = manifest version), +wc_delete_ck_range (clustering-range
+    // tombstone: covered slabs retire unread), +wc_cell_lww (per-cell LWW
+    // via two upsertCells rounds) → 230/230.
+    assert(SparkEntry.queries.size == 230, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 230, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -235,6 +235,51 @@ class TokenRangeClusteringSpec extends SparkSpec {
       s"leader-column slice must prune, got ${pruned}")
   }
 
+  test("compound ck: a c2 range under c1 equality prunes a strict file subset (r15, VERDICT r14 #6)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_ck8")
+    // c2 NESTED under c1 (the time-series shape: c1 = day, c2 = seq):
+    // per pk, c1 has 4 values × 128 rows whose c2 runs 0..127 — with
+    // rollRows=32 and the lexicographic sort, every (pk, c1) group
+    // splits into 4 slab files with DISJOINT 32-wide c2 ranges, so a c2
+    // range under c1 equality has a real subset to select
+    val df = (0L until 2048L)
+      .sortBy(i => java.lang.Long.reverse(i) >>> 53)
+      .map(i => (i % 4, (i / 4) / 128, (i / 4) % 128, s"v$i"))
+      .toDF("pk", "c1", "c2", "v")
+    df.coalesce(1)
+      .write.format(fmt).option("pk", "pk").option("ck", "c1, c2")
+      .option("rollRows", "32")
+      .option("schema", "pk BIGINT, c1 BIGINT, c2 BIGINT, v STRING")
+      .mode("append").save(dir)
+    // plan strings TRUNCATE DSv2 scan descriptions at
+    // maxMetadataStringLength (default 100 — the long tmp path eats it
+    // and "10/102" renders as "10/10"); widen for the counting asserts
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    def kept(f: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "PrunedFiles: (\\d+)/(\\d+) ".r
+        .findFirstMatchIn(f.queryExecution.executedPlan.toString())
+      assert(m.isDefined, "expected a PrunedFiles report in the scan description")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    def scan() = spark.read.format(fmt)
+      .option("pk", "pk").option("ck", "c1, c2").load(dir)
+    // leader equality alone: each pk-bucket keeps its 4 c1=2 slabs
+    val leaderOnly = scan().filter(col("c1") === 2L)
+    assert(leaderOnly.count() == 512)
+    val (keptLeader, total) = kept(leaderOnly)
+    assert(keptLeader < total, "leader equality must already prune")
+    // + a c2 range: under leader purity the c2 footer stats prune each
+    // group's 4 slabs down to the one whose c2 range intersects [96, ∞)
+    val both = scan().filter(col("c1") === 2L && col("c2") >= 96L)
+    assert(both.count() == 128)
+    val (keptBoth, _) = kept(both)
+    assert(keptBoth < keptLeader,
+      s"the c2 range must prune a STRICT subset of the leader prune " +
+        s"($keptBoth vs $keptLeader)")
+    spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
   test("a write whose schema lacks the clustering key is refused") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir("graft_tr_ck3")

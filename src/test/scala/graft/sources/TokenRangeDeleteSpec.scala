@@ -323,4 +323,152 @@ class TokenRangeDeleteSpec extends SparkSpec {
       TokenRangeOps.vacuum(dir, retainFrom = vAfter + 100)
     }
   }
+
+  // ---- clustering-range DELETE (r15, VERDICT r14 next-round #3) ----------
+
+  /** pk=1 gets 1000 ck-slabbed rows in its own append (single-pk slab
+    * files — the time-slab-per-channel shape); other pks land separately. */
+  private def ckRangeFixture(dir: String): Unit = {
+    val s2 = spark; import s2.implicits._
+    (0L until 1000L).map(i => (1L, i, s"k1-$i")).toDF("pk", "seq", "v")
+      .coalesce(1)
+      .write.format(fmt).option("pk", "pk").option("ck", "seq")
+      .option("rollRows", "100")
+      .option("schema", "pk BIGINT, seq BIGINT, v STRING")
+      .mode("append").save(dir)
+    (2L until 50L).map(i => (i, i, s"o$i")).toDF("pk", "seq", "v")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+  }
+
+  private def pk1Seqs(dir: String): Seq[Long] =
+    load(dir).filter(col("pk") === 1L)
+      .select("seq").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("deleteCkRange: covered slabs retire UNREAD, straddlers rewrite, rest by reference — one flip") {
+    val dir = freshDir()
+    ckRangeFixture(dir)
+    val beforeRels = relFiles(dir).map(_._2)
+    // per-file seq ranges of pk=1's slabs, to name each file's expected fate
+    def seqRange(rel: String): (Long, Long) = {
+      val r = spark.read.parquet(new java.io.File(dir, rel).getAbsolutePath)
+        .agg(min("seq"), max("seq")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val slabs = beforeRels.filter { rel =>
+      val f = spark.read.parquet(new java.io.File(dir, rel).getAbsolutePath)
+      f.filter(col("pk") === 1L).limit(1).count() == 1 && f.count() <= 100
+    }.map(rel => rel -> seqRange(rel)).toMap
+    assert(slabs.size == 10, s"expected 10 single-pk slabs, got ${slabs.size}")
+
+    // DELETE WHERE pk = 1 AND seq >= 250 AND seq < 750
+    TokenRangeOps.deleteCkRange(spark, dir, "pk", 1L, 250L, 750L)
+    assert(pk1Seqs(dir) == ((0L until 250L) ++ (750L until 1000L)),
+      "exactly the sliced rows must be gone")
+    assert(load(dir).filter(col("pk") =!= 1L).count() == 48,
+      "other partitions untouched")
+
+    val afterRels = relFiles(dir).map(_._2)
+    val gone = beforeRels -- afterRels
+    val expectCovered = slabs.collect {
+      case (rel, (mn, mx)) if mn >= 250L && mx < 750L => rel
+    }.toSet
+    val expectStraddle = slabs.collect {
+      case (rel, (mn, mx)) if mx >= 250L && mn < 750L &&
+        !(mn >= 250L && mx < 750L) => rel
+    }.toSet
+    assert(expectCovered.size == 4 && expectStraddle.size == 2)
+    assert(gone == expectCovered ++ expectStraddle,
+      s"exactly covered+straddling slabs leave the manifest, got $gone")
+    // covered slabs retired UNREAD: their bytes are still on disk (only
+    // vacuum reclaims), and no rewrite replaced their content
+    expectCovered.foreach(rel =>
+      assert(new java.io.File(dir, rel).exists, s"$rel must retire by manifest only"))
+    // every untouched file survives by REFERENCE (same manifest entries)
+    assert((afterRels intersect beforeRels) == beforeRels -- gone)
+
+    // aligned range → retire-only path: no straddler, no write job at all
+    val before2 = relFiles(dir).map(_._2)
+    TokenRangeOps.deleteCkRange(spark, dir, "pk", 1L, 0L, 100L)
+    val after2 = relFiles(dir).map(_._2)
+    assert(before2 -- after2 == slabs.collect {
+      case (rel, (mn, mx)) if mn >= 0L && mx < 100L => rel }.toSet)
+    assert((after2 -- before2).isEmpty,
+      "an aligned range tombstone is metadata-only — no file is written")
+    assert(pk1Seqs(dir) == ((100L until 250L) ++ (750L until 1000L)))
+  }
+
+  test("deleteCkRange: refusals (no ck recorded, empty range, composite pk) and null-ck survival") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    seed(dir, 0L until 10L) // no ck declared
+    assert(intercept[Exception] {
+      TokenRangeOps.deleteCkRange(spark, dir, "pk", 1L, 0L, 5L)
+    }.getMessage.contains("recorded clustering key"))
+    val dir2 = freshDir()
+    Seq((1L, Some(5L), "a"), (1L, None, "b"), (1L, Some(500L), "c"))
+      .toDF("pk", "seq", "v")
+      .write.format(fmt).option("pk", "pk").option("ck", "seq")
+      .option("schema", "pk BIGINT, seq BIGINT, v STRING")
+      .mode("append").save(dir2)
+    intercept[IllegalArgumentException] {
+      TokenRangeOps.deleteCkRange(spark, dir2, "pk", 1L, 5L, 5L) // empty range
+    }
+    // NULL-ck rows never match a range predicate (CQL/SQL agree): the
+    // straddling rewrite must keep them
+    TokenRangeOps.deleteCkRange(spark, dir2, "pk", 1L, 0L, 100L)
+    val left = load(dir2).select("v").collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("b", "c"), s"null-ck row must survive, got ${left.toSeq}")
+  }
+
+  test("deleteCkRange racing a compact: conflict-validated, retried from the new snapshot") {
+    val dir = freshDir()
+    ckRangeFixture(dir)
+    var fired = false
+    TokenRangeOps.onSnapshotPinned = () => {
+      TokenRangeOps.onSnapshotPinned = () => () // one-shot, no recursion
+      fired = true
+      TokenRangeOps.compact(spark, dir, "pk")
+    }
+    try TokenRangeOps.deleteCkRange(spark, dir, "pk", 1L, 250L, 750L)
+    finally TokenRangeOps.onSnapshotPinned = () => ()
+    assert(fired)
+    assert(pk1Seqs(dir) == ((0L until 250L) ++ (750L until 1000L)),
+      "the retried rewrite must land exactly once against the compacted snapshot")
+    assert(load(dir).count() == 500 + 48)
+  }
+
+  // ---- per-cell LWW upsert (r15, VERDICT r14 next-round #5) ---------------
+
+  test("upsertCells: bound cells replace, unbound cells keep, new keys NULL-fill — across two rounds") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    (0L until 32L).map(i => (i, s"a$i", i * 1.0)).toDF("pk", "a", "b")
+      .write.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, a STRING, b DOUBLE")
+      .mode("append").save(dir)
+    // round 1 stamps cell `a` for keys 1,2; round 2 stamps cell `b` for
+    // keys 2,3 and a NEW key 100 — the CQL UPDATE-binds-a-subset flow
+    TokenRangeOps.upsertCells(spark, dir, "pk",
+      Seq((1L, "X1"), (2L, "X2")).toDF("pk", "a"))
+    TokenRangeOps.upsertCells(spark, dir, "pk",
+      Seq((2L, 1002.0), (3L, 1003.0), (100L, 42.0)).toDF("pk", "b"))
+    val got = load(dir).collect().map(r => r.getLong(0) ->
+      ((if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(got(1L) == (("X1", 1.0)), "round-1 cell + original b")
+    assert(got(2L) == (("X2", 1002.0)), "round-1 a survives round-2's b stamp")
+    assert(got(3L) == (("a3", 1003.0)), "original a + round-2 b")
+    assert(got(100L) == ((null, 42.0)), "new key: unbound cells NULL")
+    assert(got(5L) == (("a5", 5.0)), "untouched keys intact")
+    assert(got.size == 33)
+    // refusals: unknown column; frame missing the pk
+    assert(intercept[Exception] {
+      TokenRangeOps.upsertCells(spark, dir, "pk",
+        Seq((1L, 9.9)).toDF("pk", "nope"))
+    }.getMessage.contains("addColumn"))
+    assert(intercept[Exception] {
+      TokenRangeOps.upsertCells(spark, dir, "pk",
+        Seq(Tuple1("X")).toDF("a"))
+    }.getMessage.contains("partition key"))
+  }
 }

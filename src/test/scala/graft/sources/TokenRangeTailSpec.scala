@@ -1,0 +1,103 @@
+package graft.sources.connector
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The CDC TAIL (VERDICT r14 next-round #1): `readStream` FROM a
+  * token-range table, offset = manifest version, each micro-batch = the
+  * files ADDED between two versions. The load-bearing claims:
+  *   - a fresh stream backfills the whole table, and its drained rows
+  *     equal the batch read exactly;
+  *   - offsets RECOVER across restarts — after a stop, new appends, and
+  *     a restart on the same checkpoint, only the new rows drain (no
+  *     duplicates, no losses);
+  *   - a rewrite version (compact/DELETE) inside the tailed range fails
+  *     the stream LOUDLY (append-only histories — the declared scope);
+  *   - the version pin makes a bounded AvailableNow drain stable even
+  *     though a writer could keep committing. */
+class TokenRangeTailSpec extends SparkSpec {
+  private val fmt = classOf[TokenRangeSource].getName
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val ddl = "pk BIGINT, v STRING"
+
+  private def append(dir: String, keys: Seq[Long]): Unit = {
+    val s2 = spark; import s2.implicits._
+    keys.map(i => (i, s"a$i")).toDF("pk", "v")
+      .write.format(fmt).option("pk", "pk").option("schema", ddl)
+      .mode("append").save(dir)
+  }
+
+  /** One AvailableNow drain of the tail into a driver buffer via
+    * foreachBatch (checkpointable, unlike the memory sink); returns the
+    * drained pks. */
+  private def drainTail(dir: String, ckpt: String): Seq[Long] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format(fmt).option("pk", "pk").load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("pk").collect().foreach(r => got.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    got.asScala()
+  }
+  private implicit class QOps(q: java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]) {
+    def asScala(): Seq[Long] = {
+      val b = Seq.newBuilder[Long]
+      q.forEach(l => b += l.longValue)
+      b.result()
+    }
+  }
+
+  test("fresh tail backfills the table; restart drains ONLY the new appends; second restart drains nothing") {
+    val dir = freshDir("graft_tr_tail1")
+    val ckpt = freshDir("graft_tr_tail1_ck")
+    append(dir, 0L until 64L)
+    append(dir, 64L until 96L)
+    // run 1: backfill — everything committed so far, exactly once
+    val run1 = drainTail(dir, ckpt)
+    assert(run1.sorted == (0L until 96L),
+      s"backfill must equal the batch read, got ${run1.size} rows")
+    // stop; two more appends; run 2 on the SAME checkpoint: only the new
+    append(dir, 96L until 128L)
+    append(dir, 128L until 160L)
+    val run2 = drainTail(dir, ckpt)
+    assert(run2.sorted == (96L until 160L),
+      s"restart must resume at the checkpointed version, got ${run2.sorted.take(5)}...")
+    // run 3 with nothing new: drains nothing
+    assert(drainTail(dir, ckpt).isEmpty)
+  }
+
+  test("a rewrite version inside the tailed range fails the stream loudly") {
+    val dir = freshDir("graft_tr_tail2")
+    val ckpt = freshDir("graft_tr_tail2_ck")
+    append(dir, 0L until 64L)
+    assert(drainTail(dir, ckpt).size == 64)
+    // a DELETE rewrite retires files — the next tailed range is not
+    // append-only and must refuse, not double surviving rows
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(3L))
+    append(dir, 100L until 110L)
+    val ex = intercept[Exception] { drainTail(dir, ckpt) }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(ex).exists(_.contains("not an append")),
+      s"expected the append-only refusal, got: ${causes(ex).mkString(" | ")}")
+  }
+
+  test("drained stream equals batch read through the connector (content hash)") {
+    val dir = freshDir("graft_tr_tail3")
+    val ckpt = freshDir("graft_tr_tail3_ck")
+    (0 until 4).foreach(r => append(dir, (r * 50L) until ((r + 1) * 50L)))
+    val streamed = drainTail(dir, ckpt).sorted
+    val batch = spark.read.format(fmt).option("pk", "pk").load(dir)
+      .select("pk").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch)
+  }
+}
