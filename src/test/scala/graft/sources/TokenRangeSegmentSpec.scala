@@ -21,10 +21,18 @@ class TokenRangeSegmentSpec extends SparkSpec {
     val sd = new java.io.File(TokenRangeSource.manifestDir(dir), "segments")
     Option(sd.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
   }
-  private def versionBody(dir: String, v: Int): Seq[String] =
-    new String(java.nio.file.Files.readAllBytes(
+  /** DATA lines of a version file (pointer/flat lines). Every published
+    * manifest also carries exactly one `#edits <n>` metadata header
+    * (r15 — the version's schema pin), asserted here so the header
+    * contract can't silently drift. */
+  private def versionBody(dir: String, v: Int): Seq[String] = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(TokenRangeSource.manifestDir(dir), s"v$v.manifest").toPath),
       "UTF-8").split('\n').toSeq.filter(_.nonEmpty)
+    assert(lines.count(_.startsWith("#edits ")) == 1,
+      s"every manifest carries one #edits header: $lines")
+    lines.filterNot(_.startsWith("#"))
+  }
 
   test("single-bucket commit on a many-file table writes O(touched): 1 segment + a 16-line version") {
     val dir = freshDir()
