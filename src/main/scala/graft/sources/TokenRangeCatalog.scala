@@ -73,6 +73,12 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: JMap[String, String]): Unit = {
+    // ENFORCED single-level (r15 review: accepting nested namespaces
+    // while listTables/dropNamespace inspect only direct children let a
+    // non-CASCADE drop silently wipe nested keyspaces and their tables)
+    require(namespace.length == 1,
+      s"token-range keyspaces are single-level (CQL parity), got " +
+        namespace.mkString("."))
     val d = dirOf(namespace.toSeq)
     if (d.exists())
       throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
@@ -89,10 +95,12 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces {
     val d = dirOf(namespace.toSeq)
     if (!d.isDirectory) false
     else {
-      val tables = listTables(namespace)
-      require(cascade || tables.isEmpty,
-        s"namespace ${namespace.mkString(".")} holds ${tables.length} table(s); " +
-          "use CASCADE")
+      // ANY child (table dir or foreign content) blocks a non-CASCADE
+      // drop — never just the dirs listTables recognizes (r15 review)
+      val children = Option(d.listFiles()).getOrElse(Array.empty)
+      require(cascade || children.isEmpty,
+        s"namespace ${namespace.mkString(".")} holds ${children.length} " +
+          "entries; use CASCADE")
       TokenRangeSource.deleteRecursively(d); true
     }
   }
@@ -150,6 +158,21 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces {
     }
     val ck = Option(properties.get("ck")).map(_.trim).filter(_.nonEmpty)
       .map(TokenRangeSource.normalizeCkSpec)
+    // validate the ck spec against the schema at CREATE (r15 review: the
+    // record is first-writer-wins with no ALTER path for ck, so a typo'd
+    // or mistyped clustering column recorded here permanently bricks the
+    // table — every later INSERT refuses at the write builder)
+    ck.foreach(spec => TokenRangeSource.parseCkSpec(spec).foreach { case (c, _) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"clustering key '$c' is not a column of ${schema.catalogString}"))
+      f.dataType match {
+        case LongType | IntegerType | org.apache.spark.sql.types.TimestampType => ()
+        case other => throw new IllegalArgumentException(
+          "token-range clustering key must be an integral or timestamp " +
+            s"column (footer min/max pruning domain), '$c' is $other")
+      }
+    })
     // dtype-domain check: every column must ride the sink
     TokenRangeSource.toParquet(schema)
     val dir = tableDir(ident)

@@ -794,6 +794,36 @@ object TokenRangeSource {
     try toSpark(rd.getFileMetaData.getSchema) finally rd.close()
   }
 
+  /** ONE footer-stats extractor for every stats-driven classifier (r15
+    * review: the ck slice prune, the TTL expiry classifier and the
+    * range-tombstone classifier each hand-rolled the same
+    * null/isEmpty/hasNonNullValue + Long/Integer unwrapping — a stats-
+    * domain change must reach all of them or the prunes silently
+    * diverge). Returns (min, max, numNulls) for integral columns; None
+    * when the column is absent, its stats are missing/unusable, or the
+    * physical type is outside the integral domain — callers treat None
+    * conservatively. An all-null row group reports the empty interval
+    * (MaxValue, MinValue, nulls): it intersects nothing and expires
+    * nothing, but its null count still counts. */
+  private[connector] def footerLongStats(
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      name: String): Option[(Long, Long, Long)] =
+    b.getColumns.asScala
+      .find(_.getPath.toDotString.equalsIgnoreCase(name))
+      .flatMap { c =>
+        val st = c.getStatistics
+        if (st == null || st.isEmpty) None
+        else if (!st.hasNonNullValue)
+          Some((Long.MaxValue, Long.MinValue, st.getNumNulls))
+        else (st.genericGetMin, st.genericGetMax) match {
+          case (mn: java.lang.Long, mx: java.lang.Long) =>
+            Some((mn.longValue, mx.longValue, st.getNumNulls))
+          case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+            Some((mn.longValue, mx.longValue, st.getNumNulls))
+          case _ => None
+        }
+      }
+
   // ---- schema mapping ----------------------------------------------------
 
   /** The write-side inverse of [[toSpark]]: flat primitive keyspace
@@ -1369,18 +1399,12 @@ private[connector] final class TokenRangeScan(path: String,
         val blocks = rd.getFooter.getBlocks.asScala
         ckSlice.forall { case (ck, lo, hi) =>
           blocks.exists { b =>
-            b.getColumns.asScala.find(_.getPath.toDotString.equalsIgnoreCase(ck))
-              .forall { c =>
-                val st = c.getStatistics
-                if (st == null || st.isEmpty || !st.hasNonNullValue) true
-                else (st.genericGetMin, st.genericGetMax) match {
-                  case (mn: java.lang.Long, mx: java.lang.Long) =>
-                    mx.longValue >= lo && mn.longValue <= hi
-                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                    mx.longValue >= lo && mn.longValue <= hi
-                  case _ => true
-                }
-              }
+            // missing/unusable stats keep the block; an all-null block
+            // reports the empty interval and intersects nothing (null
+            // never satisfies a pushed range/equality — dropping it is
+            // sound, the residual filter would reject its rows anyway)
+            TokenRangeSource.footerLongStats(b, ck)
+              .forall { case (mn, mx, _) => mx >= lo && mn <= hi }
           }
         }
       } finally rd.close()
@@ -1629,6 +1653,17 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
 
   private def relsAt(v: Int): Set[String] =
     if (v <= 0) Set.empty
+    else if (!TokenRangeSource.manifestIO.exists(new java.io.File(
+        TokenRangeSource.manifestDir(path), s"v$v.manifest").getPath))
+      // a checkpointed offset whose version was VACUUMED (retention
+      // reaped history past the stream's downtime) — fail with the
+      // remedy, not the generic missing-manifest require (r15 review)
+      throw new IllegalStateException(
+        s"token-range CDC tail at $path: checkpointed version $v was " +
+          "reaped by retention/vacuum while the stream was down (published: " +
+          s"${TokenRangeSource.versions(path).mkString(", ")}). Delete the " +
+          "stream's checkpoint to restart with a full backfill, or raise " +
+          "the table's retention above the stream's longest downtime.")
     else TokenRangeSource.visibleRelFiles(path, Some(v)).map(_._2).toSet
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -2211,8 +2246,11 @@ object TokenRangeOps {
     * stats) conservatively straddle unless ck-disjoint. */
   def deleteCkRange(spark: SparkSession, path: String, pk: String, key: Any,
       ckLo: Long, ckHi: Long): Unit = {
-    require(ckLo < ckHi, "token-range clustering-range DELETE: empty range " +
-      s"[$ckLo, $ckHi)")
+    // an empty range deletes nothing — a NO-OP, not an error (r15 review:
+    // CQL/SQL agree `ck >= a AND ck < a` matches no row; a degenerate
+    // single-microsecond partition span must not throw where the
+    // equivalent DELETE statement would succeed vacuously)
+    if (ckLo >= ckHi) return
     requirePkMatches(path, pk, "DELETE", singleOnly = true)
     val ckCol = TokenRangeSource.recordedCk(path)
       .map(s => TokenRangeSource.parseCkSpec(s).head._1)
@@ -2242,24 +2280,13 @@ object TokenRangeOps {
       try {
         val blocks = rd.getFooter.getBlocks.asScala
         if (blocks.isEmpty) return Retire // zero row groups: no rows to keep
-        def colStats(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
-            name: String): Option[(Long, Long, Long)] =
-          b.getColumns.asScala
-            .find(_.getPath.toDotString.equalsIgnoreCase(name))
-            .flatMap { c =>
-              val st = c.getStatistics
-              if (st == null || st.isEmpty || !st.hasNonNullValue) None
-              else (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.longValue, mx.longValue, st.getNumNulls))
-                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                  Some((mn.longValue, mx.longValue, st.getNumNulls))
-                case _ => None
-              }
-            }
         val per = blocks.map { b =>
-          val pkSt = colStats(b, pk)
-          val ckSt = colStats(b, ckCol)
+          // shared extractor (r15). All-null groups report the empty
+          // interval: a pk group can't be all-null (sink refuses null
+          // keys); an all-null ck group is ckDisjoint — correct, its
+          // null-ck rows survive a range tombstone anyway.
+          val pkSt = TokenRangeSource.footerLongStats(b, pk)
+          val ckSt = TokenRangeSource.footerLongStats(b, ckCol)
           val pkExcludes = (keyLong, pkSt) match {
             case (Some(k), Some((mn, mx, _))) => k < mn || k > mx
             case _ => false
@@ -2360,6 +2387,16 @@ object TokenRangeOps {
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val pkSet = pks.map(_.toLowerCase).toSet
     val cellCols = boundFields.map(_.name).filterNot(n => pkSet(n.toLowerCase))
+    // duplicate incoming keys would FAN OUT the full-outer join and write
+    // duplicate physical rows for one pk — breaking the table's pk
+    // uniqueness (r15 review). CQL resolves same-partition writes by
+    // writetime; a batch frame carries no per-row order, so the only
+    // honest move is to refuse and let the caller pre-resolve.
+    val nIn = aligned.count()
+    require(nIn == aligned.select(pks.map(col): _*).distinct().count(),
+      s"token-range upsertCells at $path: the incoming frame binds the " +
+        "same partition key more than once — resolve duplicates first " +
+        "(a batch frame has no writetime order to break the tie)")
     val bucketCol =
       if (pks.size == 1)
         TokenLayout.bucketOfColumn(col(pks.head), ts(pks.head).dataType)
@@ -2666,22 +2703,9 @@ object TokenRangeOps {
       try {
         val blocks = rd.getFooter.getBlocks.asScala
         if (blocks.isEmpty) return Retire // zero row groups: no rows to keep
-        val stats = blocks.flatMap { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString.equalsIgnoreCase(tsCol))
-            .flatMap { c =>
-              val st = c.getStatistics
-              if (st == null || st.isEmpty) None
-              else if (!st.hasNonNullValue)
-                // all-null row group: expires nothing, straddles nothing
-                Some((Long.MaxValue, Long.MinValue, st.getNumNulls))
-              else (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.longValue, mx.longValue, st.getNumNulls))
-                case _ => None
-              }
-            }
-        }
+        // shared extractor (r15): an all-null row group reports the empty
+        // interval — expires nothing, straddles nothing, nulls counted
+        val stats = blocks.flatMap(b => TokenRangeSource.footerLongStats(b, tsCol))
         if (stats.size != blocks.size) return Straddle // stats gap: be safe
         val mn = stats.map(_._1).min; val mx = stats.map(_._2).max
         val nulls = stats.map(_._3).sum

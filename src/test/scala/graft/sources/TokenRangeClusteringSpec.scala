@@ -255,7 +255,10 @@ class TokenRangeClusteringSpec extends SparkSpec {
     // plan strings TRUNCATE DSv2 scan descriptions at
     // maxMetadataStringLength (default 100 — the long tmp path eats it
     // and "10/102" renders as "10/10"); widen for the counting asserts
+    // (restored in the finally below — a failing assert must not leak
+    // the conf into the rest of the shared-session suite)
     spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    try {
     def kept(f: org.apache.spark.sql.DataFrame): (Int, Int) = {
       val m = "PrunedFiles: (\\d+)/(\\d+) ".r
         .findFirstMatchIn(f.queryExecution.executedPlan.toString())
@@ -277,7 +280,7 @@ class TokenRangeClusteringSpec extends SparkSpec {
     assert(keptBoth < keptLeader,
       s"the c2 range must prune a STRICT subset of the leader prune " +
         s"($keptBoth vs $keptLeader)")
-    spark.conf.unset("spark.sql.maxMetadataStringLength")
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
   }
 
   test("a write whose schema lacks the clustering key is refused") {

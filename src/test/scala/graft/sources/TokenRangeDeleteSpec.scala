@@ -410,9 +410,11 @@ class TokenRangeDeleteSpec extends SparkSpec {
       .write.format(fmt).option("pk", "pk").option("ck", "seq")
       .option("schema", "pk BIGINT, seq BIGINT, v STRING")
       .mode("append").save(dir2)
-    intercept[IllegalArgumentException] {
-      TokenRangeOps.deleteCkRange(spark, dir2, "pk", 1L, 5L, 5L) // empty range
-    }
+    // an EMPTY range is a vacuous no-op, exactly like the equivalent
+    // DELETE statement (r15 review: a degenerate single-microsecond
+    // partition span must not throw)
+    TokenRangeOps.deleteCkRange(spark, dir2, "pk", 1L, 5L, 5L)
+    assert(load(dir2).count() == 3)
     // NULL-ck rows never match a range predicate (CQL/SQL agree): the
     // straddling rewrite must keep them
     TokenRangeOps.deleteCkRange(spark, dir2, "pk", 1L, 0L, 100L)
@@ -470,5 +472,12 @@ class TokenRangeDeleteSpec extends SparkSpec {
       TokenRangeOps.upsertCells(spark, dir, "pk",
         Seq(Tuple1("X")).toDF("a"))
     }.getMessage.contains("partition key"))
+    // duplicate incoming keys refused: the join would fan out and write
+    // two physical rows for one pk (no writetime to break the tie)
+    assert(intercept[Exception] {
+      TokenRangeOps.upsertCells(spark, dir, "pk",
+        Seq((7L, "X"), (7L, "Y")).toDF("pk", "a"))
+    }.getMessage.contains("more than once"))
+    assert(load(dir).filter(col("pk") === 7L).count() == 1)
   }
 }
