@@ -172,6 +172,7 @@ object WideColumn extends QueryModule {
     graft.PrebuiltDirs.clear("graft_connector_alt")
     graft.PrebuiltDirs.clear("graft_connector_ckr")
     graft.PrebuiltDirs.clear("graft_connector_cell")
+    graft.PrebuiltDirs.clear("graft_connector_sql")
   }
 
   private def connectorOrdersDir(s: SparkSession, d: String): String =
@@ -674,6 +675,64 @@ object WideColumn extends QueryModule {
       |SELECT o_orderstatus, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM up GROUP BY o_orderstatus""".stripMargin
+
+  // ---- the CQL-strings interface as a GRADED entry (r15) ------------------
+  /** SQL DDL end-to-end through [[graft.sources.connector
+    * .TokenRangeCatalog]] (VERDICT r14 next-round #2, upgraded from
+    * spec-only to driver-graded): the reference's whole interface is
+    * DDL/DML strings (server.py:176-183, 263-269) — here CREATE
+    * NAMESPACE, CREATE TABLE (TBLPROPERTIES pk), INSERT INTO … SELECT,
+    * ALTER TABLE ADD COLUMNS, and a post-ALTER column-list INSERT all
+    * run through `spark.sql`, exercising the catalog's table resolution,
+    * the DSv2 write path behind SQL INSERT, and the CAS edit log behind
+    * SQL ALTER. Pre-ALTER rows read NULL for the added column; the
+    * oracle replays the parity split with a CASE, so the hash proves the
+    * whole SQL round trip bit-exact. One unique catalog name per corpus
+    * dir (catalog instances cache their warehouse at first use). */
+  private def sqlCatalogOf(s: SparkSession, dir: String): String = {
+    val cat = s"graft_sql_${Integer.toHexString(dir.hashCode).takeRight(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.connector.TokenRangeCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    cat
+  }
+
+  private def sqlDdlDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_sql", d) { dir =>
+      val cat = sqlCatalogOf(s, dir)
+      s.sql(s"CREATE NAMESPACE $cat.ks")
+      s.sql(s"""CREATE TABLE $cat.ks.cust (
+        c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+        TBLPROPERTIES('pk'='c_custkey')""")
+      Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        .createOrReplaceTempView("graft_sqlddl_src")
+      s.sql(s"""INSERT INTO $cat.ks.cust
+        SELECT c_custkey, c_name, c_acctbal FROM graft_sqlddl_src
+        WHERE c_custkey % 2 = 1""")
+      s.sql(s"ALTER TABLE $cat.ks.cust ADD COLUMNS (tier STRING)")
+      s.sql(s"""INSERT INTO $cat.ks.cust
+        SELECT c_custkey, c_name, c_acctbal,
+          't' || CAST(c_custkey % 3 AS STRING) AS tier
+        FROM graft_sqlddl_src WHERE c_custkey % 2 = 0""")
+      s.catalog.dropTempView("graft_sqlddl_src")
+      dir
+    }
+
+  def sqlDdl(s: SparkSession, d: String): DataFrame = {
+    val dir = sqlDdlDir(s, d)
+    val cat = sqlCatalogOf(s, dir)
+    s.table(s"$cat.ks.cust")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_rows"),
+        Cols.sumExact(col("c_acctbal"), 2).as("bal_sum"))
+  }
+
+  private val sqlDdlSql =
+    """SELECT CASE WHEN c_custkey % 2 = 0
+      |    THEN 't' || CAST(c_custkey % 3 AS VARCHAR) END AS tier,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      |FROM customer GROUP BY 1""".stripMargin
 
   // ---- clustering-range DELETE through the connector (r15) ----------------
   /** CQL's RANGE TOMBSTONE — `DELETE FROM t WHERE pk = ? AND ck >= a AND
@@ -1720,6 +1779,7 @@ object WideColumn extends QueryModule {
     ("wc_connector_upsert", connectorUpsert _, Some(connectorUpsertSql)),
     ("wc_delete_ck_range", deleteCkRangeEntry _, Some(deleteCkRangeSql)),
     ("wc_cell_lww", cellLww _, Some(cellLwwSql)),
+    ("wc_sql_ddl", sqlDdl _, Some(sqlDdlSql)),
     ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
     ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)))

@@ -196,9 +196,10 @@ class EntrySpec extends SparkSpec {
     // r15: +st_connector_tail (CDC tail — readStream FROM the connector,
     // offset = manifest version), +wc_delete_ck_range (clustering-range
     // tombstone: covered slabs retire unread), +wc_cell_lww (per-cell LWW
-    // via two upsertCells rounds) → 230/230.
-    assert(SparkEntry.queries.size == 230, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 230, s"got ${SparkEntry.oracleSql.size}")
+    // via two upsertCells rounds), +wc_sql_ddl (CREATE/INSERT/ALTER/SELECT
+    // through TokenRangeCatalog via spark.sql) → 231/231.
+    assert(SparkEntry.queries.size == 231, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 231, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
