@@ -689,8 +689,13 @@ object WideColumn extends QueryModule {
     * oracle replays the parity split with a CASE, so the hash proves the
     * whole SQL round trip bit-exact. One unique catalog name per corpus
     * dir (catalog instances cache their warehouse at first use). */
+  /** Catalog (and scratch-view) names carry the SANITIZED full dir path,
+    * not a hash (r15 review 2: a 32-bit hashCode collision across two
+    * corpus dirs in one JVM would silently alias them to one cached
+    * warehouse — CatalogManager instantiates a catalog once per name —
+    * and serve wrong-corpus data with no error). */
   private def sqlCatalogOf(s: SparkSession, dir: String): String = {
-    val cat = s"graft_sql_${Integer.toHexString(dir.hashCode).takeRight(8)}"
+    val cat = s"graft_sql_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.connector.TokenRangeCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
@@ -700,21 +705,25 @@ object WideColumn extends QueryModule {
   private def sqlDdlDir(s: SparkSession, d: String): String =
     graft.PrebuiltDirs.cached("graft_connector_sql", d) { dir =>
       val cat = sqlCatalogOf(s, dir)
+      // per-build unique view name (r15 review 2: a fixed name broke the
+      // prebuilt cache's harmless-concurrent-double-build contract — one
+      // build's dropTempView could yank the view mid-INSERT of the other)
+      val src = s"src_$cat"
       s.sql(s"CREATE NAMESPACE $cat.ks")
       s.sql(s"""CREATE TABLE $cat.ks.cust (
         c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
         TBLPROPERTIES('pk'='c_custkey')""")
       Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
-        .createOrReplaceTempView("graft_sqlddl_src")
+        .createOrReplaceTempView(src)
       s.sql(s"""INSERT INTO $cat.ks.cust
-        SELECT c_custkey, c_name, c_acctbal FROM graft_sqlddl_src
+        SELECT c_custkey, c_name, c_acctbal FROM $src
         WHERE c_custkey % 2 = 1""")
       s.sql(s"ALTER TABLE $cat.ks.cust ADD COLUMNS (tier STRING)")
       s.sql(s"""INSERT INTO $cat.ks.cust
         SELECT c_custkey, c_name, c_acctbal,
           't' || CAST(c_custkey % 3 AS STRING) AS tier
-        FROM graft_sqlddl_src WHERE c_custkey % 2 = 0""")
-      s.catalog.dropTempView("graft_sqlddl_src")
+        FROM $src WHERE c_custkey % 2 = 0""")
+      s.catalog.dropTempView(src)
       dir
     }
 

@@ -161,18 +161,9 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces {
     // validate the ck spec against the schema at CREATE (r15 review: the
     // record is first-writer-wins with no ALTER path for ck, so a typo'd
     // or mistyped clustering column recorded here permanently bricks the
-    // table — every later INSERT refuses at the write builder)
-    ck.foreach(spec => TokenRangeSource.parseCkSpec(spec).foreach { case (c, _) =>
-      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"clustering key '$c' is not a column of ${schema.catalogString}"))
-      f.dataType match {
-        case LongType | IntegerType | org.apache.spark.sql.types.TimestampType => ()
-        case other => throw new IllegalArgumentException(
-          "token-range clustering key must be an integral or timestamp " +
-            s"column (footer min/max pruning domain), '$c' is $other")
-      }
-    })
+    // table — every later INSERT refuses at the write builder). ONE
+    // check shared with the write builder (review 2).
+    ck.foreach(spec => TokenRangeSource.requireCkDomain(schema, spec, "table"))
     // dtype-domain check: every column must ride the sink
     TokenRangeSource.toParquet(schema)
     val dir = tableDir(ident)

@@ -380,6 +380,27 @@ object TokenRangeSource {
       s"${c.toLowerCase} ${if (asc) "ASC" else "DESC"}"
     }.mkString(",")
 
+  /** ONE clustering-key domain check for every declarer (r15 review 2:
+    * the write builder and the catalog's CREATE TABLE each hand-rolled
+    * the identical column-lookup + dtype whitelist — a future domain
+    * widening applied to one would leave CREATE and the first INSERT
+    * disagreeing, exactly the bricked-table class the CREATE check
+    * exists to prevent). */
+  private[connector] def requireCkDomain(schema: StructType, spec: String,
+      what: String): Unit =
+    parseCkSpec(spec).foreach { case (c, _) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"token-range clustering key '$c' is not in the $what schema " +
+            schema.catalogString))
+      f.dataType match {
+        case LongType | IntegerType | TimestampType => ()
+        case other => throw new IllegalArgumentException(
+          "token-range clustering key must be an integral or timestamp " +
+            s"column (footer min/max pruning domain), '$c' is $other")
+      }
+    }
+
   /** Validate a caller-supplied pk against the recorded one (ADVICE r13:
     * [[TokenRangeOps]]' keyed rewrites were guarded but a DIRECT
     * `df.write` append with a different/partial pk option would route
@@ -1054,20 +1075,8 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
       case _ => ()
     }
     val ck = optCk.orElse(recCk)
-    ck.foreach { spec =>
-      TokenRangeSource.parseCkSpec(spec).foreach { case (c, _) =>
-        val f = info.schema().fields.find(_.name.equalsIgnoreCase(c))
-          .getOrElse(throw new IllegalArgumentException(
-            s"token-range clustering key '$c' is not in the write schema " +
-              info.schema().catalogString))
-        f.dataType match {
-          case LongType | IntegerType | TimestampType => ()
-          case other => throw new IllegalArgumentException(
-            "token-range clustering key must be an integral or timestamp " +
-              s"column (footer min/max pruning domain), '$c' is $other")
-        }
-      }
-    }
+    ck.foreach(spec =>
+      TokenRangeSource.requireCkDomain(info.schema(), spec, "write"))
     // roll bucket files every N rows (the SSTable-size analog): with the
     // ck sort in force, consecutive rolled files carry DISJOINT ck slabs,
     // which is what makes the slice prune select a file SUBSET. Default
@@ -2246,17 +2255,20 @@ object TokenRangeOps {
     * stats) conservatively straddle unless ck-disjoint. */
   def deleteCkRange(spark: SparkSession, path: String, pk: String, key: Any,
       ckLo: Long, ckHi: Long): Unit = {
-    // an empty range deletes nothing — a NO-OP, not an error (r15 review:
-    // CQL/SQL agree `ck >= a AND ck < a` matches no row; a degenerate
-    // single-microsecond partition span must not throw where the
-    // equivalent DELETE statement would succeed vacuously)
-    if (ckLo >= ckHi) return
     requirePkMatches(path, pk, "DELETE", singleOnly = true)
     val ckCol = TokenRangeSource.recordedCk(path)
       .map(s => TokenRangeSource.parseCkSpec(s).head._1)
       .getOrElse(throw new IllegalArgumentException(
         s"token-range clustering-range DELETE at $path requires a recorded " +
           "clustering key (the range addresses the ck order)"))
+    // an empty range deletes nothing — a NO-OP, not an error (CQL/SQL
+    // agree `ck >= a AND ck < a` matches no row; a degenerate
+    // single-microsecond partition span must not throw where the
+    // equivalent DELETE statement would succeed vacuously). AFTER the
+    // pk/ck validation (r15 review 2): a statement naming the wrong key
+    // column or an unclustered table is invalid at analysis time even
+    // when it matches zero rows.
+    if (ckLo >= ckHi) return
     TokenRangeSource.withCommitLock(path) {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
@@ -2387,23 +2399,31 @@ object TokenRangeOps {
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val pkSet = pks.map(_.toLowerCase).toSet
     val cellCols = boundFields.map(_.name).filterNot(n => pkSet(n.toLowerCase))
-    // duplicate incoming keys would FAN OUT the full-outer join and write
-    // duplicate physical rows for one pk — breaking the table's pk
-    // uniqueness (r15 review). CQL resolves same-partition writes by
-    // writetime; a batch frame carries no per-row order, so the only
-    // honest move is to refuse and let the caller pre-resolve.
-    val nIn = aligned.count()
-    require(nIn == aligned.select(pks.map(col): _*).distinct().count(),
-      s"token-range upsertCells at $path: the incoming frame binds the " +
-        "same partition key more than once — resolve duplicates first " +
-        "(a batch frame has no writetime order to break the tie)")
     val bucketCol =
       if (pks.size == 1)
         TokenLayout.bucketOfColumn(col(pks.head), ts(pks.head).dataType)
       else TokenLayout.bucketOfComposite(pks.map(col))
-    val buckets = aligned
-      .select(bucketCol.as("tb"))
-      .distinct().collect().map(_.getInt(0)).toSet // ≤ ring width, never data-sized
+    // ONE job over the incoming frame computes BOTH the owning-bucket set
+    // (≤ ring width, never data-sized) and the duplicate-key guard:
+    // duplicate incoming keys would FAN OUT the full-outer join and write
+    // duplicate physical rows for one pk — breaking the table's pk
+    // uniqueness (r15 review). CQL resolves same-partition writes by
+    // writetime; a batch frame carries no per-row order, so the only
+    // honest move is to refuse and let the caller pre-resolve. (Review 2:
+    // the first cut ran two extra count jobs — a computed incoming frame
+    // was evaluated 4×.)
+    val perBucket = aligned
+      .groupBy(pks.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+      .groupBy(bucketCol.as("tb"))
+      .agg(org.apache.spark.sql.functions.max(col("__n")).as("__mx"))
+      .collect()
+    require(perBucket.forall(_.getLong(1) == 1L),
+      s"token-range upsertCells at $path: the incoming frame binds the " +
+        "same partition key more than once — resolve duplicates first " +
+        "(a batch frame has no writetime order to break the tie)")
+    val buckets = perBucket.map(_.getInt(0)).toSet
     val inRenamed = aligned.select(
       (pks.map(col) ++ cellCols.map(c => col(c).as(s"__in_$c"))).toSeq: _*)
     withConflictRetry("upsertCells") {
