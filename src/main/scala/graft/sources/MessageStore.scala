@@ -142,6 +142,21 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
 
   def allMessages(): DataFrame = spark.table(messagesT)
 
+  /** The reference's poll-the-partition pattern (server.py:95, re-run per
+    * page load) as a REAL STREAM (r15 — the connector's CDC tail): new
+    * message batches for one channel arrive as micro-batches whose offset
+    * is the manifest version, so "what's new since my last read" is the
+    * stream's own checkpoint instead of a client-side re-scan. The
+    * channel predicate prunes each batch's files to the owning token
+    * bucket exactly as the batch read does. Messages are append-only by
+    * construction (no rewrite versions), so the tail's append-only gate
+    * never fires. */
+  def tailMessages(channelId: Long): DataFrame =
+    spark.readStream.format(provider)
+      .option("pk", "channel_id")
+      .load(tablePath("messages"))
+      .filter(col("channel_id") === channelId)
+
   /** Projection-only scan (column pruning reaches the connector's parquet
     * reader projection). */
   def listUsers(): DataFrame =

@@ -1368,7 +1368,13 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       Option(options.get("version")).map(_.toInt)
         .orElse(Option(options.get("asOfMillis")).map(m =>
           TokenRangeSource.versionAsOf(
-            TokenRangeSource.pathOf(options), m.toLong))))
+            TokenRangeSource.pathOf(options), m.toLong))),
+      // CDC tail rate limit (r15): at most N manifest versions per
+      // micro-batch — the maxFilesPerTrigger analog at commit grain; a
+      // backfill over a long history becomes bounded steps instead of
+      // one giant batch. AvailableNow still drains to its pinned end,
+      // in multiple micro-batches.
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
   }
 }
 
@@ -1379,7 +1385,8 @@ private[connector] final case class TokenRangePartition(
 private[connector] final class TokenRangeScan(path: String,
     required: StructType, full: StructType, pushed: Array[Filter],
     pkBuckets: Option[Set[Int]], ckSlice: Seq[(String, Long, Long)],
-    splits: Int, version: Option[Int] = None) extends Scan with Batch {
+    splits: Int, version: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1471,7 +1478,8 @@ private[connector] final class TokenRangeScan(path: String,
     * loudly — changed-row CDC over rewrites is a declared non-goal. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TokenRangeMicroBatchStream(path, required, full, splits)
+    new TokenRangeMicroBatchStream(path, required, full, splits,
+      maxVersionsPerTrigger)
 
   override def description(): String = {
     val pf = pushed.map {
@@ -1619,7 +1627,8 @@ private[connector] final case class TokenRangeStreamOffset(v: Int)
   * pins the end version up front so a bounded drain has a fixed endpoint
   * even while writers keep committing. */
 private[connector] final class TokenRangeMicroBatchStream(path: String,
-    projected: StructType, full: StructType, splits: Int)
+    projected: StructType, full: StructType, splits: Int,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -1646,9 +1655,18 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    TokenRangeStreamOffset(availableNowCap.getOrElse(
-      TokenRangeSource.currentVersion(path).getOrElse(0)))
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val cur = availableNowCap.getOrElse(
+      TokenRangeSource.currentVersion(path).getOrElse(0))
+    val s = start.asInstanceOf[TokenRangeStreamOffset].v
+    // per-trigger version cap (maxFilesPerTrigger analog at commit
+    // grain): a bounded step toward the current/pinned end — AvailableNow
+    // keeps triggering until the pinned end is reached, so a capped
+    // backfill drains in MULTIPLE real micro-batches
+    TokenRangeStreamOffset(
+      maxVersionsPerTrigger.map(m => math.min(cur, s + math.max(1, m)))
+        .getOrElse(cur))
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

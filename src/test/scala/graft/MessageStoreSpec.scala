@@ -274,6 +274,34 @@ class MessageStoreSpec extends SparkSpec {
     ms.dropKeyspace()
   }
 
+  test("tailMessages: the poll-the-partition pattern as a stream — resume drains only new inserts (r15)") {
+    val ks2 = s"ks_tail_${System.nanoTime()}"
+    val ms = new MessageStore(spark, ks2)
+    ms.createKeyspace(); ms.createTables()
+    ms.insertMessages(Seq((1L, "alice", "hi"), (2L, "bob", "other-channel")))
+    ms.insertMessages(Seq((1L, "carol", "again")))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ms_tail_ck").toString
+    def drainOnce(): Seq[String] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = ms.tailMessages(1L).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("message").collect().foreach(r => got.add(r.getString(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val b = Seq.newBuilder[String]; got.forEach(b += _); b.result()
+    }
+    // backfill: only channel 1's messages
+    assert(drainOnce().sorted == Seq("again", "hi"))
+    // resume on the same checkpoint after a new insert: ONLY the new one
+    ms.insertMessages(Seq((1L, "dan", "new"), (2L, "eve", "elsewhere")))
+    assert(drainOnce() == Seq("new"),
+      "the tail replaces the reference's re-poll: new messages only")
+    ms.dropKeyspace()
+  }
+
   test("SQL DDL end-to-end through TokenRangeCatalog: CREATE/INSERT/SELECT/ALTER ADD/DROP/DESCRIBE (r15)") {
     // the reference's whole interface is DDL/DML strings (server.py:
     // 176-183, 263-269); with the catalog registered, the keyspace speaks

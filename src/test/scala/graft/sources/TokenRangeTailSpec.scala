@@ -91,6 +91,31 @@ class TokenRangeTailSpec extends SparkSpec {
       s"expected the append-only refusal, got: ${causes(ex).mkString(" | ")}")
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch; AvailableNow drains in multiple real steps") {
+    val dir = freshDir("graft_tr_tail4")
+    val ckpt = freshDir("graft_tr_tail4_ck")
+    (0 until 4).foreach(r => append(dir, (r * 10L) until ((r + 1) * 10L)))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format(fmt).option("pk", "pk")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (b.limit(1).count() > 0) batches.incrementAndGet()
+        b.select("pk").collect().foreach(r => got.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.asScala().sorted == (0L until 40L), "capped drain loses nothing")
+    // 4 appends = 5 versions past the empty pin; at 1 version/trigger the
+    // drain must take ≥ 4 non-empty micro-batches (one giant backfill
+    // batch would mean the cap was ignored)
+    assert(batches.get() >= 4,
+      s"expected ≥4 bounded micro-batches, got ${batches.get()}")
+  }
+
   test("drained stream equals batch read through the connector (content hash)") {
     val dir = freshDir("graft_tr_tail3")
     val ckpt = freshDir("graft_tr_tail3_ck")
