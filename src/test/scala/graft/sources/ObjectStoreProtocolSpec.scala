@@ -135,6 +135,48 @@ class ObjectStoreProtocolSpec extends SparkSpec {
     }
   }
 
+  test("r15 ops ride the object-store seam: range tombstone, cell upsert, CDC tail") {
+    val io = new ObjectStoreManifestIO()
+    withObjectStore(io) {
+      val s2 = spark; import s2.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_tr_os15").toString
+      (0L until 200L).map(i => (1L, i, s"k$i")).toDF("pk", "seq", "v")
+        .coalesce(1)
+        .write.format(fmt).option("pk", "pk").option("ck", "seq")
+        .option("rollRows", "50")
+        .option("schema", "pk BIGINT, seq BIGINT, v STRING")
+        .mode("append").save(dir)
+      (2L until 10L).map(i => (i, i, s"o$i")).toDF("pk", "seq", "v")
+        .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+      def load = spark.read.format(fmt).option("pk", "pk").load(dir)
+      // range tombstone: the retire-unread fast path publishes pure
+      // manifest edits — exactly what must work on the no-rename store
+      TokenRangeOps.deleteCkRange(spark, dir, "pk", 1L, 50L, 150L)
+      assert(load.filter(col("pk") === 1L).count() == 100)
+      // per-cell upsert: full-outer merge + one conflict-validated flip
+      TokenRangeOps.upsertCells(spark, dir, "pk",
+        Seq((2L, "patched")).toDF("pk", "v"))
+      val r2 = load.filter(col("pk") === 2L).collect().head
+      assert(r2.getString(2) == "patched" && r2.getLong(1) == 2L,
+        "bound cell replaced, unbound cell kept — through the seam")
+      // CDC tail: offsets resolve versions through the double's listings
+      val got = new java.util.concurrent.atomic.AtomicLong(0)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tr_os15_ck").toString
+      val q = spark.readStream.format(fmt).option("pk", "pk").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(got.get() == load.count(),
+        "the tail backfill must equal the batch read on the object store")
+      assert(io.puts.get() > 0)
+    }
+  }
+
   test("the CAS loop converges under LAGGED LISTINGS (eventual-consistency model)") {
     val io = new ObjectStoreManifestIO(listLag = true)
     withObjectStore(io) {
