@@ -609,8 +609,10 @@ object StreamingEntries extends QueryModule {
     * staged writeId by (checkpoint batchId) so a replayed batch replaces
     * rather than doubles — the documented lakehouse idempotent-sink
     * move. */
-  private[graft] def clearConnectorStreamCache(): Unit =
+  private[graft] def clearConnectorStreamCache(): Unit = {
     graft.PrebuiltDirs.clear("graft_connector_stream")
+    graft.PrebuiltDirs.clear("graft_connector_pipe")
+  }
 
   private[graft] def connectorStreamDir(s: SparkSession, d: String): String =
     graft.PrebuiltDirs.cached("graft_connector_stream", d) { dir =>
@@ -661,6 +663,60 @@ object StreamingEntries extends QueryModule {
         graft.Cols.sumExact(col("value"), 2).as("total_value")), "complete")
   }
 
+  /** INCREMENTAL CURATION PIPELINE — tail ∘ filter ∘ sink (r15, the
+    * composition the whole storage arc was built for): a CDC tail of the
+    * connector events table (offset = manifest version, capped at 2
+    * versions/trigger so the drain takes multiple REAL micro-batches)
+    * feeds a curation gate (`value > 50` — the quality-filter shape) and
+    * each surviving micro-batch lands as ONE manifest-atomic append in a
+    * SECOND connector table — exactly-once incremental ETL over the
+    * engine's own storage: source offsets are checkpointed versions,
+    * sink batches are atomic commits, and a crash between them replays
+    * the batch whose append never published. The entry reads the curated
+    * table back through the connector and aggregates; the oracle is the
+    * same filtered aggregate over raw events, so the hash check proves
+    * NO batch was lost, doubled, or torn across
+    * tail → gate → sink → manifest → scan. */
+  private def connectorPipelineDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_pipe", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val src = connectorStreamDir(s, d) // the 4-version appended table
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_pipe_ckpt")
+      ckpt.toFile.deleteOnExit()
+      val q = s.readStream.format(fmt).option("pk", "event_id")
+        .option("maxVersionsPerTrigger", "2").load(src)
+        .filter(col("value") > 50.0)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.format(fmt).option("pk", "event_id")
+            .option("schema", "event_id BIGINT, event_type STRING, value DOUBLE")
+            .mode("append").save(dir)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      dir
+    }
+
+  def stConnectorPipeline(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorPipelineDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "event_id")
+      // declared DDL: a corpus where NO row passes the gate leaves the
+      // curated table empty (zero commits) — the read must still resolve
+      .option("schema", "event_id BIGINT, event_type STRING, value DOUBLE")
+      .load(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_curated"),
+        graft.Cols.sumExact(col("value"), 2).as("curated_value"))
+  }
+
+  private val stConnectorPipelineSql =
+    """SELECT event_type, COUNT(*) AS n_curated,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS curated_value
+      |FROM events WHERE value > 50.0 GROUP BY event_type""".stripMargin
+
   def stConnectorAppend(s: SparkSession, d: String): DataFrame = {
     val dir = connectorStreamDir(s, d)
     s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
@@ -680,6 +736,7 @@ object StreamingEntries extends QueryModule {
     // same oracle as the append entry: the tail must reproduce the batch
     // aggregate exactly — that equality IS the no-lost-no-doubled proof
     ("st_connector_tail", stConnectorTail _, Some(stConnectorAppendSql)),
+    ("st_connector_pipeline", stConnectorPipeline _, Some(stConnectorPipelineSql)),
     ("st_bpe_tokenize", stBpeTokenize _, Some(stBpeTokenizeSql)),
     ("st_markov_transitions", stMarkovTransitions _,
       Some(graft.operators.Events.markovTransitionsSql)),

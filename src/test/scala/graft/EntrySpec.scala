@@ -197,9 +197,11 @@ class EntrySpec extends SparkSpec {
     // offset = manifest version), +wc_delete_ck_range (clustering-range
     // tombstone: covered slabs retire unread), +wc_cell_lww (per-cell LWW
     // via two upsertCells rounds), +wc_sql_ddl (CREATE/INSERT/ALTER/SELECT
-    // through TokenRangeCatalog via spark.sql) → 231/231.
-    assert(SparkEntry.queries.size == 231, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 231, s"got ${SparkEntry.oracleSql.size}")
+    // through TokenRangeCatalog via spark.sql), +st_connector_pipeline
+    // (incremental curation: capped CDC tail → quality gate → atomic
+    // sink appends → read-back, exactly-once end to end) → 232/232.
+    assert(SparkEntry.queries.size == 232, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 232, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
