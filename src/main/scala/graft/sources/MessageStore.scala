@@ -212,6 +212,11 @@ final class MessageStore(spark: SparkSession, keyspace: String) {
           .select("user_id", "username", "email", "password", "write_seq")
           .write.format(provider)
           .option("pk", "username")
+          // `compact` in Cassandra's sense: content-preserving UNDER the
+          // table's LWW read semantics (the fold every reader applies by
+          // write_seq) — a CDC tail that serves every appended mutation
+          // and folds LWW itself sees identical content, so it skips this
+          .option("opKind", "compact")
           .option("replaceFiles", snapshotRel.mkString("\n"))
           .mode("append").save(dir)
       }

@@ -109,7 +109,7 @@ final class TokenRangeSource extends TableProvider {
     val pinned = Option(options.get("version")).map(_.toInt)
       .orElse(Option(options.get("asOfMillis")).map(m =>
         TokenRangeSource.versionAsOf(path, m.toLong)))
-    pinned.flatMap(v => TokenRangeSource.storedSchemaAt(path, v))
+    val base = pinned.flatMap(v => TokenRangeSource.storedSchemaAt(path, v))
       .orElse(
         // bootstrap path for FIRST writes: a fresh keyspace table has no
         // footer to infer from, so (Cassandra's create-then-insert parity)
@@ -128,6 +128,13 @@ final class TokenRangeSource extends TableProvider {
         TokenRangeSource.applyEdits(StructType.fromDDL(ddl),
           TokenRangeSource.schemaEdits(path))
       }
+    // CHANGE-DATA-FEED reads append the CDF metadata columns (Delta's
+    // table_changes shape): what changed, and in which commit
+    if (options.getBoolean("changeFeed", false))
+      StructType(base.fields :+
+        StructField(TokenRangeSource.ChangeTypeCol, StringType) :+
+        StructField(TokenRangeSource.CommitVersionCol, IntegerType))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -446,6 +453,133 @@ object TokenRangeSource {
       case l if l.startsWith("#edits ") => l.stripPrefix("#edits ").trim.toInt
     }
 
+  /** The OPERATION KIND recorded when `v` was published (`#op <kind>`,
+    * r15 CDC continuation): what the commit log needs to classify a
+    * version without diffing file contents. `append` adds rows;
+    * `compact` is a content-preserving rewrite (the CDC tail SKIPS it —
+    * Cassandra's CDC never re-emits compaction either); `delete` /
+    * `upsert` / `expire` change content (the tail serves their change
+    * sidecar, or fails loudly without one); `truncate` resets the table;
+    * `rewrite` is the conservative kind stamped for a direct
+    * replaceFiles write that declared nothing. None on pre-r15 manifests
+    * — classified by whether the version retired files. */
+  private[connector] def opKindAt(path: String, v: Int): Option[String] =
+    versionLines(path, v).collectFirst {
+      case l if l.startsWith("#op ") => l.stripPrefix("#op ").trim
+    }
+
+  /** The change-sidecar directory (relative to the table path) recorded
+    * when `v` was published (`#cdf <rel>`): the rows this rewrite
+    * deleted/updated, written by the op BEFORE its publish so the flip
+    * that retires the old files also pins their change record. */
+  private[connector] def cdfRelAt(path: String, v: Int): Option[String] =
+    versionLines(path, v).collectFirst {
+      case l if l.startsWith("#cdf ") => l.stripPrefix("#cdf ").trim
+    }
+
+  // CDF metadata columns served by changeFeed reads (Delta's CDF analog:
+  // _change_type ∈ insert | delete | update_preimage | update_postimage)
+  private[connector] val ChangeTypeCol = "_change_type"
+  private[connector] val CommitVersionCol = "_commit_version"
+
+  /** Whether the table opted into the CHANGE DATA FEED: rewriting ops
+    * (DELETE/upsert/expire) then record the rows they remove/replace as
+    * a parquet sidecar under `_cdf/`, referenced by the publishing
+    * manifest's `#cdf` header — the write-time cost that makes
+    * changed-row CDC over rewrites a read-time O(sidecar) serve instead
+    * of an impossible file diff. Off by default (appends never need it);
+    * last-writer-wins like retention. */
+  private[connector] def changeFeedEnabled(path: String): Boolean = {
+    val f = new java.io.File(manifestDir(path), "cdf.properties").getPath
+    manifestIO.exists(f) && manifestIO.read(f).split('\n').exists(
+      _.trim == "cdf=true")
+  }
+
+  /** One classified entry per version in `(fromEx, toIn]` — the shared
+    * commit-log walk behind the CDC tail and the batch `table_changes`
+    * scan. Each version resolves ONCE (the walk reuses the previous
+    * version's file set). */
+  private[connector] final case class ChangeBatch(version: Int, kind: String,
+      addedRel: Seq[String], retiredAny: Boolean, cdfRel: Option[String])
+
+  /** Version `v`'s visible file set, with the CDC-grade remedy when the
+    * version was reaped (retention past a stream's downtime). */
+  private[connector] def relsAtChecked(path: String, v: Int): Set[String] =
+    if (v <= 0) Set.empty
+    else if (!manifestIO.exists(new java.io.File(
+        manifestDir(path), s"v$v.manifest").getPath))
+      throw new IllegalStateException(
+        s"token-range CDC read at $path: version $v was reaped by " +
+          "retention/vacuum (published: " +
+          s"${versions(path).mkString(", ")}). Restart from a retained " +
+          "version, or raise the table's retention.")
+    else visibleRelFiles(path, Some(v)).map(_._2).toSet
+
+  private[connector] def changeBatches(path: String, fromEx: Int,
+      toIn: Int): Seq[ChangeBatch] = {
+    if (toIn <= fromEx) return Nil
+    var prev = relsAtChecked(path, fromEx)
+    (fromEx + 1 to toIn).map { v =>
+      val cur = relsAtChecked(path, v)
+      val added = (cur -- prev).toSeq.sorted
+      val retired = (prev -- cur).nonEmpty
+      // pre-#op manifests: a version that retired nothing is an append
+      // (exactly what the r15 tail served); one that did is an unknown
+      // rewrite — the conservative fail-loud class
+      val kind = opKindAt(path, v)
+        .getOrElse(if (retired) "rewrite" else "append")
+      prev = cur
+      ChangeBatch(v, kind, added, retired, cdfRelAt(path, v))
+    }
+  }
+
+  /** CHANGE-DATA-FEED partitions for versions `(fromEx, toIn]` — the
+    * shared plan behind the `changeFeed` tail and the batch
+    * `table_changes` read: appends serve their added files with a
+    * synthesized `insert` change type, compactions are skipped
+    * (content-preserving), and content-changing rewrites serve the
+    * change SIDECAR their op recorded at publish (`#cdf`). A rewrite
+    * with no sidecar (change feed enabled after the fact, or a direct
+    * replaceFiles writer) fails loudly — the manifest intentionally
+    * records file lists, not row diffs. */
+  private[connector] def cdfPartitions(path: String, fromEx: Int, toIn: Int,
+      splits: Int): Array[InputPartition] =
+    changeBatches(path, fromEx, toIn).flatMap { b =>
+      def chunk(files: Seq[String], changeType: Option[String]) =
+        if (files.isEmpty) Nil
+        else {
+          val n = math.min(math.max(1, splits), files.size)
+          files.zipWithIndex.groupBy { case (_, i) => i * n / files.size }
+            .toSeq.sortBy(_._1)
+            .map { case (_, g) =>
+              TokenRangeCdfPartition(g.map(_._1).toArray, changeType, b.version)
+            }
+        }
+      b.kind match {
+        case "compact" => Nil
+        case _ if b.cdfRel.isDefined =>
+          // the op's change record IS this version's feed; its added
+          // files are survivor rewrites of already-served rows
+          val dir = new java.io.File(path, b.cdfRel.get)
+          if (!dir.isDirectory) throw new IllegalStateException(
+            s"token-range change feed at $path: version ${b.version} " +
+              s"references change sidecar ${b.cdfRel.get} but it is " +
+              "missing — reaped by vacuum? Raise retention or restart " +
+              "the feed from a retained version.")
+          // an EXISTING dir with no parquet files is a rewrite that
+          // matched nothing (content-preserving) — serve nothing
+          chunk(parquetFiles(dir), None)
+        case _ if !b.retiredAny =>
+          chunk(b.addedRel.map(rel =>
+            new java.io.File(path, rel).getAbsolutePath), Some("insert"))
+        case k => throw new IllegalStateException(
+          s"token-range change feed at $path: version ${b.version} is a " +
+            s"content-changing rewrite ($k) with no recorded change " +
+            "sidecar — enable the feed (TokenRangeOps.enableChangeFeed) " +
+            "BEFORE rewrites so they record one, or re-read batch-style.")
+      }
+    }.toArray
+
   /** Visible data files as (bucket, RELATIVE path `tb=<k>/<name>`):
     * the requested (default: highest) manifest's list — pointer lines
     * resolve through their (cached, immutable) segments — or, for
@@ -615,7 +749,8 @@ object TokenRangeSource {
     * and re-run from the new snapshot (bounded retries) — the standard
     * optimistic-concurrency loop of the lakehouse designs. */
   private[connector] def publishManifest(path: String, placedRel: Seq[String],
-      truncate: Boolean, removeRel: Set[String] = Set.empty): Int = {
+      truncate: Boolean, removeRel: Set[String] = Set.empty,
+      opKind: String = "append", cdfRel: Option[String] = None): Int = {
     val mdir = manifestDir(path)
     mdir.mkdirs()
     // buckets this commit touches — the ONLY buckets whose lists are read
@@ -676,9 +811,14 @@ object TokenRangeSource {
           Some(s"@$k $segRel")
         }
       }
-      // header first: the edit-log length at publish time (the version's
-      // schema pin); one listNames of the manifest dir per publish
-      val body = (s"#edits ${schemaEdits(path).size}" +:
+      // headers first: the edit-log length at publish time (the
+      // version's schema pin), the operation kind (the commit-log
+      // classification the CDC tail reads), and the change sidecar when
+      // the op recorded one — one listNames of the manifest dir per
+      // publish
+      val headers = Seq(s"#edits ${schemaEdits(path).size}", s"#op $opKind") ++
+        cdfRel.map(r => s"#cdf $r")
+      val body = (headers ++
         (carriedLines ++ newPtrLines).sorted).mkString("", "\n", "\n")
       val v = vCur.getOrElse(0) + 1
       // CAS: create-iff-absent (hard link / if-none-match via ManifestIO).
@@ -1121,8 +1261,20 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
         }
       }
     }
+    // operation kind for the manifest's `#op` header (set by the
+    // TokenRangeOps rewrites; a direct replaceFiles caller that declares
+    // nothing stamps the conservative `rewrite`), plus the change
+    // sidecar the op staged for the CHANGE DATA FEED, if any
+    val opKind = Option(options.get("opKind"))
+      .orElse(Option(info.options.get("opKind"))).map(_.trim).filter(_.nonEmpty)
+    opKind.foreach(k => require(
+      Set("append", "compact", "delete", "upsert", "expire", "truncate",
+        "rewrite")(k),
+      s"token-range sink: unknown opKind '$k'"))
+    val cdfRel = Option(options.get("cdfRel"))
+      .orElse(Option(info.options.get("cdfRel"))).map(_.trim).filter(_.nonEmpty)
     new TokenRangeWriteBuilder(tablePath, info.schema(), pkIdx, replace, ck, rollRows,
-      declaredDdl)
+      declaredDdl, opKind, cdfRel)
   }
 
   // ---- row-level DELETE (CQL `DELETE ... WHERE pk = ?` / `pk IN (...)`,
@@ -1358,6 +1510,17 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
     if (pkNames.nonEmpty)
       TokenRangeSource.requireRecordedPk(
         TokenRangeSource.pathOf(options), pkName, "scan")
+    // CHANGE-DATA-FEED reads (batch `table_changes` + the changeFeed
+    // tail) plan by VERSION, not by bucket: pk/ck pruning doesn't apply
+    // (the residual contract keeps pushed filters correct — they are
+    // re-evaluated by Spark post-scan and were only ever pruning hints)
+    if (options.getBoolean("changeFeed", false))
+      return new TokenRangeCdfScan(TokenRangeSource.pathOf(options),
+        required, tableSchema,
+        math.max(1, Option(options.get("splits")).map(_.toInt).getOrElse(4)),
+        Option(options.get("startingVersion")).map(_.toInt),
+        Option(options.get("endingVersion")).map(_.toInt),
+        Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
     new TokenRangeScan(TokenRangeSource.pathOf(options), required,
       tableSchema, pushed, pkBuckets,
       ckIv.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
@@ -1499,6 +1662,50 @@ private[connector] final class TokenRangeScan(path: String,
   }
 }
 
+/** Batch CHANGE-DATA-FEED scan — Delta's `table_changes` analog:
+  * `.option("changeFeed", "true")` (+ optional `startingVersion`,
+  * inclusive, and `endingVersion`) serves every change between two
+  * manifest versions with `_change_type` / `_commit_version` metadata
+  * columns. Shares [[TokenRangeSource.cdfPartitions]] with the streaming
+  * tail, so batch and stream classify versions identically. */
+private[connector] final class TokenRangeCdfScan(path: String,
+    required: StructType, fullCdf: StructType, splits: Int,
+    startingVersion: Option[Int], endingVersion: Option[Int],
+    maxVersionsPerTrigger: Option[Int]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // full TABLE schema (metadata columns stripped) — the cadence-column
+  // pool for zero-file-column projections
+  private def fullTable: StructType = StructType(fullCdf.fields.filterNot(f =>
+    f.name.equalsIgnoreCase(TokenRangeSource.ChangeTypeCol) ||
+      f.name.equalsIgnoreCase(TokenRangeSource.CommitVersionCol)))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val toIn = endingVersion
+      .orElse(TokenRangeSource.currentVersion(path)).getOrElse(0)
+    val fromEx = startingVersion.map(_ - 1).getOrElse(0)
+    TokenRangeSource.cdfPartitions(path, fromEx, toIn, splits)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // an EMPTY projection falls through naturally: the wrapper reads the
+    // narrowest table column for cadence and emits zero-field rows
+    new TokenRangeCdfReaderFactory(required, fullTable)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TokenRangeMicroBatchStream(path, required, fullTable, splits,
+      maxVersionsPerTrigger, cdf = true)
+
+  override def description(): String =
+    s"TokenRangeCdfScan path=$path Versions: " +
+      s"(${startingVersion.map(_ - 1).getOrElse(0)}, " +
+      s"${endingVersion.map(_.toString).getOrElse("current")}] " +
+      s"ReadSchema: ${required.catalogString}"
+}
+
 private[connector] final class TokenRangeReaderFactory(
     projected: StructType, emitEmptyRows: Boolean)
     extends PartitionReaderFactory {
@@ -1620,6 +1827,70 @@ private[connector] final case class TokenRangeStreamOffset(v: Int)
   override def json(): String = v.toString
 }
 
+/** One change-feed slice: files of ONE version, either table data files
+  * (changeType = Some("insert"), an append's adds) or change-sidecar
+  * files (changeType = None — `_change_type` is a real column in them). */
+private[connector] final case class TokenRangeCdfPartition(
+    files: Array[String], changeType: Option[String], version: Int)
+    extends InputPartition
+
+private[connector] final class TokenRangeCdfReaderFactory(
+    projected: StructType, full: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[TokenRangeCdfPartition]
+    new TokenRangeCdfReader(cp.files, cp.changeType, cp.version, projected, full)
+  }
+}
+
+/** Wraps [[TokenRangeReader]] (which owns the per-file repetition /
+  * present-set handling) and synthesizes the CDF metadata columns:
+  * `_commit_version` is always the partition's version literal;
+  * `_change_type` is a literal for append files and a REAL read column
+  * for sidecar files. */
+private[connector] final class TokenRangeCdfReader(files: Array[String],
+    changeType: Option[String], version: Int, projected: StructType,
+    full: StructType) extends PartitionReader[InternalRow] {
+
+  private def synthesized(name: String): Boolean =
+    name.equalsIgnoreCase(TokenRangeSource.CommitVersionCol) ||
+      (name.equalsIgnoreCase(TokenRangeSource.ChangeTypeCol) &&
+        changeType.isDefined)
+
+  private val fileFields = projected.fields.filterNot(f => synthesized(f.name))
+  private val fileIdxOf: Map[String, Int] =
+    fileFields.map(_.name).zipWithIndex.toMap
+  // zero file columns wanted (e.g. `groupBy(_change_type).count` over an
+  // append slice): read the narrowest table column for row CADENCE only
+  private val inner = new TokenRangeReader(files,
+    if (fileFields.nonEmpty) StructType(fileFields)
+    else StructType(Array(full.fields.head)),
+    fileFields.isEmpty)
+  private val changeLit = changeType.map(UTF8String.fromString).orNull
+
+  override def next(): Boolean = inner.next()
+
+  override def get(): InternalRow = {
+    val in = inner.get()
+    val out = new Array[Any](projected.fields.length)
+    var i = 0
+    while (i < projected.fields.length) {
+      val f = projected.fields(i)
+      out(i) =
+        if (f.name.equalsIgnoreCase(TokenRangeSource.CommitVersionCol)) version
+        else if (changeLit != null &&
+            f.name.equalsIgnoreCase(TokenRangeSource.ChangeTypeCol)) changeLit
+        else {
+          val j = fileIdxOf(f.name)
+          if (in.isNullAt(j)) null else in.get(j, f.dataType)
+        }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def close(): Unit = inner.close()
+}
+
 /** The manifest-tailing micro-batch stream (see [[TokenRangeScan
   * .toMicroBatchStream]]). Restart recovery is free: the checkpoint
   * stores the version number, and versions below it are never re-served
@@ -1628,7 +1899,7 @@ private[connector] final case class TokenRangeStreamOffset(v: Int)
   * even while writers keep committing. */
 private[connector] final class TokenRangeMicroBatchStream(path: String,
     projected: StructType, full: StructType, splits: Int,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None, cdf: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -1678,46 +1949,49 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private def relsAt(v: Int): Set[String] =
-    if (v <= 0) Set.empty
-    else if (!TokenRangeSource.manifestIO.exists(new java.io.File(
-        TokenRangeSource.manifestDir(path), s"v$v.manifest").getPath))
-      // a checkpointed offset whose version was VACUUMED (retention
-      // reaped history past the stream's downtime) — fail with the
-      // remedy, not the generic missing-manifest require (r15 review)
-      throw new IllegalStateException(
-        s"token-range CDC tail at $path: checkpointed version $v was " +
-          "reaped by retention/vacuum while the stream was down (published: " +
-          s"${TokenRangeSource.versions(path).mkString(", ")}). Delete the " +
-          "stream's checkpoint to restart with a full backfill, or raise " +
-          "the table's retention above the stream's longest downtime.")
-    else TokenRangeSource.visibleRelFiles(path, Some(v)).map(_._2).toSet
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TokenRangeStreamOffset].v
     val e = end.asInstanceOf[TokenRangeStreamOffset].v
     if (e <= s) return Array.empty
-    val base = relsAt(s)
-    val cur = relsAt(e)
-    // append-only gate: a retired file means some version in (s, e] was a
-    // rewrite — its rows were deleted/replaced/compacted, and serving the
-    // ADDED files alone would double surviving rows. Fail loudly (the
-    // declared first cut); a changed-row CDC over rewrites would diff
-    // file contents, which the manifest intentionally does not record.
-    val removed = base -- cur
-    if (removed.nonEmpty) throw new IllegalStateException(
-      s"token-range CDC tail at $path: versions ($s, $e] retired " +
-        s"${removed.size} file(s) (e.g. ${removed.head}) — a rewrite " +
-        "(DELETE/compact/expire/upsert) is not an append; the tail serves " +
-        "append-only histories. Re-read batch-style, or restart the " +
-        "stream to backfill from the current version.")
-    val added = (cur -- base).toSeq.sorted
+    if (cdf)
+      return TokenRangeSource.cdfPartitions(path, s, e, splits)
+    // When NO file visible at `s` was retired inside (s, e], the
+    // endpoint diff serves the NET content added — exact for appends,
+    // and exact-by-content when the range's own adds were rewritten
+    // within it (a backfill across historical compactions/deletes serves
+    // the surviving state — the r15 tail's proven behavior). Only when a
+    // BASE file was retired does the walk below classify versions.
+    val base = TokenRangeSource.relsAtChecked(path, s)
+    val cur = TokenRangeSource.relsAtChecked(path, e)
+    val added: Seq[String] =
+      if ((base -- cur).isEmpty) (cur -- base).toSeq.sorted
+      else TokenRangeSource.changeBatches(path, s, e).flatMap { b =>
+        // the classified commit-log walk (r15 continuation): appends
+        // serve their added files; COMPACT versions are content-
+        // preserving rewrites and are SKIPPED outright (their outputs
+        // merge already-served rows — Cassandra's CDC never re-emits
+        // compaction either); content-changing rewrites (DELETE/upsert/
+        // expire/truncate, or an unclassified pre-#op rewrite) fail
+        // loudly — the changed-row path is the CHANGE DATA FEED
+        // (`.option("changeFeed", "true")` + enableChangeFeed).
+        b.kind match {
+          case "compact" => Nil
+          case "append" => b.addedRel
+          case _ if !b.retiredAny => b.addedRel // rewrite that matched nothing
+          case k => throw new IllegalStateException(
+            s"token-range CDC tail at $path: version ${b.version} is a " +
+              s"content-changing rewrite ($k) — the plain tail serves " +
+              "append-only histories (compactions are skipped). Read the " +
+              "changed rows with .option(\"changeFeed\", \"true\") after " +
+              "TokenRangeOps.enableChangeFeed, or re-read batch-style.")
+        }
+      }
     if (added.isEmpty) return Array.empty
     val byBucket = added
       .groupBy(rel => rel.takeWhile(_ != '/').stripPrefix("tb=").toInt)
       .toSeq.sortBy(_._1)
       .map { case (k, rels) =>
-        (k, rels.map(rel => new java.io.File(path, rel).getAbsolutePath))
+        (k, rels.sorted.map(rel => new java.io.File(path, rel).getAbsolutePath))
       }
     // contiguous ranges over the present buckets, like the batch scan
     val nRanges = math.min(splits, byBucket.size)
@@ -1731,7 +2005,8 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TokenRangeReaderFactory(
+    if (cdf) new TokenRangeCdfReaderFactory(projected, full)
+    else new TokenRangeReaderFactory(
       if (projected.fields.nonEmpty) projected
       else StructType(Array(full.fields.head)),
       projected.fields.isEmpty)
@@ -1752,7 +2027,8 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
 private[connector] final class TokenRangeWriteBuilder(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], replaceRel: Set[String] = Set.empty,
     ckName: Option[String] = None, rollRows: Long = Long.MaxValue,
-    declaredDdl: Option[String] = None)
+    declaredDdl: Option[String] = None, opKind: Option[String] = None,
+    cdfRel: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -1773,7 +2049,7 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       new TokenRangeBatchWrite(path, writeSchema, pkIdx, doTruncate, replaceRel,
-        ckName, rollRows, declaredDdl)
+        ckName, rollRows, declaredDdl, opKind, cdfRel)
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution =
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
@@ -1794,7 +2070,8 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
 private[connector] final class TokenRangeBatchWrite(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], doTruncate: Boolean,
     replaceRel: Set[String] = Set.empty, ckName: Option[String] = None,
-    rollRows: Long = Long.MaxValue, declaredDdl: Option[String] = None)
+    rollRows: Long = Long.MaxValue, declaredDdl: Option[String] = None,
+    opKind: Option[String] = None, cdfRel: Option[String] = None)
     extends BatchWrite {
 
   // app-unique token in file names AND the staging dir: partitionId/taskId
@@ -1893,7 +2170,14 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // files are referenced by NO manifest (invisible; vacuum reaps
         // them) and TokenRangeOps re-runs the rewrite from the new
         // snapshot.
-        TokenRangeSource.publishManifest(path, placedRel, doTruncate, replaceRel)
+        TokenRangeSource.publishManifest(path, placedRel, doTruncate, replaceRel,
+          // `#op` kind: the caller's declaration wins; otherwise classify
+          // from shape (truncate / undeclared-rewrite / append)
+          opKind.getOrElse(
+            if (doTruncate) "truncate"
+            else if (replaceRel.nonEmpty) "rewrite"
+            else "append"),
+          cdfRel)
       }
       // retention automation (r13 #8): OUTSIDE the lock and after the flip
       // — a sweep failure or a concurrent sweep can never fail this commit
@@ -2174,13 +2458,24 @@ object TokenRangeOps {
       if (affectedRel.nonEmpty) { // keys owning no visible files: no-op
         val affectedAbs = affectedRel
           .map(rel => new java.io.File(path, rel).getAbsolutePath)
-        val survivors = readFilesAligned(spark, path, affectedAbs)
-          .filter(not(col(pk).isin(keys.map {
-            case u: UTF8String => u.toString
-            case v => v
-          }: _*)))
-        survivors.write.format(fmt)
+        val affected = readFilesAligned(spark, path, affectedAbs)
+        val matches = col(pk).isin(keys.map {
+          case u: UTF8String => u.toString
+          case v => v
+        }: _*)
+        // CHANGE DATA FEED: record the deleted rows BEFORE the flip that
+        // retires their files — one extra pass over the affected files,
+        // the standard CDF write-time trade
+        val cdfRel =
+          if (TokenRangeSource.changeFeedEnabled(path))
+            Some(writeCdfSidecar(path, affected.filter(matches).withColumn(
+              TokenRangeSource.ChangeTypeCol,
+              org.apache.spark.sql.functions.lit("delete"))))
+          else None
+        affected.filter(not(matches)).write.format(fmt)
           .option("pk", pk)
+          .option("opKind", "delete")
+          .options(cdfRel.map("cdfRel" -> _).toMap)
           .option("replaceFiles", affectedRel.mkString("\n"))
           .mode("append").save(path)
       }
@@ -2241,11 +2536,23 @@ object TokenRangeOps {
       if (affectedRel.nonEmpty) {
         val affectedAbs = affectedRel
           .map(rel => new java.io.File(path, rel).getAbsolutePath)
-        val survivors = readFilesAligned(spark, path, affectedAbs)
+        val affected = readFilesAligned(spark, path, affectedAbs)
+        val joinCols = pkFields.map(_.name).toSeq
+        val cdfRel =
+          if (TokenRangeSource.changeFeedEnabled(path))
+            Some(writeCdfSidecar(path, affected
+              .join(org.apache.spark.sql.functions.broadcast(keyDf),
+                joinCols, "left_semi")
+              .withColumn(TokenRangeSource.ChangeTypeCol,
+                org.apache.spark.sql.functions.lit("delete"))))
+          else None
+        val survivors = affected
           .join(org.apache.spark.sql.functions.broadcast(keyDf),
-            pkFields.map(_.name).toSeq, "left_anti")
+            joinCols, "left_anti")
         survivors.write.format(fmt)
           .option("pk", pks.mkString(","))
+          .option("opKind", "delete")
+          .options(cdfRel.map("cdfRel" -> _).toMap)
           .option("replaceFiles", affectedRel.mkString("\n"))
           .mode("append").save(path)
       }
@@ -2350,28 +2657,46 @@ object TokenRangeOps {
       val classed = bucketRel.map(rel => rel -> classify(rel))
       val retired = classed.collect { case (rel, Retire) => rel }
       val straddling = classed.collect { case (rel, Straddle) => rel }
+      val keyV: Any = key match {
+        case u: UTF8String => u.toString
+        case v => v
+      }
+      val ckc = col(ckCol)
+      val matches = col(pk) === org.apache.spark.sql.functions.lit(keyV) &&
+        ckc.isNotNull && ckc >= ckLo && ckc < ckHi
+      // CHANGE DATA FEED: the deleted rows are (retired ∪ straddling)
+      // rows matching the tombstone — retired files are provably
+      // all-match, so one read + filter over both classes is exact. The
+      // retire-unread fast path yields to the feed (reading is the only
+      // way to record the rows), the documented CDF write-time trade.
+      def cdfRel(): Option[String] =
+        if (!TokenRangeSource.changeFeedEnabled(path)) None
+        else Some(writeCdfSidecar(path,
+          readFilesAligned(spark, path, (retired ++ straddling)
+            .map(rel => new java.io.File(path, rel).getAbsolutePath))
+            .filter(matches)
+            .withColumn(TokenRangeSource.ChangeTypeCol,
+              org.apache.spark.sql.functions.lit("delete"))))
       if (retired.isEmpty && straddling.isEmpty) () // nothing matches
       else if (straddling.isEmpty) {
         // metadata-only range tombstone: every affected slab dies wholesale
+        val cdf = cdfRel()
         TokenRangeSource.withCommitLock(path) {
           TokenRangeSource.publishManifest(path, Nil, truncate = false,
-            removeRel = retired.toSet)
+            removeRel = retired.toSet, opKind = "delete", cdfRel = cdf)
         }
       } else {
-        val keyV: Any = key match {
-          case u: UTF8String => u.toString
-          case v => v
-        }
-        val ckc = col(ckCol)
+        val cdf = cdfRel()
         // ckc.isNotNull keeps the predicate two-valued: a NULL-ck row
         // never matches a range (CQL/SQL agree), and without the guard
         // not(NULL) = NULL would silently DROP it from the rewrite
         val survivors = readFilesAligned(spark, path,
             straddling.map(rel => new java.io.File(path, rel).getAbsolutePath))
-          .filter(not(col(pk) === org.apache.spark.sql.functions.lit(keyV)
-            && ckc.isNotNull && ckc >= ckLo && ckc < ckHi))
+          .filter(not(matches))
         survivors.write.format(fmt)
           .option("pk", pk)
+          .option("opKind", "delete")
+          .options(cdf.map("cdfRel" -> _).toMap)
           .option("replaceFiles", (retired ++ straddling).mkString("\n"))
           .mode("append").save(path)
       }
@@ -2464,8 +2789,30 @@ object TokenRangeOps {
               .coalesce(col(s"__in_${f.name}"), col(f.name)).as(f.name)
           else col(f.name)
         }.toSeq: _*)
+      val cdfRel =
+        if (TokenRangeSource.changeFeedEnabled(path)) {
+          // cell-grain classification: a bound existing key is a pre/post
+          // pair (postimage = the MERGED row — what a reader now sees),
+          // an unseen key materializes as an insert
+          val liter = org.apache.spark.sql.functions.lit _
+          val ct = TokenRangeSource.ChangeTypeCol
+          val inKeys = inRenamed.select(pks.map(col): _*).distinct()
+          val oldKeys = old.select(pks.map(col): _*).distinct()
+          val tcols = ts.fields.map(f => col(f.name)).toSeq
+          val pre = old.join(inKeys, pks, "left_semi")
+            .select(tcols: _*).withColumn(ct, liter("update_preimage"))
+          val post = merged.join(inKeys, pks, "left_semi")
+            .join(oldKeys, pks, "left_semi")
+            .select(tcols: _*).withColumn(ct, liter("update_postimage"))
+          val ins = merged.join(inKeys, pks, "left_semi")
+            .join(oldKeys, pks, "left_anti")
+            .select(tcols: _*).withColumn(ct, liter("insert"))
+          Some(writeCdfSidecar(path, pre.unionByName(post).unionByName(ins)))
+        } else None
       merged.write.format(fmt)
         .option("pk", pk)
+        .option("opKind", "upsert")
+        .options(cdfRel.map("cdfRel" -> _).toMap)
         .option("replaceFiles", affectedRel.mkString("\n"))
         .mode("append").save(path)
     }
@@ -2518,6 +2865,9 @@ object TokenRangeOps {
         t.repartition(TokenLayout.Buckets, bucketExpr)
           .write.format(fmt).option("pk", pk)
           .options(rollRows.map(n => "rollRows" -> n.toString).toMap)
+          // content-preserving rewrite: the CDC tail SKIPS `#op compact`
+          // versions (Cassandra's CDC never re-emits compaction either)
+          .option("opKind", "compact")
           .option("replaceFiles", snapshotRel.mkString("\n"))
           .mode("append").save(path)
       }
@@ -2684,17 +3034,44 @@ object TokenRangeOps {
         .collect { case (k, rel) if buckets(k) => rel }
       onSnapshotPinned()
       val cols = aligned.schema.fieldNames.map(col)
-      val merged =
-        if (affectedRel.isEmpty) aligned.select(cols: _*)
-        else {
+      val ct = TokenRangeSource.ChangeTypeCol
+      val liter = org.apache.spark.sql.functions.lit _
+      val (merged, cdfRel) =
+        if (affectedRel.isEmpty) {
+          // no stored rows in the owning buckets: every incoming is new
+          val rel =
+            if (TokenRangeSource.changeFeedEnabled(path))
+              Some(writeCdfSidecar(path, aligned.select(cols: _*)
+                .withColumn(ct, liter("insert"))))
+            else None
+          (aligned.select(cols: _*), rel)
+        } else {
           val old = readFilesAligned(spark, path, affectedRel
             .map(rel => new java.io.File(path, rel).getAbsolutePath))
-          old.join(aligned.select(pks.map(col): _*).distinct(), pks, "left_anti")
+          val inKeys = aligned.select(pks.map(col): _*).distinct()
+          val rel =
+            if (TokenRangeSource.changeFeedEnabled(path)) {
+              // the CQL/Delta change classification: stored rows whose
+              // key is re-bound are pre/post image pairs, unseen keys
+              // are inserts — computed from the SAME pinned snapshot
+              // the rewrite replaces
+              val oldKeys = old.select(pks.map(col): _*).distinct()
+              val pre = old.join(inKeys, pks, "left_semi")
+                .select(cols: _*).withColumn(ct, liter("update_preimage"))
+              val post = aligned.join(oldKeys, pks, "left_semi")
+                .select(cols: _*).withColumn(ct, liter("update_postimage"))
+              val ins = aligned.join(oldKeys, pks, "left_anti")
+                .select(cols: _*).withColumn(ct, liter("insert"))
+              Some(writeCdfSidecar(path, pre.unionByName(post).unionByName(ins)))
+            } else None
+          (old.join(inKeys, pks, "left_anti")
             .select(cols: _*)
-            .unionByName(aligned.select(cols: _*))
+            .unionByName(aligned.select(cols: _*)), rel)
         }
       merged.write.format(fmt)
         .option("pk", pk)
+        .option("opKind", "upsert")
+        .options(cdfRel.map("cdfRel" -> _).toMap)
         .option("replaceFiles", affectedRel.mkString("\n"))
         .mode("append").save(path)
     }
@@ -2755,24 +3132,40 @@ object TokenRangeOps {
     val classed = files.map(rel => rel -> classify(rel))
     val retired = classed.collect { case (rel, Retire) => rel }
     val straddling = classed.collect { case (rel, Straddle) => rel }
+    val tsc = col(tsCol)
+    val cutoffTs = org.apache.spark.sql.functions
+      .timestamp_micros(org.apache.spark.sql.functions.lit(cutoffMicros))
+    // CHANGE DATA FEED: expired rows = non-null ts at/below the cutoff
+    // over (retired ∪ straddling) — retired files are provably all-expired
+    // (zero nulls), so the shared filter is exact for both classes
+    def cdfRel(): Option[String] =
+      if (!TokenRangeSource.changeFeedEnabled(path)) None
+      else Some(writeCdfSidecar(path,
+        readFilesAligned(spark, path, (retired ++ straddling)
+          .map(rel => new java.io.File(path, rel).getAbsolutePath))
+          .filter(tsc.isNotNull && tsc <= cutoffTs)
+          .withColumn(TokenRangeSource.ChangeTypeCol,
+            org.apache.spark.sql.functions.lit("delete"))))
     if (retired.isEmpty && straddling.isEmpty) () // nothing expired
     else if (straddling.isEmpty) {
       // metadata-only expiry: every affected file dies wholesale
+      val cdf = cdfRel()
       TokenRangeSource.withCommitLock(path) {
         TokenRangeSource.publishManifest(path, Nil, truncate = false,
-          removeRel = retired.toSet)
+          removeRel = retired.toSet, opKind = "expire", cdfRel = cdf)
       }
     } else {
       // survivors of the straddling files only (null ts survives — CQL
       // rows without a writetime never expire); wholly-expired files ride
       // the same flip via replaceFiles without ever being read
-      val tsc = col(tsCol)
+      val cdf = cdfRel()
       val survivors = readFilesAligned(spark, path,
           straddling.map(rel => new java.io.File(path, rel).getAbsolutePath))
-        .filter(tsc.isNull || tsc > org.apache.spark.sql.functions
-          .timestamp_micros(org.apache.spark.sql.functions.lit(cutoffMicros)))
+        .filter(tsc.isNull || tsc > cutoffTs)
       survivors.write.format(fmt)
         .option("pk", pk)
+        .option("opKind", "expire")
+        .options(cdf.map("cdfRel" -> _).toMap)
         .option("replaceFiles", (retired ++ straddling).mkString("\n"))
         .mode("append").save(path)
     }
@@ -2846,6 +3239,17 @@ object TokenRangeOps {
         .getOrElse(Array.empty)
         .filter(d => d.isDirectory && newestMtime(d) <= cutoff)
         .foreach(TokenRangeSource.deleteRecursively)
+      // change sidecars referenced by NO retained version die with their
+      // versions; AGE-GATED like staging (a young unreferenced sidecar
+      // may belong to an in-flight rewrite that has not published yet —
+      // vacuum holds the commit lock, but sidecars stage outside it)
+      val liveCdf = keepVs.flatMap(v =>
+        TokenRangeSource.cdfRelAt(path, v)).toSet
+      Option(new java.io.File(path, "_cdf").listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !liveCdf(s"_cdf/${d.getName}") &&
+          newestMtime(d) <= cutoff)
+        .foreach(TokenRangeSource.deleteRecursively)
       dead.size
     }
 
@@ -2861,6 +3265,54 @@ object TokenRangeOps {
     TokenRangeSource.manifestIO.write(
       new java.io.File(TokenRangeSource.manifestDir(path), "retention.properties").getPath,
       s"retain.versions=$keepVersions")
+  }
+
+  /** CHANGE DATA FEED opt-in (r15 continuation — Delta's
+    * `enableChangeDataFeed` analog, Cassandra's `cdc = true`): from the
+    * next rewrite on, DELETE/upsert/expire record the rows they
+    * remove/replace as a parquet sidecar under `_cdf/`, referenced by
+    * the publishing manifest's `#cdf` header, and
+    * `.option("changeFeed", "true")` reads — batch `table_changes` or a
+    * `readStream` tail — serve every change with `_change_type` and
+    * `_commit_version` metadata columns. Write-time cost: one extra
+    * pass over the affected files per rewrite (and whole-file
+    * retirements must be READ to record their rows — the fast path
+    * yields to the feed). Appends never need a sidecar (the feed
+    * synthesizes `insert`); compactions are content-preserving and the
+    * feed skips them. Last-writer-wins, like retention. */
+  def enableChangeFeed(path: String): Unit =
+    TokenRangeSource.manifestIO.write(
+      new java.io.File(TokenRangeSource.manifestDir(path), "cdf.properties").getPath,
+      "cdf=true")
+
+  /** Turn the feed back off: later rewrites record no sidecar (a feed
+    * read crossing them fails loudly — the honest signal). */
+  def disableChangeFeed(path: String): Unit =
+    TokenRangeSource.manifestIO.write(
+      new java.io.File(TokenRangeSource.manifestDir(path), "cdf.properties").getPath,
+      "cdf=false")
+
+  /** Stage a change sidecar (table columns + `_change_type`) under
+    * `_cdf/<uuid>` BEFORE the manifest flip that references it: readers
+    * only ever see sidecars pinned by a published `#cdf` header, a lost
+    * CAS race orphans the dir, and [[vacuum]] reaps orphans age-gated
+    * (a sidecar younger than the staging TTL may belong to an in-flight
+    * rewrite). */
+  private def writeCdfSidecar(path: String,
+      changes: org.apache.spark.sql.DataFrame): String = {
+    val rel = s"_cdf/${java.util.UUID.randomUUID().toString.take(12)}"
+    // timestamps as raw INT64 µs — the sink's own physical encoding, so
+    // the connector reader's TimestampType branch (getLong) reads the
+    // sidecar exactly like a data file (Spark's writer would otherwise
+    // annotate or INT96-encode per session conf)
+    val safe = changes.select(changes.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        org.apache.spark.sql.functions.unix_micros(col(f.name)).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+    safe.write.mode("error")
+      .parquet(new java.io.File(path, rel).getAbsolutePath)
+    rel
   }
 
   private[connector] def retentionKeep(path: String): Option[Int] = {

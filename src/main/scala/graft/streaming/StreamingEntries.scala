@@ -612,6 +612,7 @@ object StreamingEntries extends QueryModule {
   private[graft] def clearConnectorStreamCache(): Unit = {
     graft.PrebuiltDirs.clear("graft_connector_stream")
     graft.PrebuiltDirs.clear("graft_connector_pipe")
+    graft.PrebuiltDirs.clear("graft_connector_cdf")
   }
 
   private[graft] def connectorStreamDir(s: SparkSession, d: String): String =
@@ -717,6 +718,68 @@ object StreamingEntries extends QueryModule {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS curated_value
       |FROM events WHERE value > 50.0 GROUP BY event_type""".stripMargin
 
+  /** CHANGE DATA FEED over the connector (r15 continuation — Delta's CDF
+    * / Cassandra's CDC-over-mutations analog): a connector table takes an
+    * append, a bounded DELETE and an upsert with the feed enabled; the
+    * rewrites record the rows they remove/replace as `_cdf/` sidecars
+    * pinned by their manifest's `#cdf` header, and a `changeFeed`
+    * readStream drains EVERY mutation with its `_change_type` —
+    * synthesized `insert` for appends, recorded `delete` /
+    * `update_preimage` / `update_postimage` for rewrites (compactions
+    * are skipped: content-preserving). The oracle recomputes the same
+    * change log from raw events in pure SQL, so the hash proves the
+    * feed serves each mutation exactly once with its correct image.
+    * The mutation script is deterministic: DELETE the first 500 keys
+    * ≡ 0 (mod 97) (bounded — deleteKeys is a driver-list op), UPDATE
+    * value + 1000 for keys ≡ 0 (mod 101) not deleted. */
+  private def connectorCdfDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_cdf", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val ops = graft.sources.connector.TokenRangeOps
+      val ev = graft.Tables.events(s, d).select("event_id", "event_type", "value")
+      ev.write.format(fmt).option("pk", "event_id")
+        .option("schema", "event_id BIGINT, event_type STRING, value DOUBLE")
+        .mode("append").save(dir)
+      ops.enableChangeFeed(dir)
+      val delKeys = ev.filter(col("event_id") % 97 === 0)
+        .select("event_id").orderBy("event_id").limit(500)
+        .collect().map(_.getLong(0)).toSeq
+      if (delKeys.nonEmpty) ops.deleteKeys(s, dir, "event_id", delKeys)
+      val upd = ev
+        .filter(col("event_id") % 101 === 0 &&
+          !(col("event_id") % 97 === 0 &&
+            col("event_id") <= lit(delKeys.lastOption.getOrElse(Long.MinValue))))
+        .withColumn("value", col("value") + lit(1000.0))
+      ops.upsert(s, dir, "event_id", upd)
+      dir
+    }
+
+  def stConnectorCdf(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorCdfDir(s, d)
+    val src = s.readStream
+      .format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "event_id").option("changeFeed", "true").load(dir)
+    drain(src.groupBy("_change_type", "event_type")
+      .agg(count(lit(1)).as("n_changes"),
+        graft.Cols.sumExact(col("value"), 2).as("total_value")), "complete")
+  }
+
+  private val stConnectorCdfSql =
+    """WITH del AS (
+      |  SELECT * FROM events WHERE event_id % 97 = 0
+      |  ORDER BY event_id LIMIT 500),
+      |upd AS (
+      |  SELECT * FROM events e WHERE event_id % 101 = 0
+      |  AND NOT EXISTS (SELECT 1 FROM del WHERE del.event_id = e.event_id)),
+      |changes AS (
+      |  SELECT 'insert' AS _change_type, event_type, value FROM events
+      |  UNION ALL SELECT 'delete', event_type, value FROM del
+      |  UNION ALL SELECT 'update_preimage', event_type, value FROM upd
+      |  UNION ALL SELECT 'update_postimage', event_type, value + 1000.0 FROM upd)
+      |SELECT _change_type, event_type, COUNT(*) AS n_changes,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM changes GROUP BY 1, 2""".stripMargin
+
   def stConnectorAppend(s: SparkSession, d: String): DataFrame = {
     val dir = connectorStreamDir(s, d)
     s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
@@ -737,6 +800,7 @@ object StreamingEntries extends QueryModule {
     // aggregate exactly — that equality IS the no-lost-no-doubled proof
     ("st_connector_tail", stConnectorTail _, Some(stConnectorAppendSql)),
     ("st_connector_pipeline", stConnectorPipeline _, Some(stConnectorPipelineSql)),
+    ("st_connector_cdf", stConnectorCdf _, Some(stConnectorCdfSql)),
     ("st_bpe_tokenize", stBpeTokenize _, Some(stBpeTokenizeSql)),
     ("st_markov_transitions", stMarkovTransitions _,
       Some(graft.operators.Events.markovTransitionsSql)),

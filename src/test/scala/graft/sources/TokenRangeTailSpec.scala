@@ -87,7 +87,7 @@ class TokenRangeTailSpec extends SparkSpec {
     val ex = intercept[Exception] { drainTail(dir, ckpt) }
     def causes(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
-    assert(causes(ex).exists(_.contains("not an append")),
+    assert(causes(ex).exists(_.contains("content-changing rewrite")),
       s"expected the append-only refusal, got: ${causes(ex).mkString(" | ")}")
   }
 
