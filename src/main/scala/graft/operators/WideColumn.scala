@@ -743,6 +743,83 @@ object WideColumn extends QueryModule {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
       |FROM customer GROUP BY 1""".stripMargin
 
+  // ---- SQL row-level DML: UPDATE / MERGE / predicate DELETE (r15) ---------
+  /** The DML half of the SQL surface (`wc_sql_ddl` covers DDL): `UPDATE`,
+    * `MERGE INTO`, and DELETE with a NON-KEY predicate, served through
+    * DSv2 group-based copy-on-write row-level operations
+    * (SupportsRowLevelOperations — the public interface Iceberg/Delta
+    * serve the same statements through). The operation pins one
+    * snapshot, its scans report exactly the files they plan
+    * (bucket-pruned + ck-slice-pruned), and the commit retires exactly
+    * that set in one conflict-validated flip — an `UPDATE ... WHERE
+    * pk = ?` rewrites one bucket's files, never the table
+    * (file-identity spec-asserted in TokenRangeRowLevelSpec). Script:
+    * load customers, UPDATE a balance bump for keys ≡ 3 (mod 10),
+    * DELETE the now-negative balances (non-key predicate — refused by
+    * the metadata-only SupportsDelete path, so this IS the rewrite
+    * path), then MERGE keys ≡ 0 (mod 7): matched rows take a renamed
+    * image, rows the DELETE removed re-insert with their original
+    * values. The oracle replays the identical script in SQL. */
+  private def sqlDmlDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_sqldml", d) { dir =>
+      val cat = sqlCatalogOf(s, dir)
+      val src = s"dml_$cat"
+      s.sql(s"CREATE NAMESPACE $cat.ks")
+      s.sql(s"""CREATE TABLE $cat.ks.cust (
+        c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)
+        TBLPROPERTIES('pk'='c_custkey')""")
+      Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+        .createOrReplaceTempView(src)
+      s.sql(s"""INSERT INTO $cat.ks.cust
+        SELECT c_custkey, c_name, c_acctbal FROM $src""")
+      s.sql(s"""UPDATE $cat.ks.cust SET c_acctbal = c_acctbal + 100.0
+        WHERE c_custkey % 10 = 3""")
+      s.sql(s"DELETE FROM $cat.ks.cust WHERE c_acctbal < 0.0")
+      s.sql(s"""MERGE INTO $cat.ks.cust AS t
+        USING (SELECT c_custkey, c_name, c_acctbal FROM $src
+               WHERE c_custkey % 7 = 0) AS m
+        ON t.c_custkey = m.c_custkey
+        WHEN MATCHED THEN UPDATE SET t.c_name = concat('m_', m.c_name)
+        WHEN NOT MATCHED THEN
+          INSERT (c_custkey, c_name, c_acctbal)
+          VALUES (m.c_custkey, m.c_name, m.c_acctbal)""")
+      s.catalog.dropTempView(src)
+      dir
+    }
+
+  def sqlUpdateMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = sqlDmlDir(s, d)
+    val cat = sqlCatalogOf(s, dir)
+    s.table(s"$cat.ks.cust")
+      .groupBy((col("c_custkey") % 4).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        Cols.sumExact(col("c_acctbal"), 2).as("bal_sum"),
+        count(when(substring(col("c_name"), 1, 2) === "m_", 1)).as("n_merged"))
+  }
+
+  private val sqlUpdateMergeSql =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0
+      |         ELSE c_acctbal END AS bal
+      |  FROM customer),
+      |kept AS (SELECT * FROM upd WHERE bal >= 0.0),
+      |merged AS (
+      |  SELECT k.c_custkey,
+      |    CASE WHEN k.c_custkey % 7 = 0 THEN 'm_' || k.c_name
+      |         ELSE k.c_name END AS c_name,
+      |    k.bal
+      |  FROM kept k
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_name, c.c_acctbal
+      |  FROM customer c
+      |  WHERE c.c_custkey % 7 = 0
+      |    AND NOT EXISTS (SELECT 1 FROM kept WHERE kept.c_custkey = c.c_custkey))
+      |SELECT c_custkey % 4 AS grp, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+      |  COUNT(CASE WHEN SUBSTRING(c_name, 1, 2) = 'm_' THEN 1 END) AS n_merged
+      |FROM merged GROUP BY 1""".stripMargin
+
   // ---- clustering-range DELETE through the connector (r15) ----------------
   /** CQL's RANGE TOMBSTONE — `DELETE FROM t WHERE pk = ? AND ck >= a AND
     * ck < b` (VERDICT r14 next-round #3): the delete-one-partition's-
@@ -1789,6 +1866,7 @@ object WideColumn extends QueryModule {
     ("wc_delete_ck_range", deleteCkRangeEntry _, Some(deleteCkRangeSql)),
     ("wc_cell_lww", cellLww _, Some(cellLwwSql)),
     ("wc_sql_ddl", sqlDdl _, Some(sqlDdlSql)),
+    ("wc_sql_update_merge", sqlUpdateMerge _, Some(sqlUpdateMergeSql)),
     ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
     ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)))

@@ -1142,7 +1142,24 @@ object TokenLayout {
 
 private[connector] final class TokenRangeTable(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends Table with SupportsRead
-    with SupportsWrite with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with SupportsWrite with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE` (r15
+    * continuation): group-based COPY-ON-WRITE row-level operations — the
+    * public DSv2 surface Iceberg/Delta serve these statements through.
+    * Catalyst rewrites the statement into a ReplaceData plan: it scans
+    * the affected rows through [[TokenRangeRowLevelOperation
+    * .newScanBuilder]], computes the new row set, writes it through
+    * [[TokenRangeRowLevelOperation.newWriteBuilder]], and the commit
+    * retires EXACTLY the files the operation's scans planned — one
+    * conflict-validated atomic flip, same primitive as TokenRangeOps.
+    * pk-equality DELETEs still take the metadata-only [[SupportsDelete]]
+    * fast path (Spark prefers it when [[canDeleteWhere]] accepts). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new TokenRangeRowLevelOperation(info.command(), tableSchema, options)
   override def name(): String = s"token_range(${TokenRangeSource.pathOf(options)})"
   override def schema(): StructType = tableSchema
 
@@ -1344,8 +1361,77 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   }
 }
 
+/** One SQL row-level statement's copy-on-write lifecycle (UPDATE /
+  * MERGE INTO / DELETE with a non-key predicate). The operation pins ONE
+  * snapshot; every scan Catalyst plans through it resolves that version
+  * and REPORTS the files it kept (bucket-pruned + ck-slice-pruned); the
+  * write retires exactly that union in the same flip that publishes the
+  * rewritten rows. Pruned-out files survive by reference — an
+  * `UPDATE ... WHERE pk = ?` rewrites one bucket's files, not the table.
+  * A racing rewrite that retired any planned file first fails the
+  * statement with [[ManifestConflictException]] (re-run it — the
+  * optimistic-concurrency contract every TokenRangeOps rewrite retries
+  * internally; a SQL statement surfaces it instead, like a serializable
+  * transaction abort). On a change-feed table these statements record NO
+  * sidecar yet — a later feed read crossing them fails loudly with the
+  * enable-hint (the honest signal, documented divergence). */
+private[connector] final class TokenRangeRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  private val path = TokenRangeSource.pathOf(options)
+  private val pinned: Option[Int] = TokenRangeSource.currentVersion(path)
+  private val plannedRel =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(o)
+    pinned.foreach(v => merged.put("version", v.toString))
+    new TokenRangeScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged),
+      onPlanned = rels => { rels.foreach(plannedRel.add); () })
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): WriteBuilder = {
+    val pk = TokenRangeSource.recordedPk(path)
+      .orElse(Option(options.get("pk")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"token-range row-level ${cmd} at $path requires a recorded pk"))
+    val names = info.schema().fieldNames
+    val pkIdx = pk.split(',').map(_.trim).toSeq.map(n =>
+      names.indexWhere(_.equalsIgnoreCase(n)) match {
+        case -1 => throw new IllegalArgumentException(
+          s"token-range row-level ${cmd} at $path: pk column '$n' missing " +
+            s"from the rewrite schema ${info.schema().catalogString}")
+        case i => i
+      })
+    val kind = cmd match {
+      case org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE =>
+        "delete"
+      case _ => "upsert" // UPDATE / MERGE: content-changing replacement
+    }
+    new TokenRangeWriteBuilder(path, info.schema(), pkIdx,
+      ckName = TokenRangeSource.recordedCk(path),
+      opKind = Some(kind),
+      lateReplaceRel = () => {
+        val rels = Set.newBuilder[String]
+        plannedRel.forEach(r => rels += r)
+        rels.result()
+      },
+      // Spark 4's ReplaceData prepends `__row_operation` to every row
+      // (constant for group-based writes) — the task writers skip it
+      rowOpColumn = true)
+  }
+}
+
 private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    onPlanned: Seq[String] => Unit = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -1537,7 +1623,8 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       // backfill over a long history becomes bounded steps instead of
       // one giant batch. AvailableNow still drains to its pinned end,
       // in multiple micro-batches.
-      Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      onPlanned)
   }
 }
 
@@ -1549,7 +1636,8 @@ private[connector] final class TokenRangeScan(path: String,
     required: StructType, full: StructType, pushed: Array[Filter],
     pkBuckets: Option[Set[Int]], ckSlice: Seq[(String, Long, Long)],
     splits: Int, version: Option[Int] = None,
-    maxVersionsPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxVersionsPerTrigger: Option[Int] = None,
+    onPlanned: Seq[String] => Unit = null) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1605,7 +1693,7 @@ private[connector] final class TokenRangeScan(path: String,
     // `kept`, not the absolute ring position): a sparse or pruned layout
     // whose populated buckets cluster in one half of the ring must still
     // honor the requested split count (r9 review finding)
-    kept.zipWithIndex
+    val parts: Array[TokenRangePartition] = kept.zipWithIndex
       .groupBy { case (_, i) => i * nRanges / kept.size }
       .toSeq.sortBy(_._1)
       .map { case (_, group) =>
@@ -1616,7 +1704,16 @@ private[connector] final class TokenRangeScan(path: String,
         TokenRangePartition(group.head._1._1, group.last._1._1, files.toArray)
       }
       .filter(_.files.nonEmpty)
-      .toArray[InputPartition]
+      .toArray
+    // copy-on-write hook (SQL row-level ops): report exactly the files
+    // this scan will read — bucket-pruned AND ck-slice-pruned — as
+    // relative paths; the operation's write retires exactly this set
+    if (onPlanned != null)
+      onPlanned(parts.flatMap(_.files).toSeq.map { abs =>
+        val f = new java.io.File(abs)
+        s"${f.getParentFile.getName}/${f.getName}"
+      })
+    parts.toArray[InputPartition]
   }
 
   override def planInputPartitions(): Array[InputPartition] = partitions
@@ -2028,7 +2125,9 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], replaceRel: Set[String] = Set.empty,
     ckName: Option[String] = None, rollRows: Long = Long.MaxValue,
     declaredDdl: Option[String] = None, opKind: Option[String] = None,
-    cdfRel: Option[String] = None)
+    cdfRel: Option[String] = None,
+    lateReplaceRel: () => Set[String] = null,
+    rowOpColumn: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -2049,7 +2148,8 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       new TokenRangeBatchWrite(path, writeSchema, pkIdx, doTruncate, replaceRel,
-        ckName, rollRows, declaredDdl, opKind, cdfRel)
+        ckName, rollRows, declaredDdl, opKind, cdfRel, lateReplaceRel,
+        rowOpColumn)
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution =
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
@@ -2071,8 +2171,17 @@ private[connector] final class TokenRangeBatchWrite(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], doTruncate: Boolean,
     replaceRel: Set[String] = Set.empty, ckName: Option[String] = None,
     rollRows: Long = Long.MaxValue, declaredDdl: Option[String] = None,
-    opKind: Option[String] = None, cdfRel: Option[String] = None)
+    opKind: Option[String] = None, cdfRel: Option[String] = None,
+    lateReplaceRel: () => Set[String] = null,
+    rowOpColumn: Boolean = false)
     extends BatchWrite {
+
+  /** Files this commit retires. A SQL row-level operation (copy-on-write
+    * UPDATE/MERGE/DELETE-by-predicate) resolves its set LATE — the
+    * operation's scans plan during job EXECUTION, after this write was
+    * built — so the commit re-reads it here, at the flip. */
+  private def effectiveReplaceRel: Set[String] =
+    replaceRel ++ Option(lateReplaceRel).map(_()).getOrElse(Set.empty)
 
   // app-unique token in file names AND the staging dir: partitionId/taskId
   // restart near 0 in every new application, so a second app appending to
@@ -2086,7 +2195,8 @@ private[connector] final class TokenRangeBatchWrite(path: String,
     // destroyed the previous table version) — overwrite is a logical
     // truncate applied at manifest-flip time
     new java.io.File(path).mkdirs()
-    TokenRangeWriterFactory(path, writeSchema, pkIdx, writeId, rollRows)
+    TokenRangeWriterFactory(path, writeSchema, pkIdx, writeId, rollRows,
+      rowOpColumn)
   }
 
   /** The atomicity point: move every staged file into its `tb=<k>` dir,
@@ -2170,12 +2280,13 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // files are referenced by NO manifest (invisible; vacuum reaps
         // them) and TokenRangeOps re-runs the rewrite from the new
         // snapshot.
-        TokenRangeSource.publishManifest(path, placedRel, doTruncate, replaceRel,
+        val replace = effectiveReplaceRel
+        TokenRangeSource.publishManifest(path, placedRel, doTruncate, replace,
           // `#op` kind: the caller's declaration wins; otherwise classify
           // from shape (truncate / undeclared-rewrite / append)
           opKind.getOrElse(
             if (doTruncate) "truncate"
-            else if (replaceRel.nonEmpty) "rewrite"
+            else if (replace.nonEmpty) "rewrite"
             else "append"),
           cdfRel)
       }
@@ -2202,15 +2313,25 @@ private[connector] final case class TokenRangeCommit(files: Array[String])
 
 private[connector] final case class TokenRangeWriterFactory(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], writeId: String,
-    rollRows: Long = Long.MaxValue) extends DataWriterFactory {
+    rollRows: Long = Long.MaxValue, rowOpColumn: Boolean = false)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new TokenRangeDataWriter(path, writeSchema, pkIdx, partitionId, taskId,
-      writeId, rollRows)
+      writeId, rollRows, rowOpColumn)
 }
 
 private[connector] final class TokenRangeDataWriter(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], partitionId: Int, taskId: Long,
-    writeId: String, rollRows: Long = Long.MaxValue) extends DataWriter[InternalRow] {
+    writeId: String, rollRows: Long = Long.MaxValue,
+    rowOpColumn: Boolean = false) extends DataWriter[InternalRow] {
+
+  /** SQL row-level writes (ReplaceData, Spark 4) prepend
+    * [[org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN]]
+    * (`__row_operation`) to every row; for GROUP-BASED copy-on-write every
+    * emitted row is a write (the marker is constant — delta encodings
+    * require SupportsDelta, which this sink does not implement), so the
+    * writer simply reads past it. */
+  private val fieldOffset = if (rowOpColumn) 1 else 0
 
   private val msgType = TokenRangeSource.toParquet(writeSchema)
   private val factory = new SimpleGroupFactory(msgType)
@@ -2250,11 +2371,12 @@ private[connector] final class TokenRangeDataWriter(path: String,
   private val pkDts = pkIdx.map(writeSchema(_).dataType)
   private val pkScratch = new Array[Any](pkIdxArr.length)
 
+  // `i` below is always a SCHEMA index; row accesses shift by fieldOffset
   private def pkValue(row: InternalRow, i: Int): Any =
     writeSchema(i).dataType match {
-      case LongType => row.getLong(i)
-      case IntegerType => row.getInt(i)
-      case StringType => row.getUTF8String(i)
+      case LongType => row.getLong(i + fieldOffset)
+      case IntegerType => row.getInt(i + fieldOffset)
+      case StringType => row.getUTF8String(i + fieldOffset)
       case other => throw new IllegalArgumentException(
         s"unsupported partition-key type $other")
     }
@@ -2263,10 +2385,12 @@ private[connector] final class TokenRangeDataWriter(path: String,
     if (pkIdxArr.length == 1) {
       val i = pkIdxArr(0)
       writeSchema(i).dataType match {
-        case LongType => TokenLayout.bucketOfValue(row.getLong(i))
-        case IntegerType => TokenLayout.bucketOfValue(row.getInt(i).toLong)
+        case LongType => TokenLayout.bucketOfValue(row.getLong(i + fieldOffset))
+        case IntegerType =>
+          TokenLayout.bucketOfValue(row.getInt(i + fieldOffset).toLong)
         case StringType =>
-          TokenLayout.bucketOfStringValue(row.getUTF8String(i).toString)
+          TokenLayout.bucketOfStringValue(
+            row.getUTF8String(i + fieldOffset).toString)
         case other => throw new IllegalArgumentException(
           s"unsupported partition-key type $other")
       }
@@ -2283,30 +2407,35 @@ private[connector] final class TokenRangeDataWriter(path: String,
     }
 
   override def write(row: InternalRow): Unit = {
+    require(row.numFields == writeSchema.fields.length + fieldOffset,
+      s"token-range sink: row arity ${row.numFields} != write schema " +
+        s"${writeSchema.catalogString} (+$fieldOffset op column) — the " +
+        "plan handed rows in a layout the writer did not declare")
     var pi = 0
     while (pi < pkIdxArr.length) {
-      require(!row.isNullAt(pkIdxArr(pi)),
+      require(!row.isNullAt(pkIdxArr(pi) + fieldOffset),
         "token-range sink: partition key must be non-null (CQL parity)")
       pi += 1
     }
     val g = factory.newGroup()
     var i = 0
     while (i < writeSchema.fields.length) {
-      if (!row.isNullAt(i)) {
+      val r = i + fieldOffset
+      if (!row.isNullAt(r)) {
         val f = writeSchema.fields(i)
         f.dataType match {
-          case LongType => g.add(f.name, row.getLong(i))
-          case IntegerType => g.add(f.name, row.getInt(i))
-          case DoubleType => g.add(f.name, row.getDouble(i))
-          case FloatType => g.add(f.name, row.getFloat(i))
-          case BooleanType => g.add(f.name, row.getBoolean(i))
-          case StringType => g.add(f.name, row.getUTF8String(i).toString)
+          case LongType => g.add(f.name, row.getLong(r))
+          case IntegerType => g.add(f.name, row.getInt(r))
+          case DoubleType => g.add(f.name, row.getDouble(r))
+          case FloatType => g.add(f.name, row.getFloat(r))
+          case BooleanType => g.add(f.name, row.getBoolean(r))
+          case StringType => g.add(f.name, row.getUTF8String(r).toString)
           // µs since epoch — the exact INT64 InternalRow already holds
-          case TimestampType => g.add(f.name, row.getLong(i))
+          case TimestampType => g.add(f.name, row.getLong(r))
           case dt: DecimalType =>
-            g.add(f.name, row.getDecimal(i, dt.precision, dt.scale).toUnscaledLong)
+            g.add(f.name, row.getDecimal(r, dt.precision, dt.scale).toUnscaledLong)
           case BinaryType =>
-            g.add(f.name, Binary.fromConstantByteArray(row.getBinary(i)))
+            g.add(f.name, Binary.fromConstantByteArray(row.getBinary(r)))
           case other => throw new IllegalArgumentException(s"unsupported $other")
         }
       }

@@ -200,8 +200,14 @@ class EntrySpec extends SparkSpec {
     // through TokenRangeCatalog via spark.sql), +st_connector_pipeline
     // (incremental curation: capped CDC tail → quality gate → atomic
     // sink appends → read-back, exactly-once end to end) → 232/232.
-    assert(SparkEntry.queries.size == 232, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 232, s"got ${SparkEntry.oracleSql.size}")
+    // r15 continuation: +st_connector_cdf (CHANGE DATA FEED — rewrites
+    // record their removed/replaced rows as manifest-pinned sidecars,
+    // changeFeed reads serve _change_type/_commit_version; the plain
+    // tail is compaction-transparent via the #op kind) and
+    // +wc_sql_update_merge (SQL UPDATE/MERGE/predicate-DELETE through
+    // DSv2 group-based copy-on-write row-level operations) → 234/234.
+    assert(SparkEntry.queries.size == 234, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 234, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
