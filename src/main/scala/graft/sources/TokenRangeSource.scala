@@ -1381,6 +1381,16 @@ private[connector] final class TokenRangeRowLevelOperation(
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   private val path = TokenRangeSource.pathOf(options)
+  // fail EARLY on change-feed tables: these statements record no change
+  // sidecar yet, so letting one commit would permanently break every
+  // later feed read (the read-side refusal is loud but too late — the
+  // rewrite is already published). Refusing at analysis keeps the feed's
+  // invariant: every content-changing version carries its changes.
+  require(!TokenRangeSource.changeFeedEnabled(path),
+    s"token-range table at $path has the change data feed enabled: SQL " +
+      "UPDATE/MERGE/predicate-DELETE do not record change sidecars yet — " +
+      "use TokenRangeOps.upsert/upsertCells/deleteKeys/expire (which do), " +
+      "or disableChangeFeed first")
   private val pinned: Option[Int] = TokenRangeSource.currentVersion(path)
   private val plannedRel =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -2842,11 +2852,19 @@ object TokenRangeOps {
     * unbound columns KEEP their stored value, and keys with no stored
     * row materialize with NULL unbound cells — exactly one pk exchange
     * (a full-outer join per affected bucket) + a coalesce per column.
-    * Divergence, documented: binding an explicit NULL keeps the old
-    * value (coalesce cannot distinguish it from "unbound") — CQL's
-    * SET c = null cell tombstone needs the row-grain [[upsert]]. */
+    *
+    * `tombstoneNulls` selects what a bound NULL means (a DataFrame
+    * can't carry per-row bound-ness, so the choice is per-statement —
+    * exactly like one CQL UPDATE's SET list applying to every row it
+    * names):
+    *   - false (default): a bound NULL keeps the stored value — the
+    *     newest-non-null-per-cell merge (`wc_cell_lww`'s oracle);
+    *   - true: a bound column REPLACES the cell outright, so a bound
+    *     NULL is CQL's `SET c = null` CELL TOMBSTONE — the stored value
+    *     dies, unbound columns still keep. */
   def upsertCells(spark: SparkSession, path: String, pk: String,
-      incoming: org.apache.spark.sql.DataFrame): Unit = {
+      incoming: org.apache.spark.sql.DataFrame,
+      tombstoneNulls: Boolean = false): Unit = {
     requirePkMatches(path, pk, "upsertCells")
     val pks = pk.split(',').map(_.trim).toSeq
     val ts = TokenRangeSource.storedSchema(path).getOrElse(
@@ -2896,8 +2914,13 @@ object TokenRangeOps {
         "same partition key more than once — resolve duplicates first " +
         "(a batch frame has no writetime order to break the tie)")
     val buckets = perBucket.map(_.getInt(0)).toSet
+    // presence marker: after the full-outer join, non-null __in_present
+    // means THIS key was bound by the incoming frame — what the
+    // tombstone mode keys its replace on (a bound NULL cell is
+    // indistinguishable from an unbound one without it)
     val inRenamed = aligned.select(
-      (pks.map(col) ++ cellCols.map(c => col(c).as(s"__in_$c"))).toSeq: _*)
+      (pks.map(col) ++ cellCols.map(c => col(c).as(s"__in_$c"))
+        :+ org.apache.spark.sql.functions.lit(true).as("__in_present")).toSeq: _*)
     withConflictRetry("upsertCells") {
       val pinned = TokenRangeSource.currentVersion(path)
       val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
@@ -2913,10 +2936,18 @@ object TokenRangeOps {
       val merged = old.join(inRenamed, pks, "full_outer")
         .select(ts.fields.map { f =>
           if (pkSet(f.name.toLowerCase)) col(f.name)
-          else if (cellSet(f.name.toLowerCase))
-            org.apache.spark.sql.functions
-              .coalesce(col(s"__in_${f.name}"), col(f.name)).as(f.name)
-          else col(f.name)
+          else if (cellSet(f.name.toLowerCase)) {
+            if (tombstoneNulls)
+              // CELL TOMBSTONE mode: a bound key's cell takes the
+              // incoming value even when NULL (CQL's SET c = null);
+              // unbound keys (no incoming row) keep the stored value
+              org.apache.spark.sql.functions
+                .when(col("__in_present").isNotNull, col(s"__in_${f.name}"))
+                .otherwise(col(f.name)).as(f.name)
+            else
+              org.apache.spark.sql.functions
+                .coalesce(col(s"__in_${f.name}"), col(f.name)).as(f.name)
+          } else col(f.name)
         }.toSeq: _*)
       val cdfRel =
         if (TokenRangeSource.changeFeedEnabled(path)) {

@@ -764,6 +764,44 @@ object StreamingEntries extends QueryModule {
         graft.Cols.sumExact(col("value"), 2).as("total_value")), "complete")
   }
 
+  /** INCREMENTAL AGGREGATION over the change feed — the
+    * materialized-view-maintenance property that makes a CDF worth its
+    * write-time cost: folding every mutation as a SIGNED delta
+    * (insert/update_postimage = +, delete/update_preimage = −) must
+    * reproduce the aggregate of the table's FINAL state exactly — no
+    * re-scan of the base table, ever. Exact-decimal casts make the
+    * pre/post cancellation exact (a double fold would leak ulps), so
+    * the oracle — the same aggregate computed directly on the final
+    * state in SQL — hash-matches. This is the downstream consumer every
+    * CDC system exists for: a summary table maintained at mutation
+    * grain over 100 TB of base data it never re-reads. */
+  def stCdfIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val dir = connectorCdfDir(s, d)
+    val src = s.readStream
+      .format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "event_id").option("changeFeed", "true").load(dir)
+    val dec = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val add = col("_change_type").isin("insert", "update_postimage")
+    drain(src.groupBy("event_type")
+      .agg(sum(when(add, 1L).otherwise(-1L)).as("n_net"),
+        sum(when(add, dec).otherwise(-dec)).cast("double").as("value_net")),
+      "complete")
+  }
+
+  private val stCdfIncrementalAggSql =
+    """WITH del AS (
+      |  SELECT * FROM events WHERE event_id % 97 = 0
+      |  ORDER BY event_id LIMIT 500),
+      |final AS (
+      |  SELECT event_type,
+      |    CASE WHEN e.event_id % 101 = 0 THEN value + 1000.0
+      |         ELSE value END AS value
+      |  FROM events e
+      |  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.event_id = e.event_id))
+      |SELECT event_type, COUNT(*) AS n_net,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_net
+      |FROM final GROUP BY event_type""".stripMargin
+
   private val stConnectorCdfSql =
     """WITH del AS (
       |  SELECT * FROM events WHERE event_id % 97 = 0
@@ -801,6 +839,7 @@ object StreamingEntries extends QueryModule {
     ("st_connector_tail", stConnectorTail _, Some(stConnectorAppendSql)),
     ("st_connector_pipeline", stConnectorPipeline _, Some(stConnectorPipelineSql)),
     ("st_connector_cdf", stConnectorCdf _, Some(stConnectorCdfSql)),
+    ("st_cdf_incremental_agg", stCdfIncrementalAgg _, Some(stCdfIncrementalAggSql)),
     ("st_bpe_tokenize", stBpeTokenize _, Some(stBpeTokenizeSql)),
     ("st_markov_transitions", stMarkovTransitions _,
       Some(graft.operators.Events.markovTransitionsSql)),

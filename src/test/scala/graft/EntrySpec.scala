@@ -205,9 +205,12 @@ class EntrySpec extends SparkSpec {
     // changeFeed reads serve _change_type/_commit_version; the plain
     // tail is compaction-transparent via the #op kind) and
     // +wc_sql_update_merge (SQL UPDATE/MERGE/predicate-DELETE through
-    // DSv2 group-based copy-on-write row-level operations) → 234/234.
-    assert(SparkEntry.queries.size == 234, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 234, s"got ${SparkEntry.oracleSql.size}")
+    // DSv2 group-based copy-on-write row-level operations),
+    // +st_cdf_incremental_agg (signed-delta fold of the feed ≡ the
+    // final-state aggregate — MV maintenance at mutation grain)
+    // → 235/235.
+    assert(SparkEntry.queries.size == 235, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 235, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

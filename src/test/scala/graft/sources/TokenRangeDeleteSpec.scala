@@ -480,4 +480,28 @@ class TokenRangeDeleteSpec extends SparkSpec {
     }.getMessage.contains("more than once"))
     assert(load(dir).filter(col("pk") === 7L).count() == 1)
   }
+
+  test("upsertCells tombstoneNulls: a bound NULL is CQL's SET c = null cell tombstone") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    (0L until 8L).map(i => (i, s"a$i", i * 1.0)).toDF("pk", "a", "b")
+      .write.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, a STRING, b DOUBLE")
+      .mode("append").save(dir)
+    // bind `a` with an explicit NULL for key 2 and a value for key 3;
+    // `b` stays unbound everywhere
+    val in = Seq((2L, null.asInstanceOf[String]), (3L, "X3")).toDF("pk", "a")
+    // default mode: the NULL keeps the stored value (newest-non-null merge)
+    TokenRangeOps.upsertCells(spark, dir, "pk", in)
+    val kept = load(dir).filter(col("pk") === 2L).collect().head
+    assert(kept.getString(1) == "a2", "default mode: bound NULL keeps")
+    // tombstone mode: the bound NULL KILLS the cell; unbound `b` keeps
+    TokenRangeOps.upsertCells(spark, dir, "pk", in, tombstoneNulls = true)
+    val got = load(dir).collect().map(r => r.getLong(0) ->
+      ((if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(got(2L) == ((null, 2.0)), "bound NULL tombstones the cell, unbound keeps")
+    assert(got(3L) == (("X3", 3.0)), "bound value still replaces")
+    assert(got(5L) == (("a5", 5.0)), "unbound keys untouched")
+  }
 }
