@@ -1372,25 +1372,17 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   * statement with [[ManifestConflictException]] (re-run it — the
   * optimistic-concurrency contract every TokenRangeOps rewrite retries
   * internally; a SQL statement surfaces it instead, like a serializable
-  * transaction abort). On a change-feed table these statements record NO
-  * sidecar yet — a later feed read crossing them fails loudly with the
-  * enable-hint (the honest signal, documented divergence). */
+  * transaction abort). On a change-feed table the commit records a
+  * change sidecar as the MULTISET DIFF of the retired files' rows vs
+  * their staged replacements — updates encode as delete+insert pairs
+  * (exact under duplicate keys, fold-equivalent to pre/post images;
+  * TokenRangeOps.upsert records true images). */
 private[connector] final class TokenRangeRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   private val path = TokenRangeSource.pathOf(options)
-  // fail EARLY on change-feed tables: these statements record no change
-  // sidecar yet, so letting one commit would permanently break every
-  // later feed read (the read-side refusal is loud but too late — the
-  // rewrite is already published). Refusing at analysis keeps the feed's
-  // invariant: every content-changing version carries its changes.
-  require(!TokenRangeSource.changeFeedEnabled(path),
-    s"token-range table at $path has the change data feed enabled: SQL " +
-      "UPDATE/MERGE/predicate-DELETE do not record change sidecars yet — " +
-      "use TokenRangeOps.upsert/upsertCells/deleteKeys/expire (which do), " +
-      "or disableChangeFeed first")
   private val pinned: Option[Int] = TokenRangeSource.currentVersion(path)
   private val plannedRel =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -2220,6 +2212,24 @@ private[connector] final class TokenRangeBatchWrite(path: String,
       case TokenRangeCommit(files) => files
       case _ => Array.empty[String]
     }
+    // resolve the retire set ONCE (a SQL row-level op binds it late, from
+    // what its scans planned) — the publish below and the change sidecar
+    // must agree on it
+    val replace = effectiveReplaceRel
+    // CHANGE DATA FEED for SQL row-level rewrites: the commit records the
+    // MULTISET DIFF of the retired files' rows vs their staged
+    // replacements — updates encode as delete+insert pairs (exact under
+    // duplicate keys; fold-equivalent to pre/post images). Computed
+    // BEFORE the lock (two reads + two exceptAll shuffles — the CDF
+    // write-time trade); retired files are still visible, staged files
+    // readable in place.
+    val commitCdfRel: Option[String] =
+      if (cdfRel.isDefined || !rowOpColumn || replace.isEmpty ||
+          !TokenRangeSource.changeFeedEnabled(path)) cdfRel
+      else Some(TokenRangeOps.stageSqlDmlSidecar(
+        org.apache.spark.sql.SparkSession.active, path,
+        replace.toSeq.map(rel => new java.io.File(path, rel).getAbsolutePath),
+        staged.toSeq))
     try {
       TokenRangeSource.withCommitLock(path) {
         // LEGACY tables first (r11 review): a manifest-less table reads
@@ -2290,7 +2300,6 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // files are referenced by NO manifest (invisible; vacuum reaps
         // them) and TokenRangeOps re-runs the rewrite from the new
         // snapshot.
-        val replace = effectiveReplaceRel
         TokenRangeSource.publishManifest(path, placedRel, doTruncate, replace,
           // `#op` kind: the caller's declaration wins; otherwise classify
           // from shape (truncate / undeclared-rewrite / append)
@@ -2298,7 +2307,7 @@ private[connector] final class TokenRangeBatchWrite(path: String,
             if (doTruncate) "truncate"
             else if (replace.nonEmpty) "rewrite"
             else "append"),
-          cdfRel)
+          commitCdfRel)
       }
       // retention automation (r13 #8): OUTSIDE the lock and after the flip
       // — a sweep failure or a concurrent sweep can never fail this commit
@@ -3458,6 +3467,26 @@ object TokenRangeOps {
     * CAS race orphans the dir, and [[vacuum]] reaps orphans age-gated
     * (a sidecar younger than the staging TTL may belong to an in-flight
     * rewrite). */
+  /** Change sidecar for a SQL row-level rewrite (UPDATE/MERGE/predicate
+    * DELETE through SupportsRowLevelOperations): the MULTISET diff of
+    * the retired files' rows against their staged replacements. Updates
+    * encode as delete+insert pairs — exact under duplicate partition
+    * keys (no join fan-out; `exceptAll` is bag semantics) and
+    * fold-equivalent to pre/post images for every delta consumer.
+    * Called by the sink's commit BEFORE the manifest flip. */
+  private[connector] def stageSqlDmlSidecar(spark: SparkSession,
+      path: String, retiredAbs: Seq[String], stagedAbs: Seq[String]): String = {
+    val liter = org.apache.spark.sql.functions.lit _
+    val ct = TokenRangeSource.ChangeTypeCol
+    val old = readFilesAligned(spark, path, retiredAbs)
+    val nw =
+      if (stagedAbs.isEmpty) old.limit(0)
+      else readFilesAligned(spark, path, stagedAbs)
+    writeCdfSidecar(path,
+      old.exceptAll(nw).withColumn(ct, liter("delete"))
+        .unionByName(nw.exceptAll(old).withColumn(ct, liter("insert"))))
+  }
+
   private def writeCdfSidecar(path: String,
       changes: org.apache.spark.sql.DataFrame): String = {
     val rel = s"_cdf/${java.util.UUID.randomUUID().toString.take(12)}"

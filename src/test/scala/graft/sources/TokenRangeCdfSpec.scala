@@ -219,6 +219,45 @@ class TokenRangeCdfSpec extends SparkSpec {
     assert(feedBatch(dir).filter(col("_change_type") === "delete").count() == 1)
   }
 
+  test("SQL UPDATE/MERGE/DELETE on a feed table record multiset delete+insert sidecars; the fold still reconstructs") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdf_sql").toString
+    val cat = "graft_cdf_sqlcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[TokenRangeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ks")
+    spark.sql(s"CREATE TABLE $cat.ks.t (pk BIGINT, v STRING) " +
+      "TBLPROPERTIES('pk'='pk')")
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) FROM range(0, 24)")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    TokenRangeOps.enableChangeFeed(path)
+    spark.sql(s"UPDATE $cat.ks.t SET v = 'patched' WHERE pk = 5")
+    spark.sql(s"DELETE FROM $cat.ks.t WHERE v = 'a9'") // non-key predicate
+    val feed = feedBatch(path)
+      .select("_change_type", "_commit_version", "pk", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // the UPDATE encodes as one delete + one insert (multiset diff);
+    // the DELETE as one delete; untouched same-file rows cancel out
+    val nonInsertBackfill = feed.filterNot(t => t._1 == "insert" && t._4.startsWith("a"))
+    assert(feed.count(t => t._1 == "delete" && t._3 == 5L && t._4 == "a5") == 1)
+    assert(feed.count(t => t._1 == "insert" && t._3 == 5L && t._4 == "patched") == 1)
+    assert(feed.count(t => t._1 == "delete" && t._3 == 9L) == 1)
+    assert(nonInsertBackfill.length == 3,
+      s"exactly the three change rows beyond the backfill: $nonInsertBackfill")
+    // fold in commit order; within one version deletes apply before
+    // inserts (a delete+insert pair IS that version's update — multiset
+    // semantics carry no intra-version order)
+    val state = scala.collection.mutable.Map.empty[Long, String]
+    feed.sortBy(t => (t._2, if (t._1 == "delete") 0 else 1)).foreach {
+      case ("insert", _, k, v) => state(k) = v
+      case ("delete", _, k, _) => state.remove(k)
+      case _ => ()
+    }
+    val table = spark.sql(s"SELECT * FROM $cat.ks.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state.toMap == table, "feed fold must reconstruct the table")
+  }
+
   test("the streaming feed recovers across restarts at version grain") {
     val dir = freshDir("graft_cdf_restart")
     val ckpt = freshDir("graft_cdf_restart_ck")
