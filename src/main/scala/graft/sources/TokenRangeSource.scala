@@ -1782,9 +1782,14 @@ private[connector] final class TokenRangeCdfScan(path: String,
       f.name.equalsIgnoreCase(TokenRangeSource.CommitVersionCol)))
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val toIn = endingVersion
-      .orElse(TokenRangeSource.currentVersion(path)).getOrElse(0)
-    val fromEx = startingVersion.map(_ - 1).getOrElse(0)
+    val cur = TokenRangeSource.currentVersion(path).getOrElse(0)
+    endingVersion.foreach(e => require(e <= cur,
+      s"token-range change feed at $path: endingVersion $e is beyond the " +
+        s"current version $cur"))
+    val toIn = endingVersion.getOrElse(cur)
+    // startingVersion is INCLUSIVE; 0 (or below) means "from the
+    // beginning" — never probe a nonexistent v0 manifest
+    val fromEx = startingVersion.map(v => math.max(0, v - 1)).getOrElse(0)
     TokenRangeSource.cdfPartitions(path, fromEx, toIn, splits)
   }
 
