@@ -33,7 +33,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Layout: `<warehouse>/<namespace...>/<table>` — one directory per
   * table, the exact layout [[TokenRangeSource]] serves by path, so
   * catalog tables and direct `.load(path)` reads are the same table. */
-final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces {
+final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -127,6 +128,156 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces {
         s"token-range table ${ident.name()} at $path has no stored schema"))
     val props = new java.util.HashMap[String, String]()
     props.put("path", path)
+    TokenRangeSource.recordedPk(path).foreach(props.put("pk", _))
+    TokenRangeSource.recordedCk(path).foreach(props.put("ck", _))
+    new TokenRangeTable(schema, new CaseInsensitiveStringMap(props))
+  }
+
+  // ---- SQL time travel ------------------------------------------------------
+
+  /** `SELECT … FROM t VERSION AS OF <n>` — the manifest version is the
+    * precise pin; the table serves that version's OWN schema (the
+    * `#edits` header) and file list, exactly like
+    * `.option("version", n)`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"token-range VERSION AS OF takes the integer manifest version, " +
+            s"got '$version'")
+      }
+    pinnedTable(ident, v)
+  }
+
+  /** `SELECT … FROM t TIMESTAMP AS OF <ts>` — Spark hands MICROseconds
+    * since epoch; resolves to the newest version published at or before
+    * it (the `.option("asOfMillis", …)` ergonomics through SQL). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    pinnedTable(ident,
+      TokenRangeSource.versionAsOf(
+        tableDir(ident).getAbsolutePath, timestampMicros / 1000L))
+
+  // ---- maintenance procedures (`CALL cat.system.<proc>(…)`) ---------------
+  //
+  // The nodetool/OPTIMIZE surface as SQL: compaction, vacuum, retention,
+  // TTL expiry and the change-feed toggle, each delegating to the
+  // TokenRangeOps primitive (same locks, same conflict validation, same
+  // atomic flips). `CALL graft.system.compact('ks.t')`.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private def resolveTable(qualified: String): String = {
+    val parts = qualified.split('.').toSeq
+    require(parts.length == 2,
+      s"token-range procedures take 'keyspace.table', got '$qualified'")
+    val d = dirOf(parts)
+    require(new java.io.File(d, "_manifests").exists(),
+      s"no token-range table at '$qualified' in catalog $catalogName")
+    d.getAbsolutePath
+  }
+
+  private def recordedPkOf(dir: String): String =
+    TokenRangeSource.recordedPk(dir).getOrElse(throw new IllegalStateException(
+      s"token-range table at $dir has no recorded pk"))
+
+  private abstract class Proc(procName: String, doc: String,
+      ps: Array[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = ps
+    protected def run(input: InternalRow): Unit
+    override def call(input: InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      run(input)
+      java.util.Collections.emptyIterator()
+    }
+  }
+
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType).build()
+
+  private def procedures: Map[String, UnboundProcedure] = Map(
+    "compact" -> new Proc("compact",
+      "rewrite a snapshot into one ck-sorted file per non-empty bucket",
+      Array(tableParam)) {
+      override def run(in: InternalRow): Unit = {
+        val dir = resolveTable(in.getUTF8String(0).toString)
+        TokenRangeOps.compact(org.apache.spark.sql.SparkSession.active,
+          dir, recordedPkOf(dir))
+      }
+    },
+    "vacuum" -> new Proc("vacuum",
+      "reap data files, segments and sidecars unreferenced at or above retain_from",
+      Array(tableParam, ProcedureParameter.in("retain_from", IntegerType).build())) {
+      override def run(in: InternalRow): Unit = {
+        TokenRangeOps.vacuum(
+          resolveTable(in.getUTF8String(0).toString), in.getInt(1))
+        ()
+      }
+    },
+    "set_retention" -> new Proc("set_retention",
+      "keep the newest N versions; every commit beyond sweeps best-effort",
+      Array(tableParam, ProcedureParameter.in("keep_versions", IntegerType).build())) {
+      override def run(in: InternalRow): Unit =
+        TokenRangeOps.setRetention(
+          resolveTable(in.getUTF8String(0).toString), in.getInt(1))
+    },
+    "expire" -> new Proc("expire",
+      "drop rows whose ts_col is at or before cutoff_micros (TTL expiry)",
+      Array(tableParam, ProcedureParameter.in("ts_col", StringType).build(),
+        ProcedureParameter.in("cutoff_micros", LongType).build())) {
+      override def run(in: InternalRow): Unit = {
+        val dir = resolveTable(in.getUTF8String(0).toString)
+        TokenRangeOps.expire(org.apache.spark.sql.SparkSession.active,
+          dir, recordedPkOf(dir), in.getUTF8String(1).toString, in.getLong(2))
+      }
+    },
+    "enable_change_feed" -> new Proc("enable_change_feed",
+      "record change sidecars on rewrites; serve them via changeFeed reads",
+      Array(tableParam)) {
+      override def run(in: InternalRow): Unit =
+        TokenRangeOps.enableChangeFeed(resolveTable(in.getUTF8String(0).toString))
+    },
+    "disable_change_feed" -> new Proc("disable_change_feed",
+      "stop recording change sidecars on rewrites",
+      Array(tableParam)) {
+      override def run(in: InternalRow): Unit =
+        TokenRangeOps.disableChangeFeed(resolveTable(in.getUTF8String(0).toString))
+    })
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"token-range procedures live in the 'system' namespace, got " +
+        s"${(ident.namespace() :+ ident.name()).mkString(".")}")
+    procedures.getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name()}' — available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      procedures.keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  private def pinnedTable(ident: Identifier, v: Int): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ ident.name())
+    val path = tableDir(ident).getAbsolutePath
+    val schema = TokenRangeSource.storedSchemaAt(path, v)
+      .orElse(TokenRangeSource.storedSchema(path))
+      .getOrElse(throw new IllegalStateException(
+        s"token-range table ${ident.name()} at $path has no stored schema"))
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", path)
+    props.put("version", v.toString)
     TokenRangeSource.recordedPk(path).foreach(props.put("pk", _))
     TokenRangeSource.recordedCk(path).foreach(props.put("ck", _))
     new TokenRangeTable(schema, new CaseInsensitiveStringMap(props))

@@ -1,0 +1,103 @@
+package graft.sources.connector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL time travel (`VERSION AS OF` / `TIMESTAMP AS OF` through the
+  * catalog's loadTable overloads) and the maintenance-procedure surface
+  * (`CALL cat.system.<proc>(…)` — the nodetool/OPTIMIZE analog routed to
+  * the TokenRangeOps primitives). */
+class TokenRangeSqlOpsSpec extends SparkSpec {
+
+  private def freshCat(tag: String): (String, String) = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_sqlops_$tag").toString
+    val cat = s"graft_sqlops_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[TokenRangeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ks")
+    (cat, wh)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF serve the pinned file list and the pinned schema") {
+    val (cat, wh) = freshCat("tt")
+    spark.sql(s"CREATE TABLE $cat.ks.t (pk BIGINT, v STRING) " +
+      "TBLPROPERTIES('pk'='pk')")
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) FROM range(0, 10)")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    val vAfterFirst = TokenRangeSource.versions(path).last
+    val tAfterFirst = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) FROM range(10, 25)")
+    spark.sql(s"ALTER TABLE $cat.ks.t ADD COLUMNS (extra STRING)")
+    // current view: 25 rows, 3 columns
+    assert(spark.sql(s"SELECT * FROM $cat.ks.t").columns.length == 3)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ks.t").head.getLong(0) == 25)
+    // VERSION AS OF: the first commit's rows AND its pre-ALTER schema
+    val pinned = spark.sql(s"SELECT * FROM $cat.ks.t VERSION AS OF $vAfterFirst")
+    assert(pinned.columns.toSeq == Seq("pk", "v"),
+      "the pin serves that version's OWN schema")
+    assert(pinned.count() == 10)
+    // TIMESTAMP AS OF resolves through the manifest mtimes
+    val ts = spark.sql(
+      s"SELECT COUNT(*) FROM $cat.ks.t TIMESTAMP AS OF " +
+        s"timestamp_millis(${tAfterFirst})")
+    assert(ts.head.getLong(0) == 10)
+    // a version number beyond history refuses loudly
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ks.t VERSION AS OF 9999").collect()
+    }.getMessage.contains("no version"))
+  }
+
+  test("CALL system.compact / set_retention / vacuum: maintenance through SQL") {
+    val (cat, wh) = freshCat("proc")
+    spark.sql(s"CREATE TABLE $cat.ks.t (pk BIGINT, v STRING) " +
+      "TBLPROPERTIES('pk'='pk')")
+    (0 until 4).foreach { r =>
+      spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) " +
+        s"FROM range(${r * 10}, ${(r + 1) * 10})")
+    }
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    val filesBefore = TokenRangeSource.visibleRelFiles(path, None).size
+    spark.sql(s"CALL $cat.system.compact('ks.t')")
+    val byBucket = TokenRangeSource.visibleRelFiles(path, None)
+      .groupBy(_._1).view.mapValues(_.size)
+    assert(byBucket.values.forall(_ == 1),
+      s"one file per bucket after CALL compact (before: $filesBefore)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ks.t").head.getLong(0) == 40)
+    // retention + vacuum through CALL
+    spark.sql(s"CALL $cat.system.set_retention('ks.t', 2)")
+    assert(TokenRangeOps.describeTable(path)("retention") == "2")
+    val cur = TokenRangeSource.versions(path).last
+    spark.sql(s"CALL $cat.system.vacuum('ks.t', ${cur})")
+    assert(TokenRangeSource.versions(path) == Seq(cur),
+      "vacuum through CALL retires history below retain_from")
+    // unknown procedure refuses (Spark wraps it as FAILED_TO_LOAD_ROUTINE;
+    // the cause carries the available list)
+    val ex = intercept[Exception] { spark.sql(s"CALL $cat.system.nope('ks.t')") }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    assert(causes(ex).exists(m =>
+      m.contains("compact") || m.contains("FAILED_TO_LOAD_ROUTINE")))
+  }
+
+  test("CALL system.expire and enable_change_feed compose: expiry records its deletes") {
+    val s2 = spark; import s2.implicits._
+    val (cat, wh) = freshCat("exp")
+    spark.sql(s"CREATE TABLE $cat.ks.ev (pk BIGINT, ts TIMESTAMP, v STRING) " +
+      "TBLPROPERTIES('pk'='pk')")
+    spark.sql(s"""INSERT INTO $cat.ks.ev
+      SELECT id, timestamp_micros(CAST(id * 1000000 AS BIGINT)),
+             concat('e', id) FROM range(0, 20)""")
+    spark.sql(s"CALL $cat.system.enable_change_feed('ks.ev')")
+    spark.sql(s"CALL $cat.system.expire('ks.ev', 'ts', ${10L * 1000000})")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ks.ev").head.getLong(0) == 9,
+      "ids 0..10 expire (ts <= cutoff), 11..19 stay")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "ev").getAbsolutePath
+    val feed = spark.read
+      .format(classOf[TokenRangeSource].getName)
+      .option("pk", "pk").option("changeFeed", "true").load(path)
+      .filter(col("_change_type") === "delete")
+    assert(feed.count() == 11, "the expiry recorded its deleted rows")
+  }
+}
