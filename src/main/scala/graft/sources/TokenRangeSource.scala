@@ -1460,14 +1460,24 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   // EqualTo prunes to one bucket, an IN-list (the multi-get,
   // wc_multi_partition_lookup's shape) to the union of its keys' buckets
   private var pkBuckets: Option[Set[Int]] = None
-  // per-ck-column slice, intersected over pushed range filters as CLOSED
-  // intervals (integer keys, so exclusive bounds shift by 1)
+  // per-column slice, intersected over pushed range filters as CLOSED
+  // intervals (integer keys, so exclusive bounds shift by 1). ZONE MAPS
+  // (r15 continuation): the slice prune keys on ANY integral table
+  // column, not just declared ck components — parquet footers carry
+  // per-file [min,max] for every column, so a pushed range/equality on
+  // any BIGINT/INT column soundly drops provably-disjoint files (the
+  // residual filter owns correctness; ck declaration still matters for
+  // the PHYSICAL slab sort that makes the prune bite on clustered data).
   private val ckIv = scala.collection.mutable.LinkedHashMap
     .empty[String, (Long, Long)]
-  private def ckColOf(a: String): Option[String] =
-    ckCols.find(_.equalsIgnoreCase(a))
+  private def sliceColOf(a: String): Option[String] =
+    ckCols.find(_.equalsIgnoreCase(a)).orElse(
+      tableSchema.fields.collectFirst {
+        case f if f.name.equalsIgnoreCase(a) &&
+            (f.dataType == LongType || f.dataType == IntegerType) => f.name
+      })
   private def narrowCk(a: String, lo: Long, hi: Long): Unit = {
-    val c = ckColOf(a).get
+    val c = sliceColOf(a).get
     val (l0, h0) = ckIv.getOrElse(c, (Long.MinValue, Long.MaxValue))
     ckIv(c) = (math.max(l0, lo), math.min(h0, hi))
   }
@@ -1493,23 +1503,37 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
       case EqualTo(a, v) if a.equalsIgnoreCase(pkName) && bucketOfLiteral(v).isDefined =>
-        restrictBuckets(Set(bucketOfLiteral(v).get)); true
+        restrictBuckets(Set(bucketOfLiteral(v).get))
+        // point lookups ALSO zone-map within the owning bucket: a big
+        // bucket's files whose pk stats exclude the key are never read
+        asLong(v).filter(_ => sliceColOf(a).isDefined)
+          .foreach(x => narrowCk(a, x, x))
+        true
       case In(a, vs) if a.equalsIgnoreCase(pkName) && vs.nonEmpty
           && vs.forall(bucketOfLiteral(_).isDefined) =>
         restrictBuckets(vs.flatMap(bucketOfLiteral).toSet)
+        // IN-list ENVELOPE zone map: a file whose stats sit outside
+        // [min, max] of the listed keys can hold none of them
+        val longs = vs.flatMap(asLong)
+        if (longs.length == vs.length && sliceColOf(a).isDefined)
+          narrowCk(a, longs.min, longs.max)
         true
-      case EqualTo(a, v) if ckColOf(a).isDefined && asLong(v).isDefined =>
+      case In(a, vs) if sliceColOf(a).isDefined && vs.nonEmpty
+          && vs.forall(asLong(_).isDefined) =>
+        val longs = vs.flatMap(asLong)
+        narrowCk(a, longs.min, longs.max); true
+      case EqualTo(a, v) if sliceColOf(a).isDefined && asLong(v).isDefined =>
         val x = asLong(v).get
         narrowCk(a, x, x); true
-      case GreaterThan(a, v) if ckColOf(a).isDefined && asLong(v).isDefined
+      case GreaterThan(a, v) if sliceColOf(a).isDefined && asLong(v).isDefined
           && asLong(v).get < Long.MaxValue =>
         narrowCk(a, asLong(v).get + 1, Long.MaxValue); true
-      case GreaterThanOrEqual(a, v) if ckColOf(a).isDefined && asLong(v).isDefined =>
+      case GreaterThanOrEqual(a, v) if sliceColOf(a).isDefined && asLong(v).isDefined =>
         narrowCk(a, asLong(v).get, Long.MaxValue); true
-      case LessThan(a, v) if ckColOf(a).isDefined && asLong(v).isDefined
+      case LessThan(a, v) if sliceColOf(a).isDefined && asLong(v).isDefined
           && asLong(v).get > Long.MinValue =>
         narrowCk(a, Long.MinValue, asLong(v).get - 1); true
-      case LessThanOrEqual(a, v) if ckColOf(a).isDefined && asLong(v).isDefined =>
+      case LessThanOrEqual(a, v) if sliceColOf(a).isDefined && asLong(v).isDefined =>
         narrowCk(a, Long.MinValue, asLong(v).get); true
       case _ => false
     }

@@ -283,6 +283,46 @@ class TokenRangeClusteringSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
   }
 
+  test("ZONE MAPS: range pushdown on a NON-ck integral column prunes files; pk point lookups prune within the bucket") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_zm")
+    // NO ck declared — four time-correlated appends (each load one key
+    // slab, the shape real ingest produces) give every bucket 4 files
+    // whose per-file pk AND seq bounds are disjoint across loads
+    (0 until 4).foreach { r =>
+      ((r * 1024L) until ((r + 1) * 1024L)).map(i => (i, i, s"v$i"))
+        .toDF("pk", "seq", "v").coalesce(1)
+        .write.format(fmt).option("pk", "pk")
+        .option("schema", "pk BIGINT, seq BIGINT, v STRING")
+        .mode("append").save(dir)
+    }
+    def kept(f: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "PrunedFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(f.queryExecution.executedPlan.toString())
+      assert(m.isDefined, "expected a PrunedFiles report in the scan description")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    // a seq range over the last load only: the zone map keeps ~1/4 of
+    // the files with zero ck declaration, and the result is exact
+    val sliced = spark.read.format(fmt).option("pk", "pk").load(dir)
+      .filter(col("seq") >= 3072L)
+    assert(sliced.count() == 1024)
+    val (k1, t1) = kept(sliced)
+    assert(k1 * 2 < t1, s"the non-ck zone map must prune most files: $k1/$t1")
+    // pk POINT LOOKUP: bucket prune (TokenRanges: 1) AND the pk zone map
+    // drops the other loads' files WITHIN the owning bucket (stats bound
+    // the raw key, not the ring position)
+    val point = spark.read.format(fmt).option("pk", "pk").load(dir)
+      .filter(col("pk") === 7L)
+    assert(point.count() == 1)
+    val plan = point.queryExecution.executedPlan.toString()
+    assert(plan.contains("TokenRanges: 1 "),
+      s"bucket prune expected:\n${plan.take(400)}")
+    val (k2, t2) = kept(point)
+    assert(t2 >= 2 && k2 < t2,
+      s"pk=7 lives only in load 0's file of its bucket: kept $k2/$t2")
+  }
+
   test("a write whose schema lacks the clustering key is refused") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir("graft_tr_ck3")
