@@ -966,24 +966,57 @@ object TokenRangeSource {
     * conservatively. An all-null row group reports the empty interval
     * (MaxValue, MinValue, nulls): it intersects nothing and expires
     * nothing, but its null count still counts. */
+  private def columnLongStats(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[(Long, Long, Long)] = {
+    val st = c.getStatistics
+    if (st == null || st.isEmpty) None
+    else if (!st.hasNonNullValue)
+      Some((Long.MaxValue, Long.MinValue, st.getNumNulls))
+    else (st.genericGetMin, st.genericGetMax) match {
+      case (mn: java.lang.Long, mx: java.lang.Long) =>
+        Some((mn.longValue, mx.longValue, st.getNumNulls))
+      case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+        Some((mn.longValue, mx.longValue, st.getNumNulls))
+      case _ => None
+    }
+  }
+
   private[connector] def footerLongStats(
       b: org.apache.parquet.hadoop.metadata.BlockMetaData,
       name: String): Option[(Long, Long, Long)] =
     b.getColumns.asScala
       .find(_.getPath.toDotString.equalsIgnoreCase(name))
-      .flatMap { c =>
-        val st = c.getStatistics
-        if (st == null || st.isEmpty) None
-        else if (!st.hasNonNullValue)
-          Some((Long.MaxValue, Long.MinValue, st.getNumNulls))
-        else (st.genericGetMin, st.genericGetMax) match {
-          case (mn: java.lang.Long, mx: java.lang.Long) =>
-            Some((mn.longValue, mx.longValue, st.getNumNulls))
-          case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-            Some((mn.longValue, mx.longValue, st.getNumNulls))
-          case _ => None
-        }
-      }
+      .flatMap(columnLongStats)
+
+  /** Per-file integral footer stats, CACHED: data files are IMMUTABLE
+    * (rewrites publish new names, never overwrite), so the first scan
+    * pays the footer read and every later zone-map/ck-slice prune over
+    * the same file is a map probe — the in-process stand-in for the
+    * stats catalog a 100 TB deployment keeps beside the manifest. One
+    * entry per file: per-row-group maps of lowercase column name →
+    * (min, max, nNulls) for INT32/INT64 columns. Wholesale clear past
+    * a size bound (same pattern as segCache — momentary re-read herd,
+    * bounded). */
+  private val fileStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Map[String, (Long, Long, Long)]]]()
+
+  private[connector] def fileLongStats(
+      abs: String): Seq[Map[String, (Long, Long, Long)]] = {
+    val hit = fileStatsCache.get(abs)
+    if (hit != null) return hit
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(abs), new Configuration()))
+    val out =
+      try rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala.flatMap(c =>
+          columnLongStats(c).map(c.getPath.toDotString.toLowerCase -> _))
+          .toMap
+      } finally rd.close()
+    if (fileStatsCache.size > 65536) fileStatsCache.clear()
+    fileStatsCache.put(abs, out)
+    out
+  }
 
   // ---- schema mapping ----------------------------------------------------
 
@@ -1686,21 +1719,19 @@ private[connector] final class TokenRangeScan(path: String,
     * footer walks. */
   private def ckIntersects(file: String): Boolean =
     ckSlice.isEmpty || {
-      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file), new Configuration()))
-      try {
-        val blocks = rd.getFooter.getBlocks.asScala
-        ckSlice.forall { case (ck, lo, hi) =>
-          blocks.exists { b =>
-            // missing/unusable stats keep the block; an all-null block
-            // reports the empty interval and intersects nothing (null
-            // never satisfies a pushed range/equality — dropping it is
-            // sound, the residual filter would reject its rows anyway)
-            TokenRangeSource.footerLongStats(b, ck)
-              .forall { case (mn, mx, _) => mx >= lo && mn <= hi }
-          }
+      // cached per immutable file (zone maps probe footers on every
+      // pushed integral filter now — the read must be one-time)
+      val blocks = TokenRangeSource.fileLongStats(file)
+      ckSlice.forall { case (ck, lo, hi) =>
+        val key = ck.toLowerCase
+        blocks.exists { b =>
+          // missing/unusable stats keep the block; an all-null block
+          // reports the empty interval and intersects nothing (null
+          // never satisfies a pushed range/equality — dropping it is
+          // sound, the residual filter would reject its rows anyway)
+          b.get(key).forall { case (mn, mx, _) => mx >= lo && mn <= hi }
         }
-      } finally rd.close()
+      }
     }
 
   private lazy val partitions: Array[InputPartition] = {
