@@ -153,10 +153,16 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
   /** `SELECT … FROM t TIMESTAMP AS OF <ts>` — Spark hands MICROseconds
     * since epoch; resolves to the newest version published at or before
     * it (the `.option("asOfMillis", …)` ergonomics through SQL). */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    // existence first: a missing table must surface as NoSuchTable, not
+    // as versionAsOf's missing-manifest error (r15 review)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        catalogName +: ident.namespace().toSeq :+ ident.name())
     pinnedTable(ident,
       TokenRangeSource.versionAsOf(
         tableDir(ident).getAbsolutePath, timestampMicros / 1000L))
+  }
 
   // ---- maintenance procedures (`CALL cat.system.<proc>(…)`) ---------------
   //

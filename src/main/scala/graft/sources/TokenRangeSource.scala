@@ -1860,7 +1860,7 @@ private[connector] final class TokenRangeCdfScan(path: String,
 
   override def description(): String =
     s"TokenRangeCdfScan path=$path Versions: " +
-      s"(${startingVersion.map(_ - 1).getOrElse(0)}, " +
+      s"(${startingVersion.map(v => math.max(0, v - 1)).getOrElse(0)}, " +
       s"${endingVersion.map(_.toString).getOrElse("current")}] " +
       s"ReadSchema: ${required.catalogString}"
 }
