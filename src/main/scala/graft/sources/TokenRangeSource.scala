@@ -1683,7 +1683,10 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       // one giant batch. AvailableNow still drains to its pinned end,
       // in multiple micro-batches.
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-      onPlanned)
+      onPlanned,
+      // fresh-stream start version (inclusive) — the Kafka
+      // startingOffsets analog; ignored by batch scans
+      Option(options.get("startingVersion")).map(_.toInt))
   }
 }
 
@@ -1696,7 +1699,8 @@ private[connector] final class TokenRangeScan(path: String,
     pkBuckets: Option[Set[Int]], ckSlice: Seq[(String, Long, Long)],
     splits: Int, version: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
-    onPlanned: Seq[String] => Unit = null) extends Scan with Batch {
+    onPlanned: Seq[String] => Unit = null,
+    startingVersion: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1796,7 +1800,7 @@ private[connector] final class TokenRangeScan(path: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TokenRangeMicroBatchStream(path, required, full, splits,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, startingVersion = startingVersion)
 
   override def description(): String = {
     val pf = pushed.map {
@@ -1856,7 +1860,7 @@ private[connector] final class TokenRangeCdfScan(path: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TokenRangeMicroBatchStream(path, required, fullTable, splits,
-      maxVersionsPerTrigger, cdf = true)
+      maxVersionsPerTrigger, cdf = true, startingVersion = startingVersion)
 
   override def description(): String =
     s"TokenRangeCdfScan path=$path Versions: " +
@@ -2058,7 +2062,8 @@ private[connector] final class TokenRangeCdfReader(files: Array[String],
   * even while writers keep committing. */
 private[connector] final class TokenRangeMicroBatchStream(path: String,
     projected: StructType, full: StructType, splits: Int,
-    maxVersionsPerTrigger: Option[Int] = None, cdf: Boolean = false)
+    maxVersionsPerTrigger: Option[Int] = None, cdf: Boolean = false,
+    startingVersion: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -2073,7 +2078,12 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
     * the first micro-batch backfills the whole table — the Kafka
     * earliest-offset analog, and what makes the drained stream
     * hash-equal the batch read (the st_connector_tail oracle). */
-  override def initialOffset(): Offset = TokenRangeStreamOffset(0)
+  override def initialOffset(): Offset =
+    // a FRESH stream backfills from before history (version 0) unless a
+    // startingVersion (inclusive) says otherwise — the Kafka
+    // startingOffsets analog; checkpointed restarts never come here
+    TokenRangeStreamOffset(
+      startingVersion.map(v => math.max(0, v - 1)).getOrElse(0))
 
   // SupportsTriggerAvailableNow extends SupportsAdmissionControl: Spark
   // drives the two-arg latestOffset (the one-arg variant must not be

@@ -258,6 +258,28 @@ class TokenRangeCdfSpec extends SparkSpec {
     assert(state.toMap == table, "feed fold must reconstruct the table")
   }
 
+  test("a fresh stream honors startingVersion (the Kafka startingOffsets analog)") {
+    val dir = freshDir("graft_cdf_sv")
+    append(dir, 0L until 10L)
+    val vAfterFirst = TokenRangeSource.versions(dir).last
+    append(dir, 10L until 16L)
+    // fresh checkpoint + startingVersion AFTER the first commit: only
+    // the second append drains; the backfill is skipped by declaration
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format(fmt).option("pk", "pk")
+      .option("startingVersion", (vAfterFirst + 1).toString).load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("pk").collect().foreach(r => got.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", freshDir("graft_cdf_sv_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val b = Seq.newBuilder[Long]; got.forEach(l => b += l.longValue)
+    assert(b.result().sorted == (10L until 16L))
+  }
+
   test("the streaming feed recovers across restarts at version grain") {
     val dir = freshDir("graft_cdf_restart")
     val ckpt = freshDir("graft_cdf_restart_ck")
