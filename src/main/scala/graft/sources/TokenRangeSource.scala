@@ -481,6 +481,10 @@ object TokenRangeSource {
   // _change_type ∈ insert | delete | update_preimage | update_postimage)
   private[connector] val ChangeTypeCol = "_change_type"
   private[connector] val CommitVersionCol = "_commit_version"
+  // METADATA column: the data file (tb=<bucket>/<name>) serving each row
+  // — Spark's input_file_name as a DSv2 metadata column, and the GROUP
+  // IDENTITY runtime group filtering prunes row-level rewrites by
+  private[connector] val FileCol = "_file"
 
   /** Whether the table opted into the CHANGE DATA FEED: rewriting ops
     * (DELETE/upsert/expire) then record the rows they remove/replace as
@@ -1176,7 +1180,28 @@ object TokenLayout {
 private[connector] final class TokenRangeTable(tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends Table with SupportsRead
     with SupportsWrite with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` — the data file serving each row (`input_file_name` as a
+    * DSv2 metadata column, readable by any query) and the GROUP IDENTITY
+    * for row-level runtime group filtering: Spark computes the matching
+    * rows' `_file` set in a subquery and the copy-on-write scan prunes
+    * to exactly those files, so an UPDATE touching one file rewrites
+    * one file. Preserve flags OFF: the rewrite must NOT carry `_file`
+    * into the written rows (the task writers take table columns only). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = TokenRangeSource.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "data file (tb=<bucket>/<name>) serving the row"
+      override def metadataInJSON(): String =
+        """{"__preserve_on_delete":false,"__preserve_on_update":false,""" +
+          """"__preserve_on_reinsert":false}"""
+    })
 
   /** SQL `UPDATE` / `MERGE INTO` / arbitrary-predicate `DELETE` (r15
     * continuation): group-based COPY-ON-WRITE row-level operations — the
@@ -1417,18 +1442,34 @@ private[connector] final class TokenRangeRowLevelOperation(
 
   private val path = TokenRangeSource.pathOf(options)
   private val pinned: Option[Int] = TokenRangeSource.currentVersion(path)
-  private val plannedRel =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // one slot per SCAN, holding its LATEST planned file set: runtime group
+  // filtering re-plans a scan with fewer files, and the retire set must
+  // track the set that actually EXECUTED — an accumulated union would
+  // retire files whose rows were never written back (data loss). Only
+  // the WRITE-BACK scan registers (it projects every table column); the
+  // group-filter subquery scan projects `_file` alone and must not
+  // contribute (its statically-pruned candidates are a SUPERSET of the
+  // files whose rows get rewritten).
+  private val plannedBy =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, Seq[String]]()
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** `_file` rides the rewrite plan so Spark's
+    * RowLevelOperationRuntimeGroupFiltering can compute the matching
+    * rows' file set and prune the copy-on-write scan to it. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(TokenRangeSource.FileCol))
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options)
     merged.putAll(o)
     pinned.foreach(v => merged.put("version", v.toString))
     new TokenRangeScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged),
-      onPlanned = rels => { rels.foreach(plannedRel.add); () })
+      onPlanned = (scan, rels) => { plannedBy.put(scan, rels); () })
   }
 
   override def newWriteBuilder(
@@ -1455,7 +1496,7 @@ private[connector] final class TokenRangeRowLevelOperation(
       opKind = Some(kind),
       lateReplaceRel = () => {
         val rels = Set.newBuilder[String]
-        plannedRel.forEach(r => rels += r)
+        plannedBy.values().forEach(rs => rels ++= rs)
         rels.result()
       },
       // Spark 4's ReplaceData prepends `__row_operation` to every row
@@ -1466,7 +1507,7 @@ private[connector] final class TokenRangeRowLevelOperation(
 
 private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
     options: CaseInsensitiveStringMap,
-    onPlanned: Seq[String] => Unit = null)
+    onPlanned: (AnyRef, Seq[String]) => Unit = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -1683,7 +1724,13 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       // one giant batch. AvailableNow still drains to its pinned end,
       // in multiple micro-batches.
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-      onPlanned,
+      // only the WRITE-BACK scan reports its planned files (it projects
+      // every table column — ReplaceData writes whole rows); the runtime
+      // group-filter subquery projects `_file` alone and must not widen
+      // the retire set (see TokenRangeRowLevelOperation.plannedBy)
+      if (onPlanned != null && tableSchema.fields.forall(f =>
+        required.fields.exists(_.name.equalsIgnoreCase(f.name)))) onPlanned
+      else null,
       // fresh-stream start version (inclusive) — the Kafka
       // startingOffsets analog; ignored by batch scans
       Option(options.get("startingVersion")).map(_.toInt))
@@ -1699,8 +1746,9 @@ private[connector] final class TokenRangeScan(path: String,
     pkBuckets: Option[Set[Int]], ckSlice: Seq[(String, Long, Long)],
     splits: Int, version: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
-    onPlanned: Seq[String] => Unit = null,
-    startingVersion: Option[Int] = None) extends Scan with Batch {
+    onPlanned: (AnyRef, Seq[String]) => Unit = null,
+    startingVersion: Option[Int] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1709,6 +1757,40 @@ private[connector] final class TokenRangeScan(path: String,
   // description() — (kept, total) within the bucket-pruned candidate set
   private var ckKept = 0
   private var ckTotal = 0
+
+  // ---- runtime GROUP filtering (SQL row-level copy-on-write) -------------
+  // Spark's RowLevelOperationRuntimeGroupFiltering computes the matching
+  // rows' `_file` set in a subquery and hands it here; the scan re-plans
+  // to exactly those files, and the operation's retire set follows (the
+  // onPlanned hook fires on every planning with the CURRENT set). Only
+  // the write-back scan of a row-level operation advertises the
+  // attribute — plain reads never runtime-filter.
+  @volatile private var runtimeKeepRel: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (onPlanned != null)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(TokenRangeSource.FileCol))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def strOf(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
+    val keeps = filters.toSeq.flatMap {
+      case In(a, vs) if a.equalsIgnoreCase(TokenRangeSource.FileCol) =>
+        val ss = vs.toSeq.flatMap(strOf)
+        if (ss.length == vs.length) Some(ss.toSet) else None
+      case EqualTo(a, v) if a.equalsIgnoreCase(TokenRangeSource.FileCol) =>
+        strOf(v).map(Set(_))
+      case _ => None // unknown shapes prune nothing (conservative)
+    }
+    if (keeps.nonEmpty)
+      runtimeKeepRel = Some(keeps.reduce(_ intersect _))
+  }
 
   /** Clustering-slice file prune: keep a file iff, for EVERY pushed ck
     * column's closed interval, SOME row group's footer [min,max] stats
@@ -1738,7 +1820,21 @@ private[connector] final class TokenRangeScan(path: String,
       }
     }
 
-  private lazy val partitions: Array[InputPartition] = {
+  // memoized per runtime-filter STATE: runtime group filtering legally
+  // re-plans after filter() arrives, so the plan is a function of
+  // runtimeKeepRel — repeated calls in one state reuse the array, a
+  // narrowed state recomputes (and re-reports the narrowed set through
+  // onPlanned, which REPLACES the scan's slot — never unions)
+  @volatile private var plannedState
+      : (Option[Set[String]], Array[InputPartition]) = null
+
+  private def relOf(abs: String): String = {
+    val f = new java.io.File(abs)
+    s"${f.getParentFile.getName}/${f.getName}"
+  }
+
+  private def computePartitions(): Array[InputPartition] = {
+    ckKept = 0; ckTotal = 0
     // ONE manifest resolution per scan (pinned to `version` for snapshot
     // reads): the file list is resolved here, so a commit racing this
     // query flips later reads, never this plan
@@ -1750,6 +1846,7 @@ private[connector] final class TokenRangeScan(path: String,
       case None => byBucket
     }
     val nRanges = math.min(splits, math.max(1, kept.size))
+    val keepRel = runtimeKeepRel
     // contiguous assignment over the PRESENT buckets (index within
     // `kept`, not the absolute ring position): a sparse or pruned layout
     // whose populated buckets cluster in one half of the ring must still
@@ -1759,6 +1856,7 @@ private[connector] final class TokenRangeScan(path: String,
       .toSeq.sortBy(_._1)
       .map { case (_, group) =>
         val candidates = group.flatMap(_._1._2)
+          .filter(f => keepRel.forall(_(relOf(f))))
         val files = candidates.filter(ckIntersects)
         ckTotal += candidates.size
         ckKept += files.size
@@ -1767,17 +1865,24 @@ private[connector] final class TokenRangeScan(path: String,
       .filter(_.files.nonEmpty)
       .toArray
     // copy-on-write hook (SQL row-level ops): report exactly the files
-    // this scan will read — bucket-pruned AND ck-slice-pruned — as
-    // relative paths; the operation's write retires exactly this set
+    // this scan will read — bucket-pruned, zone-pruned AND
+    // runtime-group-filtered — keyed by this scan (REPLACE, not union:
+    // a re-plan after runtime filtering narrows the retire set)
     if (onPlanned != null)
-      onPlanned(parts.flatMap(_.files).toSeq.map { abs =>
-        val f = new java.io.File(abs)
-        s"${f.getParentFile.getName}/${f.getName}"
-      })
+      onPlanned(this, parts.flatMap(_.files).toSeq.map(relOf))
     parts.toArray[InputPartition]
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  override def planInputPartitions(): Array[InputPartition] = {
+    val keep = runtimeKeepRel
+    val st = plannedState
+    if (st != null && st._1 == keep) st._2
+    else {
+      val parts = computePartitions()
+      plannedState = (keep, parts)
+      parts
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TokenRangeReaderFactory(
@@ -1812,7 +1917,7 @@ private[connector] final class TokenRangeScan(path: String,
       case LessThanOrEqual(a, v) => s"$a <= $v"
       case f => f.toString
     }.mkString("[", ", ", "]")
-    val nParts = partitions.length // forces ckKept/ckTotal
+    val nParts = planInputPartitions().length // forces ckKept/ckTotal
     val slice = if (ckSlice.nonEmpty) s" PrunedFiles: $ckKept/$ckTotal" else ""
     val snap = version.map(v => s" Version: $v").getOrElse("")
     s"TokenRangeScan path=$path$snap TokenRanges: $nParts$slice " +
@@ -1884,6 +1989,11 @@ private[connector] final class TokenRangeReader(files: Array[String],
   private var fileIdx = 0
   private var reader: ParquetReader[Group] = _
   private var current: Group = _
+  // `_file` METADATA column: synthesized per row from the file being
+  // read (never a parquet column — the read-schema matcher skips it)
+  private val fileColIdx = projected.fields.indexWhere(
+    _.name.equalsIgnoreCase(TokenRangeSource.FileCol))
+  private var currentFileRel: UTF8String = _
   // projection schema must carry each FILE's own repetition: Spark's
   // committer writes non-nullable columns as `required` while the sink
   // writes `optional`, and a manifest can legally mix both (legacy table
@@ -1928,6 +2038,11 @@ private[connector] final class TokenRangeReader(files: Array[String],
     if (reader != null) { reader.close(); reader = null }
     if (fileIdx >= files.length) return false
     val path = new org.apache.hadoop.fs.Path(files(fileIdx))
+    if (fileColIdx >= 0) {
+      val f = new java.io.File(files(fileIdx))
+      currentFileRel =
+        UTF8String.fromString(s"${f.getParentFile.getName}/${f.getName}")
+    }
     val (conf, pres) = confFor(path)
     present = pres
     reader = ParquetReader
@@ -1976,6 +2091,7 @@ private[connector] final class TokenRangeReader(files: Array[String],
         }
       i += 1
     }
+    if (fileColIdx >= 0) vals(fileColIdx) = currentFileRel
     new GenericInternalRow(vals)
   }
 
@@ -2414,13 +2530,30 @@ private[connector] final class TokenRangeDataWriter(path: String,
     writeId: String, rollRows: Long = Long.MaxValue,
     rowOpColumn: Boolean = false) extends DataWriter[InternalRow] {
 
-  /** SQL row-level writes (ReplaceData, Spark 4) prepend
+  /** SQL row-level writes (ReplaceData, Spark 4) MAY prepend
     * [[org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN]]
-    * (`__row_operation`) to every row; for GROUP-BASED copy-on-write every
-    * emitted row is a write (the marker is constant — delta encodings
-    * require SupportsDelta, which this sink does not implement), so the
-    * writer simply reads past it. */
-  private val fieldOffset = if (rowOpColumn) 1 else 0
+    * (`__row_operation`) to every row: the plain WritingSparkTask hands
+    * the marker through (offset 1), while DataAndMetadataWritingSparkTask
+    * (chosen when the operation requires metadata attributes, e.g.
+    * `_file` for runtime group filtering) consumes it and hands clean
+    * data rows (offset 0). Latched from the FIRST row's arity — all rows
+    * of one task share a layout; any other arity still fails loudly. For
+    * group-based copy-on-write every emitted row is a write (delta
+    * encodings require SupportsDelta, which this sink does not
+    * implement), so reading past the marker is always correct. */
+  private var fieldOffset = -1
+  private def resolveOffset(row: InternalRow): Int = {
+    if (fieldOffset < 0) {
+      val extra = row.numFields - writeSchema.fields.length
+      require(extra == 0 || (rowOpColumn && extra == 1),
+        s"token-range sink: row arity ${row.numFields} != write schema " +
+          s"${writeSchema.catalogString}" +
+          (if (rowOpColumn) " (+0 or +1 op column)" else "") +
+          " — the plan handed rows in a layout the writer did not declare")
+      fieldOffset = extra
+    }
+    fieldOffset
+  }
 
   private val msgType = TokenRangeSource.toParquet(writeSchema)
   private val factory = new SimpleGroupFactory(msgType)
@@ -2496,9 +2629,10 @@ private[connector] final class TokenRangeDataWriter(path: String,
     }
 
   override def write(row: InternalRow): Unit = {
-    require(row.numFields == writeSchema.fields.length + fieldOffset,
+    val off = resolveOffset(row)
+    require(row.numFields == writeSchema.fields.length + off,
       s"token-range sink: row arity ${row.numFields} != write schema " +
-        s"${writeSchema.catalogString} (+$fieldOffset op column) — the " +
+        s"${writeSchema.catalogString} (+$off op column) — the " +
         "plan handed rows in a layout the writer did not declare")
     var pi = 0
     while (pi < pkIdxArr.length) {

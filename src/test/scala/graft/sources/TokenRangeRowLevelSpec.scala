@@ -62,9 +62,41 @@ class TokenRangeRowLevelSpec extends SparkSpec {
     assert(otherBefore.subsetOf(after),
       s"non-owning buckets must survive by identity: " +
         s"${(otherBefore -- after).take(3)} vanished")
-    // and the owning bucket WAS rewritten (its old files retired)
-    assert(before.filter(_.startsWith(bucket7)).forall(!after.contains(_)),
-      "the owning bucket's scanned files must be retired")
+    // runtime GROUP filtering: within the owning bucket only the file(s)
+    // actually HOLDING pk=7 are rewritten — the second load's file (keys
+    // 64..127) survives by identity even though it shares the bucket
+    val retired = before -- after
+    assert(retired.nonEmpty && retired.forall(_.startsWith(bucket7)),
+      s"only owning-bucket files may retire, got $retired")
+    assert(retired.size == 1,
+      s"runtime group filtering must retire exactly the matching file: $retired")
+  }
+
+  test("runtime group filtering: a non-key UPDATE rewrites only the files holding matching rows") {
+    val cat = freshCat("rgf")
+    spark.sql(s"""CREATE TABLE $cat.ks.t (pk BIGINT, v STRING, n BIGINT)
+      TBLPROPERTIES('pk'='pk')""")
+    (0 until 4).foreach { r =>
+      spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id), id " +
+        s"FROM range(${r * 32}, ${(r + 1) * 32})")
+    }
+    val path = tablePath(cat, "t")
+    val before = liveRel(path)
+    // v = 'a100' is not pushable as a zone map (string) and names no pk —
+    // WITHOUT runtime filtering this rewrites every file; WITH it, the
+    // matching-rows subquery narrows the rewrite to row 100's one file
+    spark.sql(s"UPDATE $cat.ks.t SET n = -1 WHERE v = 'a100'")
+    val after = liveRel(path)
+    val retired = before -- after
+    assert(retired.size == 1,
+      s"one matching file must be rewritten, got ${retired.size}: $retired")
+    val t = spark.sql(s"SELECT * FROM $cat.ks.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t(100L) == -1L && t(99L) == 99L && t.size == 128)
+    // `_file` also serves as a plain metadata column (input_file_name)
+    val files = spark.sql(s"SELECT DISTINCT _file FROM $cat.ks.t").count()
+    assert(files == liveRel(path).size.toLong,
+      "_file must surface one value per live file")
   }
 
   test("SQL DELETE with a non-key predicate takes the copy-on-write path") {
