@@ -1534,6 +1534,18 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   // EqualTo prunes to one bucket, an IN-list (the multi-get,
   // wc_multi_partition_lookup's shape) to the union of its keys' buckets
   private var pkBuckets: Option[Set[Int]] = None
+  // point-lookup literals for the per-file BLOOM probe (single-col pk):
+  // conjunctive filters INTERSECT their value sets, like the bucket sets
+  private var pkProbe: Option[Set[Any]] = None
+  private def normProbe(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case i: Int => i.toLong
+    case other => other
+  }
+  private def restrictProbe(vs: Set[Any]): Unit = {
+    val n = vs.map(normProbe)
+    pkProbe = Some(pkProbe.fold(n)(_ intersect n))
+  }
   // per-column slice, intersected over pushed range filters as CLOSED
   // intervals (integer keys, so exclusive bounds shift by 1). ZONE MAPS
   // (r15 continuation): the slice prune keys on ANY integral table
@@ -1578,6 +1590,7 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
     pushed = filters.filter {
       case EqualTo(a, v) if a.equalsIgnoreCase(pkName) && bucketOfLiteral(v).isDefined =>
         restrictBuckets(Set(bucketOfLiteral(v).get))
+        restrictProbe(Set(v))
         // point lookups ALSO zone-map within the owning bucket: a big
         // bucket's files whose pk stats exclude the key are never read
         asLong(v).filter(_ => sliceColOf(a).isDefined)
@@ -1586,6 +1599,7 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       case In(a, vs) if a.equalsIgnoreCase(pkName) && vs.nonEmpty
           && vs.forall(bucketOfLiteral(_).isDefined) =>
         restrictBuckets(vs.flatMap(bucketOfLiteral).toSet)
+        restrictProbe(vs.toSet)
         // IN-list ENVELOPE zone map: a file whose stats sit outside
         // [min, max] of the listed keys can hold none of them
         val longs = vs.flatMap(asLong)
@@ -1707,6 +1721,13 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
         Option(options.get("startingVersion")).map(_.toInt),
         Option(options.get("endingVersion")).map(_.toInt),
         Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
+    // BLOOM probe: single-col pk point-lookup/multiget literals + the
+    // pk's table dtype (the hash must match the column's physical type)
+    val bloomProbe: Option[(String, DataType, Seq[Any])] =
+      if (pkNames.size != 1) None
+      else pkProbe.flatMap(vs =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(pkName))
+          .map(f => (f.name, f.dataType, vs.toSeq)))
     new TokenRangeScan(TokenRangeSource.pathOf(options), required,
       tableSchema, pushed, pkBuckets,
       ckIv.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
@@ -1733,7 +1754,8 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       else null,
       // fresh-stream start version (inclusive) — the Kafka
       // startingOffsets analog; ignored by batch scans
-      Option(options.get("startingVersion")).map(_.toInt))
+      Option(options.get("startingVersion")).map(_.toInt),
+      bloomProbe)
   }
 }
 
@@ -1747,7 +1769,9 @@ private[connector] final class TokenRangeScan(path: String,
     splits: Int, version: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
     onPlanned: (AnyRef, Seq[String]) => Unit = null,
-    startingVersion: Option[Int] = None) extends Scan with Batch
+    startingVersion: Option[Int] = None,
+    bloomProbe: Option[(String, DataType, Seq[Any])] = None)
+    extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
@@ -1833,6 +1857,50 @@ private[connector] final class TokenRangeScan(path: String,
     s"${f.getParentFile.getName}/${f.getName}"
   }
 
+  /** Per-file BLOOM probe (Cassandra's per-SSTable key bloom): a point
+    * lookup / multiget keeps a file iff SOME probed key MIGHT be present
+    * in SOME row group's bloom — a definite all-absent drops the file
+    * even when footer ranges overlap, and it is the only per-file prune
+    * TEXT keys get. Missing blooms (legacy files, non-pk writers) keep
+    * the file; correctness always rests on the residual filter. */
+  private def bloomKeep(file: String): Boolean = bloomProbe match {
+    case None => true
+    case Some((colName, dt, values)) =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), new Configuration()))
+      try {
+        rd.getFooter.getBlocks.asScala.exists { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString.equalsIgnoreCase(colName)) match {
+            case None => true // column absent: keep, residual decides
+            case Some(c) =>
+              val bf =
+                try rd.getBloomFilterDataReader(b).readBloomFilter(c)
+                catch { case _: Exception => null }
+              if (bf == null) true // no bloom written: keep
+              else values.exists { v =>
+                dt match {
+                  case LongType => v match {
+                    case l: Long => bf.findHash(bf.hash(l))
+                    case _ => true
+                  }
+                  case IntegerType => v match {
+                    case l: Long if l.isValidInt => bf.findHash(bf.hash(l.toInt))
+                    case i: Int => bf.findHash(bf.hash(i))
+                    case _ => true
+                  }
+                  case StringType => v match {
+                    case s: String => bf.findHash(bf.hash(Binary.fromString(s)))
+                    case _ => true
+                  }
+                  case _ => true // unprobeable dtype: keep
+                }
+              }
+          }
+        }
+      } finally rd.close()
+  }
+
   private def computePartitions(): Array[InputPartition] = {
     ckKept = 0; ckTotal = 0
     // ONE manifest resolution per scan (pinned to `version` for snapshot
@@ -1857,7 +1925,9 @@ private[connector] final class TokenRangeScan(path: String,
       .map { case (_, group) =>
         val candidates = group.flatMap(_._1._2)
           .filter(f => keepRel.forall(_(relOf(f))))
-        val files = candidates.filter(ckIntersects)
+        // cheapest prune first: cached footer stats, then the bloom
+        // (one footer+bloom read per file, point-lookup paths only)
+        val files = candidates.filter(ckIntersects).filter(bloomKeep)
         ckTotal += candidates.size
         ckKept += files.size
         TokenRangePartition(group.head._1._1, group.last._1._1, files.toArray)
@@ -1918,7 +1988,10 @@ private[connector] final class TokenRangeScan(path: String,
       case f => f.toString
     }.mkString("[", ", ", "]")
     val nParts = planInputPartitions().length // forces ckKept/ckTotal
-    val slice = if (ckSlice.nonEmpty) s" PrunedFiles: $ckKept/$ckTotal" else ""
+    val slice =
+      if (ckSlice.nonEmpty || bloomProbe.nonEmpty)
+        s" PrunedFiles: $ckKept/$ckTotal"
+      else ""
     val snap = version.map(v => s" Version: $v").getOrElse("")
     s"TokenRangeScan path=$path$snap TokenRanges: $nParts$slice " +
       s"PushedFilters: $pf ReadSchema: ${required.catalogString}"
@@ -2583,8 +2656,18 @@ private[connector] final class TokenRangeDataWriter(path: String,
     val k = fileSeq.getOrElse(bucket, 0)
     fileSeq(bucket) = k + 1
     val file = s"${dir.getAbsolutePath}/part-$partitionId-$taskId-$writeId-$k.parquet"
-    new BucketFile(ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
-      .withConf(conf).withType(msgType).build(), file)
+    // per-file BLOOM FILTER on the partition-key column(s) — Cassandra's
+    // per-SSTable key bloom: point lookups drop files that provably lack
+    // the key even when footer min/max ranges overlap (and it is the
+    // ONLY per-file prune possible for TEXT keys, whose truncatable
+    // binary stats zone maps can't use). Adaptive sizing: parquet picks
+    // the smallest candidate filter that holds the file's NDV.
+    val builder = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
+      .withConf(conf).withType(msgType)
+      .withAdaptiveBloomFilterEnabled(true)
+    pkIdx.foreach(i =>
+      builder.withBloomFilterEnabled(writeSchema(i).name, true))
+    new BucketFile(builder.build(), file)
   })
 
   // hoisted off the per-row hot path (r13 review: the composite branch

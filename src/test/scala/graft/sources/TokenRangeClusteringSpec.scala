@@ -323,6 +323,46 @@ class TokenRangeClusteringSpec extends SparkSpec {
       s"pk=7 lives only in load 0's file of its bucket: kept $k2/$t2")
   }
 
+  test("BLOOM prune: TEXT pk point lookups drop files that provably lack the key") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_tr_bloom")
+    // TEXT keys: zone maps can't prune these (truncatable binary stats)
+    // — the per-file pk bloom is the only sub-bucket prune they get
+    (0 until 4).foreach { r =>
+      (0 until 64).map(i => (s"user_${r}_$i", s"v$r-$i"))
+        .toDF("pk", "v").coalesce(1)
+        .write.format(fmt).option("pk", "pk")
+        .option("schema", "pk STRING, v STRING")
+        .mode("append").save(dir)
+    }
+    def kept(f: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val m = "PrunedFiles: (\\d+)/(\\d+)".r
+        .findFirstMatchIn(f.queryExecution.executedPlan.toString())
+      assert(m.isDefined, "expected a PrunedFiles report for the bloom probe")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    val point = spark.read.format(fmt).option("pk", "pk").load(dir)
+      .filter(col("pk") === "user_2_7")
+    assert(point.count() == 1)
+    val plan = point.queryExecution.executedPlan.toString()
+    assert(plan.contains("TokenRanges: 1 "), s"bucket prune first:\n${plan.take(300)}")
+    val (k1, t1) = kept(point)
+    // the key lives in exactly one load's file of its bucket; the other
+    // loads' files in that bucket bloom-drop (FPP makes ==1 flaky-free
+    // at this size, but assert the conservative strict subset)
+    assert(k1 < t1, s"the bloom must prune within the bucket: $k1/$t1")
+    // multiget: IN-list probes every key, union semantics per file
+    val multi = spark.read.format(fmt).option("pk", "pk").load(dir)
+      .filter(col("pk").isin("user_0_1", "user_3_5"))
+    assert(multi.count() == 2)
+    // a key that exists NOWHERE: every file bloom-drops, zero rows
+    val miss = spark.read.format(fmt).option("pk", "pk").load(dir)
+      .filter(col("pk") === "user_9_999")
+    assert(miss.count() == 0)
+    val (k3, t3) = kept(miss)
+    assert(k3 == 0 || k3 < t3, s"a missing key should drop files: $k3/$t3")
+  }
+
   test("a write whose schema lacks the clustering key is refused") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir("graft_tr_ck3")
