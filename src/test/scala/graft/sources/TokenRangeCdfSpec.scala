@@ -258,6 +258,29 @@ class TokenRangeCdfSpec extends SparkSpec {
     assert(state.toMap == table, "feed fold must reconstruct the table")
   }
 
+  test("the feed serves across ALTER TABLE ADD: pre-ALTER sidecars and files read NULL for the new column") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir("graft_cdf_alter")
+    append(dir, 0L until 12L)
+    TokenRangeOps.enableChangeFeed(dir)
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(2L)) // pre-ALTER sidecar
+    TokenRangeOps.addColumn(dir, "extra STRING")
+    (20L until 24L).map(i => (i, s"a$i", s"x$i")).toDF("pk", "v", "extra")
+      .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    val feed = feedBatch(dir)
+      .select("_change_type", "pk", "extra").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    // pre-ALTER rows (both the backfill inserts and the delete's
+    // sidecar) read NULL for `extra`; post-ALTER inserts carry it
+    assert(feed.count(_._1 == "delete") == 1)
+    assert(feed.filter(t => t._2 < 20L).forall(_._3 == null),
+      "pre-ALTER feed rows must read NULL for the added column")
+    assert(feed.filter(t => t._2 >= 20L).forall(t => t._3 == s"x${t._2}"),
+      "post-ALTER inserts must carry the new column")
+    assert(feed.length == 12 + 1 + 4)
+  }
+
   test("a fresh stream honors startingVersion (the Kafka startingOffsets analog)") {
     val dir = freshDir("graft_cdf_sv")
     append(dir, 0L until 10L)
