@@ -1442,14 +1442,23 @@ private[connector] final class TokenRangeRowLevelOperation(
 
   private val path = TokenRangeSource.pathOf(options)
   private val pinned: Option[Int] = TokenRangeSource.currentVersion(path)
-  // one slot per SCAN, holding its LATEST planned file set: runtime group
-  // filtering re-plans a scan with fewer files, and the retire set must
-  // track the set that actually EXECUTED — an accumulated union would
-  // retire files whose rows were never written back (data loss). Only
-  // the WRITE-BACK scan registers (it projects every table column); the
-  // group-filter subquery scan projects `_file` alone and must not
-  // contribute (its statically-pruned candidates are a SUPERSET of the
-  // files whose rows get rewritten).
+  // one slot per SCAN OBJECT, holding its LATEST planned file set:
+  // runtime group filtering re-plans a scan with fewer files, and the
+  // retire set must track the set that actually EXECUTED. In Spark
+  // 4.1's RowLevelOperationRuntimeGroupFiltering the matching-rows
+  // subquery CLONES the write-back relation and shares its Scan, so its
+  // static planning and the write-back's runtime-narrowed re-plan land
+  // in ONE slot (put replaces; narrowed-last wins — verified by
+  // instrumentation under an all-columns predicate). Should a
+  // separately-BUILT full-schema scan ever register too (the shape the
+  // r15 advice flagged: a subquery whose `_file` + condition columns
+  // cover the table), the sound fold is the INTERSECTION of the
+  // registered sets, never the union: every registered set is a static
+  // or runtime over-approximation of the matching-rows file set on the
+  // same pinned version, and the write-back scan's runtime-narrowed set
+  // is exact — a union would retire files whose rows were never written
+  // back (silent loss of their bystander rows), an intersection yields
+  // exactly the executed set.
   private val plannedBy =
     new java.util.concurrent.ConcurrentHashMap[AnyRef, Seq[String]]()
 
@@ -1495,9 +1504,9 @@ private[connector] final class TokenRangeRowLevelOperation(
       ckName = TokenRangeSource.recordedCk(path),
       opKind = Some(kind),
       lateReplaceRel = () => {
-        val rels = Set.newBuilder[String]
-        plannedBy.values().forEach(rs => rels ++= rs)
-        rels.result()
+        val sets = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+        plannedBy.values().forEach(rs => sets += rs.toSet)
+        if (sets.isEmpty) Set.empty[String] else sets.reduce(_ intersect _)
       },
       // Spark 4's ReplaceData prepends `__row_operation` to every row
       // (constant for group-based writes) — the task writers skip it
@@ -1745,10 +1754,11 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       // one giant batch. AvailableNow still drains to its pinned end,
       // in multiple micro-batches.
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-      // only the WRITE-BACK scan reports its planned files (it projects
-      // every table column — ReplaceData writes whole rows); the runtime
-      // group-filter subquery projects `_file` alone and must not widen
-      // the retire set (see TokenRangeRowLevelOperation.plannedBy)
+      // full-schema scans report their planned files: the write-back
+      // scan always projects every table column (ReplaceData writes
+      // whole rows), and the group-filter subquery does too when the
+      // DML condition covers the schema — the retire set INTERSECTS
+      // the registered sets (see TokenRangeRowLevelOperation.plannedBy)
       if (onPlanned != null && tableSchema.fields.forall(f =>
         required.fields.exists(_.name.equalsIgnoreCase(f.name)))) onPlanned
       else null,

@@ -99,6 +99,39 @@ class TokenRangeRowLevelSpec extends SparkSpec {
       "_file must surface one value per live file")
   }
 
+  test("all-columns predicate: the group-filter subquery must not widen the retire set (ADVICE r15)") {
+    // When the DML condition references EVERY table column, the runtime
+    // group-filter subquery scan projects `_file` + all columns — the
+    // same full-schema shape as the write-back scan — so it registers
+    // its statically-pruned candidates too. The retire set must be the
+    // INTERSECTION of registered sets (= the write-back scan's exact
+    // runtime-narrowed set); the old union retired files whose rows were
+    // never written back: silent loss of every non-matching row in them.
+    val cat = freshCat("allc")
+    spark.sql(s"""CREATE TABLE $cat.ks.t (pk BIGINT, v STRING, n BIGINT)
+      TBLPROPERTIES('pk'='pk')""")
+    (0 until 4).foreach { r =>
+      spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id), id " +
+        s"FROM range(${r * 32}, ${(r + 1) * 32})")
+    }
+    val path = tablePath(cat, "t")
+    val before = liveRel(path)
+    assert(before.size >= 4)
+    // references pk, v AND n; no pk equality → no bucket prune, so the
+    // subquery's static candidate set is ALL files while only row 100's
+    // file holds a match
+    spark.sql(s"UPDATE $cat.ks.t SET n = -1 " +
+      "WHERE v = 'a100' AND n < 1000 AND pk < 1000")
+    val after = liveRel(path)
+    val retired = before -- after
+    assert(retired.size == 1,
+      s"only the matching file may retire, got ${retired.size}: $retired")
+    val t = spark.sql(s"SELECT * FROM $cat.ks.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t.size == 128, s"no rows may be lost, got ${t.size}")
+    assert(t(100L) == -1L && t(99L) == 99L && t(127L) == 127L)
+  }
+
   test("SQL DELETE with a non-key predicate takes the copy-on-write path") {
     val cat = freshCat("del")
     spark.sql(s"""CREATE TABLE $cat.ks.t (pk BIGINT, v STRING, n BIGINT)
