@@ -1827,7 +1827,88 @@ object WideColumn extends QueryModule {
       |GROUP BY old_owner, new_owner""".stripMargin
   }
 
+  // ---- MERGE-ON-READ deletion vectors (r16, VERDICT r15 #1) ---------------
+  /** Small DML served through DELETION VECTORS instead of copy-on-write:
+    * a point DELETE and a key upsert each publish a tiny pk sidecar
+    * bound to the affected files (manifest `^` lines) — NO existing data
+    * file is read or rewritten (the builder REQUIRES file identity) —
+    * and readers suppress the tombstoned keys' rows at merge time,
+    * exactly Cassandra's tombstone-merged-at-read semantic; compaction
+    * applies vectors physically. The oracle replays both ops
+    * relationally over the raw orders, so the entry proves the
+    * merge-on-read read path is row-exact against a rewrite-free
+    * specification. TokenRangeDvSpec carries the physical claims
+    * (no-data-file delete, conflict-on-race, vacuum liveness). */
+  private def mergeOnReadDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_mor", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format(fmt).option("pk", "o_orderkey")
+        .option("schema",
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .mode("overwrite").save(dir)
+      val preDelete =
+        graft.sources.connector.TokenRangeOps.liveFiles(dir).toSet
+      // point DELETE: 12 keys (disjoint from the upsert set by
+      // construction — 101·103 cross-multiples excluded on both sides)
+      val delKeys = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 103 =!= 0)
+        .orderBy(asc("o_orderkey")).limit(12)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+      graft.sources.connector.TokenRangeOps
+        .deleteKeys(s, dir, "o_orderkey", delKeys, mode = "dv")
+      // key upsert: 8 keys take a new status and a bumped price — the
+      // incoming rows APPEND, a vector tombstones the old generations
+      val upFrame = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 103 === 0 && col("o_orderkey") % 101 =!= 0)
+        .orderBy(asc("o_orderkey")).limit(8)
+        .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      graft.sources.connector.TokenRangeOps
+        .upsert(s, dir, "o_orderkey", upFrame, mode = "dv")
+      // the merge-on-read CONTRACT, enforced at build time: every
+      // pre-existing data file survives by identity (the upsert only
+      // ADDED files; the delete added none)
+      val after =
+        graft.sources.connector.TokenRangeOps.liveFiles(dir).toSet
+      require(preDelete.subsetOf(after),
+        "merge-on-read DML must not rewrite or retire any data file")
+      dir
+    }
+
+  def mergeOnRead(s: SparkSession, d: String): DataFrame = {
+    val dir = mergeOnReadDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "o_orderkey").load(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.sumExact(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  private val mergeOnReadSql =
+    """WITH del AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderkey % 101 = 0 AND o_orderkey % 103 <> 0
+      |  ORDER BY o_orderkey LIMIT 12),
+      | up AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderkey % 103 = 0 AND o_orderkey % 101 <> 0
+      |  ORDER BY o_orderkey LIMIT 8),
+      | t AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM up)
+      |      THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM up)
+      |      THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del))
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM t GROUP BY o_orderstatus""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
+    ("wc_merge_on_read", mergeOnRead _, Some(mergeOnReadSql)),
     ("wc_vnode_rebalance", vnodeRebalance _, Some(vnodeRebalanceSql)),
     ("wc_anti_entropy_repair", antiEntropyRepair _, Some(antiEntropyRepairSql)),
     ("wc_quorum_read", quorumRead _, Some(quorumReadSql)),

@@ -119,6 +119,36 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
     new java.io.File(tableDir(ident), "_manifests").exists()
 
   override def loadTable(ident: Identifier): Table = {
+    // CHANGE-FEED metadata table (r16, Iceberg's `t.history` idiom):
+    // `ks.`t$changes`` resolves the feed BY NAME with the CDF metadata
+    // columns in its schema — what `spark.readStream.table` and SQL
+    // SELECTs need (reader options cannot extend a catalog table's
+    // schema, so the path-read's `.option("changeFeed")` shape has no
+    // by-name equivalent without this). A real table literally named
+    // `x$changes` shadows the suffix form.
+    val n = ident.name()
+    if (n.endsWith("$changes") && !tableExists(ident)) {
+      val base = Identifier.of(ident.namespace(), n.stripSuffix("$changes"))
+      if (tableExists(base)) {
+        val path = tableDir(base).getAbsolutePath
+        val schema = TokenRangeSource.storedSchema(path).getOrElse(
+          throw new IllegalStateException(
+            s"token-range table ${base.name()} at $path has no stored schema"))
+        val props = new java.util.HashMap[String, String]()
+        props.put("path", path)
+        props.put("changeFeed", "true")
+        TokenRangeSource.recordedPk(path).foreach(props.put("pk", _))
+        return new TokenRangeTable(
+          org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField(
+              TokenRangeSource.ChangeTypeCol,
+              org.apache.spark.sql.types.StringType) :+
+            org.apache.spark.sql.types.StructField(
+              TokenRangeSource.CommitVersionCol,
+              org.apache.spark.sql.types.IntegerType)),
+          new CaseInsensitiveStringMap(props))
+      }
+    }
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         catalogName +: ident.namespace().toSeq :+ ident.name())

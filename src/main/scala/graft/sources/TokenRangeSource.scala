@@ -477,6 +477,53 @@ object TokenRangeSource {
       case l if l.startsWith("#cdf ") => l.stripPrefix("#cdf ").trim
     }
 
+  // ---- DELETION VECTORS (r16: merge-on-read) ------------------------------
+  //
+  // A deletion vector is a parquet sidecar under `_dv/<uuid>/` holding
+  // DELETED PARTITION-KEY values (the pk column(s), exact table dtypes),
+  // BOUND to specific data files by manifest lines of the form
+  //     ^tb=<k>/<name> _dv/<uuid>
+  // A bound reader suppresses every row of that file whose pk is in the
+  // vector — Cassandra's tombstone-merged-at-read semantic, and the
+  // lakehouse formats' deletion-vector shape. Bindings target the files
+  // PRESENT at bind time, so a later re-insert of a deleted key lands in
+  // an unbound file and is served (delete-then-reinsert works without
+  // writetime tracking). Bindings ride the version file FLAT (never in
+  // segments): they are rare relative to data files — compaction and
+  // every copy-on-write rewrite of a bound file APPLIES its vectors and
+  // the publish drops the binding in the same flip — so the carry cost
+  // is O(live vectors), bounded by maintenance cadence.
+  //
+  // KEY GRAIN, not row positions: a vector deletes every row of the
+  // listed keys in its bound files — exactly [[TokenRangeOps.deleteKeys]]
+  // / [[TokenRangeOps.upsert]]'s semantics (whole-partition point
+  // deletes / key replacement). Row-grain DML (DELETE WHERE <predicate>)
+  // stays copy-on-write, which is exact under duplicate rows.
+
+  /** Recorded pk resolved against a table schema — the deletion-vector
+    * merge key readers test suppression with. Empty when no pk is
+    * recorded (legacy tables, which can carry no vectors). */
+  private[connector] def pkFieldsOf(path: String,
+      full: StructType): Array[(String, DataType)] =
+    recordedPk(path).map(_.split(',').map(_.trim).flatMap(n =>
+      full.fields.find(_.name.equalsIgnoreCase(n))
+        .map(f => (f.name, f.dataType)))).getOrElse(Array.empty)
+
+  /** `(dataRel, dvRel)` bindings visible at `version` (current when
+    * None). Empty for manifest-less legacy tables. */
+  private[connector] def dvBindings(path: String,
+      version: Option[Int] = None): Seq[(String, String)] =
+    version.orElse(currentVersion(path)) match {
+      case Some(v) => versionLines(path, v).collect {
+        case l if l.startsWith("^") =>
+          val rest = l.drop(1)
+          val i = rest.indexOf(' ')
+          require(i > 0, s"malformed deletion-vector binding line '$l' in $path v$v")
+          (rest.substring(0, i), rest.substring(i + 1).trim)
+      }
+      case None => Nil
+    }
+
   // CDF metadata columns served by changeFeed reads (Delta's CDF analog:
   // _change_type ∈ insert | delete | update_preimage | update_postimage)
   private[connector] val ChangeTypeCol = "_change_type"
@@ -499,12 +546,26 @@ object TokenRangeSource {
       _.trim == "cdf=true")
   }
 
+  /** The version at which the change feed was ENABLED (r16) — the
+    * snapshot-seeding anchor for backfills that cross pre-enable
+    * rewrites. None on feeds enabled before the header existed (those
+    * keep the loud pre-enable refusal). */
+  private[connector] def changeFeedSince(path: String): Option[Int] = {
+    val f = new java.io.File(manifestDir(path), "cdf.properties").getPath
+    if (!manifestIO.exists(f) || !changeFeedEnabled(path)) None
+    else manifestIO.read(f).split('\n').collectFirst {
+      case l if l.trim.startsWith("since=") =>
+        l.trim.stripPrefix("since=").toInt
+    }
+  }
+
   /** One classified entry per version in `(fromEx, toIn]` — the shared
     * commit-log walk behind the CDC tail and the batch `table_changes`
     * scan. Each version resolves ONCE (the walk reuses the previous
     * version's file set). */
   private[connector] final case class ChangeBatch(version: Int, kind: String,
-      addedRel: Seq[String], retiredAny: Boolean, cdfRel: Option[String])
+      addedRel: Seq[String], retiredAny: Boolean, cdfRel: Option[String],
+      dvChanged: Boolean)
 
   /** Version `v`'s visible file set, with the CDC-grade remedy when the
     * version was reaped (retention past a stream's downtime). */
@@ -519,21 +580,47 @@ object TokenRangeSource {
           "version, or raise the table's retention.")
     else visibleRelFiles(path, Some(v)).map(_._2).toSet
 
+  /** Resolve historical rels to absolute paths, verifying the data files
+    * still EXIST (ADVICE r15: a tail/feed serving a version's added
+    * files by path would otherwise fail mid-stream with a raw
+    * FileNotFoundException when vacuum already reaped them — manifests
+    * outliving their data files is exactly the retention-past-downtime
+    * shape relsAtChecked curates for manifests). */
+  private[connector] def checkedDataAbs(path: String, rels: Seq[String],
+      v: Int): Seq[String] =
+    rels.map { rel =>
+      val f = new java.io.File(path, rel)
+      if (!f.isFile) throw new IllegalStateException(
+        s"token-range CDC read at $path: version $v's data file $rel was " +
+          "reaped by retention/vacuum. Restart the read from a retained " +
+          "version, or raise the table's retention.")
+      f.getAbsolutePath
+    }
+
   private[connector] def changeBatches(path: String, fromEx: Int,
       toIn: Int): Seq[ChangeBatch] = {
     if (toIn <= fromEx) return Nil
     var prev = relsAtChecked(path, fromEx)
+    var prevDv: Set[(String, String)] =
+      if (fromEx <= 0) Set.empty else dvBindings(path, Some(fromEx)).toSet
     (fromEx + 1 to toIn).map { v =>
       val cur = relsAtChecked(path, v)
+      val curDv = dvBindings(path, Some(v)).toSet
       val added = (cur -- prev).toSeq.sorted
       val retired = (prev -- cur).nonEmpty
+      // NEW deletion-vector bindings make a version content-changing
+      // even though it retires no file (merge-on-read DELETE/upsert);
+      // bindings only ever DISAPPEAR with their file's retirement, which
+      // `retired` already classifies
+      val dvChanged = (curDv -- prevDv).nonEmpty
       // pre-#op manifests: a version that retired nothing is an append
       // (exactly what the r15 tail served); one that did is an unknown
       // rewrite — the conservative fail-loud class
       val kind = opKindAt(path, v)
         .getOrElse(if (retired) "rewrite" else "append")
       prev = cur
-      ChangeBatch(v, kind, added, retired, cdfRelAt(path, v))
+      prevDv = curDv
+      ChangeBatch(v, kind, added, retired, cdfRelAt(path, v), dvChanged)
     }
   }
 
@@ -547,8 +634,65 @@ object TokenRangeSource {
     * replaceFiles writer) fails loudly — the manifest intentionally
     * records file lists, not row diffs. */
   private[connector] def cdfPartitions(path: String, fromEx: Int, toIn: Int,
+      splits: Int): Array[InputPartition] = {
+    val batches = changeBatches(path, fromEx, toIn)
+    // SNAPSHOT-SEEDED BACKFILL (r16, VERDICT r15 #3): a range crossing a
+    // content-changing version that PRE-DATES the feed's enable version
+    // has no sidecar by design. Instead of failing, serve the ENABLE-
+    // version snapshot as synthesized inserts stamped at that version
+    // (vector-merged — a suppressed row was never in that state), then
+    // sidecars/appends forward. Feed folds reconstruct the current table
+    // exactly. Ranges ending STRICTLY before the enable version keep the
+    // loud refusal (the feed did not exist yet), as do pre-`since`
+    // feeds (no anchor recorded).
+    def servable(b: ChangeBatch): Boolean = b.kind == "compact" ||
+      b.cdfRel.isDefined || (!b.retiredAny && !b.dvChanged)
+    // seed ONLY a from-the-beginning read (fromEx == 0): a consumer that
+    // already drained real changes up to fromEx would double-count the
+    // snapshot's rows — a mid-history range crossing an unservable
+    // pre-enable rewrite keeps the loud refusal instead
+    val seedAt: Option[Int] = changeFeedSince(path).filter(sv =>
+      fromEx == 0 && sv > fromEx && sv <= toIn &&
+        batches.exists(b => !servable(b) && b.version <= sv))
+    seedAt match {
+      case Some(sv) =>
+        val snapFiles = visibleFiles(path, Some(sv)).map(_._2)
+        val dvByRel: Map[String, Array[String]] = {
+          val bind = dvBindings(path, Some(sv))
+          if (bind.isEmpty) Map.empty
+          else {
+            val dirFiles = bind.map(_._2).distinct.map(dv =>
+              dv -> parquetFiles(new java.io.File(path, dv))).toMap
+            bind.groupBy(_._1).map { case (rel, bs) =>
+              rel -> bs.flatMap(b => dirFiles(b._2)).distinct.toArray
+            }
+          }
+        }
+        val relOfAbs = (abs: String) => {
+          val f = new java.io.File(abs)
+          s"${f.getParentFile.getName}/${f.getName}"
+        }
+        val n = math.max(1, math.min(splits, math.max(1, snapFiles.size)))
+        val seed: Seq[InputPartition] =
+          if (snapFiles.isEmpty) Nil
+          else snapFiles.zipWithIndex
+            .groupBy { case (_, i) => i * n / snapFiles.size }
+            .toSeq.sortBy(_._1)
+            .map { case (_, g) =>
+              val fs = g.map(_._1)
+              TokenRangeCdfPartition(fs.toArray, Some("insert"), sv,
+                if (dvByRel.isEmpty) Array.empty
+                else fs.map(f => dvByRel.getOrElse(relOfAbs(f),
+                  Array.empty[String])).toArray)
+            }
+        (seed ++ cdfPartitions(path, sv, toIn, splits)).toArray
+      case None => cdfPartitionsWalk(path, batches, splits)
+    }
+  }
+
+  private def cdfPartitionsWalk(path: String, batches: Seq[ChangeBatch],
       splits: Int): Array[InputPartition] =
-    changeBatches(path, fromEx, toIn).flatMap { b =>
+    batches.flatMap { b =>
       def chunk(files: Seq[String], changeType: Option[String]) =
         if (files.isEmpty) Nil
         else {
@@ -573,9 +717,8 @@ object TokenRangeSource {
           // an EXISTING dir with no parquet files is a rewrite that
           // matched nothing (content-preserving) — serve nothing
           chunk(parquetFiles(dir), None)
-        case _ if !b.retiredAny =>
-          chunk(b.addedRel.map(rel =>
-            new java.io.File(path, rel).getAbsolutePath), Some("insert"))
+        case _ if !b.retiredAny && !b.dvChanged =>
+          chunk(checkedDataAbs(path, b.addedRel, b.version), Some("insert"))
         case k => throw new IllegalStateException(
           s"token-range change feed at $path: version ${b.version} is a " +
             s"content-changing rewrite ($k) with no recorded change " +
@@ -593,7 +736,11 @@ object TokenRangeSource {
       version: Option[Int] = None): Seq[(Int, String)] =
     version.orElse(currentVersion(path)) match {
       case Some(v) =>
-        versionLines(path, v).filterNot(_.startsWith("#")).flatMap { line =>
+        versionLines(path, v)
+          // `#` metadata headers and `^` deletion-vector bindings are
+          // not data-file lines
+          .filterNot(l => l.startsWith("#") || l.startsWith("^"))
+          .flatMap { line =>
           if (line.startsWith("@")) {
             val segRel = line.dropWhile(_ != ' ').trim
             segmentRels(path, segRel).map(rel => (bucketOfRel(rel), rel))
@@ -754,23 +901,38 @@ object TokenRangeSource {
     * optimistic-concurrency loop of the lakehouse designs. */
   private[connector] def publishManifest(path: String, placedRel: Seq[String],
       truncate: Boolean, removeRel: Set[String] = Set.empty,
-      opKind: String = "append", cdfRel: Option[String] = None): Int = {
+      opKind: String = "append", cdfRel: Option[String] = None,
+      dvBind: Seq[(String, String)] = Nil,
+      dvSeenVersion: Option[Int] = None): Int = {
     val mdir = manifestDir(path)
     mdir.mkdirs()
     // buckets this commit touches — the ONLY buckets whose lists are read
     // or rewritten; every other bucket's pointer/flat lines carry by
-    // reference (O(touched) commit cost, the r12 #5 scale fix)
+    // reference (O(touched) commit cost, the r12 #5 scale fix). A
+    // deletion-vector bind touches its target's bucket too: the target
+    // must be validated against the freshly-read base (a racing rewrite
+    // may have retired it, and binding a vector to a retired file would
+    // silently drop the delete).
     val touched: Set[Int] =
-      (placedRel.map(bucketOfRel) ++ removeRel.map(bucketOfRel)).toSet
+      (placedRel.map(bucketOfRel) ++ removeRel.map(bucketOfRel)
+        ++ dvBind.map(b => bucketOfRel(b._1))).toSet
     val placedByBucket = placedRel.groupBy(bucketOfRel)
+    // bindings the publisher OBSERVED when it pinned its snapshot — a
+    // rewrite retiring file F implicitly applies-and-drops F's vectors,
+    // which is only sound for vectors its read actually merged; a vector
+    // bound AFTER the pin must conflict the publish (else the racing
+    // delete is silently resurrected by the rewrite's output)
+    lazy val seenDv: Set[(String, String)] =
+      dvSeenVersion.map(v => dvBindings(path, Some(v)).toSet).getOrElse(Set.empty)
     var published = -1
     while (published < 0) {
       val vCur = currentVersion(path)
       // current lines, partitioned into carried (untouched) and rebased
       // (touched) — a legacy flat version's lines and a segmented
       // version's pointers both route by bucket
-      // `#` metadata headers never carry: each publish stamps its own
-      val curLines: Seq[String] = (vCur, truncate) match {
+      // `#` metadata headers never carry: each publish stamps its own;
+      // `^` deletion-vector bindings carry FLAT (handled below)
+      val allCurLines: Seq[String] = (vCur, truncate) match {
         case (Some(v), false) => versionLines(path, v).filterNot(_.startsWith("#"))
         case (None, false) =>
           // manifest-less legacy table: pin the physical listing (flat
@@ -781,6 +943,11 @@ object TokenRangeSource {
           }
         case _ => Nil
       }
+      val (curDvLines, curLines) = allCurLines.partition(_.startsWith("^"))
+      val curBind: Set[(String, String)] = curDvLines.map { l =>
+        val rest = l.drop(1); val i = rest.indexOf(' ')
+        (rest.substring(0, i), rest.substring(i + 1).trim)
+      }.toSet
       def lineBucket(l: String): Int =
         if (l.startsWith("@")) l.drop(1).takeWhile(_ != ' ').trim.toInt
         else bucketOfRel(l)
@@ -800,7 +967,35 @@ object TokenRangeSource {
             s"${removeRel.size} files this rewrite retires were already " +
             s"retired by a racing committer (e.g. ${missing.head}); " +
             "re-run the rewrite from the current snapshot")
+        // vectors on retired files must all have been SEEN by this
+        // rewrite's pinned read (which merged them): an unseen one means
+        // a racing merge-on-read delete landed mid-flight — publishing
+        // would resurrect its deleted rows in the rewritten output
+        val unseen = curBind.filter { case (d, _) => removeRel(d) } -- seenDv
+        if (unseen.nonEmpty) throw new ManifestConflictException(
+          s"copy-on-write conflict at $path: ${unseen.size} deletion-" +
+            s"vector binding(s) landed on retired files after this " +
+            s"rewrite pinned its snapshot (e.g. ${unseen.head}); re-run " +
+            "the rewrite from the current snapshot (direct replaceFiles " +
+            "writers must read through the connector scan, which merges " +
+            "vectors, and declare their pinned version via dvSeenVersion)")
       }
+      if (!truncate && dvBind.nonEmpty) {
+        val visibleTouched = baseTouched.values.flatten.toSet
+        val missingTargets = dvBind.map(_._1).toSet -- visibleTouched
+        if (missingTargets.nonEmpty) throw new ManifestConflictException(
+          s"merge-on-read conflict at $path: ${missingTargets.size} " +
+            s"deletion-vector target file(s) were retired by a racing " +
+            s"committer (e.g. ${missingTargets.head}); re-run the delete " +
+            "from the current snapshot")
+      }
+      // bindings carry flat; a binding dies with its file's retirement
+      // (the rewrite that retires the file has merged the vector — the
+      // seenDv check above is what makes that implication sound)
+      val newDvLines: Seq[String] =
+        (if (truncate) Set.empty[(String, String)]
+         else curBind.filterNot { case (d, _) => removeRel(d) } ++ dvBind)
+          .toSeq.distinct.sorted.map { case (d, r) => s"^$d $r" }
       // new per-bucket lists → one immutable segment file per non-empty
       // touched bucket (unique names: a lost CAS leaves orphans that
       // vacuum reaps, never a corrupt reference)
@@ -823,7 +1018,8 @@ object TokenRangeSource {
       val headers = Seq(s"#edits ${schemaEdits(path).size}", s"#op $opKind") ++
         cdfRel.map(r => s"#cdf $r")
       val body = (headers ++
-        (carriedLines ++ newPtrLines).sorted).mkString("", "\n", "\n")
+        (carriedLines ++ newPtrLines ++ newDvLines).sorted)
+        .mkString("", "\n", "\n")
       val v = vCur.getOrElse(0) + 1
       // CAS: create-iff-absent (hard link / if-none-match via ManifestIO).
       // The loser re-reads the winner's version as its new base and
@@ -1004,6 +1200,44 @@ object TokenRangeSource {
     * bounded). */
   private val fileStatsCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[Map[String, (Long, Long, Long)]]]()
+
+  // ---- per-file BLOOM cache (r16, ADVICE r15: bloomKeep re-read the
+  // footer + bloom pages of every candidate file on every point-lookup
+  // plan) ---- blooms are immutable per file: load once per (file,
+  // column), probe many times — the same stats-catalog stand-in as
+  // fileStatsCache, same size-bounded wholesale clear.
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    Seq[Option[org.apache.parquet.column.values.bloomfilter.BloomFilter]]]()
+  /** Test seam: counts ACTUAL bloom footer reads (cache misses) — the
+    * repeated-point-lookup spec asserts the second identical plan reads
+    * zero. */
+  private[graft] val bloomFooterReads =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The per-row-group bloom filters of `colName` in `abs` (None where a
+    * row group wrote none), cached per immutable file. */
+  private[connector] def fileBlooms(abs: String, colName: String)
+      : Seq[Option[org.apache.parquet.column.values.bloomfilter.BloomFilter]] = {
+    val key = s"$abs|${colName.toLowerCase}"
+    val hit = bloomCache.get(key)
+    if (hit != null) return hit
+    bloomFooterReads.incrementAndGet()
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(abs), new Configuration()))
+    val out =
+      try rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString.equalsIgnoreCase(colName))
+          .flatMap { c =>
+            try Option(rd.getBloomFilterDataReader(b).readBloomFilter(c))
+            catch { case _: Exception => None }
+          }
+      } finally rd.close()
+    if (bloomCache.size > 4096) bloomCache.clear()
+    bloomCache.put(key, out)
+    out
+  }
 
   private[connector] def fileLongStats(
       abs: String): Seq[Map[String, (Long, Long, Long)]] = {
@@ -1245,6 +1479,11 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the change-feed relation (`t$changes` / `.option("changeFeed")`)
+    // is READ-ONLY: a write through it would silently land in the base
+    // table with the metadata columns dropped
+    require(!options.getBoolean("changeFeed", false),
+      "token-range change-feed relation is read-only; write to the base table")
     val pk = Option(options.get("pk")).orElse(Option(info.options.get("pk")))
       .getOrElse(throw new IllegalArgumentException(
         "token-range sink requires the pk option (the bucketing partition key; " +
@@ -1348,8 +1587,21 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
       s"token-range sink: unknown opKind '$k'"))
     val cdfRel = Option(options.get("cdfRel"))
       .orElse(Option(info.options.get("cdfRel"))).map(_.trim).filter(_.nonEmpty)
+    // deletion-vector bindings this commit publishes beside its data
+    // files (merge-on-read upsert: new rows append, old keys' rows are
+    // suppressed by a vector bound to the pre-existing files) — newline-
+    // separated "dataRel dvRel" pairs; and the version the op's read
+    // PINNED, for publishManifest's vector conflict validation
+    val dvBind: Seq[(String, String)] = Option(options.get("dvBind"))
+      .orElse(Option(info.options.get("dvBind")))
+      .map(_.split('\n').toSeq.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf(' ')
+        (l.substring(0, i), l.substring(i + 1).trim)
+      }).getOrElse(Nil)
+    val dvSeenVersion: Option[Int] = Option(options.get("dvSeenVersion"))
+      .orElse(Option(info.options.get("dvSeenVersion"))).map(_.trim.toInt)
     new TokenRangeWriteBuilder(tablePath, info.schema(), pkIdx, replace, ck, rollRows,
-      declaredDdl, opKind, cdfRel)
+      declaredDdl, opKind, cdfRel, dvBind = dvBind, dvSeenVersion = dvSeenVersion)
   }
 
   // ---- row-level DELETE (CQL `DELETE ... WHERE pk = ?` / `pk IN (...)`,
@@ -1432,9 +1684,10 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   * internally; a SQL statement surfaces it instead, like a serializable
   * transaction abort). On a change-feed table the commit records a
   * change sidecar as the MULTISET DIFF of the retired files' rows vs
-  * their staged replacements — updates encode as delete+insert pairs
-  * (exact under duplicate keys, fold-equivalent to pre/post images;
-  * TokenRangeOps.upsert records true images). */
+  * their staged replacements, CLASSIFIED by pk into true update
+  * pre/post image pairs, deletes and inserts (r16 — the same
+  * classification TokenRangeOps.upsert records; exact under duplicate
+  * keys, see stageSqlDmlSidecar). */
 private[connector] final class TokenRangeRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     tableSchema: StructType, options: CaseInsensitiveStringMap)
@@ -1510,7 +1763,11 @@ private[connector] final class TokenRangeRowLevelOperation(
       },
       // Spark 4's ReplaceData prepends `__row_operation` to every row
       // (constant for group-based writes) — the task writers skip it
-      rowOpColumn = true)
+      rowOpColumn = true,
+      // the operation's scans read at the pinned version and MERGE its
+      // deletion vectors — declaring the pin lets publishManifest verify
+      // no vector landed on a retired file after it (conflict → re-run)
+      dvSeenVersion = pinned)
   }
 }
 
@@ -1546,6 +1803,14 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   // point-lookup literals for the per-file BLOOM probe (single-col pk):
   // conjunctive filters INTERSECT their value sets, like the bucket sets
   private var pkProbe: Option[Set[Any]] = None
+  // COMPOSITE components' equality literals (r16, VERDICT r15 #4): only
+  // populated when a filter binds the FULL key (single tuple or tuple
+  // multiget) — each component then probes its own per-file bloom and
+  // the keeps INTERSECT (component-wise presence over-approximates
+  // tuple presence: sound, prunes). Partial equality stays unprobed,
+  // exactly like bucket routing.
+  private val pkCompProbe = scala.collection.mutable.LinkedHashMap
+    .empty[String, Set[Any]]
   private def normProbe(v: Any): Any = v match {
     case u: UTF8String => u.toString
     case i: Int => i.toLong
@@ -1554,6 +1819,10 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   private def restrictProbe(vs: Set[Any]): Unit = {
     val n = vs.map(normProbe)
     pkProbe = Some(pkProbe.fold(n)(_ intersect n))
+  }
+  private def restrictCompProbe(name: String, vs: Set[Any]): Unit = {
+    val n = vs.map(normProbe)
+    pkCompProbe(name) = pkCompProbe.get(name).fold(n)(_ intersect n)
   }
   // per-column slice, intersected over pushed range filters as CLOSED
   // intervals (integer keys, so exclusive bounds shift by 1). ZONE MAPS
@@ -1682,6 +1951,8 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
             restrictBuckets(tuples.map(m =>
               TokenLayout.bucketOfCompositeValues(
                 pkNames.map(m), pkFields.map(_.dataType))).toSet)
+            pkNames.foreach(n =>
+              restrictCompProbe(n, tuples.map(m => m(n)).toSet))
             pushed = (pushed :+ f).distinct
           }
         case _ => ()
@@ -1693,6 +1964,7 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       if (pkNames.forall(eqs.contains) && routableSchema) {
         restrictBuckets(Set(TokenLayout.bucketOfCompositeValues(
           pkNames.map(eqs), pkFields.map(_.dataType))))
+        pkNames.foreach(n => restrictCompProbe(n, Set(eqs(n))))
         val compositeEq = filters.filter {
           case EqualTo(a, _) => pkNames.exists(_.equalsIgnoreCase(a))
           case _ => false
@@ -1730,13 +2002,19 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
         Option(options.get("startingVersion")).map(_.toInt),
         Option(options.get("endingVersion")).map(_.toInt),
         Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
-    // BLOOM probe: single-col pk point-lookup/multiget literals + the
-    // pk's table dtype (the hash must match the column's physical type)
-    val bloomProbe: Option[(String, DataType, Seq[Any])] =
-      if (pkNames.size != 1) None
-      else pkProbe.flatMap(vs =>
-        tableSchema.fields.find(_.name.equalsIgnoreCase(pkName))
-          .map(f => (f.name, f.dataType, vs.toSeq)))
+    // BLOOM probes: point-lookup/multiget literals + each probed
+    // column's table dtype (the hash must match the physical type).
+    // Single-col pk probes one column; a fully-bound composite key
+    // probes EVERY component's bloom and the keeps intersect (r16).
+    val bloomProbes: Seq[(String, DataType, Seq[Any])] =
+      if (pkNames.size == 1)
+        pkProbe.toSeq.flatMap(vs =>
+          tableSchema.fields.find(_.name.equalsIgnoreCase(pkName))
+            .map(f => (f.name, f.dataType, vs.toSeq)))
+      else pkCompProbe.toSeq.flatMap { case (n, vs) =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(n))
+          .map(f => (f.name, f.dataType, vs.toSeq))
+      }
     new TokenRangeScan(TokenRangeSource.pathOf(options), required,
       tableSchema, pushed, pkBuckets,
       ckIv.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
@@ -1765,13 +2043,20 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       // fresh-stream start version (inclusive) — the Kafka
       // startingOffsets analog; ignored by batch scans
       Option(options.get("startingVersion")).map(_.toInt),
-      bloomProbe)
+      bloomProbes,
+      // single-col probe values are bucket-routable per file (a
+      // multiget's other-bucket keys can never be in this file)
+      bucketRoutedProbe = pkNames.size == 1)
   }
 }
 
-/** One input partition = one contiguous token range's files. */
+/** One input partition = one contiguous token range's files. `dvFiles`
+  * (aligned with `files`; empty when the version carries no deletion
+  * vectors) holds each file's bound deletion-vector parquet paths — the
+  * reader suppresses rows whose pk is in any of them (merge-on-read). */
 private[connector] final case class TokenRangePartition(
-    loBucket: Int, hiBucket: Int, files: Array[String]) extends InputPartition
+    loBucket: Int, hiBucket: Int, files: Array[String],
+    dvFiles: Array[Array[String]] = Array.empty) extends InputPartition
 
 private[connector] final class TokenRangeScan(path: String,
     required: StructType, full: StructType, pushed: Array[Filter],
@@ -1780,7 +2065,8 @@ private[connector] final class TokenRangeScan(path: String,
     maxVersionsPerTrigger: Option[Int] = None,
     onPlanned: (AnyRef, Seq[String]) => Unit = null,
     startingVersion: Option[Int] = None,
-    bloomProbe: Option[(String, DataType, Seq[Any])] = None)
+    bloomProbes: Seq[(String, DataType, Seq[Any])] = Nil,
+    bucketRoutedProbe: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -1873,52 +2159,80 @@ private[connector] final class TokenRangeScan(path: String,
     * even when footer ranges overlap, and it is the only per-file prune
     * TEXT keys get. Missing blooms (legacy files, non-pk writers) keep
     * the file; correctness always rests on the residual filter. */
-  private def bloomKeep(file: String): Boolean = bloomProbe match {
-    case None => true
-    case Some((colName, dt, values)) =>
-      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file), new Configuration()))
-      try {
-        rd.getFooter.getBlocks.asScala.exists { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString.equalsIgnoreCase(colName)) match {
-            case None => true // column absent: keep, residual decides
-            case Some(c) =>
-              val bf =
-                try rd.getBloomFilterDataReader(b).readBloomFilter(c)
-                catch { case _: Exception => null }
-              if (bf == null) true // no bloom written: keep
-              else values.exists { v =>
-                dt match {
-                  case LongType => v match {
-                    case l: Long => bf.findHash(bf.hash(l))
-                    case _ => true
-                  }
-                  case IntegerType => v match {
-                    case l: Long if l.isValidInt => bf.findHash(bf.hash(l.toInt))
-                    case i: Int => bf.findHash(bf.hash(i))
-                    case _ => true
-                  }
-                  case StringType => v match {
-                    case s: String => bf.findHash(bf.hash(Binary.fromString(s)))
-                    case _ => true
-                  }
-                  case _ => true // unprobeable dtype: keep
-                }
-              }
+  private def bloomKeep(file: String): Boolean =
+    bloomProbes.forall { case (colName, dt, values) =>
+      // single-col pk: restrict the probe to values ROUTING to this
+      // file's bucket (ADVICE r15) — a multiget's other-bucket keys can
+      // never be here, and probing them could only keep the file. An
+      // empty routed set is a definite miss. Composite components skip
+      // this (only the full tuple's hash routes).
+      val routed =
+        if (!bucketRoutedProbe) values
+        else {
+          val b = new java.io.File(file).getParentFile.getName
+            .stripPrefix("tb=").toInt
+          values.filter {
+            case l: Long => TokenLayout.bucketOfValue(l) == b
+            case i: Int => TokenLayout.bucketOfValue(i.toLong) == b
+            case st: String => TokenLayout.bucketOfStringValue(st) == b
+            case _ => true // unroutable literal: conservatively probe it
           }
         }
-      } finally rd.close()
-  }
+      if (routed.isEmpty) false
+      else {
+        // blooms load ONCE per immutable (file, column) — repeated point
+        // lookups (the workload blooms exist for) probe the cache
+        val blooms = TokenRangeSource.fileBlooms(file, colName)
+        blooms.isEmpty || blooms.exists {
+          case None => true // no bloom written / column absent: keep
+          case Some(bf) => routed.exists { v =>
+            dt match {
+              case LongType => v match {
+                case l: Long => bf.findHash(bf.hash(l))
+                case _ => true
+              }
+              case IntegerType => v match {
+                case l: Long if l.isValidInt => bf.findHash(bf.hash(l.toInt))
+                case i: Int => bf.findHash(bf.hash(i))
+                case _ => true
+              }
+              case StringType => v match {
+                case st: String => bf.findHash(bf.hash(Binary.fromString(st)))
+                case _ => true
+              }
+              case _ => true // unprobeable dtype: keep
+            }
+          }
+        }
+      }
+    }
 
   private def computePartitions(): Array[InputPartition] = {
     ckKept = 0; ckTotal = 0
     // ONE manifest resolution per scan (pinned to `version` for snapshot
-    // reads): the file list is resolved here, so a commit racing this
-    // query flips later reads, never this plan
-    val byBucket = TokenRangeSource.visibleFiles(path, version)
+    // reads): resolve the version NUMBER first so the file list and the
+    // deletion-vector bindings come from the SAME version — a commit
+    // racing this query flips later reads, never this plan
+    val pinV = version.orElse(TokenRangeSource.currentVersion(path))
+    val byBucket = TokenRangeSource.visibleFiles(path, pinV)
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (k, fs) => (k, fs.map(_._2)) }
+    // deletion-vector bindings at the pinned version: dataRel → its
+    // vectors' parquet files (each _dv dir expanded once)
+    val dvByRel: Map[String, Array[String]] = {
+      val bind = if (pinV.isEmpty) Nil
+        else TokenRangeSource.dvBindings(path, pinV)
+      if (bind.isEmpty) Map.empty
+      else {
+        val dirFiles: Map[String, Seq[String]] = bind.map(_._2).distinct
+          .map(dv => dv -> TokenRangeSource.parquetFiles(
+            new java.io.File(path, dv)))
+          .toMap
+        bind.groupBy(_._1).map { case (rel, bs) =>
+          rel -> bs.flatMap(b => dirFiles(b._2)).distinct.toArray
+        }
+      }
+    }
     val kept = pkBuckets match {
       case Some(bs) => byBucket.filter(d => bs(d._1))
       case None => byBucket
@@ -1940,7 +2254,10 @@ private[connector] final class TokenRangeScan(path: String,
         val files = candidates.filter(ckIntersects).filter(bloomKeep)
         ckTotal += candidates.size
         ckKept += files.size
-        TokenRangePartition(group.head._1._1, group.last._1._1, files.toArray)
+        TokenRangePartition(group.head._1._1, group.last._1._1, files.toArray,
+          if (dvByRel.isEmpty) Array.empty
+          else files.map(f =>
+            dvByRel.getOrElse(relOf(f), Array.empty[String])).toArray)
       }
       .filter(_.files.nonEmpty)
       .toArray
@@ -1964,13 +2281,17 @@ private[connector] final class TokenRangeScan(path: String,
     }
   }
 
+  private def pkFieldsForDv: Array[(String, DataType)] =
+    TokenRangeSource.pkFieldsOf(path, full)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new TokenRangeReaderFactory(
       // empty projection (count-style scans): read the narrowest single
       // column for row cadence, emit zero-field rows
       if (required.fields.nonEmpty) required
       else StructType(Array(full.fields.head)),
-      required.fields.isEmpty)
+      required.fields.isEmpty,
+      pkFieldsForDv)
 
   /** CDC TAIL (VERDICT r14 next-round #1): `readStream` FROM the
     * connector. The versioned manifest IS a commit log — atomic, ordered,
@@ -1999,7 +2320,7 @@ private[connector] final class TokenRangeScan(path: String,
     }.mkString("[", ", ", "]")
     val nParts = planInputPartitions().length // forces ckKept/ckTotal
     val slice =
-      if (ckSlice.nonEmpty || bloomProbe.nonEmpty)
+      if (ckSlice.nonEmpty || bloomProbes.nonEmpty)
         s" PrunedFiles: $ckKept/$ckTotal"
       else ""
     val snap = version.map(v => s" Version: $v").getOrElse("")
@@ -2043,7 +2364,8 @@ private[connector] final class TokenRangeCdfScan(path: String,
   override def createReaderFactory(): PartitionReaderFactory =
     // an EMPTY projection falls through naturally: the wrapper reads the
     // narrowest table column for cadence and emits zero-field rows
-    new TokenRangeCdfReaderFactory(required, fullTable)
+    new TokenRangeCdfReaderFactory(required, fullTable,
+      TokenRangeSource.pkFieldsOf(path, fullTable))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -2058,20 +2380,90 @@ private[connector] final class TokenRangeCdfScan(path: String,
 }
 
 private[connector] final class TokenRangeReaderFactory(
-    projected: StructType, emitEmptyRows: Boolean)
+    projected: StructType, emitEmptyRows: Boolean,
+    pkFields: Array[(String, DataType)] = Array.empty)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new TokenRangeReader(p.asInstanceOf[TokenRangePartition].files,
-      projected, emitEmptyRows)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[TokenRangePartition]
+    new TokenRangeReader(part.files, projected, emitEmptyRows,
+      part.dvFiles, pkFields)
+  }
 }
 
 private[connector] final class TokenRangeReader(files: Array[String],
-    projected: StructType, emitEmptyRows: Boolean)
+    projected: StructType, emitEmptyRows: Boolean,
+    dvFiles: Array[Array[String]] = Array.empty,
+    pkFields: Array[(String, DataType)] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private var fileIdx = 0
   private var reader: ParquetReader[Group] = _
   private var current: Group = _
+  // ---- DELETION-VECTOR merge (merge-on-read) ------------------------------
+  // each data file's bound vectors resolve to ONE normalized deleted-key
+  // set; rows whose pk is in it are suppressed in next(). Key grain: a
+  // vector deletes every row of the listed keys in its bound file.
+  private val anyDv = dvFiles.nonEmpty && dvFiles.exists(_.nonEmpty)
+  require(!anyDv || pkFields.nonEmpty,
+    "deletion-vector-bound files require the table's recorded pk")
+  // vector parquet → its normalized key set, loaded once per reader (the
+  // same vector commonly binds many files of one bucket)
+  private val dvKeyCache = scala.collection.mutable.Map.empty[String, Set[Any]]
+  private var currentDvKeys: Set[Any] = Set.empty
+  private def normKey(v: Any): Any = v match {
+    case i: java.lang.Integer => i.longValue
+    case other => other
+  }
+  /** Read one deletion-vector parquet (pk columns only, tiny) into a
+    * normalized key set — single-col keys as the value, composite as a
+    * List of component values. */
+  private def loadDv(file: String): Set[Any] = dvKeyCache.getOrElseUpdate(file, {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, new Configuration()))
+    val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
+    val names = fileSchema.getFields.asScala.map(_.getName)
+    // the vector is written from the table-aligned frame, but match the
+    // pk names case-insensitively like every other read surface
+    val resolved = pkFields.map { case (n, dt) =>
+      (names.find(_.equalsIgnoreCase(n)).getOrElse(throw new IllegalStateException(
+        s"deletion vector $file lacks pk column '$n'")), dt)
+    }
+    val rd = ParquetReader.builder(new GroupReadSupport(), p).build()
+    val keys = Set.newBuilder[Any]
+    try {
+      var g = rd.read()
+      while (g != null) {
+        val vs = resolved.map { case (fn, dt) =>
+          if (g.getFieldRepetitionCount(fn) == 0) null
+          else dt match {
+            case LongType => g.getLong(fn, 0)
+            case IntegerType => normKey(g.getInteger(fn, 0))
+            case StringType => g.getString(fn, 0)
+            case other => throw new IllegalStateException(
+              s"deletion-vector pk dtype $other unsupported")
+          }
+        }
+        keys += (if (vs.length == 1) vs(0) else vs.toList)
+        g = rd.read()
+      }
+    } finally rd.close()
+    keys.result()
+  })
+  /** The CURRENT row's pk (normalized like the vector's keys); null
+    * components only on malformed files — such rows never match. */
+  private def rowKey(): Any = {
+    val vs = pkFields.map { case (n, dt) =>
+      val fn = present.getOrElse(n.toLowerCase, null)
+      if (fn == null || current.getFieldRepetitionCount(fn) == 0) null
+      else dt match {
+        case LongType => current.getLong(fn, 0)
+        case IntegerType => normKey(current.getInteger(fn, 0))
+        case StringType => current.getString(fn, 0)
+        case _ => null
+      }
+    }
+    if (vs.length == 1) vs(0) else vs.toList
+  }
   // `_file` METADATA column: synthesized per row from the file being
   // read (never a parquet column — the read-schema matcher skips it)
   private val fileColIdx = projected.fields.indexWhere(
@@ -2102,7 +2494,11 @@ private[connector] final class TokenRangeReader(files: Array[String],
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(path, new Configuration()))
     val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
     confBySchema.getOrElseUpdate(fileSchema.toString, {
-      val wanted = projected.fields.map(_.name.toLowerCase).toSet
+      // deletion-vector merge needs the pk columns even when the
+      // projection doesn't carry them (the suppressed-row test reads
+      // them from the Group, never emits them)
+      val wanted = projected.fields.map(_.name.toLowerCase).toSet ++
+        (if (anyDv) pkFields.map(_._1.toLowerCase).toSet else Set.empty)
       val kept = fileSchema.getFields.asScala
         .filter(f => wanted(f.getName.toLowerCase))
       // projecting ONLY post-ALTER columns over a pre-ALTER file: no file
@@ -2128,6 +2524,10 @@ private[connector] final class TokenRangeReader(files: Array[String],
     }
     val (conf, pres) = confFor(path)
     present = pres
+    currentDvKeys =
+      if (fileIdx < dvFiles.length && dvFiles(fileIdx).nonEmpty)
+        dvFiles(fileIdx).iterator.map(loadDv).reduce(_ union _)
+      else Set.empty
     reader = ParquetReader
       .builder(new GroupReadSupport(), path)
       .withConf(conf)
@@ -2140,8 +2540,14 @@ private[connector] final class TokenRangeReader(files: Array[String],
     while (true) {
       if (reader == null && !openNext()) return false
       current = reader.read()
-      if (current != null) return true
-      reader.close(); reader = null
+      if (current != null) {
+        // merge-on-read: rows whose pk is deleted by a bound vector are
+        // suppressed here, before projection (count scans included)
+        if (currentDvKeys.isEmpty || !currentDvKeys.contains(rowKey()))
+          return true
+      } else {
+        reader.close(); reader = null
+      }
     }
     false
   }
@@ -2193,14 +2599,17 @@ private[connector] final case class TokenRangeStreamOffset(v: Int)
   * (changeType = Some("insert"), an append's adds) or change-sidecar
   * files (changeType = None — `_change_type` is a real column in them). */
 private[connector] final case class TokenRangeCdfPartition(
-    files: Array[String], changeType: Option[String], version: Int)
-    extends InputPartition
+    files: Array[String], changeType: Option[String], version: Int,
+    dvFiles: Array[Array[String]] = Array.empty) extends InputPartition
 
 private[connector] final class TokenRangeCdfReaderFactory(
-    projected: StructType, full: StructType) extends PartitionReaderFactory {
+    projected: StructType, full: StructType,
+    pkFields: Array[(String, DataType)] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[TokenRangeCdfPartition]
-    new TokenRangeCdfReader(cp.files, cp.changeType, cp.version, projected, full)
+    new TokenRangeCdfReader(cp.files, cp.changeType, cp.version, projected,
+      full, cp.dvFiles, pkFields)
   }
 }
 
@@ -2211,7 +2620,9 @@ private[connector] final class TokenRangeCdfReaderFactory(
   * for sidecar files. */
 private[connector] final class TokenRangeCdfReader(files: Array[String],
     changeType: Option[String], version: Int, projected: StructType,
-    full: StructType) extends PartitionReader[InternalRow] {
+    full: StructType, dvFiles: Array[Array[String]] = Array.empty,
+    pkFields: Array[(String, DataType)] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   private def synthesized(name: String): Boolean =
     name.equalsIgnoreCase(TokenRangeSource.CommitVersionCol) ||
@@ -2226,7 +2637,7 @@ private[connector] final class TokenRangeCdfReader(files: Array[String],
   private val inner = new TokenRangeReader(files,
     if (fileFields.nonEmpty) StructType(fileFields)
     else StructType(Array(full.fields.head)),
-    fileFields.isEmpty)
+    fileFields.isEmpty, dvFiles, pkFields)
   private val changeLit = changeType.map(UTF8String.fromString).orNull
 
   override def next(): Boolean = inner.next()
@@ -2258,7 +2669,16 @@ private[connector] final class TokenRangeCdfReader(files: Array[String],
   * stores the version number, and versions below it are never re-served
   * (TokenRangeTailSpec walks a stop/append/restart cycle). AvailableNow
   * pins the end version up front so a bounded drain has a fixed endpoint
-  * even while writers keep committing. */
+  * even while writers keep committing.
+  *
+  * CONSUMER OBLIGATION on fold-semantics tables (ADVICE r15): a storage
+  * layer may stamp `#op compact` on a rewrite that is content-preserving
+  * only under the TABLE's own read fold — e.g. [[MessageStore]]'s LWW
+  * snapshot, content-preserving under fold-by-write_seq. The tail skips
+  * such versions like any compaction, so a consumer of a fold-semantics
+  * table must apply the same fold to its drained mutations (exactly as a
+  * batch reader of that table must); a consumer that wants raw
+  * generations must read pinned versions instead. */
 private[connector] final class TokenRangeMicroBatchStream(path: String,
     projected: StructType, full: StructType, splits: Int,
     maxVersionsPerTrigger: Option[Int] = None, cdf: Boolean = false,
@@ -2331,8 +2751,16 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
     // BASE file was retired does the walk below classify versions.
     val base = TokenRangeSource.relsAtChecked(path, s)
     val cur = TokenRangeSource.relsAtChecked(path, e)
+    // the endpoint-diff fast path is sound only when no deletion-vector
+    // binding appeared inside (s, e] either — a merge-on-read delete
+    // retires nothing, so without this guard the diff would silently
+    // skip it (the classified walk below refuses it loudly instead)
+    val dvBase = if (s <= 0) Set.empty[(String, String)]
+      else TokenRangeSource.dvBindings(path, Some(s)).toSet
+    val dvCur = TokenRangeSource.dvBindings(path, Some(e)).toSet
     val added: Seq[String] =
-      if ((base -- cur).isEmpty) (cur -- base).toSeq.sorted
+      if ((base -- cur).isEmpty && (dvCur -- dvBase).isEmpty)
+        (cur -- base).toSeq.sorted
       else TokenRangeSource.changeBatches(path, s, e).flatMap { b =>
         // the classified commit-log walk (r15 continuation): appends
         // serve their added files; COMPACT versions are content-
@@ -2345,7 +2773,9 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
         b.kind match {
           case "compact" => Nil
           case "append" => b.addedRel
-          case _ if !b.retiredAny => b.addedRel // rewrite that matched nothing
+          // rewrite that matched nothing — but a new deletion-vector
+          // binding IS a content change even with nothing retired
+          case _ if !b.retiredAny && !b.dvChanged => b.addedRel
           case k => throw new IllegalStateException(
             s"token-range CDC tail at $path: version ${b.version} is a " +
               s"content-changing rewrite ($k) — the plain tail serves " +
@@ -2359,7 +2789,10 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
       .groupBy(rel => rel.takeWhile(_ != '/').stripPrefix("tb=").toInt)
       .toSeq.sortBy(_._1)
       .map { case (k, rels) =>
-        (k, rels.sorted.map(rel => new java.io.File(path, rel).getAbsolutePath))
+        // historical adds can outlive their data files (vacuum past a
+        // stream's downtime) — fail with the curated remedy, not a raw
+        // mid-stream FileNotFoundException (ADVICE r15)
+        (k, TokenRangeSource.checkedDataAbs(path, rels.sorted, e))
       }
     // contiguous ranges over the present buckets, like the batch scan
     val nRanges = math.min(splits, byBucket.size)
@@ -2373,7 +2806,8 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (cdf) new TokenRangeCdfReaderFactory(projected, full)
+    if (cdf) new TokenRangeCdfReaderFactory(projected, full,
+      TokenRangeSource.pkFieldsOf(path, full))
     else new TokenRangeReaderFactory(
       if (projected.fields.nonEmpty) projected
       else StructType(Array(full.fields.head)),
@@ -2398,7 +2832,9 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
     declaredDdl: Option[String] = None, opKind: Option[String] = None,
     cdfRel: Option[String] = None,
     lateReplaceRel: () => Set[String] = null,
-    rowOpColumn: Boolean = false)
+    rowOpColumn: Boolean = false,
+    dvBind: Seq[(String, String)] = Nil,
+    dvSeenVersion: Option[Int] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -2420,7 +2856,7 @@ private[connector] final class TokenRangeWriteBuilder(path: String,
     override def toBatch: BatchWrite =
       new TokenRangeBatchWrite(path, writeSchema, pkIdx, doTruncate, replaceRel,
         ckName, rollRows, declaredDdl, opKind, cdfRel, lateReplaceRel,
-        rowOpColumn)
+        rowOpColumn, dvBind, dvSeenVersion)
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution =
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
@@ -2444,7 +2880,9 @@ private[connector] final class TokenRangeBatchWrite(path: String,
     rollRows: Long = Long.MaxValue, declaredDdl: Option[String] = None,
     opKind: Option[String] = None, cdfRel: Option[String] = None,
     lateReplaceRel: () => Set[String] = null,
-    rowOpColumn: Boolean = false)
+    rowOpColumn: Boolean = false,
+    dvBind: Seq[(String, String)] = Nil,
+    dvSeenVersion: Option[Int] = None)
     extends BatchWrite {
 
   /** Files this commit retires. A SQL row-level operation (copy-on-write
@@ -2487,8 +2925,8 @@ private[connector] final class TokenRangeBatchWrite(path: String,
     val replace = effectiveReplaceRel
     // CHANGE DATA FEED for SQL row-level rewrites: the commit records the
     // MULTISET DIFF of the retired files' rows vs their staged
-    // replacements — updates encode as delete+insert pairs (exact under
-    // duplicate keys; fold-equivalent to pre/post images). Computed
+    // replacements, classified by pk into update pre/post image pairs,
+    // deletes and inserts (exact under duplicate keys). Computed
     // BEFORE the lock (two reads + two exceptAll shuffles — the CDF
     // write-time trade); retired files are still visible, staged files
     // readable in place.
@@ -2498,7 +2936,7 @@ private[connector] final class TokenRangeBatchWrite(path: String,
       else Some(TokenRangeOps.stageSqlDmlSidecar(
         org.apache.spark.sql.SparkSession.active, path,
         replace.toSeq.map(rel => new java.io.File(path, rel).getAbsolutePath),
-        staged.toSeq))
+        staged.toSeq, dvSeenVersion))
     try {
       TokenRangeSource.withCommitLock(path) {
         // LEGACY tables first (r11 review): a manifest-less table reads
@@ -2576,7 +3014,7 @@ private[connector] final class TokenRangeBatchWrite(path: String,
             if (doTruncate) "truncate"
             else if (replace.nonEmpty) "rewrite"
             else "append"),
-          commitCdfRel)
+          commitCdfRel, dvBind, dvSeenVersion)
       }
       // retention automation (r13 #8): OUTSIDE the lock and after the flip
       // — a sweep failure or a concurrent sweep can never fail this commit
@@ -2883,9 +3321,20 @@ object TokenRangeOps {
     * job (survivors shuffle nothing — they re-route to the same bucket),
     * so a 100 TB table deletes at the cost of the affected buckets, not
     * a table scan. */
+  /** Point deletes above this key count take the copy-on-write path
+    * under `mode = "auto"`; at or below it they publish a deletion
+    * vector instead (merge-on-read) — a small DELETE then writes NO data
+    * file, just a tiny key sidecar plus one manifest flip, and the read
+    * path suppresses the rows until compaction applies the vector
+    * physically. Cassandra's own shape: tombstones merged at read,
+    * purged at compaction. */
+  val DvAutoMaxKeys = 128
+
   def deleteKeys(spark: SparkSession, path: String, pk: String,
-      keys: Seq[Any]): Unit = {
+      keys: Seq[Any], mode: String = "auto"): Unit = {
     require(keys.nonEmpty, "token-range DELETE requires at least one key")
+    require(Set("auto", "cow", "dv")(mode),
+      s"token-range DELETE mode must be auto|cow|dv, got '$mode'")
     requirePkMatches(path, pk, "DELETE", singleOnly = true)
     // legacy (manifest-less) tables pin their listing as v1 first, the
     // same move the write path makes — from here on everything is
@@ -2894,6 +3343,7 @@ object TokenRangeOps {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
     }
+    val useDv = mode == "dv" || (mode == "auto" && keys.size <= DvAutoMaxKeys)
     val buckets = keys.map(bucketOfKey).toSet
     withConflictRetry("DELETE") {
       val pinned = TokenRangeSource.currentVersion(path)
@@ -2903,26 +3353,62 @@ object TokenRangeOps {
       if (affectedRel.nonEmpty) { // keys owning no visible files: no-op
         val affectedAbs = affectedRel
           .map(rel => new java.io.File(path, rel).getAbsolutePath)
-        val affected = readFilesAligned(spark, path, affectedAbs)
-        val matches = col(pk).isin(keys.map {
+        val keyLits = keys.map {
           case u: UTF8String => u.toString
           case v => v
-        }: _*)
-        // CHANGE DATA FEED: record the deleted rows BEFORE the flip that
-        // retires their files — one extra pass over the affected files,
-        // the standard CDF write-time trade
-        val cdfRel =
-          if (TokenRangeSource.changeFeedEnabled(path))
-            Some(writeCdfSidecar(path, affected.filter(matches).withColumn(
-              TokenRangeSource.ChangeTypeCol,
-              org.apache.spark.sql.functions.lit("delete"))))
-          else None
-        affected.filter(not(matches)).write.format(fmt)
-          .option("pk", pk)
-          .option("opKind", "delete")
-          .options(cdfRel.map("cdfRel" -> _).toMap)
-          .option("replaceFiles", affectedRel.mkString("\n"))
-          .mode("append").save(path)
+        }
+        // CHANGE DATA FEED: record the deleted rows BEFORE the flip —
+        // vector-merged at the pin, so rows an EARLIER vector already
+        // deleted never re-record
+        def cdfFor(): Option[String] =
+          if (!TokenRangeSource.changeFeedEnabled(path)) None
+          else Some(writeCdfSidecar(path,
+            readFilesAligned(spark, path, affectedAbs, pinned)
+              .filter(col(pk).isin(keyLits: _*))
+              .withColumn(TokenRangeSource.ChangeTypeCol,
+                org.apache.spark.sql.functions.lit("delete"))))
+        if (useDv) {
+          // MERGE-ON-READ: no data file is read or written — publish a
+          // key sidecar bound to every file currently owning the keys'
+          // buckets; readers suppress, compaction applies. A racing
+          // rewrite that retires a bound file conflicts the publish and
+          // this whole attempt re-runs from the new snapshot.
+          val pkField = TokenRangeSource.storedSchema(path)
+            .flatMap(_.fields.find(_.name.equalsIgnoreCase(pk)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"token-range DELETE: no column '$pk' in the stored schema"))
+          val rows = keyLits.distinct.map(v => org.apache.spark.sql.Row(
+            (v, pkField.dataType) match {
+              case (n: java.lang.Number, LongType) => n.longValue
+              case (n: java.lang.Number, IntegerType) => n.intValue
+              case (other, _) => other
+            }))
+          val dvDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            StructType(Array(StructField(pkField.name, pkField.dataType))))
+          val cdfRel = cdfFor()
+          val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
+          dvDf.coalesce(1).write.mode("error")
+            .parquet(new java.io.File(path, dvRel).getAbsolutePath)
+          TokenRangeSource.withCommitLock(path) {
+            TokenRangeSource.publishManifest(path, Nil, truncate = false,
+              opKind = "delete", cdfRel = cdfRel,
+              dvBind = affectedRel.map(_ -> dvRel),
+              dvSeenVersion = pinned)
+          }
+          ()
+        } else {
+          val affected = readFilesAligned(spark, path, affectedAbs, pinned)
+          val matches = col(pk).isin(keyLits: _*)
+          val cdfRel = cdfFor()
+          affected.filter(not(matches)).write.format(fmt)
+            .option("pk", pk)
+            .option("opKind", "delete")
+            .options(cdfRel.map("cdfRel" -> _).toMap)
+            .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
+            .option("replaceFiles", affectedRel.mkString("\n"))
+            .mode("append").save(path)
+        }
       }
     }
   }
@@ -2936,11 +3422,13 @@ object TokenRangeOps {
     * bucket survives by reference, and the swap is one atomic
     * conflict-validated flip, exactly like [[deleteKeys]]. */
   def deleteTuples(spark: SparkSession, path: String, pks: Seq[String],
-      keys: Seq[Seq[Any]]): Unit = {
+      keys: Seq[Seq[Any]], mode: String = "auto"): Unit = {
     require(pks.size >= 2, "deleteTuples is the composite-key surface; " +
       "use deleteKeys for single-column partition keys")
     require(keys.nonEmpty && keys.forall(_.size == pks.size),
       s"every tuple must bind all of (${pks.mkString(", ")})")
+    require(Set("auto", "cow", "dv")(mode),
+      s"token-range DELETE mode must be auto|cow|dv, got '$mode'")
     requirePkMatches(path, pks.mkString(","), "DELETE")
     TokenRangeSource.withCommitLock(path) {
       if (TokenRangeSource.currentVersion(path).isEmpty)
@@ -2973,6 +3461,7 @@ object TokenRangeOps {
     val keyDf = spark.createDataFrame(
       spark.sparkContext.parallelize(keyRows, 1),
       StructType(pkFields.map(f => StructField(f.name, f.dataType))))
+    val useDv = mode == "dv" || (mode == "auto" && keys.size <= DvAutoMaxKeys)
     withConflictRetry("DELETE") {
       val pinned = TokenRangeSource.currentVersion(path)
       val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
@@ -2981,25 +3470,42 @@ object TokenRangeOps {
       if (affectedRel.nonEmpty) {
         val affectedAbs = affectedRel
           .map(rel => new java.io.File(path, rel).getAbsolutePath)
-        val affected = readFilesAligned(spark, path, affectedAbs)
         val joinCols = pkFields.map(_.name).toSeq
-        val cdfRel =
-          if (TokenRangeSource.changeFeedEnabled(path))
-            Some(writeCdfSidecar(path, affected
+        def cdfFor(): Option[String] =
+          if (!TokenRangeSource.changeFeedEnabled(path)) None
+          else Some(writeCdfSidecar(path,
+            readFilesAligned(spark, path, affectedAbs, pinned)
               .join(org.apache.spark.sql.functions.broadcast(keyDf),
                 joinCols, "left_semi")
               .withColumn(TokenRangeSource.ChangeTypeCol,
                 org.apache.spark.sql.functions.lit("delete"))))
-          else None
-        val survivors = affected
-          .join(org.apache.spark.sql.functions.broadcast(keyDf),
-            joinCols, "left_anti")
-        survivors.write.format(fmt)
-          .option("pk", pks.mkString(","))
-          .option("opKind", "delete")
-          .options(cdfRel.map("cdfRel" -> _).toMap)
-          .option("replaceFiles", affectedRel.mkString("\n"))
-          .mode("append").save(path)
+        if (useDv) {
+          // merge-on-read, composite grain: the vector holds the tuples
+          // (all pk components, table dtypes) — see deleteKeys
+          val cdfRel = cdfFor()
+          val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
+          keyDf.distinct().coalesce(1).write.mode("error")
+            .parquet(new java.io.File(path, dvRel).getAbsolutePath)
+          TokenRangeSource.withCommitLock(path) {
+            TokenRangeSource.publishManifest(path, Nil, truncate = false,
+              opKind = "delete", cdfRel = cdfRel,
+              dvBind = affectedRel.map(_ -> dvRel),
+              dvSeenVersion = pinned)
+          }
+          ()
+        } else {
+          val survivors = readFilesAligned(spark, path, affectedAbs, pinned)
+            .join(org.apache.spark.sql.functions.broadcast(keyDf),
+              joinCols, "left_anti")
+          val cdfRel = cdfFor()
+          survivors.write.format(fmt)
+            .option("pk", pks.mkString(","))
+            .option("opKind", "delete")
+            .options(cdfRel.map("cdfRel" -> _).toMap)
+            .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
+            .option("replaceFiles", affectedRel.mkString("\n"))
+            .mode("append").save(path)
+        }
       }
     }
   }
@@ -3118,17 +3624,20 @@ object TokenRangeOps {
         if (!TokenRangeSource.changeFeedEnabled(path)) None
         else Some(writeCdfSidecar(path,
           readFilesAligned(spark, path, (retired ++ straddling)
-            .map(rel => new java.io.File(path, rel).getAbsolutePath))
+            .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
             .filter(matches)
             .withColumn(TokenRangeSource.ChangeTypeCol,
               org.apache.spark.sql.functions.lit("delete"))))
       if (retired.isEmpty && straddling.isEmpty) () // nothing matches
       else if (straddling.isEmpty) {
         // metadata-only range tombstone: every affected slab dies wholesale
+        // (sound with deletion vectors too: suppressed rows are already
+        // deleted, the remainder provably all-match)
         val cdf = cdfRel()
         TokenRangeSource.withCommitLock(path) {
           TokenRangeSource.publishManifest(path, Nil, truncate = false,
-            removeRel = retired.toSet, opKind = "delete", cdfRel = cdf)
+            removeRel = retired.toSet, opKind = "delete", cdfRel = cdf,
+            dvSeenVersion = pinned)
         }
       } else {
         val cdf = cdfRel()
@@ -3136,12 +3645,14 @@ object TokenRangeOps {
         // never matches a range (CQL/SQL agree), and without the guard
         // not(NULL) = NULL would silently DROP it from the rewrite
         val survivors = readFilesAligned(spark, path,
-            straddling.map(rel => new java.io.File(path, rel).getAbsolutePath))
+            straddling.map(rel => new java.io.File(path, rel).getAbsolutePath),
+            pinned)
           .filter(not(matches))
         survivors.write.format(fmt)
           .option("pk", pk)
           .option("opKind", "delete")
           .options(cdf.map("cdfRel" -> _).toMap)
+          .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
           .option("replaceFiles", (retired ++ straddling).mkString("\n"))
           .mode("append").save(path)
       }
@@ -3237,7 +3748,7 @@ object TokenRangeOps {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ts)
         else readFilesAligned(spark, path, affectedRel
-          .map(rel => new java.io.File(path, rel).getAbsolutePath))
+          .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
       val cellSet = cellCols.map(_.toLowerCase).toSet
       val merged = old.join(inRenamed, pks, "full_outer")
         .select(ts.fields.map { f =>
@@ -3279,6 +3790,7 @@ object TokenRangeOps {
         .option("pk", pk)
         .option("opKind", "upsert")
         .options(cdfRel.map("cdfRel" -> _).toMap)
+        .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
         .option("replaceFiles", affectedRel.mkString("\n"))
         .mode("append").save(path)
     }
@@ -3334,6 +3846,7 @@ object TokenRangeOps {
           // content-preserving rewrite: the CDC tail SKIPS `#op compact`
           // versions (Cassandra's CDC never re-emits compaction either)
           .option("opKind", "compact")
+          .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
           .option("replaceFiles", snapshotRel.mkString("\n"))
           .mode("append").save(path)
       }
@@ -3405,9 +3918,51 @@ object TokenRangeOps {
     * footer's view (which, post-ALTER, would silently DROP the new
     * column from every rewritten row). */
   private def readFilesAligned(spark: SparkSession, path: String,
-      absFiles: Seq[String]): DataFrame =
-    alignToStored(path,
-      spark.read.option("mergeSchema", "true").parquet(absFiles: _*))
+      absFiles: Seq[String], dvAt: Option[Int] = None): DataFrame =
+    dvMerge(spark, path, alignToStored(path,
+      spark.read.option("mergeSchema", "true").parquet(absFiles: _*)),
+      absFiles, dvAt)
+
+  /** Apply the deletion vectors bound to `absFiles` at version `dvAt`
+    * (current when None): per-(file, vector) anti-join on the pk — the
+    * copy-on-write rewrites read through this so a vector-suppressed row
+    * can never resurrect through a rewrite's survivor set (and never
+    * re-records in a CDF sidecar). No-op on vector-free tables. */
+  private def dvMerge(spark: SparkSession, path: String, df: DataFrame,
+      absFiles: Seq[String], dvAt: Option[Int]): DataFrame = {
+    val relOf = (abs: String) => {
+      val f = new java.io.File(abs)
+      s"${f.getParentFile.getName}/${f.getName}"
+    }
+    val rels = absFiles.map(relOf).toSet
+    val bind = TokenRangeSource
+      .dvBindings(path, dvAt.orElse(TokenRangeSource.currentVersion(path)))
+      .filter { case (d, _) => rels(d) }
+    if (bind.isEmpty) return df
+    val pkCols = TokenRangeSource.recordedPk(path)
+      .getOrElse(throw new IllegalStateException(
+        s"deletion-vector table at $path lacks a recorded pk"))
+      .split(',').map(_.trim).toSeq
+      .map(n => df.schema.fields.find(_.name.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalStateException(
+          s"deletion-vector pk column '$n' missing from rewrite read"))
+        .name)
+    val byDv: Map[String, DataFrame] = bind.map(_._2).distinct.map { dv =>
+      dv -> spark.read.parquet(new java.io.File(path, dv).getAbsolutePath)
+        .select(pkCols.map(col): _*)
+    }.toMap
+    // one tombstone row per (bound file, deleted key): rows match only
+    // within their own file, so an unbound file's rows always survive
+    val tomb = bind.map { case (d, dv) =>
+      byDv(dv).withColumn("__dv_rel", org.apache.spark.sql.functions.lit(d))
+    }.reduce(_ unionByName _)
+    df.withColumn("__dv_rel", org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.input_file_name(),
+        "(tb=[^/]+/[^/]+)$", 1))
+      .join(org.apache.spark.sql.functions.broadcast(tomb),
+        pkCols :+ "__dv_rel", "left_anti")
+      .drop("__dv_rel")
+  }
 
   /** Project `raw` onto the table's CURRENT stored view: missing columns
     * NULL-filled, dtypes cast, extra columns dropped. Rewrites pass
@@ -3441,8 +3996,10 @@ object TokenRangeOps {
     * per key, here at batch grain. At 100 TB the cost is the touched
     * buckets' rewrite, not a table scan. */
   def upsert(spark: SparkSession, path: String, pk: String,
-      incoming: org.apache.spark.sql.DataFrame): Unit = {
+      incoming: org.apache.spark.sql.DataFrame, mode: String = "cow"): Unit = {
     requirePkMatches(path, pk, "upsert")
+    require(Set("cow", "dv")(mode),
+      s"token-range upsert mode must be cow|dv, got '$mode'")
     TokenRangeSource.withCommitLock(path) {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
@@ -3502,6 +4059,43 @@ object TokenRangeOps {
       val cols = aligned.schema.fieldNames.map(col)
       val ct = TokenRangeSource.ChangeTypeCol
       val liter = org.apache.spark.sql.functions.lit _
+      if (mode == "dv" && affectedRel.nonEmpty) {
+        // MERGE-ON-READ upsert: the incoming rows APPEND, and a deletion
+        // vector bound to the pre-existing owning-bucket files suppresses
+        // the replaced keys' old rows in the same flip — Cassandra's
+        // actual write path (blind write, newest wins, older generations
+        // tombstoned at read, purged at compaction). Without the change
+        // feed NO existing data is read at all; with it, one pass over
+        // the affected files records the pre/post images, same trade as
+        // copy-on-write.
+        val cdfRel =
+          if (!TokenRangeSource.changeFeedEnabled(path)) None
+          else {
+            val old = readFilesAligned(spark, path, affectedRel
+              .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
+            val inKeys = aligned.select(pks.map(col): _*).distinct()
+            val oldKeys = old.select(pks.map(col): _*).distinct()
+            val pre = old.join(inKeys, pks, "left_semi")
+              .select(cols.toSeq: _*).withColumn(ct, liter("update_preimage"))
+            val post = aligned.join(oldKeys, pks, "left_semi")
+              .select(cols.toSeq: _*).withColumn(ct, liter("update_postimage"))
+            val ins = aligned.join(oldKeys, pks, "left_anti")
+              .select(cols.toSeq: _*).withColumn(ct, liter("insert"))
+            Some(writeCdfSidecar(path, pre.unionByName(post).unionByName(ins)))
+          }
+        val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
+        aligned.select(pks.map(col): _*).distinct().coalesce(1)
+          .write.mode("error")
+          .parquet(new java.io.File(path, dvRel).getAbsolutePath)
+        aligned.select(cols.toSeq: _*).write.format(fmt)
+          .option("pk", pk)
+          .option("opKind", "upsert")
+          .options(cdfRel.map("cdfRel" -> _).toMap)
+          .option("dvBind",
+            affectedRel.map(rel => s"$rel $dvRel").mkString("\n"))
+          .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
+          .mode("append").save(path)
+      } else {
       val (merged, cdfRel) =
         if (affectedRel.isEmpty) {
           // no stored rows in the owning buckets: every incoming is new
@@ -3513,7 +4107,7 @@ object TokenRangeOps {
           (aligned.select(cols: _*), rel)
         } else {
           val old = readFilesAligned(spark, path, affectedRel
-            .map(rel => new java.io.File(path, rel).getAbsolutePath))
+            .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
           val inKeys = aligned.select(pks.map(col): _*).distinct()
           val rel =
             if (TokenRangeSource.changeFeedEnabled(path)) {
@@ -3538,8 +4132,10 @@ object TokenRangeOps {
         .option("pk", pk)
         .option("opKind", "upsert")
         .options(cdfRel.map("cdfRel" -> _).toMap)
+        .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
         .option("replaceFiles", affectedRel.mkString("\n"))
         .mode("append").save(path)
+      }
     }
   }
 
@@ -3608,7 +4204,7 @@ object TokenRangeOps {
       if (!TokenRangeSource.changeFeedEnabled(path)) None
       else Some(writeCdfSidecar(path,
         readFilesAligned(spark, path, (retired ++ straddling)
-          .map(rel => new java.io.File(path, rel).getAbsolutePath))
+          .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
           .filter(tsc.isNotNull && tsc <= cutoffTs)
           .withColumn(TokenRangeSource.ChangeTypeCol,
             org.apache.spark.sql.functions.lit("delete"))))
@@ -3618,7 +4214,8 @@ object TokenRangeOps {
       val cdf = cdfRel()
       TokenRangeSource.withCommitLock(path) {
         TokenRangeSource.publishManifest(path, Nil, truncate = false,
-          removeRel = retired.toSet, opKind = "expire", cdfRel = cdf)
+          removeRel = retired.toSet, opKind = "expire", cdfRel = cdf,
+          dvSeenVersion = pinned)
       }
     } else {
       // survivors of the straddling files only (null ts survives — CQL
@@ -3626,12 +4223,14 @@ object TokenRangeOps {
       // the same flip via replaceFiles without ever being read
       val cdf = cdfRel()
       val survivors = readFilesAligned(spark, path,
-          straddling.map(rel => new java.io.File(path, rel).getAbsolutePath))
+          straddling.map(rel => new java.io.File(path, rel).getAbsolutePath),
+          pinned)
         .filter(tsc.isNull || tsc > cutoffTs)
       survivors.write.format(fmt)
         .option("pk", pk)
         .option("opKind", "expire")
         .options(cdf.map("cdfRel" -> _).toMap)
+        .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
         .option("replaceFiles", (retired ++ straddling).mkString("\n"))
         .mode("append").save(path)
     }
@@ -3648,6 +4247,13 @@ object TokenRangeOps {
     * construction; VERDICT r13 "wrong" #1: the class doc promised this
     * reap but nothing performed it) and stolen-lock tombstones. Returns
     * the deleted data-file count. */
+  /** The live data files (relative `tb=<k>/<name>`) at `version`
+    * (current when None) — the public file-identity surface the
+    * merge-on-read contract and operator tooling check (a vector DELETE
+    * must leave this list untouched; an upsert only appends to it). */
+  def liveFiles(path: String, version: Option[Int] = None): Seq[String] =
+    TokenRangeSource.visibleRelFiles(path, version).map(_._2)
+
   def vacuum(path: String, retainFrom: Int,
       stagingTtlMillis: Long = 24L * 3600 * 1000): Int =
     TokenRangeSource.withCommitLock(path) {
@@ -3716,6 +4322,16 @@ object TokenRangeOps {
         .filter(d => d.isDirectory && !liveCdf(s"_cdf/${d.getName}") &&
           newestMtime(d) <= cutoff)
         .foreach(TokenRangeSource.deleteRecursively)
+      // deletion vectors referenced by NO retained version's bindings die
+      // too — same age gate (a young unreferenced vector may belong to an
+      // in-flight merge-on-read delete that has not published yet)
+      val liveDv = keepVs.flatMap(v =>
+        TokenRangeSource.dvBindings(path, Some(v)).map(_._2)).toSet
+      Option(new java.io.File(path, "_dv").listFiles())
+        .getOrElse(Array.empty)
+        .filter(d => d.isDirectory && !liveDv(s"_dv/${d.getName}") &&
+          newestMtime(d) <= cutoff)
+        .foreach(TokenRangeSource.deleteRecursively)
       dead.size
     }
 
@@ -3749,7 +4365,11 @@ object TokenRangeOps {
   def enableChangeFeed(path: String): Unit =
     TokenRangeSource.manifestIO.write(
       new java.io.File(TokenRangeSource.manifestDir(path), "cdf.properties").getPath,
-      "cdf=true")
+      // the ENABLE VERSION rides along (r16): a feed read whose range
+      // crosses a PRE-enable rewrite (no sidecar exists, by design) is
+      // served by SNAPSHOT SEEDING — the enable-version state as
+      // synthesized inserts, sidecars forward — instead of failing
+      s"cdf=true\nsince=${TokenRangeSource.currentVersion(path).getOrElse(0)}")
 
   /** Turn the feed back off: later rewrites record no sidecar (a feed
     * read crossing them fails loudly — the honest signal). */
@@ -3772,16 +4392,48 @@ object TokenRangeOps {
     * fold-equivalent to pre/post images for every delta consumer.
     * Called by the sink's commit BEFORE the manifest flip. */
   private[connector] def stageSqlDmlSidecar(spark: SparkSession,
-      path: String, retiredAbs: Seq[String], stagedAbs: Seq[String]): String = {
+      path: String, retiredAbs: Seq[String], stagedAbs: Seq[String],
+      dvAt: Option[Int] = None): String = {
     val liter = org.apache.spark.sql.functions.lit _
     val ct = TokenRangeSource.ChangeTypeCol
-    val old = readFilesAligned(spark, path, retiredAbs)
+    // retired files read VECTOR-MERGED at the op's pinned version: a row
+    // a deletion vector already removed must not re-record as deleted
+    val old = readFilesAligned(spark, path, retiredAbs, dvAt)
     val nw =
       if (stagedAbs.isEmpty) old.limit(0)
-      else readFilesAligned(spark, path, stagedAbs)
-    writeCdfSidecar(path,
-      old.exceptAll(nw).withColumn(ct, liter("delete"))
-        .unionByName(nw.exceptAll(old).withColumn(ct, liter("insert"))))
+      else readFilesAligned(spark, path, stagedAbs, dvAt)
+    // multiset diff of retired vs staged rows, then CLASSIFIED by pk
+    // (VERDICT r15 #2 — true UPDATE images, what TokenRangeOps.upsert
+    // already records): keys present on BOTH sides of the diff are
+    // update pre/post image pairs, retired-only keys are deletes,
+    // staged-only keys inserts. Multiset-exact under duplicate keys
+    // (pre ⊎ delete ≡ the retired diff, post ⊎ insert ≡ the staged
+    // diff), and fold-equivalent by construction (the incremental-agg
+    // fold weighs update_preimage like delete, update_postimage like
+    // insert). Tables with no recorded pk keep the delete+insert
+    // encoding — there is no key to pair on.
+    val oldD = old.exceptAll(nw)
+    val newD = nw.exceptAll(old)
+    val changes = TokenRangeSource.recordedPk(path) match {
+      case Some(pk) =>
+        val pkCols = pk.split(',').map(_.trim).toSeq.map(n =>
+          old.schema.fields.find(_.name.equalsIgnoreCase(n))
+            .map(_.name).getOrElse(n))
+        val updKeys = oldD.select(pkCols.map(col): _*).distinct()
+          .join(newD.select(pkCols.map(col): _*).distinct(), pkCols, "inner")
+        oldD.join(updKeys, pkCols, "left_semi")
+          .withColumn(ct, liter("update_preimage"))
+          .unionByName(oldD.join(updKeys, pkCols, "left_anti")
+            .withColumn(ct, liter("delete")))
+          .unionByName(newD.join(updKeys, pkCols, "left_semi")
+            .withColumn(ct, liter("update_postimage")))
+          .unionByName(newD.join(updKeys, pkCols, "left_anti")
+            .withColumn(ct, liter("insert")))
+      case None =>
+        oldD.withColumn(ct, liter("delete"))
+          .unionByName(newD.withColumn(ct, liter("insert")))
+    }
+    writeCdfSidecar(path, changes)
   }
 
   private def writeCdfSidecar(path: String,

@@ -208,9 +208,11 @@ class EntrySpec extends SparkSpec {
     // DSv2 group-based copy-on-write row-level operations),
     // +st_cdf_incremental_agg (signed-delta fold of the feed ≡ the
     // final-state aggregate — MV maintenance at mutation grain)
-    // → 235/235.
-    assert(SparkEntry.queries.size == 235, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 235, s"got ${SparkEntry.oracleSql.size}")
+    // → 235/235. r16: +wc_merge_on_read (deletion-vector merge-on-read
+    // DML — small DELETE/upsert publish a pk sidecar bound to the
+    // affected files instead of rewriting them) → 236/236.
+    assert(SparkEntry.queries.size == 236, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 236, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

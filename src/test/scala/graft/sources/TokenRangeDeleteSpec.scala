@@ -41,7 +41,9 @@ class TokenRangeDeleteSpec extends SparkSpec {
     val vBefore = TokenRangeSource.currentVersion(dir).get
 
     val doomed = Seq(3L, 77L, 141L)
-    TokenRangeOps.deleteKeys(spark, dir, "pk", doomed)
+    // this spec pins the COPY-ON-WRITE contract (file retirement);
+    // the merge-on-read path has its own physical spec (TokenRangeDvSpec)
+    TokenRangeOps.deleteKeys(spark, dir, "pk", doomed, mode = "cow")
 
     // exactly those rows gone, every other row intact
     val got = load(dir).select("pk").collect().map(_.getLong(0)).toSet
@@ -126,7 +128,7 @@ class TokenRangeDeleteSpec extends SparkSpec {
     assert(together.size == 4)
     val control = (0L until 5000L).find(TokenLayout.bucketOfValue(_) == 1).get
     seed(dir, together :+ control)
-    TokenRangeOps.deleteKeys(spark, dir, "pk", together)
+    TokenRangeOps.deleteKeys(spark, dir, "pk", together, mode = "cow")
     assert(load(dir).select("pk").collect().map(_.getLong(0)).toSeq
       == Seq(control))
     assert(!relFiles(dir).exists(_._1 == 0),
@@ -264,7 +266,8 @@ class TokenRangeDeleteSpec extends SparkSpec {
       .select("pk").collect().map(_.getLong(0)).toSet == (5000L until 5004L).toSet)
     // and a table that really holds nothing empties completely: delete
     // the null rows, then the manifest lists no files
-    TokenRangeOps.deleteKeys(spark, dir, "pk", (5000L until 5004L))
+    TokenRangeOps.deleteKeys(spark, dir, "pk", (5000L until 5004L),
+      mode = "cow")
     assert(spark.read.format(fmt).option("pk", "pk").load(dir).count() == 0)
     assert(TokenRangeSource.visibleRelFiles(dir).isEmpty)
 

@@ -56,6 +56,61 @@ class TokenRangeTailSpec extends SparkSpec {
     }
   }
 
+  test("the tail is reachable BY NAME through the catalog: readStream.table drains, changeFeed option included (r16)") {
+    val wh = freshDir("graft_tail_cat")
+    val cat = "graft_tail_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[TokenRangeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ks")
+    spark.sql(s"CREATE TABLE $cat.ks.t (pk BIGINT, v STRING) " +
+      "TBLPROPERTIES('pk'='pk')")
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) FROM range(0, 12)")
+    // plain tail via the catalog identifier — no path anywhere
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.table(s"$cat.ks.t")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("pk").collect().foreach(r => got.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", freshDir("graft_tail_cat_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.asScala().sorted == (0L until 12L))
+    // CHANGE-FEED tail via the `t$changes` metadata table (reader
+    // options cannot extend a catalog table's schema, so the feed gets
+    // its own name — Iceberg's `t.history` idiom)
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    TokenRangeOps.enableChangeFeed(path)
+    spark.sql(s"DELETE FROM $cat.ks.t WHERE pk = 3") // pk fast path, sidecar
+    // batch SQL first: SELECT over the feed relation works by name
+    val sqlFeed = spark.sql(
+      s"SELECT _change_type, pk FROM $cat.ks.`t$$changes`").collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}")
+    assert(sqlFeed.count(_ == "delete:3") == 1, s"got ${sqlFeed.toSeq}")
+    // the feed relation is read-only
+    val exw = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ks.`t$$changes` VALUES (99, 'x', 'insert', 1)")
+    }
+    assert(exw.getMessage.contains("read-only"), exw.getMessage)
+    val types = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = spark.readStream.table(s"$cat.ks.`t$$changes`")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(TokenRangeSource.ChangeTypeCol, "pk").collect()
+          .foreach(r => types.add(s"${r.getString(0)}:${r.getLong(1)}"))
+      }
+      .option("checkpointLocation", freshDir("graft_tail_cat_ck2"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val b = Seq.newBuilder[String]; types.forEach(b += _)
+    val drained = b.result()
+    assert(drained.count(_ == "delete:3") == 1,
+      s"the feed must serve the delete by name, got $drained")
+    assert(drained.count(_.startsWith("insert:")) == 12)
+  }
+
   test("fresh tail backfills the table; restart drains ONLY the new appends; second restart drains nothing") {
     val dir = freshDir("graft_tr_tail1")
     val ckpt = freshDir("graft_tr_tail1_ck")
