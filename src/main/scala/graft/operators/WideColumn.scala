@@ -1907,8 +1907,72 @@ object WideColumn extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM t GROUP BY o_orderstatus""".stripMargin
 
+  // ---- per-cell WRITETIME + cell tombstone (r16, VERDICT r15 #6) ----------
+  /** CQL's actual cell lifecycle under out-of-order arrivals: every cell
+    * carries a `_wt_<col>` writetime shadow (the WRITETIME(c) analog,
+    * queryable), a bound cell WINS only with a strictly newer stamp, and
+    * a bound NULL is a cell TOMBSTONE stamped at its writetime — so a
+    * tombstone at t=300 shadows a value write that arrives LATER but
+    * carries t=200 (the anti-entropy replay / hinted-handoff shape). The
+    * script: base insert, then SET c_name=NULL at wt=300 (tombstone) on
+    * key set K, then an OUT-OF-ORDER write at wt=200 binding c_name and
+    * c_acctbal on the same keys — c_name must stay tombstoned (200 < 300
+    * loses per cell) while c_acctbal takes the 200 write (its cell was
+    * never stamped). The oracle replays the per-cell LWW relationally. */
+  private def cellTombstoneDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_cellwt", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.format(fmt).option("pk", "c_custkey")
+        .option("schema", "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE")
+        .mode("overwrite").save(dir)
+      val keys = Tables.customer(s, d)
+        .filter(col("c_custkey") % 53 === 0)
+        .orderBy(asc("c_custkey")).limit(10)
+        .select("c_custkey")
+      // wt=300: cell tombstone on c_name (SET c_name = NULL USING TIMESTAMP 300)
+      graft.sources.connector.TokenRangeOps.upsertCells(s, dir, "c_custkey",
+        keys.withColumn("c_name", lit(null).cast("string")),
+        writetimeMicros = Some(300L))
+      // wt=200, OUT OF ORDER: binds both cells — c_name loses to the
+      // newer tombstone, c_acctbal (never stamped) takes the write
+      graft.sources.connector.TokenRangeOps.upsertCells(s, dir, "c_custkey",
+        keys.withColumn("c_name", lit("late").cast("string"))
+          .withColumn("c_acctbal", lit(-1.0)),
+        writetimeMicros = Some(200L))
+      dir
+    }
+
+  def cellTombstone(s: SparkSession, d: String): DataFrame = {
+    val dir = cellTombstoneDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "c_custkey").load(dir)
+      .filter(col("c_custkey") % 53 === 0)
+      .orderBy(asc("c_custkey")).limit(40)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("_wt_c_name").as("wt_name"), col("_wt_c_acctbal").as("wt_bal"))
+  }
+
+  private val cellTombstoneSql =
+    """WITH k AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0
+      |  ORDER BY c_custkey LIMIT 10)
+      |SELECT c_custkey,
+      |  CASE WHEN c_custkey IN (SELECT c_custkey FROM k)
+      |    THEN NULL ELSE c_name END AS c_name,
+      |  CASE WHEN c_custkey IN (SELECT c_custkey FROM k)
+      |    THEN -1.0 ELSE c_acctbal END AS c_acctbal,
+      |  CASE WHEN c_custkey IN (SELECT c_custkey FROM k)
+      |    THEN CAST(300 AS BIGINT) ELSE NULL END AS wt_name,
+      |  CASE WHEN c_custkey IN (SELECT c_custkey FROM k)
+      |    THEN CAST(200 AS BIGINT) ELSE NULL END AS wt_bal
+      |FROM customer WHERE c_custkey % 53 = 0
+      |ORDER BY c_custkey LIMIT 40""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("wc_merge_on_read", mergeOnRead _, Some(mergeOnReadSql)),
+    ("wc_cell_tombstone", cellTombstone _, Some(cellTombstoneSql)),
     ("wc_vnode_rebalance", vnodeRebalance _, Some(vnodeRebalanceSql)),
     ("wc_anti_entropy_repair", antiEntropyRepair _, Some(antiEntropyRepairSql)),
     ("wc_quorum_read", quorumRead _, Some(quorumReadSql)),

@@ -3681,9 +3681,33 @@ object TokenRangeOps {
     *     dies, unbound columns still keep. */
   def upsertCells(spark: SparkSession, path: String, pk: String,
       incoming: org.apache.spark.sql.DataFrame,
-      tombstoneNulls: Boolean = false): Unit = {
+      tombstoneNulls: Boolean = false,
+      writetimeMicros: Option[Long] = None): Unit = {
     requirePkMatches(path, pk, "upsertCells")
     val pks = pk.split(',').map(_.trim).toSeq
+    // PER-CELL WRITETIME mode (r16, VERDICT r15 #6 — CQL's `USING
+    // TIMESTAMP` at cell grain): each cell column carries a `_wt_<col>`
+    // BIGINT shadow (created here as metadata-only ALTERs, queryable —
+    // the WRITETIME(c) analog). A bound cell WINS only when its stamp is
+    // NEWER than the stored one (absent stamp = minus infinity), so an
+    // out-of-order older write LOSES per cell, and a bound NULL is a
+    // cell TOMBSTONE stamped at the writetime (shadows any older value
+    // that arrives later). Ties keep the stored cell (deterministic; a
+    // caller needing CQL's value tie-break can re-stamp one µs later).
+    // Legacy mode (None) keeps the r15 semantics and touches no shadow.
+    writetimeMicros.foreach { _ =>
+      incoming.schema.fieldNames.foreach(n => require(
+        !n.toLowerCase.startsWith("_wt_"),
+        s"token-range upsertCells at $path: writetime mode stamps the " +
+          s"_wt_ shadow columns itself; do not bind '$n' directly"))
+      val have = TokenRangeSource.storedSchema(path)
+        .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+      val pkL = pks.map(_.toLowerCase).toSet
+      incoming.schema.fieldNames
+        .filterNot(n => pkL(n.toLowerCase))
+        .filterNot(n => have(s"_wt_${n.toLowerCase}"))
+        .foreach(n => addColumn(path, s"_wt_${n.toLowerCase} BIGINT"))
+    }
     val ts = TokenRangeSource.storedSchema(path).getOrElse(
       throw new IllegalArgumentException(
         s"token-range upsertCells at $path: the table is empty — cell " +
@@ -3750,21 +3774,44 @@ object TokenRangeOps {
         else readFilesAligned(spark, path, affectedRel
           .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
       val cellSet = cellCols.map(_.toLowerCase).toSet
+      // writetime mode: which cell each _wt_ shadow belongs to, and the
+      // per-cell WIN predicate (bound by the frame AND strictly newer
+      // than the stored stamp; a NULL stored stamp never wins a stamped
+      // write — minus infinity)
+      val shadowOfCell: Map[String, String] =
+        cellCols.map(c => s"_wt_${c.toLowerCase}" -> c).toMap
+      def cellWins(c: String): org.apache.spark.sql.Column =
+        col("__in_present").isNotNull && (writetimeMicros match {
+          case Some(wt) =>
+            val w = col(s"_wt_${c.toLowerCase}")
+            w.isNull || (w < org.apache.spark.sql.functions.lit(wt))
+          case None => org.apache.spark.sql.functions.lit(true)
+        })
       val merged = old.join(inRenamed, pks, "full_outer")
         .select(ts.fields.map { f =>
-          if (pkSet(f.name.toLowerCase)) col(f.name)
-          else if (cellSet(f.name.toLowerCase)) {
-            if (tombstoneNulls)
-              // CELL TOMBSTONE mode: a bound key's cell takes the
+          val lc = f.name.toLowerCase
+          if (pkSet(lc)) col(f.name)
+          else if (cellSet(lc)) {
+            if (writetimeMicros.isDefined || tombstoneNulls)
+              // CELL TOMBSTONE semantics: a WINNING bound cell takes the
               // incoming value even when NULL (CQL's SET c = null);
-              // unbound keys (no incoming row) keep the stored value
+              // losers and unbound keys keep the stored value. In
+              // writetime mode "wins" additionally requires a newer
+              // stamp — the out-of-order-older-write-loses contract.
               org.apache.spark.sql.functions
-                .when(col("__in_present").isNotNull, col(s"__in_${f.name}"))
+                .when(cellWins(f.name), col(s"__in_${f.name}"))
                 .otherwise(col(f.name)).as(f.name)
             else
               org.apache.spark.sql.functions
                 .coalesce(col(s"__in_${f.name}"), col(f.name)).as(f.name)
-          } else col(f.name)
+          } else if (writetimeMicros.isDefined && shadowOfCell.contains(lc))
+            // the winning cell's shadow takes the new stamp; a losing or
+            // unbound cell keeps its stored one
+            org.apache.spark.sql.functions
+              .when(cellWins(shadowOfCell(lc)),
+                org.apache.spark.sql.functions.lit(writetimeMicros.get))
+              .otherwise(col(f.name)).as(f.name)
+          else col(f.name)
         }.toSeq: _*)
       val cdfRel =
         if (TokenRangeSource.changeFeedEnabled(path)) {

@@ -210,9 +210,11 @@ class EntrySpec extends SparkSpec {
     // final-state aggregate — MV maintenance at mutation grain)
     // → 235/235. r16: +wc_merge_on_read (deletion-vector merge-on-read
     // DML — small DELETE/upsert publish a pk sidecar bound to the
-    // affected files instead of rewriting them) → 236/236.
-    assert(SparkEntry.queries.size == 236, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 236, s"got ${SparkEntry.oracleSql.size}")
+    // affected files instead of rewriting them), +wc_cell_tombstone
+    // (per-cell writetime: out-of-order older writes lose per cell,
+    // NULL-binds are stamped cell tombstones) → 237/237.
+    assert(SparkEntry.queries.size == 237, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 237, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -507,4 +507,51 @@ class TokenRangeDeleteSpec extends SparkSpec {
     assert(got(3L) == (("X3", 3.0)), "bound value still replaces")
     assert(got(5L) == (("a5", 5.0)), "unbound keys untouched")
   }
+
+  test("upsertCells writetime: out-of-order older writes LOSE per cell; NULL-binds are stamped tombstones (r16)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    (0L until 6L).map(i => (i, s"a$i", i * 1.0)).toDF("pk", "a", "b")
+      .write.format(fmt).option("pk", "pk")
+      .option("schema", "pk BIGINT, a STRING, b DOUBLE")
+      .mode("append").save(dir)
+    // wt=300: tombstone `a` for keys 1,2 (CQL: SET a = null USING TIMESTAMP 300)
+    TokenRangeOps.upsertCells(spark, dir, "pk",
+      Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+        .toDF("pk", "a"),
+      writetimeMicros = Some(300L))
+    // wt=200 ARRIVES LATER but is older: binds a AND b on key 1 — `a`
+    // must LOSE to the newer tombstone, `b` (never stamped) must take
+    TokenRangeOps.upsertCells(spark, dir, "pk",
+      Seq((1L, "late", -1.0)).toDF("pk", "a", "b"),
+      writetimeMicros = Some(200L))
+    // wt=400: a genuinely newer write resurrects `a` on key 2
+    TokenRangeOps.upsertCells(spark, dir, "pk",
+      Seq((2L, "fresh")).toDF("pk", "a"),
+      writetimeMicros = Some(400L))
+    val got = load(dir).collect().map(r => r.getLong(0) ->
+      ((if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(got(1L) == ((null, -1.0)),
+      "the 300-tombstone must shadow the later-arriving 200 write of `a`; " +
+        "`b` takes the 200 write (never stamped)")
+    assert(got(2L) == (("fresh", 2.0)),
+      "a strictly newer write wins the tombstoned cell back")
+    assert(got(4L) == (("a4", 4.0)), "unbound keys untouched")
+    // the writetime shadows are queryable (the WRITETIME(c) analog)
+    val wt = load(dir).filter(col("pk") === 1L)
+      .select("_wt_a", "_wt_b").collect().head
+    assert(wt.getLong(0) == 300L && wt.getLong(1) == 200L)
+    // binding a _wt_ shadow directly is refused in writetime mode
+    val ex = intercept[IllegalArgumentException] {
+      TokenRangeOps.upsertCells(spark, dir, "pk",
+        Seq((1L, 999L)).toDF("pk", "_wt_a"), writetimeMicros = Some(500L))
+    }
+    assert(ex.getMessage.contains("_wt_"), ex.getMessage)
+    // equal stamps keep the stored cell (documented deterministic tie)
+    TokenRangeOps.upsertCells(spark, dir, "pk",
+      Seq((2L, "tie")).toDF("pk", "a"), writetimeMicros = Some(400L))
+    assert(load(dir).filter(col("pk") === 2L).collect().head.getString(1)
+      == "fresh", "ties keep the stored cell")
+  }
 }
