@@ -1970,9 +1970,73 @@ object WideColumn extends QueryModule {
       |FROM customer WHERE c_custkey % 53 = 0
       |ORDER BY c_custkey LIMIT 40""".stripMargin
 
+  // ---- SQL merge-on-read DML (r16: SupportsDelta) --------------------------
+  /** The SQL statements themselves served MERGE-ON-READ: a table created
+    * with `TBLPROPERTIES('dml'='mor')` routes UPDATE / predicate-DELETE /
+    * MERGE through Spark's `SupportsDelta` protocol — matched rows arrive
+    * row-classified with their pk identity and `_file`, removals publish
+    * as a deletion vector bound to exactly the files that held them, new
+    * images append; NOTHING is rewritten (the builder REQUIRES file
+    * identity). A 1-row SQL UPDATE is one tiny appended file plus one
+    * tiny vector — Cassandra's write path reached from SQL. The oracle
+    * replays the statements relationally over raw orders. */
+  private def sqlMorDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_sqlmor", d) { dir =>
+      val cat = "graft_wc_sqlmor"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.connector.TokenRangeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ks")
+      s.sql(s"""CREATE TABLE $cat.ks.orders
+        (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        TBLPROPERTIES('pk'='o_orderkey', 'dml'='mor')""")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("graft_sqlmor_src")
+      s.sql(s"INSERT INTO $cat.ks.orders SELECT * FROM graft_sqlmor_src")
+      val before = graft.sources.connector.TokenRangeOps
+        .liveFiles(new java.io.File(new java.io.File(dir, "ks"), "orders")
+          .getAbsolutePath).toSet
+      // merge-on-read UPDATE then DELETE, both small, both by predicate
+      s.sql(s"UPDATE $cat.ks.orders SET o_orderstatus = 'Z', " +
+        "o_totalprice = o_totalprice + 500.0 " +
+        "WHERE o_orderkey % 211 = 0 AND o_orderkey % 2 = 0")
+      s.sql(s"DELETE FROM $cat.ks.orders " +
+        "WHERE o_orderkey % 211 = 0 AND o_orderkey % 2 = 1")
+      val path = new java.io.File(new java.io.File(dir, "ks"), "orders")
+        .getAbsolutePath
+      val after = graft.sources.connector.TokenRangeOps.liveFiles(path).toSet
+      require(before.subsetOf(after),
+        "SQL merge-on-read DML must not rewrite or retire any data file")
+      require(graft.sources.connector.TokenRangeOps
+        .deletionVectors(path).nonEmpty, "the statements must publish vectors")
+      dir
+    }
+
+  def sqlMor(s: SparkSession, d: String): DataFrame = {
+    sqlMorDir(s, d)
+    s.sql("SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+      "FROM graft_wc_sqlmor.ks.orders GROUP BY o_orderstatus")
+  }
+
+  private val sqlMorSql =
+    """WITH t AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 211 = 0 AND o_orderkey % 2 = 0
+      |      THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 211 = 0 AND o_orderkey % 2 = 0
+      |      THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE NOT (o_orderkey % 211 = 0 AND o_orderkey % 2 = 1))
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM t GROUP BY o_orderstatus""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("wc_merge_on_read", mergeOnRead _, Some(mergeOnReadSql)),
     ("wc_cell_tombstone", cellTombstone _, Some(cellTombstoneSql)),
+    ("wc_sql_mor", sqlMor _, Some(sqlMorSql)),
     ("wc_vnode_rebalance", vnodeRebalance _, Some(vnodeRebalanceSql)),
     ("wc_anti_entropy_repair", antiEntropyRepair _, Some(antiEntropyRepairSql)),
     ("wc_quorum_read", quorumRead _, Some(quorumReadSql)),

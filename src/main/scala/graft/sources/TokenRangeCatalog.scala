@@ -160,7 +160,21 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
     props.put("path", path)
     TokenRangeSource.recordedPk(path).foreach(props.put("pk", _))
     TokenRangeSource.recordedCk(path).foreach(props.put("ck", _))
-    new TokenRangeTable(schema, new CaseInsensitiveStringMap(props))
+    TokenRangeSource.recordedDml(path).foreach(props.put("dml", _))
+    // merge-on-read tables surface their pk as NOT NULL — truthful (the
+    // sink refuses null partition keys) and required: the delta path's
+    // row-id attributes must be non-nullable (Spark's
+    // NULLABLE_ROW_ID_ATTRIBUTES check)
+    val served =
+      if (!TokenRangeSource.recordedDml(path).exists(_.equalsIgnoreCase("mor")))
+        schema
+      else {
+        val pkL = TokenRangeSource.recordedPk(path)
+          .map(_.split(',').map(_.trim.toLowerCase).toSet).getOrElse(Set.empty)
+        StructType(schema.fields.map(f =>
+          if (pkL(f.name.toLowerCase)) f.copy(nullable = false) else f))
+      }
+    new TokenRangeTable(served, new CaseInsensitiveStringMap(props))
   }
 
   // ---- SQL time travel ------------------------------------------------------
@@ -353,13 +367,27 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
     ck.foreach(spec => TokenRangeSource.requireCkDomain(schema, spec, "table"))
     // dtype-domain check: every column must ride the sink
     TokenRangeSource.toParquet(schema)
+    // SQL-DML mode (r16): 'mor' = merge-on-read delta statements
+    // (deletion vectors). Refused on clustered tables — the vector is
+    // pk-grained, and a pk that is not the whole row identity would
+    // over-delete sibling clustering rows. Validated HERE because the
+    // record is create-only (no ALTER re-mode).
+    val dml = Option(properties.get("dml")).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty)
+    dml.foreach { m =>
+      require(Set("mor", "cow")(m),
+        s"TBLPROPERTIES('dml') must be 'mor' or 'cow', got '$m'")
+      require(m != "mor" || ck.isEmpty,
+        "dml='mor' requires an unclustered table: the deletion vector is " +
+          "pk-grained and a clustered pk is not the whole row identity")
+    }
     val dir = tableDir(ident)
     dir.mkdirs()
     // the same creation record the first sink commit writes — created
     // empty here (CREATE-then-INSERT, the CQL flow), and the _manifests
     // dir marks table existence
     TokenRangeSource.recordPk(dir.getAbsolutePath, pkCols.mkString(","),
-      ck, Some(schema.toDDL))
+      ck, Some(schema.toDDL), dml)
     loadTable(ident)
   }
 

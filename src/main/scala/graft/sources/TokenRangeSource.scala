@@ -290,17 +290,32 @@ object TokenRangeSource {
   }
 
   private[connector] def recordPk(path: String, pk: String,
-      ck: Option[String] = None, schemaDdl: Option[String] = None): Unit = {
+      ck: Option[String] = None, schemaDdl: Option[String] = None,
+      dml: Option[String] = None): Unit = {
     // create-iff-absent: the FIRST writer's key wins; Cassandra does not
     // allow re-keying (or re-clustering) a table either. The creation
     // SCHEMA is recorded beside the keys (r13 verdict #3) so later
     // subset-column appends can never shrink what inference sees — the
-    // schema is metadata, not a footer accident.
+    // schema is metadata, not a footer accident. `dml=mor` opts SQL
+    // row-level statements into the merge-on-read delta path (r16).
     manifestIO.createExclusive(
       new java.io.File(manifestDir(path), "table.properties").getPath,
       s"pk=$pk" + ck.map(c => s"\nck=$c").getOrElse("")
-        + schemaDdl.map(d => s"\nschema=$d").getOrElse(""))
+        + schemaDdl.map(d => s"\nschema=$d").getOrElse("")
+        + dml.map(m => s"\ndml=$m").getOrElse(""))
     ()
+  }
+
+  /** The table's recorded SQL-DML mode: Some("mor") = row-level
+    * statements take the merge-on-read delta path (deletion vectors);
+    * absent/cow = group-based copy-on-write (the exact-under-duplicates
+    * default). */
+  private[connector] def recordedDml(path: String): Option[String] = {
+    val f = new java.io.File(manifestDir(path), "table.properties").getPath
+    if (!manifestIO.exists(f)) None
+    else manifestIO.read(f).split('\n').collectFirst {
+      case l if l.startsWith("dml=") => l.stripPrefix("dml=").trim
+    }
   }
 
   /** The CREATION schema recorded by the first commit (absent on tables
@@ -1433,7 +1448,12 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
       override def comment(): String =
         "data file (tb=<bucket>/<name>) serving the row"
       override def metadataInJSON(): String =
-        """{"__preserve_on_delete":false,"__preserve_on_update":false,""" +
+        // PRESERVE on delete/update (r16): the DELTA path's writer
+        // receives each removed row's `_file` as its metadata — nulling
+        // it there would orphan the deletion vector. Group-based writes
+        // are unaffected: their write schema carries table columns only,
+        // so the preserved value never reaches a data file either way.
+        """{"__preserve_on_delete":true,"__preserve_on_update":true,""" +
           """"__preserve_on_reinsert":false}"""
     })
 
@@ -1451,7 +1471,19 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new TokenRangeRowLevelOperation(info.command(), tableSchema, options)
+    () => {
+      // `TBLPROPERTIES('dml'='mor')` (r16): row-level statements take
+      // the MERGE-ON-READ delta path — matched rows arrive
+      // delete/update/insert-classified, removals publish as a deletion
+      // vector, new images append; nothing is rewritten. The catalog
+      // refuses the property on clustered tables (pk must be the whole
+      // row identity), so the dispatch here is a simple mode read.
+      val mor = Option(options.get("dml")).exists(_.equalsIgnoreCase("mor"))
+      if (mor)
+        new TokenRangeDeltaOperation(info.command(), tableSchema, options)
+      else
+        new TokenRangeRowLevelOperation(info.command(), tableSchema, options)
+    }
   override def name(): String = s"token_range(${TokenRangeSource.pathOf(options)})"
   override def schema(): StructType = tableSchema
 
@@ -4301,6 +4333,14 @@ object TokenRangeOps {
   def liveFiles(path: String, version: Option[Int] = None): Seq[String] =
     TokenRangeSource.visibleRelFiles(path, version).map(_._2)
 
+  /** The live deletion-vector bindings `(dataFile, vectorDir)` at
+    * `version` (current when None) — operator visibility into the
+    * merge-on-read state (how much read-side merge debt compaction
+    * would clear). */
+  def deletionVectors(path: String,
+      version: Option[Int] = None): Seq[(String, String)] =
+    TokenRangeSource.dvBindings(path, version)
+
   def vacuum(path: String, retainFrom: Int,
       stagingTtlMillis: Long = 24L * 3600 * 1000): Int =
     TokenRangeSource.withCommitLock(path) {
@@ -4438,6 +4478,48 @@ object TokenRangeOps {
     * keys (no join fan-out; `exceptAll` is bag semantics) and
     * fold-equivalent to pre/post images for every delta consumer.
     * Called by the sink's commit BEFORE the manifest flip. */
+  /** CDF sidecar for a MERGE-ON-READ SQL statement: `keys` are the
+    * removed identities (the vector's content), `touchedRel` the files
+    * that held them at the pin; pre-images read vector-merged from
+    * exactly those files, staged rows classify as post-images (key also
+    * removed) or inserts — the same 4-way classification every other op
+    * records. */
+  private[connector] def stageDeltaDmlSidecar(spark: SparkSession,
+      path: String, pinned: Option[Int], touchedRel: Seq[String],
+      stagedAbs: Seq[String],
+      keys: org.apache.spark.sql.DataFrame): String = {
+    val liter = org.apache.spark.sql.functions.lit _
+    val ct = TokenRangeSource.ChangeTypeCol
+    val pkCols = keys.schema.fieldNames.toSeq
+    val pre =
+      if (touchedRel.isEmpty) None
+      else Some(readFilesAligned(spark, path,
+        touchedRel.map(rel => new java.io.File(path, rel).getAbsolutePath),
+        pinned)
+        .join(org.apache.spark.sql.functions.broadcast(keys), pkCols, "left_semi"))
+    val nw =
+      if (stagedAbs.isEmpty) None
+      else Some(readFilesAligned(spark, path, stagedAbs, pinned))
+    val changes = (pre, nw) match {
+      case (Some(o), Some(n)) =>
+        val updKeys = o.select(pkCols.map(col): _*).distinct()
+          .join(n.select(pkCols.map(col): _*).distinct(), pkCols, "inner")
+        o.join(updKeys, pkCols, "left_semi")
+          .withColumn(ct, liter("update_preimage"))
+          .unionByName(o.join(updKeys, pkCols, "left_anti")
+            .withColumn(ct, liter("delete")))
+          .unionByName(n.join(updKeys, pkCols, "left_semi")
+            .withColumn(ct, liter("update_postimage")))
+          .unionByName(n.join(updKeys, pkCols, "left_anti")
+            .withColumn(ct, liter("insert")))
+      case (Some(o), None) => o.withColumn(ct, liter("delete"))
+      case (None, Some(n)) => n.withColumn(ct, liter("insert"))
+      case (None, None) =>
+        throw new IllegalStateException("empty delta commit records no feed")
+    }
+    writeCdfSidecar(path, changes)
+  }
+
   private[connector] def stageSqlDmlSidecar(spark: SparkSession,
       path: String, retiredAbs: Seq[String], stagedAbs: Seq[String],
       dvAt: Option[Int] = None): String = {

@@ -212,9 +212,10 @@ class EntrySpec extends SparkSpec {
     // DML — small DELETE/upsert publish a pk sidecar bound to the
     // affected files instead of rewriting them), +wc_cell_tombstone
     // (per-cell writetime: out-of-order older writes lose per cell,
-    // NULL-binds are stamped cell tombstones) → 237/237.
-    assert(SparkEntry.queries.size == 237, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 237, s"got ${SparkEntry.oracleSql.size}")
+    // NULL-binds are stamped cell tombstones), +wc_sql_mor (SQL
+    // UPDATE/DELETE/MERGE merge-on-read via SupportsDelta) → 238/238.
+    assert(SparkEntry.queries.size == 238, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 238, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {
