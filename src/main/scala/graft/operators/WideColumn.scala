@@ -1982,18 +1982,19 @@ object WideColumn extends QueryModule {
     * replays the statements relationally over raw orders. */
   private def sqlMorDir(s: SparkSession, d: String): String =
     graft.PrebuiltDirs.cached("graft_connector_sqlmor", d) { dir =>
-      val cat = "graft_wc_sqlmor"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.connector.TokenRangeCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+      // per-dir catalog name + per-build view name (review r16: a fixed
+      // catalog name pins its first warehouse for the JVM's lifetime —
+      // the sqlCatalogOf/sqlDdlDir hazard, recorded at its definition)
+      val cat = sqlCatalogOf(s, dir)
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ks")
       s.sql(s"""CREATE TABLE $cat.ks.orders
         (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
         TBLPROPERTIES('pk'='o_orderkey', 'dml'='mor')""")
+      val src = s"src_$cat"
       Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .createOrReplaceTempView("graft_sqlmor_src")
-      s.sql(s"INSERT INTO $cat.ks.orders SELECT * FROM graft_sqlmor_src")
+        .createOrReplaceTempView(src)
+      s.sql(s"INSERT INTO $cat.ks.orders SELECT * FROM $src")
       val before = graft.sources.connector.TokenRangeOps
         .liveFiles(new java.io.File(new java.io.File(dir, "ks"), "orders")
           .getAbsolutePath).toSet
@@ -2014,10 +2015,11 @@ object WideColumn extends QueryModule {
     }
 
   def sqlMor(s: SparkSession, d: String): DataFrame = {
-    sqlMorDir(s, d)
-    s.sql("SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+    val dir = sqlMorDir(s, d)
+    val cat = sqlCatalogOf(s, dir) // re-register on the read path too
+    s.sql(s"SELECT o_orderstatus, COUNT(*) AS n_orders, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
-      "FROM graft_wc_sqlmor.ks.orders GROUP BY o_orderstatus")
+      s"FROM $cat.ks.orders GROUP BY o_orderstatus")
   }
 
   private val sqlMorSql =

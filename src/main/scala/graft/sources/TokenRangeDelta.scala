@@ -23,6 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * clustered tables (the pk must be the whole row identity — CQL's model
   * — or a key-grained vector would over-delete sibling ck rows).
   *
+  * PK-UNIQUENESS OBLIGATION (the mor contract, review r16): the vector
+  * is pk-grained, so a table holding DUPLICATE rows of one pk (possible
+  * via raw blind appends — the sink never reads) would lose unmatched
+  * siblings when a predicate DML matches one of them. CQL's own model:
+  * INSERT is an upsert and the primary key IS the row identity — write
+  * mor tables through INSERT-once/upsert flows (or compact first). The
+  * group-based copy-on-write default stays exact under duplicates;
+  * tables that need duplicate rows should keep it.
+  *
   * Concurrency: the operation pins one snapshot; the vector publish
   * validates its bindings against the CAS base and the pinned version
   * ([[TokenRangeSource.publishManifest]] `dvBind`/`dvSeenVersion`), so a
@@ -105,7 +114,7 @@ private[connector] final class TokenRangeDeltaBatchWrite(path: String,
     val idFields: Array[DataType] = pkCols.map(n =>
       tableSchema.fields.find(_.name.equalsIgnoreCase(n)).get.dataType).toArray
     new TokenRangeDeltaWriterFactory(path, rowSchema, pkIdx, idFields,
-      writeId, TokenRangeSource.recordedCk(path))
+      writeId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -201,7 +210,7 @@ private[connector] final class TokenRangeDeltaBatchWrite(path: String,
 
 private[connector] final case class TokenRangeDeltaWriterFactory(path: String,
     rowSchema: StructType, pkIdx: Seq[Int], idFields: Array[DataType],
-    writeId: String, ckName: Option[String]) extends DeltaWriterFactory {
+    writeId: String) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
     new TokenRangeDeltaWriter(path, rowSchema, pkIdx, idFields,

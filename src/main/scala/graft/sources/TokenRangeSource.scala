@@ -928,9 +928,14 @@ object TokenRangeSource {
     // must be validated against the freshly-read base (a racing rewrite
     // may have retired it, and binding a vector to a retired file would
     // silently drop the delete).
+    val rewriteTouched: Set[Int] =
+      (placedRel.map(bucketOfRel) ++ removeRel.map(bucketOfRel)).toSet
+    // vector-bind-only buckets are READ (target validation) but carried
+    // VERBATIM — rebasing them would rewrite byte-identical segments on
+    // every point delete, write amplification on exactly the small-DML
+    // path vectors exist to make cheap (review r16)
     val touched: Set[Int] =
-      (placedRel.map(bucketOfRel) ++ removeRel.map(bucketOfRel)
-        ++ dvBind.map(b => bucketOfRel(b._1))).toSet
+      rewriteTouched ++ dvBind.map(b => bucketOfRel(b._1))
     val placedByBucket = placedRel.groupBy(bucketOfRel)
     // bindings the publisher OBSERVED when it pinned its snapshot — a
     // rewrite retiring file F implicitly applies-and-drops F's vectors,
@@ -966,9 +971,11 @@ object TokenRangeSource {
       def lineBucket(l: String): Int =
         if (l.startsWith("@")) l.drop(1).takeWhile(_ != ' ').trim.toInt
         else bucketOfRel(l)
-      val (rebasedLines, carriedLines) = curLines.partition(l => touched(lineBucket(l)))
-      // resolve ONLY the touched buckets' current contents
-      val baseTouched: Map[Int, Seq[String]] = rebasedLines
+      val (readLines, carriedLines) = curLines.partition(l => touched(lineBucket(l)))
+      val (rebasedLines, checkOnlyLines) =
+        readLines.partition(l => rewriteTouched(lineBucket(l)))
+      // resolve the READ buckets' current contents (rewrite + check-only)
+      val baseTouched: Map[Int, Seq[String]] = (rebasedLines ++ checkOnlyLines)
         .flatMap { l =>
           if (l.startsWith("@")) segmentRels(path, l.dropWhile(_ != ' ').trim)
           else Seq(l)
@@ -1014,7 +1021,7 @@ object TokenRangeSource {
       // new per-bucket lists → one immutable segment file per non-empty
       // touched bucket (unique names: a lost CAS leaves orphans that
       // vacuum reaps, never a corrupt reference)
-      val newPtrLines: Seq[String] = touched.toSeq.sorted.flatMap { k =>
+      val newPtrLines: Seq[String] = rewriteTouched.toSeq.sorted.flatMap { k =>
         val rels = (baseTouched.getOrElse(k, Nil).filterNot(removeRel)
           ++ placedByBucket.getOrElse(k, Nil)).distinct.sorted
         if (rels.isEmpty) None
@@ -1033,7 +1040,7 @@ object TokenRangeSource {
       val headers = Seq(s"#edits ${schemaEdits(path).size}", s"#op $opKind") ++
         cdfRel.map(r => s"#cdf $r")
       val body = (headers ++
-        (carriedLines ++ newPtrLines ++ newDvLines).sorted)
+        (carriedLines ++ checkOnlyLines ++ newPtrLines ++ newDvLines).sorted)
         .mkString("", "\n", "\n")
       val v = vCur.getOrElse(0) + 1
       // CAS: create-iff-absent (hard link / if-none-match via ManifestIO).
@@ -2754,9 +2761,20 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
     // grain): a bounded step toward the current/pinned end — AvailableNow
     // keeps triggering until the pinned end is reached, so a capped
     // backfill drains in MULTIPLE real micro-batches
-    TokenRangeStreamOffset(
-      maxVersionsPerTrigger.map(m => math.min(cur, s + math.max(1, m)))
-        .getOrElse(cur))
+    val capped = maxVersionsPerTrigger.map(m => math.min(cur, s + math.max(1, m)))
+      .getOrElse(cur)
+    // a CDF stream's FROM-ZERO first batch must reach the feed's enable
+    // version: snapshot seeding only fires when the batch range covers
+    // it, and a rate limit that cuts the first batch short would fail
+    // the walk on a pre-enable rewrite the seed exists to serve
+    // (review r16). Later batches are never seeded, so only s == 0
+    // loosens the cap — and only up to the enable version.
+    val end =
+      if (cdf && s == 0)
+        TokenRangeSource.changeFeedSince(path)
+          .map(sv => math.max(capped, math.min(cur, sv))).getOrElse(capped)
+      else capped
+    TokenRangeStreamOffset(end)
   }
 
   override def latestOffset(): Offset =
@@ -3375,7 +3393,17 @@ object TokenRangeOps {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)
     }
-    val useDv = mode == "dv" || (mode == "auto" && keys.size <= DvAutoMaxKeys)
+    // the vector path NEEDS the recorded pk (readers resolve the merge
+    // key through it): on a legacy table that never recorded one, a
+    // published vector would make every read — including the compaction
+    // that could remove it — refuse (review r16: the silent brick).
+    // auto falls back to copy-on-write; explicit dv refuses loudly.
+    val pkRecorded = TokenRangeSource.recordedPk(path).isDefined
+    require(mode != "dv" || pkRecorded,
+      s"token-range DELETE mode=dv at $path requires a recorded pk " +
+        "(write through the sink once, or use cow)")
+    val useDv = pkRecorded &&
+      (mode == "dv" || (mode == "auto" && keys.size <= DvAutoMaxKeys))
     val buckets = keys.map(bucketOfKey).toSet
     withConflictRetry("DELETE") {
       val pinned = TokenRangeSource.currentVersion(path)
@@ -3493,7 +3521,11 @@ object TokenRangeOps {
     val keyDf = spark.createDataFrame(
       spark.sparkContext.parallelize(keyRows, 1),
       StructType(pkFields.map(f => StructField(f.name, f.dataType))))
-    val useDv = mode == "dv" || (mode == "auto" && keys.size <= DvAutoMaxKeys)
+    val pkRecorded = TokenRangeSource.recordedPk(path).isDefined
+    require(mode != "dv" || pkRecorded,
+      s"token-range DELETE mode=dv at $path requires a recorded pk")
+    val useDv = pkRecorded &&
+      (mode == "dv" || (mode == "auto" && keys.size <= DvAutoMaxKeys))
     withConflictRetry("DELETE") {
       val pinned = TokenRangeSource.currentVersion(path)
       val affectedRel = TokenRangeSource.visibleRelFiles(path, pinned)
@@ -4079,6 +4111,9 @@ object TokenRangeOps {
     requirePkMatches(path, pk, "upsert")
     require(Set("cow", "dv")(mode),
       s"token-range upsert mode must be cow|dv, got '$mode'")
+    require(mode != "dv" || TokenRangeSource.recordedPk(path).isDefined,
+      s"token-range upsert mode=dv at $path requires a recorded pk " +
+        "(readers resolve the vector merge key through it)")
     TokenRangeSource.withCommitLock(path) {
       if (TokenRangeSource.currentVersion(path).isEmpty)
         TokenRangeSource.publishManifest(path, Nil, truncate = false)

@@ -329,6 +329,33 @@ class TokenRangeCdfSpec extends SparkSpec {
       s"pre-enable ranges must still refuse, got: ${ex.getMessage}")
   }
 
+  test("a RATE-LIMITED from-zero CDF stream still seeds: the first batch reaches the enable version (review r16)") {
+    val dir = freshDir("graft_cdf_seedrl")
+    append(dir, 0L until 10L)
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(2L), mode = "cow") // unservable
+    TokenRangeOps.enableChangeFeed(dir)
+    append(dir, 10L until 12L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format(fmt).option("pk", "pk")
+      .option("changeFeed", "true")
+      .option("maxVersionsPerTrigger", "1") // would cut the first batch below the enable version
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.filter(col("_change_type") === "insert").select("pk").collect()
+          .foreach(r => got.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", freshDir("graft_cdf_seedrl_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val b = Seq.newBuilder[Long]; got.forEach(l => b += l.longValue)
+    // the seed serves the enable snapshot (9 rows, pk=2 gone), the
+    // post-enable append drains in a later (rate-limited) batch
+    assert(b.result().sorted == ((0L until 12L).filterNot(_ == 2L)),
+      s"rate-limited seeded stream must drain exactly the fold, got ${b.result().sorted}")
+  }
+
   test("seeding only serves from-the-beginning reads: a mid-history range crossing a pre-enable rewrite still refuses") {
     val dir = freshDir("graft_cdf_seedmid")
     append(dir, 0L until 8L)

@@ -225,6 +225,44 @@ class TokenRangeDvSpec extends SparkSpec {
     assert(t.filter(col("a") === 2L && col("b") === 4L).count() == 1L)
   }
 
+  test("a pk-less legacy table never takes the vector path (review r16: the silent brick)") {
+    val s2 = spark; import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_legacy").toString
+    // legacy layout: Spark's own committer, no manifest, NO recorded pk
+    TokenLayout.writeTokenBucketed(
+      (0L until 24L).map(i => (i, s"a$i")).toDF("pk", "v"), "pk", dir)
+    assert(TokenRangeSource.recordedPk(dir).isEmpty)
+    // explicit dv mode refuses loudly while no pk is recorded
+    val ex = intercept[IllegalArgumentException] {
+      TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(5L), mode = "dv")
+    }
+    assert(ex.getMessage.contains("recorded pk"), ex.getMessage)
+    // auto mode must FALL BACK to copy-on-write (a vector would make
+    // every read — including compaction — refuse for lack of the pk);
+    // the cow rewrite's sink commit then RECORDS the pk, so later small
+    // deletes graduate to the vector path legitimately
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(3L))
+    assert(TokenRangeSource.dvBindings(dir).isEmpty,
+      "no vector may publish without a recorded pk")
+    val t = spark.read.format(fmt).option("pk", "pk").load(dir)
+    assert(t.count() == 23L && t.filter(col("pk") === 3L).count() == 0L)
+    assert(TokenRangeSource.recordedPk(dir).isDefined,
+      "the cow rewrite records the pk — the table has graduated")
+  }
+
+  test("vector-only publishes carry bound buckets' segments by reference (no rewrite amplification)") {
+    val dir = freshTable("segcarry")
+    val mdir = new java.io.File(dir, "_manifests")
+    def segs(): Set[String] =
+      Option(new java.io.File(mdir, "segments").listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSet
+    val before = segs()
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(7L), mode = "dv")
+    assert(segs() == before,
+      "a vector-only publish must write NO new segment files — bound " +
+        "buckets carry by reference, only validated against the base")
+  }
+
   test("ops rewrites over vector-bound files never resurrect (ckRange/expire read merged)") {
     val dir = freshTable("opsmrg")
     TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(30L), mode = "dv")
