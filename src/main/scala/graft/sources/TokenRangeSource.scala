@@ -4647,6 +4647,13 @@ object TokenRangeOps {
       "current_version" -> vs.lastOption.map(_.toString).getOrElse(""),
       "live_files" -> vs.lastOption
         .map(v => TokenRangeSource.visibleRelFiles(path, Some(v)).size.toString)
+        .getOrElse("0"),
+      // merge-on-read DEBT (r16): live deletion-vector bindings — the
+      // read-side merge work a compaction would clear; the operator's
+      // when-to-compact signal, Cassandra's droppable-tombstone-ratio
+      // analog
+      "deletion_vectors" -> vs.lastOption
+        .map(v => TokenRangeSource.dvBindings(path, Some(v)).size.toString)
         .getOrElse("0"))
   }
 

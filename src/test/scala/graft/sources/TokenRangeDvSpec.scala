@@ -263,6 +263,17 @@ class TokenRangeDvSpec extends SparkSpec {
         "buckets carry by reference, only validated against the base")
   }
 
+  test("describeTable reports the merge-on-read debt (deletion_vectors)") {
+    val dir = freshTable("desc")
+    assert(TokenRangeOps.describeTable(dir)("deletion_vectors") == "0")
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(7L), mode = "dv")
+    val n = TokenRangeOps.describeTable(dir)("deletion_vectors").toInt
+    assert(n >= 1, s"bindings must surface, got $n")
+    TokenRangeOps.compact(spark, dir, "pk")
+    assert(TokenRangeOps.describeTable(dir)("deletion_vectors") == "0",
+      "compaction clears the debt")
+  }
+
   test("ops rewrites over vector-bound files never resurrect (ckRange/expire read merged)") {
     val dir = freshTable("opsmrg")
     TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(30L), mode = "dv")
