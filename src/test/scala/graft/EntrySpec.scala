@@ -214,8 +214,11 @@ class EntrySpec extends SparkSpec {
     // (per-cell writetime: out-of-order older writes lose per cell,
     // NULL-binds are stamped cell tombstones), +wc_sql_mor (SQL
     // UPDATE/DELETE/MERGE merge-on-read via SupportsDelta) → 238/238.
-    assert(SparkEntry.queries.size == 238, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 238, s"got ${SparkEntry.oracleSql.size}")
+    // r17: +wc_sql_mor_clustered (POSITION deletion vectors — SQL
+    // merge-on-read DML on CLUSTERED tables, the reference's own
+    // messages shape, exact under duplicate pks) → 239/239.
+    assert(SparkEntry.queries.size == 239, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 239, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -274,6 +274,46 @@ class TokenRangeDvSpec extends SparkSpec {
       "compaction clears the debt")
   }
 
+  test("vector sweep: a file past the binding bound auto-compacts (the policy ACTS on the debt)") {
+    val dir = freshTable("sweep")
+    // a tight bound so the test drives the threshold crossing
+    TokenRangeOps.setVectorCompaction(dir, 3)
+    // three point deletes of keys in the SAME bucket accumulate three
+    // bindings on that bucket's files; the third commit's sweep must
+    // compact them — without any manual compact call
+    val byBucket = (0L until 128L).groupBy(TokenLayout.bucketOfValue)
+    val ks = byBucket.values.find(_.size >= 3).get.take(3)
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(ks(0)), mode = "dv")
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(ks(1)), mode = "dv")
+    assert(TokenRangeSource.dvBindings(dir).groupBy(_._1).values
+      .exists(_.size == 2), "below the bound the debt accumulates")
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(ks(2)), mode = "dv")
+    assert(TokenRangeSource.dvBindings(dir).isEmpty,
+      "the third commit's sweep must compact the bound files and clear " +
+        "the bindings")
+    assert(TokenRangeOps.describeTable(dir)("deletion_vectors") == "0",
+      "the describeTable debt signal returns to 0")
+    // the compaction applied the vectors, never resurrected
+    val t = readAll(dir)
+    assert(t.count() == 125L)
+    assert(t.filter(col("pk").isin(ks.map(Long.box): _*)).count() == 0L)
+    // selectivity: only the victim files rewrote — the sweep publishes
+    // as #op compact, content-preserving, so the plain CDC tail still
+    // serves the table (no content-changing refusal from maintenance)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dv_sw").toString
+    val got = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format(fmt).option("pk", "pk").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.addAndGet(b.count()); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.get() == 125L, s"tail over the swept history, got ${got.get()}")
+  }
+
   test("ops rewrites over vector-bound files never resurrect (ckRange/expire read merged)") {
     val dir = freshTable("opsmrg")
     TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(30L), mode = "dv")
