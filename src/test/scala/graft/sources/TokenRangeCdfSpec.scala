@@ -356,22 +356,78 @@ class TokenRangeCdfSpec extends SparkSpec {
       s"rate-limited seeded stream must drain exactly the fold, got ${b.result().sorted}")
   }
 
-  test("seeding only serves from-the-beginning reads: a mid-history range crossing a pre-enable rewrite still refuses") {
+  test("mid-history backfill: a range crossing a pre-enable rewrite serves a SYNTHESIZED REBASE (r17)") {
     val dir = freshDir("graft_cdf_seedmid")
     append(dir, 0L until 8L)
     val v1 = TokenRangeSource.versions(dir).last
     TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(2L), mode = "cow")
+    val vUnservable = TokenRangeSource.versions(dir).last
+    append(dir, 100L until 102L)
     TokenRangeOps.enableChangeFeed(dir)
+    val enableV = TokenRangeSource.versions(dir).last
     append(dir, 8L until 10L)
-    // startingVersion v1+1 (exclusive base v1 > 0) crosses the
-    // unservable pre-enable delete — a consumer that drained (0, v1]
-    // would double-count a snapshot, so this must refuse loudly
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(5L)) // recorded (sidecar)
+    // a consumer checkpointed at v1 (so it HOLDS state(v1) = pk 0..7)
+    // crosses the unservable pre-enable delete. r16 refused; the rebase
+    // serves: state(v1) as synthesized DELETES + state(enableV) as
+    // synthesized INSERTS, both stamped at the enable version, then the
+    // recorded changes forward — the one encoding that is exact without
+    // knowing the unservable version's row diff.
+    val feed = spark.read.format(fmt).option("pk", "pk")
+      .option("changeFeed", "true")
+      .option("startingVersion", (v1 + 1).toString).load(dir)
+      .select("_change_type", "_commit_version", "pk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val rebase = feed.filter(_._2 == enableV)
+    assert(rebase.count(_._1 == "delete") == 8,
+      s"state(v1) must serve as deletes, got ${rebase.toSeq}")
+    assert(rebase.count(_._1 == "insert") == 9,
+      "state(enableV) must serve as inserts (pk=2 folded out, 100/101 in)")
+    // fold from the checkpointed state reconstructs the current table
+    val state = scala.collection.mutable.Set[Long](0L until 8L: _*)
+    feed.sortBy(t => (t._2, if (t._1 == "delete") 0 else 1)).foreach {
+      case ("delete", _, k) => state -= k
+      case ("insert", _, k) => state += k
+      case _ => ()
+    }
+    assert(state.toSeq.sorted == batchPks(dir),
+      s"mid-history rebase fold must reconstruct the table, got ${state.toSeq.sorted}")
+    // the refusal survives ONLY for ranges ending before the enable
+    // version (the feed did not exist yet)
     val ex = intercept[Exception] {
       spark.read.format(fmt).option("pk", "pk")
         .option("changeFeed", "true")
-        .option("startingVersion", (v1 + 1).toString).load(dir).collect()
+        .option("startingVersion", (v1 + 1).toString)
+        .option("endingVersion", vUnservable.toString).load(dir).collect()
     }
     assert(ex.getMessage.contains("no recorded change sidecar"))
+  }
+
+  test("rate limiter honors maxVersionsPerTrigger when NO seed fires (ADVICE r16)") {
+    val dir = freshDir("graft_cdf_nolseed")
+    // all-servable pre-enable history: appends only
+    append(dir, 0L until 4L)
+    append(dir, 4L until 8L)
+    TokenRangeOps.enableChangeFeed(dir)
+    append(dir, 8L until 12L)
+    // from-zero feed with a 1-version cap: every version is servable, so
+    // no seed fires and every micro-batch must hold exactly one version
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format(fmt).option("pk", "pk")
+      .option("changeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.add(b.select("_commit_version").distinct().count()); ()
+      }
+      .option("checkpointLocation", freshDir("graft_cdf_nolseed_ck"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val perBatch = Seq.newBuilder[Long]; batches.forEach(l => perBatch += l)
+    assert(perBatch.result().forall(_ <= 1L),
+      s"without a seed the cap must hold: versions per batch = ${perBatch.result()}")
   }
 
   test("a fresh stream honors startingVersion (the Kafka startingOffsets analog)") {
