@@ -984,6 +984,65 @@ object WideColumn extends QueryModule {
     """SELECT user_id, COUNT(*) AS n_errors, MAX(ts) AS last_error_ts
       |FROM events WHERE event_type = 'error' GROUP BY user_id""".stripMargin
 
+  /** Cassandra 2i/SAI made PHYSICAL (r17, VERDICT r16 stretch — the step
+    * past wc_secondary_index's honest pushdown scan): a DECLARED indexed
+    * non-key TEXT column gets a per-file parquet value BLOOM at write
+    * time (`TBLPROPERTIES('index'='session')` / CREATE INDEX), and a
+    * non-key equality scan probes it to DROP files that provably lack
+    * the value — the only per-file prune TEXT payloads can get (zone
+    * maps need integral stats; the pk bloom only serves key probes). The
+    * builder loads tranches disjoint on the indexed value (the
+    * time/entity-correlated ingest shape where an index pays) and
+    * require-asserts the plan kept a STRICT file subset. At 100 TB this
+    * is the difference between opening every SSTable for a
+    * `WHERE session = ?` and opening the few that can hold it. */
+  private def saiIndexDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_sai", d) { dir =>
+      val cat = sqlCatalogOf(s, dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ks")
+      s.sql(s"""CREATE TABLE $cat.ks.sorders
+        (o_orderkey BIGINT, session STRING, o_orderstatus STRING,
+         o_totalprice DOUBLE)
+        TBLPROPERTIES('pk'='o_orderkey', 'index'='session')""")
+      val src = s"srcsai_$cat"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          concat(lit("s"), col("o_custkey") % 1024).as("session"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView(src)
+      // tranche loads DISJOINT on the indexed value ((custkey%1024)%4 ==
+      // custkey%4): each file then holds one slice of the session domain
+      // — the correlated-ingest layout where a value bloom bites
+      (0 until 4).foreach { r =>
+        s.sql(s"INSERT INTO $cat.ks.sorders SELECT * FROM $src " +
+          s"WHERE CAST(SUBSTRING(session, 2) AS BIGINT) % 4 = $r")
+      }
+      // prove the prune: the probe keeps a strict subset of the files
+      val probe = s.sql(
+        s"SELECT * FROM $cat.ks.sorders WHERE session = 's1'")
+      val plan = probe.queryExecution.executedPlan.toString()
+      val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+      require(pruned.isDefined &&
+        pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+        s"indexed TEXT equality must keep a strict file subset: " +
+          plan.take(400))
+      dir
+    }
+
+  def saiIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = saiIndexDir(s, d)
+    val cat = sqlCatalogOf(s, dir)
+    s.sql(s"SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+      s"FROM $cat.ks.sorders WHERE session = 's1' GROUP BY o_orderstatus")
+  }
+
+  private val saiIndexSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_custkey % 1024 = 1
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** Cassandra collection/dynamic-column analog: `props` is a JSON map
     * column (wide-column dynamic columns); extract a typed field with a
     * codegen'd per-row parse, then aggregate. At 100 TB the parse is
@@ -2148,5 +2207,6 @@ object WideColumn extends QueryModule {
     ("wc_sql_update_merge", sqlUpdateMerge _, Some(sqlUpdateMergeSql)),
     ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
-    ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)))
+    ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)),
+    ("wc_sai_index", saiIndex _, Some(saiIndexSql)))
 }

@@ -287,6 +287,15 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
           dir, recordedPkOf(dir), in.getUTF8String(1).toString, in.getLong(2))
       }
     },
+    "create_index" -> new Proc("create_index",
+      "declare a non-key column indexed: per-file value blooms from now on",
+      Array(tableParam,
+        ProcedureParameter.in("column", StringType).build())) {
+      override def run(in: InternalRow): Unit =
+        TokenRangeOps.createIndex(
+          resolveTable(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)
+    },
     "compact_vectors" -> new Proc("compact_vectors",
       "rewrite exactly the files carrying >= threshold deletion-vector bindings",
       Array(tableParam,
@@ -404,13 +413,26 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
       .map(_.trim.toLong)
     fallbackRows.foreach(n => require(n >= 1,
       s"TBLPROPERTIES('dml.fallback_rows') must be >= 1, got $n"))
+    // SECONDARY-INDEX columns (r17, CQL CREATE INDEX at create time):
+    // each declared column gets a per-file value bloom at write time
+    val index = Option(properties.get("index")).map(_.trim).filter(_.nonEmpty)
+    index.foreach(_.split(',').map(_.trim).foreach { n =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"indexed column '$n' is not a column of ${schema.catalogString}"))
+      f.dataType match {
+        case LongType | IntegerType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"token-range indexes cover BIGINT/INT/TEXT columns, '$n' is $other")
+      }
+    })
     val dir = tableDir(ident)
     dir.mkdirs()
     // the same creation record the first sink commit writes — created
     // empty here (CREATE-then-INSERT, the CQL flow), and the _manifests
     // dir marks table existence
     TokenRangeSource.recordPk(dir.getAbsolutePath, pkCols.mkString(","),
-      ck, Some(schema.toDDL), dml, fallbackRows)
+      ck, Some(schema.toDDL), dml, fallbackRows, index)
     loadTable(ident)
   }
 

@@ -111,7 +111,8 @@ private[connector] final class TokenRangeDeltaBatchWrite(path: String,
         .split(',').map(_.trim).toSeq
         .map(n => rowSchema.fieldIndex(
           rowSchema.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(n)))
-    new TokenRangeDeltaWriterFactory(path, rowSchema, pkIdx, writeId)
+    new TokenRangeDeltaWriterFactory(path, rowSchema, pkIdx, writeId,
+      TokenRangeSource.indexIdxOf(path, rowSchema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -220,12 +221,13 @@ private[connector] final class TokenRangeDeltaBatchWrite(path: String,
 }
 
 private[connector] final case class TokenRangeDeltaWriterFactory(path: String,
-    rowSchema: StructType, pkIdx: Seq[Int], writeId: String)
+    rowSchema: StructType, pkIdx: Seq[Int], writeId: String,
+    indexIdx: Seq[Int] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
     new TokenRangeDeltaWriter(path, rowSchema, pkIdx, partitionId, taskId,
-      writeId)
+      writeId, indexIdx)
 }
 
 /** Routes INSERT/UPDATE images through the ordinary staged task writer
@@ -235,7 +237,8 @@ private[connector] final case class TokenRangeDeltaWriterFactory(path: String,
   * statement matches (ADVICE r16). */
 private[connector] final class TokenRangeDeltaWriter(path: String,
     rowSchema: StructType, pkIdx: Seq[Int],
-    partitionId: Int, taskId: Long, writeId: String)
+    partitionId: Int, taskId: Long, writeId: String,
+    indexIdx: Seq[Int] = Nil)
     extends DeltaWriter[InternalRow] {
 
   // LAZY: a pure DELETE's write schema is empty — no image is ever
@@ -244,7 +247,7 @@ private[connector] final class TokenRangeDeltaWriter(path: String,
   private def data: TokenRangeDataWriter = {
     if (dataOrNull == null)
       dataOrNull = new TokenRangeDataWriter(path, rowSchema, pkIdx,
-        partitionId, taskId, writeId)
+        partitionId, taskId, writeId, indexIdx = indexIdx)
     dataOrNull
   }
 

@@ -322,7 +322,8 @@ object TokenRangeSource {
   private[connector] def recordPk(path: String, pk: String,
       ck: Option[String] = None, schemaDdl: Option[String] = None,
       dml: Option[String] = None,
-      morFallbackRows: Option[Long] = None): Unit = {
+      morFallbackRows: Option[Long] = None,
+      index: Option[String] = None): Unit = {
     // create-iff-absent: the FIRST writer's key wins; Cassandra does not
     // allow re-keying (or re-clustering) a table either. The creation
     // SCHEMA is recorded beside the keys (r13 verdict #3) so later
@@ -334,7 +335,8 @@ object TokenRangeSource {
       s"pk=$pk" + ck.map(c => s"\nck=$c").getOrElse("")
         + schemaDdl.map(d => s"\nschema=$d").getOrElse("")
         + dml.map(m => s"\ndml=$m").getOrElse("")
-        + morFallbackRows.map(n => s"\ndml.fallback_rows=$n").getOrElse(""))
+        + morFallbackRows.map(n => s"\ndml.fallback_rows=$n").getOrElse("")
+        + index.map(ix => s"\nindex=$ix").getOrElse(""))
     ()
   }
 
@@ -366,6 +368,45 @@ object TokenRangeSource {
         l.stripPrefix("dml.fallback_rows=").trim.toLong
     }.getOrElse(MorFallbackRowsDefault)
   }
+
+  /** Declared SECONDARY-INDEX columns (r17 — the Cassandra 2i/SAI
+    * analog's cheap 80%): each declared non-key column gets a per-file
+    * parquet BLOOM FILTER at write time, and non-key equality scans
+    * probe it to drop files that provably lack the value — the only
+    * per-file prune TEXT payloads can get (zone maps need integral
+    * stats). Recorded in `index.properties` (`cols=a,b`) — written at
+    * CREATE TABLE (`TBLPROPERTIES('index'='…')`) or any time later via
+    * [[TokenRangeOps.createIndex]] (CQL `CREATE INDEX`). Files written
+    * BEFORE the declaration carry no bloom and are conservatively KEPT
+    * (the residual filter owns correctness) — Cassandra's
+    * build-on-write semantics without a rebuild job; a compact after
+    * declaring rebuilds every file's bloom. */
+  private[connector] def recordedIndexCols(path: String): Seq[String] = {
+    val f = new java.io.File(manifestDir(path), "index.properties").getPath
+    val own =
+      if (!manifestIO.exists(f)) None
+      else manifestIO.read(f).split('\n').collectFirst {
+        case l if l.startsWith("cols=") => l.stripPrefix("cols=").trim
+      }
+    own.orElse {
+      val tp = new java.io.File(manifestDir(path), "table.properties").getPath
+      if (!manifestIO.exists(tp)) None
+      else manifestIO.read(tp).split('\n').collectFirst {
+        case l if l.startsWith("index=") => l.stripPrefix("index=").trim
+      }
+    }.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  }
+
+  /** Schema indices of the declared indexed columns present in a write
+    * schema — resolved on the DRIVER once per write and shipped to the
+    * task writers (executors never read the properties file). */
+  private[connector] def indexIdxOf(path: String,
+      writeSchema: StructType): Seq[Int] =
+    recordedIndexCols(path).flatMap(n =>
+      writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n)) match {
+        case -1 => None
+        case i => Some(i)
+      })
 
   /** The CREATION schema recorded by the first commit (absent on tables
     * created before r14 — those fall back to footer inference). */
@@ -1361,6 +1402,65 @@ object TokenRangeSource {
     out
   }
 
+  /** Per-row-group DICTIONARY membership sets of `colName` in `abs` —
+    * `Some(values)` when EVERY data page of the row group is
+    * dictionary-encoded (the dictionary then lists exactly the values
+    * present: an EXACT membership test, zero false positives), `None`
+    * when any page fell back to plain (the dictionary under-covers).
+    * parquet-mr intentionally writes NO bloom filter for fully
+    * dict-encoded columns — the dictionary is the better structure — so
+    * the value-probe prune (r17 SAI analog) consults this exactly where
+    * blooms are absent. Cached per immutable (file, column), like the
+    * blooms. */
+  private val dictCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Option[Set[Any]]]]()
+
+  private[connector] def fileDictionaries(abs: String, colName: String)
+      : Seq[Option[Set[Any]]] = {
+    val key = s"$abs|${colName.toLowerCase}"
+    val hit = dictCache.get(key)
+    if (hit != null) return hit
+    bloomFooterReads.incrementAndGet()
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(abs), new Configuration()))
+    val out: Seq[Option[Set[Any]]] =
+      try {
+        val fileSchema = rd.getFooter.getFileMetaData.getSchema
+        rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString.equalsIgnoreCase(colName))
+            .flatMap { c =>
+              val st = c.getEncodingStats
+              if (st == null || st.hasNonDictionaryEncodedPages) None
+              else try {
+                val desc = fileSchema.getColumnDescription(c.getPath.toArray)
+                val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+                  rd.getDictionaryReader(b)
+                Option(store.readDictionaryPage(desc)).map { page =>
+                  val dict = page.getEncoding.initDictionary(desc, page)
+                  val vals = Set.newBuilder[Any]
+                  var i = 0
+                  while (i <= dict.getMaxId) {
+                    vals += (desc.getPrimitiveType.getPrimitiveTypeName match {
+                      case org.apache.parquet.schema.PrimitiveType
+                          .PrimitiveTypeName.INT64 => dict.decodeToLong(i)
+                      case org.apache.parquet.schema.PrimitiveType
+                          .PrimitiveTypeName.INT32 => dict.decodeToInt(i).toLong
+                      case _ => dict.decodeToBinary(i).toStringUsingUTF8
+                    })
+                    i += 1
+                  }
+                  vals.result()
+                }
+              } catch { case _: Exception => None }
+            }
+        }
+      } finally rd.close()
+    if (dictCache.size > 4096) dictCache.clear()
+    dictCache.put(key, out)
+    out
+  }
+
   private[connector] def fileLongStats(
       abs: String): Seq[Map[String, (Long, Long, Long)]] = {
     val hit = fileStatsCache.get(abs)
@@ -1964,6 +2064,16 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   // exactly like bucket routing.
   private val pkCompProbe = scala.collection.mutable.LinkedHashMap
     .empty[String, Set[Any]]
+  // SECONDARY-INDEX value probes (r17, SAI analog): equality/IN literals
+  // on DECLARED indexed non-key columns — each probes that column's
+  // per-file bloom; conjunctive filters intersect, like the pk probes.
+  // Resolved lazily (one properties read per plan, only when a filter
+  // touches a non-key column).
+  private lazy val indexedLower: Set[String] =
+    TokenRangeSource.recordedIndexCols(TokenRangeSource.pathOf(options))
+      .map(_.toLowerCase).toSet
+  private val valueProbe = scala.collection.mutable.LinkedHashMap
+    .empty[String, Set[Any]]
   private def normProbe(v: Any): Any = v match {
     case u: UTF8String => u.toString
     case i: Int => i.toLong
@@ -1976,6 +2086,10 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   private def restrictCompProbe(name: String, vs: Set[Any]): Unit = {
     val n = vs.map(normProbe)
     pkCompProbe(name) = pkCompProbe.get(name).fold(n)(_ intersect n)
+  }
+  private def restrictValueProbe(name: String, vs: Set[Any]): Unit = {
+    val n = vs.map(normProbe)
+    valueProbe(name) = valueProbe.get(name).fold(n)(_ intersect n)
   }
   // per-column slice, intersected over pushed range filters as CLOSED
   // intervals (integer keys, so exclusive bounds shift by 1). ZONE MAPS
@@ -2125,6 +2239,23 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
         pushed = (pushed ++ compositeEq).distinct
       }
     }
+    // SECONDARY-INDEX probes: equality/IN on a declared indexed NON-KEY
+    // column (pk equality already probes through pkProbe above). The
+    // indexed-set read is lazy, so plans with no such filter never
+    // touch the properties file.
+    filters.foreach {
+      case f @ EqualTo(a, v)
+          if !pkNames.exists(_.equalsIgnoreCase(a)) &&
+            indexedLower(a.toLowerCase) =>
+        restrictValueProbe(a, Set(v))
+        pushed = (pushed :+ f).distinct
+      case f @ In(a, vs)
+          if vs.nonEmpty && !pkNames.exists(_.equalsIgnoreCase(a)) &&
+            indexedLower(a.toLowerCase) =>
+        restrictValueProbe(a, vs.toSet)
+        pushed = (pushed :+ f).distinct
+      case _ => ()
+    }
     // residual contract: EVERYTHING is re-evaluated by Spark post-scan —
     // pushdown here is a pruning hint, never a correctness dependency
     filters
@@ -2156,17 +2287,26 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
         Option(options.get("endingVersion")).map(_.toInt),
         Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
     // BLOOM probes: point-lookup/multiget literals + each probed
-    // column's table dtype (the hash must match the physical type).
+    // column's table dtype (the hash must match the physical type) +
+    // whether the probe's values bucket-route (single-col pk only: a
+    // multiget's other-bucket keys can never be in this file).
     // Single-col pk probes one column; a fully-bound composite key
-    // probes EVERY component's bloom and the keeps intersect (r16).
-    val bloomProbes: Seq[(String, DataType, Seq[Any])] =
+    // probes EVERY component's bloom and the keeps intersect (r16);
+    // declared indexed non-key columns probe their VALUE blooms (r17,
+    // the SAI analog) — all conjunctive, keeps intersect.
+    val pkProbes: Seq[(String, DataType, Seq[Any], Boolean)] =
       if (pkNames.size == 1)
         pkProbe.toSeq.flatMap(vs =>
           tableSchema.fields.find(_.name.equalsIgnoreCase(pkName))
-            .map(f => (f.name, f.dataType, vs.toSeq)))
+            .map(f => (f.name, f.dataType, vs.toSeq, true)))
       else pkCompProbe.toSeq.flatMap { case (n, vs) =>
         tableSchema.fields.find(_.name.equalsIgnoreCase(n))
-          .map(f => (f.name, f.dataType, vs.toSeq))
+          .map(f => (f.name, f.dataType, vs.toSeq, false))
+      }
+    val bloomProbes: Seq[(String, DataType, Seq[Any], Boolean)] =
+      pkProbes ++ valueProbe.toSeq.flatMap { case (n, vs) =>
+        tableSchema.fields.find(_.name.equalsIgnoreCase(n))
+          .map(f => (f.name, f.dataType, vs.toSeq, false))
       }
     new TokenRangeScan(TokenRangeSource.pathOf(options), required,
       tableSchema, pushed, pkBuckets,
@@ -2196,10 +2336,7 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
       // fresh-stream start version (inclusive) — the Kafka
       // startingOffsets analog; ignored by batch scans
       Option(options.get("startingVersion")).map(_.toInt),
-      bloomProbes,
-      // single-col probe values are bucket-routable per file (a
-      // multiget's other-bucket keys can never be in this file)
-      bucketRoutedProbe = pkNames.size == 1)
+      bloomProbes)
   }
 }
 
@@ -2218,8 +2355,7 @@ private[connector] final class TokenRangeScan(path: String,
     maxVersionsPerTrigger: Option[Int] = None,
     onPlanned: (AnyRef, Seq[String]) => Unit = null,
     startingVersion: Option[Int] = None,
-    bloomProbes: Seq[(String, DataType, Seq[Any])] = Nil,
-    bucketRoutedProbe: Boolean = false)
+    bloomProbes: Seq[(String, DataType, Seq[Any], Boolean)] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -2306,21 +2442,23 @@ private[connector] final class TokenRangeScan(path: String,
     s"${f.getParentFile.getName}/${f.getName}"
   }
 
-  /** Per-file BLOOM probe (Cassandra's per-SSTable key bloom): a point
-    * lookup / multiget keeps a file iff SOME probed key MIGHT be present
-    * in SOME row group's bloom — a definite all-absent drops the file
-    * even when footer ranges overlap, and it is the only per-file prune
-    * TEXT keys get. Missing blooms (legacy files, non-pk writers) keep
-    * the file; correctness always rests on the residual filter. */
+  /** Per-file BLOOM probe (Cassandra's per-SSTable key bloom, and since
+    * r17 the SAI-shaped VALUE bloom on declared indexed columns): a
+    * point lookup / multiget / indexed-value equality keeps a file iff
+    * SOME probed value MIGHT be present in SOME row group's bloom — a
+    * definite all-absent drops the file even when footer ranges overlap,
+    * and it is the only per-file prune TEXT columns get. Missing blooms
+    * (legacy files, non-pk writers, pre-declaration files) keep the
+    * file; correctness always rests on the residual filter. */
   private def bloomKeep(file: String): Boolean =
-    bloomProbes.forall { case (colName, dt, values) =>
+    bloomProbes.forall { case (colName, dt, values, bucketRouted) =>
       // single-col pk: restrict the probe to values ROUTING to this
       // file's bucket (ADVICE r15) — a multiget's other-bucket keys can
       // never be here, and probing them could only keep the file. An
-      // empty routed set is a definite miss. Composite components skip
-      // this (only the full tuple's hash routes).
+      // empty routed set is a definite miss. Composite components and
+      // indexed value probes skip this (values don't route buckets).
       val routed =
-        if (!bucketRoutedProbe) values
+        if (!bucketRouted) values
         else {
           val b = new java.io.File(file).getParentFile.getName
             .stripPrefix("tb=").toInt
@@ -2336,9 +2474,25 @@ private[connector] final class TokenRangeScan(path: String,
         // blooms load ONCE per immutable (file, column) — repeated point
         // lookups (the workload blooms exist for) probe the cache
         val blooms = TokenRangeSource.fileBlooms(file, colName)
-        blooms.isEmpty || blooms.exists {
-          case None => true // no bloom written / column absent: keep
-          case Some(bf) => routed.exists { v =>
+        // parquet-mr intentionally writes NO bloom for a fully
+        // dictionary-encoded column chunk (the dictionary IS the better
+        // membership structure — exact, zero false positives), which is
+        // the common case for indexed payload columns with repeats: the
+        // probe falls back to the DICTIONARY there. A row group with
+        // neither (legacy file, mixed encodings) keeps conservatively.
+        lazy val dicts = TokenRangeSource.fileDictionaries(file, colName)
+        def dictKeep(gi: Int): Boolean = dicts.lift(gi).flatten match {
+          case Some(set) => routed.exists {
+            case l: Long => set.contains(l)
+            case i: Int => set.contains(i.toLong)
+            case st: String => set.contains(st)
+            case _ => true // unprobeable literal: keep
+          }
+          case None => true
+        }
+        blooms.isEmpty || blooms.zipWithIndex.exists {
+          case (None, gi) => dictKeep(gi)
+          case (Some(bf), _) => routed.exists { v =>
             dt match {
               case LongType => v match {
                 case l: Long => bf.findHash(bf.hash(l))
@@ -3131,7 +3285,7 @@ private[connector] final class TokenRangeBatchWrite(path: String,
     // truncate applied at manifest-flip time
     new java.io.File(path).mkdirs()
     TokenRangeWriterFactory(path, writeSchema, pkIdx, writeId, rollRows,
-      rowOpColumn)
+      rowOpColumn, TokenRangeSource.indexIdxOf(path, writeSchema))
   }
 
   /** The atomicity point: move every staged file into its `tb=<k>` dir,
@@ -3265,17 +3419,19 @@ private[connector] final case class TokenRangeCommit(files: Array[String])
 
 private[connector] final case class TokenRangeWriterFactory(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], writeId: String,
-    rollRows: Long = Long.MaxValue, rowOpColumn: Boolean = false)
+    rollRows: Long = Long.MaxValue, rowOpColumn: Boolean = false,
+    indexIdx: Seq[Int] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new TokenRangeDataWriter(path, writeSchema, pkIdx, partitionId, taskId,
-      writeId, rollRows, rowOpColumn)
+      writeId, rollRows, rowOpColumn, indexIdx)
 }
 
 private[connector] final class TokenRangeDataWriter(path: String,
     writeSchema: StructType, pkIdx: Seq[Int], partitionId: Int, taskId: Long,
     writeId: String, rollRows: Long = Long.MaxValue,
-    rowOpColumn: Boolean = false) extends DataWriter[InternalRow] {
+    rowOpColumn: Boolean = false, indexIdx: Seq[Int] = Nil)
+    extends DataWriter[InternalRow] {
 
   /** SQL row-level writes (ReplaceData, Spark 4) MAY prepend
     * [[org.apache.spark.sql.catalyst.util.RowDeltaUtils.OPERATION_COLUMN]]
@@ -3340,6 +3496,10 @@ private[connector] final class TokenRangeDataWriter(path: String,
       .withConf(conf).withType(msgType)
       .withAdaptiveBloomFilterEnabled(true)
     pkIdx.foreach(i =>
+      builder.withBloomFilterEnabled(writeSchema(i).name, true))
+    // declared SECONDARY-INDEX columns (r17): the per-file value bloom
+    // a non-key equality scan probes — Cassandra's SAI, built on write
+    indexIdx.foreach(i =>
       builder.withBloomFilterEnabled(writeSchema(i).name, true))
     new BucketFile(builder.build(), file)
   })
@@ -4165,6 +4325,34 @@ object TokenRangeOps {
       TokenRangeSource.claimEdit(path, s"ADD ${f.toDDL}")
     }
   }
+
+  /** CQL `CREATE INDEX` analog (r17 — the 2i/SAI surface): declare a
+    * non-key column indexed, so every file written FROM NOW ON carries a
+    * per-file parquet bloom filter on it and non-key equality scans
+    * prune files that provably lack the probed value. Metadata-only —
+    * no data file is read or rewritten; pre-declaration files keep
+    * conservatively (run a compact to rebuild their blooms). Idempotent
+    * per column; refuses unknown columns and unprobeable dtypes. */
+  def createIndex(path: String, column: String): Unit =
+    TokenRangeSource.withCommitLock(path) {
+      val view = TokenRangeSource.currentView(path)
+      val f = view.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+        throw new IllegalArgumentException(
+          s"token-range CREATE INDEX at $path: no column '$column' in " +
+            s"${view.catalogString}"))
+      f.dataType match {
+        case LongType | IntegerType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"token-range CREATE INDEX on BIGINT/INT/TEXT columns only, " +
+            s"'$column' is $other")
+      }
+      val cur = TokenRangeSource.recordedIndexCols(path)
+      if (!cur.exists(_.equalsIgnoreCase(column)))
+        TokenRangeSource.manifestIO.write(
+          new java.io.File(TokenRangeSource.manifestDir(path),
+            "index.properties").getPath,
+          s"cols=${(cur :+ f.name).mkString(",")}")
+    }
 
   /** ALTER TABLE DROP analog: remove a column from the stored view —
     * metadata-only (old files keep the bytes until a compact rewrites

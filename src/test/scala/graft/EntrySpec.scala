@@ -216,9 +216,11 @@ class EntrySpec extends SparkSpec {
     // UPDATE/DELETE/MERGE merge-on-read via SupportsDelta) → 238/238.
     // r17: +wc_sql_mor_clustered (POSITION deletion vectors — SQL
     // merge-on-read DML on CLUSTERED tables, the reference's own
-    // messages shape, exact under duplicate pks) → 239/239.
-    assert(SparkEntry.queries.size == 239, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 239, s"got ${SparkEntry.oracleSql.size}")
+    // messages shape, exact under duplicate pks), +wc_sai_index
+    // (declared secondary-index columns get per-file value blooms;
+    // non-key TEXT equality prunes files) → 240/240.
+    assert(SparkEntry.queries.size == 240, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 240, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

@@ -101,6 +101,57 @@ class TokenRangeBloomSpec extends SparkSpec {
       s"TEXT composite lookup must bloom-prune to one file:\n${plan.take(900)}")
   }
 
+  test("SAI value blooms: non-key TEXT equality keeps a strict file subset (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sai").toString
+    // first tranche written BEFORE the index exists — its files carry no
+    // value bloom and must be kept conservatively
+    spark.range(0, 40).coalesce(1)
+      .select(col("id").as("pk"), concat(lit("sess"), col("id")).as("session"),
+        col("id").as("n"))
+      .write.format(fmt).option("pk", "pk").mode("overwrite").save(dir)
+    TokenRangeOps.createIndex(dir, "session")
+    // post-declaration tranches with DISJOINT session domains: any given
+    // session value exists in exactly one of them
+    (1 until 4).foreach { r =>
+      spark.range(r * 100, r * 100 + 40).coalesce(1)
+        .select(col("id").as("pk"), concat(lit("sess"), col("id")).as("session"),
+          col("id").as("n"))
+        .write.format(fmt).option("pk", "pk").mode("append").save(dir)
+    }
+    val t = spark.read.format(fmt).option("pk", "pk").load(dir)
+    // non-key TEXT equality: no bucket prune, no zone map (strings) —
+    // the value bloom is the ONLY per-file prune, and it must drop every
+    // post-declaration file of the other tranches
+    val q = t.filter(col("session") === "sess210")
+    assert(q.count() == 1L)
+    val plan = q.queryExecution.executedPlan.toString()
+    val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(pruned.isDefined, s"plan must report the prune:\n${plan.take(900)}")
+    val (kept, total) = (pruned.get.group(1).toInt, pruned.get.group(2).toInt)
+    assert(kept < total,
+      s"indexed TEXT equality must keep a STRICT subset, kept $kept/$total")
+    // pre-declaration files (no bloom) keep conservatively: probing a
+    // value that lives only there still finds it
+    assert(t.filter(col("session") === "sess7").count() == 1L)
+    // a value in NO file: every post-declaration file drops
+    assert(t.filter(col("session") === "sess99999").count() == 0L)
+    // IN-lists probe the value union; conjunction with pk equality
+    // composes with the pk bloom (keeps intersect)
+    assert(t.filter(col("session").isin("sess110", "sess210")).count() == 2L)
+    assert(t.filter(col("pk") === 110L && col("session") === "sess110")
+      .count() == 1L)
+    // a compact AFTER declaring rebuilds every file's bloom, so the
+    // pre-declaration tranche's values now prune too
+    TokenRangeOps.compact(spark, dir, "pk")
+    val q2 = t.filter(col("session") === "sess7")
+    assert(q2.count() == 1L)
+    // refusals: unknown column, unprobeable dtype
+    val ex = intercept[IllegalArgumentException] {
+      TokenRangeOps.createIndex(dir, "nope")
+    }
+    assert(ex.getMessage.contains("no column"), ex.getMessage)
+  }
+
   test("tuple multiget probes component-value UNIONS; results exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom_mg").toString
     (0 until 3).foreach { r =>
