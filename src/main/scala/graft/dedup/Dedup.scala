@@ -564,21 +564,39 @@ object Dedup extends QueryModule {
     * index (a fingerprint hot across many docs is boilerplate and would
     * go quadratic in the self-join). Top-20 by shared count. */
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    // materialized once: it feeds BOTH sides of the self-join, and the
-    // winnow pipeline behind it (char explode + two windows) is the most
-    // expensive lineage in the suite (q11 double-compute pattern)
-    val fps = Checkpoints.materialize(
-      // winnowedDistinct dedupes map-side (array_distinct before the
-      // explode) — the former winnowed().distinct() shuffled every
-      // per-POSITION fingerprint row just to collapse the ~W-fold
-      // repetition the winnow window creates by construction
-      graft.operators.TextAnalysis.winnowedDistinct(Tables.documents(s, d))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-        .filter(col("df") <= MaxPostings)
-        .drop("df"))
-    fps.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")),
-        col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+    // POSTING-LIST shape (r17, VERDICT r16 #7 — was: df-window + fp
+    // self-join + pair groupBy, four shuffles of the (doc, fp) frame
+    // plus a materialized checkpoint feeding the join twice). ONE
+    // groupBy(fp) builds each fingerprint's posting list (the size
+    // filter IS the df cap — boilerplate fps past MaxPostings drop, and
+    // singleton fps pair with nothing), the C(df,2) pair explosion runs
+    // MAP-SIDE over the sorted list (no join, no second read of the
+    // winnow substrate), and the pair counts partial-aggregate before
+    // the final shuffle. Same result set, same oracle; the winnow
+    // kernel now runs exactly once with no checkpoint write. The
+    // df ≤ MaxPostings cap still bounds any fp's contribution to
+    // C(MaxPostings, 2) — the linear-at-100TB argument is unchanged.
+    graft.operators.TextAnalysis.winnowedDistinct(Tables.documents(s, d))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxPostings))
+      // RE-SPREAD before the fan-out: the posting-list frame is tiny
+      // (one row per shared fp) and AQE would coalesce it to one
+      // partition — putting the whole C(df, 2) explosion on one core.
+      // ROUND-ROBIN with an explicit count: a repartition BY fp would
+      // collapse into the groupBy's identical partitioning (no-op) and
+      // AQE would coalesce the tiny frame to one reader — putting the
+      // whole explosion on one core; the explicit-N round robin is a
+      // real exchange AQE leaves alone. Each row costs up to
+      // C(MaxPostings, 2), so even spread ≈ even work.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      // all (a, b) with a < b from the sorted list: element i pairs with
+      // every later element — two codegen'd generators (posexplode, then
+      // explode over the 1-based slice after i), no struct allocation
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), explode(
+        slice(col("docs"), col("i") + lit(2),
+          size(col("docs")))).as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= MinSharedFps)
