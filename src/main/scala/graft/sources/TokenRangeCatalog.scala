@@ -149,6 +149,17 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
           new CaseInsensitiveStringMap(props))
       }
     }
+    // HISTORY metadata table (r17, Iceberg's `t.history` idiom): one row
+    // per retained version — version, commit time, file/binding census,
+    // op kind — readable by plain SQL (`SELECT * FROM ks.`t$history``).
+    // The DESCRIBE HISTORY surface TokenRangeSource.history() serves as
+    // an API, reachable BY NAME. Read-only; a real table literally named
+    // `x$history` shadows the suffix form, like `$changes`.
+    if (n.endsWith("$history") && !tableExists(ident)) {
+      val base = Identifier.of(ident.namespace(), n.stripSuffix("$history"))
+      if (tableExists(base))
+        return new TokenRangeHistoryTable(tableDir(base).getAbsolutePath)
+    }
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         catalogName +: ident.namespace().toSeq :+ ident.name())
@@ -162,9 +173,10 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
     TokenRangeSource.recordedCk(path).foreach(props.put("ck", _))
     TokenRangeSource.recordedDml(path).foreach(props.put("dml", _))
     // merge-on-read tables surface their pk as NOT NULL — truthful (the
-    // sink refuses null partition keys) and required: the delta path's
-    // row-id attributes must be non-nullable (Spark's
-    // NULLABLE_ROW_ID_ATTRIBUTES check)
+    // sink refuses null partition keys). Since r17 the delta row id is
+    // the (_file, _pos) metadata pair (both declared non-nullable), so
+    // this is no longer load-bearing for Spark's row-id nullability
+    // check — kept because it is simply the more accurate schema.
     val served =
       if (!TokenRangeSource.recordedDml(path).exists(_.equalsIgnoreCase("mor")))
         schema
@@ -468,3 +480,75 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException(
       "token-range tables do not support RENAME (the path is the identity)")
 }
+
+/** Read-only HISTORY metadata table (`ks.`t$history``, r17): one row per
+  * retained manifest version — (version, committed_at, n_files, op,
+  * deletion_vectors). Rows resolve ON THE DRIVER at plan time (pure
+  * manifest metadata, O(retained versions) — the same walk
+  * `TokenRangeSource.history()` performs; retention bounds it) and ship
+  * inside the single input partition: the row count is the version
+  * count, never data-sized. Commit time is the manifest's mtime — exact
+  * on one writer host, approximate across hosts (the version NUMBER is
+  * the precise pin; timestamps are ergonomics). */
+private[connector] final class TokenRangeHistoryTable(path: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types._
+
+  private val historySchema = StructType(Array(
+    StructField("version", IntegerType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("deletion_vectors", IntegerType, nullable = false)))
+
+  override def name(): String = s"token_range_history($path)"
+  override def schema(): StructType = historySchema
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = historySchema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"TokenRangeHistoryScan path=$path"
+        override def planInputPartitions(): Array[InputPartition] = {
+          val rows = TokenRangeSource.history(path).map { case (v, ms, nf) =>
+            (v, ms * 1000L, nf,
+              TokenRangeSource.opKindAt(path, v).getOrElse("append"),
+              TokenRangeSource.dvBindings(path, Some(v)).size)
+          }.toArray
+          Array(TokenRangeHistoryPartition(rows))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition)
+                : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+              val rows = p.asInstanceOf[TokenRangeHistoryPartition].rows
+              new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < rows.length }
+                override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+                  val (v, us, nf, op, dv) = rows(i)
+                  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                    Array[Any](v, us, nf,
+                      org.apache.spark.unsafe.types.UTF8String.fromString(op),
+                      dv))
+                }
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+private[connector] final case class TokenRangeHistoryPartition(
+    rows: Array[(Int, Long, Int, String, Int)])
+    extends org.apache.spark.sql.connector.read.InputPartition

@@ -72,6 +72,12 @@ private[connector] final class TokenRangeDeltaOperation(
     val merged = new java.util.HashMap[String, String](options)
     merged.putAll(o)
     pinned.foreach(v => merged.put("version", v.toString))
+    // No runtime group filtering here, deliberately: Spark 4.1's
+    // RowLevelOperationRuntimeGroupFiltering matches only GROUP-based
+    // (ReplaceData) plans, and a delta operation wouldn't profit anyway
+    // — the matched-row scan is the statement's ONLY pass (cow needed
+    // the file prune because it re-reads pruned files' bystander rows;
+    // delta consumes matched rows directly, with static pushdown).
     new TokenRangeScanBuilder(tableSchema, new CaseInsensitiveStringMap(merged))
   }
 

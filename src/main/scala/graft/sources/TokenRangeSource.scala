@@ -804,12 +804,32 @@ object TokenRangeSource {
     * Shared by the partition planner and the stream's rate limiter
     * (ADVICE r16: the limiter must loosen its cap only when a seed will
     * actually fire — and must reach the enable version when it does). */
+  // "(s0, sv] is proven free of unservable versions" per table — the
+  // capped-backfill fast path (r17 review): without it every trigger of
+  // an all-servable rate-limited backfill re-walked (s, sv] just to
+  // decide NOT to seed — O((sv−s)²) manifest reads across the drain.
+  // Monotone-safe: manifests are immutable, so a clean range can never
+  // turn unservable (a vacuum-reaped version inside it fails the REAL
+  // walk with the curated remedy, exactly as without the memo); a
+  // re-enabled feed changes sv and misses the memo.
+  private val seedClear =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
   private[connector] def cdfSeedAt(path: String, fromEx: Int,
       toIn: Int): Option[Int] =
-    changeFeedSince(path).filter(sv =>
-      sv > fromEx && sv <= toIn &&
-        changeBatches(path, fromEx, math.min(sv, toIn))
-          .exists(b => !cdfServable(b) && b.version <= sv))
+    changeFeedSince(path) match {
+      case Some(sv) if sv > fromEx && sv <= toIn =>
+        val memo = seedClear.get(path)
+        if (memo != null && memo._2 == sv && fromEx >= memo._1) None
+        else if (changeBatches(path, fromEx, math.min(sv, toIn))
+            .exists(b => !cdfServable(b) && b.version <= sv)) Some(sv)
+        else {
+          seedClear.merge(path, (fromEx, sv),
+            (a, b) => if (a._2 == b._2 && a._1 <= b._1) a else b)
+          None
+        }
+      case _ => None
+    }
 
   private[connector] def cdfPartitions(path: String, fromEx: Int, toIn: Int,
       splits: Int): Array[InputPartition] = {

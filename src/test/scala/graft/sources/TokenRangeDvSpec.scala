@@ -274,6 +274,40 @@ class TokenRangeDvSpec extends SparkSpec {
       "compaction clears the debt")
   }
 
+  test("MIXED grains on one file: key and position vectors compose (r17)") {
+    import org.apache.spark.sql.SaveMode
+    // a catalog mor table so SQL DML publishes POSITION vectors, while
+    // deleteKeys publishes KEY vectors — both bound to the same files
+    val wh = java.nio.file.Files.createTempDirectory("graft_dv_mixed").toString
+    val cat = "graft_dv_mixed"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[TokenRangeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ks")
+    spark.sql(s"""CREATE TABLE $cat.ks.t (pk BIGINT, v STRING)
+      TBLPROPERTIES('pk'='pk', 'dml'='mor')""")
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) FROM range(0, 64)")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    val before = TokenRangeOps.liveFiles(path).toSet
+    // position vector: SQL predicate DELETE (row-grain)
+    spark.sql(s"DELETE FROM $cat.ks.t WHERE v = 'a7'")
+    // key vector: whole-partition point delete through the ops surface
+    TokenRangeOps.deleteKeys(spark, path, "pk", Seq(9L), mode = "dv")
+    assert(TokenRangeOps.liveFiles(path).toSet == before,
+      "neither grain may rewrite or retire a data file")
+    val grains = TokenRangeSource.dvBindings(path).map(_._2).distinct
+    assert(grains.size == 2, s"two distinct vectors must bind, got $grains")
+    // reads merge BOTH grains (scan, count, point lookups)
+    val t = spark.sql(s"SELECT pk FROM $cat.ks.t").collect().map(_.getLong(0)).toSet
+    assert(t.size == 62 && !t(7L) && !t(9L) && t(8L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ks.t").head().getLong(0) == 62L)
+    // rewrites merge both grains too: compaction applies and drops both
+    TokenRangeOps.compact(spark, path, "pk")
+    assert(TokenRangeSource.dvBindings(path).isEmpty)
+    val t2 = spark.sql(s"SELECT pk FROM $cat.ks.t").collect().map(_.getLong(0)).toSet
+    assert(t2 == t, "compaction must neither resurrect nor over-delete")
+  }
+
   test("vector sweep: a file past the binding bound auto-compacts (the policy ACTS on the debt)") {
     val dir = freshTable("sweep")
     // a tight bound so the test drives the threshold crossing

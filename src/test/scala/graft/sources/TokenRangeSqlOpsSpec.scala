@@ -19,6 +19,44 @@ class TokenRangeSqlOpsSpec extends SparkSpec {
     (cat, wh)
   }
 
+  test("`t$history` metadata table: DESCRIBE HISTORY by name through plain SQL (r17)") {
+    val (cat, wh) = freshCat("hist")
+    spark.sql(s"CREATE TABLE $cat.ks.t (pk BIGINT, v STRING) " +
+      "TBLPROPERTIES('pk'='pk', 'dml'='mor')")
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) FROM range(0, 16)")
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('b', id) FROM range(16, 24)")
+    spark.sql(s"DELETE FROM $cat.ks.t WHERE v = 'a3'") // position vector
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    TokenRangeOps.compact(spark, path, "pk")
+    val h = spark.sql(
+      s"SELECT version, n_files, op, deletion_vectors " +
+        s"FROM $cat.ks.`t$$history` ORDER BY version").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(h.map(_._1).toSeq == TokenRangeSource.versions(path),
+      s"one row per retained version, got ${h.toSeq}")
+    // the log ends (…appends, delete, compact); any bootstrap version
+    // before the loads is an (empty) append
+    assert(h.map(_._3).takeRight(2).toSeq == Seq("delete", "compact") &&
+      h.map(_._3).dropRight(2).forall(_ == "append"),
+      s"op kinds must match the commit log, got ${h.map(_._3).toSeq}")
+    // the vector delete's version carries its binding census; the
+    // compacted head is debt-free and merges the history's net content
+    val del = h(h.length - 2); val cmp = h.last
+    assert(del._4 >= 1 && cmp._4 == 0, h.toSeq.toString)
+    assert(cmp._2 >= 1 && del._2 >= cmp._2,
+      "compaction folds files; counts are per-version censuses")
+    // committed_at is a real timestamp, non-decreasing with version
+    val ts = spark.sql(s"SELECT committed_at FROM $cat.ks.`t$$history` " +
+      "ORDER BY version").collect().map(_.getTimestamp(0).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // read-only + shadowing contract: the suffix form resolves only
+    // while no real table owns the name
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.ks.`t$$history` VALUES (1, now(), 1, 'x', 0)")
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF serve the pinned file list and the pinned schema") {
     val (cat, wh) = freshCat("tt")
     spark.sql(s"CREATE TABLE $cat.ks.t (pk BIGINT, v STRING) " +
