@@ -886,6 +886,75 @@ object WideColumn extends QueryModule {
       |  AND epoch_us(ts) <  b.lo0 + 2 * ((b.hi0 - b.lo0) // 3))
       |GROUP BY 1""".stripMargin
 
+  /** MERGE-ON-READ range tombstone (r17): Cassandra's range tombstone is
+    * not a rewrite — it is a marker merged at read and purged at
+    * compaction, and `deleteCkRange(mode = "dv")` now IS that shape:
+    * provably-covered slabs retire from the manifest unread, straddling
+    * slabs get a POSITION deletion vector of exactly their in-range rows,
+    * and NO survivor row is rewritten (require-asserted: the live file
+    * set after the delete is a subset of before — retire-class drops,
+    * nothing new). The hot-partition time-slice delete (clean one hour
+    * of one channel, messages-table retention, server.py's workload
+    * shape) then costs one tiny sidecar + one manifest flip instead of
+    * rewriting the partition's files. Oracle replays the slice
+    * arithmetic relationally, so the hash proves the tombstone removed
+    * exactly the slice — through the vector-merged read path. */
+  private def rangeTombstoneMorDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_ckrmor", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val k = Tables.events(s, d).filter(col("user_id") % 11 === 0)
+        .agg(min("user_id")).collect().head.getLong(0)
+      ev.filter(col("user_id") =!= k)
+        .write.format(fmt).option("pk", "user_id").option("ck", "ts_us")
+        .option("schema",
+          "event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE")
+        .mode("append").save(dir)
+      // the target partition as disjoint time slabs (one task, rolled)
+      ev.filter(col("user_id") === k).repartition(1)
+        .write.format(fmt).option("pk", "user_id")
+        .option("rollRows", "64")
+        .mode("append").save(dir)
+      val b = Tables.events(s, d).filter(col("user_id") === k)
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).collect().head
+      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val before = graft.sources.connector.TokenRangeOps.liveFiles(dir).toSet
+      graft.sources.connector.TokenRangeOps.deleteCkRange(s, dir, "user_id", k,
+        lo0 + (hi0 - lo0) / 3, lo0 + 2 * ((hi0 - lo0) / 3), mode = "dv")
+      val after = graft.sources.connector.TokenRangeOps.liveFiles(dir).toSet
+      require(after.subsetOf(before),
+        "a merge-on-read range tombstone must write NO data file " +
+          "(covered slabs retire, straddlers are vector-suppressed)")
+      require(graft.sources.connector.TokenRangeOps
+        .deletionVectors(dir).nonEmpty,
+        "the straddling slabs must carry a position vector")
+      dir
+    }
+
+  def rangeTombstoneMor(s: SparkSession, d: String): DataFrame = {
+    val dir = rangeTombstoneMorDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "user_id").load(dir)
+      .groupBy(pmod(col("user_id"), lit(10L)).as("ubucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        Cols.sumExact(col("value"), 2).as("sum_value"))
+  }
+
+  private val rangeTombstoneMorSql =
+    """WITH k AS (SELECT MIN(user_id) AS uid FROM events WHERE user_id % 11 = 0),
+      | b AS (SELECT MIN(epoch_us(ts)) AS lo0, MAX(epoch_us(ts)) AS hi0
+      |   FROM events, k WHERE user_id = k.uid)
+      |SELECT user_id % 10 AS ubucket, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events, k, b
+      |WHERE NOT (user_id = k.uid
+      |  AND epoch_us(ts) >= b.lo0 + (b.hi0 - b.lo0) // 3
+      |  AND epoch_us(ts) <  b.lo0 + 2 * ((b.hi0 - b.lo0) // 3))
+      |GROUP BY 1""".stripMargin
+
   // ---- per-CELL last-write-wins through the connector (r15) ---------------
   /** Cassandra resolves upserts per CELL, not per row (VERDICT r14
     * next-round #5): an UPDATE binding a column subset stamps only those
@@ -2202,6 +2271,7 @@ object WideColumn extends QueryModule {
     ("wc_connector_ttl", connectorTtl _, Some(connectorTtlSql)),
     ("wc_connector_upsert", connectorUpsert _, Some(connectorUpsertSql)),
     ("wc_delete_ck_range", deleteCkRangeEntry _, Some(deleteCkRangeSql)),
+    ("wc_range_tombstone_mor", rangeTombstoneMor _, Some(rangeTombstoneMorSql)),
     ("wc_cell_lww", cellLww _, Some(cellLwwSql)),
     ("wc_sql_ddl", sqlDdl _, Some(sqlDdlSql)),
     ("wc_sql_update_merge", sqlUpdateMerge _, Some(sqlUpdateMergeSql)),

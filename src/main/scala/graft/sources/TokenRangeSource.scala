@@ -3945,14 +3945,25 @@ object TokenRangeOps {
     *     inside [lo, hi), zero nulls in both) → RETIRED from the
     *     manifest outright, never read — the TTL whole-file fast path
     *     generalized to (key, slice);
-    *   - anything unprovable → copy-on-write rewrite of the survivors.
+    *   - anything unprovable → copy-on-write rewrite of the survivors,
+    *     or — `mode = "dv"` (r17) — a POSITION deletion vector of
+    *     exactly the straddlers' matching rows: Cassandra's actual
+    *     range-tombstone shape (merged at read, purged at compaction).
+    *     The matching rows are read either way (the feed needs them);
+    *     the vector skips WRITING the survivors, which is the dominant
+    *     cost when the deleted slice is small relative to its files
+    *     (delete one hour of a hot channel). `auto` stays copy-on-write
+    *     (the slice/file ratio is unknowable without reading — a
+    *     retention-style wide slice would build a data-sized vector).
     * All moves land in ONE conflict-validated atomic flip. NULL-ck rows
     * never match a range predicate (SQL/CQL agree), so they always
     * survive — a file with ck nulls can Keep but never Retire. pk-stat
     * reasoning applies to integral keys; TEXT keys (truncatable binary
     * stats) conservatively straddle unless ck-disjoint. */
   def deleteCkRange(spark: SparkSession, path: String, pk: String, key: Any,
-      ckLo: Long, ckHi: Long): Unit = {
+      ckLo: Long, ckHi: Long, mode: String = "auto"): Unit = {
+    require(Set("auto", "cow", "dv")(mode),
+      s"token-range DELETE mode must be auto|cow|dv, got '$mode'")
     requirePkMatches(path, pk, "DELETE", singleOnly = true)
     val ckCol = TokenRangeSource.recordedCk(path)
       .map(s => TokenRangeSource.parseCkSpec(s).head._1)
@@ -4061,6 +4072,34 @@ object TokenRangeOps {
             removeRel = retired.toSet, opKind = "delete", cdfRel = cdf,
             dvSeenVersion = pinned)
         }
+      } else if (mode == "dv") {
+        // MERGE-ON-READ range tombstone (r17): retire-class files still
+        // die wholesale (metadata-only), straddlers get a POSITION
+        // vector of exactly their matching rows — survivors are never
+        // rewritten. Matching positions read vector-merged at the pin,
+        // so rows an earlier vector already deleted never re-tombstone.
+        val cdf = cdfRel()
+        val straddAbs =
+          straddling.map(rel => new java.io.File(path, rel).getAbsolutePath)
+        val lin = dvMergeLineaged(spark, path,
+          withFileLineage(spark, straddAbs), straddAbs, pinned)
+        def lc(n: String) = col(lin.schema.fields
+          .find(_.name.equalsIgnoreCase(n)).map(_.name).getOrElse(n))
+        val tombs = lin.filter(
+            lc(pk) === org.apache.spark.sql.functions.lit(keyV) &&
+              lc(ckCol).isNotNull && lc(ckCol) >= ckLo && lc(ckCol) < ckHi)
+          .select(col(DvRelLin).as(TokenRangeSource.FileCol),
+            col(DvPosLin).cast("long").as(TokenRangeSource.PosCol))
+        val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
+        tombs.coalesce(1).write.mode("error")
+          .parquet(new java.io.File(path, dvRel).getAbsolutePath)
+        TokenRangeSource.withCommitLock(path) {
+          TokenRangeSource.publishManifest(path, Nil, truncate = false,
+            removeRel = retired.toSet, opKind = "delete", cdfRel = cdf,
+            dvBind = straddling.map(_ -> dvRel),
+            dvSeenVersion = pinned)
+        }
+        ()
       } else {
         val cdf = cdfRel()
         // ckc.isNotNull keeps the predicate two-valued: a NULL-ck row
@@ -4079,6 +4118,7 @@ object TokenRangeOps {
           .mode("append").save(path)
       }
     }
+    if (mode == "dv") vectorSweep(spark, path)
   }
 
   /** Per-CELL upsert — CQL's actual UPDATE semantic (VERDICT r14

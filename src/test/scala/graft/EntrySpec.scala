@@ -218,9 +218,11 @@ class EntrySpec extends SparkSpec {
     // merge-on-read DML on CLUSTERED tables, the reference's own
     // messages shape, exact under duplicate pks), +wc_sai_index
     // (declared secondary-index columns get per-file value blooms;
-    // non-key TEXT equality prunes files) → 240/240.
-    assert(SparkEntry.queries.size == 240, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 240, s"got ${SparkEntry.oracleSql.size}")
+    // non-key TEXT equality prunes files), +wc_range_tombstone_mor
+    // (deleteCkRange mode=dv: covered slabs retire unread, straddlers
+    // vector-suppressed by position, no survivor rewrite) → 241/241.
+    assert(SparkEntry.queries.size == 241, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 241, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

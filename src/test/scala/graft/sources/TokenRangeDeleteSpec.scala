@@ -400,6 +400,40 @@ class TokenRangeDeleteSpec extends SparkSpec {
     assert(pk1Seqs(dir) == ((100L until 250L) ++ (750L until 1000L)))
   }
 
+  test("deleteCkRange mode=dv: covered slabs retire unread, straddlers vector-suppressed, NO rewrite (r17)") {
+    val dir = freshDir()
+    ckRangeFixture(dir)
+    val beforeRels = relFiles(dir).map(_._2)
+    // DELETE WHERE pk = 1 AND seq >= 250 AND seq < 750, merge-on-read
+    TokenRangeOps.deleteCkRange(spark, dir, "pk", 1L, 250L, 750L, mode = "dv")
+    assert(pk1Seqs(dir) == ((0L until 250L) ++ (750L until 1000L)),
+      "exactly the sliced rows must be gone through the vector merge")
+    assert(load(dir).filter(col("pk") =!= 1L).count() == 48,
+      "other partitions untouched")
+    val afterRels = relFiles(dir).map(_._2)
+    assert((afterRels -- beforeRels).isEmpty,
+      "a merge-on-read range tombstone writes NO data file")
+    assert((beforeRels -- afterRels).nonEmpty,
+      "provably-covered slabs still retire from the manifest (free)")
+    assert(TokenRangeSource.dvBindings(dir).nonEmpty,
+      "straddling slabs carry a position vector")
+    // the vector binds ONLY straddlers — files of other partitions and
+    // out-of-range slabs carry nothing
+    val bound = TokenRangeSource.dvBindings(dir).map(_._1).toSet
+    bound.foreach { rel =>
+      val f = spark.read.parquet(new java.io.File(dir, rel).getAbsolutePath)
+      assert(f.filter(col("pk") === 1L &&
+        col("seq") >= 250L && col("seq") < 750L).count() > 0,
+        s"$rel is bound but holds no in-range row")
+    }
+    // point/count shapes merge the vector too
+    assert(load(dir).filter(col("pk") === 1L).count() == 500L)
+    // compaction applies the range tombstone physically
+    TokenRangeOps.compact(spark, dir, "pk")
+    assert(TokenRangeSource.dvBindings(dir).isEmpty)
+    assert(pk1Seqs(dir) == ((0L until 250L) ++ (750L until 1000L)))
+  }
+
   test("deleteCkRange: refusals (no ck recorded, empty range, composite pk) and null-ck survival") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir()
