@@ -1053,6 +1053,68 @@ object WideColumn extends QueryModule {
     """SELECT user_id, COUNT(*) AS n_errors, MAX(ts) AS last_error_ts
       |FROM events WHERE event_type = 'error' GROUP BY user_id""".stripMargin
 
+  /** CQL's INSERT-IS-UPSERT as the WRITE PATH's semantic (r17): the
+    * reference's whole write surface is upsert-by-key (server.py's
+    * INSERTs never check existence), and `wc_upsert_lww` models it
+    * READ-side (LWW view over blind appends) while
+    * `TBLPROPERTIES('insert'='upsert')` now makes it WRITE-side: a
+    * plain SQL INSERT publishes a KEY deletion vector over the incoming
+    * keys' pre-existing files in the same flip its new generation
+    * appends — blind write (no existing data read), old generations
+    * tombstoned at read, purged at compaction. Require-asserted: no
+    * pre-existing file is read, rewritten or retired, and the vector
+    * publishes. Small single-column-key batches narrow the binding by
+    * the cached pk bloom/dictionary probes, so a disjoint-key INSERT
+    * stays a pure append. Oracle replays the replacement with CASE. */
+  private def insertUpsertDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_insup", d) { dir =>
+      val cat = sqlCatalogOf(s, dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ks")
+      s.sql(s"""CREATE TABLE $cat.ks.uorders
+        (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        TBLPROPERTIES('pk'='o_orderkey', 'insert'='upsert')""")
+      val src = s"srcinsup_$cat"
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView(src)
+      s.sql(s"INSERT INTO $cat.ks.uorders SELECT * FROM $src")
+      val path = new java.io.File(new java.io.File(dir, "ks"), "uorders")
+        .getAbsolutePath
+      val before = graft.sources.connector.TokenRangeOps.liveFiles(path).toSet
+      // RE-insert a sliver with patched values: CQL says replaced
+      s.sql(s"INSERT INTO $cat.ks.uorders " +
+        s"SELECT o_orderkey, 'R', o_totalprice + 1000.0 FROM $src " +
+        "WHERE o_orderkey % 173 = 0")
+      val after = graft.sources.connector.TokenRangeOps.liveFiles(path).toSet
+      require(before.subsetOf(after),
+        "insert-upsert is a blind write: no pre-existing file may be " +
+          "rewritten or retired")
+      require(graft.sources.connector.TokenRangeOps
+        .deletionVectors(path).nonEmpty,
+        "the replaced keys' files must carry a key vector")
+      dir
+    }
+
+  def insertUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = insertUpsertDir(s, d)
+    val cat = sqlCatalogOf(s, dir)
+    s.sql(s"SELECT o_orderstatus, COUNT(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+      s"FROM $cat.ks.uorders GROUP BY o_orderstatus")
+  }
+
+  private val insertUpsertSql =
+    """WITH t AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 173 = 0 THEN 'R'
+      |         ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 173 = 0 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM t GROUP BY o_orderstatus""".stripMargin
+
   /** Cassandra 2i/SAI made PHYSICAL (r17, VERDICT r16 stretch — the step
     * past wc_secondary_index's honest pushdown scan): a DECLARED indexed
     * non-key TEXT column gets a per-file parquet value BLOOM at write
@@ -2278,5 +2340,6 @@ object WideColumn extends QueryModule {
     ("wc_ttl_expiry", ttlExpiry _, Some(ttlExpirySql)),
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
     ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)),
-    ("wc_sai_index", saiIndex _, Some(saiIndexSql)))
+    ("wc_sai_index", saiIndex _, Some(saiIndexSql)),
+    ("wc_insert_upsert", insertUpsert _, Some(insertUpsertSql)))
 }

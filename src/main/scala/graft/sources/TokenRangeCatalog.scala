@@ -425,6 +425,23 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
       .map(_.trim.toLong)
     fallbackRows.foreach(n => require(n >= 1,
       s"TBLPROPERTIES('dml.fallback_rows') must be >= 1, got $n"))
+    // INSERT mode (r17): 'upsert' = CQL's INSERT-IS-UPSERT — plain
+    // INSERTs publish a key deletion vector over the incoming keys'
+    // pre-existing files (blind write, old generations tombstoned at
+    // read). Unclustered only: a clustered row's identity is (pk, ck)
+    // and a pk-keyed vector would tombstone every ck sibling — route
+    // clustered upserts through MERGE INTO on a dml='mor' table.
+    val insertMode = Option(properties.get("insert")).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty)
+    insertMode.foreach { m =>
+      require(m == "upsert",
+        s"TBLPROPERTIES('insert') must be 'upsert' (or absent = blind " +
+          s"append), got '$m'")
+      require(ck.isEmpty,
+        "insert='upsert' requires an unclustered table: the key vector " +
+          "would tombstone ck siblings — use MERGE INTO on a dml='mor' " +
+          "table for (pk, ck)-grain upserts")
+    }
     // SECONDARY-INDEX columns (r17, CQL CREATE INDEX at create time):
     // each declared column gets a per-file value bloom at write time
     val index = Option(properties.get("index")).map(_.trim).filter(_.nonEmpty)
@@ -444,7 +461,7 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
     // empty here (CREATE-then-INSERT, the CQL flow), and the _manifests
     // dir marks table existence
     TokenRangeSource.recordPk(dir.getAbsolutePath, pkCols.mkString(","),
-      ck, Some(schema.toDDL), dml, fallbackRows, index)
+      ck, Some(schema.toDDL), dml, fallbackRows, index, insertMode)
     loadTable(ident)
   }
 

@@ -323,7 +323,8 @@ object TokenRangeSource {
       ck: Option[String] = None, schemaDdl: Option[String] = None,
       dml: Option[String] = None,
       morFallbackRows: Option[Long] = None,
-      index: Option[String] = None): Unit = {
+      index: Option[String] = None,
+      insertMode: Option[String] = None): Unit = {
     // create-iff-absent: the FIRST writer's key wins; Cassandra does not
     // allow re-keying (or re-clustering) a table either. The creation
     // SCHEMA is recorded beside the keys (r13 verdict #3) so later
@@ -336,7 +337,8 @@ object TokenRangeSource {
         + schemaDdl.map(d => s"\nschema=$d").getOrElse("")
         + dml.map(m => s"\ndml=$m").getOrElse("")
         + morFallbackRows.map(n => s"\ndml.fallback_rows=$n").getOrElse("")
-        + index.map(ix => s"\nindex=$ix").getOrElse(""))
+        + index.map(ix => s"\nindex=$ix").getOrElse("")
+        + insertMode.map(m => s"\ninsert=$m").getOrElse(""))
     ()
   }
 
@@ -349,6 +351,26 @@ object TokenRangeSource {
     if (!manifestIO.exists(f)) None
     else manifestIO.read(f).split('\n').collectFirst {
       case l if l.startsWith("dml=") => l.stripPrefix("dml=").trim
+    }
+  }
+
+  /** The table's recorded INSERT mode (r17): Some("upsert") = plain
+    * INSERT/append commits publish a KEY deletion vector over the
+    * incoming keys' pre-existing owning-bucket files — CQL's
+    * INSERT-IS-UPSERT made the write path's default (server.py's whole
+    * write surface is this semantic), at blind-write cost: no existing
+    * data is read (without the change feed), older generations are
+    * tombstoned at read and purged at compaction. Absent = blind
+    * append (the r11-r16 behavior). Recorded at CREATE
+    * (`TBLPROPERTIES('insert'='upsert')`), unclustered tables only —
+    * a clustered table's row identity is (pk, ck) and a pk-keyed
+    * vector would tombstone every ck sibling; route clustered upserts
+    * through MERGE INTO on a `dml='mor'` table, which is exact. */
+  private[connector] def recordedInsertMode(path: String): Option[String] = {
+    val f = new java.io.File(manifestDir(path), "table.properties").getPath
+    if (!manifestIO.exists(f)) None
+    else manifestIO.read(f).split('\n').collectFirst {
+      case l if l.startsWith("insert=") => l.stripPrefix("insert=").trim
     }
   }
 
@@ -1422,6 +1444,51 @@ object TokenRangeSource {
     out
   }
 
+  /** Whether `abs` MIGHT contain any of `values` in `colName`: per
+    * row group, the parquet BLOOM filter is probed where one exists;
+    * where parquet intentionally wrote none because the chunk is fully
+    * dictionary-encoded, the DICTIONARY is the membership test (exact,
+    * zero false positives); a row group with neither (legacy file,
+    * mixed encodings, absent column) keeps conservatively. The one
+    * probe body behind the scan's bloom prune AND the insert-upsert
+    * binding narrowing — correctness never rests on it (a false KEEP
+    * costs a wasted read or an inert vector row, never a wrong row). */
+  private[connector] def fileMightContain(abs: String, colName: String,
+      dt: DataType, values: Seq[Any]): Boolean = {
+    val blooms = fileBlooms(abs, colName)
+    lazy val dicts = fileDictionaries(abs, colName)
+    def dictKeep(gi: Int): Boolean = dicts.lift(gi).flatten match {
+      case Some(set) => values.exists {
+        case l: Long => set.contains(l)
+        case i: Int => set.contains(i.toLong)
+        case st: String => set.contains(st)
+        case _ => true // unprobeable literal: keep
+      }
+      case None => true
+    }
+    blooms.isEmpty || blooms.zipWithIndex.exists {
+      case (None, gi) => dictKeep(gi)
+      case (Some(bf), _) => values.exists { v =>
+        dt match {
+          case LongType => v match {
+            case l: Long => bf.findHash(bf.hash(l))
+            case _ => true
+          }
+          case IntegerType => v match {
+            case l: Long if l.isValidInt => bf.findHash(bf.hash(l.toInt))
+            case i: Int => bf.findHash(bf.hash(i))
+            case _ => true
+          }
+          case StringType => v match {
+            case st: String => bf.findHash(bf.hash(Binary.fromString(st)))
+            case _ => true
+          }
+          case _ => true // unprobeable dtype: keep
+        }
+      }
+    }
+  }
+
   /** Per-row-group DICTIONARY membership sets of `colName` in `abs` —
     * `Some(values)` when EVERY data page of the row group is
     * dictionary-encoded (the dictionary then lists exactly the values
@@ -2490,48 +2557,7 @@ private[connector] final class TokenRangeScan(path: String,
           }
         }
       if (routed.isEmpty) false
-      else {
-        // blooms load ONCE per immutable (file, column) — repeated point
-        // lookups (the workload blooms exist for) probe the cache
-        val blooms = TokenRangeSource.fileBlooms(file, colName)
-        // parquet-mr intentionally writes NO bloom for a fully
-        // dictionary-encoded column chunk (the dictionary IS the better
-        // membership structure — exact, zero false positives), which is
-        // the common case for indexed payload columns with repeats: the
-        // probe falls back to the DICTIONARY there. A row group with
-        // neither (legacy file, mixed encodings) keeps conservatively.
-        lazy val dicts = TokenRangeSource.fileDictionaries(file, colName)
-        def dictKeep(gi: Int): Boolean = dicts.lift(gi).flatten match {
-          case Some(set) => routed.exists {
-            case l: Long => set.contains(l)
-            case i: Int => set.contains(i.toLong)
-            case st: String => set.contains(st)
-            case _ => true // unprobeable literal: keep
-          }
-          case None => true
-        }
-        blooms.isEmpty || blooms.zipWithIndex.exists {
-          case (None, gi) => dictKeep(gi)
-          case (Some(bf), _) => routed.exists { v =>
-            dt match {
-              case LongType => v match {
-                case l: Long => bf.findHash(bf.hash(l))
-                case _ => true
-              }
-              case IntegerType => v match {
-                case l: Long if l.isValidInt => bf.findHash(bf.hash(l.toInt))
-                case i: Int => bf.findHash(bf.hash(i))
-                case _ => true
-              }
-              case StringType => v match {
-                case st: String => bf.findHash(bf.hash(Binary.fromString(st)))
-                case _ => true
-              }
-              case _ => true // unprobeable dtype: keep
-            }
-          }
-        }
-      }
+      else TokenRangeSource.fileMightContain(file, colName, dt, routed)
     }
 
   private def computePartitions(): Array[InputPartition] = {
@@ -3337,6 +3363,23 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         org.apache.spark.sql.SparkSession.active, path,
         replace.toSeq.map(rel => new java.io.File(path, rel).getAbsolutePath),
         staged.toSeq, dvSeenVersion))
+    // INSERT-IS-UPSERT (r17): a plain append on an `insert='upsert'`
+    // table publishes a KEY deletion vector over the incoming keys'
+    // pre-existing files in the SAME flip — CQL's INSERT semantic
+    // (server.py's whole write path) at blind-write cost. Resolved
+    // BEFORE the lock (reads staged files in place + the pinned
+    // manifest); only genuine appends qualify — rewrites, truncates,
+    // row-level ops and the delta path keep their own exact semantics.
+    val (effDvBind, effCdfRel, effSeen) =
+      if (doTruncate || replace.nonEmpty || opKind.isDefined ||
+          dvBind.nonEmpty || rowOpColumn || staged.isEmpty ||
+          !TokenRangeSource.recordedInsertMode(path).contains("upsert"))
+        (dvBind, commitCdfRel, dvSeenVersion)
+      else TokenRangeOps.insertUpsertBind(
+          org.apache.spark.sql.SparkSession.active, path, staged.toSeq) match {
+        case Some((bind, cdf, pin)) => (bind, cdf.orElse(commitCdfRel), pin)
+        case None => (dvBind, commitCdfRel, dvSeenVersion)
+      }
     try {
       TokenRangeSource.withCommitLock(path) {
         // LEGACY tables first (r11 review): a manifest-less table reads
@@ -3409,16 +3452,20 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // snapshot.
         TokenRangeSource.publishManifest(path, placedRel, doTruncate, replace,
           // `#op` kind: the caller's declaration wins; otherwise classify
-          // from shape (truncate / undeclared-rewrite / append)
+          // from shape (insert-upsert / truncate / undeclared-rewrite /
+          // append)
           opKind.getOrElse(
             if (doTruncate) "truncate"
             else if (replace.nonEmpty) "rewrite"
+            else if (effDvBind.nonEmpty) "upsert"
             else "append"),
-          commitCdfRel, dvBind, dvSeenVersion)
+          effCdfRel, effDvBind, effSeen)
       }
       // retention automation (r13 #8): OUTSIDE the lock and after the flip
       // — a sweep failure or a concurrent sweep can never fail this commit
       TokenRangeOps.retentionSweep(path)
+      if (effDvBind.nonEmpty && dvBind.isEmpty)
+        TokenRangeOps.vectorSweep(org.apache.spark.sql.SparkSession.active, path)
     } finally
       TokenRangeSource.deleteRecursively(TokenRangeSource.stagingDir(path, writeId))
   }
@@ -4584,6 +4631,96 @@ object TokenRangeOps {
       .mode("append").save(path)
   }
 
+  /** INSERT-IS-UPSERT commit support (r17): for a plain append on an
+    * `insert='upsert'` table, resolve the incoming keys' pre-existing
+    * owning-bucket files at the pinned version, stage a KEY deletion
+    * vector over them (and, on a feed table, the upsert-classified
+    * change sidecar), so the caller's ONE manifest flip publishes
+    * new-generation files + the vector that tombstones the old
+    * generations — CQL's INSERT semantic at blind-write cost. Returns
+    * None when no pre-existing file owns any incoming key (a plain
+    * append is already exact). Concurrency: a racing rewrite that
+    * retires a bound file conflicts the publish (loud, like every
+    * vector commit); racing appends of the same key stay concurrent
+    * blind writes, exactly [[upsert]]'s dv-mode contract. */
+  private[connector] def insertUpsertBind(spark: SparkSession, path: String,
+      stagedAbs: Seq[String])
+      : Option[(Seq[(String, String)], Option[String], Option[Int])] =
+    TokenRangeSource.recordedPk(path).flatMap { pkRec =>
+      val pinned = TokenRangeSource.currentVersion(path)
+      if (pinned.isEmpty) None // first commit: nothing pre-exists
+      else {
+        val pks = pkRec.split(',').map(_.trim).toSeq
+        val incoming = alignToStored(path,
+          spark.read.option("mergeSchema", "true").parquet(stagedAbs: _*))
+        val pkCols = pks.map(n => incoming.schema.fields
+          .find(_.name.equalsIgnoreCase(n))
+          .getOrElse(throw new IllegalStateException(
+            s"insert-upsert at $path: pk column '$n' missing from the " +
+              s"staged frame ${incoming.schema.catalogString}")).name)
+        val keysDf = incoming.select(pkCols.map(col): _*).distinct()
+        // owning buckets of the incoming keys: a ≤ Buckets-row distinct
+        // aggregate (bounded by the ring width, never by data volume)
+        val bucketCol =
+          if (pkCols.size == 1) TokenLayout.bucketOfColumn(
+            col(pkCols.head), incoming.schema(pkCols.head).dataType)
+          else TokenLayout.bucketOfComposite(pkCols.map(col))
+        val buckets = keysDf.select(bucketCol.as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val bucketRel = TokenRangeSource.visibleRelFiles(path, pinned)
+          .collect { case (k, rel) if buckets(k) => rel }
+        // POINT-INSERT narrowing: small single-key-column batches probe
+        // each candidate file's pk bloom/dictionary (cached, the same
+        // probe point lookups use) so a hot-path small INSERT binds only
+        // the files that might actually hold its keys — and a DISJOINT
+        // insert binds NOTHING and stays a plain append. Larger batches
+        // (or composite keys) keep the bucket grain: they overlap widely
+        // anyway, and an inert vector row is harmless by construction.
+        val fewKeys: Option[Seq[Any]] =
+          if (pkCols.size != 1) None
+          else {
+            val few = keysDf.limit(DvAutoMaxKeys + 1).collect()
+            if (few.length > DvAutoMaxKeys) None
+            else Some(few.map(_.get(0)).toSeq)
+          }
+        val affectedRel = fewKeys match {
+          case Some(ks) =>
+            val dt = incoming.schema(pkCols.head).dataType
+            bucketRel.filter(rel => TokenRangeSource.fileMightContain(
+              new java.io.File(path, rel).getAbsolutePath,
+              pkCols.head, dt, ks))
+          case None => bucketRel
+        }
+        if (affectedRel.isEmpty) None
+        else {
+          val liter = org.apache.spark.sql.functions.lit _
+          val ct = TokenRangeSource.ChangeTypeCol
+          val cols = incoming.schema.fieldNames.map(col).toSeq
+          val cdfRel =
+            if (!TokenRangeSource.changeFeedEnabled(path)) None
+            else {
+              // the upsert classification (same as [[upsert]] dv-mode):
+              // stored rows whose key is re-bound are pre/post image
+              // pairs, unseen keys are inserts — vector-merged at the pin
+              val old = readFilesAligned(spark, path, affectedRel
+                .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
+              val oldKeys = old.select(pkCols.map(col): _*).distinct()
+              val pre = old.join(keysDf, pkCols, "left_semi")
+                .select(cols: _*).withColumn(ct, liter("update_preimage"))
+              val post = incoming.join(oldKeys, pkCols, "left_semi")
+                .select(cols: _*).withColumn(ct, liter("update_postimage"))
+              val ins = incoming.join(oldKeys, pkCols, "left_anti")
+                .select(cols: _*).withColumn(ct, liter("insert"))
+              Some(writeCdfSidecar(path, pre.unionByName(post).unionByName(ins)))
+            }
+          val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
+          keysDf.coalesce(1).write.mode("error")
+            .parquet(new java.io.File(path, dvRel).getAbsolutePath)
+          Some((affectedRel.map(_ -> dvRel), cdfRel, pinned))
+        }
+      }
+    }
+
   // ---- deletion-vector COMPACTION policy (r17, VERDICT r16 #2) ------------
 
   /** Default per-file bound on live deletion-vector bindings: a file
@@ -4859,7 +4996,9 @@ object TokenRangeOps {
     * almost every file is wholly-expired or wholly-live and expiry is a
     * metadata operation — the entry + spec assert exactly that. */
   def expire(spark: SparkSession, path: String, pk: String, tsCol: String,
-      cutoffMicros: Long): Unit = {
+      cutoffMicros: Long, mode: String = "auto"): Unit = {
+    require(Set("auto", "cow", "dv")(mode),
+      s"token-range expire mode must be auto|cow|dv, got '$mode'")
     requirePkMatches(path, pk, "expire") // composite ok: pk just passes through to the sink
     TokenRangeSource.withCommitLock(path) {
       if (TokenRangeSource.currentVersion(path).isEmpty)
@@ -4922,6 +5061,34 @@ object TokenRangeOps {
           removeRel = retired.toSet, opKind = "expire", cdfRel = cdf,
           dvSeenVersion = pinned)
       }
+    } else if (mode == "dv") {
+      // MERGE-ON-READ TTL (r17, completing the vector trilogy beside
+      // point deletes and range tombstones): wholly-expired files still
+      // retire wholesale (metadata-only), BOUNDARY files — the ones
+      // straddling the cutoff, typically one per time-slab seam — get a
+      // POSITION vector of exactly their expired rows; live rows are
+      // never rewritten. Exactly Cassandra's expired-cell semantics:
+      // merged out at read, purged at compaction.
+      val cdf = cdfRel()
+      val straddAbs =
+        straddling.map(rel => new java.io.File(path, rel).getAbsolutePath)
+      val lin = dvMergeLineaged(spark, path,
+        withFileLineage(spark, straddAbs), straddAbs, pinned)
+      val ltc = col(lin.schema.fields
+        .find(_.name.equalsIgnoreCase(tsCol)).map(_.name).getOrElse(tsCol))
+      val tombs = lin.filter(ltc.isNotNull && ltc <= cutoffTs)
+        .select(col(DvRelLin).as(TokenRangeSource.FileCol),
+          col(DvPosLin).cast("long").as(TokenRangeSource.PosCol))
+      val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
+      tombs.coalesce(1).write.mode("error")
+        .parquet(new java.io.File(path, dvRel).getAbsolutePath)
+      TokenRangeSource.withCommitLock(path) {
+        TokenRangeSource.publishManifest(path, Nil, truncate = false,
+          removeRel = retired.toSet, opKind = "expire", cdfRel = cdf,
+          dvBind = straddling.map(_ -> dvRel),
+          dvSeenVersion = pinned)
+      }
+      ()
     } else {
       // survivors of the straddling files only (null ts survives — CQL
       // rows without a writetime never expire); wholly-expired files ride
@@ -4940,6 +5107,7 @@ object TokenRangeOps {
         .mode("append").save(path)
     }
     } // withConflictRetry("expire")
+    if (mode == "dv") vectorSweep(spark, path)
   }
 
   /** Maintenance sweep: delete data files referenced by NO manifest at

@@ -220,9 +220,12 @@ class EntrySpec extends SparkSpec {
     // (declared secondary-index columns get per-file value blooms;
     // non-key TEXT equality prunes files), +wc_range_tombstone_mor
     // (deleteCkRange mode=dv: covered slabs retire unread, straddlers
-    // vector-suppressed by position, no survivor rewrite) → 241/241.
-    assert(SparkEntry.queries.size == 241, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 241, s"got ${SparkEntry.oracleSql.size}")
+    // vector-suppressed by position, no survivor rewrite),
+    // +wc_insert_upsert (TBLPROPERTIES insert='upsert': plain SQL
+    // INSERT replaces by key via a key vector — CQL's INSERT semantic
+    // write-side) → 242/242.
+    assert(SparkEntry.queries.size == 242, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 242, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

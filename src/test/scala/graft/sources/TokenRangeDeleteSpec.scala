@@ -201,6 +201,48 @@ class TokenRangeDeleteSpec extends SparkSpec {
     assert(load(dir).filter(col("pk") >= 1000L).count() == 10)
   }
 
+  test("expire mode=dv: expired files retire unread, boundary files vector-suppressed, NO rewrite (r17)") {
+    val s2 = spark; import s2.implicits._
+    val dir = freshDir()
+    val tddl = "pk BIGINT, ts TIMESTAMP, v STRING"
+    def tranche(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("pk", "us", "v")
+        .select(col("pk"),
+          org.apache.spark.sql.functions.timestamp_micros(col("us")).as("ts"),
+          col("v"))
+        .coalesce(1)
+        .write.format(fmt).option("pk", "pk").option("schema", tddl)
+        .mode("append").save(dir)
+    // wholly expired / wholly live / a straddler (mixed ts, one file)
+    tranche((0L until 20L).map(i => (i, 1000L + i, s"old$i")))
+    tranche((100L until 120L).map(i => (i, 9000L + i, s"new$i")))
+    val cKeys = (200L until 5000L).filter(TokenLayout.bucketOfValue(_) == 3)
+      .take(8).toSeq
+    tranche(cKeys.zipWithIndex.map { case (k, i) =>
+      (k, if (i % 2 == 0) 2000L else 8000L, s"mix$k") })
+    val before = TokenRangeSource.visibleRelFiles(dir).map(_._2).toSet
+    TokenRangeOps.expire(spark, dir, "pk", "ts", 5000L, mode = "dv")
+    val after = TokenRangeSource.visibleRelFiles(dir).map(_._2).toSet
+    assert((after -- before).isEmpty,
+      "a merge-on-read expiry writes NO data file")
+    assert((before -- after).nonEmpty,
+      "wholly-expired files still retire from the manifest (free)")
+    assert(TokenRangeSource.dvBindings(dir).nonEmpty,
+      "the boundary file carries a position vector")
+    val t = spark.read.format(fmt).option("pk", "pk").load(dir)
+    val pks = t.select("pk").collect().map(_.getLong(0)).toSet
+    assert(!pks.exists(_ < 100L), "expired tranche gone")
+    assert((100L until 120L).forall(pks), "live tranche intact")
+    val mixLive = cKeys.zipWithIndex.filter(_._2 % 2 == 1).map(_._1).toSet
+    assert(pks.intersect(cKeys.toSet) == mixLive,
+      "exactly the boundary file's live half survives")
+    assert(t.count() == (20 + 4).toLong)
+    // compaction applies the expiry physically
+    TokenRangeOps.compact(spark, dir, "pk")
+    assert(TokenRangeSource.dvBindings(dir).isEmpty)
+    assert(spark.read.format(fmt).option("pk", "pk").load(dir).count() == 24L)
+  }
+
   test("expire: wholly-expired files retire unread, wholly-live survive by reference, straddlers rewrite — one flip") {
     val s2 = spark; import s2.implicits._
     val dir = freshDir()

@@ -19,6 +19,57 @@ class TokenRangeSqlOpsSpec extends SparkSpec {
     (cat, wh)
   }
 
+  test("insert='upsert': SQL INSERT replaces by key — CQL's INSERT semantic (r17)") {
+    val (cat, wh) = freshCat("insup")
+    spark.sql(s"""CREATE TABLE $cat.ks.t (pk BIGINT, v STRING)
+      TBLPROPERTIES('pk'='pk', 'insert'='upsert')""")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    TokenRangeOps.enableChangeFeed(path)
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) FROM range(0, 16)")
+    val before = TokenRangeOps.liveFiles(path).toSet
+    // the second INSERT overlaps keys 8..15: CQL semantics = replaced
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('b', id) FROM range(8, 24)")
+    val after = TokenRangeOps.liveFiles(path).toSet
+    assert(before.subsetOf(after),
+      "insert-upsert is a BLIND write: no pre-existing file is read, " +
+        "rewritten or retired — old generations are vector-suppressed")
+    assert(TokenRangeSource.dvBindings(path).nonEmpty,
+      "the overlapping keys' files must carry a key vector")
+    val t = spark.sql(s"SELECT pk, v FROM $cat.ks.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t.size == 24, s"no key may duplicate, got ${t.size}")
+    assert(t(3L) == "a3" && t(8L) == "b8" && t(15L) == "b15" && t(23L) == "b23")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ks.t").head().getLong(0) == 24L)
+    // the change feed records TRUE update images for the replaced keys
+    val feed = spark.sql(s"SELECT _change_type, pk, v FROM $cat.ks.`t$$changes`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(feed.count(x => x._1 == "update_preimage" && x._2 == 8L && x._3 == "a8") == 1)
+    assert(feed.count(x => x._1 == "update_postimage" && x._2 == 8L && x._3 == "b8") == 1)
+    assert(feed.count(x => x._1 == "insert" && x._2 == 23L) == 1)
+    // compaction applies the generations physically; result unchanged
+    TokenRangeOps.compact(spark, path, "pk")
+    assert(TokenRangeSource.dvBindings(path).isEmpty)
+    assert(spark.sql(s"SELECT v FROM $cat.ks.t WHERE pk = 9").head().getString(0) == "b9")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ks.t").head().getLong(0) == 24L)
+    // a DISJOINT insert stays a plain append (no vector, no read)
+    val b2 = TokenRangeOps.liveFiles(path).toSet
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('c', id) FROM range(100, 104)")
+    assert(TokenRangeSource.dvBindings(path).isEmpty,
+      "disjoint keys need no vector — the append is already exact")
+    assert(b2.subsetOf(TokenRangeOps.liveFiles(path).toSet))
+    // refusals: clustered tables, unknown modes
+    val ex = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.ks.bad (pk BIGINT, ck BIGINT, v STRING)
+        TBLPROPERTIES('pk'='pk', 'ck'='ck', 'insert'='upsert')""")
+    }
+    assert(ex.getMessage.contains("unclustered"), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.ks.bad2 (pk BIGINT, v STRING)
+        TBLPROPERTIES('pk'='pk', 'insert'='wat')""")
+    }
+    assert(ex2.getMessage.contains("'upsert'"), ex2.getMessage)
+  }
+
   test("`t$history` metadata table: DESCRIBE HISTORY by name through plain SQL (r17)") {
     val (cat, wh) = freshCat("hist")
     spark.sql(s"CREATE TABLE $cat.ks.t (pk BIGINT, v STRING) " +
