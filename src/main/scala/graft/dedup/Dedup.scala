@@ -577,9 +577,17 @@ object Dedup extends QueryModule {
     // df ≤ MaxPostings cap still bounds any fp's contribution to
     // C(MaxPostings, 2) — the linear-at-100TB argument is unchanged.
     graft.operators.TextAnalysis.winnowedDistinct(Tables.documents(s, d))
+      // df-cap BEFORE the posting lists materialize (ADVICE r17): a
+      // boilerplate fp with df >> MaxPostings — the exact skew the cap
+      // exists for — must never reach collect_list, whose aggregation
+      // buffer does NOT spill; the window count buffers through Spark's
+      // spilling row array instead, and its fp-hash shuffle is the SAME
+      // partitioning the groupBy below reuses (no extra exchange).
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df").between(2, MaxPostings))
       .groupBy("fp")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")).between(2, MaxPostings))
       // RE-SPREAD before the fan-out: the posting-list frame is tiny
       // (one row per shared fp) and AQE would coalesce it to one
       // partition — putting the whole C(df, 2) explosion on one core.

@@ -622,6 +622,63 @@ object WideColumn extends QueryModule {
       |FROM events WHERE ts > TIMESTAMP '2024-01-13'
       |GROUP BY event_type""".stripMargin
 
+  // ---- MERGE-ON-READ TTL (r18, VERDICT r17 #2) ----------------------------
+  /** The deletion-vector trilogy's third leg at the driver surface
+    * (point deletes = wc_merge_on_read, range tombstones =
+    * wc_range_tombstone_mor, TTL = this): `expire(mode='dv')` on a
+    * three-tranche time-correlated ingest whose middle tranche STRADDLES
+    * the cutoff. Wholly-expired files retire from the manifest unread
+    * (the drop-the-SSTable fast path), the straddler gets a POSITION
+    * vector of exactly its expired rows, wholly-live files survive by
+    * reference — and NOTHING is rewritten: require-asserted live-files ⊂
+    * before-files (retire-only, no new file) with vectors present.
+    * Cassandra's expired-cell semantics exactly: merged out at read,
+    * purged at compaction. The oracle filters raw events at the horizon,
+    * so the hash proves the vector suppressed exactly the expired rows. */
+  private val TtlMorCutoffMicros =
+    java.time.Instant.parse("2024-01-11T00:00:00Z").getEpochSecond * 1000000L
+
+  private def ttlMorDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_ttlmor", d) { dir =>
+      val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "event_type", "value")
+      val sch = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+      // three time-slabs: wholly-expired / straddling / wholly-live
+      Seq(ev.filter(col("ts") <= ts("2024-01-08")),
+          ev.filter(col("ts") > ts("2024-01-08") && col("ts") <= ts("2024-01-15")),
+          ev.filter(col("ts") > ts("2024-01-15")))
+        .foreach(_.write.format(fmt).option("pk", "event_id")
+          .option("schema", sch).mode("append").save(dir))
+      val before = graft.sources.connector.TokenRangeOps.liveFiles(dir).toSet
+      graft.sources.connector.TokenRangeOps.expire(
+        s, dir, "event_id", "ts", TtlMorCutoffMicros, mode = "dv")
+      val after = graft.sources.connector.TokenRangeOps.liveFiles(dir).toSet
+      require(after.subsetOf(before) && after != before,
+        "dv-mode TTL must retire wholly-expired files and rewrite " +
+          "nothing: live files must be a strict subset of the pre-expire " +
+          "set")
+      require(graft.sources.connector.TokenRangeOps
+        .deletionVectors(dir).nonEmpty,
+        "the straddling file's expired rows must be position-vectored")
+      dir
+    }
+
+  def ttlMor(s: SparkSession, d: String): DataFrame = {
+    val dir = ttlMorDir(s, d)
+    s.read.format(classOf[graft.sources.connector.TokenRangeSource].getName)
+      .option("pk", "event_id").load(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_alive"),
+        Cols.sumExact(col("value"), 2).as("sum_value"))
+  }
+
+  private val ttlMorSql =
+    """SELECT event_type, COUNT(*) AS n_alive,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE ts > TIMESTAMP '2024-01-11'
+      |GROUP BY event_type""".stripMargin
+
   // ---- INSERT-is-UPSERT through the connector (r11) ------------------------
   /** CQL's write semantic — every INSERT is an upsert by partition key —
     * at the connector layer: orders land through the sink, then the 8
@@ -1115,6 +1172,75 @@ object WideColumn extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM t GROUP BY o_orderstatus""".stripMargin
 
+  /** CQL's INSERT-IS-UPSERT on a CLUSTERED table (r18, VERDICT r17 #1 —
+    * the last CQL-divergent write shape): the reference's literal
+    * hottest write is a blind INSERT into the clustered `messages`
+    * table (server.py:186-207), which CQL upserts by the full
+    * (channel_id, message_id) primary key — re-delivered writes replace,
+    * never duplicate, and OTHER messages of the channel are untouched.
+    * Here events plays messages: pk = user_id (the channel), ck =
+    * event_id (the message id — (user_id, event_id) is unique in the
+    * corpus, like (channel_id, message_id)); the re-INSERT patches a
+    * sliver of event_ids, so the oracle's hash also proves CK SIBLING
+    * SURVIVAL (the same users' other events keep their original values
+    * — a pk-grain vector would have tombstoned them). The statement
+    * inserts each patched row TWICE (the redelivery shape): intra-batch
+    * LWW keeps exactly one — a position vector over the statement's own
+    * files, still a blind write. Require-asserted: no pre-existing file
+    * is read, rewritten or retired, and vectors publish. */
+  private def insertUpsertClusteredDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_insupck", d) { dir =>
+      val cat = sqlCatalogOf(s, dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ks")
+      s.sql(s"""CREATE TABLE $cat.ks.umsgs
+        (user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)
+        TBLPROPERTIES('pk'='user_id', 'ck'='event_id',
+          'insert'='upsert')""")
+      val src = s"srcinsupck_$cat"
+      Tables.events(s, d)
+        .select("user_id", "event_id", "event_type", "value")
+        .createOrReplaceTempView(src)
+      s.sql(s"INSERT INTO $cat.ks.umsgs SELECT * FROM $src")
+      val path = new java.io.File(new java.io.File(dir, "ks"), "umsgs")
+        .getAbsolutePath
+      val before = graft.sources.connector.TokenRangeOps.liveFiles(path).toSet
+      // redelivered writes: each patched (pk, ck) row lands TWICE in ONE
+      // statement — CQL keeps one row per key; graft suppresses the
+      // intra-batch loser with a position vector over the new files
+      val sliver = "SELECT user_id, event_id, " +
+        "'redelivered' AS event_type, value + 5.0 AS value " +
+        s"FROM $src WHERE event_id % 37 = 0"
+      s.sql(s"INSERT INTO $cat.ks.umsgs $sliver UNION ALL $sliver")
+      val after = graft.sources.connector.TokenRangeOps.liveFiles(path).toSet
+      require(before.subsetOf(after),
+        "clustered insert-upsert is a blind write: no pre-existing file " +
+          "may be rewritten or retired")
+      require(graft.sources.connector.TokenRangeOps
+        .deletionVectors(path).nonEmpty,
+        "the replaced (pk, ck) tuples' files must carry a key vector")
+      dir
+    }
+
+  def insertUpsertClustered(s: SparkSession, d: String): DataFrame = {
+    val dir = insertUpsertClusteredDir(s, d)
+    val cat = sqlCatalogOf(s, dir)
+    s.sql(s"SELECT event_type, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+      s"AS sum_value FROM $cat.ks.umsgs GROUP BY event_type")
+  }
+
+  private val insertUpsertClusteredSql =
+    """WITH t AS (
+      |  SELECT
+      |    CASE WHEN event_id % 37 = 0 THEN 'redelivered'
+      |         ELSE event_type END AS event_type,
+      |    CASE WHEN event_id % 37 = 0 THEN value + 5.0
+      |         ELSE value END AS value
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM t GROUP BY event_type""".stripMargin
+
   /** Cassandra 2i/SAI made PHYSICAL (r17, VERDICT r16 stretch — the step
     * past wc_secondary_index's honest pushdown scan): a DECLARED indexed
     * non-key TEXT column gets a per-file parquet value BLOOM at write
@@ -1149,14 +1275,21 @@ object WideColumn extends QueryModule {
           s"WHERE CAST(SUBSTRING(session, 2) AS BIGINT) % 4 = $r")
       }
       // prove the prune: the probe keeps a strict subset of the files
-      val probe = s.sql(
-        s"SELECT * FROM $cat.ks.sorders WHERE session = 's1'")
-      val plan = probe.queryExecution.executedPlan.toString()
-      val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
-      require(pruned.isDefined &&
-        pruned.get.group(1).toInt < pruned.get.group(2).toInt,
-        s"indexed TEXT equality must keep a strict file subset: " +
-          plan.take(400))
+      // (widen the description truncation bound — r18: the default 100
+      // chars cut the PrunedFiles tail off longer tmp-dir paths)
+      val confKey = "spark.sql.maxMetadataStringLength"
+      val prev = s.conf.get(confKey, "100")
+      s.conf.set(confKey, "4000")
+      try {
+        val probe = s.sql(
+          s"SELECT * FROM $cat.ks.sorders WHERE session = 's1'")
+        val plan = probe.queryExecution.executedPlan.toString()
+        val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+        require(pruned.isDefined &&
+          pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+          s"indexed TEXT equality must keep a strict file subset: " +
+            plan.take(400))
+      } finally s.conf.set(confKey, prev)
       dir
     }
 
@@ -1173,6 +1306,74 @@ object WideColumn extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_custkey % 1024 = 1
       |GROUP BY o_orderstatus""".stripMargin
+
+  /** MULTI-CLUSTERING-KEY tables (r18, VERDICT r17 missing #6):
+    * `PRIMARY KEY ((user_id), ts, event_id)` — CQL's full clustering
+    * LIST, not just one column. The declared spec flows through the one
+    * parse funnel everywhere it matters: the write declares the FULL
+    * lexicographic (ts, event_id) sort to Catalyst
+    * (RequiresDistributionAndOrdering), so every bucket file is a
+    * (ts, event_id) slab; the scan's slice prune keys on EVERY
+    * component's footer stats independently; and the slab layout makes
+    * the leader-range prune bite. Builder loads four time-correlated
+    * tranches (each bucket gets one file per time slab — the ingest
+    * shape of the reference's message log) and require-asserts a ts
+    * slice keeps a STRICT file subset. The entry pages one user's one
+    * week — `user_id = ? AND ts >= ? AND ts < ?` — the reference's
+    * channel-history read (server.py:95-105) with a real time-slice
+    * prune under it. */
+  private def multiCkDir(s: SparkSession, d: String): String =
+    graft.PrebuiltDirs.cached("graft_connector_multick", d) { dir =>
+      val cat = sqlCatalogOf(s, dir)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ks")
+      s.sql(s"""CREATE TABLE $cat.ks.mevents
+        (user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING,
+         value DOUBLE)
+        TBLPROPERTIES('pk'='user_id', 'ck'='ts, event_id')""")
+      val src = s"srcmck_$cat"
+      Tables.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .createOrReplaceTempView(src)
+      // four time-correlated tranches: each load is one time slab of
+      // files per bucket, the layout the leader-range prune selects in
+      Seq(("ts <= TIMESTAMP '2024-01-08'", ""),
+        ("ts > TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-15'", ""),
+        ("ts > TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-22'", ""),
+        ("ts > TIMESTAMP '2024-01-22'", "")).foreach { case (w, _) =>
+        s.sql(s"INSERT INTO $cat.ks.mevents SELECT * FROM $src WHERE $w")
+      }
+      // prove the prefix-slice prune: a leader (ts) range keeps a strict
+      // subset of the one probed bucket's files. Plan descriptions
+      // truncate at maxMetadataStringLength (default 100) BEFORE the
+      // PrunedFiles tail on tmp-dir paths — widen for the assert.
+      val confKey = "spark.sql.maxMetadataStringLength"
+      val prev = s.conf.get(confKey, "100")
+      s.conf.set(confKey, "4000")
+      try {
+        val probe = s.sql(s"SELECT * FROM $cat.ks.mevents WHERE user_id = 7 " +
+          "AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-14'")
+        val plan = probe.queryExecution.executedPlan.toString()
+        val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+        require(pruned.isDefined &&
+          pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+          s"a clustering-leader time slice must keep a strict file subset: " +
+            plan.take(400))
+      } finally s.conf.set(confKey, prev)
+      dir
+    }
+
+  def multiCkSlice(s: SparkSession, d: String): DataFrame = {
+    val dir = multiCkDir(s, d)
+    val cat = sqlCatalogOf(s, dir)
+    s.sql(s"SELECT ts, event_id, event_type, value FROM $cat.ks.mevents " +
+      "WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-10' " +
+      "AND ts < TIMESTAMP '2024-01-14'")
+  }
+
+  private val multiCkSliceSql =
+    """SELECT ts, event_id, event_type, value FROM events
+      |WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-10'
+      |  AND ts < TIMESTAMP '2024-01-14'""".stripMargin
 
   /** Cassandra collection/dynamic-column analog: `props` is a JSON map
     * column (wide-column dynamic columns); extract a typed field with a
@@ -2341,5 +2542,9 @@ object WideColumn extends QueryModule {
     ("wc_clustering_slice", clusteringSlice _, Some(clusteringSliceSql)),
     ("wc_secondary_index", secondaryIndex _, Some(secondaryIndexSql)),
     ("wc_sai_index", saiIndex _, Some(saiIndexSql)),
-    ("wc_insert_upsert", insertUpsert _, Some(insertUpsertSql)))
+    ("wc_insert_upsert", insertUpsert _, Some(insertUpsertSql)),
+    ("wc_insert_upsert_clustered", insertUpsertClustered _,
+      Some(insertUpsertClusteredSql)),
+    ("wc_ttl_mor", ttlMor _, Some(ttlMorSql)),
+    ("wc_multi_ck_slice", multiCkSlice _, Some(multiCkSliceSql)))
 }

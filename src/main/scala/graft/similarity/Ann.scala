@@ -171,6 +171,18 @@ object Ann extends QueryModule {
     * (numpy-verified 0.60+ at both SFs). Each round's K-row centroid
     * frame is eagerly materialized so round N schedules against an 8-row
     * checkpoint, not the whole training lineage. */
+  /** Corpus-keyed trained model (r18, VERDICT r17 #3): the centroids are
+    * a deterministic function of the immutable corpus (fixed-point Lloyd
+    * sums), so every in-process IVF tier shares ONE training per corpus
+    * — the train-once/serve-many lifecycle the `_prebuilt` twins model
+    * at the storage layer. First caller pays `IvfIters` Lloyd rounds;
+    * every later entry (flat IVF, int8, PQ, residual-PQ, cell stats,
+    * probe sweep, recall evals) schedules against the materialized
+    * K-row model frame. */
+  private def trainCentroids(e: DataFrame, d: String): DataFrame =
+    graft.ModelFrames.cached(e.sparkSession, "ann_ivf_centroids", d)(
+      trainCentroids(e))
+
   private def trainCentroids(e: DataFrame): DataFrame = {
     val train = e.filter(pmod(col("vec_id"), lit(10)) < 3)
     // seed count = the corpus-derived model width (floor: IvfK) — the
@@ -222,8 +234,9 @@ object Ann extends QueryModule {
   /** DataFrame-parametric flat-IVF serve (AnnSpec drives it on synthetic
     * corpora beside the two-level tier): `e` needs (vec_id, embedding,
     * nrm). */
-  private[graft] def ivfTopKOf(e: DataFrame): DataFrame = {
-    val cent = trainCentroids(e)
+  private[graft] def ivfTopKOf(e: DataFrame,
+      corpus: Option[String] = None): DataFrame = {
+    val cent = corpus.map(trainCentroids(e, _)).getOrElse(trainCentroids(e))
     val index = assignCells(e, cent)
     val probe = probeCells(e, cent)
     index.join(broadcast(probe), col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
@@ -233,7 +246,7 @@ object Ann extends QueryModule {
   }
 
   def ivfTopK(s: SparkSession, d: String): DataFrame =
-    ivfTopKOf(withNorm(Tables.embeddings(s, d)))
+    ivfTopKOf(withNorm(Tables.embeddings(s, d)), Some(d))
 
   // ---- the IVF training unrolled as a DuckDB oracle (hash-green, r5) ----
   // One Lloyd round: assignment of the 30% training sample to the previous
@@ -312,7 +325,7 @@ object Ann extends QueryModule {
     * −2 exactly as assignment scores them. */
   def ivfCellStats(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val cent = trainCentroids(e)
+    val cent = trainCentroids(e, d)
     val idx = assignCells(e, cent)
     val tot = broadcast(idx.agg(count(lit(1)).as("n_total")))
     idx.join(broadcast(cent.select(col("cell"), col("centroid"), col("cnrm"))), "cell")
@@ -362,7 +375,8 @@ object Ann extends QueryModule {
     * grouping as well as k-means over points would), then the final
     * cell→super assignment. Every mean is the 1e9 fixed-point device, so
     * the whole tier replays bit-exactly in the DuckDB oracle. */
-  private def superTier(e: DataFrame, cent: DataFrame): (DataFrame, DataFrame) = {
+  private def superTier(e: DataFrame, cent: DataFrame,
+      corpus: Option[String] = None): (DataFrame, DataFrame) = {
     val pF = broadcast(e.agg(ivfKD(count(lit(1))).as("kd"))
       .select(greatest(lit(2L), floor(sqrt(col("kd"))).cast("long")).as("ksup")))
     // the ksup lowest cell ids WITHOUT a global window (VERDICT r14
@@ -391,7 +405,10 @@ object Ann extends QueryModule {
         .groupBy("cell")
         .agg(max_by(col("scell"), struct(col("ss"), -col("scell"))).as("scell"),
           first(col("centroid")).as("centroid"), first(col("cnrm")).as("cnrm"))
-    val sup1 = assignSuper(seeds)
+    // lazy: under a corpus key the trained tier serves from ModelFrames
+    // (cached() materializes on miss); the cell→super map re-derives as
+    // a lazy k-row broadcast join over the cached tier — no retraining
+    lazy val sup1 = assignSuper(seeds)
       .select(col("scell"), posexplode(col("centroid")).as(Seq("pos", "v")))
       .groupBy("scell", "pos")
       .agg(count(lit(1)).as("cnt"),
@@ -401,8 +418,11 @@ object Ann extends QueryModule {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("scent"))
       .withColumn("scnrm", norm(col("scent")))
-      .transform(graft.Checkpoints.materialize)
-    (sup1, assignSuper(sup1).select(col("cell"), col("scell")))
+    val sup = corpus
+      .map(k => graft.ModelFrames.cached(e.sparkSession, "ann_ivf2_super", k)(
+        sup1))
+      .getOrElse(graft.Checkpoints.materialize(sup1))
+    (sup, assignSuper(sup).select(col("cell"), col("scell")))
   }
 
   /** The two-level serving path, DataFrame-parametric for AnnSpec's
@@ -448,15 +468,16 @@ object Ann extends QueryModule {
       .filter(col("rk") <= K)
   }
 
-  private[graft] def ivf2TopKOf(e: DataFrame): DataFrame = {
-    val cent = trainCentroids(e)
+  private[graft] def ivf2TopKOf(e: DataFrame,
+      corpus: Option[String] = None): DataFrame = {
+    val cent = corpus.map(trainCentroids(e, _)).getOrElse(trainCentroids(e))
     val index = assignCells(e, cent)
-    val (sup, cellmap) = superTier(e, cent)
+    val (sup, cellmap) = superTier(e, cent, corpus)
     ivf2Serve(e, index, cent, sup, cellmap)
   }
 
   def ivf2TopK(s: SparkSession, d: String): DataFrame =
-    ivf2TopKOf(withNorm(Tables.embeddings(s, d)))
+    ivf2TopKOf(withNorm(Tables.embeddings(s, d)), Some(d))
 
   /** The two-level tier served ENTIRELY from the persisted index (r12
     * verdict #6 — the LAST trainable tier without a prebuilt twin: every
@@ -706,7 +727,7 @@ object Ann extends QueryModule {
     * across the derived rungs). */
   def probeSweep(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val cent = trainCentroids(e)
+    val cent = trainCentroids(e, d)
     val index = assignCells(e, cent)
     val npF = broadcast(e.agg(nProbeD(count(lit(1))).as("npd")))
     val rungs = broadcast(e.agg(nProbeD(count(lit(1))).as("npd"))
@@ -863,7 +884,7 @@ object Ann extends QueryModule {
     * float IVF asserted in AnnSpec. */
   def ivfInt8TopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val cent = trainCentroids(e)
+    val cent = trainCentroids(e, d)
     def q8(emb: Column, scale: Column): Column =
       when(scale === 0, transform(emb, _ => lit(0L)))
         .otherwise(transform(emb, x => floor(x.cast("double") / scale + 0.5).cast("long")))
@@ -1147,6 +1168,16 @@ object Ann extends QueryModule {
     * vec_ids. Everything distributed; only the M×Ks×SubDim codebook frame
     * is ever broadcast, each round checkpointed like IVF's. Parametric in
     * the vector column so the residual tier trains on residuals. */
+  /** Corpus-keyed codebooks (r18) — same lifecycle as
+    * [[trainCentroids(e:org\.apache\.spark\.sql\.DataFrame,d:String)*]]:
+    * deterministic per (corpus, vector column), trained once, served
+    * materialized. The residual tier keys separately (its training
+    * input is the residual frame, itself centroid-dependent). */
+  private def trainPqCodebooks(e: DataFrame, vcol: String,
+      d: String): DataFrame =
+    graft.ModelFrames.cached(e.sparkSession, s"ann_pq_codebooks_$vcol", d)(
+      trainPqCodebooks(e, vcol))
+
   private def trainPqCodebooks(e: DataFrame, vcol: String = "embedding"): DataFrame = {
     val train = subvectors(e.filter(pmod(col("vec_id"), lit(10)) < 3), vcol)
     var cb = subvectors(e.filter(col("vec_id") < PqKs), vcol)
@@ -1223,7 +1254,7 @@ object Ann extends QueryModule {
 
   def pqTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val cb = trainPqCodebooks(e)
+    val cb = trainPqCodebooks(e, "embedding", d)
     val candidates = e.select(col("vec_id"), col("nrm")).join(pqCodes(e, cb), "vec_id")
       .crossJoin(broadcast(pqLut(e, cb)))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1346,8 +1377,8 @@ object Ann extends QueryModule {
     * ≤nprobe-cells property. */
   def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val cent = trainCentroids(e)
-    val cb = trainPqCodebooks(e)
+    val cent = trainCentroids(e, d)
+    val cb = trainPqCodebooks(e, "embedding", d)
     val index = assignCells(e, cent).select(col("vec_id"), col("cell"))
       .join(pqCodes(e, cb), "vec_id")
       .join(e.select(col("vec_id"), col("nrm")), "vec_id")
@@ -1459,16 +1490,17 @@ object Ann extends QueryModule {
     * against the raw-code composition. */
   def ivfPqResidualTopK(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val cent = trainCentroids(e)
-    // residuals materialized once: they feed codebook training (PqIters
-    // rounds) AND encoding — recomputing the assignCells lineage per
-    // consumer would dominate the entry
-    val resid = graft.Checkpoints.materialize(
+    val cent = trainCentroids(e, d)
+    // residuals materialized once PER CORPUS (r18): they feed codebook
+    // training (PqIters rounds) AND encoding — recomputing the
+    // assignCells lineage per consumer would dominate the entry, and
+    // the frame is deterministic given the (cached) centroids
+    val resid = graft.ModelFrames.cached(s, "ann_ivfpq_resid", d)(
       assignCells(e, cent).join(broadcast(cent.select("cell", "centroid")), "cell")
         .select(col("vec_id"), col("cell"), col("nrm"),
           zip_with(col("embedding"), col("centroid"),
             (x, y) => x.cast("double") - y).as("resid")))
-    val cb = trainPqCodebooks(resid, "resid")
+    val cb = trainPqCodebooks(resid, "resid", d)
     val index = pqCodes(resid, cb, "resid")
       .join(resid.select("vec_id", "cell", "nrm"), "vec_id")
     val probedLut = pqLut(e, cb)
@@ -1504,7 +1536,7 @@ object Ann extends QueryModule {
   private def prebuiltIndexDir(s: SparkSession, d: String): String =
     graft.PrebuiltDirs.cached("graft_ivf_index", d) { dir =>
     val e = withNorm(Tables.embeddings(s, d))
-    val cent = trainCentroids(e)
+    val cent = trainCentroids(e, d)
     // persist the full serving index as a deployment would: cell-assigned
     // vectors (at 100 TB: bucketed by cell so a probe prunes files), the
     // centroid table (tiny, broadcast at query time), and the PQ tier —
@@ -1521,10 +1553,10 @@ object Ann extends QueryModule {
     // the two-level tier's frames (r12 #6): √k super-centroids + the
     // cell→super map — k-row model frames, trivially cheap beside the PQ
     // codes, and they retire the last per-call inline retrain in the suite
-    val (sup, cellmap) = superTier(e, cent)
+    val (sup, cellmap) = superTier(e, cent, Some(d))
     sup.write.mode("overwrite").parquet(s"$dir/super_centroids")
     cellmap.write.mode("overwrite").parquet(s"$dir/cellmap")
-    val cb = trainPqCodebooks(e)
+    val cb = trainPqCodebooks(e, "embedding", d)
     cb.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
     pqCodes(e, cb)
       .join(cells.select(col("vec_id"), col("cell"), col("nrm")), "vec_id")
@@ -1534,17 +1566,21 @@ object Ann extends QueryModule {
     // so the production-refined index also serves without retraining
     // (r8: the inline residual entry was the suite's slowest at 4.1 s,
     // all of it training a model a nightly build job should own)
-    val resid = graft.Checkpoints.materialize(
+    val resid = graft.ModelFrames.cached(s, "ann_ivfpq_resid", d)(
       cells.join(broadcast(cent.select(col("cell"), col("centroid"))), "cell")
         .select(col("vec_id"), col("cell"), col("nrm"),
           zip_with(col("embedding"), col("centroid"),
             (x, y) => x.cast("double") - y).as("resid")))
-    val rcb = trainPqCodebooks(resid, "resid")
+    val rcb = trainPqCodebooks(resid, "resid", d)
     rcb.write.mode("overwrite").parquet(s"$dir/respq_codebooks")
     pqCodes(resid, rcb, "resid")
       .join(resid.select(col("vec_id"), col("cell"), col("nrm")), "vec_id")
       .write.mode("overwrite").parquet(s"$dir/respq_codes")
-    graft.Checkpoints.free(resid)
+    // `cells` is builder-local — free its blocks. `resid` is NOT: it
+    // lives in the per-corpus ModelFrames cache (r18) and the inline
+    // residual tier serves from it — freeing a locally-checkpointed
+    // frame that is still referenced is unrecoverable (its lineage is
+    // truncated), the exact failure the r18 first cut hit.
     graft.Checkpoints.free(cells)
     dir
   }
@@ -1986,7 +2022,7 @@ object Ann extends QueryModule {
     * training, same assignment tie-break as the serving tier. */
   def pqDistortion(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, d))
-    val cb = trainPqCodebooks(e)
+    val cb = trainPqCodebooks(e, "embedding", d)
     assignCodes(subvectors(e, "embedding"), cb)
       .join(broadcast(cb), Seq("m", "code"))
       .withColumn("sqe_fp",

@@ -262,6 +262,76 @@ object TokenRangeSource {
       (v, manifestIO.lastModified(mf), visibleRelFiles(path, Some(v)).size)
     }
 
+  /** One `t$files` row (r18). Min/max render as strings so one schema
+    * serves every key dtype; None where stats are absent. */
+  final case class FileCensusRow(bucket: Int, rel: String, nRows: Long,
+      nBytes: Long, pkMin: Option[String], pkMax: Option[String],
+      ckMin: Option[String], ckMax: Option[String], nVectors: Int,
+      addedVersion: Option[Int])
+
+  /** The live-file census behind `ks.`t$files`` (r18): per file —
+    * bucket, rows, bytes, footer min/max of the first pk column and the
+    * ck column, live deletion-vector bindings, and the version whose
+    * manifest first referenced the file. Driver-side metadata only: one
+    * footer read per live file (the zone-map source of truth, cached by
+    * the OS page cache across metadata queries) plus one pass over the
+    * retained manifests for first-reference versions (vacuumed segment
+    * resolution failures degrade that column to None, never the row). */
+  private[connector] def filesCensus(path: String): Array[FileCensusRow] = {
+    val live = visibleRelFiles(path, None)
+    if (live.isEmpty) return Array.empty
+    val pkCol = recordedPk(path).map(_.split(',').head.trim)
+    val ckCol = recordedCk(path).map(spec => parseCkSpec(spec).head._1)
+    val dvCount: Map[String, Int] =
+      dvBindings(path).groupBy(_._1).view.mapValues(_.size).toMap
+    // first-reference version per live rel: walk retained versions
+    // ascending; a version whose segments were vacuumed just skips
+    val liveSet = live.map(_._2).toSet
+    val firstSeen = scala.collection.mutable.Map.empty[String, Int]
+    versions(path).foreach { v =>
+      if (firstSeen.size < liveSet.size)
+        scala.util.Try(visibleRelFiles(path, Some(v))).toOption
+          .foreach(_.foreach { case (_, rel) =>
+            if (liveSet(rel) && !firstSeen.contains(rel)) firstSeen(rel) = v
+          })
+    }
+    // footer stats of one column, rendered: min of mins / max of maxes
+    // across row groups via parquet's own comparators
+    def colStats(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+        name: String): (Option[String], Option[String]) = {
+      val st = blocks.flatMap(_.getColumns.asScala
+        .find(_.getPath.toDotString.equalsIgnoreCase(name))
+        .map(_.getStatistics)
+        .filter(s => s != null && s.hasNonNullValue))
+      if (st.isEmpty) (None, None)
+      else {
+        def render(v: Any): String = v match {
+          case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+          case other => String.valueOf(other)
+        }
+        val mins = st.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
+        val maxs = st.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
+        (Some(render(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b))),
+          Some(render(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b))))
+      }
+    }
+    live.sortBy(_._2).map { case (bucket, rel) =>
+      val f = new java.io.File(path, rel)
+      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), new Configuration()))
+      val (nRows, pkMm, ckMm) =
+        try {
+          val blocks = fr.getFooter.getBlocks.asScala.toSeq
+          (blocks.map(_.getRowCount).sum,
+            pkCol.map(colStats(blocks, _)).getOrElse((None, None)),
+            ckCol.map(colStats(blocks, _)).getOrElse((None, None)))
+        } finally fr.close()
+      FileCensusRow(bucket, rel, nRows, f.length(),
+        pkMm._1, pkMm._2, ckMm._1, ckMm._2,
+        dvCount.getOrElse(rel, 0), firstSeen.get(rel))
+    }.toArray
+  }
+
   /** Newest version published AT OR BEFORE `millis` — the AS-OF-TIMESTAMP
     * resolution behind the scan's `asOfMillis` option. Resolves manifest
     * MTIMES only (ADVICE r14: the first cut called [[history]] twice —
@@ -362,10 +432,12 @@ object TokenRangeSource {
     * data is read (without the change feed), older generations are
     * tombstoned at read and purged at compaction. Absent = blind
     * append (the r11-r16 behavior). Recorded at CREATE
-    * (`TBLPROPERTIES('insert'='upsert')`), unclustered tables only —
-    * a clustered table's row identity is (pk, ck) and a pk-keyed
-    * vector would tombstone every ck sibling; route clustered upserts
-    * through MERGE INTO on a `dml='mor'` table, which is exact. */
+    * (`TBLPROPERTIES('insert'='upsert')`). On CLUSTERED tables (r18)
+    * the vector carries the full (pk, ck) tuple — its sidecar's own
+    * schema declares the grain — so ck siblings of a replaced row
+    * survive: the reference's blind INSERT into the clustered
+    * `messages` table (server.py:186-207) now upserts by
+    * (channel_id, message_id) exactly as CQL does. */
   private[connector] def recordedInsertMode(path: String): Option[String] = {
     val f = new java.io.File(manifestDir(path), "table.properties").getPath
     if (!manifestIO.exists(f)) None
@@ -641,6 +713,22 @@ object TokenRangeSource {
       full.fields.find(_.name.equalsIgnoreCase(n))
         .map(f => (f.name, f.dataType)))).getOrElse(Array.empty)
 
+  /** The KEY-GRAIN vector UNIVERSE: pk fields plus (on clustered
+    * tables) the clustering columns, resolved against a table schema.
+    * A key-grain sidecar names some subset of these as its own columns
+    * — pk-only for whole-partition deletes/upserts, pk+ck for the
+    * clustered INSERT-IS-UPSERT's (pk, ck)-grain replacement (r18) —
+    * and readers match rows on exactly the columns the sidecar carries
+    * (the sidecar's schema IS its grain, same discrimination rule that
+    * already picks position vectors by their `_pos` field). */
+  private[connector] def dvKeyFieldsOf(path: String,
+      full: StructType): Array[(String, DataType)] =
+    pkFieldsOf(path, full) ++
+      recordedCk(path).toSeq.flatMap(spec => parseCkSpec(spec).flatMap {
+        case (c, _) => full.fields.find(_.name.equalsIgnoreCase(c))
+          .map(f => (f.name, f.dataType))
+      })
+
   /** `(dataRel, dvRel)` bindings visible at `version` (current when
     * None). Empty for manifest-less legacy tables. */
   private[connector] def dvBindings(path: String,
@@ -870,6 +958,17 @@ object TokenRangeSource {
     // vector-merged at their own version. Ranges ending STRICTLY before
     // the enable version keep the loud refusal (the feed did not exist
     // yet), as do pre-`since` feeds (no anchor recorded).
+    //
+    // FEED CONTRACT — intra-version fold order (ADVICE r17): within one
+    // `_commit_version`, a consumer folding the feed into state MUST
+    // apply `delete` and `update_preimage` rows BEFORE `insert` and
+    // `update_postimage` rows. This is the standard CDC convention
+    // (Delta's CDF consumers fold the same way: pre-images retire the
+    // old row, post-images land the new one) and the ONLY order under
+    // which the rebase's synthesized delete+insert pair for an
+    // unchanged row nets to the row itself. Rows within one version
+    // carry no finer ordering on purpose — the manifest records file
+    // lists, not row logs, and one version is one atomic flip.
     cdfSeedAt(path, fromEx, toIn) match {
       case Some(sv) =>
         val rebase =
@@ -1181,7 +1280,11 @@ object TokenRangeSource {
       }
       if (!truncate && dvBind.nonEmpty) {
         val visibleTouched = baseTouched.values.flatten.toSet
-        val missingTargets = dvBind.map(_._1).toSet -- visibleTouched
+        // a binding may target a file THIS commit places (the
+        // insert-upsert's intra-batch-duplicate position vector, r18) —
+        // those are validated by construction, not against the base
+        val missingTargets =
+          dvBind.map(_._1).toSet -- visibleTouched -- placedRel.toSet
         if (missingTargets.nonEmpty) throw new ManifestConflictException(
           s"merge-on-read conflict at $path: ${missingTargets.size} " +
             s"deletion-vector target file(s) were retired by a racing " +
@@ -2203,6 +2306,17 @@ private[connector] final class TokenRangeScanBuilder(tableSchema: StructType,
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
     case i: Int => Some(i.toLong)
+    // TIMESTAMP literals (r18, found by the multi-ck entry): the sink
+    // stores timestamps as raw INT64 µs and footer stats are those
+    // micros, so a pushed ts bound narrows the slice in µs — without
+    // this, the messages-table read shape (`user = ? AND ts >= ?`)
+    // never file-pruned on time. Spark hands java.time.Instant under
+    // the java8 datetime API (the default) and java.sql.Timestamp under
+    // the legacy one; exclusive-bound ±1 shifts are exact at µs grain.
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
     case _ => None
   }
   /** Owning bucket of a pushdown literal, for the pk dtypes the sink
@@ -2635,7 +2749,7 @@ private[connector] final class TokenRangeScan(path: String,
   }
 
   private def pkFieldsForDv: Array[(String, DataType)] =
-    TokenRangeSource.pkFieldsOf(path, full)
+    TokenRangeSource.dvKeyFieldsOf(path, full)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TokenRangeReaderFactory(
@@ -2718,7 +2832,7 @@ private[connector] final class TokenRangeCdfScan(path: String,
     // an EMPTY projection falls through naturally: the wrapper reads the
     // narrowest table column for cadence and emits zero-field rows
     new TokenRangeCdfReaderFactory(required, fullTable,
-      TokenRangeSource.pkFieldsOf(path, fullTable))
+      TokenRangeSource.dvKeyFieldsOf(path, fullTable))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -2753,21 +2867,29 @@ private[connector] final class TokenRangeReader(files: Array[String],
   private var reader: ParquetReader[Group] = _
   private var current: Group = _
   // ---- DELETION-VECTOR merge (merge-on-read) ------------------------------
-  // each data file's bound vectors resolve to ONE normalized deleted-key
-  // set (KEY grain: a vector deletes every row of the listed keys in its
-  // bound file) plus ONE deleted-ordinal set (POSITION grain, r17: a
-  // vector deletes exactly the listed stored rows of the file); rows
-  // matching either are suppressed in next(). Grain is read off each
-  // sidecar's own schema (`_pos` present = position grain).
+  // each data file's bound vectors resolve to deleted-key GROUPS (KEY
+  // grain: a vector deletes every row matching the key tuple ITS OWN
+  // SCHEMA names — pk columns for whole-partition deletes/upserts,
+  // pk+ck for the clustered insert-upsert (r18) — in its bound file)
+  // plus ONE deleted-ordinal set (POSITION grain, r17: a vector deletes
+  // exactly the listed stored rows of the file); rows matching either
+  // are suppressed in next(). Grain is read off each sidecar's own
+  // schema (`_pos` present = position grain; else the subset of the
+  // pk/ck key universe the sidecar carries).
   private val anyDv = dvFiles.nonEmpty && dvFiles.exists(_.nonEmpty)
-  // vector parquet → its normalized key set / per-file ordinal sets,
-  // loaded once per reader (the same vector commonly binds many files of
-  // one bucket)
-  private val dvKeyCache = scala.collection.mutable.Map.empty[String, Set[Any]]
+  // vector parquet → its (key fields, normalized key set) / per-file
+  // ordinal sets, loaded once per reader (the same vector commonly
+  // binds many files of one bucket)
+  private val dvKeyCache = scala.collection.mutable.Map
+    .empty[String, (Seq[(String, DataType)], Set[Any])]
   private val dvPosCache =
     scala.collection.mutable.Map.empty[String, Map[String, Set[Long]]]
   private val dvGrainPos = scala.collection.mutable.Map.empty[String, Boolean]
-  private var currentDvKeys: Set[Any] = Set.empty
+  // the current file's key-grain vectors, grouped by key tuple (one
+  // group in practice; a file bound by pk-grain AND tuple-grain vectors
+  // gets two) — a row is suppressed when ANY group holds its tuple
+  private var currentDvKeyGroups
+      : Array[(Seq[(String, DataType)], Set[Any])] = Array.empty
   private var currentDvPos: Set[Long] = Set.empty
   // physical ordinal of `current` within its file — counts EVERY stored
   // row (suppressed ones included): the ordinal is a property of the
@@ -2785,10 +2907,14 @@ private[connector] final class TokenRangeReader(files: Array[String],
       fileSchema.getFields.asScala.exists(
         _.getName.equalsIgnoreCase(TokenRangeSource.PosCol))
     })
-  /** Read one KEY-grain deletion-vector parquet (pk columns only, tiny)
-    * into a normalized key set — single-col keys as the value, composite
-    * as a List of component values. */
-  private def loadDv(file: String): Set[Any] = dvKeyCache.getOrElseUpdate(file, {
+  /** Read one KEY-grain deletion-vector parquet (tiny) into its
+    * (key fields, normalized key set): the sidecar's own columns —
+    * matched against the pk/ck key universe — ARE its key tuple
+    * (pk-only sidecars delete whole partitions, pk+ck sidecars the
+    * clustered insert-upsert's exact rows). Single-col keys as the
+    * value, composite as a List of component values. */
+  private def loadDv(file: String): (Seq[(String, DataType)], Set[Any]) =
+    dvKeyCache.getOrElseUpdate(file, {
     require(pkFields.nonEmpty,
       "key-grain deletion-vector-bound files require the table's recorded pk")
     val p = new org.apache.hadoop.fs.Path(file)
@@ -2796,11 +2922,14 @@ private[connector] final class TokenRangeReader(files: Array[String],
     val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
     val names = fileSchema.getFields.asScala.map(_.getName)
     // the vector is written from the table-aligned frame, but match the
-    // pk names case-insensitively like every other read surface
-    val resolved = pkFields.map { case (n, dt) =>
-      (names.find(_.equalsIgnoreCase(n)).getOrElse(throw new IllegalStateException(
-        s"deletion vector $file lacks pk column '$n'")), dt)
+    // key names case-insensitively like every other read surface; the
+    // universe's pk prefix must be fully present (a partial-pk sidecar
+    // has no defined grain), ck columns participate iff the sidecar
+    // carries them
+    val resolved: Seq[(String, DataType)] = pkFields.toSeq.flatMap {
+      case (n, dt) => names.find(_.equalsIgnoreCase(n)).map((_, dt))
     }
+    require(resolved.nonEmpty, s"deletion vector $file names no pk/ck column")
     val rd = ParquetReader.builder(new GroupReadSupport(), p).build()
     val keys = Set.newBuilder[Any]
     try {
@@ -2812,15 +2941,21 @@ private[connector] final class TokenRangeReader(files: Array[String],
             case LongType => g.getLong(fn, 0)
             case IntegerType => normKey(g.getInteger(fn, 0))
             case StringType => g.getString(fn, 0)
+            // the sink stores timestamps as raw INT64 µs and the sidecar
+            // writes them the same way (outputTimestampType micros)
+            case TimestampType => g.getLong(fn, 0)
             case other => throw new IllegalStateException(
-              s"deletion-vector pk dtype $other unsupported")
+              s"deletion-vector key dtype $other unsupported")
           }
         }
         keys += (if (vs.length == 1) vs(0) else vs.toList)
         g = rd.read()
       }
     } finally rd.close()
-    keys.result()
+    // key fields keyed by the TABLE-side names (the data-file accessor
+    // resolves its own casing through `present`)
+    (pkFields.toSeq.filter { case (n, _) =>
+      resolved.exists(_._1.equalsIgnoreCase(n)) }, keys.result())
   })
   /** Read one POSITION-grain deletion-vector parquet (`_file` rel +
     * `_pos` ordinal) into per-target-file ordinal sets. */
@@ -2849,16 +2984,18 @@ private[connector] final class TokenRangeReader(files: Array[String],
       } finally rd.close()
       acc.view.mapValues(_.result()).toMap
     })
-  /** The CURRENT row's pk (normalized like the vector's keys); null
-    * components only on malformed files — such rows never match. */
-  private def rowKey(): Any = {
-    val vs = pkFields.map { case (n, dt) =>
+  /** The CURRENT row's key over `flds` (normalized like the vector's
+    * keys); null components only on malformed files — such rows never
+    * match. */
+  private def rowKeyOf(flds: Seq[(String, DataType)]): Any = {
+    val vs = flds.map { case (n, dt) =>
       val fn = present.getOrElse(n.toLowerCase, null)
       if (fn == null || current.getFieldRepetitionCount(fn) == 0) null
       else dt match {
         case LongType => current.getLong(fn, 0)
         case IntegerType => normKey(current.getInteger(fn, 0))
         case StringType => current.getString(fn, 0)
+        case TimestampType => current.getLong(fn, 0)
         case _ => null
       }
     }
@@ -2928,14 +3065,16 @@ private[connector] final class TokenRangeReader(files: Array[String],
     rowOrdinal = -1L
     if (fileIdx < dvFiles.length && dvFiles(fileIdx).nonEmpty) {
       val (pos, key) = dvFiles(fileIdx).partition(isPosGrain)
-      currentDvKeys =
-        if (key.isEmpty) Set.empty
-        else key.iterator.map(loadDv).reduce(_ union _)
+      currentDvKeyGroups =
+        if (key.isEmpty) Array.empty
+        else key.map(loadDv).groupBy(_._1.map(_._1.toLowerCase)).values
+          .map(g => (g.head._1, g.iterator.map(_._2).reduce(_ union _)))
+          .toArray
       currentDvPos =
         if (pos.isEmpty) Set.empty
         else pos.iterator.map(v => loadDvPos(v).getOrElse(rel, Set.empty[Long]))
           .reduce(_ union _)
-    } else { currentDvKeys = Set.empty; currentDvPos = Set.empty }
+    } else { currentDvKeyGroups = Array.empty; currentDvPos = Set.empty }
     reader = ParquetReader
       .builder(new GroupReadSupport(), path)
       .withConf(conf)
@@ -2954,7 +3093,8 @@ private[connector] final class TokenRangeReader(files: Array[String],
         // (position grain) or by pk (key grain) — are suppressed here,
         // before projection (count scans included)
         if ((currentDvPos.isEmpty || !currentDvPos.contains(rowOrdinal)) &&
-            (currentDvKeys.isEmpty || !currentDvKeys.contains(rowKey())))
+            (currentDvKeyGroups.isEmpty || !currentDvKeyGroups.exists {
+              case (flds, keys) => keys.contains(rowKeyOf(flds)) }))
           return true
       } else {
         reader.close(); reader = null
@@ -3233,7 +3373,7 @@ private[connector] final class TokenRangeMicroBatchStream(path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (cdf) new TokenRangeCdfReaderFactory(projected, full,
-      TokenRangeSource.pkFieldsOf(path, full))
+      TokenRangeSource.dvKeyFieldsOf(path, full))
     else new TokenRangeReaderFactory(
       if (projected.fields.nonEmpty) projected
       else StructType(Array(full.fields.head)),
@@ -3363,18 +3503,19 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         org.apache.spark.sql.SparkSession.active, path,
         replace.toSeq.map(rel => new java.io.File(path, rel).getAbsolutePath),
         staged.toSeq, dvSeenVersion))
-    // INSERT-IS-UPSERT (r17): a plain append on an `insert='upsert'`
-    // table publishes a KEY deletion vector over the incoming keys'
-    // pre-existing files in the SAME flip — CQL's INSERT semantic
-    // (server.py's whole write path) at blind-write cost. Resolved
-    // BEFORE the lock (reads staged files in place + the pinned
-    // manifest); only genuine appends qualify — rewrites, truncates,
-    // row-level ops and the delta path keep their own exact semantics.
+    // INSERT-IS-UPSERT (r17, clustered + intra-batch LWW r18): a plain
+    // append on an `insert='upsert'` table publishes a KEY deletion
+    // vector over the incoming keys' pre-existing files in the SAME
+    // flip — CQL's INSERT semantic (server.py's whole write path) at
+    // blind-write cost. Resolved BEFORE the lock (reads staged files in
+    // place + the pinned manifest); only genuine appends qualify —
+    // rewrites, truncates, row-level ops and the delta path keep their
+    // own exact semantics.
+    val insertUpsert = !doTruncate && replace.isEmpty && opKind.isEmpty &&
+      dvBind.isEmpty && !rowOpColumn && staged.nonEmpty &&
+      TokenRangeSource.recordedInsertMode(path).contains("upsert")
     val (effDvBind, effCdfRel, effSeen) =
-      if (doTruncate || replace.nonEmpty || opKind.isDefined ||
-          dvBind.nonEmpty || rowOpColumn || staged.isEmpty ||
-          !TokenRangeSource.recordedInsertMode(path).contains("upsert"))
-        (dvBind, commitCdfRel, dvSeenVersion)
+      if (!insertUpsert) (dvBind, commitCdfRel, dvSeenVersion)
       else TokenRangeOps.insertUpsertBind(
           org.apache.spark.sql.SparkSession.active, path, staged.toSeq) match {
         case Some((bind, cdf, pin)) => (bind, cdf.orElse(commitCdfRel), pin)
@@ -3450,22 +3591,60 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         // files are referenced by NO manifest (invisible; vacuum reaps
         // them) and TokenRangeOps re-runs the rewrite from the new
         // snapshot.
-        TokenRangeSource.publishManifest(path, placedRel, doTruncate, replace,
-          // `#op` kind: the caller's declaration wins; otherwise classify
-          // from shape (insert-upsert / truncate / undeclared-rewrite /
-          // append)
-          opKind.getOrElse(
-            if (doTruncate) "truncate"
-            else if (replace.nonEmpty) "rewrite"
-            else if (effDvBind.nonEmpty) "upsert"
-            else "append"),
-          effCdfRel, effDvBind, effSeen)
+        // the INSERT-UPSERT bind resolved against a pre-lock pin: racing
+        // maintenance (another commit's vector sweep, a compaction) may
+        // have retired a bound file since — re-resolve from the fresh
+        // snapshot and retry instead of failing the user's INSERT
+        // (ADVICE r17: appends never conflicted before the bind existed)
+        var bind = effDvBind; var cdf = effCdfRel; var seen = effSeen
+        var attempts = 0
+        var published = false
+        while (!published) {
+          try {
+            TokenRangeSource.publishManifest(path, placedRel, doTruncate,
+              replace,
+              // `#op` kind: the caller's declaration wins; otherwise
+              // classify from shape (insert-upsert / truncate /
+              // undeclared-rewrite / append)
+              opKind.getOrElse(
+                if (doTruncate) "truncate"
+                else if (replace.nonEmpty) "rewrite"
+                else if (bind.nonEmpty) "upsert"
+                else "append"),
+              cdf, bind, seen)
+            published = true
+          } catch {
+            case _: ManifestConflictException
+                if insertUpsert && attempts < 5 =>
+              attempts += 1
+              val placedAbs = placedRel.map(rel =>
+                new java.io.File(path, rel).getAbsolutePath)
+              TokenRangeOps.insertUpsertBind(
+                  org.apache.spark.sql.SparkSession.active, path,
+                  placedAbs) match {
+                case Some((b, c, p)) => bind = b; cdf = c; seen = p
+                case None =>
+                  bind = Nil; cdf = commitCdfRel; seen = dvSeenVersion
+              }
+          }
+        }
       }
       // retention automation (r13 #8): OUTSIDE the lock and after the flip
       // — a sweep failure or a concurrent sweep can never fail this commit
       TokenRangeOps.retentionSweep(path)
+      // the vector sweep is best-effort for the same reason (ADVICE r17:
+      // it runs inside the user's statement tail — a sweep failure must
+      // not fail an INSERT that already committed)
       if (effDvBind.nonEmpty && dvBind.isEmpty)
-        TokenRangeOps.vectorSweep(org.apache.spark.sql.SparkSession.active, path)
+        try TokenRangeOps.vectorSweep(
+          org.apache.spark.sql.SparkSession.active, path)
+        catch { case scala.util.control.NonFatal(_) => () }
+      // fragmentation sweep (r18, OPT-IN via compact.files_per_bucket):
+      // plain appends only — rewrites/compacts never re-trigger it
+      if (!doTruncate && replace.isEmpty && opKind.isEmpty && !rowOpColumn &&
+          staged.nonEmpty)
+        TokenRangeOps.fileSweep(
+          org.apache.spark.sql.SparkSession.active, path)
     } finally
       TokenRangeSource.deleteRecursively(TokenRangeSource.stagingDir(path, writeId))
   }
@@ -4553,22 +4732,44 @@ object TokenRangeOps {
     }
     var out = lin
     if (keyBind.nonEmpty) {
-      val pkCols = TokenRangeSource.recordedPk(path)
+      // the sidecar's own columns ARE its key tuple (pk-only = whole
+      // partition, pk+ck = the clustered insert-upsert's exact row,
+      // r18): resolve each against the pk/ck universe and anti-join
+      // per distinct grain (one group in practice)
+      val universe = (TokenRangeSource.recordedPk(path)
         .getOrElse(throw new IllegalStateException(
           s"deletion-vector table at $path lacks a recorded pk"))
-        .split(',').map(_.trim).toSeq
+        .split(',').map(_.trim).toSeq ++
+        TokenRangeSource.recordedCk(path).toSeq.flatMap(spec =>
+          TokenRangeSource.parseCkSpec(spec).map(_._1)))
         .map(n => lin.schema.fields.find(_.name.equalsIgnoreCase(n))
           .getOrElse(throw new IllegalStateException(
-            s"deletion-vector pk column '$n' missing from rewrite read"))
+            s"deletion-vector key column '$n' missing from rewrite read"))
           .name)
-      // one tombstone row per (bound file, deleted key): rows match only
-      // within their own file, so an unbound file's rows always survive
-      val tomb = keyBind.map { case (d, dv) =>
-        frames(dv).select(pkCols.map(col): _*)
-          .withColumn(DvRelLin, org.apache.spark.sql.functions.lit(d))
-      }.reduce(_ unionByName _)
-      out = out.join(org.apache.spark.sql.functions.broadcast(tomb),
-        pkCols :+ DvRelLin, "left_anti")
+      def grainOf(dv: String): Seq[String] = {
+        val names = frames(dv).schema.fieldNames
+        universe.filter(u => names.exists(_.equalsIgnoreCase(u)))
+      }
+      keyBind.groupBy(b => grainOf(b._2)).foreach { case (keyCols, binds) =>
+        // one tombstone row per (bound file, deleted key): rows match
+        // only within their own file, so an unbound file's rows survive.
+        // Timestamp key columns store in the sidecar as LONG µs (write
+        // convention — see insertUpsertBind); convert back here.
+        val tomb = binds.map { case (d, dv) =>
+          val f = frames(dv).toDF(frames(dv).schema.fieldNames.map(n =>
+            keyCols.find(_.equalsIgnoreCase(n)).getOrElse(n)): _*)
+          f.select(keyCols.map { n =>
+            val linTs = lin.schema.fields.exists(x =>
+              x.name.equalsIgnoreCase(n) && x.dataType == TimestampType)
+            if (linTs && f.schema(n).dataType != TimestampType)
+              org.apache.spark.sql.functions
+                .timestamp_micros(col(n).cast("long")).as(n)
+            else col(n)
+          }: _*).withColumn(DvRelLin, org.apache.spark.sql.functions.lit(d))
+        }.reduce(_ unionByName _)
+        out = out.join(org.apache.spark.sql.functions.broadcast(tomb),
+          keyCols :+ DvRelLin, "left_anti")
+      }
     }
     if (posBind.nonEmpty) {
       // a position vector names its target rows as (file, ordinal) in
@@ -4631,93 +4832,201 @@ object TokenRangeOps {
       .mode("append").save(path)
   }
 
-  /** INSERT-IS-UPSERT commit support (r17): for a plain append on an
-    * `insert='upsert'` table, resolve the incoming keys' pre-existing
-    * owning-bucket files at the pinned version, stage a KEY deletion
-    * vector over them (and, on a feed table, the upsert-classified
-    * change sidecar), so the caller's ONE manifest flip publishes
-    * new-generation files + the vector that tombstones the old
-    * generations — CQL's INSERT semantic at blind-write cost. Returns
-    * None when no pre-existing file owns any incoming key (a plain
-    * append is already exact). Concurrency: a racing rewrite that
-    * retires a bound file conflicts the publish (loud, like every
-    * vector commit); racing appends of the same key stay concurrent
-    * blind writes, exactly [[upsert]]'s dv-mode contract. */
+  /** INSERT-IS-UPSERT commit support (r17, clustered + intra-batch LWW
+    * r18): for a plain append on an `insert='upsert'` table, resolve
+    * the incoming keys' pre-existing owning-bucket files at the pinned
+    * version, stage a KEY deletion vector over them (and, on a feed
+    * table, the upsert-classified change sidecar), so the caller's ONE
+    * manifest flip publishes new-generation files + the vector that
+    * tombstones the old generations — CQL's INSERT semantic at
+    * blind-write cost. On CLUSTERED tables the vector's grain is the
+    * full (pk, ck) tuple — the sidecar carries pk+ck columns and the
+    * reader matches exactly those, so ck siblings of a replaced row
+    * survive by construction (the reference's own hottest write is a
+    * blind INSERT into the clustered `messages` table, server.py:186-
+    * 207, which CQL upserts by (channel_id, message_id)). A statement
+    * inserting the SAME key twice (re-delivered writes) additionally
+    * binds a POSITION vector over its own staged files suppressing all
+    * but the last-written row per key (ADVICE r17: CQL keeps one row
+    * per key even intra-batch) — still a blind write: nothing is
+    * rewritten, the losers are tombstoned at read and purged at
+    * compaction. Returns None when no pre-existing file owns any
+    * incoming key and the batch is duplicate-free (a plain append is
+    * already exact). Concurrency: a racing rewrite that retires a
+    * bound file conflicts the publish — [[TokenRangeBatchWrite.commit]]
+    * re-binds from the fresh snapshot and retries (ADVICE r17); racing
+    * appends of the same key stay concurrent blind writes, exactly
+    * [[upsert]]'s dv-mode contract. */
   private[connector] def insertUpsertBind(spark: SparkSession, path: String,
       stagedAbs: Seq[String])
       : Option[(Seq[(String, String)], Option[String], Option[Int])] =
     TokenRangeSource.recordedPk(path).flatMap { pkRec =>
       val pinned = TokenRangeSource.currentVersion(path)
-      if (pinned.isEmpty) None // first commit: nothing pre-exists
-      else {
-        val pks = pkRec.split(',').map(_.trim).toSeq
-        val incoming = alignToStored(path,
-          spark.read.option("mergeSchema", "true").parquet(stagedAbs: _*))
-        val pkCols = pks.map(n => incoming.schema.fields
-          .find(_.name.equalsIgnoreCase(n))
-          .getOrElse(throw new IllegalStateException(
-            s"insert-upsert at $path: pk column '$n' missing from the " +
-              s"staged frame ${incoming.schema.catalogString}")).name)
-        val keysDf = incoming.select(pkCols.map(col): _*).distinct()
-        // owning buckets of the incoming keys: a ≤ Buckets-row distinct
-        // aggregate (bounded by the ring width, never by data volume)
-        val bucketCol =
-          if (pkCols.size == 1) TokenLayout.bucketOfColumn(
-            col(pkCols.head), incoming.schema(pkCols.head).dataType)
-          else TokenLayout.bucketOfComposite(pkCols.map(col))
-        val buckets = keysDf.select(bucketCol.as("tb"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val bucketRel = TokenRangeSource.visibleRelFiles(path, pinned)
-          .collect { case (k, rel) if buckets(k) => rel }
-        // POINT-INSERT narrowing: small single-key-column batches probe
-        // each candidate file's pk bloom/dictionary (cached, the same
-        // probe point lookups use) so a hot-path small INSERT binds only
-        // the files that might actually hold its keys — and a DISJOINT
-        // insert binds NOTHING and stays a plain append. Larger batches
-        // (or composite keys) keep the bucket grain: they overlap widely
-        // anyway, and an inert vector row is harmless by construction.
-        val fewKeys: Option[Seq[Any]] =
-          if (pkCols.size != 1) None
-          else {
-            val few = keysDf.limit(DvAutoMaxKeys + 1).collect()
-            if (few.length > DvAutoMaxKeys) None
-            else Some(few.map(_.get(0)).toSeq)
-          }
-        val affectedRel = fewKeys match {
-          case Some(ks) =>
-            val dt = incoming.schema(pkCols.head).dataType
-            bucketRel.filter(rel => TokenRangeSource.fileMightContain(
-              new java.io.File(path, rel).getAbsolutePath,
-              pkCols.head, dt, ks))
-          case None => bucketRel
-        }
-        if (affectedRel.isEmpty) None
+      val pks = pkRec.split(',').map(_.trim).toSeq
+      val cks = TokenRangeSource.recordedCk(path).toSeq
+        .flatMap(spec => TokenRangeSource.parseCkSpec(spec).map(_._1))
+      val incoming = alignToStored(path,
+        spark.read.option("mergeSchema", "true").parquet(stagedAbs: _*))
+      def resolve(n: String): String = incoming.schema.fields
+        .find(_.name.equalsIgnoreCase(n))
+        .getOrElse(throw new IllegalStateException(
+          s"insert-upsert at $path: key column '$n' missing from the " +
+            s"staged frame ${incoming.schema.catalogString}")).name
+      val pkCols = pks.map(resolve)
+      // the replacement grain: whole partition on unclustered tables,
+      // the exact (pk, ck) row on clustered ones
+      val keyCols = pkCols ++ cks.map(resolve)
+      // staged-row lineage for the intra-batch winner pick: the staged
+      // file will keep its `tb=<k>/<name>` under the table root after
+      // the commit's move, and `_metadata.row_index` is the stored-row
+      // ordinal `_pos` counts — so (rel, row_index) is a valid POSITION
+      // vector target for the files this very commit places
+      val sfile = "_iu_sfile"; val spos = "_iu_spos"
+      val stagedLin = alignToStored(path,
+        spark.read.option("mergeSchema", "true").parquet(stagedAbs: _*)
+          .withColumn(sfile, org.apache.spark.sql.functions
+            .col("_metadata.file_path"))
+          .withColumn(spos, org.apache.spark.sql.functions
+            .col("_metadata.row_index").cast("long")),
+        keep = Seq(sfile, spos))
+      // ONE aggregation serves three needs: the keys' owning buckets
+      // (a ≤ Buckets-row distinct — bounded by the ring width, never
+      // data volume), the intra-batch duplicate flag, and the LWW
+      // winner per duplicated key (max (file, ordinal) = last written,
+      // deterministic for a given staging layout)
+      val winCol = org.apache.spark.sql.functions
+        .max(org.apache.spark.sql.functions.struct(col(sfile), col(spos)))
+      val keyAgg = stagedLin.groupBy(keyCols.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("_iu_n"),
+          winCol.as("_iu_w"))
+      val keysDf = keyAgg.select(keyCols.map(col): _*)
+      val bucketCol =
+        if (pkCols.size == 1) TokenLayout.bucketOfColumn(
+          col(pkCols.head), incoming.schema(pkCols.head).dataType)
+        else TokenLayout.bucketOfComposite(pkCols.map(col))
+      val bucketRows = keyAgg.select(bucketCol.as("tb"), col("_iu_n"))
+        .groupBy("tb")
+        .agg(org.apache.spark.sql.functions.max("_iu_n").as("mx"))
+        .collect()
+      val buckets = bucketRows.map(_.getInt(0)).toSet
+      val hasDups = bucketRows.exists(_.getLong(1) > 1L)
+      // losers of intra-batch duplicates, addressed as (placed rel,
+      // stored ordinal); empty frame when the batch is duplicate-free.
+      // `element_at(split(path,'/'), -2)` is the `tb=<k>` dir the
+      // committer moves the file under verbatim.
+      import org.apache.spark.sql.functions.{element_at, split => fsplit,
+        concat, lit => flit, struct => fstruct}
+      def relOf(c: org.apache.spark.sql.Column) = concat(
+        element_at(fsplit(c, "/"), -2), flit("/"), element_at(fsplit(c, "/"), -1))
+      lazy val losers = stagedLin
+        .join(keyAgg.filter(col("_iu_n") > 1L), keyCols)
+        .filter(fstruct(col(sfile), col(spos)) =!= col("_iu_w"))
+        .select(relOf(col(sfile)).as(TokenRangeSource.FileCol),
+          col(spos).as(TokenRangeSource.PosCol))
+      // the batch with intra-batch losers dropped — what actually
+      // becomes visible, and what the change feed must image
+      lazy val deduped =
+        if (!hasDups) incoming
+        else stagedLin.join(keyAgg, keyCols)
+          .filter(col("_iu_n") === 1L ||
+            fstruct(col(sfile), col(spos)) === col("_iu_w"))
+          .select(incoming.schema.fieldNames.map(col): _*)
+      val bucketRel = TokenRangeSource.visibleRelFiles(path, pinned)
+        .collect { case (k, rel) if buckets(k) => rel }
+      // POINT-INSERT narrowing: small single-key-column batches probe
+      // each candidate file's pk bloom/dictionary (cached, the same
+      // probe point lookups use) so a hot-path small INSERT binds only
+      // the files that might actually hold its keys — and a DISJOINT
+      // insert binds NOTHING and stays a plain append. Larger batches
+      // (or composite pks) keep the bucket grain: they overlap widely
+      // anyway, and an inert vector row is harmless by construction.
+      // On clustered tables the probe stays pk-valued (the bloom is on
+      // the pk column); overbinding a file lacking the exact (pk, ck)
+      // is inert for the same reason.
+      val fewKeys: Option[Seq[Any]] =
+        if (pkCols.size != 1 || bucketRel.isEmpty) None
         else {
-          val liter = org.apache.spark.sql.functions.lit _
-          val ct = TokenRangeSource.ChangeTypeCol
-          val cols = incoming.schema.fieldNames.map(col).toSeq
-          val cdfRel =
-            if (!TokenRangeSource.changeFeedEnabled(path)) None
-            else {
-              // the upsert classification (same as [[upsert]] dv-mode):
-              // stored rows whose key is re-bound are pre/post image
-              // pairs, unseen keys are inserts — vector-merged at the pin
-              val old = readFilesAligned(spark, path, affectedRel
-                .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
-              val oldKeys = old.select(pkCols.map(col): _*).distinct()
-              val pre = old.join(keysDf, pkCols, "left_semi")
-                .select(cols: _*).withColumn(ct, liter("update_preimage"))
-              val post = incoming.join(oldKeys, pkCols, "left_semi")
-                .select(cols: _*).withColumn(ct, liter("update_postimage"))
-              val ins = incoming.join(oldKeys, pkCols, "left_anti")
-                .select(cols: _*).withColumn(ct, liter("insert"))
-              Some(writeCdfSidecar(path, pre.unionByName(post).unionByName(ins)))
-            }
-          val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
-          keysDf.coalesce(1).write.mode("error")
-            .parquet(new java.io.File(path, dvRel).getAbsolutePath)
-          Some((affectedRel.map(_ -> dvRel), cdfRel, pinned))
+          val few = keysDf.select(col(pkCols.head)).distinct()
+            .limit(DvAutoMaxKeys + 1).collect()
+          if (few.length > DvAutoMaxKeys) None
+          else Some(few.map(_.get(0)).toSeq)
         }
+      val affectedRel = fewKeys match {
+        case Some(ks) =>
+          val dt = incoming.schema(pkCols.head).dataType
+          bucketRel.filter(rel => TokenRangeSource.fileMightContain(
+            new java.io.File(path, rel).getAbsolutePath,
+            pkCols.head, dt, ks))
+        case None => bucketRel
+      }
+      if (affectedRel.isEmpty && !hasDups) None
+      else {
+        val liter = org.apache.spark.sql.functions.lit _
+        val ct = TokenRangeSource.ChangeTypeCol
+        val cols = incoming.schema.fieldNames.map(col).toSeq
+        val cdfRel =
+          if (!TokenRangeSource.changeFeedEnabled(path)) None
+          else {
+            // the upsert classification (same as [[upsert]] dv-mode):
+            // stored rows whose key is re-bound are pre/post image
+            // pairs, unseen keys are inserts — vector-merged at the pin,
+            // and imaged from the DEDUPED batch (a loser row never
+            // becomes visible, so it never reaches the feed)
+            val old =
+              if (affectedRel.isEmpty)
+                spark.createDataFrame(new java.util.ArrayList[
+                  org.apache.spark.sql.Row](), incoming.schema)
+              else readFilesAligned(spark, path, affectedRel
+                .map(rel => new java.io.File(path, rel).getAbsolutePath), pinned)
+            val oldKeys = old.select(keyCols.map(col): _*).distinct()
+            val pre = old.join(keysDf, keyCols, "left_semi")
+              .select(cols: _*).withColumn(ct, liter("update_preimage"))
+            val post = deduped.join(oldKeys, keyCols, "left_semi")
+              .select(cols: _*).withColumn(ct, liter("update_postimage"))
+            val ins = deduped.join(oldKeys, keyCols, "left_anti")
+              .select(cols: _*).withColumn(ct, liter("insert"))
+            Some(writeCdfSidecar(path, pre.unionByName(post).unionByName(ins)))
+          }
+        // pre-existing generations: one KEY vector binding every
+        // affected old file. SIDECAR CONVENTION: timestamp key columns
+        // store as LONG µs (`unix_micros`) — the sink stores timestamps
+        // as raw INT64 µs and a vanilla session would write the sidecar
+        // as INT96 otherwise (the library must not depend on
+        // outputTimestampType); both read boundaries (the task reader's
+        // loadDv and dvMergeLineaged's tomb frame) convert back.
+        val oldBind: Seq[(String, String)] =
+          if (affectedRel.isEmpty) Nil
+          else {
+            val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
+            keysDf.select(keyCols.map { n =>
+              if (incoming.schema(n).dataType == TimestampType)
+                org.apache.spark.sql.functions.unix_micros(col(n)).as(n)
+              else col(n)
+            }: _*).coalesce(1).write.mode("error")
+              .parquet(new java.io.File(path, dvRel).getAbsolutePath)
+            affectedRel.map(_ -> dvRel)
+          }
+        // intra-batch losers: one POSITION vector binding the staged
+        // files that carry them (placed in the same flip)
+        val stagedBind: Seq[(String, String)] =
+          if (!hasDups) Nil
+          else {
+            val dvRel = s"_dv/${java.util.UUID.randomUUID().toString.take(12)}"
+            val rows = losers.persist()
+            try {
+              val rels = rows.select(TokenRangeSource.FileCol).distinct()
+                .collect().map(_.getString(0)).toSeq
+              if (rels.isEmpty) Nil
+              else {
+                rows.coalesce(1).write.mode("error")
+                  .parquet(new java.io.File(path, dvRel).getAbsolutePath)
+                rels.map(_ -> dvRel)
+              }
+            } finally { rows.unpersist(); () }
+          }
+        if (oldBind.isEmpty && stagedBind.isEmpty) None
+        else Some((oldBind ++ stagedBind, cdfRel, pinned))
       }
     }
 
@@ -4727,7 +5036,18 @@ object TokenRangeOps {
     * crossing it is auto-compacted by [[vectorSweep]] after the commit
     * that crossed it. Cassandra's droppable-tombstone-ratio compaction
     * trigger, at binding grain (each binding is one read-side anti-join
-    * the rewrite clears). 0 disables the sweep. */
+    * the rewrite clears). 0 disables the sweep.
+    *
+    * COST CONTRACT (ADVICE r17): the sweep runs in the committing
+    * statement's TAIL — after the flip, outside the lock, best-effort
+    * (a sweep failure never fails the committed statement) — so the
+    * small-DML path a vector keeps cheap stays cheap until a file's
+    * 9th binding, at which point that one statement pays the victim
+    * file's rewrite. Latency-sensitive tables opt out per table
+    * (`CALL system.set_vector_compaction(t, 0)` or
+    * `dv.properties compact_after=0`) and schedule
+    * `CALL system.compact_vectors(t)` on their own maintenance cadence
+    * instead. */
   private[connector] val DvCompactAfterDefault = 8
 
   private[connector] def dvCompactAfter(path: String): Int = {
@@ -4774,6 +5094,9 @@ object TokenRangeOps {
         val abs = victims.map(rel => new java.io.File(path, rel).getAbsolutePath)
         readFilesAligned(spark, path, abs, pinned)
           .write.format(fmt).option("pk", pk)
+          // clustered tables keep their physical slab sort through the
+          // rewrite (the ck-slice prune's bite on compacted files, r18)
+          .options(TokenRangeSource.recordedCk(path).map("ck" -> _).toMap)
           .option("opKind", "compact")
           .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
           .option("replaceFiles", victims.mkString("\n"))
@@ -4802,13 +5125,105 @@ object TokenRangeOps {
           "TokenRangeOps.compactVectors manually if this persists")
     }
 
+  // ---- size/count-tiered AUTO-COMPACTION (r18, VERDICT r17 missing #5) ----
+
+  /** Record the per-bucket live-file bound past which the automatic
+    * [[fileSweep]] compacts that bucket (Cassandra's size-tiered
+    * compaction trigger, at file-count grain — many small appends land
+    * many part files per bucket and every later scan pays their open
+    * cost). Last-writer-wins; 0 (the default) disables the sweep: unlike
+    * the vector sweep this is OPT-IN, because append-heavy tables that
+    * prefer scheduled maintenance should not buy a mid-statement rewrite
+    * silently (the ADVICE r17 lesson on sweep defaults). Declared at
+    * CREATE via `TBLPROPERTIES('compact.files_per_bucket'='N')` or per
+    * table via `CALL system.set_file_compaction(t, N)`. */
+  def setFileCompaction(path: String, filesPerBucket: Int): Unit =
+    TokenRangeSource.manifestIO.write(
+      new java.io.File(TokenRangeSource.manifestDir(path),
+        "compact.properties").getPath,
+      s"files_per_bucket=$filesPerBucket")
+
+  private[connector] def filesPerBucketBound(path: String): Int = {
+    val f = new java.io.File(
+      TokenRangeSource.manifestDir(path), "compact.properties").getPath
+    if (!TokenRangeSource.manifestIO.exists(f)) 0
+    else TokenRangeSource.manifestIO.read(f).split('\n').collectFirst {
+      case l if l.startsWith("files_per_bucket=") =>
+        l.stripPrefix("files_per_bucket=").trim.toInt
+    }.getOrElse(0)
+  }
+
+  /** SELECTIVE fragmentation compaction: rewrite exactly the buckets
+    * holding at least `threshold` live files — each hot bucket's files
+    * fold into fresh rolled segments in ONE flip while cold buckets (and
+    * their files) survive by reference. Content-preserving (reads are
+    * vector-merged, so bindings on victims die applied), publishes as
+    * `#op compact`, CDC-transparent. Returns the number of buckets
+    * compacted. Cost is O(hot buckets' data), never a table rewrite —
+    * at 100 TB this is the difference between compaction tracking the
+    * ingest hot spot and rewriting the ring. */
+  def compactFragmented(spark: SparkSession, path: String,
+      threshold: Int): Int = {
+    require(threshold >= 2, s"compactFragmented threshold must be >= 2")
+    val pk = TokenRangeSource.recordedPk(path)
+      .getOrElse(throw new IllegalStateException(
+        s"token-range fragmentation compaction at $path requires a recorded pk"))
+    withConflictRetry("fragment-compact") {
+      val pinned = TokenRangeSource.currentVersion(path)
+      val byBucket = TokenRangeSource.visibleRelFiles(path, pinned)
+        .groupBy(_._1)
+      val victims = byBucket.collect {
+        case (_, files) if files.size >= threshold => files.map(_._2)
+      }.flatten.toSeq.sorted
+      onSnapshotPinned()
+      if (victims.isEmpty) 0
+      else {
+        val abs = victims.map(rel => new java.io.File(path, rel).getAbsolutePath)
+        val t = readFilesAligned(spark, path, abs, pinned)
+        // route each hot bucket's rows to ONE task → one output file per
+        // bucket (the same ring repartition [[compact]] folds by) — a
+        // straight rewrite would re-emit one file per input partition and
+        // never reduce the count it exists to reduce
+        val pks = pk.split(',').map(_.trim).toSeq
+        val bucketExpr =
+          if (pks.size == 1) TokenLayout.bucketOfColumn(
+            col(pks.head), t.schema(pks.head).dataType)
+          else TokenLayout.bucketOfComposite(pks.map(col))
+        t.repartition(TokenLayout.Buckets, bucketExpr)
+          .write.format(fmt).option("pk", pk)
+          .options(TokenRangeSource.recordedCk(path).map("ck" -> _).toMap)
+          .option("opKind", "compact")
+          .options(pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
+          .option("replaceFiles", victims.mkString("\n"))
+          .mode("append").save(path)
+        byBucket.count(_._2.size >= threshold)
+      }
+    }
+  }
+
+  /** The post-append fragmentation sweep hook — best-effort, opt-in
+    * (see [[setFileCompaction]]): an append that pushes a bucket past
+    * the recorded bound folds that bucket in the statement's tail. */
+  private[connector] def fileSweep(spark: SparkSession, path: String): Unit =
+    try {
+      val thr = filesPerBucketBound(path)
+      if (thr >= 2 && TokenRangeSource.recordedPk(path).isDefined) {
+        compactFragmented(spark, path, thr); ()
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[token-range] fragmentation sweep at $path " +
+          s"failed: ${e.getMessage} — small files keep accumulating; run " +
+          "TokenRangeOps.compactFragmented manually if this persists")
+    }
+
   /** Project `raw` onto the table's CURRENT stored view: missing columns
     * NULL-filled, dtypes cast, extra columns dropped. Rewrites pass
     * through this so a version-PINNED read (which serves that version's
     * own schema — possibly including since-DROPped columns, r15) never
     * leaks a dropped column back into rewritten files. */
   private def alignToStored(path: String,
-      raw: DataFrame): DataFrame =
+      raw: DataFrame, keep: Seq[String] = Nil): DataFrame =
     TokenRangeSource.storedSchema(path) match {
       case None => raw
       case Some(ts) =>
@@ -4817,7 +5232,7 @@ object TokenRangeOps {
           (if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType)
            else org.apache.spark.sql.functions.lit(null).cast(f.dataType))
             .as(f.name)
-        }.toSeq: _*)
+        }.toSeq ++ keep.map(col): _*)
     }
 
   /** CQL's INSERT-IS-UPSERT at the connector layer: replace-by-partition-

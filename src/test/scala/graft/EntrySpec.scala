@@ -223,9 +223,17 @@ class EntrySpec extends SparkSpec {
     // vector-suppressed by position, no survivor rewrite),
     // +wc_insert_upsert (TBLPROPERTIES insert='upsert': plain SQL
     // INSERT replaces by key via a key vector — CQL's INSERT semantic
-    // write-side) → 242/242.
-    assert(SparkEntry.queries.size == 242, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 242, s"got ${SparkEntry.oracleSql.size}")
+    // write-side) → 242/242. r18: +wc_insert_upsert_clustered (the
+    // (pk, ck)-grain key vector: blind INSERT upserts by the full
+    // primary key on clustered tables — the reference's messages write
+    // exactly, with intra-batch LWW), +wc_ttl_mor (expire mode=dv:
+    // wholly-expired files retire unread, the straddler's expired rows
+    // are position-vectored, nothing rewritten), +wc_multi_ck_slice
+    // (PRIMARY KEY ((a), b, c): the full clustering LIST — write-side
+    // lexicographic slab sort + leader-range prefix-slice prune)
+    // → 245/245.
+    assert(SparkEntry.queries.size == 245, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 245, s"got ${SparkEntry.oracleSql.size}")
   }
 
   test("SURVEY §2 census matches SparkEntry.queries (no name drift)") {

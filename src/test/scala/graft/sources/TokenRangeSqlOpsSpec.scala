@@ -57,17 +57,195 @@ class TokenRangeSqlOpsSpec extends SparkSpec {
     assert(TokenRangeSource.dvBindings(path).isEmpty,
       "disjoint keys need no vector — the append is already exact")
     assert(b2.subsetOf(TokenRangeOps.liveFiles(path).toSet))
-    // refusals: clustered tables, unknown modes
-    val ex = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE $cat.ks.bad (pk BIGINT, ck BIGINT, v STRING)
-        TBLPROPERTIES('pk'='pk', 'ck'='ck', 'insert'='upsert')""")
-    }
-    assert(ex.getMessage.contains("unclustered"), ex.getMessage)
+    // refusal: unknown modes (the r17 clustered refusal is gone — r18's
+    // tuple-grain vector serves clustered tables, tested below)
     val ex2 = intercept[Exception] {
       spark.sql(s"""CREATE TABLE $cat.ks.bad2 (pk BIGINT, v STRING)
         TBLPROPERTIES('pk'='pk', 'insert'='wat')""")
     }
     assert(ex2.getMessage.contains("'upsert'"), ex2.getMessage)
+  }
+
+  test("insert='upsert' on a CLUSTERED table: (pk, ck)-grain replacement + " +
+      "intra-batch LWW (r18)") {
+    val (cat, wh) = freshCat("insupck")
+    spark.sql(s"""CREATE TABLE $cat.ks.msgs
+      (channel BIGINT, msg BIGINT, body STRING)
+      TBLPROPERTIES('pk'='channel', 'ck'='msg', 'insert'='upsert')""")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "msgs")
+      .getAbsolutePath
+    TokenRangeOps.enableChangeFeed(path)
+    // 4 channels × 6 messages
+    spark.sql(s"INSERT INTO $cat.ks.msgs " +
+      "SELECT id % 4, id DIV 4, concat('v1-', id % 4, '-', id DIV 4) " +
+      "FROM range(0, 24)")
+    val before = TokenRangeOps.liveFiles(path).toSet
+    // re-delivered write: channel 1's messages 0..2 replaced — CQL
+    // upserts by (channel, msg); the OTHER messages of channel 1 and
+    // every other channel must survive untouched
+    spark.sql(s"INSERT INTO $cat.ks.msgs " +
+      "SELECT 1, id, concat('v2-1-', id) FROM range(0, 3)")
+    val after = TokenRangeOps.liveFiles(path).toSet
+    assert(before.subsetOf(after),
+      "clustered insert-upsert is a BLIND write: nothing rewritten")
+    assert(TokenRangeSource.dvBindings(path).nonEmpty)
+    val t = spark.sql(s"SELECT channel, msg, body FROM $cat.ks.msgs").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(t.size == 24, s"no (pk, ck) may duplicate, got ${t.size}")
+    assert(t((1L, 0L)) == "v2-1-0" && t((1L, 2L)) == "v2-1-2")
+    assert(t((1L, 3L)) == "v1-1-3", "ck siblings of replaced rows survive")
+    assert(t((0L, 0L)) == "v1-0-0" && t((3L, 5L)) == "v1-3-5")
+    // the change feed records TRUE (pk, ck)-grain update images
+    val feed = spark.sql(
+      s"SELECT _change_type, channel, msg, body FROM $cat.ks.`msgs$$changes`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(feed.count(x =>
+      x._1 == "update_preimage" && x._2 == 1L && x._3 == 1L &&
+        x._4 == "v1-1-1") == 1)
+    assert(feed.count(x =>
+      x._1 == "update_postimage" && x._2 == 1L && x._3 == 1L &&
+        x._4 == "v2-1-1") == 1)
+    assert(!feed.exists(x => x._1 == "update_preimage" && x._3 == 3L),
+      "a surviving ck sibling must not be imaged")
+    // INTRA-BATCH duplicates (ADVICE r17): one statement inserting the
+    // same (pk, ck) twice keeps exactly ONE row — the losers are
+    // position-vectored in the statement's own files, still blind
+    val b2 = TokenRangeOps.liveFiles(path).toSet
+    spark.sql(s"INSERT INTO $cat.ks.msgs VALUES " +
+      "(7, 100, 'dup-a'), (7, 100, 'dup-b'), (7, 101, 'only')")
+    assert(b2.subsetOf(TokenRangeOps.liveFiles(path).toSet))
+    val dup = spark.sql(
+      s"SELECT body FROM $cat.ks.msgs WHERE channel = 7 AND msg = 100")
+      .collect().map(_.getString(0))
+    assert(dup.length == 1, s"intra-batch LWW keeps one row, got ${dup.length}")
+    assert(spark.sql(s"SELECT body FROM $cat.ks.msgs " +
+      "WHERE channel = 7 AND msg = 101").count() == 1)
+    // compaction applies generations physically; results unchanged
+    TokenRangeOps.compact(spark, path, "channel")
+    assert(TokenRangeSource.dvBindings(path).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ks.msgs").head().getLong(0)
+      == 26L)
+    assert(spark.sql(s"SELECT body FROM $cat.ks.msgs " +
+      "WHERE channel = 1 AND msg = 2").head().getString(0) == "v2-1-2")
+  }
+
+  test("multi-clustering-key tables: PRIMARY KEY ((a), b, c) — full " +
+      "lexicographic slab sort + component slice prune (r18)") {
+    val (cat, wh) = freshCat("mck")
+    // CLUSTERING ORDER BY (b ASC, c DESC) — the reference's own DESC
+    // shape on the second component
+    spark.sql(s"""CREATE TABLE $cat.ks.t (a BIGINT, b BIGINT, c BIGINT, v STRING)
+      TBLPROPERTIES('pk'='a', 'ck'='b ASC, c DESC')""")
+    spark.sql(s"INSERT INTO $cat.ks.t " +
+      "SELECT id % 2, (id DIV 2) % 5, id, concat('v', id) FROM range(0, 40)")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    // every bucket FILE is sorted lexicographically by (b ASC, c DESC)
+    graft.sources.connector.TokenRangeOps.liveFiles(path).foreach { rel =>
+      val f = new java.io.File(path, rel).getAbsolutePath
+      val rows = spark.read.parquet(f).select("b", "c").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val expected = rows.sortBy { case (b, c) => (b, -c) }.toSeq
+      assert(rows.toSeq == expected, s"file $f must be (b ASC, c DESC)-sorted")
+    }
+    // reads honor the tuple identity: slices on the SECOND component
+    // compose with leader equality
+    val got = spark.sql(s"SELECT c FROM $cat.ks.t " +
+      "WHERE a = 1 AND b = 2 AND c >= 20 AND c < 30 ORDER BY c").collect()
+      .map(_.getLong(0))
+    val want = (0L until 40L).filter(id => id % 2 == 1 && (id / 2) % 5 == 2)
+      .filter(c => c >= 20 && c < 30).sorted
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    // slab layout: two time-correlated loads → a leader range prunes files
+    spark.sql(s"""CREATE TABLE $cat.ks.slab (a BIGINT, b BIGINT, c BIGINT)
+      TBLPROPERTIES('pk'='a', 'ck'='b, c')""")
+    spark.sql(s"INSERT INTO $cat.ks.slab SELECT 1, id, id FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.ks.slab SELECT 1, id, id FROM range(100, 200)")
+    val probe = spark.sql(s"SELECT * FROM $cat.ks.slab WHERE a = 1 AND b < 50")
+    val plan = probe.queryExecution.executedPlan.toString()
+    val pruned = "PrunedFiles: (\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(pruned.isDefined &&
+      pruned.get.group(1).toInt < pruned.get.group(2).toInt,
+      s"leader-range slice must prune slab files: ${plan.take(300)}")
+    assert(probe.count() == 50L)
+  }
+
+  test("compact.files_per_bucket: fragmentation auto-compaction folds hot " +
+      "buckets only (r18)") {
+    val (cat, wh) = freshCat("frag")
+    spark.sql(s"""CREATE TABLE $cat.ks.t (pk BIGINT, v STRING)
+      TBLPROPERTIES('pk'='pk', 'compact.files_per_bucket'='4')""")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    def byBucket(): Map[String, Set[String]] =
+      TokenRangeOps.liveFiles(path).toSet.groupBy(f =>
+        new java.io.File(f).getParentFile.getName)
+    // cold keys land once each; the hot key appends one file per statement
+    spark.sql(s"INSERT INTO $cat.ks.t VALUES (100, 'c1'), (200, 'c2'), (300, 'c3')")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $cat.ks.t VALUES (1, 'h$i')"))
+    val before = byBucket()
+    assert(before.values.forall(_.size < 4), "below threshold: no fold yet")
+    // the 4th hot append crosses the bound — the statement's tail folds
+    // exactly the hot bucket; cold buckets survive BY REFERENCE
+    spark.sql(s"INSERT INTO $cat.ks.t VALUES (1, 'h4')")
+    val after = byBucket()
+    assert(after.values.forall(_.size < 4),
+      s"the hot bucket must fold below the bound, got ${after.view.mapValues(_.size).toMap}")
+    before.filter(_._2.size < 3).foreach { case (b, fs) =>
+      assert(after(b) == fs, s"cold bucket $b must survive by reference")
+    }
+    // reads identical: every appended row visible exactly once
+    val vs = spark.sql(s"SELECT v FROM $cat.ks.t").collect()
+      .map(_.getString(0)).sorted
+    assert(vs.toSeq == Seq("c1", "c2", "c3", "h1", "h2", "h3", "h4"))
+    // the fold is #op compact: CDC-transparent (feed-wise a no-op) and
+    // visible in t$history
+    val ops = spark.sql(s"SELECT op FROM $cat.ks.`t$$history`").collect()
+      .map(_.getString(0))
+    assert(ops.contains("compact"))
+    // opt-out: 0 disables; bad bounds refused
+    spark.sql(s"CALL $cat.system.set_file_compaction('ks.t', 0)")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO $cat.ks.t VALUES (2, 'x$i')"))
+    assert(byBucket().values.exists(_.size >= 4),
+      "a disabled sweep must let files accumulate")
+    val ex = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.ks.bad (pk BIGINT, v STRING)
+        TBLPROPERTIES('pk'='pk', 'compact.files_per_bucket'='1')""")
+    }
+    assert(ex.getMessage.contains(">= 2"), ex.getMessage)
+  }
+
+  test("`t$files` metadata table: file-grain triage through plain SQL (r18)") {
+    val (cat, wh) = freshCat("files")
+    spark.sql(s"""CREATE TABLE $cat.ks.t (pk BIGINT, ck BIGINT, v STRING)
+      TBLPROPERTIES('pk'='pk', 'ck'='ck', 'dml'='mor')""")
+    spark.sql(s"INSERT INTO $cat.ks.t " +
+      "SELECT id % 3, id, concat('a', id) FROM range(0, 30)")
+    spark.sql(s"INSERT INTO $cat.ks.t " +
+      "SELECT id % 3, id, concat('b', id) FROM range(30, 60)")
+    spark.sql(s"DELETE FROM $cat.ks.t WHERE pk = 1 AND ck = 4") // vector
+    val rows = spark.sql(s"SELECT * FROM $cat.ks.`t$$files`").collect()
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t")
+      .getAbsolutePath
+    val live = TokenRangeOps.liveFiles(path)
+    assert(rows.length == live.size, s"one row per live file")
+    assert(rows.map(_.getAs[String]("file")).toSet
+      == live.map(f => f.split('/').takeRight(2).mkString("/")).toSet)
+    // census arithmetic: rows sum to STORED rows (vector-suppressed rows
+    // still stored), bytes positive, ck min/max cover the ingest domain
+    assert(rows.map(_.getAs[Long]("rows")).sum == 60L)
+    assert(rows.forall(_.getAs[Long]("bytes") > 0L))
+    assert(rows.forall(r => r.getAs[String]("pk_min").toLong >= 0L &&
+      r.getAs[String]("pk_max").toLong <= 2L))
+    assert(rows.map(_.getAs[String]("ck_min").toLong).min == 0L)
+    assert(rows.map(_.getAs[String]("ck_max").toLong).max == 59L)
+    // exactly the deleted row's file carries the one live binding
+    assert(rows.map(_.getAs[Int]("deletion_vectors")).sum == 1)
+    // added_version distinguishes the two ingest tranches
+    assert(rows.map(_.getAs[Int]("added_version")).distinct.sorted.size >= 2)
+    // file-grain SQL triage, the use case: vector debt per bucket
+    val debt = spark.sql(s"SELECT bucket, sum(deletion_vectors) AS d " +
+      s"FROM $cat.ks.`t$$files` GROUP BY bucket ORDER BY d DESC").collect()
+    assert(debt.map(_.getAs[Long]("d")).sum == 1L)
   }
 
   test("`t$history` metadata table: DESCRIBE HISTORY by name through plain SQL (r17)") {
