@@ -171,6 +171,17 @@ final class TokenRangeCatalog extends TableCatalog with SupportsNamespaces
       if (tableExists(base))
         return new TokenRangeFilesTable(tableDir(base).getAbsolutePath)
     }
+    // PARTITIONS metadata table (r18): the bucket-grain rollup of
+    // `t$files` — one row per non-empty token-range bucket with its file
+    // count, row/byte totals and vector debt. The ring-health dashboard
+    // (fragmentation hot spots, skewed buckets, tombstone debt) as one
+    // SQL scan; `wc_partition_stats` tells the same story at the DATA
+    // layer, this is the STORAGE layer's.
+    if (n.endsWith("$partitions") && !tableExists(ident)) {
+      val base = Identifier.of(ident.namespace(), n.stripSuffix("$partitions"))
+      if (tableExists(base))
+        return new TokenRangePartitionsTable(tableDir(base).getAbsolutePath)
+    }
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         catalogName +: ident.namespace().toSeq :+ ident.name())
@@ -679,4 +690,69 @@ private[connector] final class TokenRangeFilesTable(path: String)
 
 private[connector] final case class TokenRangeFilesPartition(
     rows: Array[TokenRangeSource.FileCensusRow])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** `ks.`t$partitions`` (r18) — the bucket-grain rollup of [[TokenRangeFilesTable]]:
+  * file count, row/byte totals and live vector-binding debt per
+  * non-empty bucket, from the same one-footer-read-per-file census. */
+private[connector] final class TokenRangePartitionsTable(path: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types._
+
+  private val partsSchema = StructType(Array(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("deletion_vectors", IntegerType, nullable = false)))
+
+  override def name(): String = s"token_range_partitions($path)"
+  override def schema(): StructType = partsSchema
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = partsSchema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"TokenRangePartitionsScan path=$path"
+        override def planInputPartitions(): Array[InputPartition] = {
+          val rolled = TokenRangeSource.filesCensus(path)
+            .groupBy(_.bucket).toArray.sortBy(_._1)
+            .map { case (b, fs) =>
+              (b, fs.length, fs.map(_.nRows).sum, fs.map(_.nBytes).sum,
+                fs.map(_.nVectors).sum)
+            }
+          Array(TokenRangePartitionsPartition(rolled))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(p: InputPartition)
+                : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+              val rows = p.asInstanceOf[TokenRangePartitionsPartition].rows
+              new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < rows.length }
+                override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+                  val (b, nf, nr, nb, dv) = rows(i)
+                  new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                    Array[Any](b, nf, nr, nb, dv))
+                }
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+private[connector] final case class TokenRangePartitionsPartition(
+    rows: Array[(Int, Int, Long, Long, Int)])
     extends org.apache.spark.sql.connector.read.InputPartition

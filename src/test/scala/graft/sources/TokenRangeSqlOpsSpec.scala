@@ -246,6 +246,13 @@ class TokenRangeSqlOpsSpec extends SparkSpec {
     val debt = spark.sql(s"SELECT bucket, sum(deletion_vectors) AS d " +
       s"FROM $cat.ks.`t$$files` GROUP BY bucket ORDER BY d DESC").collect()
     assert(debt.map(_.getAs[Long]("d")).sum == 1L)
+    // `t$partitions` is exactly that rollup, served directly (r18)
+    val parts = spark.sql(s"SELECT * FROM $cat.ks.`t$$partitions`").collect()
+    assert(parts.map(_.getAs[Long]("rows")).sum == 60L)
+    assert(parts.map(_.getAs[Int]("n_files")).sum == rows.length)
+    assert(parts.map(_.getAs[Int]("deletion_vectors")).sum == 1)
+    assert(parts.map(_.getAs[Int]("bucket")).toSet
+      == rows.map(_.getAs[Int]("bucket")).toSet)
   }
 
   test("`t$history` metadata table: DESCRIBE HISTORY by name through plain SQL (r17)") {
