@@ -3514,13 +3514,61 @@ private[connector] final class TokenRangeBatchWrite(path: String,
     val insertUpsert = !doTruncate && replace.isEmpty && opKind.isEmpty &&
       dvBind.isEmpty && !rowOpColumn && staged.nonEmpty &&
       TokenRangeSource.recordedInsertMode(path).contains("upsert")
-    val (effDvBind, effCdfRel, effSeen) =
-      if (!insertUpsert) (dvBind, commitCdfRel, dvSeenVersion)
+    val iuPlan: Option[TokenRangeOps.InsertUpsertPlan] =
+      if (!insertUpsert) None
       else TokenRangeOps.insertUpsertBind(
-          org.apache.spark.sql.SparkSession.active, path, staged.toSeq) match {
-        case Some((bind, cdf, pin)) => (bind, cdf.orElse(commitCdfRel), pin)
-        case None => (dvBind, commitCdfRel, dvSeenVersion)
-      }
+        org.apache.spark.sql.SparkSession.active, path, staged.toSeq)
+    iuPlan match {
+      case Some(cow0: TokenRangeOps.InsertUpsertCowPlan) =>
+        // OVERSIZED statement (> dml.fallback_rows distinct keys, r18):
+        // complete as a copy-on-write replace-by-key in ONE nested flip
+        // — a data-sized key vector would tax every later read and the
+        // task readers' memory; this staging dir publishes nothing (the
+        // rewrite re-writes the batch's rows). Racing maintenance
+        // conflicts re-resolve from the fresh snapshot and retry.
+        try {
+          var p = cow0
+          var attempts = 0
+          var committed = false
+          while (!committed) {
+            try {
+              TokenRangeOps.insertUpsertCowRewrite(
+                org.apache.spark.sql.SparkSession.active, path, p)
+              committed = true
+            } catch {
+              case _: ManifestConflictException if attempts < 5 =>
+                attempts += 1
+                TokenRangeOps.insertUpsertBind(
+                    org.apache.spark.sql.SparkSession.active, path,
+                    staged.toSeq) match {
+                  case Some(c: TokenRangeOps.InsertUpsertCowPlan) => p = c
+                  case Some(_: TokenRangeOps.InsertUpsertBindPlan) =>
+                    // unreachable for a fixed batch: the cow decision
+                    // keys on the batch's distinct-key count alone
+                    throw new IllegalStateException(
+                      s"insert-upsert at $path: cow plan re-resolved to " +
+                        "a vector plan mid-retry — the key census " +
+                        "changed for an immutable staged batch")
+                  case None =>
+                    // no pre-existing file owns any key anymore and the
+                    // batch is duplicate-free at this grain: the cow
+                    // write degrades to a plain append of the batch
+                    p = p.copy(affectedRel = Nil,
+                      pinned = TokenRangeSource.currentVersion(path))
+                }
+            }
+          }
+        } finally
+          TokenRangeSource.deleteRecursively(
+            TokenRangeSource.stagingDir(path, writeId))
+        return
+      case _ => ()
+    }
+    val (effDvBind, effCdfRel, effSeen) = iuPlan match {
+      case Some(TokenRangeOps.InsertUpsertBindPlan(bind, cdf, pin)) =>
+        (bind, cdf.orElse(commitCdfRel), pin)
+      case _ => (dvBind, commitCdfRel, dvSeenVersion)
+    }
     try {
       TokenRangeSource.withCommitLock(path) {
         // LEGACY tables first (r11 review): a manifest-less table reads
@@ -3622,7 +3670,14 @@ private[connector] final class TokenRangeBatchWrite(path: String,
               TokenRangeOps.insertUpsertBind(
                   org.apache.spark.sql.SparkSession.active, path,
                   placedAbs) match {
-                case Some((b, c, p)) => bind = b; cdf = c; seen = p
+                case Some(TokenRangeOps.InsertUpsertBindPlan(b, c, p)) =>
+                  bind = b; cdf = c; seen = p
+                case Some(_: TokenRangeOps.InsertUpsertCowPlan) =>
+                  // unreachable for a fixed batch (the cow decision keys
+                  // on the batch's distinct-key count alone)
+                  throw new IllegalStateException(
+                    s"insert-upsert at $path: vector plan re-resolved " +
+                      "to a cow plan mid-retry")
                 case None =>
                   bind = Nil; cdf = commitCdfRel; seen = dvSeenVersion
               }
@@ -4857,9 +4912,25 @@ object TokenRangeOps {
     * re-binds from the fresh snapshot and retries (ADVICE r17); racing
     * appends of the same key stay concurrent blind writes, exactly
     * [[upsert]]'s dv-mode contract. */
+  /** How a qualifying plain append on an `insert='upsert'` table
+    * completes (r18): bind a deletion vector (the blind-write fast
+    * path), or — above `dml.fallback_rows` distinct keys — complete as
+    * a copy-on-write replace-by-key (a data-sized key vector would tax
+    * every later read AND readers load each bound sidecar's key set
+    * into task memory; the group rewrite pays once at write time —
+    * the same route-don't-refuse trade the mor DML fallback makes). */
+  private[connector] sealed trait InsertUpsertPlan
+  private[connector] final case class InsertUpsertBindPlan(
+      bind: Seq[(String, String)], cdfRel: Option[String],
+      pinned: Option[Int]) extends InsertUpsertPlan
+  private[connector] final case class InsertUpsertCowPlan(
+      affectedRel: Seq[String], pinned: Option[Int],
+      cdfRel: Option[String], keyCols: Seq[String], keysDf: DataFrame,
+      deduped: DataFrame) extends InsertUpsertPlan
+
   private[connector] def insertUpsertBind(spark: SparkSession, path: String,
       stagedAbs: Seq[String])
-      : Option[(Seq[(String, String)], Option[String], Option[Int])] =
+      : Option[InsertUpsertPlan] =
     TokenRangeSource.recordedPk(path).flatMap { pkRec =>
       val pinned = TokenRangeSource.currentVersion(path)
       val pks = pkRec.split(',').map(_.trim).toSeq
@@ -4907,10 +4978,13 @@ object TokenRangeOps {
         else TokenLayout.bucketOfComposite(pkCols.map(col))
       val bucketRows = keyAgg.select(bucketCol.as("tb"), col("_iu_n"))
         .groupBy("tb")
-        .agg(org.apache.spark.sql.functions.max("_iu_n").as("mx"))
+        .agg(org.apache.spark.sql.functions.max("_iu_n").as("mx"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("nk"))
         .collect()
       val buckets = bucketRows.map(_.getInt(0)).toSet
       val hasDups = bucketRows.exists(_.getLong(1) > 1L)
+      val nKeys = bucketRows.map(_.getLong(2)).sum
       // losers of intra-batch duplicates, addressed as (placed rel,
       // stored ordinal); empty frame when the batch is duplicate-free.
       // `element_at(split(path,'/'), -2)` is the `tb=<k>` dir the
@@ -4965,6 +5039,10 @@ object TokenRangeOps {
         val liter = org.apache.spark.sql.functions.lit _
         val ct = TokenRangeSource.ChangeTypeCol
         val cols = incoming.schema.fieldNames.map(col).toSeq
+        // STATEMENT-SIZE fallback (r18, the mor-DML trade at the INSERT
+        // path): past `dml.fallback_rows` distinct keys, complete
+        // copy-on-write — see [[InsertUpsertPlan]]
+        val cow = nKeys > TokenRangeSource.recordedMorFallbackRows(path)
         val cdfRel =
           if (!TokenRangeSource.changeFeedEnabled(path)) None
           else {
@@ -4988,6 +5066,9 @@ object TokenRangeOps {
               .select(cols: _*).withColumn(ct, liter("insert"))
             Some(writeCdfSidecar(path, pre.unionByName(post).unionByName(ins)))
           }
+        if (cow) Some(InsertUpsertCowPlan(affectedRel, pinned, cdfRel,
+          keyCols, keysDf, deduped))
+        else {
         // pre-existing generations: one KEY vector binding every
         // affected old file. SIDECAR CONVENTION: timestamp key columns
         // store as LONG µs (`unix_micros`) — the sink stores timestamps
@@ -5026,9 +5107,39 @@ object TokenRangeOps {
             } finally { rows.unpersist(); () }
           }
         if (oldBind.isEmpty && stagedBind.isEmpty) None
-        else Some((oldBind ++ stagedBind, cdfRel, pinned))
+        else Some(InsertUpsertBindPlan(oldBind ++ stagedBind, cdfRel, pinned))
+        }
       }
     }
+
+  /** Copy-on-write COMPLETION of an oversized INSERT-IS-UPSERT statement
+    * (r18 — [[InsertUpsertCowPlan]]): the affected old files' survivors
+    * (rows whose key the batch does NOT replace, vector-merged at the
+    * pin) plus the LWW-deduped incoming batch republish while the
+    * affected files retire, in ONE nested conflict-validated flip — the
+    * same semantics the vector path serves at read time, paid once at
+    * write time. The caller's staged files never place (the rewrite
+    * re-writes the batch's rows); its staging dir is reaped after. */
+  private[connector] def insertUpsertCowRewrite(spark: SparkSession,
+      path: String, plan: InsertUpsertCowPlan): Unit = {
+    val pk = TokenRangeSource.recordedPk(path)
+      .getOrElse(throw new IllegalStateException(
+        s"insert-upsert cow completion at $path requires a recorded pk"))
+    val out =
+      if (plan.affectedRel.isEmpty) plan.deduped
+      else readFilesAligned(spark, path,
+          plan.affectedRel.map(rel =>
+            new java.io.File(path, rel).getAbsolutePath), plan.pinned)
+        .join(plan.keysDf, plan.keyCols, "left_anti")
+        .unionByName(plan.deduped)
+    out.write.format(fmt).option("pk", pk)
+      .options(TokenRangeSource.recordedCk(path).map("ck" -> _).toMap)
+      .option("opKind", "upsert")
+      .options(plan.cdfRel.map("cdfRel" -> _).toMap)
+      .options(plan.pinned.map(v => "dvSeenVersion" -> v.toString).toMap)
+      .option("replaceFiles", plan.affectedRel.mkString("\n"))
+      .mode("append").save(path)
+  }
 
   // ---- deletion-vector COMPACTION policy (r17, VERDICT r16 #2) ------------
 

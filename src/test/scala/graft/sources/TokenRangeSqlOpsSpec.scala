@@ -130,6 +130,49 @@ class TokenRangeSqlOpsSpec extends SparkSpec {
       "WHERE channel = 1 AND msg = 2").head().getString(0) == "v2-1-2")
   }
 
+  test("insert='upsert' statement-size fallback: oversized batches " +
+      "complete copy-on-write, not as a data-sized vector (r18)") {
+    val (cat, wh) = freshCat("insupcow")
+    spark.sql(s"""CREATE TABLE $cat.ks.t (pk BIGINT, v STRING)
+      TBLPROPERTIES('pk'='pk', 'insert'='upsert', 'dml.fallback_rows'='8')""")
+    val path = new java.io.File(new java.io.File(wh, "ks"), "t").getAbsolutePath
+    TokenRangeOps.enableChangeFeed(path)
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('a', id) FROM range(0, 16)")
+    val before = TokenRangeOps.liveFiles(path).toSet
+    // 12 distinct keys > the 8-key bound: the SAME statement completes
+    // as a copy-on-write replace-by-key — affected files RETIRE (not
+    // vector-bound), and no key vector publishes
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('b', id) FROM range(4, 16)")
+    val after = TokenRangeOps.liveFiles(path).toSet
+    assert(!before.subsetOf(after),
+      "an oversized upsert must RETIRE the affected files (cow), not " +
+        "blind-append beside them")
+    assert(TokenRangeSource.dvBindings(path).isEmpty,
+      "the cow completion publishes no vector")
+    val t = spark.sql(s"SELECT pk, v FROM $cat.ks.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t.size == 16, s"no key may duplicate, got ${t.size}")
+    assert(t(2L) == "a2" && t(4L) == "b4" && t(15L) == "b15")
+    // the feed still records TRUE update images through the fallback
+    val feed = spark.sql(s"SELECT _change_type, pk, v FROM $cat.ks.`t$$changes`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(feed.count(x => x._1 == "update_preimage" && x._2 == 4L && x._3 == "a4") == 1)
+    assert(feed.count(x => x._1 == "update_postimage" && x._2 == 4L && x._3 == "b4") == 1)
+    // intra-batch duplicates still LWW-dedupe through the cow path
+    spark.sql(s"INSERT INTO $cat.ks.t " +
+      "SELECT id % 10 + 100, concat('c', id % 10) FROM range(0, 20)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ks.t WHERE pk >= 100")
+      .head().getLong(0) == 10L)
+    // small statements keep the blind vector path
+    val b2 = TokenRangeOps.liveFiles(path).toSet
+    spark.sql(s"INSERT INTO $cat.ks.t SELECT id, concat('d', id) FROM range(0, 3)")
+    assert(b2.subsetOf(TokenRangeOps.liveFiles(path).toSet),
+      "a small upsert stays a blind write")
+    assert(TokenRangeSource.dvBindings(path).nonEmpty)
+    assert(spark.sql(s"SELECT v FROM $cat.ks.t WHERE pk = 1").head().getString(0)
+      == "d1")
+  }
+
   test("multi-clustering-key tables: PRIMARY KEY ((a), b, c) — full " +
       "lexicographic slab sort + component slice prune (r18)") {
     val (cat, wh) = freshCat("mck")
