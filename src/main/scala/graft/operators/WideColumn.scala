@@ -1336,10 +1336,10 @@ object WideColumn extends QueryModule {
         .createOrReplaceTempView(src)
       // four time-correlated tranches: each load is one time slab of
       // files per bucket, the layout the leader-range prune selects in
-      Seq(("ts <= TIMESTAMP '2024-01-08'", ""),
-        ("ts > TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-15'", ""),
-        ("ts > TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-22'", ""),
-        ("ts > TIMESTAMP '2024-01-22'", "")).foreach { case (w, _) =>
+      Seq("ts <= TIMESTAMP '2024-01-08'",
+        "ts > TIMESTAMP '2024-01-08' AND ts <= TIMESTAMP '2024-01-15'",
+        "ts > TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-22'",
+        "ts > TIMESTAMP '2024-01-22'").foreach { w =>
         s.sql(s"INSERT INTO $cat.ks.mevents SELECT * FROM $src WHERE $w")
       }
       // prove the prefix-slice prune: a leader (ts) range keeps a strict

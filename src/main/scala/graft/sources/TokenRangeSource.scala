@@ -296,7 +296,10 @@ object TokenRangeSource {
           })
     }
     // footer stats of one column, rendered: min of mins / max of maxes
-    // across row groups via parquet's own comparators
+    // across row groups. BINARY (TEXT) stats compare with UNSIGNED
+    // lexicographic byte order — the order parquet's own truncation and
+    // every scan prune use; a signed compareTo would rank non-ASCII
+    // bytes (0x80+) below ASCII and report inverted bounds (review r18).
     def colStats(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
         name: String): (Option[String], Option[String]) = {
       val st = blocks.flatMap(_.getColumns.asScala
@@ -305,32 +308,56 @@ object TokenRangeSource {
         .filter(s => s != null && s.hasNonNullValue))
       if (st.isEmpty) (None, None)
       else {
+        def cmp(a: Any, b: Any): Int = (a, b) match {
+          case (x: org.apache.parquet.io.api.Binary,
+              y: org.apache.parquet.io.api.Binary) =>
+            val xb = x.getBytes; val yb = y.getBytes
+            var i = 0
+            val n = math.min(xb.length, yb.length)
+            while (i < n) {
+              val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+              if (d != 0) return d
+              i += 1
+            }
+            xb.length - yb.length
+          case (x, y) =>
+            x.asInstanceOf[Comparable[Any]].compareTo(y)
+        }
         def render(v: Any): String = v match {
           case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
           case other => String.valueOf(other)
         }
-        val mins = st.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
-        val maxs = st.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
-        (Some(render(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b))),
-          Some(render(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b))))
+        val mins = st.map(_.genericGetMin: Any)
+        val maxs = st.map(_.genericGetMax: Any)
+        (Some(render(mins.reduce((a, b) => if (cmp(a, b) <= 0) a else b))),
+          Some(render(maxs.reduce((a, b) => if (cmp(a, b) >= 0) a else b))))
       }
     }
+    // footer-derived fields memoized per IMMUTABLE file (review r18:
+    // each t$files/t$partitions query re-opened every live footer) —
+    // the same stands-in-for-a-stats-catalog trade as fileStatsCache
     live.sortBy(_._2).map { case (bucket, rel) =>
       val f = new java.io.File(path, rel)
-      val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath), new Configuration()))
-      val (nRows, pkMm, ckMm) =
-        try {
-          val blocks = fr.getFooter.getBlocks.asScala.toSeq
-          (blocks.map(_.getRowCount).sum,
-            pkCol.map(colStats(blocks, _)).getOrElse((None, None)),
-            ckCol.map(colStats(blocks, _)).getOrElse((None, None)))
-        } finally fr.close()
+      val (nRows, pkMm, ckMm) = censusFooterCache.computeIfAbsent(
+        f.getAbsolutePath, { abs =>
+          val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(abs), new Configuration()))
+          try {
+            val blocks = fr.getFooter.getBlocks.asScala.toSeq
+            (blocks.map(_.getRowCount).sum,
+              pkCol.map(colStats(blocks, _)).getOrElse((None, None)),
+              ckCol.map(colStats(blocks, _)).getOrElse((None, None)))
+          } finally fr.close()
+        })
       FileCensusRow(bucket, rel, nRows, f.length(),
         pkMm._1, pkMm._2, ckMm._1, ckMm._2,
         dvCount.getOrElse(rel, 0), firstSeen.get(rel))
     }.toArray
   }
+
+  private val censusFooterCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, (Option[String], Option[String]),
+      (Option[String], Option[String]))]()
 
   /** Newest version published AT OR BEFORE `millis` — the AS-OF-TIMESTAMP
     * resolution behind the scan's `asOfMillis` option. Resolves manifest
@@ -720,13 +747,17 @@ object TokenRangeSource {
     * clustered INSERT-IS-UPSERT's (pk, ck)-grain replacement (r18) —
     * and readers match rows on exactly the columns the sidecar carries
     * (the sidecar's schema IS its grain, same discrimination rule that
-    * already picks position vectors by their `_pos` field). */
+    * already picks position vectors by their `_pos` field). The third
+    * component flags pk members: a sidecar MUST carry every pk column
+    * (a partial-pk sidecar has no defined grain and must fail loudly,
+    * not over-delete — review r18); ck columns are the optional
+    * refinement. */
   private[connector] def dvKeyFieldsOf(path: String,
-      full: StructType): Array[(String, DataType)] =
-    pkFieldsOf(path, full) ++
+      full: StructType): Array[(String, DataType, Boolean)] =
+    pkFieldsOf(path, full).map { case (n, dt) => (n, dt, true) } ++
       recordedCk(path).toSeq.flatMap(spec => parseCkSpec(spec).flatMap {
         case (c, _) => full.fields.find(_.name.equalsIgnoreCase(c))
-          .map(f => (f.name, f.dataType))
+          .map(f => (f.name, f.dataType, false))
       })
 
   /** `(dataRel, dvRel)` bindings visible at `version` (current when
@@ -2748,7 +2779,7 @@ private[connector] final class TokenRangeScan(path: String,
     }
   }
 
-  private def pkFieldsForDv: Array[(String, DataType)] =
+  private def pkFieldsForDv: Array[(String, DataType, Boolean)] =
     TokenRangeSource.dvKeyFieldsOf(path, full)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2848,7 +2879,7 @@ private[connector] final class TokenRangeCdfScan(path: String,
 
 private[connector] final class TokenRangeReaderFactory(
     projected: StructType, emitEmptyRows: Boolean,
-    pkFields: Array[(String, DataType)] = Array.empty)
+    pkFields: Array[(String, DataType, Boolean)] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[TokenRangePartition]
@@ -2860,7 +2891,7 @@ private[connector] final class TokenRangeReaderFactory(
 private[connector] final class TokenRangeReader(files: Array[String],
     projected: StructType, emitEmptyRows: Boolean,
     dvFiles: Array[Array[String]] = Array.empty,
-    pkFields: Array[(String, DataType)] = Array.empty)
+    pkFields: Array[(String, DataType, Boolean)] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private var fileIdx = 0
@@ -2922,27 +2953,33 @@ private[connector] final class TokenRangeReader(files: Array[String],
     val fileSchema = try fr.getFileMetaData.getSchema finally fr.close()
     val names = fileSchema.getFields.asScala.map(_.getName)
     // the vector is written from the table-aligned frame, but match the
-    // key names case-insensitively like every other read surface; the
-    // universe's pk prefix must be fully present (a partial-pk sidecar
-    // has no defined grain), ck columns participate iff the sidecar
-    // carries them
+    // key names case-insensitively like every other read surface; every
+    // PK column must be present (a partial-pk sidecar has no defined
+    // grain — fail loudly, never over-delete), ck columns participate
+    // iff the sidecar carries them
     val resolved: Seq[(String, DataType)] = pkFields.toSeq.flatMap {
-      case (n, dt) => names.find(_.equalsIgnoreCase(n)).map((_, dt))
+      case (n, dt, isPk) =>
+        val fn = names.find(_.equalsIgnoreCase(n))
+        require(fn.isDefined || !isPk,
+          s"deletion vector $file lacks pk column '$n'")
+        fn.map((_, dt))
     }
-    require(resolved.nonEmpty, s"deletion vector $file names no pk/ck column")
     val rd = ParquetReader.builder(new GroupReadSupport(), p).build()
     val keys = Set.newBuilder[Any]
     try {
       var g = rd.read()
       while (g != null) {
         val vs = resolved.map { case (fn, dt) =>
+          // a null component can only appear on malformed sidecars (the
+          // bind excludes identity-less rows) — read as null, which
+          // matches no stored row with a bound value
           if (g.getFieldRepetitionCount(fn) == 0) null
           else dt match {
             case LongType => g.getLong(fn, 0)
             case IntegerType => normKey(g.getInteger(fn, 0))
             case StringType => g.getString(fn, 0)
             // the sink stores timestamps as raw INT64 µs and the sidecar
-            // writes them the same way (outputTimestampType micros)
+            // writes them the same way (unix_micros convention)
             case TimestampType => g.getLong(fn, 0)
             case other => throw new IllegalStateException(
               s"deletion-vector key dtype $other unsupported")
@@ -2954,8 +2991,9 @@ private[connector] final class TokenRangeReader(files: Array[String],
     } finally rd.close()
     // key fields keyed by the TABLE-side names (the data-file accessor
     // resolves its own casing through `present`)
-    (pkFields.toSeq.filter { case (n, _) =>
-      resolved.exists(_._1.equalsIgnoreCase(n)) }, keys.result())
+    (pkFields.toSeq.collect { case (n, dt, _)
+      if resolved.exists(_._1.equalsIgnoreCase(n)) => (n, dt) },
+      keys.result())
   })
   /** Read one POSITION-grain deletion-vector parquet (`_file` rel +
     * `_pos` ordinal) into per-target-file ordinal sets. */
@@ -3156,7 +3194,7 @@ private[connector] final case class TokenRangeCdfPartition(
 
 private[connector] final class TokenRangeCdfReaderFactory(
     projected: StructType, full: StructType,
-    pkFields: Array[(String, DataType)] = Array.empty)
+    pkFields: Array[(String, DataType, Boolean)] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[TokenRangeCdfPartition]
@@ -3173,7 +3211,7 @@ private[connector] final class TokenRangeCdfReaderFactory(
 private[connector] final class TokenRangeCdfReader(files: Array[String],
     changeType: Option[String], version: Int, projected: StructType,
     full: StructType, dvFiles: Array[Array[String]] = Array.empty,
-    pkFields: Array[(String, DataType)] = Array.empty)
+    pkFields: Array[(String, DataType, Boolean)] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private def synthesized(name: String): Boolean =
@@ -3536,7 +3574,12 @@ private[connector] final class TokenRangeBatchWrite(path: String,
                 org.apache.spark.sql.SparkSession.active, path, p)
               committed = true
             } catch {
-              case _: ManifestConflictException if attempts < 5 =>
+              // the conflict surfaces from the NESTED Spark write wrapped
+              // in SparkException layers — match via the cause chain, the
+              // same way every other nested-rewrite retry in this file
+              // does (a bare type match would never fire here)
+              case e: Exception
+                  if TokenRangeOps.isConflict(e) && attempts < 5 =>
                 attempts += 1
                 TokenRangeOps.insertUpsertBind(
                     org.apache.spark.sql.SparkSession.active, path,
@@ -3552,8 +3595,11 @@ private[connector] final class TokenRangeBatchWrite(path: String,
                   case None =>
                     // no pre-existing file owns any key anymore and the
                     // batch is duplicate-free at this grain: the cow
-                    // write degrades to a plain append of the batch
-                    p = p.copy(affectedRel = Nil,
+                    // write degrades to a plain APPEND of the batch —
+                    // and the stale sidecar (preimages of rows a racer
+                    // already removed) is DROPPED: a pure append is
+                    // feed-servable by insert synthesis, which is exact
+                    p = p.copy(affectedRel = Nil, cdfRel = None,
                       pinned = TokenRangeSource.currentVersion(path))
                 }
             }
@@ -3934,7 +3980,7 @@ object TokenRangeOps {
   /** A conflict surfaces from a Spark write wrapped in SparkException
     * layers — walk the cause chain. */
   @annotation.tailrec
-  private def isConflict(t: Throwable): Boolean = t match {
+  private[connector] def isConflict(t: Throwable): Boolean = t match {
     case null => false
     case _: ManifestConflictException => true
     case other => isConflict(other.getCause)
@@ -4960,14 +5006,38 @@ object TokenRangeOps {
           .withColumn(spos, org.apache.spark.sql.functions
             .col("_metadata.row_index").cast("long")),
         keep = Seq(sfile, spos))
+      // a NULL key component means the row has NO replacement identity:
+      // CQL refuses null clustering keys outright; graft stores such
+      // rows (clustered tables legally hold null-ck rows elsewhere) but
+      // they take the BLIND-APPEND path — excluded from the key census,
+      // from the vector, and from the LWW dedupe (review r18: the
+      // null-unsafe inner joins below would otherwise silently DROP
+      // them from the cow completion's output)
+      val keyNotNull = keyCols.map(col(_).isNotNull)
+        .reduce(_ && _)
+      val keyedLin = stagedLin.filter(keyNotNull)
+      // the winner ORDER: numeric (partition, task, roll, ordinal) from
+      // the staged name `part-<pid>-<tid>-<writeId>-<k>.parquet` — a
+      // string compare would rank "...-9" above "...-10" and pick an
+      // OLDER rolled file's row (review r18). Within one task this is
+      // true write order; across parallel tasks it is deterministic for
+      // a given staging layout, which is all CQL's own same-timestamp
+      // tie promises. The raw name rides along as the unique tiebreak
+      // so unparseable names degrade to string order, never to a tie.
+      import org.apache.spark.sql.functions.{element_at, split => fsplit,
+        concat, lit => flit, struct => fstruct, regexp_extract}
+      val fname = element_at(fsplit(col(sfile), "/"), -1)
+      def nameInt(group: Int) = regexp_extract(fname,
+        "part-(\\d+)-(\\d+)-[0-9a-fA-F]+-(\\d+)\\.parquet", group)
+        .cast("long")
+      val ordCol = fstruct(nameInt(1), nameInt(2), nameInt(3), fname,
+        col(spos))
       // ONE aggregation serves three needs: the keys' owning buckets
       // (a ≤ Buckets-row distinct — bounded by the ring width, never
       // data volume), the intra-batch duplicate flag, and the LWW
-      // winner per duplicated key (max (file, ordinal) = last written,
-      // deterministic for a given staging layout)
-      val winCol = org.apache.spark.sql.functions
-        .max(org.apache.spark.sql.functions.struct(col(sfile), col(spos)))
-      val keyAgg = stagedLin.groupBy(keyCols.map(col): _*)
+      // winner per duplicated key
+      val winCol = org.apache.spark.sql.functions.max(ordCol)
+      val keyAgg = keyedLin.groupBy(keyCols.map(col): _*)
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("_iu_n"),
           winCol.as("_iu_w"))
@@ -4989,23 +5059,23 @@ object TokenRangeOps {
       // stored ordinal); empty frame when the batch is duplicate-free.
       // `element_at(split(path,'/'), -2)` is the `tb=<k>` dir the
       // committer moves the file under verbatim.
-      import org.apache.spark.sql.functions.{element_at, split => fsplit,
-        concat, lit => flit, struct => fstruct}
       def relOf(c: org.apache.spark.sql.Column) = concat(
         element_at(fsplit(c, "/"), -2), flit("/"), element_at(fsplit(c, "/"), -1))
-      lazy val losers = stagedLin
+      lazy val losers = keyedLin
         .join(keyAgg.filter(col("_iu_n") > 1L), keyCols)
-        .filter(fstruct(col(sfile), col(spos)) =!= col("_iu_w"))
+        .filter(ordCol =!= col("_iu_w"))
         .select(relOf(col(sfile)).as(TokenRangeSource.FileCol),
           col(spos).as(TokenRangeSource.PosCol))
       // the batch with intra-batch losers dropped — what actually
-      // becomes visible, and what the change feed must image
+      // becomes visible, and what the change feed must image;
+      // identity-less (null-key) rows pass through verbatim
       lazy val deduped =
         if (!hasDups) incoming
-        else stagedLin.join(keyAgg, keyCols)
-          .filter(col("_iu_n") === 1L ||
-            fstruct(col(sfile), col(spos)) === col("_iu_w"))
+        else keyedLin.join(keyAgg, keyCols)
+          .filter(col("_iu_n") === 1L || ordCol === col("_iu_w"))
           .select(incoming.schema.fieldNames.map(col): _*)
+          .unionByName(stagedLin.filter(!keyNotNull)
+            .select(incoming.schema.fieldNames.map(col): _*))
       val bucketRel = TokenRangeSource.visibleRelFiles(path, pinned)
         .collect { case (k, rel) if buckets(k) => rel }
       // POINT-INSERT narrowing: small single-key-column batches probe

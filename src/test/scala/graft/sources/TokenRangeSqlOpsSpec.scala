@@ -121,11 +121,21 @@ class TokenRangeSqlOpsSpec extends SparkSpec {
     assert(dup.length == 1, s"intra-batch LWW keeps one row, got ${dup.length}")
     assert(spark.sql(s"SELECT body FROM $cat.ks.msgs " +
       "WHERE channel = 7 AND msg = 101").count() == 1)
+    // identity-less rows: a NULL ck has no replacement identity (CQL
+    // refuses null clustering keys outright; graft stores the rows) —
+    // they blind-append, never replace, never dedupe, never crash a
+    // later read through the vector merge
+    spark.sql(s"INSERT INTO $cat.ks.msgs VALUES " +
+      "(7, NULL, 'null-a'), (7, NULL, 'null-b')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ks.msgs " +
+      "WHERE channel = 7 AND msg IS NULL").head().getLong(0) == 2L)
+    assert(spark.sql(s"SELECT body FROM $cat.ks.msgs " +
+      "WHERE channel = 7 AND msg = 100").count() == 1)
     // compaction applies generations physically; results unchanged
     TokenRangeOps.compact(spark, path, "channel")
     assert(TokenRangeSource.dvBindings(path).isEmpty)
     assert(spark.sql(s"SELECT count(*) FROM $cat.ks.msgs").head().getLong(0)
-      == 26L)
+      == 28L)
     assert(spark.sql(s"SELECT body FROM $cat.ks.msgs " +
       "WHERE channel = 1 AND msg = 2").head().getString(0) == "v2-1-2")
   }
