@@ -39,27 +39,88 @@ object StreamingEntries extends QueryModule {
     * for parallelism); the semantics are partition-count invariant. */
   private val streamStatePartitions = "8"
 
+  /** Scratch root for streaming checkpoints, staged sources and file-sink
+    * drains (r19 floor attack, guide §1/§6: the per-micro-batch constant is
+    * dominated by checkpoint-dir I/O — offset/commit logs plus one state
+    * delta per store per partition per batch, ~0.27 s of the measured
+    * ~0.85 s floor on ext4). Checkpoint scratch for a bounded AvailableNow
+    * drain is transient by construction, so it belongs on the fastest
+    * local filesystem: tmpfs when available. Parameterised — a production
+    * deployment points this at its durable checkpoint store via
+    * SPARK_GRAFT_STREAM_SCRATCH (recovery needs the checkpoint to outlive
+    * the process; a drained backfill does not). */
+  private val scratchRoot: String = sys.env.get("SPARK_GRAFT_STREAM_SCRATCH")
+    .orElse(Some("/dev/shm").filter(p => new java.io.File(p).canWrite))
+    .getOrElse(sys.props("java.io.tmpdir"))
+
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(scratchRoot), prefix)
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    import java.util.Comparator
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+  }
+
   /** Run `f` (a synchronous stream start+drain) with the streaming state
-    * partition sizing, restoring the session's batch default after. Safe
-    * because every drain awaits termination before returning and entries
-    * run sequentially (Verify/Bench/test all serialize queries). */
-  private def withStreamPartitions[T](s: SparkSession)(f: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    * partition sizing and the bounded-drain micro-batch settings, restoring
+    * the session's batch defaults after. Safe because every drain awaits
+    * termination before returning and entries run sequentially
+    * (Verify/Bench/test all serialize queries).
+    *
+    * Bounded-drain settings (r19, guide §1 — measured on the harness-floor
+    * probe at sf0.1):
+    *   - `noDataMicroBatches.enabled=false` unless `noDataBatch`: the
+    *     trailing no-data batch exists to advance the watermark and flush/
+    *     evict state. Every drained entry here emits its rows in DATA
+    *     batches (complete-mode aggregates rewrite full state per batch;
+    *     append/update custom-state ops use NoTimeout; inner interval joins
+    *     emit matches on arrival; dropDuplicates* emits first-seens on
+    *     arrival) — EXCEPT the left-outer stream-stream join, whose
+    *     NULL-extended rows are produced by watermark eviction itself, so
+    *     st_attribution_unmatched passes noDataBatch=true. ~0.07 s/drain,
+    *     and ~0.9 s on the 4-store stream-stream join (the extra batch
+    *     re-commits every state store).
+    *   - state-store maintenanceInterval 1 h: background snapshot uploads
+    *     are lifecycle hygiene for LONG-RUNNING streams; inside a bounded
+    *     drain they only add I/O racing the drain itself (~0.06 s). The
+    *     session default is restored after, so a genuinely long-running
+    *     deployment keeps normal maintenance. */
+  private def withStreamConf[T](s: SparkSession, noDataBatch: Boolean = false)(f: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevMaint = s.conf.get("spark.sql.streaming.stateStore.maintenanceInterval")
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatch.toString)
+    s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      s.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", prevMaint)
+    }
   }
 
   /** Drain `df` to completion into a uniquely-named memory sink via
     * AvailableNow and return the sink contents. The temp view is dropped
     * immediately (the returned frame holds the already-resolved sink plan,
     * so its rows stay reachable exactly as long as the caller holds the
-    * frame — repeated drains don't accumulate named driver-memory tables). */
-  private def drain(df: DataFrame, mode: String): DataFrame =
-    withStreamPartitions(df.sparkSession) {
+    * frame — repeated drains don't accumulate named driver-memory tables).
+    * The checkpoint lives in a unique scratch dir (NEVER a shared
+    * `spark.sql.streaming.checkpointLocation`: a fixed location would make
+    * the next drain RESUME this one's offsets) and is deleted once the
+    * drain has terminated — the memory sink holds the rows. */
+  private def drain(df: DataFrame, mode: String, noDataBatch: Boolean = false): DataFrame =
+    withStreamConf(df.sparkSession, noDataBatch) {
+      val ckpt = scratchDir("graft_stream_ckpt")
       val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
       val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      deleteRecursively(ckpt)
       val out = df.sparkSession.table(name)
       df.sparkSession.catalog.dropTempView(name)
       out
@@ -73,7 +134,7 @@ object StreamingEntries extends QueryModule {
 
   private def stageDir(d: String, table: String): String =
     stagedDirs.computeIfAbsent(s"$d/$table", { _ =>
-      val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      val dir = scratchDir(s"graft_stream_$table")
       // staged copies are JVM-lifetime scratch: clean up on exit. Register
       // the DIR first — deleteOnExit runs in reverse registration order, so
       // the file inside is deleted before the (then-empty) directory.
@@ -199,20 +260,18 @@ object StreamingEntries extends QueryModule {
     * memory — the right drain for O(corpus)-sized results like a dedup
     * keep-list (VERDICT r2 #9). At scale the same writeStream points at the
     * durable output location; reading it back is the downstream job. */
-  private def drainToFiles(df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_out")
-    sys.addShutdownHook {
-      import java.nio.file._
-      import java.util.Comparator
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
-    withStreamPartitions(df.sparkSession) {
+  private def drainToFiles(df: DataFrame, noDataBatch: Boolean = false): DataFrame = {
+    val dir = scratchDir("graft_stream_out")
+    sys.addShutdownHook(deleteRecursively(dir))
+    withStreamConf(df.sparkSession, noDataBatch) {
       val q = df.writeStream.format("parquet")
         .option("path", s"$dir/data")
         .option("checkpointLocation", s"$dir/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // the drain is complete: its checkpoint is dead weight (the parquet
+      // under data/ is what the caller reads back) — reclaim the scratch
+      deleteRecursively(dir.resolve("ckpt"))
     }
     df.sparkSession.read.schema(df.schema).parquet(s"$dir/data")
   }
@@ -366,7 +425,11 @@ object StreamingEntries extends QueryModule {
         col("purchase_ts") >= col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
       "left_outer")
-    drainToFiles(joined)
+    // noDataBatch=true: the NULL-extended rows only exist once the
+    // trailing no-data micro-batch advances the watermark past
+    // view_ts + 30 min and evicts the unmatched views — the one drained
+    // entry whose RESULT depends on that batch (see withStreamConf)
+    drainToFiles(joined, noDataBatch = true)
       .filter(col("purchase_id").isNull)
       .groupBy(to_date(col("view_ts")).as("day"))
       .agg(count(lit(1)).as("n_unmatched_views"),
@@ -623,7 +686,7 @@ object StreamingEntries extends QueryModule {
       graft.Tables.events(s, d).select("event_id", "event_type", "value")
         .repartition(4)
         .write.mode("overwrite").parquet(srcDir.toString)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+      val ckpt = scratchDir("graft_stream_ckpt")
       ckpt.toFile.deleteOnExit()
       val sch = s.read.parquet(srcDir.toString).schema
       val src = s.readStream.schema(sch)
@@ -682,7 +745,7 @@ object StreamingEntries extends QueryModule {
     graft.PrebuiltDirs.cached("graft_connector_pipe", d) { dir =>
       val fmt = classOf[graft.sources.connector.TokenRangeSource].getName
       val src = connectorStreamDir(s, d) // the 4-version appended table
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_pipe_ckpt")
+      val ckpt = scratchDir("graft_pipe_ckpt")
       ckpt.toFile.deleteOnExit()
       val q = s.readStream.format(fmt).option("pk", "event_id")
         .option("maxVersionsPerTrigger", "2").load(src)
