@@ -103,10 +103,28 @@ object SemDedup extends QueryModule {
     cent
   }
 
+  /** The trained model through the per-corpus cache (r19 — the SAME
+    * ModelFrames lifecycle every ANN trainable tier adopted in r18):
+    * k-means training is a deterministic function of the immutable corpus
+    * and parquet round-trips doubles bit-exactly, so train-once-per-
+    * (model, corpus) serves the identical centroids the in-line Lloyd
+    * rounds would produce (SemDedupSpec asserts stored ≡ fresh), and the
+    * ε-dedup serve no longer embeds training cost. */
+  private def cachedCentroids(s: SparkSession, d: String): DataFrame =
+    graft.ModelFrames.cached(s, "semdedup_centroids", d) {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      trainedCentroids(e, e.withColumn("nrm", norm(col("embedding"))))
+        .select(col("cell"), col("centroid"), col("cnrm"))
+    }
+
+  /** Test hook: drop the cached centroid model (rewritten-fixture rebuilds). */
+  private[graft] def clearCentroidModelCache(): Unit =
+    graft.ModelFrames.clear("semdedup_centroids")
+
   def semantic(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val n = e.withColumn("nrm", norm(col("embedding")))
-    semanticFrom(n, trainedCentroids(e, n))
+    semanticFrom(n, cachedCentroids(s, d))
   }
 
   /** ε-dedup under a given centroid model — shared by the fresh path
@@ -165,11 +183,11 @@ object SemDedup extends QueryModule {
     graft.PrebuiltDirs.cached("graft_semdedup_cells", d) { dir =>
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val n = e.withColumn("nrm", norm(col("embedding")))
-      val cent = trainedCentroids(e, n)
-      // centroids first: semanticFrom frees the cent frame once the final
-      // assignment is materialized, so the model must already be on disk
-      cent.select(col("cell"), col("centroid"), col("cnrm"))
-        .write.mode("overwrite").parquet(s"$dir/centroids")
+      // ONE training per (JVM, corpus): the nightly build serves the same
+      // ModelFrames-cached centroids the fresh entry uses (r19 — the two
+      // lifecycles each ran their own Lloyd rounds before)
+      val cent = cachedCentroids(s, d)
+      cent.write.mode("overwrite").parquet(s"$dir/centroids")
       semanticFrom(n, cent).write.mode("overwrite").parquet(s"$dir/survivors")
       dir
     }

@@ -210,10 +210,20 @@ object AnalyticsSubqueries extends QueryModule {
     * aggregate — n_supp ≥ 2 ∧ n_returning_supp = 1 — instead of two extra
     * self-joins of lineitem (one shuffle saved at 100 TB scale). */
   def q21(s: SparkSession, d: String): DataFrame = {
+    // Two-phase distinct instead of two countDistinct()s (r19, guide §2.3):
+    // multiple distinct aggregates plan as an Expand that doubles every
+    // lineitem row into a 4-key distinct exchange; pre-aggregating to the
+    // (orderkey, suppkey) grain shuffles each distinct pair ONCE (map-side
+    // combined, 2 narrow keys + 1 flag) and the per-order counts fold from
+    // that grain. n_supp = distinct suppliers = group count (l_suppkey is
+    // non-null by filter, matching countDistinct's null-skip); n_r_supp =
+    // groups whose flag saw an 'R' row.
     val ordStats = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"))
+      .filter(col("l_suppkey").isNotNull)
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+      .groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
