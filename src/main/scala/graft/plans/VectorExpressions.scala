@@ -159,3 +159,119 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** Squared L2 distance in one codegen'd loop — the fused form of the
+  * declarative aggregate∘zip_with (x−y)·(x−y) shape (Ann.l2sq), the PQ
+  * assignment hot path (r19, guide §4: the interpreted HOF allocates a
+  * zipped array + two lambda frames per element, per candidate code).
+  * Fold order is identical (element 0 first, acc + v), so the rewrite is
+  * bit-exact — but ONLY on array<double> inputs, where the HOF lambda
+  * subtracts in double too; FuseL2Squared guards on the element type
+  * (a float-array lambda would subtract in FLOAT before widening). */
+case class L2Squared(left: Expression, right: Expression)
+  extends VectorBinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val diff = getElem(left, x, i) - getElem(right, y, i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = ${getElemCode(left, a, i)} - ${getElemCode(right, b, i)};
+         |    $d += $diff * $diff;
+         |  }
+         |  ${ev.value} = $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Squared =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer dot product over two array<long> columns in one codegen'd
+  * loop — the fused form of the int8 tier's aggregate∘zip_with long dot
+  * (Ann.ivfInt8TopK). Uses multiplyExact/addExact so an overflow throws
+  * exactly as the ANSI Multiply/Add fold it replaces would (the int8
+  * codes are |x| ≤ 127, so neither path can actually overflow). */
+case class LongDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<bigint>, array<bigint>), got ($lt, $rt)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc = java.lang.Math.addExact($acc,
+         |      java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
