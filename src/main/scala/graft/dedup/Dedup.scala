@@ -266,6 +266,12 @@ object Dedup extends QueryModule {
       (0 until 4).map(r => col(s"m${b * 4 + r}"))
         .foldLeft(lit(0L): Column)((acc, c) => pmod(acc * lit(1000003L) + c, lit(P)))
     }
+    // NOT materialized (r19, measured): the signature pipeline does feed
+    // both sides of the bucket self-join, but one side rides a broadcast
+    // build, so the two computations overlap inside one job — an eager
+    // bands materialization SERIALIZES that overlap and cost fuzzy_pairs
+    // +0.7 s at sf0.1. Consumers that fan out over the candidate SET more
+    // than once materialize that set instead (minhashPairsFrom).
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("b_idx", "b_hash")))
     bands.select(col("doc_id").as("doc_a"), col("b_idx"), col("b_hash"))
@@ -284,7 +290,9 @@ object Dedup extends QueryModule {
   /** MinHash-verified pair set from an already-materialized shingle
     * index — the driver entries and the label build share ONE index. */
   private def minhashPairsFrom(shingles: DataFrame): DataFrame = {
-    val cands = lshCandidates(shingles)
+    // materialized: cands feeds the intersection join AND the final
+    // left-join spine — un-materialized, the band self-join runs twice
+    val cands = Checkpoints.materialize(lshCandidates(shingles))
     // Exact-Jaccard verification of the (small) candidate set via the
     // inverted index: intersection size is a join+count on shingle rows, so
     // no per-doc shingle ARRAY is ever materialized (a book-sized doc would
