@@ -711,12 +711,19 @@ object TextAnalysis extends QueryModule {
     * salted joins at any corpus scale; contexts/V are model frames. */
   def bigramLogprob(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-    val big = toks
-      .withColumn("t2",
-        lead(col("t"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("t2").isNotNull)
-      .withColumn("bg", concat_ws(" ", col("t"), col("t2")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    // bigrams from the count-preserving native kernel (the topNgrams
+    // idiom) instead of posexplode + per-doc window lead (r19, guide
+    // §2.4): the lead() shuffled and sorted every token on doc_id, and
+    // this frame feeds THREE consumers (bigram counts, context counts,
+    // the salted join spine), so that shuffle ran three times. The
+    // context token is the bigram's first word — tokens are \s+-split so
+    // they never contain a space, making substring_index exact.
+    val big = Tables.documents(s, d)
+      .select(col("doc_id"), explode(org.apache.spark.sql.GraftColumns.column(
+        graft.plans.WordNgrams(
+          org.apache.spark.sql.GraftColumns.expression(col("text")), 2))).as("bg"))
+      .withColumn("t", substring_index(col("bg"), " ", 1))
       .select("doc_id", "t", "bg")
     val bgf = big.groupBy("bg").agg(count(lit(1)).as("c12"))
     val ctx = big.groupBy("t").agg(count(lit(1)).as("c1"))
