@@ -4847,9 +4847,24 @@ object TokenRangeOps {
           .getOrElse(throw new IllegalStateException(
             s"deletion-vector key column '$n' missing from rewrite read"))
           .name)
+      // the pk prefix of the universe (recordedPk order) — grainOf must
+      // see EVERY one of these in a sidecar before trusting its grain
+      val pkUniverse = universe.take(
+        TokenRangeSource.recordedPk(path).get.split(',').length)
       def grainOf(dv: String): Seq[String] = {
         val names = frames(dv).schema.fieldNames
-        universe.filter(u => names.exists(_.equalsIgnoreCase(u)))
+        val grain = universe.filter(u => names.exists(_.equalsIgnoreCase(u)))
+        // mirror loadDv's require(fn.isDefined || !isPk) (ADVICE r18):
+        // a sidecar missing a pk column — corruption or a foreign
+        // writer — would key the anti-join on a PARTIAL grain and
+        // over-delete every row sharing the remaining columns
+        // (permanent data loss); a sidecar with no key columns at all
+        // would tombstone every row of its bound files. Fail loudly.
+        val missingPk = pkUniverse.filterNot(p => grain.exists(_.equalsIgnoreCase(p)))
+        require(missingPk.isEmpty,
+          s"deletion-vector sidecar '$dv' lacks pk column(s) " +
+            s"${missingPk.mkString(", ")} — refusing the partial-grain anti-join")
+        grain
       }
       keyBind.groupBy(b => grainOf(b._2)).foreach { case (keyCols, binds) =>
         // one tombstone row per (bound file, deleted key): rows match

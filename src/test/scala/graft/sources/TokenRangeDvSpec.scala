@@ -132,6 +132,46 @@ class TokenRangeDvSpec extends SparkSpec {
       "the compacted rewrite must not resurrect vector-deleted rows")
   }
 
+  test("a sidecar missing a pk column fails the rewrite loudly (no partial-grain over-delete, r19)") {
+    val dir = freshTable("grain")
+    TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(7L, 8L), mode = "dv")
+    val dvRels = TokenRangeSource.dvBindings(dir).map(_._2).distinct
+    assert(dvRels.nonEmpty)
+    // corrupt every bound sidecar IN PLACE: rename its pk column, so the
+    // resolved grain is missing the recorded pk — the rewrite read must
+    // refuse the anti-join (a partial grain would over-delete rows that
+    // merely share the remaining columns) instead of proceeding
+    dvRels.foreach { rel =>
+      val abs = new java.io.File(dir, rel).getAbsolutePath
+      val corrupted = spark.read.parquet(abs).withColumnRenamed("pk", "qk")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dv_corrupt").toString
+      corrupted.write.mode("overwrite").parquet(tmp)
+      // swap the sidecar contents for the corrupted copy
+      import java.nio.file._
+      import java.util.Comparator
+      val target = Paths.get(abs)
+      Files.walk(target).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      Files.createDirectories(target)
+      Files.walk(Paths.get(tmp)).filter(p => Files.isRegularFile(p)).forEach(p =>
+        Files.copy(p, target.resolve(p.getFileName.toString)))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // the rewrite read (dvMergeLineaged) must refuse the partial grain —
+    // key 7 so the cow rewrite touches a bucket the sidecar is bound to
+    val e = intercept[Exception] {
+      TokenRangeOps.deleteKeys(spark, dir, "pk", Seq(7L), mode = "cow")
+    }
+    assert(messages(e).exists(_.contains("partial-grain")),
+      s"expected the partial-grain refusal, got: ${messages(e).mkString(" | ")}")
+    // and the task-reader path (loadDv) stays loud too
+    val e2 = intercept[Exception] { TokenRangeOps.compact(spark, dir, "pk") }
+    assert(messages(e2).exists(m =>
+      m.contains("partial-grain") || m.contains("lacks pk column")),
+      s"expected a loud pk-grain refusal, got: ${messages(e2).mkString(" | ")}")
+  }
+
   test("a rewrite racing a vector commit conflicts and re-runs (no resurrection)") {
     val dir = freshTable("race")
     // install the race: after the upsert pins its snapshot, a vector
