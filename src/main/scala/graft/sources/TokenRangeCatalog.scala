@@ -620,7 +620,13 @@ private[connector] final case class TokenRangeHistoryPartition(
 /** `ks.`t$files`` (r18) — one row per live data file at the current
   * version. Footer stats come from the per-file metadata every scan
   * already trusts (the zone-map/ck-prune source of truth); min/max
-  * render as strings so one schema serves every key dtype. The
+  * render as strings so one schema serves every key dtype. On tables
+  * with MULTIPLE clustering keys, ck_min/ck_max are the bounds of the
+  * FIRST (leader) clustering component only — the component the slab
+  * prune orders files by — not the full lexicographic ck tuple
+  * (ADVICE r18: stated here so triage users on PRIMARY KEY ((a), b, c)
+  * tables read b-only bounds as what they are). Likewise pk_min/pk_max
+  * cover the first pk component on composite-pk tables. The
   * added-version walk reads each retained manifest once, driver-side —
   * the same O(versions) the history table pays, and the in-process
   * stand-in for the stats catalog a 100 TB deployment keeps beside the

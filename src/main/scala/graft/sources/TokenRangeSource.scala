@@ -338,10 +338,17 @@ object TokenRangeSource {
     // the same stands-in-for-a-stats-catalog trade as fileStatsCache
     live.sortBy(_._2).map { case (bucket, rel) =>
       val f = new java.io.File(path, rel)
+      // cache key carries (length, mtime) beside the path (ADVICE r18):
+      // a dropped-and-recreated table reusing a path+filename must never
+      // serve the old file's row counts / min-max to t$files. Crude
+      // growth bound: retired files' entries accumulate per JVM, so the
+      // memo resets wholesale past a size no healthy session reaches.
+      if (censusFooterCache.size > 65536) censusFooterCache.clear()
+      val abs0 = f.getAbsolutePath
       val (nRows, pkMm, ckMm) = censusFooterCache.computeIfAbsent(
-        f.getAbsolutePath, { abs =>
+        s"$abs0|${f.length}|${f.lastModified}", { _ =>
           val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(abs), new Configuration()))
+            new org.apache.hadoop.fs.Path(abs0), new Configuration()))
           try {
             val blocks = fr.getFooter.getBlocks.asScala.toSeq
             (blocks.map(_.getRowCount).sum,
@@ -3615,6 +3622,11 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         (bind, cdf.orElse(commitCdfRel), pin)
       case _ => (dvBind, commitCdfRel, dvSeenVersion)
     }
+    // the bind the publish loop FINALLY committed (ADVICE r18: a retry
+    // can degrade the bind to Nil — the racer removed every affected
+    // file — and the post-commit sweep must gate on what was published,
+    // not on the pre-retry plan)
+    var finalBind: Seq[(String, String)] = effDvBind
     try {
       TokenRangeSource.withCommitLock(path) {
         // LEGACY tables first (r11 review): a manifest-less table reads
@@ -3693,6 +3705,7 @@ private[connector] final class TokenRangeBatchWrite(path: String,
         var bind = effDvBind; var cdf = effCdfRel; var seen = effSeen
         var attempts = 0
         var published = false
+        finalBind = bind
         while (!published) {
           try {
             TokenRangeSource.publishManifest(path, placedRel, doTruncate,
@@ -3707,10 +3720,12 @@ private[connector] final class TokenRangeBatchWrite(path: String,
                 else "append"),
               cdf, bind, seen)
             published = true
+            finalBind = bind
           } catch {
             case _: ManifestConflictException
                 if insertUpsert && attempts < 5 =>
               attempts += 1
+              val prevBind = bind
               val placedAbs = placedRel.map(rel =>
                 new java.io.File(path, rel).getAbsolutePath)
               TokenRangeOps.insertUpsertBind(
@@ -3727,6 +3742,16 @@ private[connector] final class TokenRangeBatchWrite(path: String,
                 case None =>
                   bind = Nil; cdf = commitCdfRel; seen = dvSeenVersion
               }
+              // the superseded attempt's _dv sidecars are referenced by
+              // NO manifest (that publish failed) and not by the new
+              // plan — delete them now instead of leaving vacuum debt
+              // (ADVICE r18); only the `_dv/` namespace, never a
+              // caller-provided CDF sidecar
+              val keep = bind.map(_._2).toSet
+              prevBind.map(_._2).distinct
+                .filter(rel => rel.startsWith("_dv/") && !keep(rel))
+                .foreach(rel => TokenRangeSource.deleteRecursively(
+                  new java.io.File(path, rel)))
           }
         }
       }
@@ -3736,7 +3761,7 @@ private[connector] final class TokenRangeBatchWrite(path: String,
       // the vector sweep is best-effort for the same reason (ADVICE r17:
       // it runs inside the user's statement tail — a sweep failure must
       // not fail an INSERT that already committed)
-      if (effDvBind.nonEmpty && dvBind.isEmpty)
+      if (finalBind.nonEmpty && dvBind.isEmpty)
         try TokenRangeOps.vectorSweep(
           org.apache.spark.sql.SparkSession.active, path)
         catch { case scala.util.control.NonFatal(_) => () }
