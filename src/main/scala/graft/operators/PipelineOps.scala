@@ -594,11 +594,14 @@ object PipelineOps extends QueryModule {
       c => floor(log(c.cast("double")) * lit(1e6) + 0.5).cast("long")
     // ONE corpus pass: (doc, lang, feature) counts; everything downstream
     // re-aggregates this ≤ |docs|·256 frame
-    val docFeat = Tables.documents(s, d)
+    // materialized (r19, guide §2.4): this frame feeds THREE consumers —
+    // the raw margin, the target margin, and the per-doc scoring join —
+    // and each would otherwise re-run the corpus explode + md5 + groupBy
+    val docFeat = graft.Checkpoints.materialize(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), col("lang"),
         pmod(graft.functions.TextFunctions.md5Int(col("t")), lit(DsirBuckets)).as("f"))
-      .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c")))
     val raw = docFeat.groupBy("f").agg(sum("c").as("cr"))
     val tgt = docFeat.filter(col("lang") === "en")
       .groupBy("f").agg(sum("c").as("ct"))
