@@ -1213,12 +1213,23 @@ object Ann extends QueryModule {
     * point-reads ~30 float rows per query. Hash-green as of r5
     * (fixed-point codebook training, pqTopKSql); AnnSpec keeps the
     * recall floor vs brute force. */
-  /** One M-byte code row per vector under `cb`. */
-  private def pqCodes(e: DataFrame, cb: DataFrame, vcol: String = "embedding"): DataFrame =
-    assignCodes(subvectors(e, vcol), cb)
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        x => x.getField("code").cast("int")).as("codes"))
+  /** One M-byte code row per vector under `cb`. ONE exchange (r19,
+    * guide §2.4): the assignCodes → groupBy(vec_id) chain shuffled the
+    * subvector frame twice ((vec_id, m) argmin, then the per-vector
+    * collect); per-subspace FILTER'd max_by aggregates fold the argmin
+    * and the code array in a single map-side-combined aggregate on
+    * vec_id. Tie-break identical to assignCodes: max_by on
+    * (-d2, -code) = lowest d2, then lowest code. */
+  private def pqCodes(e: DataFrame, cb: DataFrame, vcol: String = "embedding"): DataFrame = {
+    val scored = subvectors(e, vcol).join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        l2sq(col("sub"), col("centroid")).as("d2"))
+    val perM = (0 until PqM).map(m =>
+      expr(s"max_by(code, struct(-d2, -code)) FILTER (WHERE m = $m)")
+        .cast("int").as(s"c$m"))
+    scored.groupBy("vec_id").agg(perM.head, perM.tail: _*)
+      .select(col("vec_id"), array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"))
+  }
 
   /** Per-query ADC lookup table: partial dot of each query subvector with
     * every codebook centroid, M·Ks entries packed into one map per query. */
