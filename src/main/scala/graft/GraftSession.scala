@@ -32,6 +32,11 @@ object GraftSession {
       // key, hence co-located) — required for the zero-shuffle incremental
       // compaction merge on tables bucketed by partition key alone
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // janino class cache (static conf, default 100 entries): a workload
+      // of many distinct query shapes — or ONE query whose plan generates
+      // >100 codegen units — churns the cache and recompiles the same
+      // sources every run (r19, guide §1.2 per-task work)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -58,6 +63,8 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // see `cluster`: subset-of-join-keys bucket reuse for co-located joins
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // see `cluster`: codegen class-cache sized for a many-query workload
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
